@@ -1,0 +1,116 @@
+"""Raster tile math (SURVEY.md §2.3 G6) — slippy-map z/x/y, vectorized.
+
+The reference assigns decoded geometries to raster tiles via its r-tree
+over the tile grid (BASELINE.json:6). Here tile assignment is pure
+arithmetic: the public Web-Mercator "slippy map" formula for points,
+and a grid cover for polygons.
+
+A ``linear`` variant (equirectangular, floor-only, no transcendentals)
+also exists so tile queries can be verified bit-exactly against a
+duckdb SQL oracle (log/tan last-ulp behavior is engine-specific; the
+true Mercator path is verified against the pure-Python oracle in
+pytest instead).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_MERCATOR_LAT = 85.05112878
+
+
+def point_to_tile_mercator(lat: np.ndarray, lon: np.ndarray, z: int) -> tuple[np.ndarray, np.ndarray]:
+    """Slippy-map (x, y) at zoom z. Lat clamped to the Mercator domain."""
+    n = float(1 << z)
+    latc = np.clip(np.asarray(lat, np.float64), -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT)
+    lonf = np.asarray(lon, np.float64)
+    x = np.floor((lonf + 180.0) / 360.0 * n).astype(np.int64)
+    lat_rad = np.radians(latc)
+    y = np.floor((1.0 - np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / np.pi) / 2.0 * n).astype(
+        np.int64
+    )
+    np.clip(x, 0, int(n) - 1, out=x)
+    np.clip(y, 0, int(n) - 1, out=y)
+    return x, y
+
+
+def point_to_tile_linear(lat: np.ndarray, lon: np.ndarray, z: int) -> tuple[np.ndarray, np.ndarray]:
+    """Equirectangular tile grid: floor-only math, engine-portable.
+
+    x = floor((lon+180)/360 * 2^z), y = floor((90-lat)/180 * 2^z).
+    The duckdb oracle uses the literal same expression.
+    """
+    n = float(1 << z)
+    x = np.floor((np.asarray(lon, np.float64) + 180.0) / 360.0 * n).astype(np.int64)
+    y = np.floor((90.0 - np.asarray(lat, np.float64)) / 180.0 * n).astype(np.int64)
+    np.clip(x, 0, int(n) - 1, out=x)
+    np.clip(y, 0, int(n) - 1, out=y)
+    return x, y
+
+
+def tile_key(z: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Pack (z,x,y) into one int64: (z << 58) | (x << 29) | y (z<=29)."""
+    return (
+        (np.int64(z) << np.int64(58))
+        | (np.asarray(x, np.int64) << np.int64(29))
+        | np.asarray(y, np.int64)
+    )
+
+
+def tile_unkey(key: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    k = np.asarray(key, np.int64)
+    z = k >> np.int64(58)
+    x = (k >> np.int64(29)) & np.int64((1 << 29) - 1)
+    y = k & np.int64((1 << 29) - 1)
+    return z, x, y
+
+
+def polygon_tile_cover_mercator(rings: list[np.ndarray], z: int) -> np.ndarray:
+    """All (x, y) tiles at zoom z whose extent intersects the polygon.
+
+    Scan the polygon bbox's tile range; a tile is kept if any of its
+    corners/center is inside OR any polygon vertex falls in the tile.
+    Exact for the fixture scales used here; the pure-Python oracle uses
+    the identical rule (tests/oracle_geo.py) so assignments match 1:1.
+    """
+    from .geometry import point_in_polygon, ring_bbox
+
+    lat_min, lat_max, lon_min, lon_max = ring_bbox(rings)
+    x0, y1 = point_to_tile_mercator(np.array([lat_min]), np.array([lon_min]), z)
+    x1, y0 = point_to_tile_mercator(np.array([lat_max]), np.array([lon_max]), z)
+    xs = np.arange(int(x0[0]), int(x1[0]) + 1)
+    ys = np.arange(int(y0[0]), int(y1[0]) + 1)
+    if len(xs) == 0 or len(ys) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    gx, gy = gx.ravel(), gy.ravel()
+    n = float(1 << z)
+    # tile corner lat/lon (inverse mercator)
+    def tile_lat(yy):
+        return np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * yy / n))))
+
+    lon_w = gx / n * 360.0 - 180.0
+    lon_e = (gx + 1) / n * 360.0 - 180.0
+    lat_n = tile_lat(gy.astype(np.float64))
+    lat_s = tile_lat((gy + 1).astype(np.float64))
+    keep = np.zeros(len(gx), dtype=bool)
+    # corners + center inside polygon
+    for plat, plon in [
+        (lat_n, lon_w), (lat_n, lon_e), (lat_s, lon_w), (lat_s, lon_e),
+        ((lat_n + lat_s) / 2.0, (lon_w + lon_e) / 2.0),
+    ]:
+        keep |= point_in_polygon(plat, plon, rings)
+    # polygon vertices inside tile
+    for ring in rings:
+        vx, vy = point_to_tile_mercator(ring[:, 0], ring[:, 1], z)
+        keep |= np.isin(gx * (1 << 30) + gy, vx * (1 << 30) + vy)
+    # polygon edges crossing tiles: sample edges densely (fixture-scale)
+    for ring in rings:
+        closed = np.vstack([ring, ring[:1]])
+        for i in range(len(closed) - 1):
+            t = np.linspace(0.0, 1.0, 33)
+            slat = closed[i, 0] + (closed[i + 1, 0] - closed[i, 0]) * t
+            slon = closed[i, 1] + (closed[i + 1, 1] - closed[i, 1]) * t
+            sx, sy = point_to_tile_mercator(slat, slon, z)
+            keep |= np.isin(gx * (1 << 30) + gy, sx * (1 << 30) + sy)
+    return np.stack([gx[keep], gy[keep]], axis=1)

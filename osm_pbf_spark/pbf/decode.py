@@ -1,0 +1,369 @@
+"""PrimitiveBlock -> columnar Arrow batches (SURVEY.md §2.2 D2-D9).
+
+The vectorized heart of the engine's decode path. One call decodes one
+uncompressed PrimitiveBlock into pyarrow Tables for nodes / ways /
+relations. The format is already columnar within a block (DenseNodes
+keeps parallel packed arrays), so the kernels are numpy end-to-end:
+
+- delta decode    -> np.cumsum over zigzag-decoded packed varints (D3)
+- coord scaling   -> 1e-9 * (offset + granularity * raw)   [spec]
+- tag resolution  -> stringtable fancy-indexing             (D2/D4)
+- list columns    -> pa.ListArray/MapArray from offset arrays (D7/D8)
+
+Timestamps surface as int64 epoch-milliseconds (``ts_ms``) = raw
+timestamp * date_granularity [spec: PrimitiveBlock.date_granularity=18,
+default 1000]; callers convert with F.timestamp_millis when needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .proto import fields, repeated_scalar, to_signed64, zigzag_decode
+
+MEMBER_TYPE_NAMES = np.array(["node", "way", "relation"], dtype=object)
+
+NODE_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("lat", pa.float64()),
+        ("lon", pa.float64()),
+        ("tags", pa.map_(pa.string(), pa.string())),
+        ("version", pa.int32()),
+        ("ts_ms", pa.int64()),
+        ("changeset", pa.int64()),
+        ("uid", pa.int32()),
+        ("user", pa.string()),
+        ("visible", pa.bool_()),
+    ]
+)
+
+WAY_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("refs", pa.list_(pa.int64())),
+        ("tags", pa.map_(pa.string(), pa.string())),
+        ("version", pa.int32()),
+        ("ts_ms", pa.int64()),
+        ("changeset", pa.int64()),
+        ("uid", pa.int32()),
+        ("user", pa.string()),
+        ("visible", pa.bool_()),
+    ]
+)
+
+MEMBER_TYPE = pa.struct([("role", pa.string()), ("ref", pa.int64()), ("type", pa.string())])
+
+RELATION_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("members", pa.list_(MEMBER_TYPE)),
+        ("tags", pa.map_(pa.string(), pa.string())),
+        ("version", pa.int32()),
+        ("ts_ms", pa.int64()),
+        ("changeset", pa.int64()),
+        ("uid", pa.int32()),
+        ("user", pa.string()),
+        ("visible", pa.bool_()),
+    ]
+)
+
+
+def _stringtable(st_bytes) -> np.ndarray:
+    """StringTable.s[] -> numpy object array of python strings."""
+    f = fields(st_bytes)
+    return np.array([bytes(b).decode("utf-8") for b in f.get(1, [])], dtype=object)
+
+
+def _tags_map(keys_idx: np.ndarray, vals_idx: np.ndarray, offsets: np.ndarray,
+              table: np.ndarray) -> pa.MapArray:
+    """Build MAP<STRING,STRING> from stringtable indices + row offsets."""
+    keys = pa.array(table[keys_idx] if len(keys_idx) else [], type=pa.string())
+    vals = pa.array(table[vals_idx] if len(vals_idx) else [], type=pa.string())
+    return pa.MapArray.from_arrays(pa.array(offsets, type=pa.int32()), keys, vals)
+
+
+def _empty_info(n: int) -> dict[str, pa.Array]:
+    return {
+        "version": pa.nulls(n, pa.int32()),
+        "ts_ms": pa.nulls(n, pa.int64()),
+        "changeset": pa.nulls(n, pa.int64()),
+        "uid": pa.nulls(n, pa.int32()),
+        "user": pa.nulls(n, pa.string()),
+        "visible": pa.nulls(n, pa.bool_()),
+    }
+
+
+def _scalar_info(info_bytes, table: np.ndarray, date_gran: int) -> dict:
+    f = fields(info_bytes)
+    g = lambda fno: f[fno][0] if fno in f else None
+    ts = g(2)
+    uid = g(4)
+    usid = g(5)
+    vis = g(6)
+    return {
+        "version": g(1),
+        "ts_ms": None if ts is None else int(ts) * date_gran,
+        "changeset": g(3),
+        "uid": uid,
+        "user": None if usid is None else str(table[usid]),
+        "visible": None if vis is None else bool(vis),
+    }
+
+
+def _decode_dense(group_fields: dict, table: np.ndarray, gran: int, lat_off: int,
+                  lon_off: int, date_gran: int) -> pa.Table:
+    dense = fields(group_fields[2][0])
+    ids = np.cumsum(repeated_scalar(dense.get(1, []), packed_sint=True), dtype=np.int64)
+    lat_raw = np.cumsum(repeated_scalar(dense.get(8, []), packed_sint=True), dtype=np.int64)
+    lon_raw = np.cumsum(repeated_scalar(dense.get(9, []), packed_sint=True), dtype=np.int64)
+    # spec: 1e-9 * (offset + granularity * raw) — fixed operation order
+    lat = 1e-9 * (lat_off + gran * lat_raw.astype(np.float64))
+    lon = 1e-9 * (lon_off + gran * lon_raw.astype(np.float64))
+    n = len(ids)
+
+    # keys_vals: alternating k,v stringtable indices; 0 ends a node's tags
+    kv = repeated_scalar(dense.get(10, []))
+    if kv.size:
+        zero_pos = np.flatnonzero(kv == 0)
+        if len(zero_pos) != n:
+            raise ValueError("keys_vals terminator count != node count")
+        counts = np.diff(np.concatenate([[-1], zero_pos])) - 1  # kv ints per node
+        if np.any(counts % 2):
+            raise ValueError("odd keys_vals run")
+        pair_counts = counts // 2
+        offsets = np.concatenate([[0], np.cumsum(pair_counts)]).astype(np.int32)
+        # kv without terminators, preserving order
+        mask = np.ones(len(kv), dtype=bool)
+        mask[zero_pos] = False
+        flat = kv[mask]
+        keys_idx = flat[0::2]
+        vals_idx = flat[1::2]
+    else:
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        keys_idx = np.empty(0, dtype=np.int64)
+        vals_idx = np.empty(0, dtype=np.int64)
+    tags = _tags_map(keys_idx, vals_idx, offsets, table)
+
+    info_cols = _empty_info(n)
+    if 5 in dense:  # DenseInfo
+        di = fields(dense[5][0])
+        if 1 in di:
+            info_cols["version"] = pa.array(repeated_scalar(di[1]).astype(np.int32))
+        if 2 in di:
+            ts = np.cumsum(repeated_scalar(di[2], packed_sint=True), dtype=np.int64)
+            info_cols["ts_ms"] = pa.array(ts * date_gran)
+        if 3 in di:
+            info_cols["changeset"] = pa.array(
+                np.cumsum(repeated_scalar(di[3], packed_sint=True), dtype=np.int64)
+            )
+        if 4 in di:
+            info_cols["uid"] = pa.array(
+                np.cumsum(repeated_scalar(di[4], packed_sint=True), dtype=np.int64).astype(np.int32)
+            )
+        if 5 in di:
+            usid = np.cumsum(repeated_scalar(di[5], packed_sint=True), dtype=np.int64)
+            info_cols["user"] = pa.array(table[usid], type=pa.string())
+        if 6 in di:
+            info_cols["visible"] = pa.array(repeated_scalar(di[6]).astype(bool))
+
+    return pa.table(
+        {
+            "id": pa.array(ids),
+            "lat": pa.array(lat),
+            "lon": pa.array(lon),
+            "tags": tags,
+            **info_cols,
+        },
+        schema=NODE_SCHEMA,
+    )
+
+
+def _decode_sparse_nodes(msgs: list, table: np.ndarray, gran: int, lat_off: int,
+                         lon_off: int, date_gran: int) -> pa.Table:
+    rows = {k: [] for k in ("id", "lat", "lon")}
+    tag_offsets = [0]
+    keys_all: list[int] = []
+    vals_all: list[int] = []
+    infos = []
+    for m in msgs:
+        f = fields(m)
+        rows["id"].append(zigzag_decode(f[1][0]))
+        rows["lat"].append(1e-9 * (lat_off + gran * float(zigzag_decode(f[8][0]))))
+        rows["lon"].append(1e-9 * (lon_off + gran * float(zigzag_decode(f[9][0]))))
+        ks = repeated_scalar(f.get(2, []))
+        vs = repeated_scalar(f.get(3, []))
+        keys_all.extend(ks.tolist())
+        vals_all.extend(vs.tolist())
+        tag_offsets.append(tag_offsets[-1] + len(ks))
+        infos.append(_scalar_info(f[4][0], table, date_gran) if 4 in f else None)
+    n = len(rows["id"])
+    tags = _tags_map(np.array(keys_all, dtype=np.int64), np.array(vals_all, dtype=np.int64),
+                     np.array(tag_offsets, dtype=np.int32), table)
+    info_cols = _info_from_rows(infos, n)
+    return pa.table(
+        {
+            "id": pa.array(rows["id"], type=pa.int64()),
+            "lat": pa.array(rows["lat"], type=pa.float64()),
+            "lon": pa.array(rows["lon"], type=pa.float64()),
+            "tags": tags,
+            **info_cols,
+        },
+        schema=NODE_SCHEMA,
+    )
+
+
+def _info_from_rows(infos: list, n: int) -> dict[str, pa.Array]:
+    if not any(infos):
+        return _empty_info(n)
+    cols = {k: [] for k in ("version", "ts_ms", "changeset", "uid", "user", "visible")}
+    for inf in infos:
+        for k in cols:
+            cols[k].append(None if inf is None else inf[k])
+    return {
+        "version": pa.array(cols["version"], type=pa.int32()),
+        "ts_ms": pa.array(cols["ts_ms"], type=pa.int64()),
+        "changeset": pa.array(cols["changeset"], type=pa.int64()),
+        "uid": pa.array(cols["uid"], type=pa.int32()),
+        "user": pa.array(cols["user"], type=pa.string()),
+        "visible": pa.array(cols["visible"], type=pa.bool_()),
+    }
+
+
+def _decode_ways(msgs: list, table: np.ndarray, date_gran: int) -> pa.Table:
+    ids = []
+    ref_offsets = [0]
+    refs_all: list[np.ndarray] = []
+    tag_offsets = [0]
+    keys_all: list[int] = []
+    vals_all: list[int] = []
+    infos = []
+    for m in msgs:
+        f = fields(m)
+        ids.append(f[1][0])
+        refs = np.cumsum(repeated_scalar(f.get(8, []), packed_sint=True), dtype=np.int64)
+        refs_all.append(refs)
+        ref_offsets.append(ref_offsets[-1] + len(refs))
+        ks = repeated_scalar(f.get(2, []))
+        vs = repeated_scalar(f.get(3, []))
+        keys_all.extend(ks.tolist())
+        vals_all.extend(vs.tolist())
+        tag_offsets.append(tag_offsets[-1] + len(ks))
+        infos.append(_scalar_info(f[4][0], table, date_gran) if 4 in f else None)
+    n = len(ids)
+    flat_refs = np.concatenate(refs_all) if refs_all else np.empty(0, dtype=np.int64)
+    refs_col = pa.ListArray.from_arrays(pa.array(ref_offsets, type=pa.int32()),
+                                        pa.array(flat_refs, type=pa.int64()))
+    tags = _tags_map(np.array(keys_all, dtype=np.int64), np.array(vals_all, dtype=np.int64),
+                     np.array(tag_offsets, dtype=np.int32), table)
+    return pa.table(
+        {"id": pa.array(ids, type=pa.int64()), "refs": refs_col, "tags": tags,
+         **_info_from_rows(infos, n)},
+        schema=WAY_SCHEMA,
+    )
+
+
+def _decode_relations(msgs: list, table: np.ndarray, date_gran: int) -> pa.Table:
+    ids = []
+    mem_offsets = [0]
+    roles_all: list[str] = []
+    refs_all: list[int] = []
+    types_all: list[str] = []
+    tag_offsets = [0]
+    keys_all: list[int] = []
+    vals_all: list[int] = []
+    infos = []
+    for m in msgs:
+        f = fields(m)
+        ids.append(f[1][0])
+        roles_sid = repeated_scalar(f.get(8, []))
+        memids = np.cumsum(repeated_scalar(f.get(9, []), packed_sint=True), dtype=np.int64)
+        types = repeated_scalar(f.get(10, []))
+        roles_all.extend(table[roles_sid].tolist())
+        refs_all.extend(memids.tolist())
+        types_all.extend(MEMBER_TYPE_NAMES[types].tolist())
+        mem_offsets.append(mem_offsets[-1] + len(memids))
+        ks = repeated_scalar(f.get(2, []))
+        vs = repeated_scalar(f.get(3, []))
+        keys_all.extend(ks.tolist())
+        vals_all.extend(vs.tolist())
+        tag_offsets.append(tag_offsets[-1] + len(ks))
+        infos.append(_scalar_info(f[4][0], table, date_gran) if 4 in f else None)
+    n = len(ids)
+    members_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(roles_all, type=pa.string()),
+            pa.array(refs_all, type=pa.int64()),
+            pa.array(types_all, type=pa.string()),
+        ],
+        fields=list(MEMBER_TYPE),
+    )
+    members = pa.ListArray.from_arrays(pa.array(mem_offsets, type=pa.int32()), members_struct)
+    tags = _tags_map(np.array(keys_all, dtype=np.int64), np.array(vals_all, dtype=np.int64),
+                     np.array(tag_offsets, dtype=np.int32), table)
+    return pa.table(
+        {"id": pa.array(ids, type=pa.int64()), "members": members, "tags": tags,
+         **_info_from_rows(infos, n)},
+        schema=RELATION_SCHEMA,
+    )
+
+
+def decode_primitive_block(data: bytes | memoryview) -> dict[str, pa.Table]:
+    """Uncompressed PrimitiveBlock bytes -> {'nodes':..,'ways':..,'relations':..}."""
+    blk = fields(data)
+    table = _stringtable(blk[1][0]) if 1 in blk else np.array([""], dtype=object)
+    gran = to_signed64(int(blk[17][0])) if 17 in blk else 100
+    date_gran = to_signed64(int(blk[18][0])) if 18 in blk else 1000
+    lat_off = to_signed64(int(blk[19][0])) if 19 in blk else 0
+    lon_off = to_signed64(int(blk[20][0])) if 20 in blk else 0
+
+    node_tables, way_tables, rel_tables = [], [], []
+    for g in blk.get(2, []):
+        gf = fields(g)
+        # spec: each PrimitiveGroup holds exactly ONE entity kind (D9)
+        if 2 in gf:
+            node_tables.append(_decode_dense(gf, table, gran, lat_off, lon_off, date_gran))
+        if 1 in gf:
+            node_tables.append(
+                _decode_sparse_nodes(gf[1], table, gran, lat_off, lon_off, date_gran)
+            )
+        if 3 in gf:
+            way_tables.append(_decode_ways(gf[3], table, date_gran))
+        if 4 in gf:
+            rel_tables.append(_decode_relations(gf[4], table, date_gran))
+        # field 5 (changesets) intentionally ignored, as in the reference
+
+    def cat(tabs, schema):
+        return pa.concat_tables(tabs) if tabs else schema.empty_table()
+
+    return {
+        "nodes": cat(node_tables, NODE_SCHEMA),
+        "ways": cat(way_tables, WAY_SCHEMA),
+        "relations": cat(rel_tables, RELATION_SCHEMA),
+    }
+
+
+def decode_header_block(data: bytes | memoryview) -> dict:
+    """HeaderBlock -> dict; raises on unsupported required_features (S4)."""
+    SUPPORTED = {"OsmSchema-V0.6", "DenseNodes"}
+    f = fields(data)
+    out: dict = {"required_features": [], "optional_features": [], "bbox": None}
+    if 1 in f:
+        bb = fields(f[1][0])
+        out["bbox"] = {
+            "left": zigzag_decode(bb[1][0]) * 1e-9,
+            "right": zigzag_decode(bb[2][0]) * 1e-9,
+            "top": zigzag_decode(bb[3][0]) * 1e-9,
+            "bottom": zigzag_decode(bb[4][0]) * 1e-9,
+        }
+    for b in f.get(4, []):
+        feat = bytes(b).decode("utf-8")
+        out["required_features"].append(feat)
+        if feat not in SUPPORTED:
+            raise ValueError(f"unsupported required feature: {feat}")
+    for b in f.get(5, []):
+        out["optional_features"].append(bytes(b).decode("utf-8"))
+    if 16 in f:
+        out["writingprogram"] = bytes(f[16][0]).decode("utf-8")
+    return out

@@ -1,0 +1,175 @@
+"""Golden OSM-PBF fixture builder (FIXTURES.md §3).
+
+Synthesizes byte-exact, spec-valid .osm.pbf files with known contents
+using the pure-Python encoder. Deterministic: no timestamps-of-now, no
+randomness. Each builder returns the path it wrote.
+"""
+
+from __future__ import annotations
+
+import os
+
+from osm_pbf_spark.pbf import encoder as E
+
+
+def nd(v: float) -> int:
+    """degrees -> raw grid units at default granularity 100 (nanodeg/100)."""
+    return round(v * 1e9 / 100)
+
+
+def build_minimal(dirpath: str) -> str:
+    """3 dense nodes, 2 tags each; framing/zlib/stringtable/delta basics."""
+    st = E.StringTable()
+    nodes = [
+        {"id": 100, "lat_raw": nd(52.5200), "lon_raw": nd(13.4050),
+         "tags": {"name": "berlin-pt", "amenity": "cafe"}},
+        {"id": 105, "lat_raw": nd(52.5201), "lon_raw": nd(13.4060),
+         "tags": {"name": "berlin-pt2", "amenity": "bar"}},
+        {"id": 230, "lat_raw": nd(-33.8688), "lon_raw": nd(151.2093),
+         "tags": {"name": "sydney-pt", "tourism": "viewpoint"}},
+    ]
+    block = E.encode_primitive_block([E.encode_dense_nodes(nodes, st)], st)
+    hdr = E.encode_header_block(
+        bbox_nanodeg=(13_000_000_000, 152_000_000_000, 53_000_000_000, -34_000_000_000)
+    )
+    path = os.path.join(dirpath, "minimal.osm.pbf")
+    E.write_pbf(path, [block], header_block=hdr)
+    return path
+
+
+def build_granularity(dirpath: str) -> str:
+    """Non-default granularity=1000, lat/lon offsets, date_granularity=2000."""
+    st = E.StringTable()
+    gran, lat_off, lon_off = 1000, 5_000_000, -3_000_000
+    def raw(deg, off):
+        return round((deg * 1e9 - off) / gran)
+    nodes = [
+        {"id": 7, "lat_raw": raw(48.8566, lat_off), "lon_raw": raw(2.3522, lon_off),
+         "tags": {"name": "paris"},
+         "info": {"version": 3, "timestamp": 700_000, "changeset": 42, "uid": 9,
+                  "user": "alice", "visible": True}},
+        {"id": 8, "lat_raw": raw(48.8570, lat_off), "lon_raw": raw(2.3530, lon_off),
+         "tags": {},
+         "info": {"version": 1, "timestamp": 700_100, "changeset": 43, "uid": 10,
+                  "user": "bob", "visible": False}},
+    ]
+    block = E.encode_primitive_block(
+        [E.encode_dense_nodes(nodes, st, with_info=True)], st,
+        granularity=gran, lat_offset=lat_off, lon_offset=lon_off, date_granularity=2000,
+    )
+    path = os.path.join(dirpath, "granularity.osm.pbf")
+    E.write_pbf(path, [block])
+    return path
+
+
+def build_mixed(dirpath: str) -> str:
+    """Dense nodes + ways (incl. closed way = polygon) + relation + sparse node."""
+    st = E.StringTable()
+    nodes = [
+        {"id": i, "lat_raw": nd(50.0 + 0.001 * i), "lon_raw": nd(8.0 + 0.001 * i),
+         "tags": ({"highway": "crossing"} if i % 2 == 0 else {})}
+        for i in range(1, 7)
+    ]
+    g_dense = E.encode_dense_nodes(nodes, st)
+    ways = [
+        {"id": 501, "refs": [1, 2, 3], "tags": {"highway": "residential", "name": "A St"}},
+        {"id": 502, "refs": [4, 5, 6, 4], "tags": {"building": "yes"}},  # closed = polygon
+    ]
+    g_ways = b"".join(E.encode_way(w, st) for w in ways)
+    rels = [
+        {"id": 900, "members": [
+            {"role": "outer", "ref": 502, "type": "way"},
+            {"role": "admin_centre", "ref": 1, "type": "node"},
+            {"role": "subarea", "ref": 901, "type": "relation"},
+        ], "tags": {"type": "multipolygon"}},
+    ]
+    g_rels = b"".join(E.encode_relation(r, st) for r in rels)
+    g_sparse = E.encode_sparse_node(
+        {"id": 77, "lat_raw": nd(50.5), "lon_raw": nd(8.5),
+         "tags": {"man_made": "tower"},
+         "info": {"version": 2, "timestamp": 1234, "changeset": 5, "uid": 6,
+                  "user": "carol", "visible": True}},
+        st,
+    )
+    block = E.encode_primitive_block([g_dense, g_ways, g_rels, g_sparse], st)
+    path = os.path.join(dirpath, "mixed.osm.pbf")
+    E.write_pbf(path, [block])
+    return path
+
+
+def build_raw(dirpath: str) -> str:
+    """Uncompressed Blob.raw branch."""
+    st = E.StringTable()
+    nodes = [{"id": 1, "lat_raw": nd(0.5), "lon_raw": nd(0.5), "tags": {"note": "raw"}}]
+    block = E.encode_primitive_block([E.encode_dense_nodes(nodes, st)], st)
+    path = os.path.join(dirpath, "raw.osm.pbf")
+    E.write_pbf(path, [block], compress=False)
+    return path
+
+
+def build_denseinfo(dirpath: str) -> str:
+    st = E.StringTable()
+    nodes = [
+        {"id": 10 + i, "lat_raw": nd(10.0 + i), "lon_raw": nd(20.0 + i), "tags": {},
+         "info": {"version": i + 1, "timestamp": 1_000_000 + 17 * i,
+                  "changeset": 100 - i, "uid": 5 + i, "user": f"u{i % 2}",
+                  "visible": i != 2}}
+        for i in range(4)
+    ]
+    block = E.encode_primitive_block([E.encode_dense_nodes(nodes, st, with_info=True)], st)
+    path = os.path.join(dirpath, "denseinfo.osm.pbf")
+    E.write_pbf(path, [block])
+    return path
+
+
+def build_multiblob(dirpath: str, blobs: int = 4, nodes_per_blob: int = 50) -> str:
+    """Several OSMData blobs; ids span blobs — the distributed-scan fixture."""
+    blocks = []
+    nid = 1000
+    for b in range(blobs):
+        st = E.StringTable()
+        nodes = []
+        for i in range(nodes_per_blob):
+            nodes.append({
+                "id": nid,
+                "lat_raw": nd(40.0 + b + 0.01 * i),
+                "lon_raw": nd(-74.0 + b + 0.01 * i),
+                "tags": {"blk": str(b)} if i % 5 == 0 else {},
+            })
+            nid += 3
+        blocks.append(E.encode_primitive_block([E.encode_dense_nodes(nodes, st)], st))
+    path = os.path.join(dirpath, "multiblob.osm.pbf")
+    E.write_pbf(path, blocks)
+    return path
+
+
+def build_empty_strings(dirpath: str) -> str:
+    """Stringtable index-0 (empty) referenced by a tag value.
+
+    Spec subtlety: in DenseNodes.keys_vals the 0 index is the per-node
+    TERMINATOR, so index 0 may only be referenced from sparse
+    Node.keys/vals (and Way/Relation keys/vals), which have no
+    terminator convention. The dense node here carries non-empty tags.
+    """
+    st = E.StringTable()
+    g_sparse = E.encode_sparse_node(
+        {"id": 3, "lat_raw": nd(1.0), "lon_raw": nd(2.0), "tags": {"fixme": ""}}, st
+    )
+    g_dense = E.encode_dense_nodes(
+        [{"id": 4, "lat_raw": nd(1.5), "lon_raw": nd(2.5), "tags": {"a": "b"}}], st
+    )
+    block = E.encode_primitive_block([g_sparse, g_dense], st)
+    path = os.path.join(dirpath, "empty-strings.osm.pbf")
+    E.write_pbf(path, [block])
+    return path
+
+
+ALL_BUILDERS = [
+    build_minimal, build_granularity, build_mixed, build_raw,
+    build_denseinfo, build_multiblob, build_empty_strings,
+]
+
+
+def build_all(dirpath: str) -> list[str]:
+    os.makedirs(dirpath, exist_ok=True)
+    return [b(dirpath) for b in ALL_BUILDERS]
