@@ -1,0 +1,231 @@
+"""Document render (SURVEY.md §2.2 D10): entity -> (doc_id, spans).
+
+Renders decoded OSM entities into the interleaved text+media document
+shape that is the engine's primary table (BASELINE.json:16):
+
+    doc_id: string        = "<kind>/<id>"
+    spans:  array<struct<kind, text, media_ref, offset:int32>>
+
+Deterministic render spec (mirrored exactly by tests/oracle_render.py —
+the per-row span-sequence-equality invariant surface):
+
+  1. span ('text',      "<kind> <id>",  '',        0)
+  2. per tag, in decoded (stringtable) order:
+        ('tag-key',   k, '', off) then ('tag-value', v, '', off)
+  3. geometry/media spans (text='', offset = current offset):
+        node     -> ('geom',  '', "geom:point:<lat %.7f>,<lon %.7f>")
+        way      -> ('geom',  '', "geom:way:<first_ref>..<last_ref>:<n>")
+        relation -> one ('media', '', "member:<type>/<ref>:<role>") per member
+
+``offset`` is the running character offset of the space-joined text
+stream: each text-bearing span advances it by len(text)+1; media spans
+advance 0.
+
+Implementation: one mapInArrow kernel, flat-array construction — span
+offsets, interleaved tag positions and segmented prefix sums are all
+numpy; no per-row Python loops (BASELINE.json:16).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+SPAN_TYPE = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+
+DOC_ARROW_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("spans", pa.list_(SPAN_TYPE)),
+        ("kind", pa.string()),
+        ("lat", pa.float64()),
+        ("lon", pa.float64()),
+    ]
+)
+
+DOC_SPARK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("media_ref", T.StringType()),
+                        T.StructField("offset", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("kind", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+    ]
+)
+
+
+def _flat_strlen(arr: np.ndarray) -> np.ndarray:
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.char.str_len(arr.astype(str)).astype(np.int64)
+
+
+def _render_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+    n = batch.num_rows
+    kind = np.asarray(batch.column("kind").to_pylist(), dtype=object)
+    ids = batch.column("id").to_numpy(zero_copy_only=False)
+    lat = batch.column("lat").to_numpy(zero_copy_only=False)
+    lon = batch.column("lon").to_numpy(zero_copy_only=False)
+
+    tags = batch.column("tags")
+    if isinstance(tags, pa.ChunkedArray):
+        tags = tags.combine_chunks()
+    m_off = tags.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # MapArray .keys/.items are UNsliced child arrays; align them to the
+    # logical offsets window explicitly
+    lo, hi = int(m_off[0]), int(m_off[-1])
+    tag_keys = np.asarray(tags.keys.slice(lo, hi - lo).to_pylist(), dtype=object)
+    tag_vals = np.asarray(tags.items.slice(lo, hi - lo).to_pylist(), dtype=object)
+    tc = np.diff(m_off)
+
+    refs = batch.column("refs")
+    if isinstance(refs, pa.ChunkedArray):
+        refs = refs.combine_chunks()
+    members = batch.column("members")
+    if isinstance(members, pa.ChunkedArray):
+        members = members.combine_chunks()
+
+    is_node = kind == "node"
+    is_way = kind == "way"
+    is_rel = kind == "relation"
+
+    # geometry span counts per doc
+    mem_counts = np.zeros(n, dtype=np.int64)
+    if is_rel.any():
+        mlens = pc.list_value_length(members).to_numpy(zero_copy_only=False)
+        mem_counts[is_rel] = np.nan_to_num(mlens[is_rel]).astype(np.int64)
+    gc = np.where(is_node | is_way, 1, mem_counts)
+
+    spans_per_doc = 1 + 2 * tc + gc
+    span_offsets = np.concatenate([[0], np.cumsum(spans_per_doc)]).astype(np.int64)
+    S = int(span_offsets[-1])
+
+    out_kind = np.empty(S, dtype=object)
+    out_text = np.empty(S, dtype=object)
+    out_media = np.empty(S, dtype=object)
+    out_text[:] = ""
+    out_media[:] = ""
+
+    # 1) header text spans
+    hdr_pos = span_offsets[:-1]
+    ids_str = ids.astype(np.int64).astype(str).astype(object)
+    out_kind[hdr_pos] = "text"
+    out_text[hdr_pos] = kind + np.full(n, " ", dtype=object) + ids_str
+
+    # 2) tag spans, interleaved k/v — positions fully vectorized
+    total_tags = int(tc.sum())
+    if total_tags:
+        doc_of_tag = np.repeat(np.arange(n), tc)
+        # rank of each tag within its doc
+        tag_rank = np.arange(total_tags) - np.repeat(np.cumsum(np.concatenate([[0], tc[:-1]])), tc)
+        key_pos = span_offsets[doc_of_tag] + 1 + 2 * tag_rank
+        val_pos = key_pos + 1
+        out_kind[key_pos] = "tag-key"
+        out_text[key_pos] = tag_keys
+        out_kind[val_pos] = "tag-value"
+        out_text[val_pos] = tag_vals
+
+    # 3) geometry/media spans
+    geom_base = span_offsets[:-1] + 1 + 2 * tc
+    if is_node.any():
+        pos = geom_base[is_node]
+        out_kind[pos] = "geom"
+        lat_s = np.char.mod("%.7f", lat[is_node]).astype(object)
+        lon_s = np.char.mod("%.7f", lon[is_node]).astype(object)
+        out_media[pos] = np.full(pos.shape, "geom:point:", dtype=object) + lat_s + "," + lon_s
+    if is_way.any():
+        pos = geom_base[is_way]
+        out_kind[pos] = "geom"
+        r_off = refs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        r_vals = refs.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        w_start = r_off[:-1][is_way]
+        w_end = r_off[1:][is_way]
+        f_s = r_vals[w_start].astype(str).astype(object)
+        l_s = r_vals[w_end - 1].astype(str).astype(object)
+        n_s = (w_end - w_start).astype(str).astype(object)
+        out_media[pos] = (
+            np.full(pos.shape, "geom:way:", dtype=object) + f_s + ".." + l_s + ":" + n_s
+        )
+    if is_rel.any() and mem_counts.sum():
+        doc_of_mem = np.repeat(np.arange(n), mem_counts)
+        mem_rank = np.arange(int(mem_counts.sum())) - np.repeat(
+            np.cumsum(np.concatenate([[0], mem_counts[:-1]])), mem_counts
+        )
+        pos = geom_base[doc_of_mem] + mem_rank
+        flat_members = members.flatten()
+        roles = np.asarray(flat_members.field("role").to_pylist(), dtype=object)
+        mrefs = flat_members.field("ref").to_numpy(zero_copy_only=False)
+        mtypes = np.asarray(flat_members.field("type").to_pylist(), dtype=object)
+        # flatten() of the full column includes members of non-relation
+        # rows too (there are none — refs/members are null there), and
+        # list offsets align with mem_counts by construction
+        out_kind[pos] = "media"
+        out_media[pos] = (
+            np.full(pos.shape, "member:", dtype=object)
+            + mtypes
+            + "/"
+            + mrefs.astype(np.int64).astype(str).astype(object)
+            + ":"
+            + roles
+        )
+
+    # offsets: segmented exclusive prefix sum of (len(text)+1 for
+    # text-bearing spans, 0 for media spans)
+    is_text_span = (out_kind == "text") | (out_kind == "tag-key") | (out_kind == "tag-value")
+    advance = np.where(is_text_span, _flat_strlen(out_text) + 1, 0).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(advance)])
+    doc_of_span = np.repeat(np.arange(n), spans_per_doc)
+    out_offset = (cum[:-1] - cum[span_offsets[:-1]][doc_of_span]).astype(np.int32)
+
+    spans_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(out_kind, type=pa.string()),
+            pa.array(out_text, type=pa.string()),
+            pa.array(out_media, type=pa.string()),
+            pa.array(out_offset, type=pa.int32()),
+        ],
+        fields=list(SPAN_TYPE),
+    )
+    spans = pa.ListArray.from_arrays(pa.array(span_offsets, type=pa.int32()), spans_struct)
+    doc_id = pa.array(kind + np.full(n, "/", dtype=object) + ids_str, type=pa.string())
+    return pa.record_batch(
+        [doc_id, spans, pa.array(kind, type=pa.string()),
+         batch.column("lat"), batch.column("lon")],
+        schema=DOC_ARROW_SCHEMA,
+    )
+
+
+def _render_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for b in batches:
+        if b.num_rows:
+            yield _render_batch(b)
+
+
+def render_documents(entities: DataFrame) -> DataFrame:
+    """Entities (unified schema) -> interleaved-span documents."""
+    cols = ["kind", "id", "lat", "lon", "tags", "refs", "members"]
+    return entities.select(*cols).mapInArrow(_render_iter, DOC_SPARK_SCHEMA)

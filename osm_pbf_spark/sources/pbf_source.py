@@ -1,0 +1,201 @@
+"""Distributed OSM-PBF source (SURVEY.md §2.1 S1-S4, §3.2 entry point 1).
+
+The reference decodes blob-at-a-time in one process. Here the same file
+becomes an arbitrarily parallel scan:
+
+1. driver LIGHT scan: read only the 4-byte lengths + BlobHeaders,
+   seeking past payloads -> blob manifest (seq, offset, size);
+2. decode + validate the OSMHeader once on the driver (fail fast on
+   unsupported required_features — spec semantics);
+3. manifest -> small DataFrame -> ``repartition(n)`` -> ``mapInArrow``
+   UDF re-opens the file per partition and reads ONLY its byte ranges,
+   running the vectorized numpy decode kernels per blob.
+
+The decode emits ONE unified entity schema (kind + nullable
+refs/members) so the file is read and decoded exactly once; ``nodes()``
+/ ``ways()`` / ``relations()`` are cheap filters on top. At cluster
+scale each executor seeks independently into (an HDFS/S3 copy of) the
+file — no shuffle anywhere in the decode stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..pbf.decode import decode_header_block, decode_primitive_block
+from ..pbf.framing import read_blob_payload, scan_blobs
+
+ENTITY_SPARK_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("refs", T.ArrayType(T.LongType())),
+        T.StructField(
+            "members",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("role", T.StringType()),
+                        T.StructField("ref", T.LongType()),
+                        T.StructField("type", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("version", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("changeset", T.LongType()),
+        T.StructField("uid", T.IntegerType()),
+        T.StructField("user", T.StringType()),
+        T.StructField("visible", T.BooleanType()),
+    ]
+)
+
+_ENTITY_ARROW_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("id", pa.int64()),
+        ("lat", pa.float64()),
+        ("lon", pa.float64()),
+        ("tags", pa.map_(pa.string(), pa.string())),
+        ("refs", pa.list_(pa.int64())),
+        (
+            "members",
+            pa.list_(
+                pa.struct([("role", pa.string()), ("ref", pa.int64()), ("type", pa.string())])
+            ),
+        ),
+        ("version", pa.int32()),
+        ("ts_ms", pa.int64()),
+        ("changeset", pa.int64()),
+        ("uid", pa.int32()),
+        ("user", pa.string()),
+        ("visible", pa.bool_()),
+    ]
+)
+
+
+def _unify(kind: str, tab: pa.Table) -> pa.Table:
+    """Pad a per-kind table out to the unified entity schema."""
+    n = len(tab)
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {
+        "kind": pa.array([kind] * n, type=pa.string())
+    }
+    for field in _ENTITY_ARROW_SCHEMA:
+        if field.name == "kind":
+            continue
+        if field.name in tab.column_names:
+            cols[field.name] = tab.column(field.name)
+        else:
+            cols[field.name] = pa.nulls(n, field.type)
+    return pa.table(cols, schema=_ENTITY_ARROW_SCHEMA)
+
+
+def _decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel: (path, offset, size) rows -> entity batches.
+
+    One output batch per blob keeps memory bounded at ~one inflated
+    block (<= 32 MiB by spec), matching the reference's streaming
+    posture.
+    """
+    for batch in batches:
+        paths = batch.column("path").to_pylist()
+        offsets = batch.column("offset").to_pylist()
+        sizes = batch.column("size").to_pylist()
+        f = None
+        cur_path = None
+        try:
+            for path, off, size in zip(paths, offsets, sizes):
+                if path != cur_path:
+                    if f is not None:
+                        f.close()
+                    f = open(path, "rb")
+                    cur_path = path
+                raw = read_blob_payload(f, off, size)
+                tabs = decode_primitive_block(raw)
+                for kind_name, kind in (("node", "nodes"), ("way", "ways"),
+                                        ("relation", "relations")):
+                    t = tabs[kind]
+                    if len(t):
+                        yield from _unify(kind_name, t).to_batches()
+        finally:
+            if f is not None:
+                f.close()
+
+
+def read_pbf(
+    spark: SparkSession,
+    path: str,
+    parallelism: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Distributed decode -> (unified entity DataFrame, header dict)."""
+    refs = scan_blobs(path)
+    header = None
+    data_refs = []
+    for r in refs:
+        if r.blob_type == "OSMHeader":
+            header = decode_header_block(read_blob_payload(path, r.offset, r.size))
+        elif r.blob_type == "OSMData":
+            data_refs.append(r)
+        # unknown blob types are skipped per spec ("parsers should ignore")
+    if header is None:
+        header = {"required_features": [], "optional_features": [], "bbox": None}
+
+    manifest = spark.createDataFrame(
+        [(path, r.seq, r.offset, r.size) for r in data_refs],
+        schema="path string, seq long, offset long, size long",
+    )
+    n = parallelism or min(len(data_refs), spark.sparkContext.defaultParallelism) or 1
+    entities = manifest.repartition(n).mapInArrow(_decode_partition, ENTITY_SPARK_SCHEMA)
+    return entities, header
+
+
+def nodes(entities: DataFrame) -> DataFrame:
+    return entities.filter(F.col("kind") == "node").drop("refs", "members")
+
+
+def ways(entities: DataFrame) -> DataFrame:
+    return entities.filter(F.col("kind") == "way").drop("lat", "lon", "members")
+
+
+def relations(entities: DataFrame) -> DataFrame:
+    return entities.filter(F.col("kind") == "relation").drop("lat", "lon", "refs")
+
+
+def assemble_way_geometries(ways_df: DataFrame, nodes_df: DataFrame) -> DataFrame:
+    """Way geometry assembly (SURVEY.md §2.3 G8): refs -> ordered coords.
+
+    The reference resolves refs against an in-memory node hash; the
+    distributed equivalent is posexplode + an equi-join on node id
+    (sort-merge above the broadcast threshold — the largest shuffle of
+    the decode pipeline) + re-assembly with sort_array(collect_list).
+    Emits ``is_closed`` (first ref == last ref) marking polygon ways.
+    """
+    exploded = ways_df.select(
+        F.col("id").alias("way_id"),
+        F.posexplode("refs").alias("pos", "ref"),
+    )
+    joined = exploded.join(
+        nodes_df.select(F.col("id").alias("ref"), "lat", "lon"), on="ref", how="inner"
+    )
+    geom = joined.groupBy("way_id").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "lat", "lon"))).alias("_pts")
+    )
+    return geom.select(
+        "way_id",
+        F.transform("_pts", lambda p: F.struct(p["lat"].alias("lat"), p["lon"].alias("lon"))).alias(
+            "points"
+        ),
+        (
+            (F.element_at("_pts", 1)["lat"] == F.element_at("_pts", -1)["lat"])
+            & (F.element_at("_pts", 1)["lon"] == F.element_at("_pts", -1)["lon"])
+        ).alias("is_closed"),
+    )

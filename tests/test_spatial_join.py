@@ -1,0 +1,103 @@
+"""PIP join: Spark two-stage join vs brute-force oracle — EXACT match."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from osm_pbf_spark.operators.spatial_join import Polygon, pip_join, polygon_cell_cover
+from tests import oracle_geo
+
+
+def make_polygons() -> list[Polygon]:
+    square = np.array([[10.0, 10.0], [10.0, 20.0], [20.0, 20.0], [20.0, 10.0]])
+    concave = np.array(
+        [[0.0, -30.0], [8.0, -30.0], [8.0, -26.0], [2.0, -26.0], [2.0, -22.0],
+         [8.0, -22.0], [8.0, -18.0], [0.0, -18.0]]
+    )
+    outer = np.array([[40.0, 40.0], [40.0, 50.0], [50.0, 50.0], [50.0, 40.0]])
+    hole = np.array([[43.0, 43.0], [43.0, 47.0], [47.0, 47.0], [47.0, 43.0]])
+    sliver = np.array([[-5.0, 60.0], [-4.999, 70.0], [-5.001, 70.0]])
+    tiny = np.array([[0.001, 0.001], [0.001, 0.002], [0.002, 0.002], [0.002, 0.001]])
+    big = np.array([[-80.0, -170.0], [-80.0, -100.0], [-40.0, -100.0], [-40.0, -170.0]])
+    return [
+        Polygon("square", [square]),
+        Polygon("concave", [concave]),
+        Polygon("holed", [outer, hole]),
+        Polygon("sliver", [sliver]),
+        Polygon("tiny", [tiny]),
+        Polygon("big", [big]),
+    ]
+
+
+def make_points(n=3000, seed=7):
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(-85, 85, n)
+    lon = rng.uniform(-179, 179, n)
+    # cluster points near/inside each polygon so matches actually occur
+    extra = []
+    for base_lat, base_lon in [(15, 15), (4, -24), (45, 45), (-5, 65), (0.0015, 0.0015), (-60, -135)]:
+        extra.append(np.stack([
+            rng.uniform(base_lat - 6, base_lat + 6, 400),
+            rng.uniform(base_lon - 6, base_lon + 6, 400),
+        ], axis=1))
+    # hot cell: >50% of all docs in one small area (skew fixture, FIXTURES.md §2)
+    extra.append(np.stack([
+        rng.uniform(14.9, 15.1, 6000), rng.uniform(14.9, 15.1, 6000)
+    ], axis=1))
+    pts = np.concatenate([np.stack([lat, lon], axis=1)] + extra)
+    ids = [f"p{i}" for i in range(len(pts))]
+    return ids, pts
+
+
+@pytest.mark.parametrize("level", [6, 10])
+def test_pip_join_matches_bruteforce(spark, level):
+    polys = make_polygons()
+    ids, pts = make_points()
+    df = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in zip(ids, pts)],
+        "doc_id string, lat double, lon double",
+    )
+    got = {
+        (r["doc_id"], r["poly_id"])
+        for r in pip_join(spark, df, polys, level=level).collect()
+    }
+    want = set()
+    rings_by_poly = {p.poly_id: [[(float(v[0]), float(v[1])) for v in r] for r in p.rings]
+                     for p in polys}
+    for i, (la, lo) in zip(ids, pts):
+        for pid, rings in rings_by_poly.items():
+            if oracle_geo.point_in_polygon(float(la), float(lo), rings):
+                want.add((i, pid))
+    assert got == want
+    assert len(want) > 1000  # sanity: the fixture produces real matches
+
+
+def test_cover_full_cells_exist(spark):
+    polys = make_polygons()
+    cover = polygon_cell_cover(polys, 8)
+    sq = cover[cover.poly_id == "big"]
+    assert sq["full"].sum() > 0  # big polygon must produce interior full cells
+    assert (~sq["full"]).sum() > 0  # and boundary partial cells
+
+
+def test_pip_join_shuffle_strategy_same_result(spark):
+    polys = make_polygons()[:3]
+    ids, pts = make_points(500, seed=11)
+    df = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in zip(ids, pts)],
+        "doc_id string, lat double, lon double",
+    )
+    a = {(r["doc_id"], r["poly_id"]) for r in pip_join(spark, df, polys, 8).collect()}
+    b = {
+        (r["doc_id"], r["poly_id"])
+        for r in pip_join(spark, df, polys, 8, strategy="shuffle").collect()
+    }
+    assert a == b
+
+
+def test_pip_join_plan_is_broadcast(spark):
+    polys = make_polygons()[:1]
+    df = spark.createDataFrame([("a", 15.0, 15.0)], "doc_id string, lat double, lon double")
+    plan = pip_join(spark, df, polys, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

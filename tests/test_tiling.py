@@ -1,0 +1,70 @@
+"""Tile assignment vs slippy-map oracle; pyramid rollup conservation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pbf_spark.operators.spatial_join import Polygon
+from osm_pbf_spark.operators.tiling import (
+    assign_point_tiles,
+    polygon_tile_cover,
+    tile_pyramid_rollup,
+    tile_stats,
+)
+from tests import oracle_geo
+
+
+def pts(n=2000, seed=13):
+    rng = np.random.default_rng(seed)
+    return [
+        (f"p{i}", float(rng.uniform(-85, 85)), float(rng.uniform(-180, 180)))
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("z", [8, 12, 16])
+def test_point_tiles_match_oracle(spark, z):
+    data = pts()
+    df = spark.createDataFrame(data, "doc_id string, lat double, lon double")
+    got = {r["doc_id"]: (r["tile_x"], r["tile_y"]) for r in assign_point_tiles(df, z).collect()}
+    for pid, la, lo in data:
+        assert got[pid] == oracle_geo.point_to_tile_mercator(la, lo, z), (pid, la, lo)
+
+
+def test_linear_tiles_native_plan(spark):
+    df = spark.createDataFrame(pts(10), "doc_id string, lat double, lon double")
+    tiled = assign_point_tiles(df, 8, scheme="linear")
+    plan = tiled._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan  # pure JVM codegen — no Python hop
+    rows = tiled.collect()
+    for r in rows:
+        assert 0 <= r["tile_x"] < 256 and 0 <= r["tile_y"] < 256
+
+
+def test_tile_stats_and_rollup_conserve_counts(spark):
+    data = pts(1000, seed=21)
+    df = spark.createDataFrame(data, "doc_id string, lat double, lon double")
+    tiled = assign_point_tiles(df, 10)
+    stats = tile_stats(tiled)
+    assert stats.agg(F.sum("n_docs")).collect()[0][0] == 1000
+
+    pyramid = tile_pyramid_rollup(tiled, zoom=10, min_zoom=4)
+    sums = {
+        r["tile_z"]: r["total"]
+        for r in pyramid.groupBy("tile_z").agg(F.sum("n_docs").alias("total")).collect()
+    }
+    # every pyramid level conserves the total count
+    assert all(v == 1000 for v in sums.values())
+    assert set(sums) == set(range(4, 11))
+
+
+def test_polygon_tile_cover_contains_inside_points(spark):
+    poly = Polygon("sq", [np.array([[10.0, 10.0], [10.0, 20.0], [20.0, 20.0], [20.0, 10.0]])])
+    z = 8
+    cover = {(r["tile_x"], r["tile_y"]) for r in polygon_tile_cover(spark, [poly], z).collect()}
+    rng = np.random.default_rng(5)
+    for _ in range(300):
+        la, lo = float(rng.uniform(10, 20)), float(rng.uniform(10, 20))
+        assert oracle_geo.point_to_tile_mercator(la, lo, z) in cover
