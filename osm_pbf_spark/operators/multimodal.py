@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video ride as ``binary`` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` kernels. The actual codec libraries are NOT installed
+in this environment, so the decode step is gated behind an import-try
+and falls back to a clearly-marked DETERMINISTIC FAKE (hash-derived
+"pixels") — the Spark-side plumbing (schema, batch shape, partitioning,
+UDF signatures) is real and tested; swap ``_decode_image_real`` in when
+PIL/ffmpeg exist.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("modality", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("feat_mean", T.DoubleType()),
+        T.StructField("feat_std", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("decoder", T.StringType()),  # 'real' | 'fake'
+    ]
+)
+
+_FEAT_DIM = 16
+
+
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """Real decode path — requires PIL, absent in this sandbox."""
+    from PIL import Image  # noqa: F401  (import-try gate)
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    return np.asarray(img, dtype=np.float64)
+
+
+def _decode_fake(payload: bytes) -> np.ndarray:
+    """DETERMINISTIC FAKE decode: 8x8 'pixels' derived from blake2b of
+    the payload. NOT a real decoder — a stand-in so the distributed
+    plumbing is exercised end-to-end (see module docstring)."""
+    h = hashlib.blake2b(payload or b"", digest_size=64).digest()
+    return (np.frombuffer(h, dtype=np.uint8).astype(np.float64) / 255.0).reshape(8, 8)
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    try:
+        import PIL  # noqa: F401
+
+        decode, decoder_name = _decode_image_real, "real"
+    except ImportError:
+        decode, decoder_name = _decode_fake, "fake"
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        means, stds, feats = [], [], []
+        for payload in pdf["payload"]:
+            px = decode(bytes(payload) if payload is not None else b"")
+            means.append(float(px.mean()))
+            stds.append(float(px.std()))
+            flat = px.ravel()
+            # fixed-dim pooled feature: mean over equal chunks
+            chunks = np.array_split(flat, _FEAT_DIM)
+            feats.append(np.array([c.mean() for c in chunks], dtype=np.float32).tolist())
+        yield pd.DataFrame(
+            {
+                "media_ref": pdf["media_ref"],
+                "modality": pdf["modality"],
+                "feat_mean": means,
+                "feat_std": stds,
+                "feature": feats,
+                "decoder": decoder_name,
+            }
+        )
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """media table -> per-item feature rows (Arrow-batched kernels)."""
+    return media.select("media_ref", "modality", "payload").mapInPandas(
+        _extract_features, FEATURE_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling PLAN: one output row per (media, frame_ts).
+
+    The decode itself is stubbed (no ffmpeg here); the row explosion,
+    partitioning, and schema are the real distributed shape.
+    """
+    return media.filter(F.col("modality") == "video").select(
+        "media_ref",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+
+
+def synth_media_table(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media rows for tests/benches (seed-free:
+    payload = blake2b(i))."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.blake2b(i.to_bytes(4, "little"), digest_size=32).digest()
+        modality = ["image", "audio", "video"][i % 3]
+        rows.append(
+            (f"m{i}", modality, bytearray(payload), 8, 8, 4000 if modality == "video" else 0)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,107 @@
+"""The flagship ingest pipeline (SURVEY.md §3.2 entry point 1 + §7 M1):
+
+PBF file -> distributed decode -> interleaved-span documents -> cell id
+-> Iceberg-shaped table, committed split-by-split so a killed run
+resumes from the last committed split (BASELINE.json:6,14).
+
+Splits are contiguous BLOB RANGES of the input file: lineage for each
+split records exactly which byte ranges produced it (C3). At planet
+scale a split is O(hundreds) of blobs; here fixtures use small splits
+to exercise the protocol.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.docrender import render_documents
+from ..operators.spatial_join import with_cell
+from ..pbf.decode import decode_header_block
+from ..pbf.framing import read_blob_payload, scan_blobs
+from ..sink.iceberg_like import IcebergLikeSink
+from ..sources.pbf_source import ENTITY_SPARK_SCHEMA, _decode_partition
+
+
+def _file_sha256(path: str, max_bytes: int = 1 << 24) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while chunk := f.read(1 << 20):
+            h.update(chunk)
+            if f.tell() >= max_bytes:
+                h.update(b"<truncated>")
+                break
+    return h.hexdigest()
+
+
+def ingest_pbf(
+    spark: SparkSession,
+    pbf_path: str,
+    table_root: str,
+    cell_level: int = 12,
+    blobs_per_split: int = 2,
+    parallelism: int | None = None,
+    fail_before_split: str | None = None,
+) -> IcebergLikeSink:
+    """Run (or RESUME) the ingest. Returns the sink for reading.
+
+    ``fail_before_split`` injects a crash before that split's manifest
+    commit — used by the kill/resume test.
+    """
+    refs = scan_blobs(pbf_path)
+    header = None
+    data_refs = []
+    for r in refs:
+        if r.blob_type == "OSMHeader":
+            header = decode_header_block(read_blob_payload(pbf_path, r.offset, r.size))
+        elif r.blob_type == "OSMData":
+            data_refs.append(r)
+
+    splits = [
+        (f"{i:06d}", data_refs[i : i + blobs_per_split])
+        for i in range(0, len(data_refs), blobs_per_split)
+    ]
+    sink = IcebergLikeSink(table_root, partition_by=["cell_prefix"])
+    file_sha = _file_sha256(pbf_path)
+    todo = set(sink.resume_plan([sid for sid, _ in splits]))
+
+    from pyspark.sql import functions as F
+
+    for sid, split_refs in splits:
+        if sid not in todo:
+            continue
+        manifest_df = spark.createDataFrame(
+            [(pbf_path, r.seq, r.offset, r.size) for r in split_refs],
+            schema="path string, seq long, offset long, size long",
+        )
+        n = parallelism or min(len(split_refs), spark.sparkContext.defaultParallelism) or 1
+        entities = manifest_df.repartition(n).mapInArrow(_decode_partition, ENTITY_SPARK_SCHEMA)
+        docs = render_documents(entities)
+        docs = with_cell(docs, cell_level)
+        # coarse partition column for directory pruning (parent cell at level 4)
+        docs = docs.withColumn(
+            "cell_prefix",
+            F.shiftrightunsigned(F.shiftrightunsigned(F.col("cell"), 5),
+                                 2 * (cell_level - 4)).cast("long"),
+        )
+        sink.write_split(
+            docs,
+            sid,
+            lineage={
+                "input_file": os.path.abspath(pbf_path),
+                "input_sha256": file_sha,
+                "blob_seqs": [r.seq for r in split_refs],
+                "byte_range": [split_refs[0].offset, split_refs[-1].offset + split_refs[-1].size],
+                "cell_level": cell_level,
+                "header_required_features": (header or {}).get("required_features", []),
+            },
+            fail_before_commit=(sid == fail_before_split),
+        )
+    sink.commit_snapshot({"pipeline": "ingest_pbf", "cell_level": str(cell_level)})
+    return sink
+
+
+def read_documents(spark: SparkSession, table_root: str) -> DataFrame:
+    return IcebergLikeSink(table_root).read(spark, dedup_cols=["doc_id"])

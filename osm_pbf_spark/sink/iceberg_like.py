@@ -1,0 +1,167 @@
+"""Iceberg-shaped sink: snapshot/manifest protocol over parquet
+(SURVEY.md §2.6 C1-C3, §7.6).
+
+No Iceberg runtime jar exists in this environment (and no network to
+fetch one — SURVEY.md §0), so the sink implements the Iceberg *shape*
+itself; the writer interface is isolated so a real
+iceberg-spark-runtime catalog can be swapped in without touching
+callers. Replaces the reference's Postgres COPY sink (BASELINE.json:6).
+
+Layout:
+
+    root/
+      data/split=<split_id>/[<part_col>=<v>/]part-*.parquet
+      _manifests/split-<split_id>.json     <- atomic per-split commit
+      snapshot.json                        <- atomic table-level snapshot
+
+Protocol (exactly-once restart semantics, BASELINE.json:6,14):
+
+- the job is divided into named SPLITS (e.g. PBF blob ranges). A split
+  commits by writing its parquet files THEN atomically renaming its
+  manifest JSON into place (os.replace — atomic on POSIX).
+- a manifest records the split's files + row/byte counts + LINEAGE
+  (input description, operator config, engine version) + METRICS.
+- readers list committed manifests and read ONLY the files they name:
+  data orphaned by a crash mid-split is invisible, so a restart that
+  reprocesses the split cannot double-count.
+- ``resume_plan`` = all splits minus committed splits.
+- a ``dedup_cols`` guard on read is available as a belt-and-braces
+  layer for at-least-once upstreams.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import __version__
+
+_MANIFEST_DIR = "_manifests"
+
+
+class IcebergLikeSink:
+    def __init__(self, root: str, partition_by: list[str] | None = None) -> None:
+        self.root = root
+        self.partition_by = partition_by or []
+        os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # ---- commit protocol ------------------------------------------------
+
+    def _manifest_path(self, split_id: str) -> str:
+        return os.path.join(self.root, _MANIFEST_DIR, f"split-{split_id}.json")
+
+    def completed_splits(self) -> set[str]:
+        out = set()
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        for name in os.listdir(mdir):
+            if name.startswith("split-") and name.endswith(".json"):
+                out.add(name[len("split-") : -len(".json")])
+        return out
+
+    def resume_plan(self, all_splits: list[str]) -> list[str]:
+        done = self.completed_splits()
+        return [s for s in all_splits if s not in done]
+
+    def write_split(
+        self,
+        df: DataFrame,
+        split_id: str,
+        lineage: dict | None = None,
+        fail_before_commit: bool = False,
+    ) -> dict | None:
+        """Write one split's data, then atomically commit its manifest.
+
+        Idempotent: an already-committed split is skipped. Crashing
+        after the parquet write but before the manifest rename leaves
+        orphan files that readers never see (``fail_before_commit``
+        exists for the kill-injection test).
+        """
+        if split_id in self.completed_splits():
+            return None
+        split_dir = os.path.join(self.root, "data", f"split={split_id}")
+        t0 = time.monotonic()
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(split_dir)
+
+        files = []
+        n_bytes = 0
+        for dirpath, _dirnames, filenames in os.walk(split_dir):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    full = os.path.join(dirpath, fn)
+                    files.append(os.path.relpath(full, self.root))
+                    n_bytes += os.path.getsize(full)
+        n_rows = 0
+        import pyarrow.parquet as pq
+
+        for rel in files:
+            md = pq.read_metadata(os.path.join(self.root, rel))
+            n_rows += md.num_rows
+        manifest = {
+            "split_id": split_id,
+            "files": sorted(files),
+            "n_rows": n_rows,
+            "n_bytes": n_bytes,
+            "partition_by": self.partition_by,
+            "lineage": {
+                "engine_version": __version__,
+                **(lineage or {}),
+            },
+            "metrics": {"write_wall_s": round(time.monotonic() - t0, 3)},
+            "committed_at_unix": int(time.time()),
+        }
+        if fail_before_commit:
+            raise RuntimeError(f"injected failure before commit of split {split_id}")
+        tmp = self._manifest_path(split_id) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path(split_id))  # THE atomic commit
+        return manifest
+
+    def commit_snapshot(self, properties: dict | None = None) -> dict:
+        """Roll committed manifests into a table-level snapshot (atomic)."""
+        manifests = []
+        for sid in sorted(self.completed_splits()):
+            with open(self._manifest_path(sid)) as f:
+                manifests.append(json.load(f))
+        snap = {
+            "snapshot_id": uuid.uuid4().hex,
+            "splits": [m["split_id"] for m in manifests],
+            "total_rows": sum(m["n_rows"] for m in manifests),
+            "total_bytes": sum(m["n_bytes"] for m in manifests),
+            "properties": properties or {},
+            "engine_version": __version__,
+            "committed_at_unix": int(time.time()),
+        }
+        tmp = os.path.join(self.root, f".snapshot.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self.root, "snapshot.json"))
+        return snap
+
+    # ---- read path -------------------------------------------------------
+
+    def committed_files(self) -> list[str]:
+        files = []
+        for sid in sorted(self.completed_splits()):
+            with open(self._manifest_path(sid)) as f:
+                m = json.load(f)
+            files.extend(os.path.join(self.root, rel) for rel in m["files"])
+        return files
+
+    def read(self, spark: SparkSession, dedup_cols: list[str] | None = None) -> DataFrame:
+        """Read ONLY committed files (orphans from crashes are invisible)."""
+        files = self.committed_files()
+        if not files:
+            raise FileNotFoundError(f"no committed splits under {self.root}")
+        df = spark.read.parquet(*files)
+        if dedup_cols:
+            df = df.dropDuplicates(dedup_cols)
+        return df

@@ -1,0 +1,114 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()[name]`` on Spark and the matching
+``oracle_sql()[name]`` on DuckDB over the same parquet tables, then
+compares row count, schema (column names), and an order-insensitive
+value hash — STRICTER than the driver is likely to be (exact value
+string compare after canonical sort), so passing here should imply
+passing there.
+
+Usage: python tools/check_oracles.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon_value(v):
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision — exact bits must match
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from osm_pbf_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error: {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY  {name}: {len(s_rows)} rows (no oracle)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
+            continue
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"schema spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if not problems:
+            a = canon_rows(s_cols, s_rows)
+            b = canon_rows(d_cols, d_rows)
+            if a != b:
+                diff_i = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y) if len(a) == len(b) else -1
+                problems.append(
+                    f"values differ (first diff row {diff_i}):\n  spark : {a[diff_i] if diff_i>=0 else a[:2]}\n  duckdb: {b[diff_i] if diff_i>=0 else b[:2]}"
+                )
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"FAIL  {name}: " + " | ".join(problems))
+        else:
+            print(f"OK    {name}: {len(s_rows)} rows")
+
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} queries OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
