@@ -1,0 +1,151 @@
+"""Bench harness — prints ONE JSON line with per-query wall times.
+
+Headline queries cover the engine's whole surface: PBF ingest
+(decode -> render -> cell -> Iceberg-shaped sink), the two-stage PIP
+join over a skewed corpus (one hot cell holds 50% of docs), tile
+assignment + rollup, kNN, relational aggregates/joins on the driver
+testdata, and MinHash dedup.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_N_NODES (default 2_000_000 * sf -> 200k at sf0.1),
+     BENCH_SCALING=1 to also run the N-vs-4N-parallelism study
+     (local[8] vs local[32]) and include `scaling` in the output.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from osm_pbf_spark.operators.dedup import minhash_lsh_pairs
+from osm_pbf_spark.operators.knn import knn_join
+from osm_pbf_spark.operators.spatial_join import Polygon, pip_join
+from osm_pbf_spark.operators.tiling import assign_point_tiles, tile_pyramid_rollup
+from osm_pbf_spark.plans.ingest import ingest_pbf, read_documents
+from osm_pbf_spark.session import get_spark
+from osm_pbf_spark.sources.tables import load
+from tests.gen_documents import HOT_LAT, HOT_LON, corpus_path, synth_pbf
+
+BENCH_POLYGONS = [
+    # city extent covering the hot cluster (the skew case)
+    Polygon("hot_city", [np.array([
+        [HOT_LAT - 0.15, HOT_LON - 0.15], [HOT_LAT - 0.15, HOT_LON + 0.15],
+        [HOT_LAT + 0.15, HOT_LON + 0.15], [HOT_LAT + 0.15, HOT_LON - 0.15],
+    ])]),
+    Polygon("band", [np.array([[-10.0, -60.0], [-10.0, 60.0], [10.0, 60.0], [10.0, -60.0]])]),
+    Polygon("tri", [np.array([[30.0, -120.0], [60.0, -90.0], [20.0, -60.0]])]),
+]
+
+
+def run_bench(master: str, sf_dir: str, n_nodes: int, table_root: str) -> dict[str, float]:
+    spark = get_spark("bench", master=master)
+    times: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        fn()
+        times[name] = round(time.monotonic() - t0, 3)
+
+    pbf = synth_pbf(corpus_path(n_nodes), n_nodes)
+    if os.path.exists(table_root):
+        shutil.rmtree(table_root)
+
+    # warm the Python workers (pandas/numpy import in each of N workers)
+    # so query timings measure the engine, not interpreter cold start
+    from pyspark.sql import types as T
+
+    _warm = F.pandas_udf(lambda x: x, T.LongType())
+    spark.range(0, 10_000, 1, int(spark.sparkContext.defaultParallelism)).select(
+        F.sum(_warm(F.col("id")))
+    ).collect()
+
+    timed("q_ingest", lambda: ingest_pbf(
+        spark, pbf, table_root, cell_level=12, blobs_per_split=1_000_000,
+    ))
+    docs = read_documents(spark, table_root).select("doc_id", "lat", "lon").cache()
+    n_docs = docs.count()
+    times["_n_docs"] = n_docs
+
+    timed("q_pip_join", lambda: pip_join(spark, docs, BENCH_POLYGONS, level=8).count())
+    timed("q_tile_rollup", lambda: tile_pyramid_rollup(
+        assign_point_tiles(docs, zoom=12), zoom=12, min_zoom=6
+    ).count())
+    queries = docs.limit(2000)
+    timed("q_knn", lambda: knn_join(
+        spark, queries, docs, k=5, level="auto", query_id="doc_id", cand_id="doc_id"
+    ).count())
+
+    li = load(spark, sf_dir, "lineitem")
+    timed("q01_pricing", lambda: (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+             F.count(F.lit(1)))
+        .collect()
+    ))
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    timed("q03_join_agg", lambda: (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .collect()
+    ))
+    d = load(spark, sf_dir, "documents")
+    timed("q_minhash_dedup", lambda: minhash_lsh_pairs(
+        d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 10_000_000)), threshold=0.5
+    ).count())
+
+    docs.unpersist()
+    spark.stop()
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_nodes = int(os.environ.get("BENCH_N_NODES", str(int(2_000_000 * sf))))
+
+    times = run_bench(f"local[{cpus}]", sf_dir, n_nodes, "/tmp/osm_pbf_spark_bench/table")
+    n_docs = times.pop("_n_docs")
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_docs": int(n_docs),
+        "ingest_docs_per_sec": round(n_docs / times["q_ingest"], 1),
+    }
+
+    if os.environ.get("BENCH_SCALING") == "1":
+        t8 = run_bench("local[8]", sf_dir, n_nodes, "/tmp/osm_pbf_spark_bench/table8")
+        t8.pop("_n_docs")
+        spatial = ["q_ingest", "q_pip_join", "q_tile_rollup", "q_knn"]
+        s8 = sum(t8[k] for k in spatial)
+        s32 = sum(times[k] for k in spatial)
+        thr8 = n_docs / s8
+        thr32 = n_docs / s32
+        out["scaling"] = {
+            "spatial_sec_local8": round(s8, 3),
+            "spatial_sec_local32": round(s32, 3),
+            "docs_per_sec_local8": round(thr8, 1),
+            "docs_per_sec_local32": round(thr32, 1),
+            "efficiency_8_to_32": round((thr32 / thr8) / 4.0, 3),
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

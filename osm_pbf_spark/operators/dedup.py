@@ -87,18 +87,28 @@ _N_PERM = 64
 _BANDS = 16  # 16 bands x 4 rows
 
 
+_POLY_B = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Distinct k-shingle 64-bit hashes (deterministic blake2b)."""
+    """Distinct k-shingle 64-bit hashes — VECTORIZED polynomial hash
+    (h = h*B + byte, uint64 wraparound), k passes over a (n_windows,)
+    array instead of one blake2b call per shingle."""
     data = text.encode("utf-8")
     if len(data) < k:
         data = data + b"\x00" * (k - len(data))
-    views = {data[i : i + k] for i in range(len(data) - k + 1)}
-    out = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "little") for s in views),
-        dtype=np.uint64,
-        count=len(views),
-    )
-    return out
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(b) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        h = h * _POLY_B + b[j : j + n]
+    # final avalanche (splitmix64-style) to spread low-entropy inputs
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return np.unique(h)
 
 
 # deterministic affine permutations h_i(x) = (a_i * x + b_i) mod 2^61-1
@@ -170,10 +180,11 @@ def minhash_lsh_pairs(
     def _true_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
         out = np.empty(len(ta))
         for i, (x, y) in enumerate(zip(ta, tb)):
-            a = set(_shingle_hashes(x or "", shingle_k).tolist())
-            b = set(_shingle_hashes(y or "", shingle_k).tolist())
-            u = len(a | b)
-            out[i] = (len(a & b) / u) if u else 1.0
+            a = _shingle_hashes(x or "", shingle_k)
+            b = _shingle_hashes(y or "", shingle_k)
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            u = a.size + b.size - inter
+            out[i] = (inter / u) if u else 1.0
         return pd.Series(out)
 
     return (

@@ -113,19 +113,96 @@ def knn_join(
     queries: DataFrame,
     candidates: DataFrame,
     k: int,
-    level: int = 8,
+    level: int | str = 8,
     metric: str = "haversine",
     query_id: str = "doc_id",
     cand_id: str = "doc_id",
     exclude_self: bool = True,
     max_rounds: int = 8,
+    auto_levels: tuple[int, int] = (6, 15),
 ) -> DataFrame:
     """Exact k nearest candidates per query.
 
     Returns (query_id, neighbor_id, rank, dist) — rank 1-based by
     (dist, neighbor_id).
+
+    ``level="auto"`` handles skewed corpora (a dense city holding half
+    the docs — BASELINE.json:6): queries whose fine-level 3x3 window
+    already holds >= 4k candidates run at the FINE level (small
+    windows, cheap); sparse-area queries run at the COARSE level (few
+    expansion rounds). A single global level degrades one of the two:
+    hot queries would join against the whole hot cell (10^5+ pairs
+    each), or sparse queries would expand for many rounds.
     """
     from .spatial_join import with_cell
+
+    if level == "auto":
+        coarse, fine = auto_levels
+        levels = list(range(fine, coarse - 1, -3))  # fine -> coarse, step 3
+        if levels[-1] != coarse:
+            levels.append(coarse)
+        # per-cell candidate counts at the finest level, rolled up to the
+        # coarser levels NATIVELY (parent = Morton bit truncation)
+        counts = {
+            fine: with_cell(candidates.select("lat", "lon"), fine, out_col="cell")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .cache()
+        }
+        for lvl in levels[1:]:
+            prev = counts[fine]
+            parent = (
+                F.shiftleft(
+                    F.shiftrightunsigned(F.shiftrightunsigned(F.col("cell"), 5),
+                                         2 * (fine - lvl)),
+                    5,
+                )
+                + F.lit(lvl)
+            ).alias("cell")
+            counts[lvl] = prev.groupBy(parent).agg(F.sum("cnt").alias("cnt")).cache()
+
+        # assign each query the DEEPEST level whose 3x3 window already
+        # holds >= 4k candidates (cheap windows), else the coarsest
+        qpts = queries.select(F.col(query_id).alias("_qid"), "lat", "lon")
+        assign = None
+        min_cands = max(4 * k, 16)
+        for lvl in levels:
+            qc = with_cell(qpts, lvl, out_col="cell")
+            ring = _ring_cells_udf(lvl, 1)
+            win = (
+                qc.withColumn("cell", F.explode(ring(F.col("cell"))))
+                .join(counts[lvl], "cell", "left")
+                .groupBy("_qid")
+                .agg(F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("_wc"))
+                .withColumn("_lvl", F.lit(lvl))
+            )
+            picked = win.filter(F.col("_wc") >= min_cands).select("_qid", "_lvl")
+            if assign is None:
+                assign = picked
+            else:
+                assign = assign.unionByName(
+                    picked.join(assign, "_qid", "left_anti")
+                )
+        assign = (
+            qpts.select("_qid")
+            .join(assign, "_qid", "left")
+            .fillna({"_lvl": levels[-1]})
+            .cache()
+        )
+        level_groups = [r["_lvl"] for r in assign.select("_lvl").distinct().collect()]
+        out = None
+        for lvl in level_groups:
+            ids = assign.filter(F.col("_lvl") == lvl).select(F.col("_qid").alias(query_id))
+            sub = queries.join(ids, query_id, "left_semi")
+            part = knn_join(
+                spark, sub, candidates, k, int(lvl), metric,
+                query_id, cand_id, exclude_self, max_rounds,
+            )
+            out = part if out is None else out.unionByName(part)
+        for c in counts.values():
+            c.unpersist()
+        assign.unpersist()
+        return out
 
     q = queries.select(
         F.col(query_id).alias("query_id"),
@@ -168,7 +245,9 @@ def knn_join(
         joined = joined.withColumn("dist", dist)
 
         w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
-        ranked = joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        ranked = (
+            joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).cache()
+        )  # consumed twice per round (stats + emit) — avoid re-running the join
 
         guarantee = _guarantee_udf(level, ring, metric)
         per_q = ranked.groupBy("query_id").agg(
@@ -201,6 +280,8 @@ def knn_join(
             .select("query_id", "q_lat", "q_lon", "q_cell")
             .localCheckpoint(eager=True)
         )
+        ranked.unpersist()
+        resolved_q.unpersist()
         ring *= 2
 
     # brute-force tail: whatever is still unresolved scans all candidates

@@ -159,26 +159,26 @@ def pip_join(
     else:  # shuffle strategy for huge polygon sets: plain equi-join + AQE skew
         cand = pts.join(cover, "cell", "inner")
 
-    full_hits = cand.filter(F.col("full")).drop("full", "cell")
-    partial = cand.filter(~F.col("full")).drop("full", "cell")
-
     rings_by_poly = {p.poly_id: [r.copy() for r in p.rings] for p in polygons}
     b_rings = spark.sparkContext.broadcast(rings_by_poly)
-    out_schema = partial.schema
+    with_flag = cand  # single pass: `full` rows bypass the exact test
+    out_schema = with_flag.drop("full", "cell").schema
 
     def _refine(batches):
         rings_map = b_rings.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            lat = pdf[lat_col].to_numpy(np.float64)
-            lon = pdf[lon_col].to_numpy(np.float64)
-            # vectorize per polygon present in the batch
-            for pid, idx in pdf.groupby("poly_id").indices.items():
-                rings = rings_map[pid]
-                keep[idx] = point_in_polygon(lat[idx], lon[idx], rings)
-            yield pdf[keep]
+            keep = pdf["full"].to_numpy(dtype=bool).copy()
+            todo = ~keep
+            if todo.any():
+                lat = pdf[lat_col].to_numpy(np.float64)
+                lon = pdf[lon_col].to_numpy(np.float64)
+                sub = pdf[todo]
+                base = np.flatnonzero(todo)
+                for pid, idx in sub.groupby("poly_id").indices.items():
+                    gi = base[idx]
+                    keep[gi] = point_in_polygon(lat[gi], lon[gi], rings_map[pid])
+            yield pdf[keep].drop(columns=["full", "cell"])
 
-    refined = partial.mapInPandas(_refine, out_schema)
-    return full_hits.unionByName(refined)
+    return with_flag.mapInPandas(_refine, out_schema)

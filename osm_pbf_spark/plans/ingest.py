@@ -86,6 +86,13 @@ def ingest_pbf(
             F.shiftrightunsigned(F.shiftrightunsigned(F.col("cell"), 5),
                                  2 * (cell_level - 4)).cast("long"),
         )
+        # co-locate each partition-dir's rows with a salt so the hot
+        # prefix (the dense city, BASELINE.json:6) spreads over several
+        # writers instead of one straggler: ~8 files per prefix max,
+        # instead of (decode_partitions x prefixes) tiny files
+        docs = docs.repartition(
+            F.col("cell_prefix"), F.pmod(F.hash("doc_id"), F.lit(8))
+        )
         sink.write_split(
             docs,
             sid,

@@ -1,0 +1,65 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md §2).
+
+Builds an OSM-PBF file whose decoded+rendered documents form the
+engine's interleaved-span input table at bench scale. Seed=42; 50% of
+nodes land in ONE hot ~0.2-degree cell cluster (dense-urban skew per
+BASELINE.json:6), the rest are uniform world-wide. No external data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from osm_pbf_spark.pbf import encoder as E
+
+SEED = 42
+HOT_LAT, HOT_LON = 52.5, 13.4  # the "dense city"
+TAG_KEYS = ["amenity", "highway", "name", "shop", "building"]
+TAG_VALS = ["cafe", "primary", "alpha", "bakery", "yes", "tower", "stop"]
+
+
+def synth_pbf(path: str, n_nodes: int, nodes_per_blob: int = 8000,
+              hot_fraction: float = 0.5) -> str:
+    """Write a deterministic n-node PBF; returns path (cached if exists)."""
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(SEED)
+    n_hot = int(n_nodes * hot_fraction)
+    lat = np.empty(n_nodes)
+    lon = np.empty(n_nodes)
+    lat[:n_hot] = HOT_LAT + rng.uniform(-0.1, 0.1, n_hot)
+    lon[:n_hot] = HOT_LON + rng.uniform(-0.1, 0.1, n_hot)
+    lat[n_hot:] = rng.uniform(-85.0, 85.0, n_nodes - n_hot)
+    lon[n_hot:] = rng.uniform(-180.0, 180.0, n_nodes - n_hot)
+    order = rng.permutation(n_nodes)
+    lat, lon = lat[order], lon[order]
+    ids = np.cumsum(rng.integers(1, 5, n_nodes))  # increasing, gappy ids
+    lat_raw = np.round(lat * 1e7).astype(np.int64)  # granularity 100
+    lon_raw = np.round(lon * 1e7).astype(np.int64)
+    has_tag = rng.random(n_nodes) < 0.3
+    tag_k = rng.integers(0, len(TAG_KEYS), n_nodes)
+    tag_v = rng.integers(0, len(TAG_VALS), n_nodes)
+
+    blocks = []
+    for start in range(0, n_nodes, nodes_per_blob):
+        end = min(start + nodes_per_blob, n_nodes)
+        st = E.StringTable()
+        nodes = []
+        for i in range(start, end):
+            tags = {TAG_KEYS[tag_k[i]]: TAG_VALS[tag_v[i]]} if has_tag[i] else {}
+            nodes.append(
+                {"id": int(ids[i]), "lat_raw": int(lat_raw[i]), "lon_raw": int(lon_raw[i]),
+                 "tags": tags}
+            )
+        blocks.append(E.encode_primitive_block([E.encode_dense_nodes(nodes, st)], st))
+    tmp = path + ".tmp"
+    E.write_pbf(tmp, blocks)
+    os.replace(tmp, path)
+    return path
+
+
+def corpus_path(n_nodes: int, cache_dir: str = "/tmp/osm_pbf_spark_bench") -> str:
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, f"corpus_{n_nodes}.osm.pbf")

@@ -1,0 +1,26 @@
+"""Skew-adaptive kNN (level='auto') stays exact on a hot-cell corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from osm_pbf_spark.operators.knn import knn_join
+from tests import oracle_geo
+
+
+def test_auto_level_exact_on_skewed(spark):
+    rng = np.random.default_rng(17)
+    n = 600
+    lat = rng.uniform(-60, 60, n)
+    lon = rng.uniform(-170, 170, n)
+    # hot cell: half the points inside 0.2 deg
+    lat[: n // 2] = 52.5 + rng.uniform(-0.1, 0.1, n // 2)
+    lon[: n // 2] = 13.4 + rng.uniform(-0.1, 0.1, n // 2)
+    pts = [(f"d{i}", float(lat[i]), float(lon[i])) for i in range(n)]
+    df = spark.createDataFrame(pts, "doc_id string, lat double, lon double")
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in knn_join(spark, df, df, k=4, level="auto", auto_levels=(6, 12)).collect()
+    }
+    want = set(oracle_geo.knn_bruteforce(pts, pts, k=4))
+    assert got == want
