@@ -33,19 +33,29 @@ def scan_blobs(path: str) -> list[BlobRef]:
     """Light scan: headers only, payloads skipped via seek."""
     refs: list[BlobRef] = []
     with open(path, "rb") as f:
+        f.seek(0, 2)
+        file_size = f.tell()
+        f.seek(0)
         seq = 0
         while True:
             lenbuf = f.read(4)
-            if len(lenbuf) < 4:
+            if not lenbuf:
                 break
+            if len(lenbuf) < 4:
+                raise ValueError(f"truncated file: {len(lenbuf)}-byte length prefix at EOF")
             (hlen,) = struct.unpack(">i", lenbuf)
             if not 0 < hlen <= MAX_BLOBHEADER_SIZE:
                 raise ValueError(f"BlobHeader length {hlen} out of range")
-            hf = fields(f.read(hlen))
+            hbuf = f.read(hlen)
+            if len(hbuf) < hlen:
+                raise ValueError("truncated BlobHeader at EOF")
+            hf = fields(hbuf)
             blob_type = bytes(hf[1][0]).decode("utf-8")
             datasize = int(hf[3][0])
             if not 0 <= datasize <= MAX_BLOB_SIZE:
                 raise ValueError(f"Blob datasize {datasize} out of range")
+            if f.tell() + datasize > file_size:
+                raise ValueError("truncated Blob payload at EOF")
             refs.append(BlobRef(seq, blob_type, f.tell(), datasize))
             f.seek(datasize, 1)
             seq += 1
