@@ -129,22 +129,62 @@ def main() -> None:
     }
 
     if os.environ.get("BENCH_SCALING") == "1":
-        t8 = run_bench("local[8]", sf_dir, n_nodes, "/tmp/osm_pbf_spark_bench/table8")
-        t8.pop("_n_docs")
-        spatial = ["q_ingest", "q_pip_join", "q_tile_rollup", "q_knn"]
-        s8 = sum(t8[k] for k in spatial)
-        s32 = sum(times[k] for k in spatial)
-        thr8 = n_docs / s8
-        thr32 = n_docs / s32
-        out["scaling"] = {
-            "spatial_sec_local8": round(s8, 3),
-            "spatial_sec_local32": round(s32, 3),
-            "docs_per_sec_local8": round(thr8, 1),
-            "docs_per_sec_local32": round(thr32, 1),
-            "efficiency_8_to_32": round((thr32 / thr8) / 4.0, 3),
-        }
+        out["scaling"] = scaling_study()
 
     print(json.dumps(out))
+
+
+def scaling_pipeline(master: str, n_nodes: int, table_root: str) -> float:
+    """One leg of the N-vs-4N study: the headline spatial-join + tiling
+    pipeline (ingest -> committed-table read -> PIP join -> pyramid
+    rollup) — the metric surface in BASELINE.json:2. kNN is excluded:
+    it is a latency-bound *lookup* operator (driver-paced ring
+    expansion), not part of the throughput metric.
+    """
+    spark = get_spark("scaling", master=master)
+    par = int(spark.sparkContext.defaultParallelism)
+    _warm = F.pandas_udf(lambda x: x, "long")
+    spark.range(0, 10_000, 1, par).select(F.sum(_warm(F.col("id")))).collect()
+    pbf = synth_pbf(corpus_path(n_nodes), n_nodes)
+    if os.path.exists(table_root):
+        shutil.rmtree(table_root)
+    t0 = time.monotonic()
+    ingest_pbf(spark, pbf, table_root, cell_level=12, blobs_per_split=1_000_000)
+    docs = read_documents(spark, table_root).select("doc_id", "lat", "lon").cache()
+    n = docs.count()
+    assert n == n_nodes, (n, n_nodes)
+    pip_join(spark, docs, BENCH_POLYGONS, level=8).count()
+    tile_pyramid_rollup(assign_point_tiles(docs, zoom=12), zoom=12, min_zoom=6).count()
+    wall = time.monotonic() - t0
+    docs.unpersist()
+    spark.stop()
+    return wall
+
+
+def scaling_study() -> dict:
+    """Same input, two parallelism levels (the sandbox stand-in for N vs
+    4N executors — driver instruction), repeated; best rep per leg to
+    suppress single-machine variance (disk flush, cpufreq)."""
+    n_nodes = int(os.environ.get("BENCH_SCALING_N_NODES", "800000"))
+    reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
+    legs = {}
+    for cores in (8, 32):
+        root = f"/tmp/osm_pbf_spark_bench/scal{cores}"
+        legs[cores] = min(
+            scaling_pipeline(f"local[{cores}]", n_nodes, root) for _ in range(reps)
+        )
+    thr8 = n_nodes / legs[8]
+    thr32 = n_nodes / legs[32]
+    return {
+        "pipeline": "ingest+read+pip_join+tile_rollup",
+        "n_docs": n_nodes,
+        "reps_per_leg": reps,
+        "sec_local8": round(legs[8], 3),
+        "sec_local32": round(legs[32], 3),
+        "docs_per_sec_local8": round(thr8, 1),
+        "docs_per_sec_local32": round(thr32, 1),
+        "efficiency_8_to_32": round((thr32 / thr8) / 4.0, 3),
+    }
 
 
 if __name__ == "__main__":

@@ -80,26 +80,28 @@ def tile_stats(points_with_tiles: DataFrame, id_col: str = "doc_id") -> DataFram
 def tile_pyramid_rollup(points_with_tiles: DataFrame, zoom: int, min_zoom: int = 0) -> DataFrame:
     """Roll tile counts up the pyramid: parent tile at z-1 is (x>>1, y>>1).
 
-    One shuffle per level would be wasteful — aggregate once at leaf
-    zoom, then iteratively halve coordinates and re-aggregate the tiny
-    aggregate (each level is 4x smaller; the total extra work is a
-    geometric series over an already-reduced table).
+    Two shuffles total, independent of pyramid depth: aggregate once at
+    leaf zoom (the only pass over the big input — map-side partial agg
+    does most of the work), then explode each leaf tile into its
+    ancestor chain (z, x>>d, y>>d) and aggregate once more. A
+    level-by-level chain of groupBys would pay one shuffle per zoom
+    level and serialize the pyramid; this form is a single wide
+    aggregation over |leaf_tiles| * depth tiny rows.
     """
     leaf = points_with_tiles.groupBy("tile_z", "tile_x", "tile_y").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    out = leaf
-    cur = leaf
-    for z in range(zoom - 1, min_zoom - 1, -1):
-        cur = (
-            cur.select(
-                F.lit(z).alias("tile_z"),
-                (F.col("tile_x") / 2).cast("long").alias("tile_x"),
-                (F.col("tile_y") / 2).cast("long").alias("tile_y"),
-                "n_docs",
-            )
-            .groupBy("tile_z", "tile_x", "tile_y")
-            .agg(F.sum("n_docs").alias("n_docs"))
+    depth = zoom - min_zoom
+    if depth <= 0:
+        return leaf
+    return (
+        leaf.withColumn("_d", F.explode(F.sequence(F.lit(0), F.lit(depth))))
+        .select(
+            (F.col("tile_z") - F.col("_d")).cast("int").alias("tile_z"),
+            F.expr("shiftrightunsigned(tile_x, _d)").alias("tile_x"),
+            F.expr("shiftrightunsigned(tile_y, _d)").alias("tile_y"),
+            "n_docs",
         )
-        out = out.unionByName(cur)
-    return out
+        .groupBy("tile_z", "tile_x", "tile_y")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )

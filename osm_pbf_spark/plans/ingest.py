@@ -86,13 +86,8 @@ def ingest_pbf(
             F.shiftrightunsigned(F.shiftrightunsigned(F.col("cell"), 5),
                                  2 * (cell_level - 4)).cast("long"),
         )
-        # co-locate each partition-dir's rows with a salt so the hot
-        # prefix (the dense city, BASELINE.json:6) spreads over several
-        # writers instead of one straggler: ~8 files per prefix max,
-        # instead of (decode_partitions x prefixes) tiny files
-        docs = docs.repartition(
-            F.col("cell_prefix"), F.pmod(F.hash("doc_id"), F.lit(8))
-        )
+        # write clustering (hot-prefix salt + bounded files-per-dir) is
+        # owned by the sink — see IcebergLikeSink.cluster_shards
         sink.write_split(
             docs,
             sid,
@@ -110,5 +105,19 @@ def ingest_pbf(
     return sink
 
 
-def read_documents(spark: SparkSession, table_root: str) -> DataFrame:
-    return IcebergLikeSink(table_root).read(spark, dedup_cols=["doc_id"])
+def read_documents(
+    spark: SparkSession, table_root: str, dedup_guard: bool = False
+) -> DataFrame:
+    """Read the committed table.
+
+    The manifest protocol already guarantees exactly-once visibility
+    (readers see only committed files; a resumed split overwrites its
+    data dir before committing), so the default read has NO dedup
+    shuffle — tests/test_sink_resume.py asserts uniqueness holds
+    through kill/resume without it. ``dedup_guard=True`` adds a
+    ``dropDuplicates(doc_id)`` belt-and-braces pass for at-least-once
+    upstreams.
+    """
+    return IcebergLikeSink(table_root).read(
+        spark, dedup_cols=["doc_id"] if dedup_guard else None
+    )

@@ -44,9 +44,22 @@ _MANIFEST_DIR = "_manifests"
 
 
 class IcebergLikeSink:
-    def __init__(self, root: str, partition_by: list[str] | None = None) -> None:
+    def __init__(
+        self,
+        root: str,
+        partition_by: list[str] | None = None,
+        cluster_shards: int = 4,
+    ) -> None:
         self.root = root
         self.partition_by = partition_by or []
+        # files per partition value: without clustering, partitionBy
+        # fans out every write task across every partition dir (observed
+        # 1800+ tiny files for 64 MB). Clustering on (partition cols,
+        # bounded shard) caps files at n_partitions * cluster_shards
+        # while the shard still spreads a hot partition (dense city)
+        # over multiple tasks. Raise for bigger tables; combine with
+        # spark.sql.files.maxRecordsPerFile on a real cluster.
+        self.cluster_shards = max(1, cluster_shards)
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -85,6 +98,15 @@ class IcebergLikeSink:
             return None
         split_dir = os.path.join(self.root, "data", f"split={split_id}")
         t0 = time.monotonic()
+        if self.partition_by:
+            from pyspark.sql import functions as F
+
+            data_cols = [c for c in df.columns if c not in self.partition_by]
+            shard_src = data_cols[:1] or self.partition_by
+            shard = F.pmod(
+                F.hash(*[F.col(c) for c in shard_src]), F.lit(self.cluster_shards)
+            )
+            df = df.repartition(*[F.col(c) for c in self.partition_by], shard)
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
