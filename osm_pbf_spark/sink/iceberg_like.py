@@ -48,18 +48,16 @@ class IcebergLikeSink:
         self,
         root: str,
         partition_by: list[str] | None = None,
-        cluster_shards: int = 4,
+        target_file_bytes: int = 16 * 1024 * 1024,
     ) -> None:
         self.root = root
         self.partition_by = partition_by or []
-        # files per partition value: without clustering, partitionBy
-        # fans out every write task across every partition dir (observed
-        # 1800+ tiny files for 64 MB). Clustering on (partition cols,
-        # bounded shard) caps files at n_partitions * cluster_shards
-        # while the shard still spreads a hot partition (dense city)
-        # over multiple tasks. Raise for bigger tables; combine with
-        # spark.sql.files.maxRecordsPerFile on a real cluster.
-        self.cluster_shards = max(1, cluster_shards)
+        # Without clustering, partitionBy fans every write task out
+        # across every partition dir (observed 1800+ tiny files for
+        # 64 MB). write_split REBALANCEs on the partition columns with
+        # this advisory size, so file count and write parallelism both
+        # track data volume. Raise toward 128-512 MB on a real cluster.
+        self.target_file_bytes = target_file_bytes
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -98,19 +96,27 @@ class IcebergLikeSink:
             return None
         split_dir = os.path.join(self.root, "data", f"split={split_id}")
         t0 = time.monotonic()
+        spark = df.sparkSession
+        _ADV = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        old_adv = spark.conf.get(_ADV, None)
         if self.partition_by:
-            from pyspark.sql import functions as F
-
-            data_cols = [c for c in df.columns if c not in self.partition_by]
-            shard_src = data_cols[:1] or self.partition_by
-            shard = F.pmod(
-                F.hash(*[F.col(c) for c in shard_src]), F.lit(self.cluster_shards)
-            )
-            df = df.repartition(*[F.col(c) for c in self.partition_by], shard)
+            # AQE REBALANCE: hash-cluster on the partition columns, then
+            # split oversized partitions (the hot city prefix) and
+            # coalesce tiny ones using runtime shuffle statistics — the
+            # measured-salt pattern without an extra counting pass.
+            # Files per dir stay bounded and proportional to data size.
+            df = df.hint("rebalance", *self.partition_by)
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(split_dir)
+        try:
+            spark.conf.set(_ADV, str(self.target_file_bytes))
+            writer.parquet(split_dir)
+        finally:
+            if old_adv is None:
+                spark.conf.unset(_ADV)
+            else:
+                spark.conf.set(_ADV, old_adv)
 
         files = []
         n_bytes = 0
