@@ -126,12 +126,14 @@ class IcebergLikeSink:
                     full = os.path.join(dirpath, fn)
                     files.append(os.path.relpath(full, self.root))
                     n_bytes += os.path.getsize(full)
-        n_rows = 0
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
 
-        for rel in files:
-            md = pq.read_metadata(os.path.join(self.root, rel))
-            n_rows += md.num_rows
+        def _rows(rel: str) -> int:
+            return pq.read_metadata(os.path.join(self.root, rel)).num_rows
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            n_rows = sum(ex.map(_rows, files))
         manifest = {
             "split_id": split_id,
             "files": sorted(files),
