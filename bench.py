@@ -75,9 +75,9 @@ def run_bench(master: str, sf_dir: str, n_nodes: int, table_root: str) -> dict[s
     n_docs = docs.count()
     times["_n_docs"] = n_docs
 
-    timed("q_pip_join", lambda: pip_join(spark, docs, BENCH_POLYGONS, level=8).count())
+    timed("q_pip_join", lambda: pip_join(spark, docs, BENCH_POLYGONS, level="auto").count())
     timed("q_tile_rollup", lambda: tile_pyramid_rollup(
-        assign_point_tiles(docs, zoom=12), zoom=12, min_zoom=6
+        assign_point_tiles(docs, zoom=12, scheme="linear"), zoom=12, min_zoom=6
     ).count())
     queries = docs.limit(2000)
     timed("q_knn", lambda: knn_join(
@@ -153,8 +153,10 @@ def scaling_pipeline(master: str, n_nodes: int, table_root: str) -> float:
     docs = read_documents(spark, table_root).select("doc_id", "lat", "lon").cache()
     n = docs.count()
     assert n == n_nodes, (n, n_nodes)
-    pip_join(spark, docs, BENCH_POLYGONS, level=8).count()
-    tile_pyramid_rollup(assign_point_tiles(docs, zoom=12), zoom=12, min_zoom=6).count()
+    pip_join(spark, docs, BENCH_POLYGONS, level="auto").count()
+    tile_pyramid_rollup(
+        assign_point_tiles(docs, zoom=12, scheme="linear"), zoom=12, min_zoom=6
+    ).count()
     wall = time.monotonic() - t0
     docs.unpersist()
     spark.stop()

@@ -125,30 +125,62 @@ def polygon_cell_cover(polygons: list[Polygon], level: int) -> pd.DataFrame:
 
 def with_cell(df: DataFrame, level: int, lat_col: str = "lat", lon_col: str = "lon",
               out_col: str = "cell") -> DataFrame:
-    """Attach the Morton cell id — an Arrow-batched pandas UDF (numpy)."""
+    """Attach the Morton cell id — NATIVE column expression (whole-stage
+    codegen; bit-identical to the numpy kernel, see cells.cell_id_col).
+    Keeping this JVM-side removes a full-table Python hop from every
+    spatial join / kNN / tiling pipeline."""
+    return df.withColumn(out_col, C.cell_id_col(F.col(lat_col), F.col(lon_col), level))
 
-    @F.pandas_udf(T.LongType())
-    def _cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
-        return pd.Series(C.cell_id(lat.to_numpy(np.float64), lon.to_numpy(np.float64), level))
 
-    return df.withColumn(out_col, _cell(F.col(lat_col), F.col(lon_col)))
+def pick_cover_level(
+    poly: Polygon, target_cells: int = 256, min_level: int = 2, max_level: int = 16
+) -> int:
+    """Cover-level normalization (the S2 ``max_cells`` idea): choose the
+    level where the polygon's bbox spans ~``target_cells`` cells. Small
+    polygons get FINE cells (thin boundary band -> most candidates take
+    the full-cell JVM bypass); huge polygons get COARSE cells (bounded
+    cover size to compute and broadcast). One fixed global level
+    degrades one of the two."""
+    lat_min, lat_max, lon_min, lon_max = ring_bbox(poly.rings[:1])
+    side = float(max(lat_max - lat_min, (lon_max - lon_min) / 2.0, 1e-12))
+    import math
+
+    # cells-per-side ~ sqrt(target): level s.t. 180/2^level ~ side/sqrt(target)
+    level = int(math.floor(math.log2(180.0 * math.sqrt(target_cells) / side)))
+    return max(min_level, min(max_level, level))
 
 
 def pip_join(
     spark: SparkSession,
     points: DataFrame,
     polygons: list[Polygon],
-    level: int = 12,
+    level: int | str = "auto",
     lat_col: str = "lat",
     lon_col: str = "lon",
     strategy: str = "broadcast",
+    target_cells: int = 256,
 ) -> DataFrame:
     """points x polygons containment join -> points columns + poly_id.
 
     EXACT semantics: a row (p, poly) is emitted iff the crossing-number
     test (functions.geometry convention) says p in poly — matching the
-    brute-force oracle bit-for-bit.
+    brute-force oracle bit-for-bit. ``level="auto"`` covers each polygon
+    at its own normalized level (see pick_cover_level) and unions one
+    broadcast join per distinct level — same exact semantics, bounded
+    cover size AND thin refine bands for any polygon-size mix.
     """
+    if level == "auto":
+        by_level: dict[int, list[Polygon]] = {}
+        for p in polygons:
+            by_level.setdefault(pick_cover_level(p, target_cells), []).append(p)
+        out = None
+        for lvl, group in sorted(by_level.items()):
+            part = pip_join(
+                spark, points, group, lvl, lat_col, lon_col, strategy, target_cells
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
     cover_pdf = polygon_cell_cover(polygons, level)
     cover = spark.createDataFrame(cover_pdf) if len(cover_pdf) else spark.createDataFrame(
         [], "cell long, poly_id string, full boolean"
@@ -161,24 +193,24 @@ def pip_join(
 
     rings_by_poly = {p.poly_id: [r.copy() for r in p.rings] for p in polygons}
     b_rings = spark.sparkContext.broadcast(rings_by_poly)
-    with_flag = cand  # single pass: `full` rows bypass the exact test
-    out_schema = with_flag.drop("full", "cell").schema
+    out_schema = cand.drop("full", "cell").schema
+
+    # rows in `full`-covered cells are provably inside: keep them on the
+    # JVM side untouched — only boundary-cell candidates pay the Python
+    # refine hop (at deep cover levels that is a thin perimeter band)
+    full_part = cand.filter(F.col("full")).drop("full", "cell")
+    boundary = cand.filter(~F.col("full"))
 
     def _refine(batches):
         rings_map = b_rings.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            keep = pdf["full"].to_numpy(dtype=bool).copy()
-            todo = ~keep
-            if todo.any():
-                lat = pdf[lat_col].to_numpy(np.float64)
-                lon = pdf[lon_col].to_numpy(np.float64)
-                sub = pdf[todo]
-                base = np.flatnonzero(todo)
-                for pid, idx in sub.groupby("poly_id").indices.items():
-                    gi = base[idx]
-                    keep[gi] = point_in_polygon(lat[gi], lon[gi], rings_map[pid])
+            lat = pdf[lat_col].to_numpy(np.float64)
+            lon = pdf[lon_col].to_numpy(np.float64)
+            keep = np.zeros(len(pdf), dtype=bool)
+            for pid, idx in pdf.groupby("poly_id").indices.items():
+                keep[idx] = point_in_polygon(lat[idx], lon[idx], rings_map[pid])
             yield pdf[keep].drop(columns=["full", "cell"])
 
-    return with_flag.mapInPandas(_refine, out_schema)
+    return full_part.unionByName(boundary.mapInPandas(_refine, out_schema))

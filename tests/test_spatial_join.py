@@ -101,3 +101,36 @@ def test_pip_join_plan_is_broadcast(spark):
     df = spark.createDataFrame([("a", 15.0, 15.0)], "doc_id string, lat double, lon double")
     plan = pip_join(spark, df, polys, 8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pip_join_auto_level_matches_bruteforce(spark):
+    """level="auto" (per-polygon normalized cover levels) must keep the
+    exact-oracle guarantee across a size mix from sliver/tiny to big."""
+    polys = make_polygons()
+    ids, pts = make_points()
+    df = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in zip(ids, pts)],
+        "doc_id string, lat double, lon double",
+    )
+    got = {
+        (r["doc_id"], r["poly_id"])
+        for r in pip_join(spark, df, polys, level="auto").collect()
+    }
+    want = set()
+    rings_by_poly = {p.poly_id: [[(float(v[0]), float(v[1])) for v in r] for r in p.rings]
+                     for p in polys}
+    for i, (la, lo) in zip(ids, pts):
+        for pid, rings in rings_by_poly.items():
+            if oracle_geo.point_in_polygon(float(la), float(lo), rings):
+                want.add((i, pid))
+    assert got == want
+
+
+def test_pick_cover_level_monotone():
+    from osm_pbf_spark.operators.spatial_join import pick_cover_level
+
+    polys = {p.poly_id: p for p in make_polygons()}
+    lvl_tiny = pick_cover_level(polys["tiny"])
+    lvl_big = pick_cover_level(polys["big"])
+    assert lvl_tiny > lvl_big  # smaller polygon -> finer cover
+    assert 2 <= lvl_big <= 16 and 2 <= lvl_tiny <= 16
