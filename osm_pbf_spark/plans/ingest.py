@@ -42,11 +42,23 @@ def ingest_pbf(
     blobs_per_split: int = 2,
     parallelism: int | None = None,
     fail_before_split: str | None = None,
+    layout: str = "sorted",
 ) -> IcebergLikeSink:
     """Run (or RESUME) the ingest. Returns the sink for reading.
 
     ``fail_before_split`` injects a crash before that split's manifest
     commit — used by the kill/resume test.
+
+    ``layout``:
+      - "sorted" (default): each decode task sorts its docs by cell in
+        Arrow before the write — NO shuffle anywhere in the ingest;
+        pruning comes from tight per-file/row-group [cell_min, cell_max]
+        metrics recorded in the manifest (Iceberg-style). At 60M docs
+        the partitionBy shuffle of nested span rows cost ~12x the
+        parquet write itself — this layout removes it.
+      - "partitioned": hive-style cell_prefix directories via an AQE
+        REBALANCE shuffle (skew-splitting, bounded files/dir) — for
+        consumers that need directory layout.
     """
     refs = scan_blobs(pbf_path)
     header = None
@@ -61,7 +73,11 @@ def ingest_pbf(
         (f"{i:06d}", data_refs[i : i + blobs_per_split])
         for i in range(0, len(data_refs), blobs_per_split)
     ]
-    sink = IcebergLikeSink(table_root, partition_by=["cell_prefix"])
+    sink = IcebergLikeSink(
+        table_root,
+        partition_by=[] if layout == "sorted" else ["cell_prefix"],
+        stats_col="cell",
+    )
     file_sha = _file_sha256(pbf_path)
     todo = set(sink.resume_plan([sid for sid, _ in splits]))
 
@@ -74,7 +90,13 @@ def ingest_pbf(
             [(pbf_path, r.seq, r.offset, r.size) for r in split_refs],
             schema="path string, seq long, offset long, size long",
         )
-        n = parallelism or min(len(split_refs), spark.sparkContext.defaultParallelism) or 1
+        # 4 task waves per split: the sorted layout's per-task sort is a
+        # barrier between the Python kernel and the JVM write, so
+        # smaller staggered tasks let wave N's write overlap wave N+1's
+        # decode (and bound the per-task Arrow accumulation)
+        n = parallelism or min(
+            len(split_refs), 4 * spark.sparkContext.defaultParallelism
+        ) or 1
         # fused decode -> span render -> Morton cell in ONE mapInArrow
         # pass: entity data crosses the Arrow boundary exactly once
         # (two chained stages would materialize + re-serialize the whole
@@ -84,7 +106,10 @@ def ingest_pbf(
         # point geometry (ways/relations before geometry assembly).
         _, doc_cell_schema = _doc_cell_schemas()
         docs = manifest_df.repartition(n).mapInArrow(
-            _decode_render_partition_factory(cell_level), doc_cell_schema
+            _decode_render_partition_factory(
+                cell_level, sort_by_cell=(layout == "sorted")
+            ),
+            doc_cell_schema,
         )
         sink.write_split(
             docs,

@@ -49,9 +49,15 @@ class IcebergLikeSink:
         root: str,
         partition_by: list[str] | None = None,
         target_file_bytes: int = 16 * 1024 * 1024,
+        stats_col: str | None = "cell",
     ) -> None:
         self.root = root
         self.partition_by = partition_by or []
+        # column whose per-file [min, max] is recorded in each manifest
+        # (Iceberg-style file metrics). With cell-sorted input (the
+        # default ingest layout) these ranges are tight and read() can
+        # prune files without any directory partitioning or shuffle.
+        self.stats_col = stats_col
         # Without clustering, partitionBy fans every write task out
         # across every partition dir (observed 1800+ tiny files for
         # 64 MB). write_split REBALANCEs on the partition columns with
@@ -107,6 +113,12 @@ class IcebergLikeSink:
             # Files per dir stay bounded and proportional to data size.
             df = df.hint("rebalance", *self.partition_by)
         writer = df.write.mode("overwrite")
+        if self.stats_col and not self.partition_by:
+            # sorted layout: bound row-group size so cell-sorted files
+            # carry many TIGHT [min, max] row-group ranges — Spark's
+            # parquet reader then skips row groups on cell predicates
+            # even though each task's file spans a wide cell range
+            writer = writer.option("parquet.block.size", str(8 * 1024 * 1024))
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         try:
@@ -129,14 +141,44 @@ class IcebergLikeSink:
         import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
 
-        def _rows(rel: str) -> int:
-            return pq.read_metadata(os.path.join(self.root, rel)).num_rows
+        def _meta(rel: str) -> tuple[int, dict | None]:
+            md = pq.read_metadata(os.path.join(self.root, rel))
+            stats = None
+            if self.stats_col:
+                col_j = next(
+                    (
+                        j
+                        for j in range(md.num_columns)
+                        if md.row_group(0).column(j).path_in_schema == self.stats_col
+                    ),
+                    None,
+                )
+                if col_j is not None and md.num_rows:
+                    mins, maxs = [], []
+                    for g in range(md.num_row_groups):
+                        s = md.row_group(g).column(col_j).statistics
+                        if s is None or not s.has_min_max:
+                            break
+                        mins.append(s.min)
+                        maxs.append(s.max)
+                    else:
+                        stats = {"min": min(mins), "max": max(maxs)}
+            return md.num_rows, stats
 
+        file_stats: dict[str, dict] = {}
+        n_rows = 0
         with ThreadPoolExecutor(max_workers=16) as ex:
-            n_rows = sum(ex.map(_rows, files))
+            for rel, (rows, stats) in zip(files, ex.map(_meta, files)):
+                n_rows += rows
+                if stats is not None:
+                    file_stats[rel] = {"rows": rows, **stats}
         manifest = {
             "split_id": split_id,
             "files": sorted(files),
+            # per-file [min, max] of stats_col — Iceberg-style file
+            # metrics enabling manifest-level pruning in read()
+            "file_stats": {k: file_stats[k] for k in sorted(file_stats)},
+            "stats_col": self.stats_col,
             "n_rows": n_rows,
             "n_bytes": n_bytes,
             "partition_by": self.partition_by,
@@ -178,19 +220,45 @@ class IcebergLikeSink:
 
     # ---- read path -------------------------------------------------------
 
-    def committed_files(self) -> list[str]:
+    def committed_files(
+        self, stats_range: tuple[int, int] | None = None
+    ) -> list[str]:
+        """Committed file paths; with ``stats_range=(lo, hi)``, only the
+        files whose manifest [min, max] of stats_col overlaps it —
+        manifest-level pruning, no file footer ever opened."""
         files = []
         for sid in sorted(self.completed_splits()):
             with open(self._manifest_path(sid)) as f:
                 m = json.load(f)
-            files.extend(os.path.join(self.root, rel) for rel in m["files"])
+            stats = m.get("file_stats", {})
+            for rel in m["files"]:
+                if stats_range is not None and rel in stats:
+                    lo, hi = stats_range
+                    if stats[rel]["max"] < lo or stats[rel]["min"] > hi:
+                        continue
+                files.append(os.path.join(self.root, rel))
         return files
 
-    def read(self, spark: SparkSession, dedup_cols: list[str] | None = None) -> DataFrame:
-        """Read ONLY committed files (orphans from crashes are invisible)."""
-        files = self.committed_files()
-        if not files:
+    def read(
+        self,
+        spark: SparkSession,
+        dedup_cols: list[str] | None = None,
+        stats_range: tuple[int, int] | None = None,
+    ) -> DataFrame:
+        """Read ONLY committed files (orphans from crashes are invisible).
+
+        ``stats_range`` prunes files by the manifest's stats_col metrics
+        BEFORE Spark ever lists them. NOTE: range pruning is a superset
+        read — callers still apply their exact predicate.
+        """
+        all_files = self.committed_files()
+        if not all_files:
             raise FileNotFoundError(f"no committed splits under {self.root}")
+        files = self.committed_files(stats_range) if stats_range is not None else all_files
+        if not files:
+            # fully pruned: empty frame with the table's schema
+            schema = spark.read.parquet(all_files[0]).schema
+            return spark.createDataFrame([], schema)
         df = spark.read.parquet(*files)
         if dedup_cols:
             df = df.dropDuplicates(dedup_cols)

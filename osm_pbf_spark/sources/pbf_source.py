@@ -144,7 +144,9 @@ def _doc_cell_schemas():
     return arrow, spark
 
 
-def _decode_render_partition_factory(cell_level: int, prefix_level: int = 4):
+def _decode_render_partition_factory(
+    cell_level: int, prefix_level: int = 4, sort_by_cell: bool = False
+):
     """Fused decode -> render -> cell kernel for the ingest pipeline.
 
     Chaining two mapInArrow stages forces Spark to materialize the full
@@ -161,27 +163,49 @@ def _decode_render_partition_factory(cell_level: int, prefix_level: int = 4):
 
     arrow_schema, _ = _doc_cell_schemas()
 
+    def _cell_batch(ent: pa.RecordBatch) -> pa.RecordBatch:
+        doc = _render_batch(ent)
+        lat = doc.column("lat").to_numpy(zero_copy_only=False)
+        lon = doc.column("lon").to_numpy(zero_copy_only=False)
+        ok = np.isfinite(lat) & np.isfinite(lon)
+        cell = np.where(
+            ok,
+            C.cell_id(np.nan_to_num(lat), np.nan_to_num(lon), cell_level),
+            np.int64(-1),
+        ).astype(np.int64)
+        prefix = np.where(
+            ok, (cell >> np.int64(5)) >> np.int64(2 * (cell_level - prefix_level)),
+            np.int64(-1),
+        ).astype(np.int64)
+        return pa.record_batch(
+            list(doc.columns) + [pa.array(cell), pa.array(prefix)],
+            schema=arrow_schema,
+        )
+
     def _fused(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for ent in _decode_partition(batches):
-            doc = _render_batch(ent)
-            lat = doc.column("lat").to_numpy(zero_copy_only=False)
-            lon = doc.column("lon").to_numpy(zero_copy_only=False)
-            ok = np.isfinite(lat) & np.isfinite(lon)
-            cell = np.where(
-                ok,
-                C.cell_id(np.nan_to_num(lat), np.nan_to_num(lon), cell_level),
-                np.int64(-1),
-            ).astype(np.int64)
-            prefix = np.where(
-                ok, (cell >> np.int64(5)) >> np.int64(2 * (cell_level - prefix_level)),
-                np.int64(-1),
-            ).astype(np.int64)
-            yield pa.record_batch(
-                list(doc.columns) + [pa.array(cell), pa.array(prefix)],
-                schema=arrow_schema,
-            )
+            yield _cell_batch(ent)
 
-    return _fused
+    if not sort_by_cell:
+        return _fused
+
+    def _fused_sorted(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # Accumulate the task's batches, sort by cell (Arrow C++ take —
+        # cheap), and emit in chunks. Downstream plain parquet writes
+        # then carry TIGHT per-row-group/file [cell_min, cell_max]
+        # ranges: Iceberg-style metrics pruning with NO shuffle — at 60M
+        # docs the rebalance+partitionBy shuffle of nested span rows
+        # cost ~12x the parquet write itself. Task memory is bounded by
+        # the split size (blobs_per_split), not the table.
+        acc = [_cell_batch(ent) for ent in _decode_partition(batches)]
+        if not acc:
+            return
+        tab = pa.Table.from_batches(acc, schema=arrow_schema)
+        order = pa.compute.sort_indices(tab.column("cell"))
+        tab = tab.take(order)
+        yield from tab.to_batches(max_chunksize=65536)
+
+    return _fused_sorted
 
 
 def read_pbf(

@@ -1,0 +1,87 @@
+"""Iceberg-style file metrics: sorted-layout manifests carry per-file
+[cell_min, cell_max]; committed_files()/read() prune by range without
+opening any parquet footer."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from osm_pbf_spark.plans.ingest import ingest_pbf, read_documents
+from osm_pbf_spark.sink.iceberg_like import IcebergLikeSink
+from tests.gen_documents import synth_pbf
+
+
+def test_sorted_layout_stats_and_pruning(spark, tmp_path):
+    pbf = synth_pbf(str(tmp_path / "c.pbf"), 20_000, nodes_per_blob=2_000)
+    root = str(tmp_path / "table")
+    sink = ingest_pbf(spark, pbf, root, cell_level=12, blobs_per_split=1_000_000)
+
+    # every data file carries cell stats in the manifest
+    mdir = os.path.join(root, "_manifests")
+    manifests = [json.load(open(os.path.join(mdir, f))) for f in os.listdir(mdir)
+                 if f.startswith("split-")]
+    assert manifests
+    for m in manifests:
+        assert m["stats_col"] == "cell"
+        assert set(m["file_stats"]) == set(m["files"])
+        for st in m["file_stats"].values():
+            assert st["min"] <= st["max"]
+
+    # range pruning: query the narrowest corner of the cell space —
+    # only files whose manifest range covers it survive pruning, and the
+    # pruned read returns exactly what the full read returns there
+    stats = [st for m in manifests for st in m["file_stats"].values()]
+    lo = hi = min(st["min"] for st in stats)
+
+    full = sink.read(spark).filter(f"cell >= {lo} and cell <= {hi}")
+    pruned = sink.read(spark, stats_range=(lo, hi)).filter(
+        f"cell >= {lo} and cell <= {hi}"
+    )
+    assert pruned.count() == full.count() > 0
+
+    # disjoint range prunes everything and yields an empty, schema-stable DF
+    empty = sink.read(spark, stats_range=(-5, -2))
+    assert empty.count() == 0
+    assert "spans" in empty.columns
+
+
+def test_manifest_pruning_spatially_disjoint_splits(spark, tmp_path):
+    """Real planet extracts are spatially correlated blob-to-blob; with
+    one split per blob the manifest ranges are disjoint and file-level
+    pruning actually skips files (no parquet footer opened)."""
+    from tests.pbf_fixtures import build_multiblob
+
+    pbf = build_multiblob(str(tmp_path), blobs=4, nodes_per_blob=200)
+    root = str(tmp_path / "tj")
+    sink = ingest_pbf(spark, pbf, root, cell_level=12, blobs_per_split=1)
+
+    n_all = len(sink.committed_files())
+    assert n_all >= 4
+    # blob 0 sits around (40, -74); its cell range should exclude the
+    # files of blob 3 around (43, -71)
+    import json as _json
+    import os as _os
+
+    mdir = _os.path.join(root, "_manifests")
+    ms = sorted(_os.listdir(mdir))
+    m0 = _json.load(open(_os.path.join(mdir, ms[0])))
+    st0 = list(m0["file_stats"].values())[0]
+    n_pruned = len(sink.committed_files((st0["min"], st0["min"])))
+    assert n_pruned < n_all
+    got = sink.read(spark, stats_range=(st0["min"], st0["max"])).filter(
+        f"cell >= {st0['min']} and cell <= {st0['max']}"
+    )
+    want = sink.read(spark).filter(
+        f"cell >= {st0['min']} and cell <= {st0['max']}"
+    )
+    assert got.count() == want.count() > 0
+
+
+def test_sorted_layout_roundtrip_matches_docs(spark, tmp_path):
+    pbf = synth_pbf(str(tmp_path / "c2.pbf"), 5_000, nodes_per_blob=1_000)
+    root = str(tmp_path / "t2")
+    ingest_pbf(spark, pbf, root, cell_level=12, blobs_per_split=2)
+    docs = read_documents(spark, root)
+    assert docs.count() == 5_000
+    assert docs.select("doc_id").distinct().count() == 5_000
