@@ -108,6 +108,91 @@ def _haversine_udf(qlat: pd.Series, qlon: pd.Series, clat: pd.Series, clon: pd.S
     )
 
 
+def _knn_broadcast_brute(
+    spark: SparkSession,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    metric: str,
+    query_id: str,
+    cand_id: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Exact kNN for SMALL query sets: broadcast the queries as numpy
+    arrays, stream candidate batches through ONE mapInPandas pass that
+    maintains a running per-query top-k per partition, then reduce the
+    tiny per-partition winners with a window. Two jobs total — the ring
+    expansion's driver-paced rounds (dozens of jobs) lose to this below
+    ~10^4 queries regardless of candidate count."""
+    q_rows = queries.select(query_id, "lat", "lon").collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=object)
+    q_lat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_lon = np.array([r[2] for r in q_rows], dtype=np.float64)
+    bq = spark.sparkContext.broadcast((q_ids, q_lat, q_lon))
+    nq = len(q_ids)
+
+    def _local_topk(batches):
+        ids, qla, qlo = bq.value
+        best_d = np.full((nq, 0), np.inf)
+        best_i = np.empty((nq, 0), dtype=object)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cla = pdf["lat"].to_numpy(np.float64)
+            clo = pdf["lon"].to_numpy(np.float64)
+            cid = pdf[cand_id].to_numpy()
+            if metric == "euclid2_deg":
+                d = (qla[:, None] - cla[None, :]) ** 2 + (qlo[:, None] - clo[None, :]) ** 2
+            else:
+                d = haversine_m(
+                    np.repeat(qla, len(cla)).reshape(nq, -1),
+                    np.repeat(qlo, len(cla)).reshape(nq, -1),
+                    np.broadcast_to(cla, (nq, len(cla))),
+                    np.broadcast_to(clo, (nq, len(cla))),
+                )
+            if exclude_self:
+                d = np.where(ids[:, None] == cid[None, :], np.inf, d)
+            all_d = np.concatenate([best_d, d], axis=1)
+            all_i = np.concatenate(
+                [best_i, np.broadcast_to(cid, (nq, len(cid)))], axis=1
+            )
+            if all_d.shape[1] > k:
+                # keep top-m by distance with m covering every entry
+                # tied at the k-th distance: the FINAL window breaks
+                # ties by (dist, neighbor_id) — dropping a boundary tie
+                # here could drop the true winner
+                kth = np.partition(all_d, k - 1, axis=1)[:, k - 1]
+                with np.errstate(invalid="ignore"):
+                    counts = (all_d <= kth[:, None]).sum(axis=1)
+                m = min(int(max(k, counts.max())), all_d.shape[1])
+                part = np.argpartition(all_d, m - 1, axis=1)[:, :m]
+                best_d = np.take_along_axis(all_d, part, axis=1)
+                best_i = np.take_along_axis(all_i, part, axis=1)
+            else:
+                best_d, best_i = all_d, all_i
+        finite = np.isfinite(best_d)
+        rq, rc = np.nonzero(finite)
+        yield pd.DataFrame(
+            {
+                "query_id": ids[rq],
+                "neighbor_id": best_i[rq, rc],
+                "dist": best_d[rq, rc],
+            }
+        )
+
+    q_type = dict(queries.dtypes)[query_id]
+    c_type = dict(candidates.dtypes)[cand_id]
+    local = candidates.select(cand_id, "lat", "lon").mapInPandas(
+        _local_topk, f"query_id {q_type}, neighbor_id {c_type}, dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )
+
+
 def knn_join(
     spark: SparkSession,
     queries: DataFrame,
@@ -120,6 +205,7 @@ def knn_join(
     exclude_self: bool = True,
     max_rounds: int = 8,
     auto_levels: tuple[int, int] = (6, 15),
+    brute_max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact k nearest candidates per query.
 
@@ -137,6 +223,17 @@ def knn_join(
     from .spatial_join import with_cell
 
     if level == "auto":
+        # small query sets: exact broadcast-brute beats ring expansion
+        # (two jobs instead of dozens of driver-paced rounds); bounded
+        # by a pair-count budget so huge candidate sides still take the
+        # ring path
+        if brute_max_queries:
+            n_q = queries.count()
+            if n_q <= brute_max_queries and n_q * candidates.count() <= 4_000_000_000:
+                return _knn_broadcast_brute(
+                    spark, queries, candidates, k, metric, query_id, cand_id,
+                    exclude_self,
+                )
         coarse, fine = auto_levels
         levels = list(range(fine, coarse - 1, -3))  # fine -> coarse, step 3
         if levels[-1] != coarse:

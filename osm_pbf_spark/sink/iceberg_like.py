@@ -144,7 +144,7 @@ class IcebergLikeSink:
         def _meta(rel: str) -> tuple[int, dict | None]:
             md = pq.read_metadata(os.path.join(self.root, rel))
             stats = None
-            if self.stats_col:
+            if self.stats_col and md.num_row_groups:
                 col_j = next(
                     (
                         j

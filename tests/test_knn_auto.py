@@ -8,7 +8,11 @@ from osm_pbf_spark.operators.knn import knn_join
 from tests import oracle_geo
 
 
-def test_auto_level_exact_on_skewed(spark):
+import pytest
+
+
+@pytest.mark.parametrize("brute_max", [10_000, 0])
+def test_auto_level_exact_on_skewed(spark, brute_max):
     rng = np.random.default_rng(17)
     n = 600
     lat = rng.uniform(-60, 60, n)
@@ -20,7 +24,8 @@ def test_auto_level_exact_on_skewed(spark):
     df = spark.createDataFrame(pts, "doc_id string, lat double, lon double")
     got = {
         (r["query_id"], r["neighbor_id"], r["rank"])
-        for r in knn_join(spark, df, df, k=4, level="auto", auto_levels=(6, 12)).collect()
+        for r in knn_join(spark, df, df, k=4, level="auto", auto_levels=(6, 12),
+                          brute_max_queries=brute_max).collect()
     }
     want = set(oracle_geo.knn_bruteforce(pts, pts, k=4))
     assert got == want
