@@ -361,6 +361,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_knn"] = q_knn
 
+    def q_knn_brute(spark, sf):  # G5 kNN via broadcast-brute (small query set)
+        pts = customer_points(spark, sf)
+        queries_df = pts.filter(F.col("doc_id") <= 100)
+        out = knn_join(
+            spark, queries_df, pts, k=5, level="auto", metric="euclid2_deg",
+            query_id="doc_id", cand_id="doc_id",
+        )
+        return out.withColumnRenamed("dist", "dist2")
+
+    q["q_knn_brute"] = q_knn_brute
+
     def q_range_join(spark, sf):  # R6 theta/range join
         pts = customer_points(spark, sf)
         st = supplier_stations(spark, sf)
@@ -645,6 +656,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pip_join": f"{pts} {SQL_PIP}",
         "q_knn": f"""
+            {pts}
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dist2 FROM (
+                SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+                       (q.lat - c.lat) * (q.lat - c.lat)
+                     + (q.lon - c.lon) * (q.lon - c.lon) AS dist2,
+                       row_number() OVER (
+                           PARTITION BY q.doc_id
+                           ORDER BY (q.lat - c.lat) * (q.lat - c.lat)
+                                  + (q.lon - c.lon) * (q.lon - c.lon), c.doc_id) AS rank
+                FROM pts q, pts c
+                WHERE q.doc_id <= 100 AND q.doc_id != c.doc_id)
+            WHERE rank <= 5
+        """,
+        "q_knn_brute": f"""
             {pts}
             SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dist2 FROM (
                 SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
