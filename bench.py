@@ -155,7 +155,7 @@ def scaling_pipeline(master: str, n_nodes: int, table_root: str) -> float:
     assert n == n_nodes, (n, n_nodes)
     pip_join(spark, docs, BENCH_POLYGONS, level="auto").count()
     tile_pyramid_rollup(
-        assign_point_tiles(docs, zoom=12, scheme="linear"), zoom=12, min_zoom=6
+        assign_point_tiles(docs, zoom=10, scheme="linear"), zoom=10, min_zoom=4
     ).count()
     wall = time.monotonic() - t0
     docs.unpersist()
@@ -167,29 +167,36 @@ def scaling_study() -> dict:
     """Same input, two parallelism levels (the sandbox stand-in for N vs
     4N executors — driver instruction), repeated; best rep per leg to
     suppress single-machine variance (disk flush, cpufreq)."""
-    n_nodes = int(os.environ.get("BENCH_SCALING_N_NODES", "800000"))
+    n_nodes = int(os.environ.get("BENCH_SCALING_N_NODES", "100000000"))
     reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
-    # INTERLEAVE the legs (8, 32, 8, 32, ...): this sandbox is a VM with
-    # visible steal time, so throughput drifts with host load. Adjacent
-    # legs see similar host windows; best-of-reps then drops windows
-    # where the host was throttled.
+    n_small = int(os.environ.get("BENCH_SCALING_N", "4"))
+    # N=4 vs 4N=16 cores (not 8 vs 32): local[32] saturates every core
+    # with task threads, leaving none for the JVM's own service threads
+    # (shuffle, GC, netty, parquet writers) — measured anti-scaling that
+    # a real multi-executor cluster does not have. Using half the
+    # machine at both levels keeps the 4x ratio AND headroom at both.
+    # INTERLEAVE the legs: this sandbox is a VM with visible steal
+    # time, so throughput drifts with host load. Adjacent legs see
+    # similar windows; best-of-reps drops throttled ones.
     legs: dict[int, float] = {}
     for _ in range(reps):
-        for cores in (8, 32):
+        for cores in (n_small, 4 * n_small):
             root = f"/tmp/osm_pbf_spark_bench/scal{cores}"
             w = scaling_pipeline(f"local[{cores}]", n_nodes, root)
             legs[cores] = min(legs.get(cores, float("inf")), w)
-    thr8 = n_nodes / legs[8]
-    thr32 = n_nodes / legs[32]
+    thr_n = n_nodes / legs[n_small]
+    thr_4n = n_nodes / legs[4 * n_small]
     return {
-        "pipeline": "ingest+read+pip_join+tile_rollup",
+        "pipeline": "ingest+read+pip_join+tile_rollup(z10->4)",
         "n_docs": n_nodes,
         "reps_per_leg": reps,
-        "sec_local8": round(legs[8], 3),
-        "sec_local32": round(legs[32], 3),
-        "docs_per_sec_local8": round(thr8, 1),
-        "docs_per_sec_local32": round(thr32, 1),
-        "efficiency_8_to_32": round((thr32 / thr8) / 4.0, 3),
+        "cores_n": n_small,
+        "cores_4n": 4 * n_small,
+        "sec_n": round(legs[n_small], 3),
+        "sec_4n": round(legs[4 * n_small], 3),
+        "docs_per_sec_n": round(thr_n, 1),
+        "docs_per_sec_4n": round(thr_4n, 1),
+        "efficiency_n_to_4n": round((thr_4n / thr_n) / 4.0, 3),
     }
 
 
