@@ -535,6 +535,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_media_features"] = q_media_features
 
+    # ---- PBF decode surface (rows-only: consumes a deterministic
+    # synthesized PBF, not the sf tables — exactness vs the pure-Python
+    # spec oracle is asserted in tests/test_pbf_source.py) ----
+
+    def _fixture_pbf(kind: str) -> str:
+        import tempfile
+
+        from tests import pbf_fixtures as FX
+
+        d = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driverfx")
+        os.makedirs(d, exist_ok=True)
+        return FX.build_mixed(d) if kind == "mixed" else FX.build_multiblob(d)
+
+    def q_pbf_decode(spark, sf):  # S1-S3, D1-D9 distributed decode
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("multiblob"))
+        n = src.nodes(entities)
+        return n.select(
+            "id", "lat", "lon", F.size(F.coalesce(F.col("tags"), F.expr("map()"))).alias("n_tags")
+        ).orderBy("id")
+
+    q["q_pbf_decode"] = q_pbf_decode
+
+    def q_way_assembly(spark, sf):  # G8 way-geometry assembly join
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("mixed"))
+        geoms = src.assemble_way_geometries(src.ways(entities), src.nodes(entities))
+        return geoms.select(
+            "way_id", F.size("points").alias("n_points"), "is_closed"
+        ).orderBy("way_id")
+
+    q["q_way_assembly"] = q_way_assembly
+
+    def q_doc_render(spark, sf):  # D10 span render (per-row invariant surface)
+        from osm_pbf_spark.operators.docrender import render_documents
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("mixed"))
+        docs = render_documents(entities)
+        return docs.select(
+            "doc_id",
+            F.size("spans").alias("n_spans"),
+            F.element_at("spans", 1)["text"].alias("head_text"),
+        ).orderBy("doc_id")
+
+    q["q_doc_render"] = q_doc_render
+
     return q
 
 

@@ -131,52 +131,93 @@ def _knn_broadcast_brute(
     bq = spark.sparkContext.broadcast((q_ids, q_lat, q_lon))
     nq = len(q_ids)
 
+    # exclude_self is applied in the FINAL window (filter + rank), so
+    # the local pass just keeps one extra neighbor per query — no
+    # query-x-candidate id-equality matrix at all
+    kk = k + 1 if exclude_self else k
+
     def _local_topk(batches):
         ids, qla, qlo = bq.value
+        # haversine surrogate: rank by NEGATIVE unit-vector dot product
+        # (chord distance is monotone in great-circle distance), so the
+        # whole pairwise phase is one BLAS matrix multiply per chunk —
+        # per-POINT trig only. The EXACT distance (same kernel as the
+        # oracle) is recomputed just for the ~nq*kk survivors. A
+        # relative-epsilon slack on the local cut guards the
+        # (measure-zero) case where distinct surrogates round to equal
+        # final distances across the boundary.
+        qp = np.radians(qla)
+        ql = np.radians(qlo)
+        Q = np.stack(
+            [np.cos(qp) * np.cos(ql), np.cos(qp) * np.sin(ql), np.sin(qp)], axis=1
+        )
         best_d = np.full((nq, 0), np.inf)
         best_i = np.empty((nq, 0), dtype=object)
+        best_la = np.full((nq, 0), np.nan)
+        best_lo = np.full((nq, 0), np.nan)
+        # bound the distance-matrix working set to ~4M cells (~32 MB):
+        # an unchunked 2000-query x 65536-row Arrow batch would build
+        # ~1 GB of float64 temporaries per batch
+        chunk = max(64, 4_000_000 // max(nq, 1))
         for pdf in batches:
-            if not len(pdf):
-                continue
-            cla = pdf["lat"].to_numpy(np.float64)
-            clo = pdf["lon"].to_numpy(np.float64)
-            cid = pdf[cand_id].to_numpy()
-            if metric == "euclid2_deg":
-                d = (qla[:, None] - cla[None, :]) ** 2 + (qlo[:, None] - clo[None, :]) ** 2
-            else:
-                d = haversine_m(
-                    np.repeat(qla, len(cla)).reshape(nq, -1),
-                    np.repeat(qlo, len(cla)).reshape(nq, -1),
-                    np.broadcast_to(cla, (nq, len(cla))),
-                    np.broadcast_to(clo, (nq, len(cla))),
+            p_lat = pdf["lat"].to_numpy(np.float64)
+            p_lon = pdf["lon"].to_numpy(np.float64)
+            p_id = pdf[cand_id].to_numpy()
+            for s in range(0, len(pdf), chunk):
+                cla = p_lat[s : s + chunk]
+                clo = p_lon[s : s + chunk]
+                cid = p_id[s : s + chunk]
+                if len(cla) == 0:
+                    continue
+                if metric == "euclid2_deg":
+                    d = (qla[:, None] - cla[None, :]) ** 2 + (qlo[:, None] - clo[None, :]) ** 2
+                else:
+                    cp = np.radians(cla)
+                    cl = np.radians(clo)
+                    Cc = np.stack(
+                        [np.cos(cp) * np.cos(cl), np.cos(cp) * np.sin(cl), np.sin(cp)],
+                        axis=1,
+                    )
+                    d = -(Q @ Cc.T)  # smaller = closer
+                all_d = np.concatenate([best_d, d], axis=1)
+                all_i = np.concatenate(
+                    [best_i, np.broadcast_to(cid, (nq, len(cid)))], axis=1
                 )
-            if exclude_self:
-                d = np.where(ids[:, None] == cid[None, :], np.inf, d)
-            all_d = np.concatenate([best_d, d], axis=1)
-            all_i = np.concatenate(
-                [best_i, np.broadcast_to(cid, (nq, len(cid)))], axis=1
-            )
-            if all_d.shape[1] > k:
-                # keep top-m by distance with m covering every entry
-                # tied at the k-th distance: the FINAL window breaks
-                # ties by (dist, neighbor_id) — dropping a boundary tie
-                # here could drop the true winner
-                kth = np.partition(all_d, k - 1, axis=1)[:, k - 1]
-                with np.errstate(invalid="ignore"):
-                    counts = (all_d <= kth[:, None]).sum(axis=1)
-                m = min(int(max(k, counts.max())), all_d.shape[1])
-                part = np.argpartition(all_d, m - 1, axis=1)[:, :m]
-                best_d = np.take_along_axis(all_d, part, axis=1)
-                best_i = np.take_along_axis(all_i, part, axis=1)
-            else:
-                best_d, best_i = all_d, all_i
+                all_la = np.concatenate(
+                    [best_la, np.broadcast_to(cla, (nq, len(cla)))], axis=1
+                )
+                all_lo = np.concatenate(
+                    [best_lo, np.broadcast_to(clo, (nq, len(clo)))], axis=1
+                )
+                if all_d.shape[1] > kk:
+                    # keep top-m with m covering every entry tied (or
+                    # epsilon-close) at the kk-th value: the FINAL
+                    # window breaks ties by (dist, neighbor_id) —
+                    # dropping a boundary tie could drop the true winner
+                    kth = np.partition(all_d, kk - 1, axis=1)[:, kk - 1]
+                    cut = kth + np.abs(kth) * 1e-12 + 1e-300
+                    with np.errstate(invalid="ignore"):
+                        counts = (all_d <= cut[:, None]).sum(axis=1)
+                    m = min(int(max(kk, counts.max())), all_d.shape[1])
+                    part = np.argpartition(all_d, m - 1, axis=1)[:, :m]
+                    best_d = np.take_along_axis(all_d, part, axis=1)
+                    best_i = np.take_along_axis(all_i, part, axis=1)
+                    best_la = np.take_along_axis(all_la, part, axis=1)
+                    best_lo = np.take_along_axis(all_lo, part, axis=1)
+                else:
+                    best_d, best_i = all_d, all_i
+                    best_la, best_lo = all_la, all_lo
         finite = np.isfinite(best_d)
         rq, rc = np.nonzero(finite)
+        if metric == "euclid2_deg":
+            out_d = best_d[rq, rc]
+        else:
+            out_d = haversine_m(qla[rq], qlo[rq], best_la[rq, rc], best_lo[rq, rc])
         yield pd.DataFrame(
             {
                 "query_id": ids[rq],
                 "neighbor_id": best_i[rq, rc],
-                "dist": best_d[rq, rc],
+                "dist": out_d,
             }
         )
 
@@ -185,6 +226,8 @@ def _knn_broadcast_brute(
     local = candidates.select(cand_id, "lat", "lon").mapInPandas(
         _local_topk, f"query_id {q_type}, neighbor_id {c_type}, dist double"
     )
+    if exclude_self:
+        local = local.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
     return (
         local.withColumn("rank", F.row_number().over(w))
