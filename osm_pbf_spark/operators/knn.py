@@ -152,9 +152,13 @@ def _knn_broadcast_brute(
             [np.cos(qp) * np.cos(ql), np.cos(qp) * np.sin(ql), np.sin(qp)], axis=1
         )
         best_d = np.full((nq, 0), np.inf)
-        best_i = np.empty((nq, 0), dtype=object)
-        best_la = np.full((nq, 0), np.nan)
-        best_lo = np.full((nq, 0), np.nan)
+        best_pos = np.full((nq, 0), -1, dtype=np.int64)
+        # accumulate the partition's candidate arrays once; the running
+        # top-k tracks int64 POSITIONS into them (C-fast gathers) and
+        # the id/coord lookup happens a single time at the end — object
+        # arrays never enter the per-chunk loop
+        acc_id, acc_la, acc_lo = [], [], []
+        base = 0
         # bound the distance-matrix working set to ~4M cells (~32 MB):
         # an unchunked 2000-query x 65536-row Arrow batch would build
         # ~1 GB of float64 temporaries per batch
@@ -162,11 +166,12 @@ def _knn_broadcast_brute(
         for pdf in batches:
             p_lat = pdf["lat"].to_numpy(np.float64)
             p_lon = pdf["lon"].to_numpy(np.float64)
-            p_id = pdf[cand_id].to_numpy()
+            acc_id.append(pdf[cand_id].to_numpy())
+            acc_la.append(p_lat)
+            acc_lo.append(p_lon)
             for s in range(0, len(pdf), chunk):
                 cla = p_lat[s : s + chunk]
                 clo = p_lon[s : s + chunk]
-                cid = p_id[s : s + chunk]
                 if len(cla) == 0:
                     continue
                 if metric == "euclid2_deg":
@@ -179,16 +184,12 @@ def _knn_broadcast_brute(
                         axis=1,
                     )
                     d = -(Q @ Cc.T)  # smaller = closer
+                pos = np.broadcast_to(
+                    np.arange(base + s, base + s + len(cla), dtype=np.int64),
+                    (nq, len(cla)),
+                )
                 all_d = np.concatenate([best_d, d], axis=1)
-                all_i = np.concatenate(
-                    [best_i, np.broadcast_to(cid, (nq, len(cid)))], axis=1
-                )
-                all_la = np.concatenate(
-                    [best_la, np.broadcast_to(cla, (nq, len(cla)))], axis=1
-                )
-                all_lo = np.concatenate(
-                    [best_lo, np.broadcast_to(clo, (nq, len(clo)))], axis=1
-                )
+                all_p = np.concatenate([best_pos, pos], axis=1)
                 if all_d.shape[1] > kk:
                     # keep top-m with m covering every entry tied (or
                     # epsilon-close) at the kk-th value: the FINAL
@@ -201,29 +202,40 @@ def _knn_broadcast_brute(
                     m = min(int(max(kk, counts.max())), all_d.shape[1])
                     part = np.argpartition(all_d, m - 1, axis=1)[:, :m]
                     best_d = np.take_along_axis(all_d, part, axis=1)
-                    best_i = np.take_along_axis(all_i, part, axis=1)
-                    best_la = np.take_along_axis(all_la, part, axis=1)
-                    best_lo = np.take_along_axis(all_lo, part, axis=1)
+                    best_pos = np.take_along_axis(all_p, part, axis=1)
                 else:
-                    best_d, best_i = all_d, all_i
-                    best_la, best_lo = all_la, all_lo
-        finite = np.isfinite(best_d)
+                    best_d, best_pos = all_d, all_p
+            base += len(pdf)
+        finite = np.isfinite(best_d) & (best_pos >= 0)
         rq, rc = np.nonzero(finite)
+        if not len(rq):
+            yield pd.DataFrame({"query_id": [], "neighbor_id": [], "dist": []})
+            return
+        cat_id = np.concatenate(acc_id)
+        flat_pos = best_pos[rq, rc]
         if metric == "euclid2_deg":
             out_d = best_d[rq, rc]
         else:
-            out_d = haversine_m(qla[rq], qlo[rq], best_la[rq, rc], best_lo[rq, rc])
+            cat_la = np.concatenate(acc_la)
+            cat_lo = np.concatenate(acc_lo)
+            out_d = haversine_m(qla[rq], qlo[rq], cat_la[flat_pos], cat_lo[flat_pos])
         yield pd.DataFrame(
             {
                 "query_id": ids[rq],
-                "neighbor_id": best_i[rq, rc],
+                "neighbor_id": cat_id[flat_pos],
                 "dist": out_d,
             }
         )
 
     q_type = dict(queries.dtypes)[query_id]
     c_type = dict(candidates.dtypes)[cand_id]
-    local = candidates.select(cand_id, "lat", "lon").mapInPandas(
+    cand_slim = candidates.select(cand_id, "lat", "lon")
+    par = spark.sparkContext.defaultParallelism
+    if cand_slim.rdd.getNumPartitions() < par:
+        # the scan parallelism bounds the brute pass — a slim-row
+        # repartition is far cheaper than idling most cores
+        cand_slim = cand_slim.repartition(par)
+    local = cand_slim.mapInPandas(
         _local_topk, f"query_id {q_type}, neighbor_id {c_type}, dist double"
     )
     if exclude_self:

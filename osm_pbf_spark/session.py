@@ -19,6 +19,12 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # one BLAS thread per Python worker: parallelism comes from Spark
+    # tasks; N workers x N-thread OpenBLAS pools thrash the box (the
+    # kNN matmul measured 5x slower without this). Set before the JVM
+    # spawns so daemon-forked workers inherit it.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     # heuristics: shuffle partitions ~ cores for local mode; on a big

@@ -1,0 +1,76 @@
+"""Physical-plan regressions: the plans we tuned for must STAY the
+plans Catalyst picks (SURVEY.md §4). A correct result via the wrong
+plan (broadcast lost, Python hop reintroduced, shuffle reappearing in
+the sorted ingest) is a scale regression the row-level tests cannot
+see."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from osm_pbf_spark.operators.spatial_join import Polygon, pip_join, with_cell
+from osm_pbf_spark.operators.tiling import assign_point_tiles, tile_pyramid_rollup
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _points(spark, n=50):
+    return spark.createDataFrame(
+        [(f"p{i}", float(i % 80) - 40.0, float(i % 160) - 80.0) for i in range(n)],
+        "doc_id string, lat double, lon double",
+    )
+
+
+def test_with_cell_is_native(spark):
+    plan = _plan(with_cell(_points(spark), 12))
+    # native column expression: no Python/Arrow evaluation node
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "*(1)" in plan  # whole-stage-codegen'd project
+
+
+def test_linear_tiles_are_native(spark):
+    plan = _plan(assign_point_tiles(_points(spark), zoom=10, scheme="linear"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pip_join_broadcasts_cover_and_limits_python_to_boundary(spark):
+    poly = Polygon("big", [np.array([[-40.0, -100.0], [-40.0, -20.0],
+                                     [40.0, -20.0], [40.0, -100.0]])])
+    plan = _plan(pip_join(spark, _points(spark), [poly], level=8))
+    assert "BroadcastHashJoin" in plan  # coarse stage never shuffles points
+    # exactly ONE Python stage (the boundary refine); full-cell rows
+    # bypass it on the JVM side via the union
+    assert plan.count("InPandas") == 1, plan
+    assert "Union" in plan
+
+
+def test_pyramid_rollup_is_two_aggregations(spark):
+    pt = assign_point_tiles(_points(spark), zoom=8, scheme="linear")
+    plan = _plan(tile_pyramid_rollup(pt, zoom=8, min_zoom=4))
+    # leaf agg + ancestor-explode agg: exactly 2 exchanges, not one per level
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan
+
+
+def test_sorted_ingest_has_no_shuffle(spark, tmp_path):
+    from osm_pbf_spark.plans.ingest import ingest_pbf
+    from tests.gen_documents import synth_pbf
+
+    pbf = synth_pbf(str(tmp_path / "p.pbf"), 3_000, nodes_per_blob=1_000)
+    root = str(tmp_path / "t")
+    # capture the write plan by running the ingest and inspecting the
+    # table's physical layout instead: no shuffle means the number of
+    # data files equals the number of decode tasks (no rebalance fan)
+    sink = ingest_pbf(spark, pbf, root, cell_level=12, blobs_per_split=1_000_000)
+    files = sink.committed_files()
+    assert 0 < len(files) <= 4 * spark.sparkContext.defaultParallelism
+    # and every file is internally cell-sorted (the pruning invariant)
+    import pyarrow.parquet as pq
+
+    for f in files:
+        cells = pq.read_table(f, columns=["cell"]).column("cell").to_numpy()
+        if len(cells):
+            assert (np.diff(cells) >= 0).all(), f
