@@ -150,6 +150,10 @@ def scaling_pipeline(master: str, n_nodes: int, table_root: str) -> float:
         shutil.rmtree(table_root)
     t0 = time.monotonic()
     ingest_pbf(spark, pbf, table_root, cell_level=12, blobs_per_split=1_000_000)
+    # cache the SLIM projection (3 cols, ~3% of table bytes): the
+    # join + tiling stages iterate over it, and caching the projection
+    # rather than the spans table is exactly what a cluster run would
+    # do (the spans stay on disk; count() below materializes it)
     docs = read_documents(spark, table_root).select("doc_id", "lat", "lon").cache()
     n = docs.count()
     assert n == n_nodes, (n, n_nodes)

@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from ..pbf.decode import decode_header_block
 from ..pbf.framing import read_blob_payload, scan_blobs
 from ..sink.iceberg_like import IcebergLikeSink
-from ..sources.pbf_source import _decode_render_partition_factory, _doc_cell_schemas
+from ..sources.pbf_source import (
+    FILE_REPORT_SPARK_SCHEMA,
+    _decode_render_partition_factory,
+    _decode_render_write_partition_factory,
+    _doc_cell_schemas,
+)
 
 
 def _file_sha256(path: str, max_bytes: int = 1 << 24) -> str:
@@ -104,26 +109,51 @@ def ingest_pbf(
         # cell_prefix (parent cell at level 4) is the directory-pruning
         # partition column; cell/cell_prefix are -1 for docs with no
         # point geometry (ways/relations before geometry assembly).
-        _, doc_cell_schema = _doc_cell_schemas()
-        docs = manifest_df.repartition(n).mapInArrow(
-            _decode_render_partition_factory(
-                cell_level, sort_by_cell=(layout == "sorted")
-            ),
-            doc_cell_schema,
-        )
-        sink.write_split(
-            docs,
-            sid,
-            lineage={
-                "input_file": os.path.abspath(pbf_path),
-                "input_sha256": file_sha,
-                "blob_seqs": [r.seq for r in split_refs],
-                "byte_range": [split_refs[0].offset, split_refs[-1].offset + split_refs[-1].size],
-                "cell_level": cell_level,
-                "header_required_features": (header or {}).get("required_features", []),
-            },
-            fail_before_commit=(sid == fail_before_split),
-        )
+        lineage = {
+            "input_file": os.path.abspath(pbf_path),
+            "input_sha256": file_sha,
+            "blob_seqs": [r.seq for r in split_refs],
+            "byte_range": [split_refs[0].offset, split_refs[-1].offset + split_refs[-1].size],
+            "cell_level": cell_level,
+            "header_required_features": (header or {}).get("required_features", []),
+        }
+        if layout == "sorted":
+            # workers write their cell-sorted chunks DIRECTLY with
+            # pyarrow and return one file-report row each; the span
+            # rows never become JVM rows at all. Visibility comes from
+            # the manifest commit, not from the write. (On a cluster,
+            # data_dir is shared storage — pyarrow writes via fsspec.)
+            import time as _time
+
+            data_dir = os.path.join(table_root, "data", f"split={sid}")
+            os.makedirs(data_dir, exist_ok=True)
+            t0 = _time.monotonic()
+            reports = (
+                manifest_df.repartition(n)
+                .mapInArrow(
+                    _decode_render_write_partition_factory(cell_level, data_dir),
+                    FILE_REPORT_SPARK_SCHEMA,
+                )
+                .collect()
+            )
+            sink.commit_reported_split(
+                sid,
+                [r.asDict() for r in reports],
+                lineage=lineage,
+                fail_before_commit=(sid == fail_before_split),
+                wall_s=_time.monotonic() - t0,
+            )
+        else:
+            _, doc_cell_schema = _doc_cell_schemas()
+            docs = manifest_df.repartition(n).mapInArrow(
+                _decode_render_partition_factory(cell_level), doc_cell_schema
+            )
+            sink.write_split(
+                docs,
+                sid,
+                lineage=lineage,
+                fail_before_commit=(sid == fail_before_split),
+            )
     sink.commit_snapshot({"pipeline": "ingest_pbf", "cell_level": str(cell_level)})
     return sink
 

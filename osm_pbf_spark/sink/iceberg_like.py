@@ -197,6 +197,61 @@ class IcebergLikeSink:
         os.replace(tmp, self._manifest_path(split_id))  # THE atomic commit
         return manifest
 
+    def commit_reported_split(
+        self,
+        split_id: str,
+        reports: list[dict],
+        lineage: dict | None = None,
+        fail_before_commit: bool = False,
+        wall_s: float | None = None,
+    ) -> dict | None:
+        """Commit a split whose data files were written DIRECTLY by the
+        workers (pyarrow in the decode kernel) — the workers report
+        (path, n_rows, n_bytes, cell_min, cell_max) and only this
+        manifest makes them visible. Failed or duplicate task attempts
+        leave invisible orphans (Spark returns rows only from the
+        winning attempt), so exactly-once semantics are unchanged. The
+        driver re-checks each reported file's existence and size before
+        committing."""
+        if split_id in self.completed_splits():
+            return None
+        files: list[str] = []
+        file_stats: dict[str, dict] = {}
+        n_rows = 0
+        n_bytes = 0
+        for r in reports:
+            full = r["path"]
+            size = os.path.getsize(full)
+            if size != r["n_bytes"]:
+                raise OSError(f"reported size mismatch for {full}: {size} != {r['n_bytes']}")
+            rel = os.path.relpath(full, self.root)
+            files.append(rel)
+            file_stats[rel] = {"rows": r["n_rows"], "min": r["cell_min"], "max": r["cell_max"]}
+            n_rows += r["n_rows"]
+            n_bytes += size
+        manifest = {
+            "split_id": split_id,
+            "files": sorted(files),
+            "file_stats": {k: file_stats[k] for k in sorted(file_stats)},
+            "stats_col": self.stats_col,
+            "n_rows": n_rows,
+            "n_bytes": n_bytes,
+            "partition_by": [],
+            "lineage": {
+                "engine_version": __version__,
+                **(lineage or {}),
+            },
+            "metrics": {"write_wall_s": round(wall_s, 3) if wall_s is not None else None},
+            "committed_at_unix": int(time.time()),
+        }
+        if fail_before_commit:
+            raise RuntimeError(f"injected failure before commit of split {split_id}")
+        tmp = self._manifest_path(split_id) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path(split_id))  # THE atomic commit
+        return manifest
+
     def commit_snapshot(self, properties: dict | None = None) -> dict:
         """Roll committed manifests into a table-level snapshot (atomic)."""
         manifests = []

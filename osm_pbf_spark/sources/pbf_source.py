@@ -208,6 +208,63 @@ def _decode_render_partition_factory(
     return _fused_sorted
 
 
+FILE_REPORT_SPARK_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("cell_min", T.LongType()),
+        T.StructField("cell_max", T.LongType()),
+    ]
+)
+
+
+def _decode_render_write_partition_factory(
+    cell_level: int, data_dir: str, prefix_level: int = 4, rows_per_group: int = 65536
+):
+    """Fused decode -> render -> cell -> SORT -> direct parquet write.
+
+    The worker writes its cell-sorted chunk with pyarrow and returns
+    only a one-row FILE REPORT (path, rows, bytes, cell min/max) to
+    Spark. The Arrow->InternalRow conversion and JVM parquet encode of
+    the nested span rows — the largest non-kernel cost of the ingest —
+    never happen; the sink's manifest protocol (not Hadoop's committer)
+    is what makes files visible, so a failed/duplicate task attempt
+    just leaves an invisible orphan file.
+    """
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    sorted_kernel = _decode_render_partition_factory(
+        cell_level, prefix_level, sort_by_cell=True
+    )
+
+    def _fused_write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        out = list(sorted_kernel(batches))
+        if not out:
+            return
+        tab = pa.Table.from_batches(out)
+        path = os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(tab, path, row_group_size=rows_per_group, compression="snappy")
+        cells = tab.column("cell")
+        import pyarrow.compute as pc
+
+        mm = pc.min_max(cells).as_py()
+        yield pa.record_batch(
+            {
+                "path": pa.array([path]),
+                "n_rows": pa.array([tab.num_rows], pa.int64()),
+                "n_bytes": pa.array([os.path.getsize(path)], pa.int64()),
+                "cell_min": pa.array([mm["min"]], pa.int64()),
+                "cell_max": pa.array([mm["max"]], pa.int64()),
+            }
+        )
+
+    return _fused_write
+
+
 def read_pbf(
     spark: SparkSession,
     path: str,
