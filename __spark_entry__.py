@@ -546,7 +546,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         d = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driverfx")
         os.makedirs(d, exist_ok=True)
-        return FX.build_mixed(d) if kind == "mixed" else FX.build_multiblob(d)
+        builders = {
+            "mixed": FX.build_mixed,
+            "multiblob": FX.build_multiblob,
+            "way_pip": FX.build_way_pip,
+        }
+        return builders[kind](d)
 
     def q_pbf_decode(spark, sf):  # S1-S3, D1-D9 distributed decode
         from osm_pbf_spark.sources import pbf_source as src
@@ -583,6 +588,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
 
     q["q_doc_render"] = q_doc_render
+
+    def q_way_pip(spark, sf):  # reference lifecycle: decode -> way polygons -> PIP
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("way_pip"))
+        nodes = src.nodes(entities)
+        geoms = src.assemble_way_geometries(src.ways(entities), nodes)
+        polys = src.polygons_from_closed_ways(geoms)
+        pts = nodes.selectExpr("cast(id as string) as doc_id", "lat", "lon")
+        return pip_join(spark, pts, polys, level="auto").select(
+            "doc_id", "poly_id"
+        ).orderBy("doc_id", "poly_id")
+
+    q["q_way_pip"] = q_way_pip
 
     return q
 

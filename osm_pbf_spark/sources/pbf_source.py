@@ -208,6 +208,42 @@ def _decode_render_partition_factory(
     return _fused_sorted
 
 
+def polygons_from_closed_ways(geoms_df: DataFrame, max_polygons: int = 100_000):
+    """Closed decoded ways -> broadcastable Polygon list (SURVEY §2.3).
+
+    Mirrors the reference lifecycle: decoded geometries feed the
+    spatial index, then PIP queries run against them (the r-tree
+    insert+query becomes polygon cell covers + the broadcast join of
+    operators.spatial_join.pip_join). The polygon side of a PIP join
+    is broadcast, so it is collected here; ``max_polygons`` guards
+    against collecting an unbroadcastable set — for region/boundary
+    workloads (the PIP use case) polygon counts are 10^3-10^5 while
+    the POINT side is the 10^12 one.
+    """
+    import numpy as np
+
+    from ..operators.spatial_join import Polygon
+
+    rows = (
+        geoms_df.filter("is_closed AND size(points) >= 4")
+        .select("way_id", "points")
+        .limit(max_polygons + 1)
+        .collect()
+    )
+    if len(rows) > max_polygons:
+        raise ValueError(
+            f"more than {max_polygons} closed ways; raise max_polygons or "
+            "use pip_join(strategy='shuffle') with a cover DataFrame"
+        )
+    return [
+        Polygon(
+            f"way/{r['way_id']}",
+            [np.array([[p["lat"], p["lon"]] for p in r["points"][:-1]], dtype=np.float64)],
+        )
+        for r in rows
+    ]
+
+
 FILE_REPORT_SPARK_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),

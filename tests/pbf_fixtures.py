@@ -170,6 +170,38 @@ ALL_BUILDERS = [
 ]
 
 
+def build_way_pip(dirpath: str) -> str:
+    """Closed-way polygon + probe-node grid: the decode->polygons->PIP
+    end-to-end fixture (used by tests/test_way_pip.py and the driver
+    q_way_pip query)."""
+    import numpy as np
+
+    st = E.StringTable()
+    ring = [(10.0, 10.0), (10.0, 11.0), (11.0, 11.0), (11.0, 10.0)]
+    ring_nodes = [
+        {"id": 100 + i, "lat_raw": nd(la), "lon_raw": nd(lo), "tags": {}}
+        for i, (la, lo) in enumerate(ring)
+    ]
+    probes = []
+    pid = 1
+    for la in np.linspace(9.5, 11.5, 9):
+        for lo in np.linspace(9.5, 11.5, 9):
+            probes.append(
+                {"id": pid, "lat_raw": nd(float(la)), "lon_raw": nd(float(lo)), "tags": {}}
+            )
+            pid += 1
+    g_dense = E.encode_dense_nodes(sorted(ring_nodes + probes, key=lambda n: n["id"]), st)
+    ways = [
+        {"id": 600, "refs": [100, 101, 102, 103, 100], "tags": {"building": "yes"}},
+        {"id": 601, "refs": [1, 2, 3], "tags": {}},  # open way: NOT a polygon
+    ]
+    g_ways = b"".join(E.encode_way(w, st) for w in ways)
+    block = E.encode_primitive_block([g_dense, g_ways], st)
+    path = os.path.join(dirpath, "waypip.osm.pbf")
+    E.write_pbf(path, [block])
+    return path
+
+
 def build_all(dirpath: str) -> list[str]:
     os.makedirs(dirpath, exist_ok=True)
     return [b(dirpath) for b in ALL_BUILDERS]
