@@ -63,3 +63,53 @@ def synth_pbf(path: str, n_nodes: int, nodes_per_blob: int = 8000,
 def corpus_path(n_nodes: int, cache_dir: str = "/tmp/osm_pbf_spark_bench") -> str:
     os.makedirs(cache_dir, exist_ok=True)
     return os.path.join(cache_dir, f"corpus_{n_nodes}.osm.pbf")
+
+
+def synth_pbf_mixed(path: str, n_nodes: int, n_ways: int,
+                    nodes_per_blob: int = 8000) -> str:
+    """Nodes + ways corpus for decode/assembly coverage at volume.
+
+    Node blobs first (same shape as synth_pbf), then way blobs whose
+    refs point at runs of ~10 consecutive node ids; every 5th way is
+    CLOSED (first ref == last ref) so it assembles into a polygon.
+    Deterministic (SEED); cached by path.
+    """
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(SEED + 1)
+    lat = rng.uniform(-85.0, 85.0, n_nodes)
+    lon = rng.uniform(-180.0, 180.0, n_nodes)
+    ids = np.arange(1, n_nodes + 1, dtype=np.int64)
+    lat_raw = np.round(lat * 1e7).astype(np.int64)
+    lon_raw = np.round(lon * 1e7).astype(np.int64)
+
+    blocks = []
+    for start in range(0, n_nodes, nodes_per_blob):
+        end = min(start + nodes_per_blob, n_nodes)
+        st = E.StringTable()
+        nodes = [
+            {"id": int(ids[i]), "lat_raw": int(lat_raw[i]), "lon_raw": int(lon_raw[i]),
+             "tags": {}}
+            for i in range(start, end)
+        ]
+        blocks.append(E.encode_primitive_block([E.encode_dense_nodes(nodes, st)], st))
+
+    ways_per_blob = 4000
+    starts = rng.integers(1, max(2, n_nodes - 12), n_ways)
+    for w0 in range(0, n_ways, ways_per_blob):
+        st = E.StringTable()
+        ways = []
+        for w in range(w0, min(w0 + ways_per_blob, n_ways)):
+            s = int(starts[w])
+            refs = list(range(s, s + 10))
+            if w % 5 == 0:
+                refs.append(s)  # closed -> polygon
+            ways.append({"id": 1_000_000 + w, "refs": refs,
+                         "tags": {"highway": "residential"}})
+        blocks.append(
+            E.encode_primitive_block([b"".join(E.encode_way(w, st) for w in ways)], st)
+        )
+    tmp = path + ".tmp"
+    E.write_pbf(tmp, blocks)
+    os.replace(tmp, path)
+    return path
