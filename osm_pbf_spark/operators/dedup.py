@@ -164,16 +164,26 @@ def minhash_lsh_pairs(
             [np.sort(_shingle_hashes(t or "", shingle_k)).astype(np.int64).tolist() for t in text]
         )
 
-    with_bands = docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
-    ).withColumn("band", F.explode(_bands(F.col("_text"))))
+    # slim (id, band) rows only through the self-join: pair dedup
+    # shuffles ids instead of text pairs, and the texts join back only
+    # for the exact-Jaccard verification of surviving pairs. Both join
+    # sides are the identical subplan shuffled on band, so AQE's
+    # ReuseExchange computes the signature pass once — no cache (at
+    # 10^12 docs the banded table would not be cacheable anyway).
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+    slim = base.withColumn("band", F.explode(_bands(F.col("_text")))).select(
+        "id", "band"
+    )
 
-    cand = (
-        with_bands.alias("a")
-        .join(with_bands.alias("b"), (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a._text").alias("ta"), F.col("b._text").alias("tb"))
+    pair_ids = (
+        slim.alias("a")
+        .join(slim.alias("b"), (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        pair_ids.join(base.select(F.col("id").alias("id_a"), F.col("_text").alias("ta")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("_text").alias("tb")), "id_b")
     )
 
     @F.pandas_udf(T.DoubleType())
