@@ -113,6 +113,23 @@ def _dot_sql(a: str, b: str, dim: int = 64) -> str:
     )
 
 
+def _fixture_pbf(kind: str) -> str:
+    """Write (or re-write) a deterministic golden PBF fixture; shared by
+    the decode-surface queries AND their VALUES-literal oracles."""
+    import tempfile
+
+    from tests import pbf_fixtures as FX
+
+    d = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driverfx")
+    os.makedirs(d, exist_ok=True)
+    builders = {
+        "mixed": FX.build_mixed,
+        "multiblob": FX.build_multiblob,
+        "way_pip": FX.build_way_pip,
+    }
+    return builders[kind](d)
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship pipeline
 # ---------------------------------------------------------------------------
@@ -531,27 +548,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_lsh_topk"] = q_lsh_topk
 
     def q_media_features(spark, sf):  # multimodal plumbing (stubbed decode)
-        return extract_media_features(synth_media_table(spark, 64))
+        # scalar projection for the driver gate: the harness canonicalizes
+        # results via pandas sort, which cannot hash array columns — the
+        # array `feature` column stays on the pytest surface
+        # (tests/test_multimodal features) and the driver sees its size.
+        return extract_media_features(synth_media_table(spark, 64)).select(
+            "media_ref",
+            "modality",
+            "feat_mean",
+            "feat_std",
+            F.size("feature").alias("n_feat"),
+            "decoder",
+        )
 
     q["q_media_features"] = q_media_features
 
-    # ---- PBF decode surface (rows-only: consumes a deterministic
-    # synthesized PBF, not the sf tables — exactness vs the pure-Python
-    # spec oracle is asserted in tests/test_pbf_source.py) ----
-
-    def _fixture_pbf(kind: str) -> str:
-        import tempfile
-
-        from tests import pbf_fixtures as FX
-
-        d = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driverfx")
-        os.makedirs(d, exist_ok=True)
-        builders = {
-            "mixed": FX.build_mixed,
-            "multiblob": FX.build_multiblob,
-            "way_pip": FX.build_way_pip,
-        }
-        return builders[kind](d)
+    # ---- PBF decode surface (consumes a deterministic synthesized PBF,
+    # not the sf tables — the DuckDB oracles are VALUES literals built
+    # from the pure-Python spec oracles in tests/oracle_pbf.py /
+    # oracle_render.py / oracle_geo.py, see the oracle section below) ----
 
     def q_pbf_decode(spark, sf):  # S1-S3, D1-D9 distributed decode
         from osm_pbf_spark.sources import pbf_source as src
@@ -604,6 +619,295 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_way_pip"] = q_way_pip
 
     return q
+
+
+# ---------------------------------------------------------------------------
+# VALUES-literal oracles for the decode / LSH surface
+#
+# These queries consume deterministic inputs (golden PBF fixtures, the
+# fixed-seed synth media table, or LSH-banded candidates over the sf
+# tables), so their expected outputs are computable by ENGINE-INDEPENDENT
+# pure-Python spec oracles (tests/oracle_pbf.py, oracle_render.py,
+# oracle_geo.py — scalar loops, no Spark, no numpy decode) and emitted as
+# SQL literals DuckDB replays. For the LSH families the oracle is HYBRID:
+# the candidate set (which pairs collide in a band/bucket — not
+# SQL-expressible) comes from a single-process run of the deterministic
+# hash spec, while the verification metric (exact shingle Jaccard /
+# hamming distance) is recomputed BY DUCKDB from the raw tables, so the
+# distributed join/shuffle plumbing AND the verify math are both checked.
+# ---------------------------------------------------------------------------
+
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, (bool, np.bool_)):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        # QUOTED: a bare decimal literal would be typed DECIMAL(18,n) by
+        # DuckDB (losing ulps) before the outer CAST; the VARCHAR->DOUBLE
+        # cast parses with correct rounding, so repr round-trips exactly
+        return f"'{v!r}'"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def _values_sql(cols: list[tuple[str, str]], rows: list[tuple]) -> str:
+    """rows -> SELECT CAST(..) AS name.. FROM (VALUES ...) with explicit
+    per-column SQL types (so DuckDB's schema matches Spark's exactly)."""
+    names = ", ".join(f"c{i}" for i in range(len(cols)))
+    sel = ", ".join(f"CAST(c{i} AS {t}) AS {n}" for i, (n, t) in enumerate(cols))
+    vals = ", ".join("(" + ", ".join(_sql_lit(x) for x in r) + ")" for r in rows)
+    return f"SELECT {sel} FROM (VALUES {vals}) AS t({names})"
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _fixture_decoded(kind: str):
+    from tests import oracle_pbf
+
+    return oracle_pbf.decode_file(_fixture_pbf(kind))
+
+
+def _ora_pbf_decode() -> str:
+    d = _fixture_decoded("multiblob")
+    rows = [(n["id"], n["lat"], n["lon"], len(n["tags"])) for n in d["nodes"]]
+    return _values_sql(
+        [("id", "BIGINT"), ("lat", "DOUBLE"), ("lon", "DOUBLE"), ("n_tags", "INTEGER")],
+        rows,
+    )
+
+
+def _ora_way_assembly() -> str:
+    d = _fixture_decoded("mixed")
+    coords = {n["id"]: (n["lat"], n["lon"]) for n in d["nodes"]}
+    rows = []
+    for w in d["ways"]:
+        pts = [coords[r] for r in w["refs"] if r in coords]  # inner join drops unresolved
+        if not pts:
+            continue
+        rows.append((w["id"], len(pts), pts[0] == pts[-1]))
+    return _values_sql(
+        [("way_id", "BIGINT"), ("n_points", "INTEGER"), ("is_closed", "BOOLEAN")], rows
+    )
+
+
+def _ora_doc_render() -> str:
+    from tests import oracle_render
+
+    docs = oracle_render.render_file(_fixture_decoded("mixed"))
+    rows = [(doc["doc_id"], len(doc["spans"]), doc["spans"][0]["text"]) for doc in docs]
+    return _values_sql(
+        [("doc_id", "VARCHAR"), ("n_spans", "INTEGER"), ("head_text", "VARCHAR")], rows
+    )
+
+
+def _ora_way_pip() -> str:
+    from tests import oracle_geo
+
+    d = _fixture_decoded("way_pip")
+    coords = {n["id"]: (n["lat"], n["lon"]) for n in d["nodes"]}
+    polys = []
+    for w in d["ways"]:
+        pts = [coords[r] for r in w["refs"] if r in coords]
+        if len(pts) >= 4 and pts[0] == pts[-1]:
+            polys.append((f"way/{w['id']}", [pts[:-1]]))
+    rows = []
+    for n in d["nodes"]:
+        for pid, rings in polys:
+            if oracle_geo.point_in_polygon(n["lat"], n["lon"], rings):
+                rows.append((str(n["id"]), pid))
+    return _values_sql([("doc_id", "VARCHAR"), ("poly_id", "VARCHAR")], rows)
+
+
+def _ora_media_features() -> str:
+    import hashlib
+
+    rows = []
+    for i in range(64):
+        payload = hashlib.blake2b(i.to_bytes(4, "little"), digest_size=32).digest()
+        px = (
+            np.frombuffer(
+                hashlib.blake2b(payload, digest_size=64).digest(), dtype=np.uint8
+            ).astype(np.float64)
+            / 255.0
+        )
+        rows.append(
+            (f"m{i}", ["image", "audio", "video"][i % 3],
+             float(px.mean()), float(px.std()), 16, "fake")
+        )
+    return _values_sql(
+        [("media_ref", "VARCHAR"), ("modality", "VARCHAR"), ("feat_mean", "DOUBLE"),
+         ("feat_std", "DOUBLE"), ("n_feat", "INTEGER"), ("decoder", "VARCHAR")],
+        rows,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _oracle_docs(limit_id: int = 200) -> tuple:
+    """(id, text) rows of ORACLE_SF_DIR documents with doc_id < limit_id,
+    plus the +1000000 recrawl copies (the dedup-query corpus)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    base = [
+        (int(i), s)
+        for i, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        if int(i) < limit_id
+    ]
+    return tuple(base + [(i + 1_000_000, s) for i, s in base])
+
+
+def _ora_minhash_pairs() -> str:
+    """Hybrid: Python replays the deterministic MinHash banding spec to
+    get the candidate pair set; DuckDB recomputes the exact 5-shingle
+    Jaccard of every candidate from the raw table and applies the
+    threshold. (Docs are ASCII, so char-window == byte-window shingles,
+    and 64-bit shingle-hash Jaccard == substring-set Jaccard.)"""
+    import hashlib
+
+    from osm_pbf_spark.operators.dedup import _BANDS, _N_PERM, _minhash_sig, _shingle_hashes
+
+    rpb = _N_PERM // _BANDS
+    buckets: dict[int, list[int]] = {}
+    for i, s in _oracle_docs():
+        sig = _minhash_sig(_shingle_hashes(s or "", 5))
+        for b in range(_BANDS):
+            h = hashlib.blake2b(
+                sig[b * rpb : (b + 1) * rpb].tobytes(), digest_size=8,
+                key=b.to_bytes(2, "little"),
+            )
+            key = (b << 56) | (int.from_bytes(h.digest(), "little") & ((1 << 56) - 1))
+            buckets.setdefault(key, []).append(i)
+    pairs = set()
+    for v in buckets.values():
+        v = sorted(set(v))
+        for x in range(len(v)):
+            for y in range(x + 1, len(v)):
+                pairs.add((v[x], v[y]))
+    cand_vals = ", ".join(f"({a}, {b})" for a, b in sorted(pairs))
+    return f"""
+        WITH unioned AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 200
+            UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 200),
+        cand(id_a, id_b) AS (VALUES {cand_vals}),
+        grams AS (
+            SELECT doc_id AS id,
+                   unnest(list_distinct([substr(text, CAST(i AS INT), 5)
+                                         for i in generate_series(1, len(text) - 4)])) AS gram
+            FROM unioned),
+        sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS inter
+            FROM cand c
+            JOIN grams ga ON ga.id = c.id_a
+            JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
+            GROUP BY c.id_a, c.id_b)
+        SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b,
+               i.inter / (sa.n + sb.n - i.inter) AS jaccard
+        FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+        WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+    """
+
+
+def _ora_simhash_pairs() -> str:
+    """Hybrid: Python replays the simhash + 16-bit-quarter bucketing spec
+    for signatures and candidates; DuckDB verifies hamming <= 3 via
+    xor + bit_count on the emitted signatures."""
+    from osm_pbf_spark.operators.dedup import _simhash64
+
+    docs = _oracle_docs()
+    sig = {i: np.int64(np.uint64(_simhash64(s))) for i, s in docs}
+    buckets: dict[int, list[int]] = {}
+    for i, _s in docs:
+        u = int(np.uint64(sig[i]))
+        for q in range(4):
+            buckets.setdefault((q << 16) | ((u >> (16 * q)) & 0xFFFF), []).append(i)
+    pairs = set()
+    for v in buckets.values():
+        v = sorted(set(v))
+        for x in range(len(v)):
+            for y in range(x + 1, len(v)):
+                pairs.add((v[x], v[y]))
+    sig_vals = ", ".join(f"({i}, {int(sh)})" for i, sh in sorted(sig.items()))
+    cand_vals = ", ".join(f"({a}, {b})" for a, b in sorted(pairs))
+    return f"""
+        WITH sig(id, sh) AS (VALUES {sig_vals}),
+        cand(id_a, id_b) AS (VALUES {cand_vals})
+        SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
+               CAST(bit_count(xor(CAST(sa.sh AS BIGINT), CAST(sb.sh AS BIGINT))) AS INTEGER) AS hamming
+        FROM cand c JOIN sig sa ON sa.id = c.id_a JOIN sig sb ON sb.id = c.id_b
+        WHERE bit_count(xor(CAST(sa.sh AS BIGINT), CAST(sb.sh AS BIGINT))) <= 3
+    """
+
+
+def _ora_lsh_topk() -> str:
+    """Scalar replay of the hyperplane-LSH top-k spec: same deterministic
+    hyperplanes, bucket + 1-bit multiprobe candidate generation in plain
+    Python sets, and the EXACT left-to-right float64 cosine fold Spark's
+    dot_f64 performs — emitted as a VALUES literal."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.ann import _hyperplanes
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = [int(i) for i in t.column("vec_id").to_pylist()]
+    vecs = t.column("embedding").to_pylist()
+    n_planes = 10
+    planes = _hyperplanes(64, n_planes)
+    m = np.asarray(vecs, dtype=np.float64)
+    signs = (m @ planes.T) > 0
+    bucket = (signs * (1 << np.arange(n_planes, dtype=np.int64))[None, :]).sum(axis=1)
+    by_bucket: dict[int, list[int]] = {}
+    for idx, b in enumerate(bucket):
+        by_bucket.setdefault(int(b), []).append(idx)
+
+    def fold_dot(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def fold_norm2(a: list) -> float:
+        acc = 0.0
+        for x in a:
+            acc += float(x) * float(x)
+        return acc
+
+    rows = []
+    for qi, qid in enumerate(ids):
+        if qid >= 50:
+            continue
+        probes = {int(bucket[qi])} | {int(bucket[qi]) ^ (1 << p) for p in range(n_planes)}
+        cand_idx = sorted({c for p in probes for c in by_bucket.get(p, [])})
+        scored = []
+        for ci in cand_idx:
+            if ids[ci] == qid:
+                continue
+            cos = fold_dot(vecs[qi], vecs[ci]) / math.sqrt(
+                fold_norm2(vecs[qi]) * fold_norm2(vecs[ci])
+            )
+            scored.append((-cos, ids[ci]))
+        scored.sort()
+        for rank, (neg_cos, nid) in enumerate(scored[:3], start=1):
+            rows.append((qid, nid, rank, -neg_cos))
+    return _values_sql(
+        [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"), ("rank", "INTEGER"),
+         ("cos", "DOUBLE")],
+        rows,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -893,4 +1197,14 @@ def oracle_sql() -> dict[str, str]:
                   / sqrt({_dot_sql('a.embedding', 'a.embedding')}
                        * {_dot_sql('b.embedding', 'b.embedding')}) >= 0.9
         """,
+        # ---- decode / LSH surface (VALUES-literal + hybrid oracles,
+        #      built from the pure-Python spec oracles — see section above) ----
+        "q_pbf_decode": _ora_pbf_decode(),
+        "q_way_assembly": _ora_way_assembly(),
+        "q_doc_render": _ora_doc_render(),
+        "q_way_pip": _ora_way_pip(),
+        "q_media_features": _ora_media_features(),
+        "q_minhash_pairs": _ora_minhash_pairs(),
+        "q_simhash_pairs": _ora_simhash_pairs(),
+        "q_lsh_topk": _ora_lsh_topk(),
     }

@@ -128,16 +128,19 @@ def _knn_broadcast_brute(
     q_ids = np.array([r[0] for r in q_rows], dtype=object)
     q_lat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_lon = np.array([r[2] for r in q_rows], dtype=np.float64)
-    bq = spark.sparkContext.broadcast((q_ids, q_lat, q_lon))
+    # self-exclusion is exact IN the local pass: each candidate id gets
+    # one hash lookup against the query-id map (O(n_cands) total, never
+    # an (nq x chunk) id matrix) and its distance to its own query row
+    # is masked to +inf before top-k selection — duplicate candidate
+    # ids at distance 0 can no longer crowd true neighbors out of the
+    # slot budget
+    qrow_map = {qid: i for i, qid in enumerate(q_ids)} if exclude_self else None
+    bq = spark.sparkContext.broadcast((q_ids, q_lat, q_lon, qrow_map))
     nq = len(q_ids)
-
-    # exclude_self is applied in the FINAL window (filter + rank), so
-    # the local pass just keeps one extra neighbor per query — no
-    # query-x-candidate id-equality matrix at all
-    kk = k + 1 if exclude_self else k
+    kk = k
 
     def _local_topk(batches):
-        ids, qla, qlo = bq.value
+        ids, qla, qlo, qrow = bq.value
         # haversine surrogate: rank by NEGATIVE unit-vector dot product
         # (chord distance is monotone in great-circle distance), so the
         # whole pairwise phase is one BLAS matrix multiply per chunk —
@@ -169,6 +172,13 @@ def _knn_broadcast_brute(
             acc_id.append(pdf[cand_id].to_numpy())
             acc_la.append(p_lat)
             acc_lo.append(p_lon)
+            self_rows = self_cols = None
+            if qrow is not None:
+                codes = pdf[cand_id].map(qrow)
+                sel = codes.notna().to_numpy()
+                if sel.any():
+                    self_cols = np.nonzero(sel)[0]
+                    self_rows = codes.to_numpy(np.float64)[sel].astype(np.int64)
             for s in range(0, len(pdf), chunk):
                 cla = p_lat[s : s + chunk]
                 clo = p_lon[s : s + chunk]
@@ -184,6 +194,10 @@ def _knn_broadcast_brute(
                         axis=1,
                     )
                     d = -(Q @ Cc.T)  # smaller = closer
+                if self_cols is not None:
+                    in_chunk = (self_cols >= s) & (self_cols < s + len(cla))
+                    if in_chunk.any():
+                        d[self_rows[in_chunk], self_cols[in_chunk] - s] = np.inf
                 pos = np.broadcast_to(
                     np.arange(base + s, base + s + len(cla), dtype=np.int64),
                     (nq, len(cla)),
@@ -261,6 +275,7 @@ def knn_join(
     max_rounds: int = 8,
     auto_levels: tuple[int, int] = (6, 15),
     brute_max_queries: int = 10_000,
+    _cand_count: int | None = None,
 ) -> DataFrame:
     """Exact k nearest candidates per query.
 
@@ -281,14 +296,20 @@ def knn_join(
         # small query sets: exact broadcast-brute beats ring expansion
         # (two jobs instead of dozens of driver-paced rounds); bounded
         # by a pair-count budget so huge candidate sides still take the
-        # ring path
+        # ring path. The query-side probe is a limit(), not a full
+        # count, and the candidate side is counted at most once — the
+        # count is reused by the ring path via _cand_count instead of
+        # re-scanning the candidate table.
         if brute_max_queries:
-            n_q = queries.count()
-            if n_q <= brute_max_queries and n_q * candidates.count() <= 4_000_000_000:
-                return _knn_broadcast_brute(
-                    spark, queries, candidates, k, metric, query_id, cand_id,
-                    exclude_self,
-                )
+            n_q = queries.limit(brute_max_queries + 1).count()
+            if n_q <= brute_max_queries:
+                if _cand_count is None:
+                    _cand_count = candidates.count()
+                if n_q * _cand_count <= 4_000_000_000:
+                    return _knn_broadcast_brute(
+                        spark, queries, candidates, k, metric, query_id, cand_id,
+                        exclude_self,
+                    )
         coarse, fine = auto_levels
         levels = list(range(fine, coarse - 1, -3))  # fine -> coarse, step 3
         if levels[-1] != coarse:
@@ -349,6 +370,7 @@ def knn_join(
             part = knn_join(
                 spark, sub, candidates, k, int(lvl), metric,
                 query_id, cand_id, exclude_self, max_rounds,
+                _cand_count=_cand_count,
             )
             out = part if out is None else out.unionByName(part)
         for c in counts.values():
@@ -369,7 +391,7 @@ def knn_join(
     )
     cand = with_cell(cand, level, "c_lat", "c_lon", "cell").cache()
 
-    total_cands = cand.count()
+    total_cands = _cand_count if _cand_count is not None else cand.count()
     remaining = q
     results: DataFrame | None = None
     ring = 1

@@ -173,13 +173,20 @@ def pip_join(
         by_level: dict[int, list[Polygon]] = {}
         for p in polygons:
             by_level.setdefault(pick_cover_level(p, target_cells), []).append(p)
-        out = None
-        for lvl, group in sorted(by_level.items()):
-            part = pip_join(
-                spark, points, group, lvl, lat_col, lon_col, strategy, target_cells
-            )
-            out = part if out is None else out.unionByName(part)
-        return out
+        if not by_level:
+            # empty polygon list (polygons_from_closed_ways can return
+            # []): fall through to the non-auto path, which joins
+            # against an empty cover and yields an empty DataFrame with
+            # the points-plus-poly_id schema instead of None
+            level = 12
+        else:
+            out = None
+            for lvl, group in sorted(by_level.items()):
+                part = pip_join(
+                    spark, points, group, lvl, lat_col, lon_col, strategy, target_cells
+                )
+                out = part if out is None else out.unionByName(part)
+            return out
 
     cover_pdf = polygon_cell_cover(polygons, level)
     cover = spark.createDataFrame(cover_pdf) if len(cover_pdf) else spark.createDataFrame(

@@ -123,9 +123,16 @@ def ingest_pbf(
             # rows never become JVM rows at all. Visibility comes from
             # the manifest commit, not from the write. (On a cluster,
             # data_dir is shared storage — pyarrow writes via fsspec.)
+            import shutil
             import time as _time
 
             data_dir = os.path.join(table_root, "data", f"split={sid}")
+            # the split is NOT committed (it is in the todo set), so
+            # nothing under its data dir is visible to readers — wipe
+            # orphans from failed attempts before re-running, keeping
+            # the "a resumed split overwrites its data dir before
+            # committing" invariant true and disk usage bounded
+            shutil.rmtree(data_dir, ignore_errors=True)
             os.makedirs(data_dir, exist_ok=True)
             t0 = _time.monotonic()
             reports = (

@@ -65,9 +65,12 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    rows_only = []
+    n_checked = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_checked += 1
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -77,6 +80,7 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {str(e)[:200]}")
             continue
         if name not in oracles:
+            rows_only.append(name)
             print(f"ROWS-ONLY  {name}: {len(s_rows)} rows (no oracle)")
             continue
         try:
@@ -106,7 +110,13 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(s_rows)} rows")
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} queries OK")
+    n_verified = n_checked - len(failures) - len(rows_only)
+    print(
+        f"\n{n_verified}/{n_checked} queries ORACLE-VERIFIED"
+        f" ({len(rows_only)} rows-only, {len(failures)} failing)"
+    )
+    if rows_only:
+        print("rows-only (no oracle — NOT value-verified): " + ", ".join(rows_only))
     return 1 if failures else 0
 
 
