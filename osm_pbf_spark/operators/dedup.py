@@ -24,7 +24,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -127,20 +127,115 @@ def _minhash_sig(hashes: np.ndarray) -> np.ndarray:
     return vals.min(axis=1)
 
 
-def minhash_lsh_pairs(
+def _collapse_exact(docs: DataFrame, text_col: str, id_col: str):
+    """Exact-duplicate pre-collapse shared by the LSH families.
+
+    Returns (reps, members):
+      reps:    one row per DISTINCT text — (id, _text), id = min member id;
+      members: every doc — (_rep, id).
+
+    Identical texts are the pathological LSH input (every band/bucket
+    collides), and a re-crawl corpus or a 10^4-copy boilerplate blob
+    would otherwise multiply the band self-join quadratically. One
+    shuffle on md5(text) (narrow key, never the text) collapses them;
+    the LSH candidate machinery then runs on DISTINCT texts only, and
+    within-/cross-group pairs are reconstructed by joins whose output
+    is exactly the required pair set — so total work is linear in
+    distinct docs plus OUTPUT size, never quadratic in copies."""
+    w = Window.partitionBy("_fp")
+    tagged = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+        .withColumn("_fp", F.md5(F.coalesce(F.col("_text"), F.lit(""))))
+        .withColumn("_rep", F.min("id").over(w))
+    )
+    reps = tagged.filter(F.col("id") == F.col("_rep")).select("id", "_text")
+    members = tagged.select(F.col("_rep").alias("rep"), "id")
+    return reps, members
+
+
+def _expand_group_pairs(
+    rep_pairs: DataFrame, members: DataFrame, metric_col: str, within_value
+) -> DataFrame:
+    """(rep_a, rep_b, metric) x group members -> all (id_a, id_b, metric)
+    pairs, id_a < id_b: every within-group pair (identical texts) at the
+    ``within_value`` of the metric plus every cross-group member combo at
+    the rep pair's metric. Join output == emitted pairs — no overdraw."""
+    wv = within_value if isinstance(within_value, Column) else F.lit(within_value)
+    within = (
+        members.alias("x")
+        .join(members.alias("y"), (F.col("x.rep") == F.col("y.rep")) & (F.col("x.id") < F.col("y.id")))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            wv.alias(metric_col),
+        )
+    )
+    cross = (
+        rep_pairs.join(
+            members.alias("ma"), F.col("ma.rep") == F.col("rep_a")
+        )
+        .join(members.alias("mb"), F.col("mb.rep") == F.col("rep_b"))
+        .select(
+            F.least(F.col("ma.id"), F.col("mb.id")).alias("id_a"),
+            F.greatest(F.col("ma.id"), F.col("mb.id")).alias("id_b"),
+            F.col(metric_col),
+        )
+    )
+    return within.unionByName(cross)
+
+
+def _min_parallel(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism when the
+    input arrives in fewer partitions (a single small parquet file
+    would otherwise run the whole signature UDF pass 2-wide on a
+    32-core box). No-op on well-partitioned (cluster-scale) inputs."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
+def _cap_hot_buckets(keyed: DataFrame, key: str, max_bucket: int | None) -> DataFrame:
+    """Drop bucket keys whose member count exceeds ``max_bucket`` before
+    the candidate self-join (a degenerate key — e.g. near-empty docs all
+    sharing one band signature — otherwise goes quadratic). Implemented
+    as a count window over the key: it rides the SAME shuffle the
+    candidate join needs anyway, so the cap adds no extra pass over the
+    signature UDF. Recall note: dropped buckets lose only pairs whose
+    EVERY shared band is hot; use ``minhash_hot_buckets`` to observe
+    what a cap would drop."""
+    if max_bucket is None:
+        return keyed
+    w = Window.partitionBy(key)
+    return (
+        keyed.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_n") <= max_bucket)
+        .drop("_bucket_n")
+    )
+
+
+def minhash_hot_buckets(
     docs: DataFrame,
-    threshold: float = 0.5,
+    max_bucket: int,
     shingle_k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup candidate pairs via MinHash banding, verified with the
-    exact shingle Jaccard (estimated from full signatures would be
-    approximate; verification here recomputes true shingle Jaccard).
+    """Observability companion to ``minhash_lsh_pairs``: the band buckets
+    (over DISTINCT texts) whose occupancy exceeds ``max_bucket``, with
+    counts — the candidates a cap of that size would drop."""
+    reps, _members = _collapse_exact(docs, text_col, id_col)
+    slim = _min_parallel(reps).withColumn(
+        "band", F.explode(_bands_udf(shingle_k)(F.col("_text")))
+    )
+    return (
+        slim.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    """
 
+def _bands_udf(shingle_k: int):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _bands(text: pd.Series) -> pd.Series:
         out = []
@@ -158,50 +253,91 @@ def minhash_lsh_pairs(
             out.append(bands)
         return pd.Series(out)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _shingles(text: pd.Series) -> pd.Series:
-        return pd.Series(
-            [np.sort(_shingle_hashes(t or "", shingle_k)).astype(np.int64).tolist() for t in text]
-        )
+    return _bands
 
-    # slim (id, band) rows only through the self-join: pair dedup
-    # shuffles ids instead of text pairs, and the texts join back only
-    # for the exact-Jaccard verification of surviving pairs. Both join
-    # sides are the identical subplan shuffled on band, so AQE's
-    # ReuseExchange computes the signature pass once — no cache (at
-    # 10^12 docs the banded table would not be cacheable anyway).
-    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
-    slim = base.withColumn("band", F.explode(_bands(F.col("_text")))).select(
-        "id", "band"
-    )
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with the exact
+    shingle Jaccard (estimated from full signatures would be
+    approximate; verification here recomputes true shingle Jaccard).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    Plan shape (audited with .explain — each property is deliberate):
+      - exact-duplicate texts are collapsed FIRST (see _collapse_exact),
+        so the signature UDF and the band join run over distinct texts
+        and a copy-heavy corpus can never go quadratic;
+      - the band self-join carries slim (id, band) rows and is pinned to
+        a SHUFFLE join: both sides are the identical subplan shuffled on
+        band, so ReuseExchange computes the signature pass ONCE (an AQE
+        broadcast conversion would silently re-run it per side — and at
+        10^12 docs the banded table is not broadcastable anyway);
+      - buckets above ``max_bucket`` distinct texts are excluded
+        (degenerate-signature skew guard; None disables);
+      - the exact-Jaccard verify is ONE mapInPandas pass that filters
+        inside Python (a withColumn+filter would evaluate the UDF twice)
+        and memoizes shingle sets per distinct text within each batch.
+    """
+    reps, members = _collapse_exact(docs, text_col, id_col)
+    base = _min_parallel(reps)
+    slim = base.withColumn(
+        "band", F.explode(_bands_udf(shingle_k)(F.col("_text")))
+    ).select("id", "band")
+    slim = _cap_hot_buckets(slim, "band", max_bucket)
 
     pair_ids = (
         slim.alias("a")
-        .join(slim.alias("b"), (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .join(
+            slim.alias("b").hint("shuffle_hash"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     cand = (
         pair_ids.join(base.select(F.col("id").alias("id_a"), F.col("_text").alias("ta")), "id_a")
         .join(base.select(F.col("id").alias("id_b"), F.col("_text").alias("tb")), "id_b")
+        .select("id_a", "id_b", "ta", "tb")
     )
 
-    @F.pandas_udf(T.DoubleType())
-    def _true_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.empty(len(ta))
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            a = _shingle_hashes(x or "", shingle_k)
-            b = _shingle_hashes(y or "", shingle_k)
-            inter = np.intersect1d(a, b, assume_unique=True).size
-            u = a.size + b.size - inter
-            out[i] = (inter / u) if u else 1.0
-        return pd.Series(out)
+    id_type = dict(docs.dtypes)[id_col]
 
-    return (
-        cand.withColumn("jaccard", _true_jaccard(F.col("ta"), F.col("tb")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    def _verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cache: dict[str, np.ndarray] = {}
+
+            def hashes(t: str) -> np.ndarray:
+                h = cache.get(t)
+                if h is None:
+                    h = _shingle_hashes(t or "", shingle_k)
+                    cache[t] = h
+                return h
+
+            jac = np.empty(len(pdf))
+            for i, (x, y) in enumerate(zip(pdf["ta"], pdf["tb"])):
+                a = hashes(x)
+                b = hashes(y)
+                inter = np.intersect1d(a, b, assume_unique=True).size
+                u = a.size + b.size - inter
+                jac[i] = (inter / u) if u else 1.0
+            keep = jac >= threshold
+            out = pdf.loc[keep, ["id_a", "id_b"]].copy()
+            out["jaccard"] = jac[keep]
+            yield out
+
+    rep_pairs = cand.mapInPandas(
+        _verify, f"id_a {id_type}, id_b {id_type}, jaccard double"
+    ).select(F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "jaccard")
+    return _expand_group_pairs(rep_pairs, members, "jaccard", 1.0)
 
 
 # ---------------- SimHash ----------------
@@ -226,38 +362,104 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scheme: str = "quarters",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance <= max_hamming.
 
-    Banding: any pair within hamming<=3 of 64 bits shares at least one
-    of 4 16-bit quarters (pigeonhole) -> bucket join on quarters, then
-    exact popcount verify.
+    Both schemes are EXACT-recall candidate generators for hamming<=3
+    followed by a native popcount verify, so they produce IDENTICAL
+    output (tests assert this) — they differ only in bucket-occupancy
+    scaling:
+
+    - ``quarters``: any pair within hamming<=3 of 64 bits shares at
+      least one of 4 16-bit quarters (pigeonhole). Cheap (4 key rows
+      per doc) but the keyspace per band is 2^16 — at ~10^8+ distinct
+      docs every bucket is hot and the join goes quadratic.
+    - ``halves32``: split into two 32-bit halves; 3 errors across 2
+      halves leave some half with <=1 error, so A and B collide on a
+      half key after at most one 1-bit flip. Docs emit their 2 exact
+      half keys plus all 33 one-bit variants per half; candidates =
+      variants(join)exacts. 2^32 keyspace per half — the 10^12-doc
+      path — at the cost of 68 key rows per doc. (Multi-index hamming
+      search; requires max_hamming <= 3.)
+
+    Exact-duplicate texts are pre-collapsed (see _collapse_exact) and
+    buckets above ``max_bucket`` distinct texts are excluded.
     """
+    if scheme == "halves32" and max_hamming > 3:
+        raise ValueError("halves32 guarantees recall only for max_hamming <= 3")
+    if scheme not in ("quarters", "halves32"):
+        raise ValueError(f"unknown scheme {scheme!r}")
 
     @F.pandas_udf(T.LongType())
     def _sh(text: pd.Series) -> pd.Series:
         return pd.Series([np.int64(np.uint64(_simhash64(t))) for t in text], dtype=np.int64)
 
-    sh = docs.select(F.col(id_col).alias("id"), _sh(F.col(text_col)).alias("sh"))
-    quarters = sh.select(
-        "id", "sh",
-        F.explode(
-            F.array(*[
-                (F.lit(q) * F.lit(1 << 16)).cast("long")
-                + F.shiftrightunsigned(F.col("sh"), 16 * q).bitwiseAND(F.lit(0xFFFF))
-                for q in range(4)
-            ])
-        ).alias("bucket"),
-    )
-    cand = (
-        quarters.alias("a")
-        .join(quarters.alias("b"), (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.sh").alias("sa"), F.col("b.sh").alias("sb"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
+    reps, members = _collapse_exact(docs, text_col, id_col)
+    sh = _min_parallel(reps).select(F.col("id"), _sh(F.col("_text")).alias("sh"))
+
+    if scheme == "quarters":
+        keyed = sh.select(
+            "id", "sh",
+            F.explode(
+                F.array(*[
+                    (F.lit(q) * F.lit(1 << 16)).cast("long")
+                    + F.shiftrightunsigned(F.col("sh"), 16 * q).bitwiseAND(F.lit(0xFFFF))
+                    for q in range(4)
+                ])
+            ).alias("bucket"),
+        )
+        keyed = _cap_hot_buckets(keyed, "bucket", max_bucket)
+        cand = (
+            keyed.alias("a")
+            .join(
+                keyed.alias("b").hint("shuffle_hash"),
+                (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.sh").alias("sa"), F.col("b.sh").alias("sb"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:  # halves32
+        halves = [
+            (F.lit(h) * F.lit(1 << 32)).cast("long")
+            + F.shiftrightunsigned(F.col("sh"), 32 * h).bitwiseAND(F.lit(0xFFFFFFFF))
+            for h in range(2)
+        ]
+        exact = sh.select(
+            "id", "sh", F.explode(F.array(*halves)).alias("bucket")
+        )
+        # variants: the exact key plus every 1-bit flip of the 32 data
+        # bits (the half tag in bits 32+ stays fixed)
+        variant_arrays = [
+            F.array(*([hk] + [hk.bitwiseXOR(F.lit(1 << b).cast("long")) for b in range(32)]))
+            for hk in halves
+        ]
+        variants = sh.select(
+            "id", "sh",
+            F.explode(F.flatten(F.array(*variant_arrays))).alias("bucket"),
+        )
+        exact = _cap_hot_buckets(exact, "bucket", max_bucket)
+        cand = (
+            variants.alias("a")
+            .join(
+                exact.alias("b").hint("shuffle_hash"),
+                (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+                F.least(F.col("a.sh"), F.col("b.sh")).alias("_s1"),
+                F.greatest(F.col("a.sh"), F.col("b.sh")).alias("_s2"),
+            )
+            .withColumnRenamed("_s1", "sa")
+            .withColumnRenamed("_s2", "sb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    rep_pairs = (
         cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "hamming")
     )
+    return _expand_group_pairs(rep_pairs, members, "hamming", F.lit(0).cast("int"))
