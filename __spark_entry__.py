@@ -367,6 +367,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_pip_join"] = q_pip_join
 
+    def q_pip_shuffle(spark, sf):  # G4 salted shuffle-strategy PIP join
+        # same semantics as q_pip_join, via the huge-cover path: point
+        # side shuffled on cell with measured salting on heavy cells
+        # (threshold forced low so the salt actually engages at sf0.01)
+        pts = customer_points(spark, sf)
+        return pip_join(
+            spark, pts, PIP_POLYGONS, level=8, strategy="shuffle", salt_threshold=50
+        ).select("doc_id", "poly_id")
+
+    q["q_pip_shuffle"] = q_pip_shuffle
+
     def q_knn(spark, sf):  # G5 kNN via ring expansion
         pts = customer_points(spark, sf)
         queries_df = pts.filter(F.col("doc_id") <= 100)
@@ -1027,6 +1038,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE lat >= 0.0005 AND lat <= 40.0005 AND lon >= -50.0005 AND lon <= 50.0005
         """,
         "q_pip_join": f"{pts} {SQL_PIP}",
+        "q_pip_shuffle": f"{pts} {SQL_PIP}",
         "q_knn": f"""
             {pts}
             SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dist2 FROM (

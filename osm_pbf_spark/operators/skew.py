@@ -41,15 +41,19 @@ def with_salt(
     df: DataFrame,
     key_col: str,
     heavy: dict[int, int],
-    unique_col: str,
+    unique_cols: str | list[str],
     salt_col: str = "salt",
 ) -> DataFrame:
-    """Attach salt: pmod(hash(unique_col), k) for heavy keys, 0 otherwise."""
+    """Attach salt: pmod(hash(unique_cols), k) for heavy keys, 0 otherwise."""
     if not heavy:
         return df.withColumn(salt_col, F.lit(0))
+    if isinstance(unique_cols, str):
+        unique_cols = [unique_cols]
     k_map = F.create_map(*[F.lit(x) for kv in heavy.items() for x in kv])
     k = F.coalesce(k_map[F.col(key_col)], F.lit(1))
-    return df.withColumn(salt_col, F.pmod(F.hash(F.col(unique_col)), k).cast("int"))
+    return df.withColumn(
+        salt_col, F.pmod(F.hash(*[F.col(c) for c in unique_cols]), k).cast("int")
+    )
 
 
 def replicate_for_salt(

@@ -13,10 +13,10 @@ and its exact leaf test becomes a batched-pandas-UDF refine.
                       through a vectorized crossing-number test.
 
 At 10^12-doc scale stage 1 stays shuffle-free (cover is tiny:
-#polygons x cells/polygon) and stage 2 is narrow. The only skew risk is
-downstream per-cell aggregation — handled by operators.skew salting.
-For polygon sets too large to broadcast there is a `shuffle` strategy
-that salts the hot cells explicitly.
+#polygons x cells/polygon) and stage 2 is narrow. For polygon sets too
+large to broadcast there is a `shuffle` strategy that shuffles the
+point side on cell — and THERE a dense urban cell is a hot key, killed
+by operators.skew measured salting (see the strategy branch below).
 """
 
 from __future__ import annotations
@@ -159,6 +159,7 @@ def pip_join(
     lon_col: str = "lon",
     strategy: str = "broadcast",
     target_cells: int = 256,
+    salt_threshold: int = 2_000_000,
 ) -> DataFrame:
     """points x polygons containment join -> points columns + poly_id.
 
@@ -195,8 +196,23 @@ def pip_join(
     pts = with_cell(points, level, lat_col, lon_col)
     if strategy == "broadcast":
         cand = pts.join(F.broadcast(cover), "cell", "inner")
-    else:  # shuffle strategy for huge polygon sets: plain equi-join + AQE skew
-        cand = pts.join(cover, "cell", "inner")
+    else:
+        # shuffle strategy for polygon/cover sets too large to broadcast:
+        # the equi-join shuffles the POINT side on cell, so a dense urban
+        # cell (BASELINE's skew case) would land one reducer with 10^8+
+        # rows. MEASURED SALTING (SURVEY §2.3 G4, operators.skew): one
+        # cheap count-by-cell pass finds heavy cells, the point side
+        # salts them pmod(hash(lat,lon), k), and the (small) cover side
+        # replicates its rows for heavy cells across all k salts — the
+        # join key becomes (cell, salt) and a hot cell spreads over k
+        # reducers. AQE's skew-join split remains on as a backstop for
+        # everything under the measuring threshold.
+        from .skew import heavy_hitters, replicate_for_salt, with_salt
+
+        heavy = heavy_hitters(pts, "cell", salt_threshold)
+        pts_s = with_salt(pts, "cell", heavy, [lat_col, lon_col], "_salt")
+        cover_s = replicate_for_salt(cover, "cell", heavy, "_salt")
+        cand = pts_s.join(cover_s, ["cell", "_salt"], "inner").drop("_salt")
 
     rings_by_poly = {p.poly_id: [r.copy() for r in p.rings] for p in polygons}
     b_rings = spark.sparkContext.broadcast(rings_by_poly)
