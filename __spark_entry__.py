@@ -400,6 +400,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_knn_brute"] = q_knn_brute
 
+    def q_knn_tworound(spark, sf):  # G5 large-query-set kNN (fixed 2-round plan)
+        from osm_pbf_spark.operators.knn import knn_two_round
+
+        pts = customer_points(spark, sf)
+        out = knn_two_round(
+            spark, pts, pts, k=5, level=6, metric="euclid2_deg",
+            query_id="doc_id", cand_id="doc_id",
+        )
+        return out.withColumnRenamed("dist", "dist2")
+
+    q["q_knn_tworound"] = q_knn_tworound
+
     def q_range_join(spark, sf):  # R6 theta/range join
         pts = customer_points(spark, sf)
         st = supplier_stations(spark, sf)
@@ -1065,6 +1077,20 @@ def oracle_sql() -> dict[str, str]:
                                   + (q.lon - c.lon) * (q.lon - c.lon), c.doc_id) AS rank
                 FROM pts q, pts c
                 WHERE q.doc_id <= 100 AND q.doc_id != c.doc_id)
+            WHERE rank <= 5
+        """,
+        "q_knn_tworound": f"""
+            {pts}
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dist2 FROM (
+                SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+                       (q.lat - c.lat) * (q.lat - c.lat)
+                     + (q.lon - c.lon) * (q.lon - c.lon) AS dist2,
+                       row_number() OVER (
+                           PARTITION BY q.doc_id
+                           ORDER BY (q.lat - c.lat) * (q.lat - c.lat)
+                                  + (q.lon - c.lon) * (q.lon - c.lon), c.doc_id) AS rank
+                FROM pts q, pts c
+                WHERE q.doc_id != c.doc_id)
             WHERE rank <= 5
         """,
         "q_range_join": f"""

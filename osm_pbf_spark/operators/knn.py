@@ -262,6 +262,200 @@ def _knn_broadcast_brute(
     )
 
 
+def _dist_col(metric: str):
+    if metric == "euclid2_deg":
+        return (F.col("q_lat") - F.col("c_lat")) * (F.col("q_lat") - F.col("c_lat")) + (
+            F.col("q_lon") - F.col("c_lon")
+        ) * (F.col("q_lon") - F.col("c_lon"))
+    return _haversine_udf(F.col("q_lat"), F.col("q_lon"), F.col("c_lat"), F.col("c_lon"))
+
+
+def _window_cells_udf(level: int, metric: str, max_window_cells: int):
+    """(q_lat, q_lon, ub) -> all cells intersecting the closed ball of
+    radius ub around the query (None when the window would exceed
+    ``max_window_cells`` — those queries take the brute tail). The
+    radius->degree-span conversion is the exact inverse of the ring
+    path's _guarantee_udf lower bound. Float slop is absorbed by a
+    RELATIVE inflation of the spans (not a whole-cell margin: in dense
+    areas the ball is far smaller than a cell, and a +-1-cell margin
+    would multiply round B's join input ~9x). A candidate exactly ON
+    the closed-ball boundary quantizes into a covered cell because
+    floor() of the inflated extreme is monotone past it."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _w(lat: pd.Series, lon: pd.Series, ub: pd.Series) -> pd.Series:
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        u = ub.to_numpy(np.float64)
+        n = 1 << level
+        slop = 1.0 + 1e-9
+        if metric == "euclid2_deg":
+            r = np.sqrt(np.maximum(u, 0.0)) * slop + 1e-300
+            dlat = r
+            dlon = r
+            wrap = False
+        else:
+            dlat = np.degrees(u / EARTH_RADIUS_M) * slop + 1e-300
+            phi_max = np.minimum(np.abs(la) + dlat, 90.0)
+            s = np.sin(u / (2.0 * EARTH_RADIUS_M)) / np.maximum(
+                np.cos(np.radians(phi_max)), 1e-12
+            )
+            dlon = np.where(
+                s >= 1.0, 360.0, 2.0 * np.degrees(np.arcsin(np.minimum(s, 1.0))) * slop + 1e-300
+            )
+            wrap = True
+        y0 = np.floor((la - dlat + 90.0) / 180.0 * n).astype(np.int64)
+        y1 = np.floor((la + dlat + 90.0) / 180.0 * n).astype(np.int64)
+        np.clip(y0, 0, n - 1, out=y0)
+        np.clip(y1, 0, n - 1, out=y1)
+        x0 = np.floor((lo - dlon + 180.0) / 360.0 * n).astype(np.int64)
+        x1 = np.floor((lo + dlon + 180.0) / 360.0 * n).astype(np.int64)
+        out = []
+        for i in range(len(la)):
+            xs = np.arange(x0[i], x1[i] + 1, dtype=np.int64)
+            if len(xs) >= n:
+                xs = np.arange(n, dtype=np.int64)
+            elif wrap:
+                xs = xs % n
+            else:
+                xs = xs[(xs >= 0) & (xs < n)]
+            ys = np.arange(y0[i], y1[i] + 1, dtype=np.int64)
+            if len(xs) * len(ys) > max_window_cells:
+                out.append(None)
+                continue
+            gx, gy = np.meshgrid(xs, ys, indexing="ij")
+            out.append(np.unique(C.xy_to_cell(gx.ravel(), gy.ravel(), level)).tolist())
+        return pd.Series(out, dtype=object)
+
+    return _w
+
+
+def knn_two_round(
+    spark: SparkSession,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    level: int,
+    metric: str = "haversine",
+    query_id: str = "doc_id",
+    cand_id: str = "doc_id",
+    exclude_self: bool = True,
+    max_window_cells: int = 4096,
+    sample_cap: int | None = None,
+) -> DataFrame:
+    """Exact kNN for LARGE query sets: a FIXED two-round plan with no
+    driver pacing (the ring path runs up to max_rounds driver-
+    synchronized jobs with eager checkpoints — at 10^7+ queries the
+    driver becomes the scheduler bottleneck; SURVEY §2.3 G5).
+
+      round A: every query joins candidates in its 3x3 cell window
+               (one shuffle on cell) -> per-query k-th distance = a
+               provable UPPER BOUND on the true k-th distance;
+      round B: each query explodes exactly the cells intersecting the
+               closed ball of that radius (data-dependent but bounded)
+               -> join -> rank. ball(q, ub) contains the true top-k,
+               so round B is exact, same (dist, neighbor_id) ties.
+
+    Queries with <k candidates in their 3x3 window, or whose ball
+    window would exceed ``max_window_cells``, fall back to a brute
+    scan — choose ``level`` so occupancy makes both rare (the auto
+    router assigns per-query levels with >=max(4k,16) candidates in
+    the window before calling this).
+
+    Everything is one lazy plan: ~5 shuffles total, zero driver-side
+    actions, so it composes with downstream operators and scales with
+    the cluster rather than the driver.
+    """
+    from .spatial_join import with_cell
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col("lat").alias("q_lat"),
+        F.col("lon").alias("q_lon"),
+    )
+    q = with_cell(q, level, "q_lat", "q_lon", "q_cell")
+    cand = candidates.select(
+        F.col(cand_id).alias("neighbor_id"),
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+    )
+    cand = with_cell(cand, level, "c_lat", "c_lon", "cell")
+
+    # ROUND-A SAMPLE CAP: the k-th distance of ANY >=k-subset of the
+    # window is a valid upper bound on the true k-th distance, so round
+    # A may thin dense cells by a deterministic hash filter — a query
+    # NEXT TO a hot cell (dense urban blob) then samples ~cap rows of
+    # it instead of joining all 10^5+. Round B is NEVER capped, so the
+    # output stays exact; a (astronomically unlikely) undersampled
+    # query just falls into the correct brute tail.
+    cap = sample_cap if sample_cap is not None else max(4 * k, 32)
+    cand_a = cand.join(
+        cand.groupBy("cell").agg(F.count(F.lit(1)).alias("_cnt")), "cell"
+    ).filter(
+        F.pmod(F.hash("neighbor_id"), F.greatest(F.floor(F.col("_cnt") / cap), F.lit(1)))
+        == 0
+    ).drop("_cnt")
+
+    ring1 = _ring_cells_udf(level, 1)
+    ja = (
+        q.withColumn("cell", F.explode(ring1(F.col("q_cell"))))
+        .join(cand_a, "cell", "inner")
+        .drop("cell")
+    )
+    if exclude_self:
+        ja = ja.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    ub = (
+        ja.withColumn("dist", _dist_col(metric))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .groupBy("query_id")
+        .agg(F.max("dist").alias("_ub"), F.count(F.lit(1)).alias("_n"))
+    )
+
+    resolved = q.join(ub.filter(F.col("_n") >= k).select("query_id", "_ub"), "query_id")
+    win_udf = _window_cells_udf(level, metric, max_window_cells)
+    resolved = resolved.withColumn(
+        "_cells", win_udf(F.col("q_lat"), F.col("q_lon"), F.col("_ub"))
+    )
+    overflow = resolved.filter(F.col("_cells").isNull()).select("query_id")
+    jb = (
+        resolved.filter(F.col("_cells").isNotNull())
+        .withColumn("cell", F.explode("_cells"))
+        .drop("_cells", "_ub", "q_cell")
+        .join(cand, "cell", "inner")
+        .drop("cell")
+    )
+    if exclude_self:
+        jb = jb.filter(F.col("query_id") != F.col("neighbor_id"))
+    main = (
+        jb.withColumn("dist", _dist_col(metric))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )
+
+    # brute tail: queries with <k in-window candidates (sparse region /
+    # tiny corpus) or an oversized ball window — all lazily empty when
+    # the level is chosen sanely; no driver action decides this
+    tail_ids = (
+        q.select("query_id")
+        .join(ub.filter(F.col("_n") >= k).select("query_id"), "query_id", "left_anti")
+        .unionByName(overflow)
+    )
+    tail_q = q.join(tail_ids, "query_id", "left_semi")
+    tj = tail_q.select("query_id", "q_lat", "q_lon").crossJoin(cand.drop("cell"))
+    if exclude_self:
+        tj = tj.filter(F.col("query_id") != F.col("neighbor_id"))
+    tail = (
+        tj.withColumn("dist", _dist_col(metric))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )
+    return main.unionByName(tail)
+
+
 def knn_join(
     spark: SparkSession,
     queries: DataFrame,
@@ -367,10 +561,13 @@ def knn_join(
         for lvl in level_groups:
             ids = assign.filter(F.col("_lvl") == lvl).select(F.col("_qid").alias(query_id))
             sub = queries.join(ids, query_id, "left_semi")
-            part = knn_join(
+            # large query sets (everything that did not take the brute
+            # gate above): the FIXED two-round plan — the per-query
+            # level assignment guarantees >= max(4k, 16) candidates in
+            # each 3x3 window, so the two-round tail stays empty
+            part = knn_two_round(
                 spark, sub, candidates, k, int(lvl), metric,
-                query_id, cand_id, exclude_self, max_rounds,
-                _cand_count=_cand_count,
+                query_id, cand_id, exclude_self,
             )
             out = part if out is None else out.unionByName(part)
         for c in counts.values():
