@@ -126,6 +126,7 @@ def _fixture_pbf(kind: str) -> str:
         "mixed": FX.build_mixed,
         "multiblob": FX.build_multiblob,
         "way_pip": FX.build_way_pip,
+        "rel_pip": FX.build_rel_pip,
     }
     return builders[kind](d)
 
@@ -627,6 +628,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_doc_render"] = q_doc_render
 
+    def q_rel_pip(spark, sf):  # multipolygon relations -> holed polygons -> PIP
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("rel_pip"))
+        nodes = src.nodes(entities)
+        polys = src.polygons_from_relations(
+            src.relations(entities), src.ways(entities), nodes
+        )
+        pts = nodes.selectExpr("cast(id as string) as doc_id", "lat", "lon")
+        return pip_join(spark, pts, polys, level="auto").select(
+            "doc_id", "poly_id"
+        ).orderBy("doc_id", "poly_id")
+
+    q["q_rel_pip"] = q_rel_pip
+
     def q_way_pip(spark, sf):  # reference lifecycle: decode -> way polygons -> PIP
         from osm_pbf_spark.sources import pbf_source as src
 
@@ -746,6 +762,67 @@ def _ora_way_pip() -> str:
         for pid, rings in polys:
             if oracle_geo.point_in_polygon(n["lat"], n["lon"], rings):
                 rows.append((str(n["id"]), pid))
+    return _values_sql([("doc_id", "VARCHAR"), ("poly_id", "VARCHAR")], rows)
+
+
+def _ora_rel_pip() -> str:
+    """Scalar replay of the multipolygon lifecycle: decode via the spec
+    oracle, stitch member ways into rings with an INDEPENDENT greedy
+    chainer, even-odd PIP with the hole as a second ring."""
+    from tests import oracle_geo
+
+    d = _fixture_decoded("rel_pip")
+    coords = {n["id"]: (n["lat"], n["lon"]) for n in d["nodes"]}
+    way_by_id = {w["id"]: w for w in d["ways"]}
+
+    def chain(way_ids: list[int]) -> list[list[tuple[float, float]]]:
+        segs = []
+        for wid in way_ids:
+            w = way_by_id.get(wid)
+            if w is None or any(r not in coords for r in w["refs"]):
+                continue
+            segs.append(list(w["refs"]))
+        rings = []
+        closed = [s for s in segs if s[0] == s[-1] and len(s) >= 4]
+        opens = [s for s in segs if s[0] != s[-1]]
+        rings.extend(s[:-1] for s in closed)
+        while opens:
+            cur = opens.pop(0)
+            changed = True
+            while cur[0] != cur[-1] and changed:
+                changed = False
+                for i, s in enumerate(opens):
+                    if s[0] == cur[-1]:
+                        cur, changed = cur + s[1:], True
+                    elif s[-1] == cur[-1]:
+                        cur, changed = cur + s[-2::-1], True
+                    else:
+                        continue
+                    opens.pop(i)
+                    break
+            if cur[0] == cur[-1] and len(cur) >= 4:
+                rings.append(cur[:-1])
+        return [[coords[r] for r in ring] for ring in rings]
+
+    rows = []
+    for rel in d["relations"]:
+        if rel["tags"].get("type") != "multipolygon":
+            continue
+        outer_ids = [m["ref"] for m in rel["members"] if m["type"] == "way" and m["role"] == "outer"]
+        inner_ids = [m["ref"] for m in rel["members"] if m["type"] == "way" and m["role"] == "inner"]
+        outers = chain(outer_ids)
+        inners = chain(inner_ids)
+        if not outers:
+            continue
+        for i, outer in enumerate(outers):
+            holes = [
+                h for h in inners if oracle_geo.point_in_ring(h[0][0], h[0][1], outer)
+            ]
+            pid = f"relation/{rel['id']}" if len(outers) == 1 else f"relation/{rel['id']}/{i}"
+            rings = [outer] + holes
+            for n in d["nodes"]:
+                if oracle_geo.point_in_polygon(n["lat"], n["lon"], rings):
+                    rows.append((str(n["id"]), pid))
     return _values_sql([("doc_id", "VARCHAR"), ("poly_id", "VARCHAR")], rows)
 
 
@@ -1241,6 +1318,7 @@ def oracle_sql() -> dict[str, str]:
         "q_way_assembly": _ora_way_assembly(),
         "q_doc_render": _ora_doc_render(),
         "q_way_pip": _ora_way_pip(),
+        "q_rel_pip": _ora_rel_pip(),
         "q_media_features": _ora_media_features(),
         "q_minhash_pairs": _ora_minhash_pairs(),
         "q_simhash_pairs": _ora_simhash_pairs(),

@@ -244,6 +244,157 @@ def polygons_from_closed_ways(geoms_df: DataFrame, max_polygons: int = 100_000):
     ]
 
 
+def stitch_rings(segments: list[tuple[list[int], list[tuple[float, float]]]]):
+    """Stitch way segments into closed rings by endpoint NODE ID.
+
+    ``segments``: [(refs, points)] per member way, refs[i] <-> points[i].
+    Returns (rings, leftover): rings as coordinate lists with the
+    closing duplicate REMOVED (the Polygon convention), leftover = how
+    many segments could not be closed (broken geometry in the input —
+    dropped, as the reference's r-tree insert would reject them).
+
+    Greedy endpoint matching — the standard OSM multipolygon ring
+    assembly: a closed member way is a ring by itself; open ways chain
+    end-to-start (reversing as needed) until the chain closes.
+    """
+    rings: list[list[tuple[float, float]]] = []
+    open_segs = []
+    for refs, pts in segments:
+        if len(refs) < 2 or len(refs) != len(pts):
+            continue
+        if refs[0] == refs[-1]:
+            if len(refs) >= 4:
+                rings.append(list(pts[:-1]))
+        else:
+            open_segs.append((list(refs), list(pts)))
+    leftover = 0
+    while open_segs:
+        chain_refs, chain_pts = open_segs.pop()
+        progressed = True
+        while chain_refs[0] != chain_refs[-1] and progressed:
+            progressed = False
+            for i, (refs, pts) in enumerate(open_segs):
+                if refs[0] == chain_refs[-1]:
+                    chain_refs += refs[1:]
+                    chain_pts += pts[1:]
+                elif refs[-1] == chain_refs[-1]:
+                    chain_refs += refs[-2::-1]
+                    chain_pts += pts[-2::-1]
+                else:
+                    continue
+                open_segs.pop(i)
+                progressed = True
+                break
+        if chain_refs[0] == chain_refs[-1] and len(chain_refs) >= 4:
+            rings.append(chain_pts[:-1])
+        else:
+            leftover += 1
+    return rings, leftover
+
+
+def _point_in_ring_scalar(lat: float, lon: float, ring) -> bool:
+    inside = False
+    j = len(ring) - 1
+    for i in range(len(ring)):
+        yi, xi = ring[i]
+        yj, xj = ring[j]
+        if (yi > lat) != (yj > lat) and lon < (xj - xi) * (lat - yi) / (yj - yi) + xi:
+            inside = not inside
+        j = i
+    return inside
+
+
+def polygons_from_relations(
+    relations_df: DataFrame,
+    ways_df: DataFrame,
+    nodes_df: DataFrame,
+    max_polygons: int = 100_000,
+):
+    """type=multipolygon relations -> Polygon list with HOLES (SURVEY
+    §2.3 G2; the reference indexes relation geometries alongside ways).
+
+    Distributed part: explode relation members -> join member ways ->
+    join way refs to node coords (the same sort-merge shape as
+    assemble_way_geometries) -> collect per-relation member segments
+    (bounded by ``max_polygons``, same broadcast rationale as
+    polygons_from_closed_ways). Driver part: ring stitching + hole
+    assignment per relation (tiny: #members per relation).
+
+    Ring roles: 'outer' members form outer rings, 'inner' members form
+    holes; each hole attaches to the outer ring containing its first
+    vertex (even-odd PIP then excludes hole interiors). A relation
+    with multiple outer rings emits one Polygon per outer ring, id
+    ``relation/<id>/<i>``; a single-outer relation keeps
+    ``relation/<id>``.
+    """
+    import numpy as np
+
+    from ..operators.spatial_join import Polygon
+
+    members = (
+        relations_df.filter(F.element_at(F.col("tags"), "type") == "multipolygon")
+        .select(
+            F.col("id").alias("rel_id"),
+            F.posexplode("members").alias("m_pos", "m"),
+        )
+        .filter((F.col("m.type") == "way") & F.col("m.role").isin("outer", "inner"))
+        .select("rel_id", "m_pos", F.col("m.ref").alias("way_id"), F.col("m.role").alias("role"))
+    )
+    way_pts = ways_df.select(F.col("id").alias("way_id"), "refs").join(
+        members.select("way_id").distinct(), "way_id", "inner"
+    )
+    exploded = way_pts.select("way_id", "refs", F.posexplode("refs").alias("pos", "ref"))
+    joined = exploded.join(
+        nodes_df.select(F.col("id").alias("ref"), "lat", "lon"), "ref", "inner"
+    )
+    geoms = (
+        joined.groupBy("way_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("pos", "ref", "lat", "lon"))).alias("_pts"),
+            F.first("refs").alias("refs"),
+        )
+        # drop ways with unresolved refs: a partial ring is broken geometry
+        .filter(F.size("_pts") == F.size("refs"))
+        .select("way_id", "_pts")
+    )
+    rows = (
+        members.join(geoms, "way_id", "inner")
+        .select("rel_id", "m_pos", "role", "_pts")
+        .limit(100 * (max_polygons + 1))
+        .collect()
+    )
+    by_rel: dict = {}
+    for r in rows:
+        by_rel.setdefault(r["rel_id"], []).append(r)
+    if len(by_rel) > max_polygons:
+        raise ValueError(f"more than {max_polygons} multipolygon relations; raise max_polygons")
+
+    out = []
+    for rel_id in sorted(by_rel):
+        segs = {"outer": [], "inner": []}
+        for r in sorted(by_rel[rel_id], key=lambda r: r["m_pos"]):
+            refs = [p["ref"] for p in r["_pts"]]
+            pts = [(p["lat"], p["lon"]) for p in r["_pts"]]
+            segs[r["role"]].append((refs, pts))
+        outers, _ = stitch_rings(segs["outer"])
+        inners, _ = stitch_rings(segs["inner"])
+        if not outers:
+            continue
+        holes_for = {i: [] for i in range(len(outers))}
+        for hole in inners:
+            for i, outer in enumerate(outers):
+                if _point_in_ring_scalar(hole[0][0], hole[0][1], outer):
+                    holes_for[i].append(hole)
+                    break
+        for i, outer in enumerate(outers):
+            pid = f"relation/{rel_id}" if len(outers) == 1 else f"relation/{rel_id}/{i}"
+            rings = [np.array(outer, dtype=np.float64)] + [
+                np.array(h, dtype=np.float64) for h in holes_for[i]
+            ]
+            out.append(Polygon(pid, rings))
+    return out
+
+
 FILE_REPORT_SPARK_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),

@@ -202,6 +202,63 @@ def build_way_pip(dirpath: str) -> str:
     return path
 
 
+def build_rel_pip(dirpath: str) -> str:
+    """Multipolygon relation fixture: outer square split across TWO open
+    ways (exercises ring stitching), a closed inner way as a HOLE, and a
+    probe grid with points inside the hole (which PIP must exclude).
+    Also a decoy non-multipolygon relation that must be ignored."""
+    import numpy as np
+
+    st = E.StringTable()
+    outer_coords = [
+        (20.0, 20.0), (20.0, 22.0), (20.0, 24.0), (22.0, 24.0), (24.0, 24.0),
+        (24.0, 22.0), (24.0, 20.0), (22.0, 20.0),
+    ]
+    ring_nodes = [
+        {"id": 200 + i, "lat_raw": nd(la), "lon_raw": nd(lo), "tags": {}}
+        for i, (la, lo) in enumerate(outer_coords)
+    ]
+    hole_coords = [(21.5, 21.5), (21.5, 22.5), (22.5, 22.5), (22.5, 21.5)]
+    hole_nodes = [
+        {"id": 210 + i, "lat_raw": nd(la), "lon_raw": nd(lo), "tags": {}}
+        for i, (la, lo) in enumerate(hole_coords)
+    ]
+    probes = []
+    pid = 1
+    for la in np.linspace(19.25, 24.75, 12):
+        for lo in np.linspace(19.25, 24.75, 12):
+            probes.append(
+                {"id": pid, "lat_raw": nd(float(la)), "lon_raw": nd(float(lo)), "tags": {}}
+            )
+            pid += 1
+    all_nodes = sorted(ring_nodes + hole_nodes + probes, key=lambda n: n["id"])
+    g_dense = E.encode_dense_nodes(all_nodes, st)
+    ways = [
+        # outer ring as two OPEN ways; second runs "backwards" so the
+        # stitcher must reverse it
+        {"id": 700, "refs": [200, 201, 202, 203, 204], "tags": {}},
+        {"id": 701, "refs": [200, 207, 206, 205, 204], "tags": {}},
+        {"id": 702, "refs": [210, 211, 212, 213, 210], "tags": {}},  # hole (closed)
+        {"id": 703, "refs": [200, 201], "tags": {}},  # decoy route member
+    ]
+    g_ways = b"".join(E.encode_way(w, st) for w in ways)
+    rels = [
+        {"id": 950, "members": [
+            {"role": "outer", "ref": 700, "type": "way"},
+            {"role": "outer", "ref": 701, "type": "way"},
+            {"role": "inner", "ref": 702, "type": "way"},
+        ], "tags": {"type": "multipolygon", "name": "donut"}},
+        {"id": 951, "members": [
+            {"role": "", "ref": 703, "type": "way"},
+        ], "tags": {"type": "route"}},  # decoy: not a multipolygon
+    ]
+    g_rels = b"".join(E.encode_relation(r, st) for r in rels)
+    block = E.encode_primitive_block([g_dense, g_ways, g_rels], st)
+    path = os.path.join(dirpath, "relpip.osm.pbf")
+    E.write_pbf(path, [block])
+    return path
+
+
 def build_all(dirpath: str) -> list[str]:
     os.makedirs(dirpath, exist_ok=True)
     return [b(dirpath) for b in ALL_BUILDERS]

@@ -1,0 +1,86 @@
+"""Multipolygon relation geometry: stitching, hole assignment, and the
+decode -> relation polygons -> PIP lifecycle (a point inside a hole must
+be EXCLUDED)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pbf_spark.operators.spatial_join import pip_join
+from osm_pbf_spark.sources import pbf_source as src
+from osm_pbf_spark.sources.pbf_source import polygons_from_relations, stitch_rings
+from tests import oracle_geo, oracle_pbf, pbf_fixtures
+
+
+def test_stitch_rings_closed_and_chained():
+    sq = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)]
+    closed = ([1, 2, 3, 4, 1], sq + [sq[0]])
+    rings, leftover = stitch_rings([closed])
+    assert leftover == 0 and len(rings) == 1 and rings[0] == sq
+
+    # two open halves, second reversed
+    a = ([1, 2, 3], [sq[0], sq[1], sq[2]])
+    b = ([1, 4, 3], [sq[0], sq[3], sq[2]])
+    rings, leftover = stitch_rings([a, b])
+    assert leftover == 0 and len(rings) == 1
+    assert sorted(rings[0]) == sorted(sq)
+
+    # a dangling segment that can never close
+    rings, leftover = stitch_rings([a])
+    assert rings == [] and leftover == 1
+
+
+@pytest.fixture(scope="module")
+def relpip(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("relpip"))
+    path = pbf_fixtures.build_rel_pip(d)
+    entities, _ = src.read_pbf(spark, path)
+    return path, entities
+
+
+def test_relation_polygon_assembly(spark, relpip):
+    _, entities = relpip
+    polys = polygons_from_relations(
+        src.relations(entities), src.ways(entities), src.nodes(entities)
+    )
+    assert [p.poly_id for p in polys] == ["relation/950"]  # decoy route ignored
+    p = polys[0]
+    assert len(p.rings) == 2  # outer + hole
+    assert len(p.rings[0]) == 8
+    assert len(p.rings[1]) == 4
+
+
+def test_relation_pip_excludes_hole(spark, relpip):
+    path, entities = relpip
+    nodes = src.nodes(entities)
+    polys = polygons_from_relations(
+        src.relations(entities), src.ways(entities), nodes
+    )
+    pts = nodes.selectExpr("id as doc_id", "lat", "lon")
+    got = sorted(r.doc_id for r in pip_join(spark, pts, polys, level="auto").collect())
+
+    decoded = oracle_pbf.decode_file(path)
+    rings = [p.rings for p in polys][0]
+    want = sorted(
+        n["id"]
+        for n in decoded["nodes"]
+        if oracle_geo.point_in_polygon(
+            n["lat"], n["lon"], [list(map(tuple, r)) for r in rings]
+        )
+    )
+    assert got == want
+    assert len(want) > 0
+    # a probe squarely inside the hole must NOT be in the result:
+    # find one from the decode (hole spans 21.5..22.5 on both axes)
+    hole_probe = [
+        n["id"] for n in decoded["nodes"]
+        if 21.6 < n["lat"] < 22.4 and 21.6 < n["lon"] < 22.4 and n["id"] < 200
+    ]
+    assert hole_probe and all(h not in got for h in hole_probe)
+    # and a probe inside the outer but outside the hole IS included
+    in_probe = [
+        n["id"] for n in decoded["nodes"]
+        if 20.1 < n["lat"] < 21.4 and 20.1 < n["lon"] < 23.9 and n["id"] < 200
+    ]
+    assert in_probe and all(h in got for h in in_probe)
