@@ -85,3 +85,36 @@ def test_sorted_layout_roundtrip_matches_docs(spark, tmp_path):
     docs = read_documents(spark, root)
     assert docs.count() == 5_000
     assert docs.select("doc_id").distinct().count() == 5_000
+
+
+def test_manifest_list_makes_read_o1(spark, tmp_path):
+    """After commit_snapshot, committed_files resolves every indexed
+    split from the ONE manifest-list file; per-split manifests are only
+    opened for splits committed after the snapshot."""
+    from unittest import mock
+
+    from osm_pbf_spark.sink.iceberg_like import IcebergLikeSink
+
+    root = str(tmp_path / "t")
+    sink = IcebergLikeSink(root, stats_col=None)
+    df = spark.range(10).selectExpr("id", "id * 2 as v")
+    for sid in ("000", "001", "002"):
+        sink.write_split(df, sid)
+    before = sink.committed_files()
+    sink.commit_snapshot()
+
+    with mock.patch.object(
+        IcebergLikeSink, "_read_manifest", side_effect=sink._read_manifest
+    ) as rm:
+        after = IcebergLikeSink(root, stats_col=None).committed_files()
+        assert rm.call_count == 0  # all three splits served by the index
+    assert sorted(after) == sorted(before)
+
+    # a split committed after the snapshot: exactly one manifest read
+    sink.write_split(df, "003")
+    with mock.patch.object(
+        IcebergLikeSink, "_read_manifest", side_effect=sink._read_manifest
+    ) as rm:
+        files = IcebergLikeSink(root, stats_col=None).committed_files()
+        assert rm.call_count == 1
+    assert len(files) > len(after)
