@@ -32,7 +32,13 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from osm_pbf_spark.operators import text as TX
-from osm_pbf_spark.operators.ann import cosine_topk, cosine_topk_lsh, near_dup_cosine, norm2_f64
+from osm_pbf_spark.operators.ann import (
+    cosine_topk,
+    cosine_topk_lsh,
+    near_dup_cosine,
+    near_dup_cosine_lsh,
+    norm2_f64,
+)
 from osm_pbf_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
 from osm_pbf_spark.operators.knn import knn_join
 from osm_pbf_spark.operators.multimodal import extract_media_features, synth_media_table
@@ -549,6 +555,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_near_dup_cosine"] = q_near_dup_cosine
 
+    def q_near_dup_lsh(spark, sf):  # the near-dup SCALE path (LSH buckets)
+        e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+        planted = e.withColumn("vec_id", F.col("vec_id") + 1000000)
+        both = e.unionByName(planted).filter(
+            (F.col("vec_id") < 200) | ((F.col("vec_id") >= 1000000) & (F.col("vec_id") < 1000200))
+        )
+        return near_dup_cosine_lsh(both, threshold=0.9, dim=64)
+
+    q["q_near_dup_lsh"] = q_near_dup_lsh
+
     # ---- rows-only checks (non-SQL-expressible; see oracle_sql docstring) ----
 
     def q_minhash_pairs(spark, sf):
@@ -949,6 +965,58 @@ def _ora_simhash_pairs() -> str:
     """
 
 
+def _ora_near_dup_lsh() -> str:
+    """Scalar replay of the LSH near-dup spec: same hyperplane buckets,
+    own-bucket + 1-bit-flip candidate pairs, exact float64 cosine fold,
+    over the planted-duplicate corpus of q_near_dup_lsh."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.ann import _hyperplanes
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    base = [
+        (int(i), v)
+        for i, v in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+        if int(i) < 200
+    ]
+    docs = base + [(i + 1_000_000, v) for i, v in base]
+    n_planes = 10
+    planes = _hyperplanes(64, n_planes)
+    m = np.asarray([v for _i, v in docs], dtype=np.float64)
+    signs = (m @ planes.T) > 0
+    bucket = (signs * (1 << np.arange(n_planes, dtype=np.int64))[None, :]).sum(axis=1)
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    by_bucket: dict[int, list[int]] = {}
+    for idx, b in enumerate(bucket):
+        by_bucket.setdefault(int(b), []).append(idx)
+    pairs = set()
+    for idx, b in enumerate(bucket):
+        probes = {int(b)} | {int(b) ^ (1 << p) for p in range(n_planes)}
+        for p in probes:
+            for j in by_bucket.get(p, []):
+                if docs[idx][0] < docs[j][0]:
+                    pairs.add((idx, j))
+    rows = []
+    for i, j in sorted(pairs, key=lambda ij: (docs[ij[0]][0], docs[ij[1]][0])):
+        va, vb = docs[i][1], docs[j][1]
+        cos = fold_dot(va, vb) / math.sqrt(fold_dot(va, va) * fold_dot(vb, vb))
+        if cos >= 0.9:
+            rows.append((docs[i][0], docs[j][0], cos))
+    return _values_sql(
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("cos", "DOUBLE")], rows
+    )
+
+
 def _ora_lsh_topk() -> str:
     """Scalar replay of the hyperplane-LSH top-k spec: same deterministic
     hyperplanes, bucket + 1-bit multiprobe candidate generation in plain
@@ -1323,4 +1391,5 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_pairs": _ora_minhash_pairs(),
         "q_simhash_pairs": _ora_simhash_pairs(),
         "q_lsh_topk": _ora_lsh_topk(),
+        "q_near_dup_lsh": _ora_near_dup_lsh(),
     }

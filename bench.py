@@ -134,37 +134,74 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def scaling_pipeline(master: str, n_nodes: int, table_root: str) -> float:
+def scaling_pipeline(master: str, n_nodes: int, table_root: str) -> dict:
     """One leg of the N-vs-4N study: the headline spatial-join + tiling
     pipeline (ingest -> committed-table read -> PIP join -> pyramid
-    rollup) — the metric surface in BASELINE.json:2. kNN is excluded:
-    it is a latency-bound *lookup* operator (driver-paced ring
-    expansion), not part of the throughput metric.
+    rollup) PLUS way-geometry assembly — the pipeline's largest shuffle
+    (posexplode refs + sort-merge join on node id + re-assembly), so
+    the scaling claim covers a shuffle-heavy stage, not only the
+    shuffle-free ingest. Input is the MIXED corpus: n_nodes nodes (50%
+    in the hot city cluster) + n_nodes/10 ways of ~10 refs each.
+    kNN is excluded: it is a latency-bound *lookup* operator, not part
+    of the throughput metric surface (BASELINE.json:2).
+
+    Returns {"wall": total_sec, "stages": {name: sec}}.
     """
+    from osm_pbf_spark.sources import pbf_source as src
+    from tests.gen_documents import synth_pbf_mixed
+
     spark = get_spark("scaling", master=master)
     par = int(spark.sparkContext.defaultParallelism)
     _warm = F.pandas_udf(lambda x: x, "long")
     spark.range(0, 10_000, 1, par).select(F.sum(_warm(F.col("id")))).collect()
-    pbf = synth_pbf(corpus_path(n_nodes), n_nodes)
+    n_ways = n_nodes // 10
+    pbf = synth_pbf_mixed(
+        os.path.join("/tmp/osm_pbf_spark_bench", f"corpus_mixed_{n_nodes}.osm.pbf"),
+        n_nodes, n_ways, hot_fraction=0.5,
+    )
     if os.path.exists(table_root):
         shutil.rmtree(table_root)
-    t0 = time.monotonic()
-    ingest_pbf(spark, pbf, table_root, cell_level=12, blobs_per_split=1_000_000)
+    stages: dict[str, float] = {}
+    t_start = time.monotonic()
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        fn()
+        stages[name] = round(time.monotonic() - t0, 3)
+
+    timed("ingest", lambda: ingest_pbf(
+        spark, pbf, table_root, cell_level=12, blobs_per_split=1_000_000
+    ))
     # cache the SLIM projection (3 cols, ~3% of table bytes): the
     # join + tiling stages iterate over it, and caching the projection
     # rather than the spans table is exactly what a cluster run would
     # do (the spans stay on disk; count() below materializes it)
     docs = read_documents(spark, table_root).select("doc_id", "lat", "lon").cache()
-    n = docs.count()
-    assert n == n_nodes, (n, n_nodes)
-    pip_join(spark, docs, BENCH_POLYGONS, level="auto").count()
-    tile_pyramid_rollup(
-        assign_point_tiles(docs, zoom=10, scheme="linear"), zoom=10, min_zoom=4
-    ).count()
-    wall = time.monotonic() - t0
+
+    def _read():
+        n = docs.count()
+        assert n == n_nodes + n_ways, (n, n_nodes, n_ways)
+
+    timed("read", _read)
+    # way-docs carry NaN lat/lon (no point geometry) — the spatial
+    # stages run on the point docs
+    pts = docs.filter(~F.isnan("lat"))
+    timed("pip_join", lambda: pip_join(spark, pts, BENCH_POLYGONS, level="auto").count())
+    timed("tiles", lambda: tile_pyramid_rollup(
+        assign_point_tiles(pts, zoom=10, scheme="linear"), zoom=10, min_zoom=4
+    ).count())
+
+    def _assembly():
+        entities, _ = src.read_pbf(spark, pbf)
+        geoms = src.assemble_way_geometries(src.ways(entities), src.nodes(entities))
+        n_closed = geoms.filter("is_closed").count()
+        assert n_closed >= n_ways // 5, (n_closed, n_ways)
+
+    timed("assembly", _assembly)
+    wall = time.monotonic() - t_start
     docs.unpersist()
     spark.stop()
-    return wall
+    return {"wall": round(wall, 3), "stages": stages}
 
 
 def scaling_study() -> dict:
@@ -183,21 +220,28 @@ def scaling_study() -> dict:
     # time, so throughput drifts with host load. Adjacent legs see
     # similar windows; best-of-reps drops throttled ones.
     legs: dict[int, float] = {}
+    stages: dict[int, dict] = {}
     for _ in range(reps):
         for cores in (n_small, 4 * n_small):
             root = f"/tmp/osm_pbf_spark_bench/scal{cores}"
-            w = scaling_pipeline(f"local[{cores}]", n_nodes, root)
-            legs[cores] = min(legs.get(cores, float("inf")), w)
-    thr_n = n_nodes / legs[n_small]
-    thr_4n = n_nodes / legs[4 * n_small]
+            r = scaling_pipeline(f"local[{cores}]", n_nodes, root)
+            if r["wall"] < legs.get(cores, float("inf")):
+                legs[cores] = r["wall"]
+                stages[cores] = r["stages"]
+    n_docs = n_nodes + n_nodes // 10  # nodes + way-docs in the table
+    thr_n = n_docs / legs[n_small]
+    thr_4n = n_docs / legs[4 * n_small]
     return {
-        "pipeline": "ingest+read+pip_join+tile_rollup(z10->4)",
-        "n_docs": n_nodes,
+        "pipeline": "ingest+read+pip_join+tile_rollup(z10->4)+way_assembly",
+        "corpus": f"mixed {n_nodes} nodes (50% hot) + {n_nodes // 10} ways",
+        "n_docs": n_docs,
         "reps_per_leg": reps,
         "cores_n": n_small,
         "cores_4n": 4 * n_small,
         "sec_n": round(legs[n_small], 3),
         "sec_4n": round(legs[4 * n_small], 3),
+        "stages_n": stages[n_small],
+        "stages_4n": stages[4 * n_small],
         "docs_per_sec_n": round(thr_n, 1),
         "docs_per_sec_4n": round(thr_4n, 1),
         "efficiency_n_to_4n": round((thr_4n / thr_n) / 4.0, 3),

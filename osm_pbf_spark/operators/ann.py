@@ -147,13 +147,60 @@ def cosine_topk_lsh(
     )
 
 
+def near_dup_cosine_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via hyperplane-LSH buckets — the SCALE path
+    (``near_dup_cosine`` below is the exact all-pairs verifier; its
+    theta-join is O(n^2) by design and must not be the default at
+    10^12 rows).
+
+    Candidates: pairs sharing a bucket under own-bucket + all 1-bit
+    flips multiprobe (shuffle on bucket id, linear in rows); verify:
+    exact float64 cosine >= threshold. PRECISION is exact (every
+    emitted pair's cosine is the true one); RECALL is < 1 by design —
+    a pair is missed iff its signs differ in >= 2 hyperplanes, with
+    probability (theta/pi)^2 per plane pair, vanishing as cos -> 1.
+    """
+    bucket = lsh_bucket_udf(dim, n_planes)
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")).withColumn(
+        "_b0", bucket(F.col("_v"))
+    )
+    probes = F.array(*([F.col("_b0")] + [
+        F.col("_b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+    ]))
+    probed = v.withColumn("bucket", F.explode(probes)).select("id", "_v", "bucket")
+    exact = v.select("id", "_v", F.col("_b0").alias("bucket"))
+    pairs = (
+        probed.alias("a")
+        .join(exact.alias("b").hint("shuffle_hash"),
+              (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = dot_f64(F.col("_va"), F.col("_vb")) / F.sqrt(
+        norm2_f64(F.col("_va")) * norm2_f64(F.col("_vb"))
+    )
+    return pairs.withColumn("cos", cos).filter(F.col("cos") >= threshold).select(
+        "id_a", "id_b", "cos"
+    )
+
+
 def near_dup_cosine(
     vectors: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact all-pairs (a < b) with cosine >= threshold."""
+    """Exact all-pairs (a < b) with cosine >= threshold — the
+    CORRECTNESS BASELINE / verifier for near_dup_cosine_lsh, which is
+    the path to use at scale (this one is O(n^2) by construction)."""
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))

@@ -66,19 +66,29 @@ def corpus_path(n_nodes: int, cache_dir: str = "/tmp/osm_pbf_spark_bench") -> st
 
 
 def synth_pbf_mixed(path: str, n_nodes: int, n_ways: int,
-                    nodes_per_blob: int = 8000) -> str:
+                    nodes_per_blob: int = 8000,
+                    hot_fraction: float = 0.0) -> str:
     """Nodes + ways corpus for decode/assembly coverage at volume.
 
     Node blobs first (same shape as synth_pbf), then way blobs whose
     refs point at runs of ~10 consecutive node ids; every 5th way is
     CLOSED (first ref == last ref) so it assembles into a polygon.
+    ``hot_fraction`` > 0 puts that share of nodes in the dense-city
+    cluster (the scaling corpus uses 0.5, matching synth_pbf's skew).
     Deterministic (SEED); cached by path.
     """
     if os.path.exists(path):
         return path
     rng = np.random.default_rng(SEED + 1)
-    lat = rng.uniform(-85.0, 85.0, n_nodes)
-    lon = rng.uniform(-180.0, 180.0, n_nodes)
+    n_hot = int(n_nodes * hot_fraction)
+    lat = np.empty(n_nodes)
+    lon = np.empty(n_nodes)
+    lat[:n_hot] = HOT_LAT + rng.uniform(-0.1, 0.1, n_hot)
+    lon[:n_hot] = HOT_LON + rng.uniform(-0.1, 0.1, n_hot)
+    lat[n_hot:] = rng.uniform(-85.0, 85.0, n_nodes - n_hot)
+    lon[n_hot:] = rng.uniform(-180.0, 180.0, n_nodes - n_hot)
+    perm = rng.permutation(n_nodes)
+    lat, lon = lat[perm], lon[perm]
     ids = np.arange(1, n_nodes + 1, dtype=np.int64)
     lat_raw = np.round(lat * 1e7).astype(np.int64)
     lon_raw = np.round(lon * 1e7).astype(np.int64)
