@@ -659,6 +659,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_rel_pip"] = q_rel_pip
 
+    def q_doc_spans(spark, sf):  # the per-row invariant surface ITSELF:
+        # full exploded span sequence — (kind, text, media_ref, order)
+        # equality per document is the north-rule contract
+        from osm_pbf_spark.operators.docrender import render_documents
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("mixed"))
+        docs = render_documents(entities)
+        return docs.select(
+            "doc_id", F.posexplode("spans").alias("span_pos", "s")
+        ).select(
+            "doc_id",
+            "span_pos",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+
+    q["q_doc_spans"] = q_doc_spans
+
     def q_way_pip(spark, sf):  # reference lifecycle: decode -> way polygons -> PIP
         from osm_pbf_spark.sources import pbf_source as src
 
@@ -760,6 +781,22 @@ def _ora_doc_render() -> str:
     rows = [(doc["doc_id"], len(doc["spans"]), doc["spans"][0]["text"]) for doc in docs]
     return _values_sql(
         [("doc_id", "VARCHAR"), ("n_spans", "INTEGER"), ("head_text", "VARCHAR")], rows
+    )
+
+
+def _ora_doc_spans() -> str:
+    from tests import oracle_render
+
+    docs = oracle_render.render_file(_fixture_decoded("mixed"))
+    rows = [
+        (d["doc_id"], i, s["kind"], s["text"], s["media_ref"], s["offset"])
+        for d in docs
+        for i, s in enumerate(d["spans"])
+    ]
+    return _values_sql(
+        [("doc_id", "VARCHAR"), ("span_pos", "INTEGER"), ("kind", "VARCHAR"),
+         ("text", "VARCHAR"), ("media_ref", "VARCHAR"), ("offset", "INTEGER")],
+        rows,
     )
 
 
@@ -1385,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pbf_decode": _ora_pbf_decode(),
         "q_way_assembly": _ora_way_assembly(),
         "q_doc_render": _ora_doc_render(),
+        "q_doc_spans": _ora_doc_spans(),
         "q_way_pip": _ora_way_pip(),
         "q_rel_pip": _ora_rel_pip(),
         "q_media_features": _ora_media_features(),

@@ -67,7 +67,8 @@ def corpus_path(n_nodes: int, cache_dir: str = "/tmp/osm_pbf_spark_bench") -> st
 
 def synth_pbf_mixed(path: str, n_nodes: int, n_ways: int,
                     nodes_per_blob: int = 8000,
-                    hot_fraction: float = 0.0) -> str:
+                    hot_fraction: float = 0.0,
+                    n_rels: int = 0) -> str:
     """Nodes + ways corpus for decode/assembly coverage at volume.
 
     Node blobs first (same shape as synth_pbf), then way blobs whose
@@ -118,6 +119,27 @@ def synth_pbf_mixed(path: str, n_nodes: int, n_ways: int,
                          "tags": {"highway": "residential"}})
         blocks.append(
             E.encode_primitive_block([b"".join(E.encode_way(w, st) for w in ways)], st)
+        )
+
+    # relations: each a type=multipolygon pointing at one CLOSED way
+    # (every 5th way) as its outer — relation decode + assembly at
+    # volume, not only fixture size
+    rels_per_blob = 4000
+    n_closed = max(1, n_ways // 5)
+    for r0 in range(0, n_rels, rels_per_blob):
+        st = E.StringTable()
+        rels = []
+        for r in range(r0, min(r0 + rels_per_blob, n_rels)):
+            closed_way = 1_000_000 + 5 * (r % n_closed)
+            rels.append({
+                "id": 2_000_000 + r,
+                "members": [{"role": "outer", "ref": closed_way, "type": "way"}],
+                "tags": {"type": "multipolygon"},
+            })
+        blocks.append(
+            E.encode_primitive_block(
+                [b"".join(E.encode_relation(r, st) for r in rels)], st
+            )
         )
     tmp = path + ".tmp"
     E.write_pbf(tmp, blocks)

@@ -38,3 +38,29 @@ def test_mixed_corpus_decode_and_assembly(spark, tmp_path):
     n_closed = geoms.filter("is_closed").count()
     assert n_closed == 2_000
     geoms.unpersist(); nodes.unpersist(); ways.unpersist()
+
+
+def test_relations_at_volume(spark, tmp_path):
+    """5k multipolygon relations (each over a closed member way) through
+    distributed decode + polygons_from_relations: D8 at volume, not
+    fixture size."""
+    pbf = synth_pbf_mixed(str(tmp_path / "rels50k.pbf"), 50_000, 5_000, n_rels=5_000)
+    entities, _ = src.read_pbf(spark, pbf)
+    rels = src.relations(entities).cache()
+    assert rels.count() == 5_000
+    # spot-check member decode against the spec oracle
+    want = oracle_pbf.decode_file(pbf)
+    want_rels = {r["id"]: r["members"] for r in want["relations"]}
+    for r in rels.orderBy("id").limit(25).collect():
+        assert [
+            {"role": m["role"], "ref": m["ref"], "type": m["type"]} for m in r["members"]
+        ] == want_rels[r["id"]]
+
+    polys = src.polygons_from_relations(
+        rels, src.ways(entities), src.nodes(entities), max_polygons=10_000
+    )
+    # every 5th way is closed and distinct relations may share one;
+    # each relation with a resolvable closed outer yields one polygon
+    assert len(polys) == 5_000
+    assert all(len(p.rings) == 1 and len(p.rings[0]) == 10 for p in polys)
+    rels.unpersist()
