@@ -133,6 +133,8 @@ def _fixture_pbf(kind: str) -> str:
         "multiblob": FX.build_multiblob,
         "way_pip": FX.build_way_pip,
         "rel_pip": FX.build_rel_pip,
+        "denseinfo": FX.build_denseinfo,
+        "granularity": FX.build_granularity,
     }
     return builders[kind](d)
 
@@ -619,6 +621,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_pbf_decode"] = q_pbf_decode
 
+    def q_pbf_meta(spark, sf):  # D5 DenseInfo metadata decode
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("denseinfo"))
+        return src.nodes(entities).select(
+            "id", "version", "ts_ms", "changeset", "uid", "user", "visible"
+        ).orderBy("id")
+
+    q["q_pbf_meta"] = q_pbf_meta
+
+    def q_pbf_granularity(spark, sf):  # non-default granularity/offset scaling
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("granularity"))
+        return src.nodes(entities).select(
+            "id", "lat", "lon", "version", "visible"
+        ).orderBy("id")
+
+    q["q_pbf_granularity"] = q_pbf_granularity
+
     def q_way_assembly(spark, sf):  # G8 way-geometry assembly join
         from osm_pbf_spark.sources import pbf_source as src
 
@@ -756,6 +778,32 @@ def _ora_pbf_decode() -> str:
     rows = [(n["id"], n["lat"], n["lon"], len(n["tags"])) for n in d["nodes"]]
     return _values_sql(
         [("id", "BIGINT"), ("lat", "DOUBLE"), ("lon", "DOUBLE"), ("n_tags", "INTEGER")],
+        rows,
+    )
+
+
+def _ora_pbf_meta() -> str:
+    d = _fixture_decoded("denseinfo")
+    rows = [
+        (n["id"], n["version"], n["ts_ms"], n["changeset"], n["uid"], n["user"], n["visible"])
+        for n in d["nodes"]
+    ]
+    return _values_sql(
+        [("id", "BIGINT"), ("version", "INTEGER"), ("ts_ms", "BIGINT"),
+         ("changeset", "BIGINT"), ("uid", "INTEGER"), ("user", "VARCHAR"),
+         ("visible", "BOOLEAN")],
+        rows,
+    )
+
+
+def _ora_pbf_granularity() -> str:
+    d = _fixture_decoded("granularity")
+    rows = [
+        (n["id"], n["lat"], n["lon"], n["version"], n["visible"]) for n in d["nodes"]
+    ]
+    return _values_sql(
+        [("id", "BIGINT"), ("lat", "DOUBLE"), ("lon", "DOUBLE"),
+         ("version", "INTEGER"), ("visible", "BOOLEAN")],
         rows,
     )
 
@@ -1420,6 +1468,8 @@ def oracle_sql() -> dict[str, str]:
         # ---- decode / LSH surface (VALUES-literal + hybrid oracles,
         #      built from the pure-Python spec oracles — see section above) ----
         "q_pbf_decode": _ora_pbf_decode(),
+        "q_pbf_meta": _ora_pbf_meta(),
+        "q_pbf_granularity": _ora_pbf_granularity(),
         "q_way_assembly": _ora_way_assembly(),
         "q_doc_render": _ora_doc_render(),
         "q_doc_spans": _ora_doc_spans(),
