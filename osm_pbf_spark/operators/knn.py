@@ -476,13 +476,20 @@ def knn_join(
     Returns (query_id, neighbor_id, rank, dist) — rank 1-based by
     (dist, neighbor_id).
 
-    ``level="auto"`` handles skewed corpora (a dense city holding half
-    the docs — BASELINE.json:6): queries whose fine-level 3x3 window
-    already holds >= 4k candidates run at the FINE level (small
-    windows, cheap); sparse-area queries run at the COARSE level (few
-    expansion rounds). A single global level degrades one of the two:
-    hot queries would join against the whole hot cell (10^5+ pairs
-    each), or sparse queries would expand for many rounds.
+    ``level="auto"`` routes between the three exact paths:
+      - <= brute_max_queries -> broadcast-brute BLAS pass (two jobs);
+      - larger query sets -> per-query LEVEL assignment (below), then
+        the fixed two-round plan (knn_two_round) per level group;
+      - explicit int level -> the ring-expansion loop below (exact,
+        driver-paced; kept for small remainders and back-compat).
+
+    The level assignment handles skewed corpora (a dense city holding
+    half the docs — BASELINE.json:6): queries whose fine-level 3x3
+    window already holds >= 4k candidates run at the FINE level (small
+    windows, cheap); sparse-area queries run at the COARSE level. A
+    single global level degrades one of the two: hot queries would
+    join against the whole hot cell (10^5+ pairs each), or sparse
+    queries would see empty windows.
     """
     from .spatial_join import with_cell
 

@@ -20,7 +20,14 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .proto import fields, repeated_scalar, to_signed64, zigzag_decode
+from .proto import (
+    batch_repeated_scalar,
+    fields,
+    repeated_scalar,
+    segmented_cumsum,
+    to_signed64,
+    zigzag_decode,
+)
 
 MEMBER_TYPE_NAMES = np.array(["node", "way", "relation"], dtype=object)
 
@@ -232,31 +239,26 @@ def _info_from_rows(infos: list, n: int) -> dict[str, pa.Array]:
 
 
 def _decode_ways(msgs: list, table: np.ndarray, date_gran: int) -> pa.Table:
-    ids = []
-    ref_offsets = [0]
-    refs_all: list[np.ndarray] = []
-    tag_offsets = [0]
-    keys_all: list[int] = []
-    vals_all: list[int] = []
-    infos = []
-    for m in msgs:
-        f = fields(m)
-        ids.append(f[1][0])
-        refs = np.cumsum(repeated_scalar(f.get(8, []), packed_sint=True), dtype=np.int64)
-        refs_all.append(refs)
-        ref_offsets.append(ref_offsets[-1] + len(refs))
-        ks = repeated_scalar(f.get(2, []))
-        vs = repeated_scalar(f.get(3, []))
-        keys_all.extend(ks.tolist())
-        vals_all.extend(vs.tolist())
-        tag_offsets.append(tag_offsets[-1] + len(ks))
-        infos.append(_scalar_info(f[4][0], table, date_gran) if 4 in f else None)
+    """BATCHED across the group: one message walk per way, but every
+    packed array field (refs / keys / vals) of ALL ways decodes in one
+    vectorized kernel call (proto.batch_repeated_scalar) and the
+    per-way delta->absolute ref cumsum is a segmented cumsum — the
+    per-way numpy fixed overhead dominated the old per-message path
+    (measured ~4x the per-entity cost of dense nodes)."""
+    parsed = [fields(m) for m in msgs]
+    ids = [f[1][0] for f in parsed]
+    infos = [_scalar_info(f[4][0], table, date_gran) if 4 in f else None for f in parsed]
     n = len(ids)
-    flat_refs = np.concatenate(refs_all) if refs_all else np.empty(0, dtype=np.int64)
+
+    deltas, ref_counts = batch_repeated_scalar([f.get(8, []) for f in parsed], packed_sint=True)
+    flat_refs = segmented_cumsum(deltas, ref_counts)
+    ref_offsets = np.concatenate(([0], np.cumsum(ref_counts))).astype(np.int32)
     refs_col = pa.ListArray.from_arrays(pa.array(ref_offsets, type=pa.int32()),
                                         pa.array(flat_refs, type=pa.int64()))
-    tags = _tags_map(np.array(keys_all, dtype=np.int64), np.array(vals_all, dtype=np.int64),
-                     np.array(tag_offsets, dtype=np.int32), table)
+    keys_flat, key_counts = batch_repeated_scalar([f.get(2, []) for f in parsed])
+    vals_flat, _vc = batch_repeated_scalar([f.get(3, []) for f in parsed])
+    tag_offsets = np.concatenate(([0], np.cumsum(key_counts))).astype(np.int32)
+    tags = _tags_map(keys_flat, vals_flat, tag_offsets, table)
     return pa.table(
         {"id": pa.array(ids, type=pa.int64()), "refs": refs_col, "tags": tags,
          **_info_from_rows(infos, n)},
@@ -265,43 +267,33 @@ def _decode_ways(msgs: list, table: np.ndarray, date_gran: int) -> pa.Table:
 
 
 def _decode_relations(msgs: list, table: np.ndarray, date_gran: int) -> pa.Table:
-    ids = []
-    mem_offsets = [0]
-    roles_all: list[str] = []
-    refs_all: list[int] = []
-    types_all: list[str] = []
-    tag_offsets = [0]
-    keys_all: list[int] = []
-    vals_all: list[int] = []
-    infos = []
-    for m in msgs:
-        f = fields(m)
-        ids.append(f[1][0])
-        roles_sid = repeated_scalar(f.get(8, []))
-        memids = np.cumsum(repeated_scalar(f.get(9, []), packed_sint=True), dtype=np.int64)
-        types = repeated_scalar(f.get(10, []))
-        roles_all.extend(table[roles_sid].tolist())
-        refs_all.extend(memids.tolist())
-        types_all.extend(MEMBER_TYPE_NAMES[types].tolist())
-        mem_offsets.append(mem_offsets[-1] + len(memids))
-        ks = repeated_scalar(f.get(2, []))
-        vs = repeated_scalar(f.get(3, []))
-        keys_all.extend(ks.tolist())
-        vals_all.extend(vs.tolist())
-        tag_offsets.append(tag_offsets[-1] + len(ks))
-        infos.append(_scalar_info(f[4][0], table, date_gran) if 4 in f else None)
+    """Batched like _decode_ways: roles/memids/types/keys/vals of every
+    relation in the group decode in one kernel call per field."""
+    parsed = [fields(m) for m in msgs]
+    ids = [f[1][0] for f in parsed]
+    infos = [_scalar_info(f[4][0], table, date_gran) if 4 in f else None for f in parsed]
     n = len(ids)
+
+    roles_sid, _rc = batch_repeated_scalar([f.get(8, []) for f in parsed])
+    mem_deltas, mem_counts = batch_repeated_scalar(
+        [f.get(9, []) for f in parsed], packed_sint=True
+    )
+    memids = segmented_cumsum(mem_deltas, mem_counts)
+    types, _tc = batch_repeated_scalar([f.get(10, []) for f in parsed])
+    mem_offsets = np.concatenate(([0], np.cumsum(mem_counts))).astype(np.int32)
     members_struct = pa.StructArray.from_arrays(
         [
-            pa.array(roles_all, type=pa.string()),
-            pa.array(refs_all, type=pa.int64()),
-            pa.array(types_all, type=pa.string()),
+            pa.array(table[roles_sid], type=pa.string()),
+            pa.array(memids, type=pa.int64()),
+            pa.array(MEMBER_TYPE_NAMES[types], type=pa.string()),
         ],
         fields=list(MEMBER_TYPE),
     )
     members = pa.ListArray.from_arrays(pa.array(mem_offsets, type=pa.int32()), members_struct)
-    tags = _tags_map(np.array(keys_all, dtype=np.int64), np.array(vals_all, dtype=np.int64),
-                     np.array(tag_offsets, dtype=np.int32), table)
+    keys_flat, key_counts = batch_repeated_scalar([f.get(2, []) for f in parsed])
+    vals_flat, _vc = batch_repeated_scalar([f.get(3, []) for f in parsed])
+    tag_offsets = np.concatenate(([0], np.cumsum(key_counts))).astype(np.int32)
+    tags = _tags_map(keys_flat, vals_flat, tag_offsets, table)
     return pa.table(
         {"id": pa.array(ids, type=pa.int64()), "members": members, "tags": tags,
          **_info_from_rows(infos, n)},

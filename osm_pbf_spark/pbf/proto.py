@@ -126,6 +126,62 @@ def decode_packed_int(data: bytes | memoryview) -> np.ndarray:
     return decode_packed_varints(data).astype(np.int64)
 
 
+def batch_repeated_scalar(
+    vals_lists: list[list], packed_sint: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode ONE repeated-scalar field across MANY messages in a single
+    vectorized pass -> (flat_values, per_message_counts).
+
+    Per-message numpy kernels cost ~30us of fixed overhead each; a way
+    has ~10 refs, so per-way decoding was overhead-dominated (measured
+    ~4x the per-entity cost of the dense-node path). Packed varint
+    chunks concatenate into a still-valid packed stream (every varint
+    ends with a terminator byte), so all messages decode in one kernel
+    call; per-message counts come from a cumulative count of terminator
+    bytes at chunk boundaries (correct for empty chunks too).
+
+    Falls back to the per-message path if any value arrived UNPACKED
+    (bare varint instead of a length-delimited chunk) — legal but
+    unused by real encoders.
+    """
+    for vl in vals_lists:
+        for v in vl:
+            if not isinstance(v, (bytes, bytearray, memoryview)):
+                flats = [repeated_scalar(vl, packed_sint) for vl in vals_lists]
+                counts = np.fromiter((len(f) for f in flats), np.int64, len(flats))
+                flat = (
+                    np.concatenate(flats) if flats else np.empty(0, dtype=np.int64)
+                )
+                return flat, counts
+    bufs = [b"".join(vl) if len(vl) != 1 else vl[0] for vl in vals_lists]
+    lens = np.fromiter((len(b) for b in bufs), np.int64, len(bufs))
+    big = b"".join(bufs)
+    u = decode_packed_varints(big)
+    if len(big):
+        term = ((np.frombuffer(big, dtype=np.uint8) & 0x80) == 0).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(term)))
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        counts = cum[ends] - cum[starts]
+    else:
+        counts = np.zeros(len(bufs), dtype=np.int64)
+    flat = zigzag_decode_np(u) if packed_sint else u.astype(np.int64)
+    return flat, counts
+
+
+def segmented_cumsum(flat: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-segment cumulative sum (delta -> absolute) without a Python
+    loop: global cumsum minus each segment's preceding total."""
+    if flat.size == 0:
+        return flat.astype(np.int64)
+    c = np.cumsum(flat, dtype=np.int64)
+    starts = np.cumsum(counts) - counts
+    nz = counts > 0
+    seg_starts = starts[nz]
+    base = c[seg_starts] - flat[seg_starts]
+    return c - np.repeat(base, counts[nz])
+
+
 def repeated_scalar(vals: list, packed_sint: bool = False) -> np.ndarray:
     """Normalize a protobuf repeated scalar field that may arrive either
     packed (length-delimited chunks) or unpacked (individual varints)."""
