@@ -137,7 +137,9 @@ def _collapse_exact(docs: DataFrame, text_col: str, id_col: str):
     Identical texts are the pathological LSH input (every band/bucket
     collides), and a re-crawl corpus or a 10^4-copy boilerplate blob
     would otherwise multiply the band self-join quadratically. One
-    shuffle on md5(text) (narrow key, never the text) collapses them;
+    shuffle keyed on md5(text) collapses them (rows still carry the
+    text once — unavoidable, the reps need it downstream; the KEY is
+    the 32-char digest, not the text);
     the LSH candidate machinery then runs on DISTINCT texts only, and
     within-/cross-group pairs are reconstructed by joins whose output
     is exactly the required pair set — so total work is linear in
