@@ -151,7 +151,9 @@ def _knn_broadcast_brute(
         # final distances across the boundary.
         qp = np.radians(qla)
         ql = np.radians(qlo)
-        Q = np.stack(
+        # negation folded into Q: d = (-Q) @ C.T directly yields the
+        # "smaller = closer" surrogate without a full-matrix negate copy
+        Q = -np.stack(
             [np.cos(qp) * np.cos(ql), np.cos(qp) * np.sin(ql), np.sin(qp)], axis=1
         )
         best_d = np.full((nq, 0), np.inf)
@@ -162,10 +164,12 @@ def _knn_broadcast_brute(
         # arrays never enter the per-chunk loop
         acc_id, acc_la, acc_lo = [], [], []
         base = 0
-        # bound the distance-matrix working set to ~4M cells (~32 MB):
-        # an unchunked 2000-query x 65536-row Arrow batch would build
-        # ~1 GB of float64 temporaries per batch
-        chunk = max(64, 4_000_000 // max(nq, 1))
+        # keep the per-chunk distance block SMALL (~nq x 512 = ~8 MB at
+        # 2000 queries): with every core running this kernel the blocks
+        # all stream through the SHARED L3, and a 32 MB block measured
+        # 66x slower per-multiply than an 8 MB one under 32-way
+        # parallelism (pure cache thrash — the flops are trivial)
+        chunk = max(64, min(512, 4_000_000 // max(nq, 1)))
         for pdf in batches:
             p_lat = pdf["lat"].to_numpy(np.float64)
             p_lon = pdf["lon"].to_numpy(np.float64)
@@ -193,7 +197,7 @@ def _knn_broadcast_brute(
                         [np.cos(cp) * np.cos(cl), np.cos(cp) * np.sin(cl), np.sin(cp)],
                         axis=1,
                     )
-                    d = -(Q @ Cc.T)  # smaller = closer
+                    d = Q @ Cc.T  # smaller = closer (Q carries the minus)
                 if self_cols is not None:
                     in_chunk = (self_cols >= s) & (self_cols < s + len(cla))
                     if in_chunk.any():
