@@ -123,6 +123,38 @@ def polygon_cell_cover(polygons: list[Polygon], level: int) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def polygon_cell_cover_dist(
+    spark: SparkSession, polygons: list[Polygon], level: int, slice_size: int = 64
+) -> DataFrame:
+    """Distributed polygon cell cover: same rows as polygon_cell_cover
+    but computed by executors, ``slice_size`` polygons per task. The
+    driver-side loop is fine to ~10^5 polygons at target_cells=256;
+    for larger sets (the pip_join ``shuffle`` strategy's regime) the
+    per-polygon work distributes embarrassingly — rings ship PICKLED
+    inside an Arrow binary column, never as JVM row objects."""
+    import pickle
+
+    import pandas as pd
+
+    slices = [
+        pickle.dumps([(p.poly_id, p.rings) for p in polygons[i : i + slice_size]])
+        for i in range(0, len(polygons), slice_size)
+    ]
+    if not slices:
+        return spark.createDataFrame([], "cell long, poly_id string, full boolean")
+    src = spark.createDataFrame(
+        pd.DataFrame({"blob": slices}), "blob binary"
+    ).repartition(min(len(slices), spark.sparkContext.defaultParallelism * 4))
+
+    def _cover(batches):
+        for pdf in batches:
+            for blob in pdf["blob"]:
+                group = [Polygon(pid, rings) for pid, rings in pickle.loads(bytes(blob))]
+                yield polygon_cell_cover(group, level)
+
+    return src.mapInPandas(_cover, "cell long, poly_id string, full boolean")
+
+
 def with_cell(df: DataFrame, level: int, lat_col: str = "lat", lon_col: str = "lon",
               out_col: str = "cell") -> DataFrame:
     """Attach the Morton cell id — NATIVE column expression (whole-stage
@@ -189,10 +221,16 @@ def pip_join(
                 out = part if out is None else out.unionByName(part)
             return out
 
-    cover_pdf = polygon_cell_cover(polygons, level)
-    cover = spark.createDataFrame(cover_pdf) if len(cover_pdf) else spark.createDataFrame(
-        [], "cell long, poly_id string, full boolean"
-    )
+    if strategy != "broadcast" and len(polygons) > 2000:
+        # large-cover regime: compute the cover ON THE EXECUTORS
+        # (driver loop is fine to ~10^5 polygons; beyond that it and
+        # the createDataFrame upload become the bottleneck)
+        cover = polygon_cell_cover_dist(spark, polygons, level)
+    else:
+        cover_pdf = polygon_cell_cover(polygons, level)
+        cover = spark.createDataFrame(cover_pdf) if len(cover_pdf) else spark.createDataFrame(
+            [], "cell long, poly_id string, full boolean"
+        )
     pts = with_cell(points, level, lat_col, lon_col)
     if strategy == "broadcast":
         cand = pts.join(F.broadcast(cover), "cell", "inner")
