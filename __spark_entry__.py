@@ -135,8 +135,19 @@ def _fixture_pbf(kind: str) -> str:
         "rel_pip": FX.build_rel_pip,
         "denseinfo": FX.build_denseinfo,
         "granularity": FX.build_granularity,
+        "minimal": FX.build_minimal,
+        "raw": FX.build_raw,
+        "sink": FX.build_sink,
     }
     return builders[kind](d)
+
+
+# stats-range for the sink-roundtrip prune: keeps the (50, 8) and
+# (40, -74) node clusters of the sink fixture, drops the (-10, 120)
+# cluster (cell ~258M at level 12) and the cell = -1 way/relation docs —
+# so one whole data file is pruned at the MANIFEST level and the exact
+# predicate still applies on the superset read.
+SINK_PRUNE_RANGE = (300_000_000, 500_000_000)
 
 
 # ---------------------------------------------------------------------------
@@ -716,6 +727,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_way_pip"] = q_way_pip
 
+    def q_pbf_raw(spark, sf):  # S3 uncompressed Blob.raw branch
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("raw"))
+        return src.nodes(entities).select(
+            "id", "lat", "lon",
+            F.element_at(F.col("tags"), "note").alias("note"),
+        ).orderBy("id")
+
+    q["q_pbf_raw"] = q_pbf_raw
+
+    def q_pbf_header(spark, sf):  # S4 OSMHeader decode (bbox + features)
+        from osm_pbf_spark.sources import pbf_source as src
+
+        _entities, hdr = src.read_pbf(spark, _fixture_pbf("minimal"))
+        bbox = hdr["bbox"] or {}
+        return spark.createDataFrame(
+            [(
+                float(bbox["left"]), float(bbox["right"]),
+                float(bbox["top"]), float(bbox["bottom"]),
+                ",".join(hdr["required_features"]),
+                ",".join(hdr["optional_features"]),
+            )],
+            schema="left double, right double, top double, bottom double, "
+                   "required string, optional string",
+        )
+
+    q["q_pbf_header"] = q_pbf_header
+
+    def q_sink_roundtrip(spark, sf):  # S5/S6/C1-C3: ingest -> per-split
+        # commits -> snapshot -> manifest-stats-pruned read -> per-cell agg
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.plans.ingest import ingest_pbf
+
+        path = _fixture_pbf("sink")
+        root = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driver_sink")
+        shutil.rmtree(root, ignore_errors=True)
+        sink = ingest_pbf(spark, path, root, cell_level=12, blobs_per_split=1)
+        lo, hi = SINK_PRUNE_RANGE
+        docs = sink.read(spark, stats_range=(lo, hi)).filter(
+            F.col("cell").between(lo, hi)
+        )
+        return docs.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum(F.size("spans")).alias("spans_total"),
+            F.sum(F.length(F.element_at("spans", -1)["media_ref"])).alias(
+                "media_len_total"
+            ),
+        )
+
+    q["q_sink_roundtrip"] = q_sink_roundtrip
+
     return q
 
 
@@ -925,6 +991,76 @@ def _ora_rel_pip() -> str:
                 if oracle_geo.point_in_polygon(n["lat"], n["lon"], rings):
                     rows.append((str(n["id"]), pid))
     return _values_sql([("doc_id", "VARCHAR"), ("poly_id", "VARCHAR")], rows)
+
+
+def _ora_pbf_raw() -> str:
+    d = _fixture_decoded("raw")
+    rows = [(n["id"], n["lat"], n["lon"], n["tags"].get("note")) for n in d["nodes"]]
+    return _values_sql(
+        [("id", "BIGINT"), ("lat", "DOUBLE"), ("lon", "DOUBLE"), ("note", "VARCHAR")],
+        rows,
+    )
+
+
+def _ora_pbf_header() -> str:
+    h = _fixture_decoded("minimal")["header"]
+    bb = h["bbox"]
+    rows = [(
+        bb["left"], bb["right"], bb["top"], bb["bottom"],
+        ",".join(h["required_features"]), ",".join(h["optional_features"]),
+    )]
+    return _values_sql(
+        [("left", "DOUBLE"), ("right", "DOUBLE"), ("top", "DOUBLE"),
+         ("bottom", "DOUBLE"), ("required", "VARCHAR"), ("optional", "VARCHAR")],
+        rows,
+    )
+
+
+def _cell_scalar(lat: float, lon: float, level: int) -> int:
+    """Independent SCALAR replay of the Morton cell spec (functions/
+    cells.py layout): same float64 quantization op order, bit-by-bit
+    interleave in plain Python ints."""
+    import math
+
+    n = 1 << level
+    x = min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+    y = min(max(int(math.floor((lat + 90.0) / 180.0 * n)), 0), n - 1)
+    m = 0
+    for b in range(level):
+        m |= ((x >> b) & 1) << (2 * b)
+        m |= ((y >> b) & 1) << (2 * b + 1)
+    return (m << 5) | level
+
+
+def _ora_sink_roundtrip() -> str:
+    """Scalar replay of the FULL sink lifecycle result: spec-oracle
+    decode -> oracle span render -> scalar Morton cell -> the same
+    stats-range predicate -> per-cell aggregates. What the committed
+    table must read back as, independent of Spark, the manifest
+    protocol, and parquet."""
+    from tests import oracle_render
+
+    d = _fixture_decoded("sink")
+    docs = oracle_render.render_file(d)
+    coords = {f"node/{n['id']}": (n["lat"], n["lon"]) for n in d["nodes"]}
+    lo, hi = SINK_PRUNE_RANGE
+    agg: dict[int, list] = {}
+    for doc in docs:
+        ll = coords.get(doc["doc_id"])
+        cell = _cell_scalar(ll[0], ll[1], 12) if ll else -1
+        if not (lo <= cell <= hi):
+            continue
+        a = agg.setdefault(cell, [0, None, 0, 0])
+        a[0] += 1
+        a[1] = doc["doc_id"] if a[1] is None else min(a[1], doc["doc_id"])
+        a[2] += len(doc["spans"])
+        a[3] += len(doc["spans"][-1]["media_ref"])
+    rows = [(c, *agg[c]) for c in sorted(agg)]
+    return _values_sql(
+        [("cell", "BIGINT"), ("n_docs", "BIGINT"), ("first_doc", "VARCHAR"),
+         ("spans_total", "BIGINT"), ("media_len_total", "BIGINT")],
+        rows,
+    )
 
 
 def _ora_media_features() -> str:
@@ -1468,6 +1604,9 @@ def oracle_sql() -> dict[str, str]:
         # ---- decode / LSH surface (VALUES-literal + hybrid oracles,
         #      built from the pure-Python spec oracles — see section above) ----
         "q_pbf_decode": _ora_pbf_decode(),
+        "q_pbf_raw": _ora_pbf_raw(),
+        "q_pbf_header": _ora_pbf_header(),
+        "q_sink_roundtrip": _ora_sink_roundtrip(),
         "q_pbf_meta": _ora_pbf_meta(),
         "q_pbf_granularity": _ora_pbf_granularity(),
         "q_way_assembly": _ora_way_assembly(),

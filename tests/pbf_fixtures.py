@@ -164,9 +164,54 @@ def build_empty_strings(dirpath: str) -> str:
     return path
 
 
+def build_sink(dirpath: str) -> str:
+    """Multi-blob, mixed-entity fixture for the sink-roundtrip gate:
+
+    - blob 0: dense nodes + ways + relation (way/relation docs carry
+      cell = -1 — no point geometry before assembly);
+    - blob 1: dense node cluster near (40, -74);
+    - blob 2: dense node cluster near (-10, 120).
+
+    Ingested with blobs_per_split=1 this exercises THREE per-split
+    manifest commits, the snapshot/manifest-list roll-up, and a
+    stats-range pruned read whose range keeps only part of the data.
+    """
+    st0 = E.StringTable()
+    nodes0 = [
+        {"id": i, "lat_raw": nd(50.0 + 0.002 * i), "lon_raw": nd(8.0 + 0.003 * i),
+         "tags": ({"shop": "bakery"} if i % 3 == 0 else {})}
+        for i in range(1, 9)
+    ]
+    g0_dense = E.encode_dense_nodes(nodes0, st0)
+    ways0 = [
+        {"id": 701, "refs": [1, 2, 3, 4], "tags": {"highway": "service"}},
+        {"id": 702, "refs": [5, 6, 7, 5], "tags": {"building": "hut"}},
+    ]
+    g0_ways = b"".join(E.encode_way(w, st0) for w in ways0)
+    rels0 = [{"id": 950, "members": [{"role": "outer", "ref": 702, "type": "way"}],
+              "tags": {"type": "multipolygon"}}]
+    g0_rels = b"".join(E.encode_relation(r, st0) for r in rels0)
+    block0 = E.encode_primitive_block([g0_dense, g0_ways, g0_rels], st0)
+
+    def node_block(base_id: int, lat0: float, lon0: float, n: int) -> bytes:
+        st = E.StringTable()
+        nodes = [
+            {"id": base_id + 2 * i,
+             "lat_raw": nd(lat0 + 0.005 * i), "lon_raw": nd(lon0 + 0.007 * i),
+             "tags": ({"k": f"v{i}"} if i % 4 == 0 else {})}
+            for i in range(n)
+        ]
+        return E.encode_primitive_block([E.encode_dense_nodes(nodes, st)], st)
+
+    blocks = [block0, node_block(2000, 40.0, -74.0, 20), node_block(3000, -10.0, 120.0, 20)]
+    path = os.path.join(dirpath, "sink.osm.pbf")
+    E.write_pbf(path, blocks)
+    return path
+
+
 ALL_BUILDERS = [
     build_minimal, build_granularity, build_mixed, build_raw,
-    build_denseinfo, build_multiblob, build_empty_strings,
+    build_denseinfo, build_multiblob, build_empty_strings, build_sink,
 ]
 
 

@@ -41,3 +41,23 @@ def test_header_length_out_of_range(tmp_path):
     open(bad, "wb").write(b"\x7f\xff\xff\xff" + b"\x00" * 64)
     with pytest.raises(ValueError, match="out of range"):
         scan_blobs(bad)
+
+
+def test_lzma_blob_fails_fast(tmp_path):
+    """Blob.lzma_data=4 is declared out of scope (SURVEY §1.1, spec-rare)
+    — it must raise a CLEAR error, never decode garbage or pass silently."""
+    import lzma
+    import struct
+
+    from osm_pbf_spark.pbf import encoder as E
+    from osm_pbf_spark.pbf.framing import read_blob_payload
+
+    payload = b"not-a-real-block"
+    blob = E.field_varint(2, len(payload)) + E.field_bytes(4, lzma.compress(payload))
+    header = E.field_string(1, "OSMData") + E.field_varint(3, len(blob))
+    path = str(tmp_path / "lzma.pbf")
+    with open(path, "wb") as f:
+        f.write(struct.pack(">i", len(header)) + header + blob)
+    (ref,) = scan_blobs(path)  # scan is fine: framing is valid
+    with pytest.raises(ValueError, match="lzma"):
+        read_blob_payload(path, ref.offset, ref.size)

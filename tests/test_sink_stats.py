@@ -118,3 +118,28 @@ def test_manifest_list_makes_read_o1(spark, tmp_path):
         files = IcebergLikeSink(root, stats_col=None).committed_files()
         assert rm.call_count == 1
     assert len(files) > len(after)
+
+
+def test_sink_fixture_roundtrip_span_equality(spark, tmp_path):
+    """The driver-gate sink fixture, end to end: ingest -> committed read
+    reproduces the oracle's exact span sequences (the per-row invariant,
+    BASELINE.json:16) and the driver query's stats range prunes at least
+    one whole data file at the manifest level."""
+    from __spark_entry__ import SINK_PRUNE_RANGE
+    from tests import oracle_pbf, oracle_render
+    from tests.pbf_fixtures import build_sink
+
+    pbf = build_sink(str(tmp_path))
+    root = str(tmp_path / "rt")
+    sink = ingest_pbf(spark, pbf, root, cell_level=12, blobs_per_split=1)
+
+    got = {
+        r["doc_id"]: [s.asDict() for s in r["spans"]]
+        for r in sink.read(spark).collect()
+    }
+    docs = oracle_render.render_file(oracle_pbf.decode_file(pbf))
+    assert set(got) == {d["doc_id"] for d in docs}
+    for d in docs:
+        assert got[d["doc_id"]] == d["spans"], d["doc_id"]
+
+    assert len(sink.committed_files(SINK_PRUNE_RANGE)) < len(sink.committed_files())
