@@ -398,7 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_pip_shuffle"] = q_pip_shuffle
 
-    def q_knn(spark, sf):  # G5 kNN via ring expansion
+    def q_knn(spark, sf):  # G5 kNN, explicit level -> fixed two-round plan
         pts = customer_points(spark, sf)
         queries_df = pts.filter(F.col("doc_id") <= 100)
         out = knn_join(

@@ -1,21 +1,21 @@
-"""Distributed exact kNN via cell ring expansion (SURVEY.md §2.3 G5).
+"""Distributed exact kNN (SURVEY.md §2.3 G5).
 
-Replaces the reference r-tree's nearest-neighbor descent. Iterative,
-driver-paced, all DataFrame ops:
+Replaces the reference r-tree's nearest-neighbor descent with TWO exact
+paths, both fixed lazy plans with zero driver pacing:
 
-  round r: join each unresolved query against candidates in the
-  (2r+1)x(2r+1) cell window around it -> exact distances -> a query is
-  RESOLVED when its k-th candidate distance <= the provable minimum
-  distance to any cell OUTSIDE the window (or the window already covers
-  the whole grid). Unresolved queries continue with doubled ring.
+  - broadcast-brute (small query sets): one mapInPandas BLAS pass over
+    the candidates keeping a running per-query top-k, then a window
+    reduce — two jobs total;
+  - two-round cell-window plan (large query sets): round A upper-bounds
+    each query's k-th distance from its 3x3 cell window, round B joins
+    exactly the cells intersecting that ball — ~5 shuffles, exact.
 
-Guarantee bounds (haversine, R = mean Earth radius):
-  lat separation dphi  -> dist >= R * dphi_rad
-  lon separation dlmb at |lat| <= phi_max
-                       -> dist >= 2R * asin(cos(phi_max) * sin(dlmb/2))
-For the `euclid2_deg` metric the guarantee is in raw squared degrees
-(no lon wrap — the metric itself is raw coordinate differences, chosen
-for bit-exact cross-engine reproducibility in the duckdb oracle gate).
+(The original driver-paced ring-expansion loop — grow the window until
+a per-query outside-window lower bound proves resolution — was deleted
+in round 3: it was exact but serialized dozens of jobs through the
+driver, the plan you would NOT want at 100x. Its role as an
+independent check is covered by the pure-Python O(n^2) oracle in
+tests/oracle_geo.py, which every path is tested against.)
 
 Determinism: ties broken by (distance, candidate_id). Distances for
 `haversine` are computed in the SAME numpy kernel as the pure-Python
@@ -33,9 +33,6 @@ from pyspark.sql import types as T
 from ..functions import cells as C
 from ..functions.geometry import EARTH_RADIUS_M, haversine_m
 
-_DEG_M = EARTH_RADIUS_M * np.pi / 180.0  # meters per degree of latitude
-
-
 def _ring_cells_udf(level: int, ring: int):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _ring(cell: pd.Series) -> pd.Series:
@@ -46,56 +43,6 @@ def _ring_cells_udf(level: int, ring: int):
         return pd.Series([np.unique(row).tolist() for row in grid])
 
     return _ring
-
-
-def _guarantee_udf(level: int, ring: int, metric: str):
-    """Per-query lower bound on the distance to anything outside the
-    searched window; +inf when the window covers the whole grid."""
-
-    @F.pandas_udf(T.DoubleType())
-    def _g(lat: pd.Series, lon: pd.Series) -> pd.Series:
-        la = lat.to_numpy(np.float64)
-        lo = lon.to_numpy(np.float64)
-        n = 1 << level
-        x, y = C.quantize(la, lo, level)
-        h_lat, h_lon = C.cell_size_deg(level)
-        # window rows [y-ring, y+ring] clamped; cols wrap
-        lat_lo_edge = np.maximum(y - ring, 0) * h_lat - 90.0
-        lat_hi_edge = (np.minimum(y + ring, n - 1) + 1) * h_lat - 90.0
-        gap_lat = np.minimum(la - lat_lo_edge, lat_hi_edge - la)
-        # if the window reaches the pole on a side, that side is safe
-        gap_lat = np.where(y - ring <= 0, lat_hi_edge - la, gap_lat)
-        gap_lat = np.where(y + ring >= n - 1,
-                           np.where(y - ring <= 0, np.inf, la - lat_lo_edge), gap_lat)
-        lon_lo_edge = (x - ring) * h_lon - 180.0
-        lon_hi_edge = (x + ring + 1) * h_lon - 180.0
-        gap_lon = np.minimum(lo - lon_lo_edge, lon_hi_edge - lo)
-        covers_lon = (2 * ring + 1) >= n
-        if metric == "euclid2_deg":
-            # raw-degree metric: no lon wrap; clamp handled by edges
-            g = np.minimum(gap_lat, gap_lon)
-            g = np.where(covers_lon & (y - ring <= 0) & (y + ring >= n - 1), np.inf, g)
-            out = g * g  # squared-degree space
-        else:
-            phi_max = np.maximum(np.abs(lat_lo_edge), np.abs(lat_hi_edge))
-            phi_max = np.minimum(phi_max, 90.0)
-            d_lat = gap_lat * _DEG_M
-            d_lon = (
-                2.0
-                * EARTH_RADIUS_M
-                * np.arcsin(
-                    np.clip(
-                        np.cos(np.radians(phi_max)) * np.sin(np.radians(gap_lon) / 2.0), 0.0, 1.0
-                    )
-                )
-            )
-            d_lon = np.where(covers_lon, np.inf, d_lon)
-            g = np.minimum(d_lat, d_lon)
-            g = np.where(covers_lon & (y - ring <= 0) & (y + ring >= n - 1), np.inf, g)
-            out = g * 0.999  # small safety margin against float rounding
-        return pd.Series(out)
-
-    return _g
 
 
 @F.pandas_udf(T.DoubleType())
@@ -347,10 +294,10 @@ def knn_two_round(
     max_window_cells: int = 4096,
     sample_cap: int | None = None,
 ) -> DataFrame:
-    """Exact kNN for LARGE query sets: a FIXED two-round plan with no
-    driver pacing (the ring path runs up to max_rounds driver-
-    synchronized jobs with eager checkpoints — at 10^7+ queries the
-    driver becomes the scheduler bottleneck; SURVEY §2.3 G5).
+    """Exact kNN via a FIXED two-round plan with no driver pacing
+    (SURVEY §2.3 G5 — the deleted ring-expansion loop serialized dozens
+    of driver-synchronized jobs with eager checkpoints; at 10^7+
+    queries the driver becomes the scheduler bottleneck).
 
       round A: every query joins candidates in its 3x3 cell window
                (one shuffle on cell) -> per-query k-th distance = a
@@ -470,7 +417,6 @@ def knn_join(
     query_id: str = "doc_id",
     cand_id: str = "doc_id",
     exclude_self: bool = True,
-    max_rounds: int = 8,
     auto_levels: tuple[int, int] = (6, 15),
     brute_max_queries: int = 10_000,
     _cand_count: int | None = None,
@@ -480,12 +426,14 @@ def knn_join(
     Returns (query_id, neighbor_id, rank, dist) — rank 1-based by
     (dist, neighbor_id).
 
-    ``level="auto"`` routes between the three exact paths:
+    ``level="auto"`` routes between the two exact paths:
       - <= brute_max_queries -> broadcast-brute BLAS pass (two jobs);
       - larger query sets -> per-query LEVEL assignment (below), then
-        the fixed two-round plan (knn_two_round) per level group;
-      - explicit int level -> the ring-expansion loop below (exact,
-        driver-paced; kept for small remainders and back-compat).
+        the fixed two-round plan (knn_two_round) per level group.
+    An explicit int level skips the assignment and runs the two-round
+    plan at that level directly (its brute tail covers queries whose
+    window is too sparse at the chosen level, so the result is exact
+    at ANY level — a bad level only costs performance).
 
     The level assignment handles skewed corpora (a dense city holding
     half the docs — BASELINE.json:6): queries whose fine-level 3x3
@@ -586,111 +534,8 @@ def knn_join(
         assign.unpersist()
         return out
 
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col("lat").alias("q_lat"),
-        F.col("lon").alias("q_lon"),
+    # explicit level: the same fixed two-round plan, no driver pacing
+    return knn_two_round(
+        spark, queries, candidates, k, int(level), metric,
+        query_id, cand_id, exclude_self,
     )
-    q = with_cell(q, level, "q_lat", "q_lon", "q_cell")
-    cand = candidates.select(
-        F.col(cand_id).alias("neighbor_id"),
-        F.col("lat").alias("c_lat"),
-        F.col("lon").alias("c_lon"),
-    )
-    cand = with_cell(cand, level, "c_lat", "c_lon", "cell").cache()
-
-    total_cands = _cand_count if _cand_count is not None else cand.count()
-    remaining = q
-    results: DataFrame | None = None
-    ring = 1
-    # past this window size the explode costs more than scanning all
-    # candidates for the (few) still-unresolved queries — brute-force them
-    brute_force_cells = 2048
-    for rnd in range(max_rounds):
-        if remaining.isEmpty():
-            break
-        if (2 * ring + 1) ** 2 > brute_force_cells:
-            break
-        ring_cells = _ring_cells_udf(level, ring)
-        q_exp = remaining.withColumn("cell", F.explode(ring_cells(F.col("q_cell"))))
-        joined = q_exp.join(cand, "cell", "inner").drop("cell")
-        if exclude_self:
-            joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-        if metric == "euclid2_deg":
-            dist = (F.col("q_lat") - F.col("c_lat")) * (F.col("q_lat") - F.col("c_lat")) + (
-                F.col("q_lon") - F.col("c_lon")
-            ) * (F.col("q_lon") - F.col("c_lon"))
-        else:
-            dist = _haversine_udf(
-                F.col("q_lat"), F.col("q_lon"), F.col("c_lat"), F.col("c_lon")
-            )
-        joined = joined.withColumn("dist", dist)
-
-        w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
-        ranked = (
-            joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).cache()
-        )  # consumed twice per round (stats + emit) — avoid re-running the join
-
-        guarantee = _guarantee_udf(level, ring, metric)
-        per_q = ranked.groupBy("query_id").agg(
-            F.max("dist").alias("_kth_dist"), F.count(F.lit(1)).alias("_n_found")
-        )
-        self_adj = 1 if exclude_self else 0
-        resolved_q = (
-            remaining.join(per_q, "query_id", "left")
-            .withColumn("_guar", guarantee(F.col("q_lat"), F.col("q_lon")))
-            .withColumn(
-                "_resolved",
-                (
-                    (F.coalesce(F.col("_n_found"), F.lit(0)) >= F.lit(min(k, max(total_cands - self_adj, 0))))
-                    & (F.coalesce(F.col("_kth_dist"), F.lit(float("inf"))) <= F.col("_guar"))
-                )
-                | F.col("_guar").isNull()
-                | (F.col("_guar") == F.lit(float("inf"))),
-            )
-        ).cache()
-
-        done_ids = resolved_q.filter("_resolved").select("query_id")
-        part = ranked.join(F.broadcast(done_ids), "query_id", "left_semi").select(
-            "query_id", "neighbor_id", "rank", "dist"
-        )
-        results = part if results is None else results.unionByName(part)
-        # materialize this round's results before remaining shrinks
-        results = results.localCheckpoint(eager=True)
-        remaining = (
-            resolved_q.filter(~F.col("_resolved"))
-            .select("query_id", "q_lat", "q_lon", "q_cell")
-            .localCheckpoint(eager=True)
-        )
-        ranked.unpersist()
-        resolved_q.unpersist()
-        ring *= 2
-
-    # brute-force tail: whatever is still unresolved scans all candidates
-    # (exact; used when rings would have to grow near grid size anyway)
-    if not remaining.isEmpty():
-        joined = remaining.select("query_id", "q_lat", "q_lon").crossJoin(
-            cand.drop("cell")
-        )
-        if exclude_self:
-            joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-        if metric == "euclid2_deg":
-            dist = (F.col("q_lat") - F.col("c_lat")) * (F.col("q_lat") - F.col("c_lat")) + (
-                F.col("q_lon") - F.col("c_lon")
-            ) * (F.col("q_lon") - F.col("c_lon"))
-        else:
-            dist = _haversine_udf(F.col("q_lat"), F.col("q_lon"), F.col("c_lat"), F.col("c_lon"))
-        w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
-        tail = (
-            joined.withColumn("dist", dist)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "dist")
-        )
-        results = tail if results is None else results.unionByName(tail)
-
-    if results is None:
-        return spark.createDataFrame(
-            [], "query_id string, neighbor_id string, rank int, dist double"
-        )
-    return results

@@ -23,7 +23,7 @@ def point_set(n=400, seed=3, clustered=True):
     (1, "haversine", 6),
     (5, "haversine", 6),
     (5, "euclid2_deg", 8),
-    (10, "haversine", 10),  # deep level forces several expansion rounds
+    (10, "haversine", 10),  # deep level: sparse windows exercise the brute tail
 ])
 def test_knn_self_join_matches_bruteforce(spark, k, metric, level):
     pts = point_set()
