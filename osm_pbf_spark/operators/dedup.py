@@ -345,18 +345,63 @@ def minhash_lsh_pairs(
 # ---------------- SimHash ----------------
 
 
-def _simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (deterministic)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in (text or "").split():
-        h = int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+def _simhash64_batch(texts) -> np.ndarray:
+    """64-bit SimHash over whitespace tokens, BATCHED (returns uint64).
+
+    Bit-identical to the original scalar spec (token hash = 8-byte
+    little-endian blake2b; bit i set iff more token hashes have bit i
+    set than clear), but the per-token work is restructured for the
+    Arrow batch: each DISTINCT token in the batch is hashed exactly
+    once (the token vocabulary is tiny vs the corpus — natural-language
+    Zipf reuse), the vocab's bit matrix is built in one vectorized
+    shift, and the per-doc +-1 accumulation becomes a segmented bit-sum
+    (``2*bitsum > n_tokens`` <=> the +-1 sum is positive). The expanded
+    (tokens x 64) block is chunked to stay cache-resident.
+    """
+    docs_tokens = [(t or "").split() for t in texts]
+    n_docs = len(docs_tokens)
+    vocab: dict[str, int] = {}
+    tok_ids: list[int] = []
+    lens = np.empty(n_docs, dtype=np.int64)
+    for i, toks in enumerate(docs_tokens):
+        lens[i] = len(toks)
+        for tok in toks:
+            j = vocab.get(tok)
+            if j is None:
+                j = len(vocab)
+                vocab[tok] = j
+            tok_ids.append(j)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if not vocab:
+        return out
+    hs = np.empty(len(vocab), dtype=np.uint64)
+    for tok, j in vocab.items():
+        hs[j] = int.from_bytes(
+            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little"
+        )
+    bits_vocab = (
+        (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.int32)
+    ids = np.asarray(tok_ids, dtype=np.int64)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    nonempty = np.nonzero(lens > 0)[0]
+    chunk_docs = 2048  # bounds the expanded block at ~a few MB
+    for s in range(0, len(nonempty), chunk_docs):
+        d = nonempty[s : s + chunk_docs]
+        seg = ids[starts[d[0]] : starts[d[-1] + 1]]
+        expanded = bits_vocab[seg]  # (tokens_in_chunk, 64)
+        bounds = starts[d] - starts[d[0]]  # strictly increasing: no empty docs
+        sums = np.add.reduceat(expanded, bounds, axis=0)
+        bit_set = (2 * sums) > lens[d, None]
+        out[d] = (bit_set.astype(np.uint64) * weights[None, :]).sum(axis=1)
     return out
+
+
+def _simhash64(text: str) -> int:
+    """Scalar wrapper (oracle/test surface) over the batched kernel."""
+    return int(_simhash64_batch([text])[0])
 
 
 def simhash_pairs(
@@ -370,9 +415,14 @@ def simhash_pairs(
     """Near-dup pairs with simhash hamming distance <= max_hamming.
 
     Both schemes are EXACT-recall candidate generators for hamming<=3
-    followed by a native popcount verify, so they produce IDENTICAL
-    output (tests assert this) — they differ only in bucket-occupancy
-    scaling:
+    followed by a native popcount verify, so with ``max_bucket=None``
+    (or any cap no bucket reaches) they produce IDENTICAL output —
+    tests assert this. When the cap DOES engage the schemes may drop
+    different pairs (quarters caps the one keyed table used on both
+    join sides; halves32 caps only the exact side), and any engaged cap
+    is a recall change the gate oracles do not model — the driver-gate
+    corpora stay far below the default cap. They differ in
+    bucket-occupancy scaling:
 
     - ``quarters``: any pair within hamming<=3 of 64 bits shares at
       least one of 4 16-bit quarters (pigeonhole). Cheap (4 key rows
@@ -396,7 +446,7 @@ def simhash_pairs(
 
     @F.pandas_udf(T.LongType())
     def _sh(text: pd.Series) -> pd.Series:
-        return pd.Series([np.int64(np.uint64(_simhash64(t))) for t in text], dtype=np.int64)
+        return pd.Series(_simhash64_batch(list(text)).view(np.int64))
 
     reps, members = _collapse_exact(docs, text_col, id_col)
     sh = _min_parallel(reps).select(F.col("id"), _sh(F.col("_text")).alias("sh"))
