@@ -13,6 +13,31 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """min(32g, ~half of detected RAM): single-JVM local mode sizes the
+    driver heap like an executor fleet (32 concurrent tasks of sort/join
+    buffers), but on smaller or cgroup-limited hosts (CI containers) a
+    fixed 32g heap would exceed the memory limit and die at the first
+    large allocation instead of degrading. SPARK_DRIVER_MEMORY overrides."""
+    limits = []
+    try:
+        limits.append(os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES"))
+    except (ValueError, OSError, AttributeError):
+        pass
+    for p in ("/sys/fs/cgroup/memory.max", "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            with open(p) as f:
+                v = f.read().strip()
+            if v.isdigit():
+                limits.append(int(v))
+        except OSError:
+            pass
+    if not limits:
+        return "8g"
+    half_gib = max(int(min(limits) / (1 << 30) // 2), 1)
+    return f"{min(half_gib, 32)}g"
+
+
 def get_spark(
     app_name: str = "osm-pbf-spark",
     master: str | None = None,
@@ -45,9 +70,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # single-JVM local mode: the driver IS the executor, so size its
-        # heap like an executor fleet (box has 128 GiB; 32 concurrent
-        # tasks x sort/join buffers need far more than a driver-only 8g)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # heap like an executor fleet — but never past what the host
+        # (or its cgroup) actually has
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

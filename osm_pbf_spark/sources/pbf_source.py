@@ -340,50 +340,64 @@ def polygons_from_relations(
         .filter((F.col("m.type") == "way") & F.col("m.role").isin("outer", "inner"))
         .select("rel_id", "m_pos", F.col("m.ref").alias("way_id"), F.col("m.role").alias("role"))
     )
+    # guard on the RELATION count directly (the former row-limit guard
+    # silently truncated member rows of kept relations when relations
+    # averaged >100 member ways — partial segment sets stitch into
+    # wrong or missing polygons with no error)
+    n_rels = members.select("rel_id").distinct().limit(max_polygons + 1).count()
+    if n_rels > max_polygons:
+        raise ValueError(f"more than {max_polygons} multipolygon relations; raise max_polygons")
+
     way_pts = ways_df.select(F.col("id").alias("way_id"), "refs").join(
         members.select("way_id").distinct(), "way_id", "inner"
     )
-    exploded = way_pts.select("way_id", "refs", F.posexplode("refs").alias("pos", "ref"))
-    joined = exploded.join(
-        nodes_df.select(F.col("id").alias("ref"), "lat", "lon"), "ref", "inner"
-    )
+    # the packed-vertex assembly (same regroup plan as G8); refs ride
+    # back in via a join on way_id — the coordinate arrays come out in
+    # pos order, i.e. aligned with the original refs array
     geoms = (
-        joined.groupBy("way_id")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("pos", "ref", "lat", "lon"))).alias("_pts"),
-            F.first("refs").alias("refs"),
-        )
+        assemble_way_geometries(way_pts.select(F.col("way_id").alias("id"), "refs"), nodes_df)
+        .join(way_pts, "way_id", "inner")
         # drop ways with unresolved refs: a partial ring is broken geometry
-        .filter(F.size("_pts") == F.size("refs"))
-        .select("way_id", "_pts")
+        .filter(F.size("points") == F.size("refs"))
+        .select("way_id", "refs", "points")
     )
     rows = (
         members.join(geoms, "way_id", "inner")
-        .select("rel_id", "m_pos", "role", "_pts")
-        .limit(100 * (max_polygons + 1))
+        .select("rel_id", "m_pos", "role", "refs", "points")
         .collect()
     )
     by_rel: dict = {}
     for r in rows:
         by_rel.setdefault(r["rel_id"], []).append(r)
-    if len(by_rel) > max_polygons:
-        raise ValueError(f"more than {max_polygons} multipolygon relations; raise max_polygons")
 
     out = []
     for rel_id in sorted(by_rel):
         segs = {"outer": [], "inner": []}
         for r in sorted(by_rel[rel_id], key=lambda r: r["m_pos"]):
-            refs = [p["ref"] for p in r["_pts"]]
-            pts = [(p["lat"], p["lon"]) for p in r["_pts"]]
+            refs = list(r["refs"])
+            pts = [(p["lat"], p["lon"]) for p in r["points"]]
             segs[r["role"]].append((refs, pts))
-        outers, _ = stitch_rings(segs["outer"])
-        inners, _ = stitch_rings(segs["inner"])
+        outers, leftover_o = stitch_rings(segs["outer"])
+        inners, leftover_i = stitch_rings(segs["inner"])
+        if leftover_o or leftover_i:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "relation/%s: dropped %d outer / %d inner unclosable segment chains",
+                rel_id, leftover_o, leftover_i,
+            )
         if not outers:
             continue
         holes_for = {i: [] for i in range(len(outers))}
         for hole in inners:
             for i, outer in enumerate(outers):
-                if _point_in_ring_scalar(hole[0][0], hole[0][1], outer):
+                # probe with a hole vertex NOT shared with this outer
+                # ring when one exists (a shared touch point — legal in
+                # OSM — sits exactly on the boundary, where the even-odd
+                # test is unreliable); fall back to the first vertex
+                outer_set = set(outer)
+                probe = next((v for v in hole if v not in outer_set), hole[0])
+                if _point_in_ring_scalar(probe[0], probe[1], outer):
                     holes_for[i].append(hole)
                     break
         for i, outer in enumerate(outers):
@@ -491,14 +505,41 @@ def relations(entities: DataFrame) -> DataFrame:
     return entities.filter(F.col("kind") == "relation").drop("lat", "lon", "refs")
 
 
+# packed-vertex layout for the assembly regroup: (pos << 39) | biased
+# nanodegrees. 39 bits hold lon's full biased range (360e9 < 2^39); pos
+# keeps 24 bits (spec caps ways at 2000 refs), total 63 bits — positive
+# int64. Nanodegrees are EXACT int64s (decode computes 1e-9 * nano with
+# integer nano), so rint(coord * 1e9) recovers them and (nano as
+# double) * 1e-9 reproduces the original double bit-for-bit.
+_NANO_MASK = (1 << 39) - 1
+_LAT_BIAS = 90_000_000_000
+_LON_BIAS = 180_000_000_000
+
+
+def _pack_vertex(coord_col: str, bias: int):
+    nano = F.round(F.col(coord_col) * F.lit(1e9)).cast("long") + F.lit(bias)
+    return F.shiftleft(F.col("pos").cast("long"), 39).bitwiseOR(nano)
+
+
+def _unpack_coord(packed, bias: int):
+    return (packed.bitwiseAND(F.lit(_NANO_MASK)) - F.lit(bias)).cast("double") * F.lit(1e-9)
+
+
 def assemble_way_geometries(ways_df: DataFrame, nodes_df: DataFrame) -> DataFrame:
     """Way geometry assembly (SURVEY.md §2.3 G8): refs -> ordered coords.
 
     The reference resolves refs against an in-memory node hash; the
     distributed equivalent is posexplode + an equi-join on node id
     (sort-merge above the broadcast threshold — the largest shuffle of
-    the decode pipeline) + re-assembly with sort_array(collect_list).
-    Emits ``is_closed`` (first ref == last ref) marking polygon ways.
+    the decode pipeline) + regroup by way.
+
+    Shuffle-volume note (r3): the regroup used to carry
+    struct(pos, lat, lon) rows inside collect_list partial buffers
+    (~28 B + struct headers per vertex, struct-comparator sort). It now
+    carries TWO packed int64s per vertex — 16 B flat — sorted with
+    plain long comparisons (pos rides the high bits) and unpacked to
+    the identical coordinate doubles after the shuffle.
+    Emits ``is_closed`` (first coord == last coord) marking polygons.
     """
     exploded = ways_df.select(
         F.col("id").alias("way_id"),
@@ -508,15 +549,24 @@ def assemble_way_geometries(ways_df: DataFrame, nodes_df: DataFrame) -> DataFram
         nodes_df.select(F.col("id").alias("ref"), "lat", "lon"), on="ref", how="inner"
     )
     geom = joined.groupBy("way_id").agg(
-        F.sort_array(F.collect_list(F.struct("pos", "lat", "lon"))).alias("_pts")
+        F.array_sort(F.collect_list(_pack_vertex("lat", _LAT_BIAS))).alias("_pl"),
+        F.array_sort(F.collect_list(_pack_vertex("lon", _LON_BIAS))).alias("_pn"),
     )
+
+    def _ends_eq(col_name: str):
+        return F.element_at(col_name, 1).bitwiseAND(F.lit(_NANO_MASK)) == F.element_at(
+            col_name, -1
+        ).bitwiseAND(F.lit(_NANO_MASK))
+
     return geom.select(
         "way_id",
-        F.transform("_pts", lambda p: F.struct(p["lat"].alias("lat"), p["lon"].alias("lon"))).alias(
-            "points"
-        ),
-        (
-            (F.element_at("_pts", 1)["lat"] == F.element_at("_pts", -1)["lat"])
-            & (F.element_at("_pts", 1)["lon"] == F.element_at("_pts", -1)["lon"])
-        ).alias("is_closed"),
+        F.zip_with(
+            "_pl",
+            "_pn",
+            lambda a, b: F.struct(
+                _unpack_coord(a, _LAT_BIAS).alias("lat"),
+                _unpack_coord(b, _LON_BIAS).alias("lon"),
+            ),
+        ).alias("points"),
+        (_ends_eq("_pl") & _ends_eq("_pn")).alias("is_closed"),
     )

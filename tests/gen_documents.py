@@ -20,10 +20,41 @@ TAG_KEYS = ["amenity", "highway", "name", "shop", "building"]
 TAG_VALS = ["cafe", "primary", "alpha", "bakery", "yes", "tower", "stop"]
 
 
+def _cache_valid(path: str, params: dict) -> bool:
+    """Reuse a cached corpus only when its params SIDECAR matches: the
+    file content depends on every generation parameter, and a stale
+    file at the same path (different hot_fraction/n_rels) would
+    silently skew benchmarks. Missing/mismatched sidecar -> regenerate."""
+    import json
+
+    if not os.path.exists(path):
+        return False
+    try:
+        with open(path + ".params.json") as f:
+            if json.load(f) == params:
+                return True
+    except (OSError, ValueError):
+        pass
+    os.remove(path)
+    return False
+
+
+def _write_sidecar(path: str, params: dict) -> None:
+    import json
+
+    tmp = path + ".params.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(params, f, sort_keys=True)
+    os.replace(tmp, path + ".params.json")
+
+
 def synth_pbf(path: str, n_nodes: int, nodes_per_blob: int = 8000,
               hot_fraction: float = 0.5) -> str:
-    """Write a deterministic n-node PBF; returns path (cached if exists)."""
-    if os.path.exists(path):
+    """Write a deterministic n-node PBF; returns path (cached if the
+    params sidecar matches)."""
+    params = {"kind": "nodes", "n_nodes": n_nodes, "nodes_per_blob": nodes_per_blob,
+              "hot_fraction": hot_fraction, "seed": SEED}
+    if _cache_valid(path, params):
         return path
     rng = np.random.default_rng(SEED)
     n_hot = int(n_nodes * hot_fraction)
@@ -57,6 +88,7 @@ def synth_pbf(path: str, n_nodes: int, nodes_per_blob: int = 8000,
     tmp = path + ".tmp"
     E.write_pbf(tmp, blocks)
     os.replace(tmp, path)
+    _write_sidecar(path, params)
     return path
 
 
@@ -76,9 +108,12 @@ def synth_pbf_mixed(path: str, n_nodes: int, n_ways: int,
     CLOSED (first ref == last ref) so it assembles into a polygon.
     ``hot_fraction`` > 0 puts that share of nodes in the dense-city
     cluster (the scaling corpus uses 0.5, matching synth_pbf's skew).
-    Deterministic (SEED); cached by path.
+    Deterministic (SEED); cached via a params sidecar.
     """
-    if os.path.exists(path):
+    params = {"kind": "mixed", "n_nodes": n_nodes, "n_ways": n_ways,
+              "nodes_per_blob": nodes_per_blob, "hot_fraction": hot_fraction,
+              "n_rels": n_rels, "seed": SEED}
+    if _cache_valid(path, params):
         return path
     rng = np.random.default_rng(SEED + 1)
     n_hot = int(n_nodes * hot_fraction)
@@ -144,4 +179,5 @@ def synth_pbf_mixed(path: str, n_nodes: int, n_ways: int,
     tmp = path + ".tmp"
     E.write_pbf(tmp, blocks)
     os.replace(tmp, path)
+    _write_sidecar(path, params)
     return path
