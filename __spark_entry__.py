@@ -398,6 +398,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_pip_shuffle"] = q_pip_shuffle
 
+    def q_pip_rings(spark, sf):  # G2/G3 DataFrame-native polygon side:
+        # cover + refine fully distributed (no driver polygon collect) —
+        # the 10^6-polygon regime; same semantics as q_pip_join
+        from osm_pbf_spark.operators.spatial_join import pip_join_rings
+
+        rings = spark.createDataFrame(
+            [
+                (p.poly_id, 0, [(float(la), float(lo)) for la, lo in p.rings[0]])
+                for p in PIP_POLYGONS
+            ],
+            "poly_id string, ring_idx int, pts array<struct<lat: double, lon: double>>",
+        )
+        pts = customer_points(spark, sf)
+        return pip_join_rings(spark, pts, rings, level=8).select("doc_id", "poly_id")
+
+    q["q_pip_rings"] = q_pip_rings
+
     def q_knn(spark, sf):  # G5 kNN, explicit level -> fixed two-round plan
         pts = customer_points(spark, sf)
         queries_df = pts.filter(F.col("doc_id") <= 100)
@@ -1417,6 +1434,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pip_join": f"{pts} {SQL_PIP}",
         "q_pip_shuffle": f"{pts} {SQL_PIP}",
+        "q_pip_rings": f"{pts} {SQL_PIP}",
         "q_knn": f"""
             {pts}
             SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dist2 FROM (

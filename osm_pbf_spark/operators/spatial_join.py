@@ -275,3 +275,114 @@ def pip_join(
             yield pdf[keep].drop(columns=["full", "cell"])
 
     return full_part.unionByName(boundary.mapInPandas(_refine, out_schema))
+
+
+RINGS_SCHEMA = (
+    "poly_id string, ring_idx int, "
+    "pts array<struct<lat: double, lon: double>>"
+)
+
+
+def rings_from_closed_ways(geoms_df: DataFrame) -> DataFrame:
+    """Assembled closed ways -> rings DataFrame for pip_join_rings.
+
+    (way/<id>, ring_idx=0, pts without the closing duplicate). The
+    DataFrame-native sibling of sources.pbf_source.polygons_from_closed_
+    ways — no driver collect, no polygon-count cap."""
+    return geoms_df.filter("is_closed AND size(points) >= 4").select(
+        F.concat(F.lit("way/"), F.col("way_id").cast("string")).alias("poly_id"),
+        F.lit(0).alias("ring_idx"),
+        F.slice("points", 1, F.size("points") - 1).alias("pts"),
+    )
+
+
+def _grouped_rings(rings_df: DataFrame) -> DataFrame:
+    """(poly_id, ring_idx, pts) -> one row per polygon with its rings
+    sorted by ring_idx (ring 0 outer, rest holes)."""
+    return rings_df.groupBy("poly_id").agg(
+        F.sort_array(F.collect_list(F.struct("ring_idx", "pts"))).alias("_rings")
+    )
+
+
+def _np_rings(rings_cell) -> list[np.ndarray]:
+    return [
+        np.asarray([[q["lat"], q["lon"]] for q in r["pts"]], dtype=np.float64)
+        for r in rings_cell
+    ]
+
+
+def rings_cell_cover(rings_df: DataFrame, level: int) -> DataFrame:
+    """Distributed cell cover of a RINGS DataFrame -> (cell, poly_id,
+    full) rows, computed entirely on executors (one mapInPandas over
+    polygon rows; same classification as polygon_cell_cover)."""
+    polys = _grouped_rings(rings_df)
+
+    def _cover(batches):
+        for pdf in batches:
+            group = [
+                Polygon(pid, _np_rings(rings))
+                for pid, rings in zip(pdf["poly_id"], pdf["_rings"])
+            ]
+            if group:
+                yield polygon_cell_cover(group, level)
+
+    return polys.mapInPandas(_cover, "cell long, poly_id string, full boolean")
+
+
+def pip_join_rings(
+    spark: SparkSession,
+    points: DataFrame,
+    rings_df: DataFrame,
+    level: int = 12,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    salt_threshold: int = 2_000_000,
+) -> DataFrame:
+    """PIP join against a DataFrame polygon side — the 10^6+-polygon
+    regime (all building footprints) where ``pip_join``'s broadcast
+    list and 100k driver collect don't fit (SURVEY §2.3 G2/G3).
+
+    Same exact crossing-number semantics as ``pip_join``; nothing about
+    the polygons ever lands on the driver:
+
+      1. cover: one distributed pass over polygon rows (rings_cell_cover);
+      2. coarse: points shuffle-join the cover on cell, hot cells killed
+         by measured salting (operators.skew) with AQE as backstop;
+      3. refine: `full`-cell candidates bypass Python (provably inside);
+         boundary candidates COGROUP with their polygon's rings on
+         poly_id — the ring payload is shuffled once per polygon, not
+         duplicated per candidate row.
+
+    ``rings_df`` schema: RINGS_SCHEMA (ring 0 outer, rest holes; no
+    closing duplicate vertex).
+    """
+    from .skew import heavy_hitters, replicate_for_salt, with_salt
+
+    cover = rings_cell_cover(rings_df, level)
+    pts = with_cell(points, level, lat_col, lon_col)
+    heavy = heavy_hitters(pts, "cell", salt_threshold)
+    pts_s = with_salt(pts, "cell", heavy, [lat_col, lon_col], "_salt")
+    cover_s = replicate_for_salt(cover, "cell", heavy, "_salt")
+    cand = pts_s.join(cover_s, ["cell", "_salt"], "inner").drop("_salt")
+
+    out_schema = cand.drop("full", "cell").schema
+    full_part = cand.filter(F.col("full")).drop("full", "cell")
+    boundary = cand.filter(~F.col("full")).drop("full", "cell")
+
+    def _refine(cand_pdf: pd.DataFrame, rings_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand_pdf) or not len(rings_pdf):
+            return cand_pdf.iloc[0:0]
+        rings = _np_rings(rings_pdf["_rings"].iloc[0])
+        keep = point_in_polygon(
+            cand_pdf[lat_col].to_numpy(np.float64),
+            cand_pdf[lon_col].to_numpy(np.float64),
+            rings,
+        )
+        return cand_pdf[keep]
+
+    refined = (
+        boundary.groupBy("poly_id")
+        .cogroup(_grouped_rings(rings_df).groupBy("poly_id"))
+        .applyInPandas(_refine, out_schema)
+    )
+    return full_part.unionByName(refined)
