@@ -633,6 +633,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_media_features"] = q_media_features
 
+    def q_frame_sample(spark, sf):  # P10 video frame-sample plan
+        from osm_pbf_spark.operators.multimodal import frame_sample_plan
+
+        return frame_sample_plan(synth_media_table(spark, 64), every_ms=1000)
+
+    q["q_frame_sample"] = q_frame_sample
+
     # ---- PBF decode surface (consumes a deterministic synthesized PBF,
     # not the sf tables — the DuckDB oracles are VALUES literals built
     # from the pure-Python spec oracles in tests/oracle_pbf.py /
@@ -1078,6 +1085,16 @@ def _ora_sink_roundtrip() -> str:
          ("spans_total", "BIGINT"), ("media_len_total", "BIGINT")],
         rows,
     )
+
+
+def _ora_frame_sample() -> str:
+    rows = [
+        (f"m{i}", ts)
+        for i in range(64)
+        if i % 3 == 2  # synth_media_table: every 3rd row is video, 4000 ms
+        for ts in range(0, 4000, 1000)
+    ]
+    return _values_sql([("media_ref", "VARCHAR"), ("frame_ts_ms", "INTEGER")], rows)
 
 
 def _ora_media_features() -> str:
@@ -1633,6 +1650,7 @@ def oracle_sql() -> dict[str, str]:
         "q_way_pip": _ora_way_pip(),
         "q_rel_pip": _ora_rel_pip(),
         "q_media_features": _ora_media_features(),
+        "q_frame_sample": _ora_frame_sample(),
         "q_minhash_pairs": _ora_minhash_pairs(),
         "q_simhash_pairs": _ora_simhash_pairs(),
         "q_lsh_topk": _ora_lsh_topk(),
