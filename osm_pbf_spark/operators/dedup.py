@@ -381,21 +381,39 @@ def _simhash64_batch(texts) -> np.ndarray:
         )
     bits_vocab = (
         (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-    ).astype(np.int32)
+    ).astype(np.int8)
     ids = np.asarray(tok_ids, dtype=np.int64)
     starts = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
     weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     nonempty = np.nonzero(lens > 0)[0]
-    chunk_docs = 2048  # bounds the expanded block at ~a few MB
-    for s in range(0, len(nonempty), chunk_docs):
-        d = nonempty[s : s + chunk_docs]
-        seg = ids[starts[d[0]] : starts[d[-1] + 1]]
-        expanded = bits_vocab[seg]  # (tokens_in_chunk, 64)
-        bounds = starts[d] - starts[d[0]]  # strictly increasing: no empty docs
-        sums = np.add.reduceat(expanded, bounds, axis=0)
-        bit_set = (2 * sums) > lens[d, None]
-        out[d] = (bit_set.astype(np.uint64) * weights[None, :]).sum(axis=1)
+    # chunk by TOKEN count, not doc count: the expanded (tokens x 64)
+    # int8 block stays ~8 MB no matter how long individual documents
+    # are (a fixed doc-count chunk is unbounded for long documents)
+    chunk_tokens = 1 << 17
+    ne_lens = lens[nonempty]
+    cum = np.cumsum(ne_lens)
+    s = 0
+    while s < len(nonempty):
+        base = cum[s - 1] if s else 0
+        e = max(int(np.searchsorted(cum, base + chunk_tokens, side="right")), s + 1)
+        d = nonempty[s:e]
+        if len(d) == 1 and ne_lens[s] > chunk_tokens:
+            # one mega-document: accumulate its bit-sums in token slices
+            seg = ids[starts[d[0]] : starts[d[0] + 1]]
+            bsum = np.zeros(64, dtype=np.int64)
+            for t in range(0, len(seg), chunk_tokens):
+                bsum += bits_vocab[seg[t : t + chunk_tokens]].sum(axis=0, dtype=np.int64)
+            bit_set = (2 * bsum) > lens[d[0]]
+            out[d[0]] = (bit_set.astype(np.uint64) * weights).sum()
+        else:
+            seg = ids[starts[d[0]] : starts[d[-1] + 1]]
+            expanded = bits_vocab[seg]  # (tokens_in_chunk, 64)
+            bounds = starts[d] - starts[d[0]]  # strictly increasing: no empty docs
+            sums = np.add.reduceat(expanded, bounds, axis=0, dtype=np.int64)
+            bit_set = (2 * sums) > lens[d, None]
+            out[d] = (bit_set.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        s = e
     return out
 
 

@@ -311,31 +311,48 @@ def _np_rings(rings_cell) -> list[np.ndarray]:
     ]
 
 
-def rings_cell_cover(rings_df: DataFrame, level: int) -> DataFrame:
+def rings_cell_cover(
+    rings_df: DataFrame, level: int | str, target_cells: int = 256
+) -> DataFrame:
     """Distributed cell cover of a RINGS DataFrame -> (cell, poly_id,
-    full) rows, computed entirely on executors (one mapInPandas over
-    polygon rows; same classification as polygon_cell_cover)."""
-    polys = _grouped_rings(rings_df)
+    full, level) rows, computed entirely on executors (one mapInPandas
+    over polygon rows; same classification as polygon_cell_cover).
 
+    ``level="auto"`` normalizes per polygon (pick_cover_level): without
+    it one oversized polygon (an admin boundary among 10^6 building
+    footprints) meshgrids ~10^5+ cells and runs the per-edge loop
+    against all of them inside a single task."""
+    return _rings_cover_from_grouped(_grouped_rings(rings_df), level, target_cells)
+
+
+def _rings_cover_from_grouped(
+    polys: DataFrame, level: int | str, target_cells: int
+) -> DataFrame:
     def _cover(batches):
         for pdf in batches:
-            group = [
-                Polygon(pid, _np_rings(rings))
-                for pid, rings in zip(pdf["poly_id"], pdf["_rings"])
-            ]
-            if group:
-                yield polygon_cell_cover(group, level)
+            by_level: dict[int, list[Polygon]] = {}
+            for pid, rings in zip(pdf["poly_id"], pdf["_rings"]):
+                p = Polygon(pid, _np_rings(rings))
+                lvl = level if level != "auto" else pick_cover_level(p, target_cells)
+                by_level.setdefault(lvl, []).append(p)
+            for lvl, group in sorted(by_level.items()):
+                out = polygon_cell_cover(group, lvl)
+                out["level"] = np.int32(lvl)
+                yield out
 
-    return polys.mapInPandas(_cover, "cell long, poly_id string, full boolean")
+    return polys.mapInPandas(
+        _cover, "cell long, poly_id string, full boolean, level int"
+    )
 
 
 def pip_join_rings(
     spark: SparkSession,
     points: DataFrame,
     rings_df: DataFrame,
-    level: int = 12,
+    level: int | str = "auto",
     lat_col: str = "lat",
     lon_col: str = "lon",
+    target_cells: int = 256,
     salt_threshold: int = 2_000_000,
 ) -> DataFrame:
     """PIP join against a DataFrame polygon side — the 10^6+-polygon
@@ -343,31 +360,51 @@ def pip_join_rings(
     list and 100k driver collect don't fit (SURVEY §2.3 G2/G3).
 
     Same exact crossing-number semantics as ``pip_join``; nothing about
-    the polygons ever lands on the driver:
+    the polygons ever lands on the driver (the only driver action is
+    the distinct cover-LEVEL list — at most 15 ints):
 
-      1. cover: one distributed pass over polygon rows (rings_cell_cover);
-      2. coarse: points shuffle-join the cover on cell, hot cells killed
-         by measured salting (operators.skew) with AQE as backstop;
+      1. cover: one distributed pass over polygon rows
+         (rings_cell_cover), per-polygon level normalization when
+         ``level="auto"`` (same pick_cover_level rule as pip_join —
+         bounded cover work for huge polygons, thin refine bands for
+         small ones); the cover is persisted so the Python cover pass
+         runs once, not once per level;
+      2. coarse: points shuffle-join the cover on cell — one join per
+         DISTINCT cover level (typically 1-3 for a homogeneous polygon
+         set), hot cells killed by measured salting (operators.skew)
+         with AQE as backstop;
       3. refine: `full`-cell candidates bypass Python (provably inside);
          boundary candidates COGROUP with their polygon's rings on
          poly_id — the ring payload is shuffled once per polygon, not
-         duplicated per candidate row.
+         duplicated per candidate row. The grouped-rings subtree is
+         shared with the cover pass, so its shuffle is reused
+         (ReuseExchange) rather than re-aggregated from scratch.
 
     ``rings_df`` schema: RINGS_SCHEMA (ring 0 outer, rest holes; no
     closing duplicate vertex).
     """
     from .skew import heavy_hitters, replicate_for_salt, with_salt
 
-    cover = rings_cell_cover(rings_df, level)
-    pts = with_cell(points, level, lat_col, lon_col)
-    heavy = heavy_hitters(pts, "cell", salt_threshold)
-    pts_s = with_salt(pts, "cell", heavy, [lat_col, lon_col], "_salt")
-    cover_s = replicate_for_salt(cover, "cell", heavy, "_salt")
-    cand = pts_s.join(cover_s, ["cell", "_salt"], "inner").drop("_salt")
+    polys = _grouped_rings(rings_df)
+    cover = _rings_cover_from_grouped(polys, level, target_cells).persist()
+    levels = sorted(r["level"] for r in cover.select("level").distinct().collect())
 
-    out_schema = cand.drop("full", "cell").schema
-    full_part = cand.filter(F.col("full")).drop("full", "cell")
-    boundary = cand.filter(~F.col("full")).drop("full", "cell")
+    cand = None
+    for lvl in levels:
+        cov_l = cover.filter(F.col("level") == lvl).drop("level")
+        pts = with_cell(points, lvl, lat_col, lon_col)
+        heavy = heavy_hitters(pts, "cell", salt_threshold)
+        pts_s = with_salt(pts, "cell", heavy, [lat_col, lon_col], "_salt")
+        cov_s = replicate_for_salt(cov_l, "cell", heavy, "_salt")
+        part = pts_s.join(cov_s, ["cell", "_salt"], "inner").drop("_salt", "cell")
+        cand = part if cand is None else cand.unionByName(part)
+    if cand is None:  # empty polygon side: empty result, points+poly_id schema
+        empty = spark.createDataFrame([], "cell long, poly_id string, full boolean")
+        cand = with_cell(points, 12, lat_col, lon_col).join(empty, "cell").drop("cell")
+
+    out_schema = cand.drop("full").schema
+    full_part = cand.filter(F.col("full")).drop("full")
+    boundary = cand.filter(~F.col("full")).drop("full")
 
     def _refine(cand_pdf: pd.DataFrame, rings_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(cand_pdf) or not len(rings_pdf):
@@ -382,7 +419,7 @@ def pip_join_rings(
 
     refined = (
         boundary.groupBy("poly_id")
-        .cogroup(_grouped_rings(rings_df).groupBy("poly_id"))
+        .cogroup(polys.groupBy("poly_id"))
         .applyInPandas(_refine, out_schema)
     )
     return full_part.unionByName(refined)

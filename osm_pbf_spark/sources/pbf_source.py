@@ -309,6 +309,7 @@ def polygons_from_relations(
     ways_df: DataFrame,
     nodes_df: DataFrame,
     max_polygons: int = 100_000,
+    max_vertices: int = 20_000_000,
 ):
     """type=multipolygon relations -> Polygon list with HOLES (SURVEY
     §2.3 G2; the reference indexes relation geometries alongside ways).
@@ -361,13 +362,26 @@ def polygons_from_relations(
         .filter(F.size("points") == F.size("refs"))
         .select("way_id", "refs", "points")
     )
-    rows = (
-        members.join(geoms, "way_id", "inner")
-        .select("rel_id", "m_pos", "role", "refs", "points")
-        .collect()
+    rows_df = members.join(geoms, "way_id", "inner").select(
+        "rel_id", "m_pos", "role", "refs", "points"
     )
+    # stream member rows to the driver with a VERTEX budget instead of
+    # an unbounded collect(): member-heavy relations (coastlines with
+    # thousands of member ways) can carry far more geometry than the
+    # relation-count guard alone bounds. Exceeding the budget fails
+    # loudly — the scale path for huge polygon sides is the rings
+    # DataFrame (operators.spatial_join.pip_join_rings), not this
+    # driver-assembled broadcast list.
     by_rel: dict = {}
-    for r in rows:
+    seen_vertices = 0
+    for r in rows_df.toLocalIterator(prefetchPartitions=True):
+        seen_vertices += len(r["points"])
+        if seen_vertices > max_vertices:
+            raise ValueError(
+                f"multipolygon member geometry exceeds max_vertices={max_vertices}; "
+                "raise it or use the rings-DataFrame join path "
+                "(operators.spatial_join.pip_join_rings)"
+            )
         by_rel.setdefault(r["rel_id"], []).append(r)
 
     out = []
@@ -517,8 +531,25 @@ _LON_BIAS = 180_000_000_000
 
 
 def _pack_vertex(coord_col: str, bias: int):
+    # validate the pack's preconditions PER ROW: a biased nanodegree
+    # outside [0, 2^39) (malformed PBF lat/lon offsets push coords out
+    # of range) or pos >= 2^24 would smear bits across fields and sort
+    # vertices into silently wrong geometry — fail loudly instead.
+    # Two codegen comparisons per vertex; negligible vs the shuffle.
     nano = F.round(F.col(coord_col) * F.lit(1e9)).cast("long") + F.lit(bias)
-    return F.shiftleft(F.col("pos").cast("long"), 39).bitwiseOR(nano)
+    packed = F.shiftleft(F.col("pos").cast("long"), 39).bitwiseOR(nano)
+    ok = (nano >= 0) & (nano <= _NANO_MASK) & (F.col("pos") < F.lit(1 << 24))
+    return F.when(ok, packed).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"way vertex not packable ({coord_col} out of range or >16M refs; "
+                      "corrupt PBF offsets?): coord="),
+                F.col(coord_col).cast("string"),
+                F.lit(" pos="),
+                F.col("pos").cast("string"),
+            )
+        )
+    )
 
 
 def _unpack_coord(packed, bias: int):

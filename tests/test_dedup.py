@@ -148,3 +148,42 @@ def test_ngram_jaccard_is_exact(spark):
     docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
     out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, 3, 0.5).collect()}
     assert (1, 4) in out and out[(1, 4)] == 1.0
+
+
+def test_simhash_batch_token_chunking_bit_identical():
+    """The batched kernel chunks by TOKEN count (a fixed doc-count
+    chunk is unbounded for long documents): a >2^17-token mega-doc and
+    docs straddling chunk boundaries must match the scalar blake2b
+    spec bit-for-bit."""
+    import hashlib
+
+    import numpy as np
+
+    from osm_pbf_spark.operators.dedup import _simhash64_batch
+
+    def scalar_spec(text):
+        toks = (text or "").split()
+        if not toks:
+            return 0
+        acc = [0] * 64
+        for t in toks:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+            )
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(64) if acc[i] > 0)
+
+    rng = np.random.default_rng(3)
+    vocab = ["tok%d" % i for i in range(97)]
+    texts = ["", None, "solo"]
+    texts += [
+        " ".join(vocab[j] for j in rng.integers(0, len(vocab), int(k)))
+        for k in rng.integers(1, 400, 40)
+    ]
+    # mega-doc: 150k tokens > the 2^17-token slice at batch head,
+    # middle, and tail positions
+    mega = " ".join(vocab[j] for j in rng.integers(0, len(vocab), 150_000))
+    for batch in ([mega] + texts, texts[:20] + [mega] + texts[20:], texts + [mega]):
+        got = _simhash64_batch(batch)
+        assert [int(g) for g in got] == [scalar_spec(t) for t in batch]

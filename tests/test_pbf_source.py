@@ -75,3 +75,31 @@ def test_decode_is_distributed(spark, fixtures_dir):
     """The plan must contain no shuffle before the decode stage."""
     entities, _ = src.read_pbf(spark, f"{fixtures_dir}/multiblob.osm.pbf", parallelism=4)
     assert entities.rdd.getNumPartitions() == 4
+
+
+def test_pack_vertex_out_of_range_raises(spark):
+    """A coordinate the packed layout cannot hold (malformed PBF
+    offsets pushing lat/lon out of range) must fail LOUDLY, not sort
+    into silently wrong geometry."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from osm_pbf_spark.sources.pbf_source import assemble_way_geometries
+
+    ways = spark.createDataFrame([(1, [10, 11])], "id long, refs array<long>")
+    # lon -500 -> biased nano -320e9 < 0: sign bits would smear into
+    # the pos field
+    nodes_bad = spark.createDataFrame(
+        [(10, 0.0, -500.0), (11, 1.0, 1.0)], "id long, lat double, lon double"
+    )
+    with pytest.raises(SparkRuntimeException, match="not packable"):
+        assemble_way_geometries(ways, nodes_bad).collect()
+    # mildly out-of-range coords that still FIT the 39-bit field stay
+    # consistent (same tolerance the old struct path had): lat 95 ->
+    # biased nano 185e9 < 2^39
+    nodes_mild = spark.createDataFrame(
+        [(10, 95.0, 0.0), (11, 1.0, 1.0)], "id long, lat double, lon double"
+    )
+    ok = assemble_way_geometries(ways, nodes_mild).collect()
+    assert len(ok) == 1 and len(ok[0]["points"]) == 2
+    assert ok[0]["points"][0]["lat"] == 95.0

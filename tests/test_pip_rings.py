@@ -137,3 +137,49 @@ def test_rings_pip_at_volume(spark):
     for r in hits[:: max(1, len(hits) // 500)]:  # sampled exact check
         assert r["poly_id"] == f"r{r['doc_id']}"
     assert {r["doc_id"] for r in hits} == set(range(n_polys))
+
+
+def test_rings_auto_level_mixed_sizes(spark):
+    """level="auto" per-polygon normalization: a huge polygon among
+    small ones must (a) keep its cover bounded (no 10^5-cell meshgrid
+    in one task) and (b) still produce exactly pip_join's rows."""
+    from osm_pbf_spark.operators.spatial_join import rings_cell_cover
+
+    huge = np.array([[10.0001, -20.0001], [10.0001, 15.0003], [45.0007, 15.0003], [45.0007, -20.0001]])
+    small = [
+        Polygon(f"s{i}", [np.array([
+            [la + 0.0001, lo + 0.0001], [la + 0.0001, lo + 0.2001],
+            [la + 0.2001, lo + 0.2001], [la + 0.2001, lo + 0.0001],
+        ])])
+        for i, (la, lo) in enumerate([(-30.0, -60.0), (-12.0, 40.0), (55.0, 100.0)])
+    ]
+    polys = [Polygon("huge", [huge])] + small
+    rings = _rings_df(spark, polys)
+
+    cover = rings_cell_cover(rings, "auto").collect()
+    by_poly: dict[str, int] = {}
+    levels: dict[str, set] = {}
+    for r in cover:
+        by_poly[r["poly_id"]] = by_poly.get(r["poly_id"], 0) + 1
+        levels.setdefault(r["poly_id"], set()).add(r["level"])
+    # bounded cover for the huge polygon; finer level for the small ones
+    assert by_poly["huge"] < 2000
+    assert max(levels["huge"]) < min(levels["s0"])
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    lat = rng.uniform(-60.0, 70.0, n)
+    lon = rng.uniform(-80.0, 120.0, n)
+    pts = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lat, lon))],
+        "doc_id long, lat double, lon double",
+    )
+    want = {
+        (r["doc_id"], r["poly_id"])
+        for r in pip_join(spark, pts, polys, level="auto").collect()
+    }
+    got = {
+        (r["doc_id"], r["poly_id"])
+        for r in pip_join_rings(spark, pts, _rings_df(spark, polys), level="auto").collect()
+    }
+    assert got == want and len(got) > 0

@@ -84,3 +84,17 @@ def test_relation_pip_excludes_hole(spark, relpip):
         if 20.1 < n["lat"] < 21.4 and 20.1 < n["lon"] < 23.9 and n["id"] < 200
     ]
     assert in_probe and all(h in got for h in in_probe)
+
+
+def test_relations_vertex_budget(spark, relpip):
+    """The driver-assembled multipolygon path streams member rows with
+    a vertex budget — exceeding it fails loudly instead of OOMing the
+    driver on member-heavy relations."""
+    import pytest
+
+    _, entities = relpip
+    with pytest.raises(ValueError, match="max_vertices"):
+        src.polygons_from_relations(
+            src.relations(entities), src.ways(entities), src.nodes(entities),
+            max_vertices=3,
+        )
