@@ -221,10 +221,12 @@ def scaling_study() -> dict:
     # similar windows; best-of-reps drops throttled ones.
     legs: dict[int, float] = {}
     stages: dict[int, dict] = {}
+    all_reps: list[dict] = []
     for _ in range(reps):
         for cores in (n_small, 4 * n_small):
             root = f"/tmp/osm_pbf_spark_bench/scal{cores}"
             r = scaling_pipeline(f"local[{cores}]", n_nodes, root)
+            all_reps.append({"cores": cores, **r})
             if r["wall"] < legs.get(cores, float("inf")):
                 legs[cores] = r["wall"]
                 stages[cores] = r["stages"]
@@ -245,6 +247,10 @@ def scaling_study() -> dict:
         "docs_per_sec_n": round(thr_n, 1),
         "docs_per_sec_4n": round(thr_4n, 1),
         "efficiency_n_to_4n": round((thr_4n / thr_n) / 4.0, 3),
+        # every rep's per-stage walls, so sub-surface efficiencies (the
+        # BASELINE criterion is ingest+read+pip+tiles) can take their
+        # own best rep per leg instead of inheriting the best-TOTAL rep
+        "all_reps": all_reps,
     }
 
 

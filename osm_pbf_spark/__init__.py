@@ -8,7 +8,7 @@ decoder + in-process r-tree + Postgres loader; see BASELINE.json:6):
   string tables) via vectorized Arrow UDFs      -> ``sources.pbf_source``
 - H3/S2-style hierarchical cell index (Morton)  -> ``functions.cells``
 - point-in-polygon two-stage join               -> ``operators.spatial_join``
-- kNN lookups via cell ring expansion           -> ``operators.knn``
+- exact kNN (brute / fixed two-round cell plan) -> ``operators.knn``
 - raster<->vector tile assignment               -> ``operators.tiling``
 - interleaved text+media document render        -> ``operators.docrender``
 - Iceberg-shaped partitioned sink w/ resume     -> ``sink.iceberg_like``

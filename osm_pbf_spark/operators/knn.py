@@ -446,12 +446,11 @@ def knn_join(
     from .spatial_join import with_cell
 
     if level == "auto":
-        # small query sets: exact broadcast-brute beats ring expansion
-        # (two jobs instead of dozens of driver-paced rounds); bounded
-        # by a pair-count budget so huge candidate sides still take the
-        # ring path. The query-side probe is a limit(), not a full
-        # count, and the candidate side is counted at most once — the
-        # count is reused by the ring path via _cand_count instead of
+        # small query sets: exact broadcast-brute (two jobs); bounded
+        # by a pair-count budget so huge candidate sides still take
+        # the two-round cell plan. The query-side probe is a limit(),
+        # not a full count, and the candidate side is counted at most
+        # once — the count is reused below via _cand_count instead of
         # re-scanning the candidate table.
         if brute_max_queries:
             n_q = queries.limit(brute_max_queries + 1).count()

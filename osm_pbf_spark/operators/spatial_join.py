@@ -198,9 +198,12 @@ def pip_join(
     EXACT semantics: a row (p, poly) is emitted iff the crossing-number
     test (functions.geometry convention) says p in poly — matching the
     brute-force oracle bit-for-bit. ``level="auto"`` covers each polygon
-    at its own normalized level (see pick_cover_level) and unions one
-    broadcast join per distinct level — same exact semantics, bounded
-    cover size AND thin refine bands for any polygon-size mix.
+    at its own normalized level (see pick_cover_level) — bounded cover
+    size AND thin refine bands for any polygon-size mix. With the
+    broadcast strategy all levels run in ONE plan (point side exploded
+    to one cell per distinct level; level-tagged cell ids cannot
+    collide); the shuffle strategy joins per level so salting stays
+    per-level-keyed.
     """
     if level == "auto":
         by_level: dict[int, list[Polygon]] = {}
@@ -212,6 +215,32 @@ def pip_join(
             # against an empty cover and yields an empty DataFrame with
             # the points-plus-poly_id schema instead of None
             level = 12
+        elif strategy == "broadcast":
+            # SINGLE-PLAN multi-level join (r3): cell ids embed their
+            # level in the low 5 bits (cells.cell_id_col), so covers at
+            # different levels never collide — one broadcast join over
+            # the union of all per-level covers, with the point side
+            # exploded to its cell at each distinct level, then ONE
+            # refine stage. The old plan unioned a full join+refine
+            # branch per level — ~2k extra stages of fixed mapInPandas
+            # and scheduling overhead per call (measured 2-3.5 s on a
+            # 1000-point input), which dominated short spatial stages.
+            levels = sorted(by_level)
+            cover_pdf = pd.concat(
+                [polygon_cell_cover(group, lvl) for lvl, group in sorted(by_level.items())],
+                ignore_index=True,
+            )
+            cover = spark.createDataFrame(cover_pdf) if len(cover_pdf) else (
+                spark.createDataFrame([], "cell long, poly_id string, full boolean")
+            )
+            pts = points.withColumn(
+                "cell",
+                F.explode(F.array(*[
+                    C.cell_id_col(F.col(lat_col), F.col(lon_col), lvl) for lvl in levels
+                ])),
+            )
+            cand = pts.join(F.broadcast(cover), "cell", "inner")
+            return _refine_candidates(spark, cand, polygons, lat_col, lon_col)
         else:
             out = None
             for lvl, group in sorted(by_level.items()):
@@ -252,6 +281,19 @@ def pip_join(
         cover_s = replicate_for_salt(cover, "cell", heavy, "_salt")
         cand = pts_s.join(cover_s, ["cell", "_salt"], "inner").drop("_salt")
 
+    return _refine_candidates(spark, cand, polygons, lat_col, lon_col)
+
+
+def _refine_candidates(
+    spark: SparkSession,
+    cand: DataFrame,
+    polygons: list[Polygon],
+    lat_col: str,
+    lon_col: str,
+) -> DataFrame:
+    """Exact stage shared by the pip_join paths: `full`-cell candidates
+    bypass Python (provably inside); boundary candidates go through one
+    vectorized crossing-number refine against the broadcast rings."""
     rings_by_poly = {p.poly_id: [r.copy() for r in p.rings] for p in polygons}
     b_rings = spark.sparkContext.broadcast(rings_by_poly)
     out_schema = cand.drop("full", "cell").schema
@@ -369,10 +411,12 @@ def pip_join_rings(
          bounded cover work for huge polygons, thin refine bands for
          small ones); the cover is persisted so the Python cover pass
          runs once, not once per level;
-      2. coarse: points shuffle-join the cover on cell — one join per
-         DISTINCT cover level (typically 1-3 for a homogeneous polygon
-         set), hot cells killed by measured salting (operators.skew)
-         with AQE as backstop;
+      2. coarse: ONE shuffle join for all cover levels — the point
+         side explodes to its cell at each distinct level (level-tagged
+         cell ids cannot collide), so the heavy-hitter count pass and
+         the salted join each run once, not once per level; hot cells
+         killed by measured salting (operators.skew) with AQE as
+         backstop;
       3. refine: `full`-cell candidates bypass Python (provably inside);
          boundary candidates COGROUP with their polygon's rings on
          poly_id — the ring payload is shuffled once per polygon, not
@@ -389,16 +433,18 @@ def pip_join_rings(
     cover = _rings_cover_from_grouped(polys, level, target_cells).persist()
     levels = sorted(r["level"] for r in cover.select("level").distinct().collect())
 
-    cand = None
-    for lvl in levels:
-        cov_l = cover.filter(F.col("level") == lvl).drop("level")
-        pts = with_cell(points, lvl, lat_col, lon_col)
+    if levels:
+        pts = points.withColumn(
+            "cell",
+            F.explode(F.array(*[
+                C.cell_id_col(F.col(lat_col), F.col(lon_col), lvl) for lvl in levels
+            ])),
+        )
         heavy = heavy_hitters(pts, "cell", salt_threshold)
         pts_s = with_salt(pts, "cell", heavy, [lat_col, lon_col], "_salt")
-        cov_s = replicate_for_salt(cov_l, "cell", heavy, "_salt")
-        part = pts_s.join(cov_s, ["cell", "_salt"], "inner").drop("_salt", "cell")
-        cand = part if cand is None else cand.unionByName(part)
-    if cand is None:  # empty polygon side: empty result, points+poly_id schema
+        cov_s = replicate_for_salt(cover.drop("level"), "cell", heavy, "_salt")
+        cand = pts_s.join(cov_s, ["cell", "_salt"], "inner").drop("_salt", "cell")
+    else:  # empty polygon side: empty result, points+poly_id schema
         empty = spark.createDataFrame([], "cell long, poly_id string, full boolean")
         cand = with_cell(points, 12, lat_col, lon_col).join(empty, "cell").drop("cell")
 
