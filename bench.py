@@ -67,6 +67,17 @@ def run_bench(master: str, sf_dir: str, n_nodes: int, table_root: str) -> dict[s
     spark.range(0, 10_000, 1, int(spark.sparkContext.defaultParallelism)).select(
         F.sum(_warm(F.col("id")))
     ).collect()
+    # ...and the broadcast + mapInPandas machinery: the FIRST such call
+    # in a session pays ~3-5 s of one-time TorrentBroadcast/Arrow/
+    # codegen setup (measured: identical pip_join calls run 3.5-5.7 s
+    # cold, 1.3 s warm on a 1000-point probe) that would otherwise land
+    # in whichever query runs first rather than measuring the engine
+    _wpts = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.rand(1) * 100 - 50).alias("lat"),
+        (F.rand(2) * 300 - 150).alias("lon"),
+    )
+    pip_join(spark, _wpts, BENCH_POLYGONS, level="auto").count()
 
     timed("q_ingest", lambda: ingest_pbf(
         spark, pbf, table_root, cell_level=12, blobs_per_split=1_000_000,
@@ -154,6 +165,15 @@ def scaling_pipeline(master: str, n_nodes: int, table_root: str) -> dict:
     par = int(spark.sparkContext.defaultParallelism)
     _warm = F.pandas_udf(lambda x: x, "long")
     spark.range(0, 10_000, 1, par).select(F.sum(_warm(F.col("id")))).collect()
+    # warm the broadcast + mapInPandas machinery too (see run_bench):
+    # its one-time setup would otherwise land in the short pip_join
+    # stage of whichever leg runs, not measure the pipeline
+    _wpts = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.rand(1) * 100 - 50).alias("lat"),
+        (F.rand(2) * 300 - 150).alias("lon"),
+    )
+    pip_join(spark, _wpts, BENCH_POLYGONS, level="auto").count()
     n_ways = n_nodes // 10
     pbf = synth_pbf_mixed(
         os.path.join("/tmp/osm_pbf_spark_bench", f"corpus_mixed_{n_nodes}.osm.pbf"),
