@@ -59,3 +59,30 @@ def test_native_parent_matches_numpy(spark):
         )
         want = C.parent(cell, plevel)
         assert (got == want).all()
+
+
+def test_explode_multilevel_matches_direct_encodes(spark):
+    """_explode_multilevel_cells derives coarse cells from the finest
+    encode by parent shifts; every (row, level) pair must be
+    bit-identical to encoding that level directly (the plan it
+    replaced), including poles/antimeridian/cell-edge coordinates."""
+    from osm_pbf_spark.operators.spatial_join import _explode_multilevel_cells
+
+    rng = np.random.default_rng(7)
+    lat, lon = _coords(rng, 500)
+    pdf = __import__("pandas").DataFrame(
+        {"doc_id": np.arange(len(lat)), "lat": lat, "lon": lon}
+    )
+    df = spark.createDataFrame(pdf)
+    levels = [3, 8, 13]
+    got = {
+        (r["doc_id"], r["cell"])
+        for r in _explode_multilevel_cells(df, levels, "lat", "lon").collect()
+    }
+    want = set()
+    for lvl in levels:
+        for r in df.select(
+            "doc_id", C.cell_id_col(F.col("lat"), F.col("lon"), lvl).alias("cell")
+        ).collect():
+            want.add((r["doc_id"], r["cell"]))
+    assert got == want
