@@ -617,6 +617,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_lsh_topk"] = q_lsh_topk
 
+    def q_ivf_topk(spark, sf):  # approximate ANN via IVF coarse quantization
+        from osm_pbf_spark.operators.ann import cosine_topk_ivf
+
+        e = load(spark, sf, "embeddings")
+        return cosine_topk_ivf(
+            e.filter(F.col("vec_id") < 50), e, k=3, n_clusters=16, nprobe=4
+        )
+
+    q["q_ivf_topk"] = q_ivf_topk
+
     def q_media_features(spark, sf):  # multimodal plumbing (stubbed decode)
         # scalar projection for the driver gate: the harness canonicalizes
         # results via pandas sort, which cannot hash array columns — the
@@ -1333,6 +1343,67 @@ def _ora_lsh_topk() -> str:
     )
 
 
+def _ora_ivf_topk() -> str:
+    """Scalar replay of the IVF top-k spec: the same deterministic
+    spherical k-means (id-sorted sample, evenly spaced init, fixed
+    Lloyd iterations — engine kernel imported for candidate
+    generation, per the hybrid-oracle convention), nearest-list
+    assignment + nprobe probing replayed in numpy, and the EXACT
+    left-to-right float64 cosine fold for the rerank — emitted as a
+    VALUES literal."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.ann import _kmeans_centroids
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = [int(i) for i in t.column("vec_id").to_pylist()]
+    vecs = t.column("embedding").to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    sample = np.asarray([vecs[i] for i in order[:4096]], dtype=np.float64)
+    cent = _kmeans_centroids(sample, 16)
+    m = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    mn = m / np.where(norms == 0.0, 1.0, norms)
+    dots = mn @ cent.T
+    bucket = np.argmax(dots, axis=1)
+    probes = np.argsort(-dots, axis=1, kind="stable")[:, :4]
+    by_bucket: dict[int, list[int]] = {}
+    for idx, b in enumerate(bucket):
+        by_bucket.setdefault(int(b), []).append(idx)
+
+    def fold_dot(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    rows = []
+    for qi, qid in enumerate(ids):
+        if qid >= 50:
+            continue
+        cand_idx = sorted({c for p in probes[qi] for c in by_bucket.get(int(p), [])})
+        scored = []
+        for ci in cand_idx:
+            if ids[ci] == qid:
+                continue
+            cos = fold_dot(vecs[qi], vecs[ci]) / math.sqrt(
+                fold_dot(vecs[qi], vecs[qi]) * fold_dot(vecs[ci], vecs[ci])
+            )
+            scored.append((-cos, ids[ci]))
+        scored.sort()
+        for rank, (neg_cos, nid) in enumerate(scored[:3], start=1):
+            rows.append((qid, nid, rank, -neg_cos))
+    return _values_sql(
+        [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"), ("rank", "INTEGER"),
+         ("cos", "DOUBLE")],
+        rows,
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
@@ -1654,5 +1725,6 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_pairs": _ora_minhash_pairs(),
         "q_simhash_pairs": _ora_simhash_pairs(),
         "q_lsh_topk": _ora_lsh_topk(),
+        "q_ivf_topk": _ora_ivf_topk(),
         "q_near_dup_lsh": _ora_near_dup_lsh(),
     }

@@ -147,6 +147,108 @@ def cosine_topk_lsh(
     )
 
 
+def _kmeans_centroids(sample: np.ndarray, n_clusters: int, n_iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means for IVF coarse quantization.
+
+    ``sample``: (n, d) float64, caller-provided in a DETERMINISTIC row
+    order (id-sorted). Init = n_clusters evenly spaced rows of the
+    sample (no RNG); fixed Lloyd iteration count; assignment by max
+    dot against L2-normalized centroids (argmax -> first index on
+    ties); empty clusters keep their previous centroid. All float64,
+    fixed operation order -> bit-stable across runs and machines,
+    which is what lets the DuckDB-side oracle replay the exact
+    partition assignment."""
+    n = len(sample)
+    if n == 0:
+        raise ValueError("empty sample for IVF training")
+    k = min(n_clusters, n)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    m = sample / np.where(norms == 0.0, 1.0, norms)
+    cent = m[(np.arange(k, dtype=np.int64) * n) // k].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                s = members.sum(axis=0)
+                ln = np.linalg.norm(s)
+                if ln > 0.0:
+                    cent[c] = s / ln
+    return cent
+
+
+def ivf_probe_udf(centroids: np.ndarray, nprobe: int):
+    """array<float> -> array<long> of the ``nprobe`` nearest coarse
+    centroids (by cosine; stable sort so ties are deterministic)."""
+    cent = centroids
+    npb = min(nprobe, len(cent))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _probe(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(norms == 0.0, 1.0, norms)
+        order = np.argsort(-(m @ cent.T), axis=1, kind="stable")[:, :npb]
+        return pd.Series(list(order.astype(np.int64)))
+
+    return _probe
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 4096,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) coarse
+    quantization — the k-means sibling of ``cosine_topk_lsh``.
+
+    Train: spherical k-means on an id-sorted, size-capped sample
+    collected to the driver (IVF training is sample-based BY DESIGN —
+    at 10^12 rows you still train the coarse quantizer on a bounded
+    sample; only the tiny (n_clusters x d) centroid matrix ships to
+    executors). Assign: every candidate to its nearest centroid's
+    inverted list (one vectorized pandas UDF — linear, no shuffle).
+    Search: each query probes its ``nprobe`` nearest lists -> bucket
+    equi-join (shuffle on list id, same slim shape as the LSH variant)
+    -> exact float64 rerank. Recall < 1 by design (a true neighbor in
+    an unprobed list is missed); precision of returned cosines exact.
+    """
+    samp = (
+        candidates.select(F.col(cand_id).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(train_sample)
+        .collect()
+    )
+    cent = _kmeans_centroids(
+        np.asarray([r["_v"] for r in samp], dtype=np.float64), n_clusters
+    )
+    probe1 = ivf_probe_udf(cent, 1)
+    proben = ivf_probe_udf(cent, nprobe)
+    c = candidates.select(
+        F.col(cand_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("bucket", F.element_at(probe1(F.col("_cv")), 1))
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("bucket", F.explode(proben(F.col("_qv"))))
+    pairs = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = dot_f64(F.col("_qv"), F.col("_cv")) / F.sqrt(
+        norm2_f64(F.col("_qv")) * norm2_f64(F.col("_cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def near_dup_cosine_lsh(
     vectors: DataFrame,
     threshold: float = 0.95,
