@@ -78,6 +78,14 @@ def run_bench(master: str, sf_dir: str, n_nodes: int, table_root: str) -> dict[s
         (F.rand(2) * 300 - 150).alias("lon"),
     )
     pip_join(spark, _wpts, BENCH_POLYGONS, level="auto").count()
+    # ...and the kNN brute plan shape (mapInPandas + ranking window):
+    # its first execution pays ~1.5 s of one-time codegen/serializer
+    # setup (measured 3.1 s cold vs 1.4 s warm at the 2000x200k bench
+    # shape) that is session machinery, not the operator
+    knn_join(
+        spark, _wpts.limit(50), _wpts, k=3, level="auto",
+        query_id="doc_id", cand_id="doc_id",
+    ).count()
 
     timed("q_ingest", lambda: ingest_pbf(
         spark, pbf, table_root, cell_level=12, blobs_per_split=1_000_000,
