@@ -137,21 +137,39 @@ def _collapse_exact(docs: DataFrame, text_col: str, id_col: str):
     Identical texts are the pathological LSH input (every band/bucket
     collides), and a re-crawl corpus or a 10^4-copy boilerplate blob
     would otherwise multiply the band self-join quadratically. One
-    shuffle keyed on md5(text) collapses them (rows still carry the
-    text once — unavoidable, the reps need it downstream; the KEY is
-    the 32-char digest, not the text);
-    the LSH candidate machinery then runs on DISTINCT texts only, and
-    within-/cross-group pairs are reconstructed by joins whose output
-    is exactly the required pair set — so total work is linear in
-    distinct docs plus OUTPUT size, never quadratic in copies."""
-    w = Window.partitionBy("_fp")
-    tagged = (
-        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
-        .withColumn("_fp", F.md5(F.coalesce(F.col("_text"), F.lit(""))))
-        .withColumn("_rep", F.min("id").over(w))
+    shuffle keyed on md5(text) collapses them; the LSH candidate
+    machinery then runs on DISTINCT texts only, and within-/cross-group
+    pairs are reconstructed by joins whose output is exactly the
+    required pair set — so total work is linear in distinct docs plus
+    OUTPUT size, never quadratic in copies.
+
+    Plan shape: reps and members are consumed by SEVERAL downstream
+    joins (signature pass, two text-fetch joins, four member joins in
+    the pair expansion), and Spark re-executes everything ABOVE a
+    reused exchange once per consumer. So:
+      - reps is an AGGREGATE (min id, any text — all texts in a group
+        are identical; max() only to make the choice deterministic,
+        and max==min here): map-side partial agg shrinks its exchange
+        to ~|distinct texts| rows, and each consumer re-runs only the
+        cheap final agg — never a full-corpus sort. (The previous
+        window-over-full-text form sorted every shuffled text once PER
+        CONSUMER: ~10 full-width sorts in the minhash plan.)
+      - members carries only (id, 32-char _fp) through its window —
+        the text never enters that shuffle."""
+    base = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
+    ).withColumn("_fp", F.md5(F.coalesce(F.col("_text"), F.lit(""))))
+    reps = (
+        base.groupBy("_fp")
+        .agg(F.min("id").alias("id"), F.max("_text").alias("_text"))
+        .select("id", "_text")
     )
-    reps = tagged.filter(F.col("id") == F.col("_rep")).select("id", "_text")
-    members = tagged.select(F.col("_rep").alias("rep"), "id")
+    w = Window.partitionBy("_fp")
+    members = (
+        base.select("id", "_fp")
+        .withColumn("rep", F.min("id").over(w))
+        .select("rep", "id")
+    )
     return reps, members
 
 
