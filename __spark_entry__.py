@@ -816,6 +816,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sink_roundtrip"] = q_sink_roundtrip
 
+    def q_sink_compact(spark, sf):  # C-family maintenance: snapshot
+        # history -> compaction (atomic replaces) -> time-travel read of
+        # the PRE-compaction snapshot vs the current read; both must
+        # equal the spec pipeline's per-cell aggregates
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.plans.ingest import ingest_pbf
+
+        path = _fixture_pbf("sink")
+        root = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driver_sink_compact")
+        shutil.rmtree(root, ignore_errors=True)
+        sink = ingest_pbf(spark, path, root, cell_level=12, blobs_per_split=1)
+        s1 = sink.current_snapshot()
+        assert sink.compact(spark) is not None  # 3 single-blob splits -> 1
+        sink.commit_snapshot({"pipeline": "compact"})
+
+        def counts(df, src):
+            return df.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("first_doc"),
+            ).select(F.lit(src).alias("src"), "cell", "n_docs", "first_doc")
+
+        pre = counts(sink.read_snapshot(spark, s1["snapshot_id"]), "pre")
+        post = counts(sink.read(spark), "post")
+        return pre.unionByName(post)
+
+    q["q_sink_compact"] = q_sink_compact
+
     return q
 
 
@@ -1093,6 +1122,32 @@ def _ora_sink_roundtrip() -> str:
     return _values_sql(
         [("cell", "BIGINT"), ("n_docs", "BIGINT"), ("first_doc", "VARCHAR"),
          ("spans_total", "BIGINT"), ("media_len_total", "BIGINT")],
+        rows,
+    )
+
+
+def _ora_sink_compact() -> str:
+    """Scalar replay for the compaction/time-travel gate: the spec
+    pipeline's per-cell (n_docs, min doc_id) — emitted once under
+    src='pre' (time-travel read of the pre-compaction snapshot) and
+    once under src='post' (current read after the atomic replace):
+    compaction must be lossless in both directions."""
+    from tests import oracle_render
+
+    d = _fixture_decoded("sink")
+    docs = oracle_render.render_file(d)
+    coords = {f"node/{n['id']}": (n["lat"], n["lon"]) for n in d["nodes"]}
+    agg: dict[int, list] = {}
+    for doc in docs:
+        ll = coords.get(doc["doc_id"])
+        cell = _cell_scalar(ll[0], ll[1], 12) if ll else -1
+        a = agg.setdefault(cell, [0, None])
+        a[0] += 1
+        a[1] = doc["doc_id"] if a[1] is None else min(a[1], doc["doc_id"])
+    rows = [(src, c, *agg[c]) for src in ("pre", "post") for c in sorted(agg)]
+    return _values_sql(
+        [("src", "VARCHAR"), ("cell", "BIGINT"), ("n_docs", "BIGINT"),
+         ("first_doc", "VARCHAR")],
         rows,
     )
 
@@ -1713,6 +1768,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pbf_raw": _ora_pbf_raw(),
         "q_pbf_header": _ora_pbf_header(),
         "q_sink_roundtrip": _ora_sink_roundtrip(),
+        "q_sink_compact": _ora_sink_compact(),
         "q_pbf_meta": _ora_pbf_meta(),
         "q_pbf_granularity": _ora_pbf_granularity(),
         "q_way_assembly": _ora_way_assembly(),

@@ -27,6 +27,21 @@ Protocol (exactly-once restart semantics, BASELINE.json:6,14):
 - ``resume_plan`` = all splits minus committed splits.
 - a ``dedup_cols`` guard on read is available as a belt-and-braces
   layer for at-least-once upstreams.
+
+Maintenance protocol (the 100-TB operational surface):
+
+- a manifest may declare ``replaces: [split_id, ...]``: the named
+  splits stay COMMITTED (resume never re-runs them) but stop being
+  LIVE (readers skip their files). ``compact()`` uses this to rewrite
+  many small files into ~target_file_bytes cell-sorted files as one
+  split whose manifest rename atomically swaps the read set.
+- ``commit_snapshot`` keeps an append-only history under
+  ``_snapshots/`` (sequence number + parent id, Iceberg snapshot-log
+  style); ``read_snapshot`` time-travels to any retained snapshot by
+  reading exactly the files its manifest list froze.
+- ``expire_snapshots(keep_last=n)`` drops old history entries and
+  vacuums data files only they referenced (replaced splits' files);
+  manifests are never deleted, so restart semantics survive vacuum.
 """
 
 from __future__ import annotations
@@ -41,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .. import __version__
 
 _MANIFEST_DIR = "_manifests"
+_SNAP_DIR = "_snapshots"
 
 
 class IcebergLikeSink:
@@ -65,6 +81,7 @@ class IcebergLikeSink:
         # track data volume. Raise toward 128-512 MB on a real cluster.
         self.target_file_bytes = target_file_bytes
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, _SNAP_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
     # ---- commit protocol ------------------------------------------------
@@ -90,6 +107,7 @@ class IcebergLikeSink:
         split_id: str,
         lineage: dict | None = None,
         fail_before_commit: bool = False,
+        replaces: list[str] | None = None,
     ) -> dict | None:
         """Write one split's data, then atomically commit its manifest.
 
@@ -97,6 +115,10 @@ class IcebergLikeSink:
         after the parquet write but before the manifest rename leaves
         orphan files that readers never see (``fail_before_commit``
         exists for the kill-injection test).
+
+        ``replaces`` names splits this one supersedes (compaction):
+        they remain committed for resume purposes but are no longer
+        live — the manifest rename atomically swaps the read set.
         """
         if split_id in self.completed_splits():
             return None
@@ -182,6 +204,7 @@ class IcebergLikeSink:
             "n_rows": n_rows,
             "n_bytes": n_bytes,
             "partition_by": self.partition_by,
+            "replaces": sorted(replaces or []),
             "lineage": {
                 "engine_version": __version__,
                 **(lineage or {}),
@@ -256,22 +279,41 @@ class IcebergLikeSink:
         """Roll committed manifests into a table-level snapshot (atomic).
 
         Also writes a MANIFEST LIST (Iceberg's manifest-list analog):
-        one JSON file holding every committed split's file entries +
-        stats, so the read path opens O(1) driver-side files instead of
-        one JSON per split (at 100 TB that is ~10^5 splits). The list
-        is written first, then the snapshot that references it — both
-        via atomic rename."""
-        manifests = [self._read_manifest(sid) for sid in sorted(self.completed_splits())]
+        one JSON file holding every LIVE split's file entries + stats,
+        so the read path opens O(1) driver-side files instead of one
+        JSON per split (at 100 TB that is ~10^5 splits). The list is
+        written first, then the snapshot that references it — both via
+        atomic rename.
+
+        Snapshots are an append-only HISTORY (Iceberg snapshot-log
+        style): each carries a sequence number and its parent's id, a
+        copy lands under ``_snapshots/``, and ``snapshot.json`` is the
+        current pointer. ``read_snapshot`` time-travels to any retained
+        entry; ``expire_snapshots`` prunes the history."""
+        manifests = {
+            sid: self._read_manifest(sid) for sid in sorted(self.completed_splits())
+        }
+        replaced: set[str] = set()
+        for m in manifests.values():
+            replaced.update(m.get("replaces", []))
+        live = {sid: m for sid, m in manifests.items() if sid not in replaced}
+        prev = self.current_snapshot()
         snap_id = uuid.uuid4().hex
         mlist = {
             "snapshot_id": snap_id,
             "entries": {
-                m["split_id"]: {
+                sid: {
                     "files": m["files"],
                     "file_stats": m.get("file_stats", {}),
+                    "replaces": m.get("replaces", []),
                 }
-                for m in manifests
+                for sid, m in live.items()
             },
+            # split ids superseded as of this snapshot: lets the read
+            # path skip their per-split manifests entirely (otherwise a
+            # compaction of 10^5 splits would put 10^5 driver-side JSON
+            # reads back on every read)
+            "replaced": sorted(replaced & set(manifests)),
         }
         mlist_name = f"manifest-list-{snap_id}.json"
         tmp = os.path.join(self.root, f".mlist.tmp-{uuid.uuid4().hex}")
@@ -280,19 +322,46 @@ class IcebergLikeSink:
         os.replace(tmp, os.path.join(self.root, mlist_name))
         snap = {
             "snapshot_id": snap_id,
+            "sequence_number": (prev or {}).get("sequence_number", 0) + 1,
+            "parent_snapshot_id": (prev or {}).get("snapshot_id"),
             "manifest_list": mlist_name,
-            "splits": [m["split_id"] for m in manifests],
-            "total_rows": sum(m["n_rows"] for m in manifests),
-            "total_bytes": sum(m["n_bytes"] for m in manifests),
+            "splits": sorted(live),
+            "replaced_splits": sorted(replaced & set(manifests)),
+            "total_rows": sum(m["n_rows"] for m in live.values()),
+            "total_bytes": sum(m["n_bytes"] for m in live.values()),
             "properties": properties or {},
             "engine_version": __version__,
             "committed_at_unix": int(time.time()),
         }
-        tmp = os.path.join(self.root, f".snapshot.tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(snap, f, indent=1, sort_keys=True)
-        os.replace(tmp, os.path.join(self.root, "snapshot.json"))
+        payload = json.dumps(snap, indent=1, sort_keys=True)
+        hist = os.path.join(
+            self.root, _SNAP_DIR, f"snap-{snap['sequence_number']:06d}-{snap_id}.json"
+        )
+        for dest in (hist, os.path.join(self.root, "snapshot.json")):
+            tmp = os.path.join(self.root, f".snapshot.tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, dest)
         return snap
+
+    def current_snapshot(self) -> dict | None:
+        p = os.path.join(self.root, "snapshot.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        """Snapshot history, oldest first (expired entries excluded)."""
+        sdir = os.path.join(self.root, _SNAP_DIR)
+        out = []
+        if os.path.isdir(sdir):
+            for name in sorted(os.listdir(sdir)):
+                if name.startswith("snap-") and name.endswith(".json"):
+                    with open(os.path.join(sdir, name)) as f:
+                        out.append(json.load(f))
+        out.sort(key=lambda s: s.get("sequence_number", 0))
+        return out
 
     # ---- read path -------------------------------------------------------
 
@@ -300,38 +369,58 @@ class IcebergLikeSink:
         with open(self._manifest_path(split_id)) as f:
             return json.load(f)
 
-    def _manifest_index(self) -> dict[str, dict]:
-        """{split_id: {files, file_stats}} from the snapshot's manifest
-        list, if one exists — ONE driver-side file read for all splits
-        the last snapshot covered. Splits committed after the snapshot
-        fall back to their individual manifests in committed_files."""
+    def _manifest_index(self) -> tuple[dict[str, dict], set[str]]:
+        """({split_id: {files, file_stats, replaces}}, replaced_ids)
+        from the current snapshot's manifest list, if one exists — ONE
+        driver-side file read for all splits the last snapshot covered.
+        Splits committed after the snapshot fall back to their
+        individual manifests in the read path."""
         snap_path = os.path.join(self.root, "snapshot.json")
         if not os.path.exists(snap_path):
-            return {}
+            return {}, set()
         try:
             with open(snap_path) as f:
                 snap = json.load(f)
             mlist = snap.get("manifest_list")
             if not mlist:
-                return {}
+                return {}, set()
             with open(os.path.join(self.root, mlist)) as f:
-                return json.load(f)["entries"]
+                data = json.load(f)
+            return data["entries"], set(data.get("replaced", []))
         except (OSError, KeyError, ValueError):
-            return {}
+            return {}, set()
 
-    def committed_files(
-        self, stats_range: tuple[int, int] | None = None
-    ) -> list[str]:
-        """Committed file paths; with ``stats_range=(lo, hi)``, only the
-        files whose manifest [min, max] of stats_col overlaps it —
-        manifest-level pruning, no file footer ever opened. Reads the
-        snapshot's manifest list (one file) for indexed splits and
-        falls back to per-split manifests only for splits committed
-        after the last snapshot."""
-        index = self._manifest_index()
-        files = []
+    def _live_entries(self) -> dict[str, dict]:
+        """{split_id: manifest or manifest-list entry} for every LIVE
+        split: completed splits minus those superseded by a committed
+        ``replaces`` declaration (compaction outputs). The snapshot's
+        manifest list (one driver-side file) serves indexed splits AND
+        the already-replaced set; per-split manifests are opened only
+        for splits committed after the last snapshot."""
+        index, replaced = self._manifest_index()
+        entries: dict[str, dict] = {}
         for sid in sorted(self.completed_splits()):
-            m = index.get(sid) or self._read_manifest(sid)
+            m = index.get(sid)
+            if m is None:
+                if sid in replaced:  # superseded before the snapshot
+                    continue
+                m = self._read_manifest(sid)
+            entries[sid] = m
+            replaced = replaced | set(m.get("replaces", []))
+        return {sid: m for sid, m in entries.items() if sid not in replaced}
+
+    def live_splits(self) -> set[str]:
+        return set(self._live_entries())
+
+    def _filter_files(
+        self, entries: dict[str, dict], stats_range: tuple[int, int] | None
+    ) -> list[str]:
+        """Entry files -> absolute paths, manifest-stat pruned: with
+        ``stats_range=(lo, hi)``, only files whose [min, max] of
+        stats_col overlaps it — no parquet footer ever opened."""
+        files = []
+        for sid in sorted(entries):
+            m = entries[sid]
             stats = m.get("file_stats", {})
             for rel in m["files"]:
                 if stats_range is not None and rel in stats:
@@ -340,6 +429,13 @@ class IcebergLikeSink:
                         continue
                 files.append(os.path.join(self.root, rel))
         return files
+
+    def committed_files(
+        self, stats_range: tuple[int, int] | None = None
+    ) -> list[str]:
+        """LIVE committed file paths (replaced splits excluded), with
+        optional manifest-level stats pruning."""
+        return self._filter_files(self._live_entries(), stats_range)
 
     def read(
         self,
@@ -365,3 +461,172 @@ class IcebergLikeSink:
         if dedup_cols:
             df = df.dropDuplicates(dedup_cols)
         return df
+
+    def read_snapshot(
+        self,
+        spark: SparkSession,
+        ref: int | str,
+        stats_range: tuple[int, int] | None = None,
+    ) -> DataFrame:
+        """TIME TRAVEL: read exactly the files a past snapshot froze.
+
+        ``ref`` is a snapshot_id or a sequence number. Compactions and
+        later appends never perturb the result — the snapshot's
+        manifest list is immutable and its data files are retained
+        until the snapshot is expired (after which this raises)."""
+        snaps = self.snapshots()
+        match = [
+            s for s in snaps
+            if s["snapshot_id"] == ref or s.get("sequence_number") == ref
+        ]
+        if not match:
+            have = [(s.get("sequence_number"), s["snapshot_id"]) for s in snaps]
+            raise ValueError(
+                f"unknown or expired snapshot {ref!r}; retained: {have}"
+            )
+        snap = match[-1]
+        mlist_path = os.path.join(self.root, snap["manifest_list"])
+        if not os.path.exists(mlist_path):
+            raise ValueError(
+                f"snapshot {snap['snapshot_id']} has been expired "
+                f"(manifest list {snap['manifest_list']} is gone)"
+            )
+        with open(mlist_path) as f:
+            entries = json.load(f)["entries"]
+        files = self._filter_files(entries, stats_range)
+        if not files:
+            all_files = self._filter_files(entries, None) or self.committed_files()
+            if not all_files:
+                raise FileNotFoundError(f"snapshot {snap['snapshot_id']} is empty")
+            schema = spark.read.parquet(all_files[0]).schema
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*files)
+
+    # ---- maintenance -----------------------------------------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        split_ids: list[str] | None = None,
+        fail_before_commit: bool = False,
+    ) -> dict | None:
+        """Rewrite live splits' files into ~target_file_bytes
+        stats-sorted files as ONE split that atomically replaces them.
+
+        THE small-files fix at 100 TB: per-blob-range ingest splits
+        (and streaming-ish appends) accumulate files far below the
+        efficient scan size; compaction restores file size AND
+        stats_col clustering (the rewrite is a global sort on
+        stats_col, so post-compaction manifests carry tight per-file
+        [min, max] again even when the inputs' ranges interleaved).
+
+        Readers are never wrong mid-flight: until the compaction
+        manifest's atomic rename they see the old files, after it only
+        the new ones. Replaced splits stay COMMITTED (resume_plan never
+        re-runs them); their data files are reclaimed by
+        ``expire_snapshots`` once no retained snapshot references them.
+
+        Returns the compaction manifest, or None when fewer than two
+        live splits match (nothing to merge).
+        """
+        if self.partition_by:
+            raise ValueError(
+                "compact() supports the stats-clustered layout; "
+                "directory-partitioned tables would lose their partition "
+                "columns on a file-list read"
+            )
+        live = self._live_entries()
+        targets = sorted(split_ids) if split_ids is not None else sorted(live)
+        unknown = [s for s in targets if s not in live]
+        if unknown:
+            raise ValueError(f"splits not live (unknown or already replaced): {unknown}")
+        if len(targets) < 2:
+            return None
+        rels = [rel for sid in targets for rel in live[sid]["files"]]
+        files = [os.path.join(self.root, rel) for rel in rels]
+        n_input_bytes = sum(os.path.getsize(f) for f in files)
+        df = spark.read.parquet(*files)
+        if self.stats_col and self.stats_col in df.columns:
+            df = df.sort(self.stats_col)
+        cid = f"compact-{uuid.uuid4().hex[:12]}"
+        return self.write_split(
+            df,
+            cid,
+            lineage={
+                "op": "compact",
+                "inputs": targets,
+                "n_input_files": len(files),
+                "input_bytes": n_input_bytes,
+            },
+            replaces=targets,
+            fail_before_commit=fail_before_commit,
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Expire old snapshots and vacuum data files ONLY they still
+        reference.
+
+        Keeps the most recent ``keep_last`` (>= 1) history entries. The
+        retained file set is: every file named by a retained snapshot's
+        manifest list, plus every file of every LIVE split (covers
+        splits committed after the last snapshot). Data files of
+        REPLACED splits outside that set are deleted; their manifests
+        are KEPT so ``resume_plan`` still sees the splits as done —
+        vacuum can never cause reprocessing. Expired history entries
+        and their manifest lists are removed, so time travel to an
+        expired snapshot fails loudly rather than reading a partial
+        table."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the current snapshot must survive)")
+        snaps = self.snapshots()
+        keep = snaps[-keep_last:]
+        drop = snaps[:-keep_last]
+        retained: set[str] = set()
+        for s in keep:
+            try:
+                with open(os.path.join(self.root, s["manifest_list"])) as f:
+                    for e in json.load(f)["entries"].values():
+                        retained.update(e["files"])
+            except (OSError, KeyError, ValueError):
+                continue
+        live = self._live_entries()
+        for m in live.values():
+            retained.update(m["files"])
+        deleted_files = 0
+        freed_bytes = 0
+        for sid in sorted(self.completed_splits()):
+            if sid in live:
+                continue
+            for rel in self._read_manifest(sid)["files"]:
+                if rel in retained:
+                    continue
+                full = os.path.join(self.root, rel)
+                if os.path.exists(full):
+                    freed_bytes += os.path.getsize(full)
+                    os.remove(full)
+                    deleted_files += 1
+        kept_mlists = {s["manifest_list"] for s in keep}
+        cur = self.current_snapshot()
+        if cur:
+            kept_mlists.add(cur["manifest_list"])
+        for s in drop:
+            ml = s.get("manifest_list")
+            if ml and ml not in kept_mlists:
+                try:
+                    os.remove(os.path.join(self.root, ml))
+                except OSError:
+                    pass
+            hist = os.path.join(
+                self.root,
+                _SNAP_DIR,
+                f"snap-{s.get('sequence_number', 0):06d}-{s['snapshot_id']}.json",
+            )
+            try:
+                os.remove(hist)
+            except OSError:
+                pass
+        return {
+            "expired": [s["snapshot_id"] for s in drop],
+            "deleted_files": deleted_files,
+            "freed_bytes": freed_bytes,
+        }
