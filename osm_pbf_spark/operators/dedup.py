@@ -119,7 +119,15 @@ _PERM_B = _rng.integers(0, int(_MERSENNE), size=_N_PERM, dtype=np.uint64)
 
 
 def _minhash_sig(hashes: np.ndarray) -> np.ndarray:
-    """(n_shingles,) -> (_N_PERM,) signature."""
+    """(n_shingles,) -> (_N_PERM,) signature.
+
+    Deliberately per-document: a cross-document batched variant
+    (concatenate shingle streams + segmented reduceat-min, the same
+    restructure that bought _simhash64_batch 9.6x) was measured at
+    PARITY here across chunk sizes 2^11-2^14 — the uint64 remainder in
+    the affine permute dominates and is per-element either way, while
+    simhash's win came from deduplicating per-token blake2b calls.
+    Don't re-batch this without beating that baseline."""
     if len(hashes) == 0:
         return np.full(_N_PERM, np.iinfo(np.int64).max, dtype=np.uint64)
     x = hashes[None, :] & _MERSENNE
@@ -258,10 +266,10 @@ def minhash_hot_buckets(
 def _bands_udf(shingle_k: int):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _bands(text: pd.Series) -> pd.Series:
+        sigs = [_minhash_sig(_shingle_hashes(t or "", shingle_k)) for t in text]
         out = []
         rows_per_band = _N_PERM // _BANDS
-        for t in text:
-            sig = _minhash_sig(_shingle_hashes(t or "", shingle_k))
+        for sig in sigs:
             bands = []
             for b in range(_BANDS):
                 chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]

@@ -519,96 +519,95 @@ def relations(entities: DataFrame) -> DataFrame:
     return entities.filter(F.col("kind") == "relation").drop("lat", "lon", "refs")
 
 
-# packed-vertex layout for the assembly regroup: (pos << 39) | biased
-# nanodegrees. 39 bits hold lon's full biased range (360e9 < 2^39); pos
-# keeps 24 bits (spec caps ways at 2000 refs), total 63 bits — positive
-# int64. Nanodegrees are EXACT int64s (decode computes 1e-9 * nano with
-# integer nano), so rint(coord * 1e9) recovers them and (nano as
-# double) * 1e-9 reproduces the original double bit-for-bit.
-_NANO_MASK = (1 << 39) - 1
-_LAT_BIAS = 90_000_000_000
-_LON_BIAS = 180_000_000_000
+def assemble_way_geometries(ways_df: DataFrame, nodes_df: DataFrame) -> DataFrame:
+    """Way geometry assembly (SURVEY.md §2.3 G8): refs -> ordered coords.
 
+    The reference resolves refs against an in-memory node hash; the
+    distributed equivalent is posexplode + an equi-join on node id (the
+    largest shuffle of the decode pipeline) + regroup by way. Emits
+    ``is_closed`` (first coord == last coord) marking polygons.
 
-def _pack_vertex(coord_col: str, bias: int):
-    # validate the pack's preconditions PER ROW: a biased nanodegree
-    # outside [0, 2^39) (malformed PBF lat/lon offsets push coords out
-    # of range) or pos >= 2^24 would smear bits across fields and sort
-    # vertices into silently wrong geometry — fail loudly instead.
-    # Two codegen comparisons per vertex; negligible vs the shuffle.
-    nano = F.round(F.col(coord_col) * F.lit(1e9)).cast("long") + F.lit(bias)
-    packed = F.shiftleft(F.col("pos").cast("long"), 39).bitwiseOR(nano)
-    ok = (nano >= 0) & (nano <= _NANO_MASK) & (F.col("pos") < F.lit(1 << 24))
-    return F.when(ok, packed).otherwise(
+    Join strategy (r3): the node side carries a ``shuffle_hash`` hint,
+    for two reasons. (1) SAFETY: decode-derived DataFrames have no
+    usable size statistics — Catalyst estimates them from the
+    kilobyte-sized blob manifest they grow out of, so without the hint
+    it plans a BROADCAST of the full node table. That "works" on a
+    large single box, but at planet scale it is a driver OOM, and a
+    plan that silently flips from working to fatal at 100x is the
+    wrong default. (2) SPEED among the shuffled strategies: node ids
+    are UNIQUE (no build-side skew) and the build rows are slim, so
+    the per-partition hash map skips sorting both ~300M-row sides that
+    sort-merge pays for. Build memory is bounded by
+    ``spark.sql.shuffle.partitions``: size it so each build partition
+    holds ~100-200 MB of slim node rows, exactly how a production
+    cluster sizes any large hash join.
+
+    Probe-side packing (late r3): the exploded ref stream shuffles
+    ``(way_id << 24 | pos, ref)`` — two longs (24 B UnsafeRow) instead
+    of three (32 B; measured 367 -> 286 MB raw on the 10M-vertex
+    corpus). Way ids below 2^39 keep the packed long positive (OSM ids
+    are ~2^31; validated per row, loud failure otherwise); way_id/pos
+    are recovered by bit ops after the join.
+
+    Regroup (late r3, REPLACES the r3 packed-vertex-array layout): the
+    join output is repartitioned on way_id BEFORE the aggregate, so the
+    regroup exchange carries raw scalar rows and the collect_list runs
+    exchange-free on way-contiguous partitions (Catalyst inserts no
+    second exchange — the repartition already satisfies the grouping
+    distribution, and partial agg sees whole ways). A direct groupBy
+    after a ref-partitioned join instead runs partial agg over
+    SCATTERED vertices: each partial row holds ~1 vertex wrapped in
+    per-row array headers, measured 924 MB raw (packed arrays) /
+    865 MB (struct arrays) vs 449 MB for this plan on the 10M-vertex
+    corpus — and warm wall 2x faster. (The earlier packed layout's
+    -28% was measured against a mis-planned broadcast join whose
+    way-contiguous probe order made partial lists complete; under the
+    real shuffled join the fragmentation inverts the comparison. With
+    the exchange carrying scalars there is nothing left to pack, and
+    coordinates no longer round-trip through nanodegrees at all.)
+    """
+    wp_ok = (
+        (F.col("way_id") >= 0)
+        & (F.col("way_id") < F.lit(1 << 39))
+        & (F.col("pos") < F.lit(1 << 24))
+    )
+    wp = F.when(
+        wp_ok, F.shiftleft(F.col("way_id"), 24).bitwiseOR(F.col("pos").cast("long"))
+    ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit(f"way vertex not packable ({coord_col} out of range or >16M refs; "
-                      "corrupt PBF offsets?): coord="),
-                F.col(coord_col).cast("string"),
+                F.lit("way not packable for assembly (id >= 2^39 or >16M refs): id="),
+                F.col("way_id").cast("string"),
                 F.lit(" pos="),
                 F.col("pos").cast("string"),
             )
         )
     )
-
-
-def _unpack_coord(packed, bias: int):
-    return (packed.bitwiseAND(F.lit(_NANO_MASK)) - F.lit(bias)).cast("double") * F.lit(1e-9)
-
-
-def assemble_way_geometries(ways_df: DataFrame, nodes_df: DataFrame) -> DataFrame:
-    """Way geometry assembly (SURVEY.md §2.3 G8): refs -> ordered coords.
-
-    The reference resolves refs against an in-memory node hash; the
-    distributed equivalent is posexplode + an equi-join on node id
-    (sort-merge above the broadcast threshold — the largest shuffle of
-    the decode pipeline) + regroup by way.
-
-    Shuffle-volume note (r3): the regroup used to carry
-    struct(pos, lat, lon) rows inside collect_list partial buffers
-    (~28 B + struct headers per vertex, struct-comparator sort). It now
-    carries TWO packed int64s per vertex — 16 B flat — sorted with
-    plain long comparisons (pos rides the high bits) and unpacked to
-    the identical coordinate doubles after the shuffle.
-    Emits ``is_closed`` (first coord == last coord) marking polygons.
-
-    Join strategy (r3): the node side carries a ``shuffle_hash`` hint —
-    node ids are UNIQUE (no build-side skew) and the build rows are
-    slim (id, lat, lon), so a per-partition hash map skips sorting both
-    ~300M-row sides that sort-merge pays for (measured 9.5 -> 8.2 s at
-    16 cores / 18.6 -> 18.0 s at 4 cores on the 10M-node mixed corpus,
-    and the 4N leg gains more, so stage scaling improves too). Build
-    memory is bounded by ``spark.sql.shuffle.partitions``: size it so
-    each build partition holds ~100-200 MB of slim node rows, exactly
-    how a production cluster sizes any large hash join.
-    """
     exploded = ways_df.select(
         F.col("id").alias("way_id"),
         F.posexplode("refs").alias("pos", "ref"),
-    )
+    ).select(wp.alias("_wp"), "ref")
     joined = exploded.join(
         nodes_df.select(F.col("id").alias("ref"), "lat", "lon").hint("shuffle_hash"),
         on="ref", how="inner",
+    ).select(
+        F.shiftrightunsigned("_wp", 24).alias("way_id"),
+        F.col("_wp").bitwiseAND(F.lit((1 << 24) - 1)).cast("int").alias("pos"),
+        "lat",
+        "lon",
     )
-    geom = joined.groupBy("way_id").agg(
-        F.array_sort(F.collect_list(_pack_vertex("lat", _LAT_BIAS))).alias("_pl"),
-        F.array_sort(F.collect_list(_pack_vertex("lon", _LON_BIAS))).alias("_pn"),
+    geom = (
+        joined.repartition(F.col("way_id"))
+        .groupBy("way_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "lat", "lon"))).alias("_p"))
     )
-
-    def _ends_eq(col_name: str):
-        return F.element_at(col_name, 1).bitwiseAND(F.lit(_NANO_MASK)) == F.element_at(
-            col_name, -1
-        ).bitwiseAND(F.lit(_NANO_MASK))
-
     return geom.select(
         "way_id",
-        F.zip_with(
-            "_pl",
-            "_pn",
-            lambda a, b: F.struct(
-                _unpack_coord(a, _LAT_BIAS).alias("lat"),
-                _unpack_coord(b, _LON_BIAS).alias("lon"),
-            ),
+        F.transform(
+            "_p", lambda p: F.struct(p["lat"].alias("lat"), p["lon"].alias("lon"))
         ).alias("points"),
-        (_ends_eq("_pl") & _ends_eq("_pn")).alias("is_closed"),
+        (
+            (F.element_at("_p", 1)["lat"] == F.element_at("_p", -1)["lat"])
+            & (F.element_at("_p", 1)["lon"] == F.element_at("_p", -1)["lon"])
+        ).alias("is_closed"),
     )

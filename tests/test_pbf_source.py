@@ -78,28 +78,29 @@ def test_decode_is_distributed(spark, fixtures_dir):
 
 
 def test_pack_vertex_out_of_range_raises(spark):
-    """A coordinate the packed layout cannot hold (malformed PBF
-    offsets pushing lat/lon out of range) must fail LOUDLY, not sort
-    into silently wrong geometry."""
+    """The probe-side (way_id << 24 | pos) pack must fail LOUDLY for a
+    way id its 39-bit field cannot hold — a smeared pack would join and
+    regroup under a silently wrong way id. Coordinates themselves pass
+    through the assembly untouched (the regroup shuffles raw scalar
+    rows), so out-of-range coords are NOT an error here — same
+    tolerance the struct path always had."""
     import pytest
     from pyspark.errors.exceptions.captured import SparkRuntimeException
 
     from osm_pbf_spark.sources.pbf_source import assemble_way_geometries
 
-    ways = spark.createDataFrame([(1, [10, 11])], "id long, refs array<long>")
-    # lon -500 -> biased nano -320e9 < 0: sign bits would smear into
-    # the pos field
-    nodes_bad = spark.createDataFrame(
-        [(10, 0.0, -500.0), (11, 1.0, 1.0)], "id long, lat double, lon double"
+    nodes = spark.createDataFrame(
+        [(10, 0.0, -500.0), (11, 95.0, 1.0)], "id long, lat double, lon double"
+    )
+    ways_bad = spark.createDataFrame(
+        [(1 << 39, [10, 11])], "id long, refs array<long>"
     )
     with pytest.raises(SparkRuntimeException, match="not packable"):
-        assemble_way_geometries(ways, nodes_bad).collect()
-    # mildly out-of-range coords that still FIT the 39-bit field stay
-    # consistent (same tolerance the old struct path had): lat 95 ->
-    # biased nano 185e9 < 2^39
-    nodes_mild = spark.createDataFrame(
-        [(10, 95.0, 0.0), (11, 1.0, 1.0)], "id long, lat double, lon double"
-    )
-    ok = assemble_way_geometries(ways, nodes_mild).collect()
+        assemble_way_geometries(ways_bad, nodes).collect()
+
+    # wildly out-of-range coords flow through bit-exact, geometry intact
+    ways = spark.createDataFrame([(1, [10, 11])], "id long, refs array<long>")
+    ok = assemble_way_geometries(ways, nodes).collect()
     assert len(ok) == 1 and len(ok[0]["points"]) == 2
-    assert ok[0]["points"][0]["lat"] == 95.0
+    assert ok[0]["points"][0]["lon"] == -500.0
+    assert ok[0]["points"][1]["lat"] == 95.0

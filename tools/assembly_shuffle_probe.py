@@ -1,9 +1,23 @@
-"""Measure the way-assembly regroup's shuffle volume: old
-struct(pos,lat,lon) collect_list vs the packed two-long-array plan
-(sources/pbf_source.assemble_way_geometries, round 3).
+"""Measure the way-assembly regroup's shuffle volume: the engine's
+repartition-on-way_id-BEFORE-aggregate plan vs a direct groupBy whose
+map-side partial collect_list runs over ref-scattered vertices
+(sources/pbf_source.assemble_way_geometries, late round 3).
 
 Runs both variants in one session over the mixed bench corpus and sums
 shuffle write/read bytes of the stages each job ran (Spark REST API).
+
+BOTH variants pin the ref-join to shuffle_hash (same as the engine):
+decode-derived frames carry no size statistics, so an unhinted join
+gets mis-planned as a broadcast of the whole node table — zero join
+shuffle and a way-contiguous probe order that makes the direct
+groupBy's partial lists complete (that accident is what the retracted
+r3 "-28% packed arrays" measurement was unknowingly comparing
+against). Holding the join fixed isolates the regroup strategy. (The
+broadcast plan is also a driver OOM at planet scale — see
+assemble_way_geometries' docstring.)
+
+PROBE_SHUFFLE_COMPRESS=0 measures RAW bytes (the synthetic corpus's
+clustered coords lz4-compress ~5x; real planet coords do not).
 
 Usage: python tools/assembly_shuffle_probe.py [n_nodes] [cores]
 """
@@ -26,12 +40,15 @@ from tests.gen_documents import synth_pbf_mixed
 
 
 def assemble_old(ways_df, nodes_df):
-    """The round-2 plan: struct rows through the regroup shuffle."""
+    """The round-2 regroup: direct groupBy — partial collect_list over
+    ref-scattered join output, fragmented array rows through the
+    exchange."""
     exploded = ways_df.select(
         F.col("id").alias("way_id"), F.posexplode("refs").alias("pos", "ref")
     )
     joined = exploded.join(
-        nodes_df.select(F.col("id").alias("ref"), "lat", "lon"), on="ref", how="inner"
+        nodes_df.select(F.col("id").alias("ref"), "lat", "lon").hint("shuffle_hash"),
+        on="ref", how="inner",
     )
     geom = joined.groupBy("way_id").agg(
         F.sort_array(F.collect_list(F.struct("pos", "lat", "lon"))).alias("_pts")
@@ -62,10 +79,14 @@ def stage_metrics(ui: str) -> dict[int, tuple[int, int]]:
 def main() -> None:
     n_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    spark = get_spark(
-        "shuffle-probe", master=f"local[{cores}]",
-        extra_conf={"spark.ui.enabled": "true"},
-    )
+    conf = {"spark.ui.enabled": "true"}
+    if os.environ.get("PROBE_SHUFFLE_COMPRESS", "1") == "0":
+        # RAW shuffle bytes: the synthetic corpus's clustered coords
+        # lz4-compress ~5x (real planet coords do not), which can mask
+        # a 2x raw-width difference entirely — measure both modes
+        conf["spark.shuffle.compress"] = "false"
+        conf["spark.shuffle.spill.compress"] = "false"
+    spark = get_spark("shuffle-probe", master=f"local[{cores}]", extra_conf=conf)
     ui = spark.sparkContext.uiWebUrl
     pbf = synth_pbf_mixed(
         os.path.join("/tmp/osm_pbf_spark_bench", f"corpus_mixed_{n_nodes}.osm.pbf"),
@@ -73,7 +94,7 @@ def main() -> None:
     )
 
     out = {}
-    variants = [("packed_new", src.assemble_way_geometries), ("struct_old", assemble_old)]
+    variants = [("engine_repart_first", src.assemble_way_geometries), ("direct_groupby", assemble_old)]
     # interleave 2 reps per variant, keep the best (VM steal + cold file
     # cache would otherwise bias whichever runs first)
     for rep in range(2):
