@@ -74,3 +74,31 @@ def test_sorted_ingest_has_no_shuffle(spark, tmp_path):
         cells = pq.read_table(f, columns=["cell"]).column("cell").to_numpy()
         if len(cells):
             assert (np.diff(cells) >= 0).all(), f
+
+
+def test_way_assembly_plan_shape(spark):
+    """The assembly join must stay a SHUFFLED hash join and the regroup
+    must stay exchange-free above its explicit repartition.
+
+    - No broadcast: decode-derived frames have no usable size stats
+      (Catalyst estimates them from the tiny blob manifest), so an
+      unhinted plan mis-broadcasts the FULL node table — fine on one
+      box, a driver OOM at planet scale.
+    - Exactly 3 exchanges (probe, nodes, repartition-on-way_id): a 4th
+      would mean Catalyst stopped recognizing that the repartition
+      satisfies the groupBy's distribution and the fragmented-partial
+      -agg regression (BENCH/assembly_shuffle_r3b.json) is back.
+    """
+    from osm_pbf_spark.sources.pbf_source import assemble_way_geometries
+
+    ways = spark.createDataFrame(
+        [(1, [10, 11, 10]), (2, [11, 12])], "id long, refs array<long>"
+    )
+    nodes = spark.createDataFrame(
+        [(10, 1.0, 2.0), (11, 3.0, 4.0), (12, 5.0, 6.0)],
+        "id long, lat double, lon double",
+    )
+    plan = _plan(assemble_way_geometries(ways, nodes))
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
