@@ -316,6 +316,19 @@ def knn_two_round(
     Everything is one lazy plan: ~5 shuffles total, zero driver-side
     actions, so it composes with downstream operators and scales with
     the cluster rather than the driver.
+
+    Every join is PINNED to a shuffled-hash strategy (late r3):
+    queries/candidates are routinely decode-derived DataFrames whose
+    size Catalyst estimates from the kilobyte blob manifest they grow
+    out of, so the optimizer would otherwise broadcast whichever side
+    "looks" smaller — including a 10^7-row query table or the full
+    candidate table. This operator is by construction the LARGE-query
+    path (the auto router sends <=10^4-query sets to broadcast-brute),
+    so a shuffle join is never the wrong call here; build sides are
+    the slim unique-keyed tables (per-cell counts, per-query bounds,
+    thinned/slim candidate rows), with per-partition build memory
+    governed by spark.sql.shuffle.partitions exactly as in the
+    way-assembly join.
     """
     from .spatial_join import with_cell
 
@@ -341,7 +354,8 @@ def knn_two_round(
     # query just falls into the correct brute tail.
     cap = sample_cap if sample_cap is not None else max(4 * k, 32)
     cand_a = cand.join(
-        cand.groupBy("cell").agg(F.count(F.lit(1)).alias("_cnt")), "cell"
+        cand.groupBy("cell").agg(F.count(F.lit(1)).alias("_cnt")).hint("shuffle_hash"),
+        "cell",
     ).filter(
         F.pmod(F.hash("neighbor_id"), F.greatest(F.floor(F.col("_cnt") / cap), F.lit(1)))
         == 0
@@ -350,7 +364,7 @@ def knn_two_round(
     ring1 = _ring_cells_udf(level, 1)
     ja = (
         q.withColumn("cell", F.explode(ring1(F.col("q_cell"))))
-        .join(cand_a, "cell", "inner")
+        .join(cand_a.hint("shuffle_hash"), "cell", "inner")
         .drop("cell")
     )
     if exclude_self:
@@ -364,7 +378,10 @@ def knn_two_round(
         .agg(F.max("dist").alias("_ub"), F.count(F.lit(1)).alias("_n"))
     )
 
-    resolved = q.join(ub.filter(F.col("_n") >= k).select("query_id", "_ub"), "query_id")
+    resolved = q.join(
+        ub.filter(F.col("_n") >= k).select("query_id", "_ub").hint("shuffle_hash"),
+        "query_id",
+    )
     win_udf = _window_cells_udf(level, metric, max_window_cells)
     resolved = resolved.withColumn(
         "_cells", win_udf(F.col("q_lat"), F.col("q_lon"), F.col("_ub"))
@@ -374,7 +391,7 @@ def knn_two_round(
         resolved.filter(F.col("_cells").isNotNull())
         .withColumn("cell", F.explode("_cells"))
         .drop("_cells", "_ub", "q_cell")
-        .join(cand, "cell", "inner")
+        .join(cand.hint("shuffle_hash"), "cell", "inner")
         .drop("cell")
     )
     if exclude_self:
@@ -391,11 +408,24 @@ def knn_two_round(
     # the level is chosen sanely; no driver action decides this
     tail_ids = (
         q.select("query_id")
-        .join(ub.filter(F.col("_n") >= k).select("query_id"), "query_id", "left_anti")
+        .join(
+            ub.filter(F.col("_n") >= k).select("query_id").hint("shuffle_hash"),
+            "query_id",
+            "left_anti",
+        )
         .unionByName(overflow)
     )
-    tail_q = q.join(tail_ids, "query_id", "left_semi")
-    tj = tail_q.select("query_id", "q_lat", "q_lon").crossJoin(cand.drop("cell"))
+    tail_q = q.join(tail_ids.hint("shuffle_hash"), "query_id", "left_semi")
+    # shuffle_replicate_nl: an unhinted crossJoin plans a BROADCAST
+    # nested-loop that materializes the full candidate table on every
+    # executor (and the driver) even when the tail is EMPTY — the
+    # normal case. The shuffled cartesian is bounded (worst case one
+    # extra candidate shuffle), and AQE's empty-relation propagation
+    # short-circuits it entirely once the tail side materializes as 0
+    # rows.
+    tj = tail_q.select("query_id", "q_lat", "q_lon").crossJoin(
+        cand.drop("cell").hint("shuffle_replicate_nl")
+    )
     if exclude_self:
         tj = tj.filter(F.col("query_id") != F.col("neighbor_id"))
     tail = (

@@ -102,3 +102,19 @@ def test_way_assembly_plan_shape(spark):
     assert "BroadcastHashJoin" not in plan, plan
     assert "ShuffledHashJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 3, plan
+
+
+def test_knn_two_round_never_broadcasts(spark):
+    """knn_two_round is the LARGE-query path and its inputs are often
+    decode-derived frames with garbage size estimates: a broadcast of
+    the query or candidate table anywhere in the plan is the
+    silently-fatal-at-100x shape (see the way-assembly docstring)."""
+    from osm_pbf_spark.operators.knn import knn_two_round
+
+    plan = _plan(
+        knn_two_round(
+            spark, _points(spark, 30), _points(spark, 200), k=3, level=4
+        )
+    )
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
