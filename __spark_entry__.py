@@ -42,8 +42,13 @@ from osm_pbf_spark.operators.ann import (
 from osm_pbf_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
 from osm_pbf_spark.operators.knn import knn_join
 from osm_pbf_spark.operators.multimodal import extract_media_features, synth_media_table
+from osm_pbf_spark.operators.packing import (
+    bin_pack_ffd,
+    concat_chunk_pack,
+    stratified_sample,
+)
 from osm_pbf_spark.operators.spatial_join import Polygon, pip_join
-from osm_pbf_spark.operators.tiling import assign_point_tiles
+from osm_pbf_spark.operators.tiling import assign_line_tiles, assign_point_tiles
 from osm_pbf_spark.sources.tables import (
     SQL_POINTS,
     SQL_STATIONS,
@@ -561,6 +566,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ngram_jaccard"] = q_ngram_jaccard
 
+    # ---- training-batch packing + deterministic sampling ----
+
+    def q_pack_chunks(spark, sf):  # concatenation packing (GPT-style)
+        d = load(spark, sf, "documents").select("doc_id", "text")
+        return concat_chunk_pack(d, budget=64, n_ranges=16)
+
+    q["q_pack_chunks"] = q_pack_chunks
+
+    def q_pack_bins(spark, sf):  # FFD bin packing, no doc splitting
+        d = load(spark, sf, "documents").select("doc_id", "text").filter(
+            F.col("doc_id") < 400
+        )
+        return bin_pack_ffd(d, budget=256, n_groups=8)
+
+    q["q_pack_bins"] = q_pack_bins
+
+    def q_sample_stratified(spark, sf):  # deterministic md5 stratified sample
+        d = load(spark, sf, "documents")
+        return stratified_sample(
+            d, {"en": 0.5, "de": 0.25, "fr": 0.1}, strata_col="lang"
+        ).select("doc_id", "lang", "source")
+
+    q["q_sample_stratified"] = q_sample_stratified
+
+    def q_line_tiles(spark, sf):  # vector->raster for LINES (supercover)
+        e = load(spark, sf, "events")
+        seg = e.select(
+            "event_id",
+            (F.col("event_id") % 160 - 80 + F.lit(0.5)).alias("lat0"),
+            ((F.col("event_id") * 7) % 350 - 175 + F.lit(0.25)).alias("lon0"),
+            (
+                F.col("event_id") % 160 - 80 + F.lit(0.5)
+                + (F.col("event_id") % 7 - 3) * F.lit(1.7)
+            ).alias("lat1"),
+            (
+                (F.col("event_id") * 7) % 350 - 175 + F.lit(0.25)
+                + (F.col("event_id") % 11 - 5) * F.lit(2.3)
+            ).alias("lon1"),
+        )
+        return (
+            assign_line_tiles(seg, zoom=6, scheme="linear")
+            .groupBy("tile_z", "tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("n_segs"))
+        )
+
+    q["q_line_tiles"] = q_line_tiles
+
+    def _synth_segments(e):  # shared seg synthesis (q_line_tiles shape)
+        return e.select(
+            "event_id",
+            (F.col("event_id") % 160 - 80 + F.lit(0.5)).alias("lat0"),
+            ((F.col("event_id") * 7) % 350 - 175 + F.lit(0.25)).alias("lon0"),
+            (
+                F.col("event_id") % 160 - 80 + F.lit(0.5)
+                + (F.col("event_id") % 7 - 3) * F.lit(1.7)
+            ).alias("lat1"),
+            (
+                (F.col("event_id") * 7) % 350 - 175 + F.lit(0.25)
+                + (F.col("event_id") % 11 - 5) * F.lit(2.3)
+            ).alias("lon1"),
+        )
+
+    def q_line_clip(spark, sf):  # supercover + Liang-Barsky tile clip
+        from osm_pbf_spark.operators.tiling import clip_lines_to_tiles
+
+        seg = _synth_segments(load(spark, sf, "events")).filter(
+            F.col("event_id") < 2500
+        )
+        return clip_lines_to_tiles(seg, zoom=6, scheme="linear").select(
+            "event_id", "tile_z", "tile_x", "tile_y",
+            "t0", "t1", "cx0", "cy0", "cx1", "cy1",
+        )
+
+    q["q_line_clip"] = q_line_clip
+
+    def q_line_measures(spark, sf):  # geodesic length / shoelace / centroid
+        from osm_pbf_spark.operators.measures import line_measures
+
+        e = load(spark, sf, "events")
+        pts = e.select(
+            (F.col("event_id") % 64).alias("line_id"),
+            "event_id",
+            (F.col("event_id") % 160 - 80 + F.lit(0.5)).alias("lat"),
+            ((F.col("event_id") * 7) % 350 - 175 + F.lit(0.25)).alias("lon"),
+        )
+        w = Window.partitionBy("line_id").orderBy("event_id")
+        seg = pts.select(
+            "line_id",
+            F.col("lat").alias("lat0"),
+            F.col("lon").alias("lon0"),
+            F.lead("lat").over(w).alias("lat1"),
+            F.lead("lon").over(w).alias("lon1"),
+        ).filter(F.col("lat1").isNotNull())
+        m = line_measures(seg)
+        # compare geodesic length at METER granularity: the mm units are
+        # exact bigints engine-side, but sin/cos/asin go through JVM
+        # Math vs libm (~1 ulp apart) — meter rounding absorbs that
+        return m.select(
+            "line_id",
+            "n_segs",
+            F.round(F.col("len_mm") / F.lit(1000.0)).cast("long").alias("len_m"),
+            "cross2_u",
+            "mid_lat_u",
+            "mid_lon_u",
+        )
+
+    q["q_line_measures"] = q_line_measures
+
+    def q_simplify(spark, sf):  # Douglas-Peucker generalization
+        from osm_pbf_spark.operators.simplify import simplify_lines
+
+        e = load(spark, sf, "events")
+        pts = e.select(
+            (F.col("event_id") % 40).alias("line_id"),
+            "event_id",
+            (
+                (F.col("event_id") % 40) * F.lit(2.0) - F.lit(40.0)
+                + ((F.col("event_id") * 7919) % 100) * F.lit(0.002)
+                + F.when(F.col("event_id") % 17 == 0, F.lit(5.0)).otherwise(F.lit(0.0))
+            ).alias("lat"),
+            (
+                F.lit(-170.0)
+                + (F.col("event_id") - F.col("event_id") % 40) / F.lit(40.0) * F.lit(1.3)
+            ).alias("lon"),
+        )
+        lines = (
+            pts.groupBy("line_id")
+            .agg(F.array_sort(F.collect_list(F.struct("event_id", "lat", "lon"))).alias("a"))
+            .select(
+                "line_id",
+                F.transform("a", lambda s: s["lat"]).alias("lats"),
+                F.transform("a", lambda s: s["lon"]).alias("lons"),
+            )
+        )
+        simp = simplify_lines(lines, tolerance_deg=0.3)
+        return simp.select(
+            "line_id", F.posexplode(F.arrays_zip("lats", "lons"))
+        ).select(
+            "line_id",
+            F.col("pos").alias("pt_idx"),
+            F.col("col.lats").alias("lat"),
+            F.col("col.lons").alias("lon"),
+        )
+
+    q["q_simplify"] = q_simplify
+
     # ---- embeddings (similarity search) ----
 
     def q_emb_norm(spark, sf):
@@ -594,6 +745,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return near_dup_cosine_lsh(both, threshold=0.9, dim=64)
 
     q["q_near_dup_lsh"] = q_near_dup_lsh
+
+    def q_kmeans(spark, sf):  # embedding clustering (spherical k-means)
+        from osm_pbf_spark.operators.ann import kmeans_assign
+
+        e = load(spark, sf, "embeddings")
+        return kmeans_assign(e, n_clusters=16).select("vec_id", "cluster")
+
+    q["q_kmeans"] = q_kmeans
 
     # ---- rows-only checks (non-SQL-expressible; see oracle_sql docstring) ----
 
@@ -1459,6 +1618,142 @@ def _ora_ivf_topk() -> str:
     )
 
 
+def _ora_pack_bins() -> str:
+    """Scalar replay of the FFD bin-packing spec (operators/packing.py
+    bin_pack_ffd): md5-mod grouping, per-group sort by (tokens desc,
+    id), first-fit placement — independent fold over the same parquet,
+    emitted as a VALUES literal."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    budget, n_groups = 256, 8
+    groups: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        if doc_id >= 400:
+            continue
+        g = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % n_groups
+        groups.setdefault(g, []).append((int(doc_id), len(text.split(" "))))
+    rows = []
+    for g, docs in groups.items():
+        fill: list[int] = []
+        counts: list[int] = []
+        for doc_id, tk in sorted(docs, key=lambda dt: (-dt[1], dt[0])):
+            placed = -1
+            for b, used in enumerate(fill):
+                if used + tk <= budget:
+                    placed = b
+                    break
+            if placed < 0:
+                placed = len(fill)
+                fill.append(0)
+                counts.append(0)
+            rows.append(((g << 32) | placed, doc_id, tk, counts[placed]))
+            fill[placed] += tk
+            counts[placed] += 1
+    return _values_sql(
+        [("bin_id", "BIGINT"), ("doc_id", "BIGINT"), ("n_tokens", "BIGINT"),
+         ("bin_pos", "BIGINT")],
+        rows,
+    )
+
+
+def _ora_simplify() -> str:
+    """Scalar replay of the Douglas-Peucker spec (operators/simplify.py):
+    INDEPENDENT recursive implementation (engine is stack-iterative
+    numpy) with the same IEEE expression order — cross = dx*(y0-yp) -
+    dy*(x0-xp), keep iff cross^2 > tol^2*seg2, first-max tie-break —
+    over the same synthetic polylines, emitted as a VALUES literal."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(ORACLE_SF_DIR, "events.parquet"), columns=["event_id"])
+    lines: dict[int, list[tuple[int, float, float]]] = {}
+    for eid in t.column("event_id").to_pylist():
+        eid = int(eid)
+        lid = eid % 40
+        lat = (
+            lid * 2.0 - 40.0
+            + ((eid * 7919) % 100) * 0.002
+            + (5.0 if eid % 17 == 0 else 0.0)
+        )
+        lon = -170.0 + (eid - eid % 40) / 40.0 * 1.3
+        lines.setdefault(lid, []).append((eid, lat, lon))
+    tol = 0.3
+    tol2 = tol * tol
+
+    def rec(xs, ys, keep, i0, i1):
+        if i1 - i0 < 2:
+            return
+        x0, y0, x1, y1 = xs[i0], ys[i0], xs[i1], ys[i1]
+        dx, dy = x1 - x0, y1 - y0
+        seg2 = dx * dx + dy * dy
+        thr = tol2 if seg2 == 0.0 else tol2 * seg2
+        best, bj = -1.0, -1
+        for j in range(i0 + 1, i1):
+            if seg2 == 0.0:
+                d2 = (xs[j] - x0) * (xs[j] - x0) + (ys[j] - y0) * (ys[j] - y0)
+            else:
+                cr = dx * (y0 - ys[j]) - dy * (x0 - xs[j])
+                d2 = cr * cr
+            if d2 > best:
+                best, bj = d2, j
+        if best > thr:
+            keep[bj] = True
+            rec(xs, ys, keep, i0, bj)
+            rec(xs, ys, keep, bj, i1)
+
+    rows = []
+    for lid in sorted(lines):
+        pts = sorted(lines[lid])
+        ys = [p[1] for p in pts]  # lat
+        xs = [p[2] for p in pts]  # lon
+        n = len(pts)
+        keep = [False] * n
+        if n:
+            keep[0] = keep[-1] = True
+        if n > 2:
+            rec(xs, ys, keep, 0, n - 1)
+        idx = 0
+        for j in range(n):
+            if keep[j]:
+                rows.append((lid, idx, ys[j], xs[j]))
+                idx += 1
+    return _values_sql(
+        [("line_id", "BIGINT"), ("pt_idx", "INTEGER"), ("lat", "DOUBLE"), ("lon", "DOUBLE")],
+        rows,
+    )
+
+
+def _ora_kmeans() -> str:
+    """Scalar replay of the k-means assignment spec (operators/ann.py
+    kmeans_assign): the same deterministic spherical k-means training
+    (engine kernel imported for centroid generation, per the
+    hybrid-oracle convention) and an independent numpy argmax
+    assignment over the full table — emitted as a VALUES literal."""
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.ann import _kmeans_centroids
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = [int(i) for i in t.column("vec_id").to_pylist()]
+    vecs = t.column("embedding").to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])[:4096]
+    cent = _kmeans_centroids(
+        np.asarray([vecs[i] for i in order], dtype=np.float64), 16
+    )
+    m = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    mn = m / np.where(norms == 0.0, 1.0, norms)
+    best = np.argmax(mn @ cent.T, axis=1)
+    rows = [(ids[i], int(best[i])) for i in range(len(ids))]
+    return _values_sql([("vec_id", "BIGINT"), ("cluster", "BIGINT")], rows)
+
+
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
@@ -1654,6 +1949,189 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_docs) AS BIGINT) AS n_docs, 4 AS tile_z
             FROM leaf GROUP BY 1, 2
         """,
+        # ---- training-batch packing + sampling + line tiles ----
+        "q_pack_chunks": """
+            WITH t AS (SELECT doc_id,
+                              CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+                       FROM documents),
+            o AS (SELECT doc_id, toks,
+                         CAST(COALESCE(SUM(toks) OVER (
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS BIGINT) AS strt
+                  FROM t),
+            e AS (SELECT o.*,
+                         unnest(generate_series(strt // 64, (strt + toks - 1) // 64)) AS chunk_id
+                  FROM o)
+            SELECT chunk_id, doc_id,
+                   GREATEST(strt, chunk_id * 64) - strt AS slice_begin,
+                   LEAST(strt + toks, chunk_id * 64 + 64)
+                     - GREATEST(strt, chunk_id * 64) AS slice_len,
+                   GREATEST(strt, chunk_id * 64) - chunk_id * 64 AS pos_in_chunk
+            FROM e
+        """,
+        "q_pack_bins": _ora_pack_bins(),
+        "q_sample_stratified": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang WHEN 'en' THEN '80000000'
+                            WHEN 'de' THEN '40000000'
+                            WHEN 'fr' THEN '19999999'
+                            ELSE '' END
+        """,
+        "q_line_tiles": """
+            WITH seg AS (
+              SELECT event_id,
+                     (event_id % 160) - 80 + 0.5 AS lat0,
+                     ((event_id * 7) % 350) - 175 + 0.25 AS lon0,
+                     ((event_id % 160) - 80 + 0.5)
+                       + ((event_id % 7) - 3) * CAST(1.7 AS DOUBLE) AS lat1,
+                     (((event_id * 7) % 350) - 175 + 0.25)
+                       + ((event_id % 11) - 5) * CAST(2.3 AS DOUBLE) AS lon1
+              FROM events),
+            sc AS (
+              SELECT event_id,
+                     (lon0 + 180.0) / 360.0 * 64.0 AS sx0,
+                     (90.0 - lat0) / 180.0 * 64.0 AS sy0,
+                     (lon1 + 180.0) / 360.0 * 64.0 AS sx1,
+                     (90.0 - lat1) / 180.0 * 64.0 AS sy1
+              FROM seg),
+            b AS (SELECT sc.*, LEAST(sx0, sx1) AS xa, GREATEST(sx0, sx1) AS xb FROM sc),
+            xs AS (
+              SELECT b.*,
+                     unnest(generate_series(CAST(GREATEST(FLOOR(xa), 0) AS BIGINT),
+                                            CAST(LEAST(FLOOR(xb), 63) AS BIGINT))) AS tile_x
+              FROM b WHERE GREATEST(FLOOR(xa), 0) <= LEAST(FLOOR(xb), 63)),
+            yr AS (
+              SELECT xs.*,
+                     GREATEST(CAST(tile_x AS DOUBLE), xa) AS cl,
+                     LEAST(CAST(tile_x AS DOUBLE) + 1.0, xb) AS cr
+              FROM xs),
+            yy AS (
+              SELECT yr.*,
+                CASE WHEN sx1 = sx0 THEN LEAST(sy0, sy1)
+                     ELSE LEAST(sy0 + (cl - sx0) / (sx1 - sx0) * (sy1 - sy0),
+                                sy0 + (cr - sx0) / (sx1 - sx0) * (sy1 - sy0)) END AS ymin,
+                CASE WHEN sx1 = sx0 THEN GREATEST(sy0, sy1)
+                     ELSE GREATEST(sy0 + (cl - sx0) / (sx1 - sx0) * (sy1 - sy0),
+                                   sy0 + (cr - sx0) / (sx1 - sx0) * (sy1 - sy0)) END AS ymax
+              FROM yr),
+            ts AS (
+              SELECT event_id, tile_x,
+                     unnest(generate_series(CAST(GREATEST(FLOOR(ymin), 0) AS BIGINT),
+                                            CAST(LEAST(FLOOR(ymax), 63) AS BIGINT))) AS tile_y
+              FROM yy WHERE GREATEST(FLOOR(ymin), 0) <= LEAST(FLOOR(ymax), 63))
+            SELECT CAST(6 AS INTEGER) AS tile_z, tile_x, tile_y,
+                   COUNT(*) AS n_segs
+            FROM ts GROUP BY tile_x, tile_y
+        """,
+        "q_kmeans": _ora_kmeans(),
+        "q_line_clip": """
+            WITH seg AS (
+              SELECT event_id,
+                     (event_id % 160) - 80 + 0.5 AS lat0,
+                     ((event_id * 7) % 350) - 175 + 0.25 AS lon0,
+                     ((event_id % 160) - 80 + 0.5)
+                       + ((event_id % 7) - 3) * CAST(1.7 AS DOUBLE) AS lat1,
+                     (((event_id * 7) % 350) - 175 + 0.25)
+                       + ((event_id % 11) - 5) * CAST(2.3 AS DOUBLE) AS lon1
+              FROM events WHERE event_id < 2500),
+            sc AS (
+              SELECT event_id,
+                     (lon0 + 180.0) / 360.0 * 64.0 AS sx0,
+                     (90.0 - lat0) / 180.0 * 64.0 AS sy0,
+                     (lon1 + 180.0) / 360.0 * 64.0 AS sx1,
+                     (90.0 - lat1) / 180.0 * 64.0 AS sy1
+              FROM seg),
+            b AS (SELECT sc.*, LEAST(sx0, sx1) AS xa, GREATEST(sx0, sx1) AS xb FROM sc),
+            xs AS (
+              SELECT b.*,
+                     unnest(generate_series(CAST(GREATEST(FLOOR(xa), 0) AS BIGINT),
+                                            CAST(LEAST(FLOOR(xb), 63) AS BIGINT))) AS tile_x
+              FROM b WHERE GREATEST(FLOOR(xa), 0) <= LEAST(FLOOR(xb), 63)),
+            yr AS (
+              SELECT xs.*,
+                     GREATEST(CAST(tile_x AS DOUBLE), xa) AS cl,
+                     LEAST(CAST(tile_x AS DOUBLE) + 1.0, xb) AS cr
+              FROM xs),
+            yy AS (
+              SELECT yr.*,
+                CASE WHEN sx1 = sx0 THEN LEAST(sy0, sy1)
+                     ELSE LEAST(sy0 + (cl - sx0) / (sx1 - sx0) * (sy1 - sy0),
+                                sy0 + (cr - sx0) / (sx1 - sx0) * (sy1 - sy0)) END AS ymin,
+                CASE WHEN sx1 = sx0 THEN GREATEST(sy0, sy1)
+                     ELSE GREATEST(sy0 + (cl - sx0) / (sx1 - sx0) * (sy1 - sy0),
+                                   sy0 + (cr - sx0) / (sx1 - sx0) * (sy1 - sy0)) END AS ymax
+              FROM yr),
+            ts AS (
+              SELECT event_id, sx0, sy0, sx1, sy1, tile_x,
+                     unnest(generate_series(CAST(GREATEST(FLOOR(ymin), 0) AS BIGINT),
+                                            CAST(LEAST(FLOOR(ymax), 63) AS BIGINT))) AS tile_y
+              FROM yy WHERE GREATEST(FLOOR(ymin), 0) <= LEAST(FLOOR(ymax), 63)),
+            tp AS (
+              SELECT ts.*,
+                CASE WHEN (sx1 - sx0) <> 0.0
+                     THEN LEAST((CAST(tile_x AS DOUBLE) - sx0) / (sx1 - sx0),
+                                (CAST(tile_x AS DOUBLE) + 1.0 - sx0) / (sx1 - sx0))
+                     ELSE 0.0 END AS txa,
+                CASE WHEN (sx1 - sx0) <> 0.0
+                     THEN GREATEST((CAST(tile_x AS DOUBLE) - sx0) / (sx1 - sx0),
+                                   (CAST(tile_x AS DOUBLE) + 1.0 - sx0) / (sx1 - sx0))
+                     ELSE 1.0 END AS txb,
+                CASE WHEN (sy1 - sy0) <> 0.0
+                     THEN LEAST((CAST(tile_y AS DOUBLE) - sy0) / (sy1 - sy0),
+                                (CAST(tile_y AS DOUBLE) + 1.0 - sy0) / (sy1 - sy0))
+                     ELSE 0.0 END AS tya,
+                CASE WHEN (sy1 - sy0) <> 0.0
+                     THEN GREATEST((CAST(tile_y AS DOUBLE) - sy0) / (sy1 - sy0),
+                                   (CAST(tile_y AS DOUBLE) + 1.0 - sy0) / (sy1 - sy0))
+                     ELSE 1.0 END AS tyb
+              FROM ts),
+            tw AS (SELECT tp.*, GREATEST(0.0, txa, tya) AS t0 FROM tp),
+            tv AS (SELECT tw.*, GREATEST(t0, LEAST(1.0, txb, tyb)) AS t1 FROM tw)
+            SELECT event_id, CAST(6 AS INTEGER) AS tile_z, tile_x, tile_y,
+                   t0, t1,
+                   sx0 + (sx1 - sx0) * t0 AS cx0,
+                   sy0 + (sy1 - sy0) * t0 AS cy0,
+                   sx0 + (sx1 - sx0) * t1 AS cx1,
+                   sy0 + (sy1 - sy0) * t1 AS cy1
+            FROM tv
+        """,
+        "q_line_measures": """
+            WITH pts AS (
+              SELECT event_id % 64 AS line_id, event_id,
+                     (event_id % 160) - 80 + 0.5 AS lat,
+                     ((event_id * 7) % 350) - 175 + 0.25 AS lon
+              FROM events),
+            seg AS (
+              SELECT line_id, lat AS lat0, lon AS lon0,
+                     LEAD(lat) OVER (PARTITION BY line_id ORDER BY event_id) AS lat1,
+                     LEAD(lon) OVER (PARTITION BY line_id ORDER BY event_id) AS lon1
+              FROM pts),
+            hav AS (
+              SELECT seg.*,
+                     SIN(((lat1 - lat0) * 0.017453292519943295) / 2.0) AS sdlat,
+                     SIN(((lon1 - lon0) * 0.017453292519943295) / 2.0) AS sdlon
+              FROM seg WHERE lat1 IS NOT NULL),
+            m AS (
+              SELECT line_id,
+                CAST(ROUND((12742017.6 * ASIN(SQRT(LEAST(GREATEST(
+                    sdlat * sdlat
+                    + COS(lat0 * 0.017453292519943295)
+                      * COS(lat1 * 0.017453292519943295) * (sdlon * sdlon)
+                  , 0.0), 1.0)))) * 1000.0) AS BIGINT) AS len_mm,
+                CAST(ROUND((lon0 * lat1 - lon1 * lat0) * 1e8) AS BIGINT) AS cross2_u,
+                CAST(ROUND((lat0 + lat1) / 2.0 * 1e7) AS BIGINT) AS mid_lat_u,
+                CAST(ROUND((lon0 + lon1) / 2.0 * 1e7) AS BIGINT) AS mid_lon_u
+              FROM hav)
+            SELECT line_id, COUNT(*) AS n_segs,
+                   CAST(ROUND(SUM(len_mm) / 1000.0) AS BIGINT) AS len_m,
+                   SUM(cross2_u) AS cross2_u,
+                   SUM(mid_lat_u) AS mid_lat_u,
+                   SUM(mid_lon_u) AS mid_lon_u
+            FROM m GROUP BY line_id
+        """,
+        "q_simplify": _ora_simplify(),
         # ---- text / dedup ----
         "q_exact_dedup": """
             WITH unioned AS (

@@ -114,3 +114,68 @@ def polygon_tile_cover_mercator(rings: list[np.ndarray], z: int) -> np.ndarray:
             sx, sy = point_to_tile_mercator(slat, slon, z)
             keep |= np.isin(gx * (1 << 30) + gy, sx * (1 << 30) + sy)
     return np.stack([gx[keep], gy[keep]], axis=1)
+
+
+def scale_linear(lat: np.ndarray, lon: np.ndarray, z: int) -> tuple[np.ndarray, np.ndarray]:
+    """Continuous (unfloored) tile-space coords for the linear scheme."""
+    n = float(1 << z)
+    sx = (np.asarray(lon, np.float64) + 180.0) / 360.0 * n
+    sy = (90.0 - np.asarray(lat, np.float64)) / 180.0 * n
+    return sx, sy
+
+
+def scale_mercator(lat: np.ndarray, lon: np.ndarray, z: int) -> tuple[np.ndarray, np.ndarray]:
+    """Continuous (unfloored) tile-space coords, Web-Mercator scheme."""
+    n = float(1 << z)
+    latc = np.clip(np.asarray(lat, np.float64), -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT)
+    sx = (np.asarray(lon, np.float64) + 180.0) / 360.0 * n
+    lat_rad = np.radians(latc)
+    sy = (1.0 - np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / np.pi) / 2.0 * n
+    return sx, sy
+
+
+def segment_tiles_crossing(
+    sx0: float, sy0: float, sx1: float, sy1: float, z: int
+) -> set[tuple[int, int]]:
+    """INDEPENDENT scalar supercover oracle (tests only): split the
+    segment at every grid-line crossing parameter and emit the cell of
+    each piece's midpoint. Different algorithm from the per-column
+    engine plan (operators.tiling.assign_line_tiles) on purpose — the
+    pytest equivalence check is only meaningful if the two derivations
+    share no code. Degenerate boundary touches (the engine's closed
+    per-column interval keeps a tile the open midpoint rule misses)
+    are added via the endpoint columns, matching the engine convention.
+    Pieces outside the [0, 2^z)^2 grid are DROPPED, not clamped —
+    an off-grid segment paints no tile (same convention as the engine's
+    GREATEST/LEAST range intersection and the duckdb driver oracle).
+    """
+    nmax = (1 << z) - 1
+
+    def cell(x: float, y: float) -> tuple[int, int] | None:
+        ix, iy = int(np.floor(x)), int(np.floor(y))
+        if 0 <= ix <= nmax and 0 <= iy <= nmax:
+            return ix, iy
+        return None
+
+    ts = {0.0, 1.0}
+    dx, dy = sx1 - sx0, sy1 - sy0
+    for lo, d, a in ((sx0, dx, sx0), (sy0, dy, sy0)):
+        if d != 0.0:
+            for g in range(int(np.floor(min(a, a + d))), int(np.ceil(max(a, a + d))) + 1):
+                t = (g - lo) / d
+                if 0.0 < t < 1.0:
+                    ts.add(t)
+    ts = sorted(ts)
+    out: set[tuple[int, int]] = set()
+    for i in range(len(ts) - 1):
+        tm = (ts[i] + ts[i + 1]) / 2.0
+        c = cell(sx0 + dx * tm, sy0 + dy * tm)
+        if c is not None:
+            out.add(c)
+    # engine convention: endpoints' own cells and boundary-degenerate
+    # columns are included (closed intervals per column)
+    for ex, ey in ((sx0, sy0), (sx1, sy1)):
+        c = cell(ex, ey)
+        if c is not None:
+            out.add(c)
+    return out

@@ -312,3 +312,51 @@ def near_dup_cosine(
     return pairs.withColumn("cos", cos).filter(F.col("cos") >= threshold).select(
         "id_a", "id_b", "cos"
     )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding clustering: assign every vector to its nearest
+    spherical-k-means centroid (the IVF coarse quantizer exposed as a
+    first-class op — corpus bucketing / topic sharding in training
+    pipelines).
+
+    Train on a bounded id-sorted sample (deterministic, driver-side —
+    the same sample-based design as cosine_topk_ivf; only the tiny
+    (k x d) centroid matrix ships to executors), then one vectorized
+    pandas UDF assigns: linear, shuffle-free, scales as a map stage.
+    Returns (id_col, cluster long, cos double) where cos is the exact
+    float64 cosine to the assigned centroid.
+    """
+    samp = (
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(train_sample)
+        .collect()
+    )
+    cent = _kmeans_centroids(
+        np.asarray([r["_v"] for r in samp], dtype=np.float64), n_clusters
+    )
+
+    @F.pandas_udf("cluster long, cos double")
+    def _assign(vecs: pd.Series) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        mn = m / np.where(norms == 0.0, 1.0, norms)
+        sims = mn @ cent.T
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {"cluster": best.astype(np.int64),
+             "cos": sims[np.arange(len(best)), best]}
+        )
+
+    return vectors.withColumn("_a", _assign(F.col(vec_col))).select(
+        F.col(id_col),
+        F.col("_a.cluster").alias("cluster"),
+        F.col("_a.cos").alias("cos"),
+    )

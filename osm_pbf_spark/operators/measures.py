@@ -1,0 +1,98 @@
+"""Geometry measures over line segments — native expressions only.
+
+SURVEY.md §2.3 extension (r3): length / shoelace-area / centroid for
+polylines assembled from way geometry (G8) or any (lat0,lon0,lat1,lon1)
+segment table. Everything here is a plain `pyspark.sql.functions`
+expression — whole-stage codegen, no Python hop, no shuffle beyond the
+caller's own per-line aggregate — so it scales as a map stage.
+
+Engine-independence contract (what makes these DuckDB-gateable):
+
+- Per-segment values are rounded to INTEGER units (millimeters for
+  haversine length, 1e-8 deg^2 units for the shoelace cross term) and
+  aggregated with bigint SUM. Integer addition is order-free, so the
+  per-line totals are exact regardless of partitioning, engine, or
+  aggregation order — float SUM would not be (ULP drift per order).
+- `radians` is written as an explicit multiply by the closest double to
+  pi/180 (0.017453292519943295) instead of calling radians(): JVM
+  Math.toRadians computes x/180*pi while DuckDB computes x*(pi/180) —
+  different op order, different bits. A literal multiply is IEEE-exact
+  in both.
+- sin/cos/asin/sqrt go through libm (DuckDB) vs java.lang.Math (Spark),
+  which may differ by ~1 ulp. The mm rounding absorbs that: a 1-ulp
+  relative error (~2e-16) on a <1e7 m segment moves the mm value by
+  <1e-5, so the probability a round() flips is ~1e-5 per segment —
+  and the shoelace/centroid terms use only +,-,* which ARE bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["segment_measures", "line_measures", "DEG2RAD", "EARTH_RADIUS_M"]
+
+DEG2RAD = 0.017453292519943295  # closest float64 to pi/180 — keep literal
+EARTH_RADIUS_M = 6371008.8
+
+
+def _hav_m(lat0, lon0, lat1, lon1):
+    """Haversine meters between two points, spelled so the DuckDB oracle
+    can mirror the exact op order (see module docstring). s*s instead of
+    pow(s,2): pow may not be exact for integer exponents in either
+    engine."""
+    sdlat = F.sin((lat1 - lat0) * F.lit(DEG2RAD) / F.lit(2.0))
+    sdlon = F.sin((lon1 - lon0) * F.lit(DEG2RAD) / F.lit(2.0))
+    a = sdlat * sdlat + F.cos(lat0 * F.lit(DEG2RAD)) * F.cos(lat1 * F.lit(DEG2RAD)) * (
+        sdlon * sdlon
+    )
+    a = F.least(F.greatest(a, F.lit(0.0)), F.lit(1.0))
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def segment_measures(
+    segs: DataFrame,
+    lat0_col: str = "lat0",
+    lon0_col: str = "lon0",
+    lat1_col: str = "lat1",
+    lon1_col: str = "lon1",
+) -> DataFrame:
+    """Attach per-segment measure columns (all native expressions):
+
+    - ``len_mm``       bigint — round(haversine_m * 1000)
+    - ``cross2_u``     bigint — round((lon0*lat1 - lon1*lat0) * 1e8):
+      the shoelace cross term in 1e-8 deg^2 units; summed around a
+      closed ring and divided by 2e8 it gives the signed planar area
+      in deg^2 (positive = counter-clockwise in lon/lat axes).
+    - ``mid_lat_u``/``mid_lon_u`` bigint — round(midpoint * 1e7):
+      length-naive centroid accumulators in 1e-7 deg units.
+    """
+    la0, lo0 = F.col(lat0_col), F.col(lon0_col)
+    la1, lo1 = F.col(lat1_col), F.col(lon1_col)
+    return segs.withColumns(
+        {
+            "len_mm": F.round(_hav_m(la0, lo0, la1, lo1) * F.lit(1000.0)).cast("long"),
+            "cross2_u": F.round((lo0 * la1 - lo1 * la0) * F.lit(1e8)).cast("long"),
+            "mid_lat_u": F.round((la0 + la1) / F.lit(2.0) * F.lit(1e7)).cast("long"),
+            "mid_lon_u": F.round((lo0 + lo1) / F.lit(2.0) * F.lit(1e7)).cast("long"),
+        }
+    )
+
+
+def line_measures(segs: DataFrame, line_id_col: str = "line_id") -> DataFrame:
+    """Per-line totals over ``segment_measures`` output: one narrow
+    bigint-keyed hash aggregate (partial map-side combine applies), the
+    only shuffle in the measures pipeline.
+
+    Returns (line_id, n_segs, len_mm, cross2_u, mid_lat_u, mid_lon_u)
+    — all exact bigints; callers derive meters / deg^2 / centroid
+    degrees by the documented unit divisions.
+    """
+    m = segment_measures(segs) if "len_mm" not in segs.columns else segs
+    return m.groupBy(F.col(line_id_col)).agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum("len_mm").alias("len_mm"),
+        F.sum("cross2_u").alias("cross2_u"),
+        F.sum("mid_lat_u").alias("mid_lat_u"),
+        F.sum("mid_lon_u").alias("mid_lon_u"),
+    )

@@ -1,0 +1,263 @@
+"""Training-batch packing + deterministic sampling operators.
+
+Extends SURVEY.md §2.4b (training-data pipeline family) with the three
+ops every pretraining data pipeline runs between "dedup" and "write
+training shards":
+
+- ``concat_chunk_pack``  — GPT-style concatenation packing: documents
+  are laid out end-to-end in a deterministic global order and split
+  into fixed token-budget chunks; a document may span chunks. The
+  global token offset is a DISTRIBUTED prefix sum (per-range partial
+  sums -> tiny driver-side exclusive prefix -> partition-local window),
+  never a single-partition global window — the plan stays parallel at
+  10^12 docs.
+- ``bin_pack_ffd``       — first-fit-decreasing bin packing (no doc
+  splitting, one doc per bin slot, bins never exceed the budget unless
+  a single oversize doc forces its own bin). Packing is partition-local
+  per a deterministic md5-derived group — the industry-standard
+  approximation (packing quality is within ~1 bin of optimal per group,
+  and group-local packing is what keeps it one shuffle at scale).
+- ``stratified_sample``  — deterministic per-stratum Bernoulli sampling
+  via an md5 threshold compare. Pure native expressions, NO shuffle,
+  NO RNG state: the same row always makes the same decision in any
+  engine (the DuckDB oracle runs the byte-identical predicate).
+
+All determinism comes from md5 over explicit strings — never from
+Spark's ``rand()``/``sample()`` (seed-stable only per partition
+layout) — so results are reproducible across partitionings, engines
+and cluster sizes, which is what makes them CI-gateable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+__all__ = ["concat_chunk_pack", "bin_pack_ffd", "stratified_sample", "md5_uniform_hex"]
+
+
+def md5_uniform_hex(key) -> "F.Column":
+    """First 8 hex chars of md5(key) — a uniform draw in [0, 2^32) that
+    both Spark and DuckDB produce byte-identically (lowercase hex).
+    Compared LEXICOGRAPHICALLY against an 8-hex-digit threshold, which
+    is order-isomorphic to the numeric compare."""
+    return F.substring(F.md5(key), 1, 8)
+
+
+def _hex_threshold(fraction: float) -> str:
+    """fraction in [0,1] -> 8-digit lowercase hex of floor(f * 2^32)."""
+    t = min(max(int(fraction * (1 << 32)), 0), 1 << 32)
+    return format(t, "08x") if t < (1 << 32) else "ffffffff" + "~"  # "~" > 'f': keep-all
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified Bernoulli sample.
+
+    ``fractions`` is a float (same rate everywhere) or a dict
+    ``{stratum_value: rate}`` (strata absent from the dict are dropped).
+    Keep rule: ``md5(stratum || ':' || id)[:8] < hex(floor(rate*2^32))``.
+    Hashing the stratum INTO the key decorrelates the draws across
+    strata, so re-weighting one stratum never disturbs another's
+    sample. Zero shuffles; the filter pushes into the scan."""
+    key = md5_uniform_hex(
+        F.concat(F.col(strata_col).cast("string"), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    if isinstance(fractions, dict):
+        thr = None
+        for value, rate in sorted(fractions.items()):
+            branch = F.when(F.col(strata_col) == F.lit(value), F.lit(_hex_threshold(rate)))
+            thr = branch if thr is None else thr.when(
+                F.col(strata_col) == F.lit(value), F.lit(_hex_threshold(rate))
+            )
+        thr = thr.otherwise(F.lit(""))  # "" sorts before any hex -> drop
+    else:
+        thr = F.lit(_hex_threshold(float(fractions)))
+    return df.filter(key < thr)
+
+
+# ---------------- concatenation packing ----------------
+
+
+def _with_global_offsets(
+    docs: DataFrame, id_col: str, tokens_col: str, n_ranges: int
+) -> DataFrame:
+    """Attach ``_start`` = exclusive prefix sum of ``tokens_col`` in
+    global ``id_col`` order, as a distributed two-pass prefix sum:
+
+    1. a deterministic range id from (min_id, max_id) — an EXPRESSION,
+       not RangePartitioner sampling, so the split is reproducible;
+    2. per-range token sums -> driver (``n_ranges`` rows, tiny) ->
+       exclusive prefix -> literal CASE map;
+    3. window cumsum WITHIN each range (parallel across ranges) + base.
+
+    The only global sync point is the n_ranges-row aggregate; every
+    other stage is partition-parallel. At 10^12 docs you raise
+    ``n_ranges`` — the driver state stays n_ranges integers.
+    """
+    lo, hi = docs.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        return docs.withColumn("_start", F.lit(0).cast("long"))
+    span = max((int(hi) - int(lo)) // n_ranges + 1, 1)
+    with_rid = docs.withColumn(
+        "_rid", F.floor((F.col(id_col) - F.lit(int(lo))) / F.lit(span)).cast("int")
+    )
+    sums = {
+        int(r): int(s)
+        for r, s in with_rid.groupBy("_rid").agg(F.sum(tokens_col)).collect()
+    }
+    base, acc = {}, 0
+    for rid in sorted(sums):
+        base[rid] = acc
+        acc += sums[rid]
+    base_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in base.items() for x in kv]), F.col("_rid")
+    )
+    w = (
+        Window.partitionBy("_rid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return with_rid.withColumn(
+        "_start",
+        (base_expr + F.coalesce(F.sum(tokens_col).over(w), F.lit(0))).cast("long"),
+    ).drop("_rid")
+
+
+def concat_chunk_pack(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Concatenation packing: lay documents end-to-end ordered by
+    ``id_col`` and cut the token stream into chunks of exactly
+    ``budget`` tokens (the final chunk may be short). Returns one row
+    per (chunk, doc-slice):
+
+      chunk_id      — 0-based chunk index in the global token stream
+      <id_col>      — the contributing document
+      slice_begin   — first token of the slice WITHIN the document
+      slice_len     — tokens contributed to this chunk
+      pos_in_chunk  — token position of the slice WITHIN the chunk
+
+    Exact integer arithmetic end-to-end -> engine-independent; the
+    DuckDB oracle recomputes it with one window + generate_series.
+    Token spec = ``text.token_count`` (whitespace split) unless a
+    precomputed ``tokens_col`` is given.
+    """
+    if tokens_col is None:
+        docs = docs.withColumn("_toks", token_count(F.col(text_col)).cast("long"))
+        tokens_col = "_toks"
+    t = _with_global_offsets(docs, id_col, tokens_col, n_ranges)
+    b = F.lit(int(budget)).cast("long")
+    # integer DIV, not floor(double/b): exact past 2^53 total tokens
+    first_c = F.expr(f"_start DIV {int(budget)}")
+    last_c = F.expr(f"(_start + {tokens_col} - 1) DIV {int(budget)}")
+    out = (
+        t.withColumn(
+            "chunk_id",
+            F.explode(
+                F.when(F.col(tokens_col) > 0, F.sequence(first_c, last_c)).otherwise(
+                    F.array().cast("array<long>")
+                )
+            ),
+        )
+        .withColumn("_cstart", F.col("chunk_id") * b)
+        .select(
+            "chunk_id",
+            id_col,
+            (F.greatest(F.col("_start"), F.col("_cstart")) - F.col("_start")).alias(
+                "slice_begin"
+            ),
+            (
+                F.least(F.col("_start") + F.col(tokens_col), F.col("_cstart") + b)
+                - F.greatest(F.col("_start"), F.col("_cstart"))
+            ).alias("slice_len"),
+            (F.greatest(F.col("_start"), F.col("_cstart")) - F.col("_cstart")).alias(
+                "pos_in_chunk"
+            ),
+        )
+    )
+    return out
+
+
+# ---------------- first-fit-decreasing bin packing ----------------
+
+
+def bin_pack_ffd(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    n_groups: int = 32,
+) -> DataFrame:
+    """First-fit-decreasing packing WITHOUT document splitting.
+
+    Documents are hashed into ``n_groups`` deterministic groups
+    (md5(id) mod n_groups — replayable in any engine), each group is
+    FFD-packed independently in one Arrow batch (sort by tokens desc,
+    id asc; place each doc in the first bin it fits). A doc larger
+    than the budget gets a bin of its own (overflowing, by design —
+    the caller splits oversize docs with concat_chunk_pack first if
+    that's not wanted).
+
+    Output: (bin_id, <id_col>, n_tokens, bin_pos) where
+    ``bin_id = group * 2^32 + local_bin`` and ``bin_pos`` is the
+    placement order within the bin. One shuffle (the groupBy); packing
+    is O(docs_in_group * bins) per group, parallel across groups.
+    """
+    if tokens_col is None:
+        docs = docs.withColumn("_toks", token_count(F.col(text_col)).cast("long"))
+        tokens_col = "_toks"
+    grp = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(int(n_groups)),
+    ).alias("_grp")
+    slim = docs.select(grp, F.col(id_col).alias("_id"), F.col(tokens_col).alias("_tk"))
+    bud = int(budget)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf["_grp"].iloc[0])
+        order = np.lexsort((pdf["_id"].to_numpy(), -pdf["_tk"].to_numpy()))
+        ids = pdf["_id"].to_numpy()[order]
+        toks = pdf["_tk"].to_numpy()[order]
+        fill: list[int] = []
+        out_bin = np.empty(len(ids), dtype=np.int64)
+        out_pos = np.empty(len(ids), dtype=np.int64)
+        counts: list[int] = []
+        for i, tk in enumerate(toks):
+            placed = -1
+            for b_idx, used in enumerate(fill):
+                if used + tk <= bud:
+                    placed = b_idx
+                    break
+            if placed < 0:
+                placed = len(fill)
+                fill.append(0)
+                counts.append(0)
+            out_bin[i] = (g << 32) | placed
+            out_pos[i] = counts[placed]
+            fill[placed] += int(tk)
+            counts[placed] += 1
+        return pd.DataFrame(
+            {"bin_id": out_bin, "_id": ids, "n_tokens": toks, "bin_pos": out_pos}
+        )
+
+    out_schema = "bin_id long, _id long, n_tokens long, bin_pos long"
+    return (
+        slim.groupBy("_grp")
+        .applyInPandas(_pack, schema=out_schema)
+        .withColumnRenamed("_id", id_col)
+    )

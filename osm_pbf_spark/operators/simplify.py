@@ -1,0 +1,105 @@
+"""Douglas-Peucker polyline simplification — the vector-tile pipeline's
+generalization step (SURVEY.md §2.3 extension, r3).
+
+Per-line work is inherently sequential (the split point of each span
+depends on the previous split), so this is the documented Pandas-UDF
+case: one Arrow-batched ``pandas_udf`` over the line's coordinate
+arrays. The plan stays a shuffle-free map stage — each line is
+simplified where it already lives, lines never interact, and the UDF
+is O(n log n) typical / O(n^2) worst per line. At 10^12 documents this
+parallelizes perfectly; there is no cross-line state.
+
+DETERMINISM CONTRACT (what the VALUES-replay oracle relies on): the
+engine kernel (numpy) and the oracle (scalar Python) evaluate the SAME
+IEEE expressions in the SAME order — `cross = dx*(y0-yp) - dy*(x0-xp)`,
+keep iff `cross*cross > tol2*(dx*dx+dy*dy)` (degenerate anchors fall
+back to squared euclid > tol2), farthest point = FIRST index attaining
+the max (np.argmax tie-break == scalar strict-> loop). numpy float64
+elementwise ops are bitwise-identical to Python float ops, so both
+derivations agree exactly; they share no code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["douglas_peucker_np", "simplify_lines"]
+
+
+def douglas_peucker_np(lats: np.ndarray, lons: np.ndarray, tol: float) -> np.ndarray:
+    """Boolean keep-mask for one polyline (iterative, explicit stack).
+    Planar metric in (lon=x, lat=y) degree space; `tol` in degrees."""
+    n = len(lats)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    x = np.asarray(lons, dtype=np.float64)
+    y = np.asarray(lats, dtype=np.float64)
+    tol2 = float(tol) * float(tol)
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 - i0 < 2:
+            continue
+        x0, y0, x1, y1 = x[i0], y[i0], x[i1], y[i1]
+        dx, dy = x1 - x0, y1 - y0
+        seg2 = dx * dx + dy * dy
+        xs, ys = x[i0 + 1 : i1], y[i0 + 1 : i1]
+        if seg2 == 0.0:
+            d2 = (xs - x0) * (xs - x0) + (ys - y0) * (ys - y0)
+            thr = tol2
+        else:
+            cross = dx * (y0 - ys) - dy * (x0 - xs)
+            d2 = cross * cross
+            thr = tol2 * seg2
+        j = int(np.argmax(d2))  # FIRST max — oracle tie-break must match
+        if d2[j] > thr:
+            k = i0 + 1 + j
+            keep[k] = True
+            stack.append((k, i1))
+            stack.append((i0, k))
+    return keep
+
+
+def simplify_lines(
+    lines: DataFrame,
+    tolerance_deg: float,
+    id_col: str = "line_id",
+    lats_col: str = "lats",
+    lons_col: str = "lons",
+) -> DataFrame:
+    """Simplify every polyline; returns (id_col, lats, lons, n_in,
+    n_out) with the simplified coordinate arrays. Endpoints are always
+    kept; a 0/1/2-point line passes through unchanged."""
+    tol = float(tolerance_deg)
+
+    @F.pandas_udf("lats array<double>, lons array<double>, n_in int, n_out int")
+    def _simp(lats_s: pd.Series, lons_s: pd.Series) -> pd.DataFrame:
+        out_la, out_lo, n_in, n_out = [], [], [], []
+        for la, lo in zip(lats_s, lons_s):
+            a = np.asarray(la, dtype=np.float64)
+            b = np.asarray(lo, dtype=np.float64)
+            m = douglas_peucker_np(a, b, tol)
+            out_la.append(a[m])
+            out_lo.append(b[m])
+            n_in.append(len(a))
+            n_out.append(int(m.sum()))
+        return pd.DataFrame(
+            {"lats": out_la, "lons": out_lo,
+             "n_in": np.asarray(n_in, np.int32), "n_out": np.asarray(n_out, np.int32)}
+        )
+
+    s = _simp(F.col(lats_col), F.col(lons_col))
+    return lines.withColumn("_s", s).select(
+        F.col(id_col),
+        F.col("_s.lats").alias("lats"),
+        F.col("_s.lons").alias("lons"),
+        F.col("_s.n_in").alias("n_in"),
+        F.col("_s.n_out").alias("n_out"),
+    )

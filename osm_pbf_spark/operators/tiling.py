@@ -105,3 +105,168 @@ def tile_pyramid_rollup(points_with_tiles: DataFrame, zoom: int, min_zoom: int =
         .groupBy("tile_z", "tile_x", "tile_y")
         .agg(F.sum("n_docs").alias("n_docs"))
     )
+
+
+def _line_tiles_scaled(
+    df: DataFrame,
+    zoom: int,
+    scheme: str,
+    lat0_col: str,
+    lon0_col: str,
+    lat1_col: str,
+    lon1_col: str,
+) -> DataFrame:
+    """Shared supercover subplan: returns the (segment, tile_x, tile_y)
+    rows STILL carrying the continuous tile-space endpoint columns
+    _sx0/_sy0/_sx1/_sy1 (for the clip stage). See assign_line_tiles for
+    the semantics and determinism contract.
+    """
+    n = float(1 << zoom)
+    nmax = (1 << zoom) - 1
+    if scheme == "linear":
+        sx0 = (F.col(lon0_col) + F.lit(180.0)) / F.lit(360.0) * F.lit(n)
+        sy0 = (F.lit(90.0) - F.col(lat0_col)) / F.lit(180.0) * F.lit(n)
+        sx1 = (F.col(lon1_col) + F.lit(180.0)) / F.lit(360.0) * F.lit(n)
+        sy1 = (F.lit(90.0) - F.col(lat1_col)) / F.lit(180.0) * F.lit(n)
+        d = df.withColumns({"_sx0": sx0, "_sy0": sy0, "_sx1": sx1, "_sy1": sy1})
+    elif scheme == "mercator":
+        @F.pandas_udf("sx0 double, sy0 double, sx1 double, sy1 double")
+        def _scale(la0: pd.Series, lo0: pd.Series, la1: pd.Series, lo1: pd.Series) -> pd.DataFrame:
+            ax, ay = TL.scale_mercator(la0.to_numpy(np.float64), lo0.to_numpy(np.float64), zoom)
+            bx, by = TL.scale_mercator(la1.to_numpy(np.float64), lo1.to_numpy(np.float64), zoom)
+            return pd.DataFrame({"sx0": ax, "sy0": ay, "sx1": bx, "sy1": by})
+
+        d = (
+            df.withColumn("_s", _scale(F.col(lat0_col), F.col(lon0_col), F.col(lat1_col), F.col(lon1_col)))
+            .withColumns({"_sx0": F.col("_s.sx0"), "_sy0": F.col("_s.sy0"),
+                          "_sx1": F.col("_s.sx1"), "_sy1": F.col("_s.sy1")})
+            .drop("_s")
+        )
+    else:
+        raise ValueError(f"unknown scheme {scheme!r}")
+
+    xa = F.least(F.col("_sx0"), F.col("_sx1"))
+    xb = F.greatest(F.col("_sx0"), F.col("_sx1"))
+    ix_lo = F.greatest(F.floor(xa), F.lit(0).cast("long"))
+    ix_hi = F.least(F.floor(xb), F.lit(nmax).cast("long"))
+    d = d.withColumns({"_xa": xa, "_xb": xb}).withColumn(
+        "tile_x",
+        F.explode(
+            F.when(ix_lo <= ix_hi, F.sequence(ix_lo, ix_hi)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ),
+    )
+    # exact y-range of the segment within this x column (linear interp;
+    # identical op order in the duckdb oracle)
+    cl = F.greatest(F.col("tile_x").cast("double"), F.col("_xa"))
+    cr = F.least(F.col("tile_x").cast("double") + F.lit(1.0), F.col("_xb"))
+    dx = F.col("_sx1") - F.col("_sx0")
+    dy = F.col("_sy1") - F.col("_sy0")
+    y_l = F.col("_sy0") + (cl - F.col("_sx0")) / dx * dy
+    y_r = F.col("_sy0") + (cr - F.col("_sx0")) / dx * dy
+    vert = F.col("_sx1") == F.col("_sx0")
+    ymin = F.when(vert, F.least(F.col("_sy0"), F.col("_sy1"))).otherwise(F.least(y_l, y_r))
+    ymax = F.when(vert, F.greatest(F.col("_sy0"), F.col("_sy1"))).otherwise(F.greatest(y_l, y_r))
+    iy_lo = F.greatest(F.floor(ymin), F.lit(0).cast("long"))
+    iy_hi = F.least(F.floor(ymax), F.lit(nmax).cast("long"))
+    return (
+        d.withColumn(
+            "tile_y",
+            F.explode(
+                F.when(iy_lo <= iy_hi, F.sequence(iy_lo, iy_hi)).otherwise(
+                    F.array().cast("array<long>")
+                )
+            ),
+        )
+        .withColumn("tile_z", F.lit(zoom))
+        .drop("_xa", "_xb")
+    )
+
+
+def assign_line_tiles(
+    df: DataFrame,
+    zoom: int,
+    scheme: str = "linear",
+    lat0_col: str = "lat0",
+    lon0_col: str = "lon0",
+    lat1_col: str = "lat1",
+    lon1_col: str = "lon1",
+) -> DataFrame:
+    """Vector->raster for LINES: every tile a segment crosses (exact
+    supercover, closed per-column intervals), as native expressions.
+
+    Per segment: scale endpoints to continuous tile space, explode the
+    x-columns the segment spans, derive the exact y-range within each
+    column from the linear parameterization, explode the y tiles. No
+    Python hop (linear scheme), no join, no shuffle — the whole plan is
+    Generate + Project inside whole-stage codegen, so it scales as a
+    map stage at any corpus size. Output tiles are unique per segment
+    by construction (one emission per (column, row)); segments entirely
+    outside the [0, 2^z)^2 grid paint NO tile (drop, never clamp).
+
+    ``scheme="linear"`` matches the duckdb oracle bit-for-bit (floor
+    arithmetic only); ``scheme="mercator"`` scales endpoints with the
+    numpy transform in one pandas UDF (verified vs the pure-Python
+    crossing oracle in pytest — libm parity, same as point tiles).
+    """
+    return _line_tiles_scaled(
+        df, zoom, scheme, lat0_col, lon0_col, lat1_col, lon1_col
+    ).drop("_sx0", "_sy0", "_sx1", "_sy1")
+
+
+def clip_lines_to_tiles(
+    df: DataFrame,
+    zoom: int,
+    scheme: str = "linear",
+    lat0_col: str = "lat0",
+    lon0_col: str = "lon0",
+    lat1_col: str = "lat1",
+    lon1_col: str = "lon1",
+) -> DataFrame:
+    """Supercover + Liang-Barsky clip: one row per (segment, tile) with
+    the segment CLIPPED to that tile's square, in continuous tile-space
+    coordinates — the vector-tile encode step after assignment.
+
+    Same map-only native plan as ``assign_line_tiles`` (this reuses its
+    subtree up to the tile_y explode, so a pipeline computing both
+    shares the scan and the Generates), plus the closed-form clip: the
+    parameter window of the tile's x-slab intersected with its y-slab,
+    ``t0 = max(0, txa, tya)``, ``t1 = max(t0, min(1, txb, tyb))`` —
+    pure +,-,*,/ and least/greatest, so the DuckDB oracle reproduces
+    every bit. Boundary-degenerate tiles (kept by the closed-interval
+    supercover convention) clip to a zero-length touch point
+    (``t0 == t1``) rather than being dropped, preserving the exact
+    assign_line_tiles tile set.
+
+    Adds: tile_z, tile_x, tile_y, t0, t1, and the clipped endpoints
+    cx0, cy0, cx1, cy1 (continuous tile space; subtract tile_x/tile_y
+    for tile-local [0,1] coordinates).
+    """
+    keep = list(df.columns)
+    tiled = _line_tiles_scaled(
+        df, zoom, scheme, lat0_col, lon0_col, lat1_col, lon1_col
+    )
+    dx = F.col("_sx1") - F.col("_sx0")
+    dy = F.col("_sy1") - F.col("_sy0")
+    txf = (F.col("tile_x").cast("double") - F.col("_sx0")) / dx
+    txc = (F.col("tile_x").cast("double") + F.lit(1.0) - F.col("_sx0")) / dx
+    tyf = (F.col("tile_y").cast("double") - F.col("_sy0")) / dy
+    tyc = (F.col("tile_y").cast("double") + F.lit(1.0) - F.col("_sy0")) / dy
+    txa = F.when(dx != F.lit(0.0), F.least(txf, txc)).otherwise(F.lit(0.0))
+    txb = F.when(dx != F.lit(0.0), F.greatest(txf, txc)).otherwise(F.lit(1.0))
+    tya = F.when(dy != F.lit(0.0), F.least(tyf, tyc)).otherwise(F.lit(0.0))
+    tyb = F.when(dy != F.lit(0.0), F.greatest(tyf, tyc)).otherwise(F.lit(1.0))
+    t0 = F.greatest(F.lit(0.0), txa, tya)
+    t1 = F.greatest(t0, F.least(F.lit(1.0), txb, tyb))  # guard fp underlap
+    out = tiled.withColumns({"t0": t0, "t1": t1}).withColumns(
+        {
+            "cx0": F.col("_sx0") + dx * F.col("t0"),
+            "cy0": F.col("_sy0") + dy * F.col("t0"),
+            "cx1": F.col("_sx0") + dx * F.col("t1"),
+            "cy1": F.col("_sy0") + dy * F.col("t1"),
+        }
+    )
+    return out.select(
+        *keep, "tile_z", "tile_x", "tile_y", "t0", "t1", "cx0", "cy0", "cx1", "cy1"
+    )
