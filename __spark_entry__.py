@@ -712,6 +712,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_simplify"] = q_simplify
 
+    # ---- temporal: as-of join + sessionization ----
+
+    def q_asof_join(spark, sf):  # most recent purchase at or before each click
+        from osm_pbf_spark.operators.temporal import asof_join
+
+        e = load(spark, sf, "events")
+        left = e.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        right = e.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            "ts",
+            F.col("value").alias("r_value"),
+            F.col("ts").alias("r_ts"),
+        )
+        return asof_join(left, right, on="user_id", ts_col="ts")
+
+    q["q_asof_join"] = q_asof_join
+
+    def q_sessionize(spark, sf):  # 6-hour-gap sessions per user
+        from osm_pbf_spark.operators.temporal import sessionize
+
+        e = load(spark, sf, "events")
+        return sessionize(e.select("user_id", "ts"), gap_s=6 * 3600)
+
+    q["q_sessionize"] = q_sessionize
+
     # ---- embeddings (similarity search) ----
 
     def q_emb_norm(spark, sf):
@@ -2132,6 +2159,34 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY line_id
         """,
         "q_simplify": _ora_simplify(),
+        # independent algorithm: DuckDB's native ASOF JOIN (sorted
+        # merge) vs the engine's union+window carry-forward plan
+        "q_asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts, value
+                       FROM events WHERE event_type = 'click'),
+                 r AS (SELECT user_id, ts, value AS r_value, ts AS r_ts
+                       FROM events WHERE event_type = 'purchase')
+            SELECT l.event_id, l.user_id, l.ts, l.value, r.r_value, r.r_ts
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "q_sessionize": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 21600000000
+                          THEN 1 ELSE 0 END AS nw
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(nw) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+              FROM o)
+            SELECT user_id, session_seq, COUNT(*) AS n_events,
+                   MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+                   (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_s
+            FROM s GROUP BY user_id, session_seq
+        """,
         # ---- text / dedup ----
         "q_exact_dedup": """
             WITH unioned AS (

@@ -1,0 +1,127 @@
+"""Temporal operators: as-of join and sessionization (SURVEY.md §2.4
+R-family extension, r3).
+
+Both are single-shuffle window plans — the shapes you want at 100 TB:
+
+- ``asof_join`` does NOT join at all in the join-explosion sense. It
+  unions the two sides tagged, shuffles ONCE on the key, and carries
+  the most recent right-side value forward with
+  ``last_value(ignorenulls)`` over an ordered window. A naive
+  range-join (left.ts >= right.ts, rank 1) is quadratic per key; this
+  is O(n log n) per key and never materializes candidate pairs.
+- ``sessionize`` is the classic gap-based session assignment: lag ->
+  boundary flag -> running sum, again one shuffle on the key.
+
+Correctness cross-check: DuckDB implements ASOF JOIN natively — a
+completely independent algorithm (sorted merge) — so the driver oracle
+for q_asof_join is a true independent reimplementation, not a replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "sessionize"]
+
+
+def _epoch_micros(c: "F.Column") -> "F.Column":
+    """Microseconds since epoch for TIMESTAMP *and* TIMESTAMP_NTZ
+    (parquet loads as NTZ, which plain unix_micros rejects).
+    to_utc_timestamp(x, 'UTC') interprets NTZ wall time as UTC — the
+    same convention as DuckDB's epoch_us on a naive timestamp — and is
+    the identity on instant timestamps, so this is timezone-setting-
+    independent for both types."""
+    return F.unix_micros(F.to_utc_timestamp(c, "UTC"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For every left row, attach the right row with the largest
+    ``ts_col`` <= left's ``ts_col`` within the same ``on`` key
+    (inclusive match, like DuckDB ASOF JOIN's default >=). Left rows
+    with no prior right row keep nulls.
+
+    Right side should be unique per (on, ts): with duplicates, the
+    carried row is the last in (ts, input-order) — deterministic only
+    if the caller makes it so.
+
+    Plan: one shuffle (the window partition on ``on``); within each
+    key, sort by (ts, side) with right rows BEFORE left rows at equal
+    ts so that equal-timestamp matches are included.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, ts_col)]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
+
+    lt = left.withColumn("_side", F.lit(1))
+    for c in right_cols:
+        lt = lt.withColumn(out_names[c], F.lit(None).cast(right.schema[c].dataType))
+    rt = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(out_names[c]) for c in right_cols],
+    )
+    for c in left.columns:
+        if c not in (on, ts_col):
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = lt.select(*lt.columns).unionByName(rt.select(*lt.columns))
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumns(
+        {out_names[c]: F.last(out_names[c], ignorenulls=True).over(w) for c in right_cols}
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def sessionize(
+    events: DataFrame,
+    gap_s: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization: within each key (ordered by ts), a new
+    session starts when the gap since the previous event exceeds
+    ``gap_s`` seconds. Returns per-session rows:
+
+      (key, session_seq, n_events, start_ts, end_ts, duration_s)
+
+    ``session_seq`` is the 1-based session index within the key. Two
+    narrow shuffles: the per-key window, then the (key, session) hash
+    aggregate — both on low-cardinality keys with map-side combine.
+    Ties on ts are ordered (ts, monotonic input) only if the caller
+    de-duplicates; identical timestamps never open a gap, so session
+    assignment is insensitive to tie order.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    flagged = events.withColumn(
+        "_new",
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (
+                _epoch_micros(F.col(ts_col)) - _epoch_micros(F.lag(ts_col).over(w))
+                > F.lit(int(gap_s * 1_000_000))
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("session_seq", F.sum("_new").over(w))
+    return flagged.groupBy(key_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        (
+            (_epoch_micros(F.max(ts_col)) - _epoch_micros(F.min(ts_col)))
+            / F.lit(1_000_000.0)
+        ).alias("duration_s"),
+    )
