@@ -883,6 +883,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_way_assembly"] = q_way_assembly
 
+    def q_way_measures(spark, sf):  # G10 measures over real decoded ways
+        from osm_pbf_spark.operators.measures import line_measures
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("mixed"))
+        geoms = src.assemble_way_geometries(src.ways(entities), src.nodes(entities))
+        pts = geoms.select("way_id", F.posexplode("points").alias("pos", "pt"))
+        w = Window.partitionBy("way_id").orderBy("pos")
+        seg = pts.select(
+            "way_id",
+            F.col("pt")["lat"].alias("lat0"),
+            F.col("pt")["lon"].alias("lon0"),
+            F.lead(F.col("pt")["lat"]).over(w).alias("lat1"),
+            F.lead(F.col("pt")["lon"]).over(w).alias("lon1"),
+        ).filter(F.col("lat1").isNotNull())
+        m = line_measures(seg, line_id_col="way_id")
+        return m.select(
+            "way_id",
+            "n_segs",
+            F.round(F.col("len_mm") / F.lit(1000.0)).cast("long").alias("len_m"),
+            "cross2_u",
+            "mid_lat_u",
+            "mid_lon_u",
+        )
+
+    q["q_way_measures"] = q_way_measures
+
     def q_doc_render(spark, sf):  # D10 span render (per-row invariant surface)
         from osm_pbf_spark.operators.docrender import render_documents
         from osm_pbf_spark.sources import pbf_source as src
@@ -1688,6 +1715,47 @@ def _ora_pack_bins() -> str:
     )
 
 
+def _ora_way_measures() -> str:
+    """Pure-Python replay of measures over the spec-decoded fixture
+    ways (same haversine expression order as operators/measures.py,
+    same mm/1e-8deg2/1e-7deg integer units, HALF_UP rounding like
+    Spark/DuckDB round — Python's round() is banker's and must not be
+    used). Length compared at meter granularity (libm vs JVM trig)."""
+    import math
+
+    d = _fixture_decoded("mixed")
+    coords = {n["id"]: (n["lat"], n["lon"]) for n in d["nodes"]}
+    deg2rad = 0.017453292519943295
+
+    def hround(x: float) -> int:  # HALF_UP, away from zero
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    rows = []
+    for w in d["ways"]:
+        pts = [coords[r] for r in w["refs"] if r in coords]
+        if len(pts) < 2:
+            continue
+        smm = sc = sla = slo = 0
+        for (la0, lo0), (la1, lo1) in zip(pts, pts[1:]):
+            sdlat = math.sin((la1 - la0) * deg2rad / 2.0)
+            sdlon = math.sin((lo1 - lo0) * deg2rad / 2.0)
+            a = sdlat * sdlat + math.cos(la0 * deg2rad) * math.cos(la1 * deg2rad) * (
+                sdlon * sdlon
+            )
+            a = min(max(a, 0.0), 1.0)
+            hav = 12742017.6 * math.asin(math.sqrt(a))
+            smm += hround(hav * 1000.0)
+            sc += hround((lo0 * la1 - lo1 * la0) * 1e8)
+            sla += hround((la0 + la1) / 2.0 * 1e7)
+            slo += hround((lo0 + lo1) / 2.0 * 1e7)
+        rows.append((w["id"], len(pts) - 1, hround(smm / 1000.0), sc, sla, slo))
+    return _values_sql(
+        [("way_id", "BIGINT"), ("n_segs", "BIGINT"), ("len_m", "BIGINT"),
+         ("cross2_u", "BIGINT"), ("mid_lat_u", "BIGINT"), ("mid_lon_u", "BIGINT")],
+        rows,
+    )
+
+
 def _ora_simplify() -> str:
     """Scalar replay of the Douglas-Peucker spec (operators/simplify.py):
     INDEPENDENT recursive implementation (engine is stack-iterative
@@ -2305,6 +2373,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pbf_meta": _ora_pbf_meta(),
         "q_pbf_granularity": _ora_pbf_granularity(),
         "q_way_assembly": _ora_way_assembly(),
+        "q_way_measures": _ora_way_measures(),
         "q_doc_render": _ora_doc_render(),
         "q_doc_spans": _ora_doc_spans(),
         "q_way_pip": _ora_way_pip(),
