@@ -40,6 +40,8 @@ from osm_pbf_spark.operators.ann import (
     norm2_f64,
 )
 from osm_pbf_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+from osm_pbf_spark.operators.distance import distance_join
+from osm_pbf_spark.operators.graph import connected_components, near_dup_groups
 from osm_pbf_spark.operators.knn import knn_join
 from osm_pbf_spark.operators.multimodal import extract_media_features, synth_media_table
 from osm_pbf_spark.operators.packing import (
@@ -781,6 +783,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_kmeans"] = q_kmeans
 
+    def q_distance_join(spark, sf):  # cell-window within-radius join (scale path)
+        pts = customer_points(spark, sf)
+        out = distance_join(
+            pts, pts, 2.0, metric="euclid2_deg", left_id="doc_id", right_id="doc_id"
+        )
+        return out.where(F.col("id_a") < F.col("id_b"))
+
+    q["q_distance_join"] = q_distance_join
+
+    def q_connected_components(spark, sf):  # large-star/small-star fixpoint
+        ev = load(spark, sf, "events").filter(F.col("event_id") < 300)
+        edges = ev.select(
+            (F.col("event_id") % 400).alias("src"),
+            ((F.col("event_id") * 17) % 400).alias("dst"),
+        )
+        return connected_components(edges)
+
+    q["q_connected_components"] = q_connected_components
+
+    def q_dedup_groups(spark, sf):  # pairs -> transitive closure -> group ids
+        d = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        recrawl = d.withColumn("doc_id", F.col("doc_id") + 1000000)
+        docs = d.unionByName(recrawl)
+        pairs = minhash_lsh_pairs(docs, threshold=0.5)
+        return near_dup_groups(docs, pairs)
+
+    q["q_dedup_groups"] = q_dedup_groups
+
     # ---- rows-only checks (non-SQL-expressible; see oracle_sql docstring) ----
 
     def q_minhash_pairs(spark, sf):
@@ -1415,12 +1445,10 @@ def _oracle_docs(limit_id: int = 200) -> tuple:
     return tuple(base + [(i + 1_000_000, s) for i, s in base])
 
 
-def _ora_minhash_pairs() -> str:
-    """Hybrid: Python replays the deterministic MinHash banding spec to
-    get the candidate pair set; DuckDB recomputes the exact 5-shingle
-    Jaccard of every candidate from the raw table and applies the
-    threshold. (Docs are ASCII, so char-window == byte-window shingles,
-    and 64-bit shingle-hash Jaccard == substring-set Jaccard.)"""
+def _minhash_cand_vals() -> str:
+    """Python replay of the deterministic MinHash banding spec over the
+    q_minhash corpus — returns the candidate pair set as a VALUES body.
+    Shared by _ora_minhash_pairs and _ora_dedup_groups."""
     import hashlib
 
     from osm_pbf_spark.operators.dedup import _BANDS, _N_PERM, _minhash_sig, _shingle_hashes
@@ -1442,7 +1470,16 @@ def _ora_minhash_pairs() -> str:
         for x in range(len(v)):
             for y in range(x + 1, len(v)):
                 pairs.add((v[x], v[y]))
-    cand_vals = ", ".join(f"({a}, {b})" for a, b in sorted(pairs))
+    return ", ".join(f"({a}, {b})" for a, b in sorted(pairs))
+
+
+def _ora_minhash_pairs() -> str:
+    """Hybrid: Python replays the deterministic MinHash banding spec to
+    get the candidate pair set; DuckDB recomputes the exact 5-shingle
+    Jaccard of every candidate from the raw table and applies the
+    threshold. (Docs are ASCII, so char-window == byte-window shingles,
+    and 64-bit shingle-hash Jaccard == substring-set Jaccard.)"""
+    cand_vals = _minhash_cand_vals()
     return f"""
         WITH unioned AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 200
@@ -1464,6 +1501,48 @@ def _ora_minhash_pairs() -> str:
                i.inter / (sa.n + sb.n - i.inter) AS jaccard
         FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
         WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+    """
+
+
+def _ora_dedup_groups() -> str:
+    """Near-dup GROUP assignment: the MinHash banding replay supplies
+    candidates (same trust level as _ora_minhash_pairs); DuckDB then
+    independently (a) verifies exact shingle Jaccard >= 0.5 and (b)
+    computes the transitive closure with a recursive CTE — an entirely
+    different connected-components algorithm (min-label reachability)
+    from the engine's large-star/small-star rounds."""
+    cand_vals = _minhash_cand_vals()
+    return f"""
+        WITH RECURSIVE unioned AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 200
+            UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 200),
+        cand(id_a, id_b) AS (VALUES {cand_vals}),
+        grams AS (
+            SELECT doc_id AS id,
+                   unnest(list_distinct([substr(text, CAST(i AS INT), 5)
+                                         for i in generate_series(1, len(text) - 4)])) AS gram
+            FROM unioned),
+        sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS inter
+            FROM cand c
+            JOIN grams ga ON ga.id = c.id_a
+            JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
+            GROUP BY c.id_a, c.id_b),
+        verified AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+            WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5),
+        sym AS (SELECT id_a AS u, id_b AS v FROM verified
+                UNION SELECT id_b, id_a FROM verified),
+        reach(node, lbl) AS (
+            SELECT u, u FROM sym
+            UNION
+            SELECT s.u, r.lbl FROM reach r JOIN sym s ON s.v = r.node),
+        comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS group_id
+        FROM unioned d LEFT JOIN comp c ON c.node = d.doc_id
     """
 
 
@@ -2381,6 +2460,33 @@ def oracle_sql() -> dict[str, str]:
         "q_media_features": _ora_media_features(),
         "q_frame_sample": _ora_frame_sample(),
         "q_minhash_pairs": _ora_minhash_pairs(),
+        "q_dedup_groups": _ora_dedup_groups(),
+        "q_distance_join": f"""
+            {pts}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   (a.lat - b.lat) * (a.lat - b.lat)
+                 + (a.lon - b.lon) * (a.lon - b.lon) AS dist
+            FROM pts a, pts b
+            WHERE a.doc_id < b.doc_id
+              AND (a.lat - b.lat) * (a.lat - b.lat)
+                + (a.lon - b.lon) * (a.lon - b.lon) <= CAST(4.0 AS DOUBLE)
+        """,
+        "q_connected_components": """
+            WITH RECURSIVE e AS (
+                SELECT event_id % 400 AS src, (event_id * 17) % 400 AS dst
+                FROM events WHERE event_id < 300),
+            sym AS (SELECT src AS u, dst AS v FROM e WHERE src <> dst
+                    UNION SELECT dst, src FROM e WHERE src <> dst),
+            nodes AS (SELECT DISTINCT src AS node FROM e
+                      UNION SELECT DISTINCT dst FROM e),
+            reach(node, lbl) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT s.u, r.lbl FROM reach r JOIN sym s ON s.v = r.node)
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(min(lbl) AS BIGINT) AS component
+            FROM reach GROUP BY node
+        """,
         "q_simhash_pairs": _ora_simhash_pairs(),
         "q_lsh_topk": _ora_lsh_topk(),
         "q_ivf_topk": _ora_ivf_topk(),

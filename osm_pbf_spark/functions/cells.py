@@ -147,6 +147,39 @@ def neighbors(cell: np.ndarray, ring: int = 1) -> np.ndarray:
     return xy_to_cell(nx.ravel(), ny.ravel(), lv).reshape(nx.shape)
 
 
+def _quant_col(col, offset: float, extent: float, level: int):
+    """NATIVE quantize — same IEEE op order as :func:`quantize`."""
+    from pyspark.sql import functions as F
+
+    n = 1 << level
+    nmax = F.lit(n - 1).cast("long")
+    q = F.floor((col + F.lit(offset)) / F.lit(extent) * F.lit(float(n)))
+    return F.least(F.greatest(q.cast("long"), F.lit(0).cast("long")), nmax)
+
+
+def _spread_col(c):
+    """NATIVE _part1by1: spread low 32 bits to even positions (signed
+    int64 two's complement gives identical bit patterns to uint64 here —
+    only left shifts, ORs and ANDs)."""
+    from pyspark.sql import functions as F
+
+    c = c.bitwiseAND(F.lit(0x00000000FFFFFFFF))
+    c = c.bitwiseOR(F.shiftleft(c, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    return c
+
+
+def xy_to_cell_col(x_col, y_col, level: int):
+    """NATIVE :func:`xy_to_cell` from already-quantized x/y long columns."""
+    from pyspark.sql import functions as F
+
+    morton = _spread_col(x_col).bitwiseOR(F.shiftleft(_spread_col(y_col), 1))
+    return F.shiftleft(morton, 5).bitwiseOR(F.lit(level)).cast("long")
+
+
 def cell_id_col(lat_col, lon_col, level: int):
     """NATIVE Spark-column version of :func:`cell_id` — bit-identical.
 
@@ -156,33 +189,11 @@ def cell_id_col(lat_col, lon_col, level: int):
     codegen, no Python hop. tests/test_cells.py asserts equality with
     the numpy kernel across random and boundary coordinates.
     """
-    from pyspark.sql import functions as F
-
     if not 0 <= level <= MAX_LEVEL:
         raise ValueError(f"level must be in [0, {MAX_LEVEL}], got {level}")
-    n = 1 << level
-    nmax = F.lit(n - 1).cast("long")
-
-    def _quant(col, offset, extent):
-        q = F.floor((col + F.lit(offset)) / F.lit(extent) * F.lit(float(n)))
-        return F.least(F.greatest(q.cast("long"), F.lit(0).cast("long")), nmax)
-
-    def _spread(c):
-        # _part1by1: spread low 32 bits to even positions (signed int64
-        # two's complement gives identical bit patterns to uint64 here —
-        # only left shifts, ORs and ANDs)
-        c = c.bitwiseAND(F.lit(0x00000000FFFFFFFF))
-        c = c.bitwiseOR(F.shiftleft(c, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
-        c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
-        c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
-        c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x3333333333333333))
-        c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x5555555555555555))
-        return c
-
-    x = _quant(lon_col, 180.0, 360.0)
-    y = _quant(lat_col, 90.0, 180.0)
-    morton = _spread(x).bitwiseOR(F.shiftleft(_spread(y), 1))
-    return F.shiftleft(morton, 5).bitwiseOR(F.lit(level)).cast("long")
+    x = _quant_col(lon_col, 180.0, 360.0, level)
+    y = _quant_col(lat_col, 90.0, 180.0, level)
+    return xy_to_cell_col(x, y, level)
 
 
 def parent_col(cell_col, cell_level: int, parent_level: int):

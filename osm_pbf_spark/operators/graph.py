@@ -1,0 +1,198 @@
+"""Distributed connected components + near-duplicate clustering
+(SURVEY.md §2.4b P-family extension, r3).
+
+The dedup operators (``minhash_lsh_pairs`` / ``simhash_pairs`` /
+``near_dup_cosine_lsh``) emit PAIRS; an actual dedup pass needs the
+transitive closure of those pairs — duplicate GROUPS — so one canonical
+document per group can be kept. That closure is connected components
+over the pair graph.
+
+``connected_components`` implements the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", public) as plain DataFrame rounds:
+
+- large-star: every node hooks its LARGER neighbors onto the minimum
+  of its closed neighborhood — one hash aggregate + one equi-join, no
+  collect_list, so a 10^8-degree hub never materializes its adjacency
+  in a single row.
+- small-star: every node hooks its smaller-or-equal neighbors (and
+  itself) onto its minimum smaller neighbor.
+
+Both steps strictly reduce a monotone potential and converge to star
+graphs whose centers are the component minima in O(log n) rounds on
+real graphs (near-dup clusters have tiny diameters: 2-4 rounds).
+
+This is an ITERATIVE operator — the documented exception to the
+"fixed lazy plan" rule (driver brief: "genuinely non-SQL-expressible
+ops ... iterative algorithms"): each round materializes the shrunken
+edge set (persist + a count/bit_xor action for the convergence check)
+exactly like GraphFrames' CC does. The per-round driver work is one
+3-column aggregate row; everything else is distributed. When the
+diameter bound is known (dedup clusters), pass ``rounds=k`` for k
+rounds with zero driver actions — lazily checkpointed per round so
+the analyzed plan stays constant-size.
+
+Oracle strategy: connected components ARE SQL-expressible on small
+inputs via a recursive CTE (min-label transitive closure), so the
+driver gate runs a completely independent DuckDB ``WITH RECURSIVE``
+implementation — not a replay (q_connected_components, q_dedup_groups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "near_dup_groups", "dedup_canonical"]
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Edges (u,v) -> edges (larger neighbor, min of closed nbhd)."""
+    sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient large->small, then hook each node + its smaller neighbors
+    onto its minimum smaller neighbor."""
+    oriented = (
+        e.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    j = oriented.join(oriented.groupBy("u").agg(F.min("v").alias("m")), "u")
+    return (
+        j.select(F.col("u").alias("a"), F.col("m"))
+        .union(j.select(F.col("v").alias("a"), F.col("m")).where(F.col("v") != F.col("m")))
+        .select(F.col("a").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int | None = None,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components of the undirected graph given by
+    ``edges[src, dst]``. Returns ``(node, component)`` for every node
+    that appears in the edge list, where ``component`` is the MINIMUM
+    node id in the component (deterministic, engine-independent).
+
+    ``rounds=None`` (default) iterates large-star/small-star to the
+    fixpoint, checking convergence with one (count, bit_xor-of-hash)
+    aggregate per round — O(log n) rounds, each round two narrow
+    shuffles. Each round's edge set is ``localCheckpoint``-ed: one
+    round references its input ~6 times, so WITHOUT truncating the
+    LOGICAL plan Catalyst re-analysis is 6^rounds — the classic
+    iterative-DataFrame trap (persist alone truncates computation,
+    not analysis). This is the documented iterative exception to the
+    fixed-lazy-plan rule, the same pattern GraphFrames CC uses.
+
+    ``rounds=k`` runs exactly k rounds with NO convergence checks — no
+    per-round collect round-trips, no fixpoint actions — correct when
+    2^k exceeds the graph diameter (near-dup clusters: k=4 covers any
+    realistic corpus). Each round ends in ``localCheckpoint
+    (eager=False)``: one star step references its input ~30 times, so
+    without truncating the LOGICAL plan each round would multiply the
+    analyzed tree ~30x (k=4 -> ~10^6 leaves, minutes of pure Catalyst
+    analysis — measured). The checkpoint physical-plans each round once
+    (constant size; pinned by test). Note Spark cannot hold a
+    multi-round star plan fully lazy: under AQE the intermediate
+    shuffle stages materialize when the checkpointed RDD is built, so
+    the distributed work starts at build — the point is the bounded
+    plan and the absence of driver pacing, not deferral.
+    """
+    if rounds is not None and not 1 <= rounds <= 64:
+        raise ValueError(f"rounds must be in [1, 64], got {rounds}")
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # nodes BEFORE dropping self-loops: a (x, x) edge still names x,
+    # which must come back as its own singleton component
+    nodes = raw.select(F.col("u").alias("node")).union(raw.select(F.col("v").alias("node"))).distinct()
+    e = raw.where(F.col("u") != F.col("v")).distinct()
+
+    if rounds is not None:
+        for _ in range(rounds):
+            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+    else:
+        prev_sig = None
+        for _ in range(max_rounds):
+            # localCheckpoint truncates the LOGICAL plan (not just the
+            # computed lineage) so round r+1 analyzes a constant-size
+            # plan instead of a ~6^r tree
+            nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            sig = nxt.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ).collect()[0]
+            sig = (sig["n"], sig["h"])
+            e = nxt
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        else:
+            raise ValueError(f"connected_components did not converge in {max_rounds} rounds")
+
+    # Converged star edges point (member -> component min); a root (the
+    # min itself) only appears on the v side. min() is a no-op safety
+    # net for the fixed-rounds variant mid-convergence.
+    comp = e.groupBy("u").agg(F.min("v").alias("component")).select(F.col("u").alias("node"), "component")
+    return (
+        nodes.join(comp, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )
+
+
+def near_dup_groups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    rounds: int | None = 4,
+) -> DataFrame:
+    """Assign every document its near-duplicate group id = the minimum
+    doc id in its duplicate cluster (singletons map to themselves).
+
+    ``pairs`` is the output of any pair-generating dedup operator
+    (minhash_lsh_pairs / simhash_pairs / near_dup_cosine_lsh). The
+    default ``rounds=4`` needs no driver pacing at all: verified
+    near-dup clusters have diameter << 2^4 (a chain of 16+ distinct
+    hops of >=threshold similarity is not a duplicate cluster, it is a
+    drifted corpus — pass rounds=None to iterate to fixpoint if that
+    is genuinely the regime).
+    """
+    cc = connected_components(pairs, src=pair_a, dst=pair_b, rounds=rounds)
+    return (
+        docs.select(F.col(id_col))
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("group_id"),
+        )
+    )
+
+
+def dedup_canonical(groups: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Survivor set: one row per group — the canonical (minimum-id)
+    document plus the group size. Input is ``near_dup_groups`` output."""
+    return groups.groupBy("group_id").agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("group_size"),
+    ).select(id_col, "group_id", "group_size")

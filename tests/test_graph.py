@@ -1,0 +1,111 @@
+"""connected_components vs a scalar union-find oracle; fixed-rounds
+lazy plan vs iterated fixpoint; near-dup group assignment end-to-end."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pbf_spark.operators.graph import (
+    connected_components,
+    dedup_canonical,
+    near_dup_groups,
+)
+
+
+def _union_find(n_nodes, edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = set()
+    for a, b in edges:
+        nodes.add(a)
+        nodes.add(b)
+    # component id = min node in component
+    comp_min = {}
+    for x in nodes:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    return {x: comp_min[find(x)] for x in nodes}
+
+
+def _cc_dict(df):
+    return {r.node: r.component for r in df.collect()}
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 60, 40), (2, 200, 150), (3, 300, 600)])
+def test_cc_matches_union_find_random(spark, seed, n, m):
+    rng = np.random.default_rng(seed)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2))]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = _cc_dict(connected_components(e))
+    want = _union_find(n, edges)
+    assert got == want
+
+
+def test_cc_long_chain_converges(spark):
+    # worst-case diameter: a 64-node path (plus a reversed one)
+    edges = [(i, i + 1) for i in range(63)] + [(200 - i, 199 - i) for i in range(40)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = _cc_dict(connected_components(e))
+    want = _union_find(201, edges)
+    assert got == want
+
+
+def test_cc_fixed_rounds_matches_fixpoint(spark):
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 80, size=(70, 2))]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    want = _cc_dict(connected_components(e))
+    got = _cc_dict(connected_components(e, rounds=4))
+    assert got == want
+
+
+def test_cc_self_loops_and_dups(spark):
+    edges = [(5, 5), (1, 2), (2, 1), (1, 2), (9, 9)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = _cc_dict(connected_components(e))
+    # self-loop-only nodes survive as singleton components
+    assert got == {1: 1, 2: 1, 5: 5, 9: 9}
+
+
+def test_near_dup_groups_and_canonical(spark):
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 7), (4, 5)], "id_a long, id_b long"
+    )
+    groups = near_dup_groups(docs, pairs)
+    got = {r.doc_id: r.group_id for r in groups.collect()}
+    assert got == {0: 0, 3: 0, 7: 0, 4: 4, 5: 4, 1: 1, 2: 2, 6: 6, 8: 8, 9: 9}
+    surv = dedup_canonical(groups)
+    got_s = {r.group_id: (r.doc_id, r.group_size) for r in surv.collect()}
+    assert got_s[0] == (0, 3)
+    assert got_s[4] == (4, 2)
+    assert got_s[9] == (9, 1)
+    # survivors: one per group, min id
+    assert sorted(r.doc_id for r in surv.collect()) == [0, 1, 2, 4, 6, 8, 9]
+
+
+def test_cc_fixed_rounds_plan_stays_constant_size(spark):
+    """rounds=k must truncate each round's logical plan (localCheckpoint
+    -> LogicalRDD leaf). Without truncation the analyzed tree grows
+    ~30x per round (k=4 ≈ 10^6 leaves — minutes of Catalyst analysis);
+    with it, the final plan is one constant-size round over an RDD leaf
+    regardless of k."""
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    df = connected_components(e, rounds=4)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in analyzed or "ExistingRDD" in analyzed
+    assert len(analyzed) < 20_000, f"rounds=k plan blew up: {len(analyzed)} chars"
+    assert {r.component for r in df.collect()} == {1}
