@@ -40,8 +40,9 @@ from osm_pbf_spark.operators.ann import (
     norm2_f64,
 )
 from osm_pbf_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+from osm_pbf_spark.operators.bbox import bbox_join
 from osm_pbf_spark.operators.distance import distance_join
-from osm_pbf_spark.operators.graph import connected_components, near_dup_groups
+from osm_pbf_spark.operators.graph import bfs_hops, connected_components, near_dup_groups
 from osm_pbf_spark.operators.knn import knn_join
 from osm_pbf_spark.operators.multimodal import extract_media_features, synth_media_table
 from osm_pbf_spark.operators.packing import (
@@ -810,6 +811,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return near_dup_groups(docs, pairs)
 
     q["q_dedup_groups"] = q_dedup_groups
+
+    def q_bfs_hops(spark, sf):  # frontier-parallel BFS over an event-derived graph
+        # ~500 edges over <=300 nodes -> a giant component with real hop depth
+        ev = load(spark, sf, "events").filter(F.col("event_id") < 500)
+        edges = ev.select(
+            (F.col("event_id") % 300).alias("src"),
+            ((F.col("event_id") * 13 + 7) % 300).alias("dst"),
+        )
+        srcs = spark.createDataFrame([(0,), (7,)], "node long")
+        return bfs_hops(edges, srcs, max_hops=24)
+
+    q["q_bfs_hops"] = q_bfs_hops
+
+    def q_bbox_join(spark, sf):  # rect-overlap window query (r-tree class)
+        # dyadic extents offset by 2^-6 deg: never lands on the 0.001-deg
+        # point lattice, so no exact boundary touches across engines
+        pts = customer_points(spark, sf).where(F.col("doc_id") <= 600)
+        boxes = pts.select(
+            F.col("doc_id").alias("id"),
+            F.col("lat").alias("lat_min"),
+            (F.col("lat") + F.lit(1.140625) + F.pmod(F.col("doc_id"), F.lit(8)).cast("double") * F.lit(0.5)).alias("lat_max"),
+            F.col("lon").alias("lon_min"),
+            (F.col("lon") + F.lit(1.140625) + F.pmod(F.col("doc_id") * F.lit(3), F.lit(8)).cast("double") * F.lit(0.5)).alias("lon_max"),
+        )
+        out = bbox_join(boxes, boxes, level=6)
+        return out.where(F.col("id_a") < F.col("id_b"))
+
+    q["q_bbox_join"] = q_bbox_join
+
+    def q_tfidf(spark, sf):  # smoothed TF-IDF over whitespace tokens
+        docs = load(spark, sf, "documents").filter(F.col("doc_id") < 100)
+        out = TX.tfidf(docs)
+        return out.select(
+            "doc_id", "term", "tf", F.round(F.col("tfidf"), 6).alias("tfidf")
+        )
+
+    q["q_tfidf"] = q_tfidf
 
     # ---- rows-only checks (non-SQL-expressible; see oracle_sql docstring) ----
 
@@ -2486,6 +2524,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS node,
                    CAST(min(lbl) AS BIGINT) AS component
             FROM reach GROUP BY node
+        """,
+        "q_bfs_hops": """
+            WITH RECURSIVE e AS (
+                SELECT event_id % 300 AS src, (event_id * 13 + 7) % 300 AS dst
+                FROM events WHERE event_id < 500),
+            sym AS (SELECT src AS u, dst AS v FROM e WHERE src <> dst
+                    UNION SELECT dst, src FROM e WHERE src <> dst),
+            srcs(node) AS (VALUES (0), (7)),
+            walk(node, hops) AS (
+                SELECT node, 0 FROM srcs
+                UNION
+                SELECT s.v, w.hops + 1 FROM walk w JOIN sym s ON s.u = w.node
+                WHERE w.hops < 24)
+            SELECT CAST(node AS BIGINT) AS node, CAST(min(hops) AS INT) AS hops
+            FROM walk GROUP BY node
+        """,
+        "q_bbox_join": """
+            WITH boxes AS (
+                SELECT c_custkey AS id,
+                       CAST(-60.0 + ((c_custkey * 7919) % 120000) / 1000.0 AS DOUBLE) AS lat_min,
+                       CAST(-60.0 + ((c_custkey * 7919) % 120000) / 1000.0 AS DOUBLE)
+                         + CAST(1.140625 AS DOUBLE)
+                         + CAST(c_custkey % 8 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS lat_max,
+                       CAST(-150.0 + ((c_custkey * 104729) % 300000) / 1000.0 AS DOUBLE) AS lon_min,
+                       CAST(-150.0 + ((c_custkey * 104729) % 300000) / 1000.0 AS DOUBLE)
+                         + CAST(1.140625 AS DOUBLE)
+                         + CAST((c_custkey * 3) % 8 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS lon_max
+                FROM customer WHERE c_custkey <= 600)
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM boxes a, boxes b
+            WHERE a.id < b.id
+              AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max
+              AND a.lon_min <= b.lon_max AND b.lon_min <= a.lon_max
+        """,
+        "q_tfidf": """
+            WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs),
+            tok2 AS (SELECT * FROM tok WHERE term <> ''),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+            n AS (SELECT count(*) AS n FROM docs)
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   round(tf.tf * (ln(CAST(n.n + 1 AS DOUBLE) / CAST(dfq.df + 1 AS DOUBLE)) + 1),
+                         6) AS tfidf
+            FROM tf JOIN dfq USING (term), n
         """,
         "q_simhash_pairs": _ora_simhash_pairs(),
         "q_lsh_topk": _ora_lsh_topk(),

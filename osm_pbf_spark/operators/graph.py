@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "near_dup_groups", "dedup_canonical"]
+__all__ = ["bfs_hops", "connected_components", "near_dup_groups", "dedup_canonical"]
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -157,6 +157,60 @@ def connected_components(
         nodes.join(comp, "node", "left")
         .select("node", F.coalesce("component", F.col("node")).alias("component"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_hops: int = 24,
+) -> DataFrame:
+    """Minimum hop distance from any source node over the UNDIRECTED
+    graph ``edges[src, dst]`` — the routing-reachability primitive over
+    an OSM way network (edges = consecutive way node pairs). Returns
+    ``(node, hops)`` for every node within ``max_hops`` of a source
+    (sources themselves at hops=0); unreachable nodes are absent.
+
+    Frontier-parallel BFS (Pregel-style): round h joins the frontier to
+    the symmetrized edges, anti-joins the visited set, checkpoints the
+    new frontier. Per round: one equi-join + one anti-join shuffle, all
+    frontier-width parallel — the iterative exception, like
+    ``connected_components(rounds=None)``. The driver sees one count
+    per round (loop control), never row data.
+
+    The oracle contract for the driver gate: a DuckDB recursive CTE
+    enumerating (node, hops<=max_hops) pairs and taking min(hops) —
+    both sides cap at the SAME max_hops, so results agree even when the
+    graph's eccentricity exceeds the cap.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    frontier = sources.select(F.col(node).alias("node")).distinct().localCheckpoint(eager=True)
+    visited = frontier.select("node", F.lit(0).alias("hops")).localCheckpoint(eager=True)
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        frontier = nxt
+        visited = visited.union(nxt.select("node", F.lit(h).alias("hops"))).localCheckpoint(
+            eager=True
+        )
+    return visited
 
 
 def near_dup_groups(

@@ -82,6 +82,40 @@ def fingerprint_md5(col: Column) -> Column:
     return F.md5(col)
 
 
+def tfidf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-(document, term) TF-IDF over whitespace tokens:
+
+        tfidf = tf * (ln((N + 1) / (df + 1)) + 1)
+
+    (the smoothed-idf formula used by scikit-learn's TfidfTransformer,
+    public). Returns ``(doc_id, term, tf:bigint, tfidf:double)``.
+
+    Plan shape: explode tokens -> ONE (doc, term) hash aggregate (tf)
+    -> ONE term hash aggregate (df, map-side partial) -> join tf-to-df
+    on term (df side is |vocab| rows — tiny vs corpus, broadcast-able)
+    -> cross-join the 1-row N. Two narrow shuffles total; everything
+    whole-stage codegen, no Python.
+
+    Cross-engine exactness: counts are exact ints; the division is done
+    as double of exact ints in one fixed order; only ``ln`` can drift
+    ~1 ulp between JVM and libm — callers gate-compare at
+    ``round(tfidf, 6)`` per row (no cross-row float sums).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = toks.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n"))
+    idf = F.log((F.col("n") + F.lit(1)).cast("double") / (F.col("df") + F.lit(1)).cast("double")) + F.lit(1.0)
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n))
+        .select(F.col(id_col), "term", "tf", (F.col("tf") * idf).alias("tfidf"))
+    )
+
+
 def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document analysis columns in one pass."""
     c = F.col(text_col)

@@ -109,3 +109,46 @@ def test_cc_fixed_rounds_plan_stays_constant_size(spark):
     assert "LogicalRDD" in analyzed or "ExistingRDD" in analyzed
     assert len(analyzed) < 20_000, f"rounds=k plan blew up: {len(analyzed)} chars"
     assert {r.component for r in df.collect()} == {1}
+
+
+def _py_bfs(edges, sources, max_hops):
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    hops = {s: 0 for s in sources}
+    frontier = set(sources)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in hops:
+                    nxt.add(v)
+        for v in nxt:
+            hops[v] = h
+        if not nxt:
+            break
+        frontier = nxt
+    return hops
+
+
+def test_bfs_matches_python_oracle(spark):
+    from osm_pbf_spark.operators.graph import bfs_hops
+
+    rng = np.random.default_rng(13)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 150, size=(160, 2))]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    srcs = spark.createDataFrame([(0,), (7,), (7,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(e, srcs).collect()}
+    assert got == _py_bfs(edges, [0, 7], 24)
+
+
+def test_bfs_max_hops_caps_both_sides(spark):
+    from osm_pbf_spark.operators.graph import bfs_hops
+
+    edges = [(i, i + 1) for i in range(30)]  # a path
+    e = spark.createDataFrame(edges, "src long, dst long")
+    srcs = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(e, srcs, max_hops=5).collect()}
+    assert got == {i: i for i in range(6)}  # nodes beyond hop 5 absent
