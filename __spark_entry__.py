@@ -146,6 +146,7 @@ def _fixture_pbf(kind: str) -> str:
         "minimal": FX.build_minimal,
         "raw": FX.build_raw,
         "sink": FX.build_sink,
+        "members": FX.build_members,
     }
     return builders[kind](d)
 
@@ -849,6 +850,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_tfidf"] = q_tfidf
 
+    def q_pivot(spark, sf):  # pivot aggregate (explicit value list -> no extra scan)
+        o = load(spark, sf, "orders")
+        p = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+        return p.select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
+        )
+
+    q["q_pivot"] = q_pivot
+
+    def q_percentiles(spark, sf):  # exact interpolated percentiles (type-7)
+        # l_quantity is integer-valued and the quartile fractions are
+        # dyadic, so Spark `percentile` and DuckDB `quantile_cont` are
+        # bit-identical here (both a + (b-a)*d with exact operands)
+        li = load(spark, sf, "lineitem")
+        return li.groupBy("l_returnflag").agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+            F.expr("percentile(l_quantity, 0.5)").alias("q50"),
+            F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    q["q_percentiles"] = q_percentiles
+
+    def q_span_resolve(spark, sf):  # interleaved axis: member spans -> target docs
+        # relation 'media' spans carry "member:<kind>/<id>:<role>" refs;
+        # resolve each to its target document (self-join on the
+        # interleaved table), surfacing dangling refs as NULLs
+        from osm_pbf_spark.operators.docrender import render_documents
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("members"))
+        docs = render_documents(entities)
+        med = (
+            docs.select("doc_id", F.posexplode("spans").alias("span_pos", "s"))
+            .where(F.col("s.kind") == "media")
+            .select(
+                "doc_id",
+                "span_pos",
+                F.element_at(F.split(F.col("s.media_ref"), ":"), 2).alias("target_id"),
+            )
+        )
+        tgt = docs.select(
+            F.col("doc_id").alias("target_id"),
+            F.col("kind").alias("target_kind"),
+            F.size("spans").alias("target_n_spans"),
+        )
+        return med.join(F.broadcast(tgt), "target_id", "left").select(
+            "doc_id", "span_pos", "target_id", "target_kind", "target_n_spans"
+        )
+
+    q["q_span_resolve"] = q_span_resolve
+
     # ---- rows-only checks (non-SQL-expressible; see oracle_sql docstring) ----
 
     def q_minhash_pairs(spark, sf):
@@ -1256,6 +1312,40 @@ def _ora_doc_spans() -> str:
          ("text", "VARCHAR"), ("media_ref", "VARCHAR"), ("offset", "INTEGER")],
         rows,
     )
+
+
+def _ora_span_resolve() -> str:
+    """The span/doc VALUES come from the pure-Python render replay (same
+    trust level as _ora_doc_spans); DuckDB independently parses the
+    member refs and performs the resolve join."""
+    from tests import oracle_render
+
+    docs = oracle_render.render_file(_fixture_decoded("members"))
+    span_rows = [
+        (d["doc_id"], i, s["kind"], s["media_ref"])
+        for d in docs
+        for i, s in enumerate(d["spans"])
+    ]
+    doc_rows = [(d["doc_id"], d["doc_id"].split("/")[0], len(d["spans"])) for d in docs]
+    spans_sql = _values_sql(
+        [("doc_id", "VARCHAR"), ("span_pos", "INTEGER"), ("kind", "VARCHAR"),
+         ("media_ref", "VARCHAR")],
+        span_rows,
+    )
+    docs_sql = _values_sql(
+        [("target_id", "VARCHAR"), ("target_kind", "VARCHAR"),
+         ("target_n_spans", "INTEGER")],
+        doc_rows,
+    )
+    return f"""
+        WITH spans AS ({spans_sql}), docs AS ({docs_sql}),
+        med AS (
+            SELECT doc_id, span_pos, string_split(media_ref, ':')[2] AS target_id
+            FROM spans WHERE kind = 'media')
+        SELECT m.doc_id, m.span_pos, m.target_id,
+               d.target_kind, d.target_n_spans
+        FROM med m LEFT JOIN docs d ON d.target_id = m.target_id
+    """
 
 
 def _ora_way_pip() -> str:
@@ -2557,6 +2647,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.id < b.id
               AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max
               AND a.lon_min <= b.lon_max AND b.lon_min <= a.lon_max
+        """,
+        "q_span_resolve": _ora_span_resolve(),
+        "q_pivot": """
+            SELECT o_orderpriority,
+                   count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+                   count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+                   count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q_percentiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.25) AS q25,
+                   quantile_cont(l_quantity, 0.5) AS q50,
+                   quantile_cont(l_quantity, 0.75) AS q75,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
         """,
         "q_tfidf": """
             WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),

@@ -209,9 +209,48 @@ def build_sink(dirpath: str) -> str:
     return path
 
 
+def build_members(dirpath: str) -> str:
+    """Member-reference fixture for the span-resolve query: 30 nodes,
+    10 ways, and 40 relations whose members mix node/way/relation refs —
+    including DANGLING refs (targets absent from the file) that the
+    resolve join must surface as NULLs."""
+    st = E.StringTable()
+    nodes = [
+        {"id": 10 + i, "lat_raw": nd(5.0 + i * 0.25), "lon_raw": nd(-3.0 + i * 0.5),
+         "tags": ({"name": f"n{i}"} if i % 3 == 0 else {})}
+        for i in range(30)
+    ]
+    g_dense = E.encode_dense_nodes(nodes, st)
+    ways = [
+        {"id": 500 + i, "refs": [10 + i, 10 + i + 1, 10 + i + 2], "tags": {"highway": "path"}}
+        for i in range(10)
+    ]
+    g_ways = b"".join(E.encode_way(w, st) for w in ways)
+    kinds = ["node", "way", "relation"]
+    rels = []
+    for i in range(40):
+        members = []
+        for j in range(2 + i % 4):
+            t = kinds[(i + j) % 3]
+            if t == "node":
+                ref = 10 + ((i * 5 + j * 7) % 36)  # %36 > 30 ids -> some dangling
+            elif t == "way":
+                ref = 500 + ((i + j) % 13)  # %13 > 10 ways -> some dangling
+            else:
+                ref = 900 + ((i + j) % 45)  # relations 900..944, 40 exist
+            members.append({"role": ["outer", "inner", "stop", ""][j % 4], "ref": ref, "type": t})
+        rels.append({"id": 900 + i, "members": members, "tags": {"type": "collection"}})
+    g_rels = b"".join(E.encode_relation(r, st) for r in rels)
+    block = E.encode_primitive_block([g_dense, g_ways, g_rels], st)
+    path = os.path.join(dirpath, "members.osm.pbf")
+    E.write_pbf(path, [block])
+    return path
+
+
 ALL_BUILDERS = [
     build_minimal, build_granularity, build_mixed, build_raw,
     build_denseinfo, build_multiblob, build_empty_strings, build_sink,
+    build_members,
 ]
 
 
