@@ -56,6 +56,8 @@ from osm_pbf_spark.sources.tables import (
     SQL_POINTS,
     SQL_STATIONS,
     customer_points,
+    derived_lat,
+    derived_lon,
     load,
     supplier_stations,
 )
@@ -904,6 +906,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_span_resolve"] = q_span_resolve
+
+    def q_grid_smooth(spark, sf):  # raster 3x3 box-filter over cell counts
+        from osm_pbf_spark.operators.tiling import grid_smooth
+
+        return grid_smooth(customer_points(spark, sf), level=7)
+
+    q["q_grid_smooth"] = q_grid_smooth
+
+    def q_zonal_stats(spark, sf):  # zonal statistics: PIP join -> per-zone agg
+        # value per point is dyadic ((key%16)*0.25): the bigint sum is
+        # exact, so the one multiply + one divide are bit-identical
+        pts = customer_points(spark, sf)
+        pairs = pip_join(spark, pts, PIP_POLYGONS, level=8).select("doc_id", "poly_id")
+        agg = pairs.groupBy("poly_id").agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.sum(F.pmod(F.col("doc_id"), F.lit(16))).alias("_s"),
+        )
+        val_sum = F.col("_s").cast("double") * F.lit(0.25)
+        return agg.select(
+            "poly_id",
+            "n_pts",
+            val_sum.alias("val_sum"),
+            (val_sum / F.col("n_pts")).alias("val_avg"),
+        )
+
+    q["q_zonal_stats"] = q_zonal_stats
+
+    def q_track_speed(spark, sf):  # trajectory: per-user consecutive-point speed
+        from pyspark.sql import Window
+
+        ev = load(spark, sf, "events").filter(F.col("event_id") < 5000)
+        pos = ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC")).alias("ts_us"),
+            derived_lat("event_id").alias("lat"),
+            derived_lon("event_id").alias("lon"),
+        )
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        d = pos.select(
+            "user_id",
+            "event_id",
+            F.lag("event_id").over(w).alias("prev_event_id"),
+            (F.col("ts_us") - F.lag("ts_us").over(w)).alias("dt_us"),
+            (F.col("lat") - F.lag("lat").over(w)).alias("_dla"),
+            (F.col("lon") - F.lag("lon").over(w)).alias("_dlo"),
+        ).where(F.col("prev_event_id").isNotNull())
+        dist2 = F.col("_dla") * F.col("_dla") + F.col("_dlo") * F.col("_dlo")
+        return d.select(
+            "user_id",
+            "event_id",
+            "prev_event_id",
+            "dt_us",
+            dist2.alias("dist2"),
+            (dist2 / F.col("dt_us").cast("double")).alias("speed2"),
+        )
+
+    q["q_track_speed"] = q_track_speed
 
     # ---- rows-only checks (non-SQL-expressible; see oracle_sql docstring) ----
 
@@ -2649,6 +2709,50 @@ def oracle_sql() -> dict[str, str]:
               AND a.lon_min <= b.lon_max AND b.lon_min <= a.lon_max
         """,
         "q_span_resolve": _ora_span_resolve(),
+        "q_grid_smooth": f"""
+            {pts},
+            q AS (
+                SELECT least(greatest(CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                             / CAST(360.0 AS DOUBLE) * CAST(128.0 AS DOUBLE)) AS BIGINT),
+                             0), 127) AS x,
+                       least(greatest(CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                             / CAST(180.0 AS DOUBLE) * CAST(128.0 AS DOUBLE)) AS BIGINT),
+                             0), 127) AS y
+                FROM pts),
+            counts AS (SELECT x, y, count(*) AS n FROM q GROUP BY x, y),
+            d(dx, dy) AS (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(0,0),(1,0),(-1,1),(0,1),(1,1)),
+            scatter AS (SELECT x + dx AS x, y + dy AS y, n FROM counts, d)
+            SELECT x, y, CAST(sum(n) AS BIGINT) AS n_box
+            FROM scatter
+            WHERE x BETWEEN 0 AND 127 AND y BETWEEN 0 AND 127
+            GROUP BY x, y
+        """,
+        "q_zonal_stats": f"""
+            {pts},
+            pip AS ({SQL_PIP})
+            SELECT poly_id, count(*) AS n_pts,
+                   CAST(sum(doc_id % 16) AS DOUBLE) * CAST(0.25 AS DOUBLE) AS val_sum,
+                   CAST(sum(doc_id % 16) AS DOUBLE) * CAST(0.25 AS DOUBLE) / count(*) AS val_avg
+            FROM pip GROUP BY poly_id
+        """,
+        "q_track_speed": """
+            WITH pos AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       CAST(-60.0 + ((event_id * 7919) % 120000) / 1000.0 AS DOUBLE) AS lat,
+                       CAST(-150.0 + ((event_id * 104729) % 300000) / 1000.0 AS DOUBLE) AS lon
+                FROM events WHERE event_id < 5000),
+            d AS (
+                SELECT user_id, event_id,
+                       LAG(event_id) OVER w AS prev_event_id,
+                       ts_us - LAG(ts_us) OVER w AS dt_us,
+                       lat - LAG(lat) OVER w AS _dla,
+                       lon - LAG(lon) OVER w AS _dlo
+                FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+            SELECT user_id, event_id, prev_event_id, dt_us,
+                   _dla * _dla + _dlo * _dlo AS dist2,
+                   (_dla * _dla + _dlo * _dlo) / CAST(dt_us AS DOUBLE) AS speed2
+            FROM d WHERE prev_event_id IS NOT NULL
+        """,
         "q_pivot": """
             SELECT o_orderpriority,
                    count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,

@@ -270,3 +270,52 @@ def clip_lines_to_tiles(
     return out.select(
         *keep, "tile_z", "tile_x", "tile_y", "t0", "t1", "cx0", "cy0", "cx1", "cy1"
     )
+
+
+def grid_smooth(
+    pts: DataFrame,
+    level: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """3x3 box-filter over the point-count raster at ``level`` — the
+    density-smoothing step of a heatmap pipeline (raster convolution as
+    a scatter): count points per grid cell, scatter each cell's count
+    to its 9-neighborhood, re-aggregate.
+
+    Returns ``(x, y, n_box)`` for every cell whose 3x3 window holds at
+    least one point — cells with zero own points still appear when a
+    neighbor is occupied. Edge cells keep truncated kernels (no lon
+    wrap), matching the plain SQL double-aggregate oracle.
+
+    Scale: the first aggregate collapses points to occupied cells
+    BEFORE the 9x explode, so the scatter is 9x |occupied cells|, not
+    9x |points|; two narrow shuffles total, all whole-stage codegen.
+    """
+    from ..functions.cells import MAX_LEVEL, _quant_col
+
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}], got {level}")
+    n = 1 << level
+    q = pts.select(
+        _quant_col(F.col(lon_col), 180.0, 360.0, level).alias("x"),
+        _quant_col(F.col(lat_col), 90.0, 180.0, level).alias("y"),
+    )
+    counts = q.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n"))
+    window = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    scattered = (
+        counts.withColumn("_d", F.explode(window))
+        .select(
+            (F.col("x") + F.col("_d.dx")).alias("x"),
+            (F.col("y") + F.col("_d.dy")).alias("y"),
+            "n",
+        )
+        .where((F.col("x") >= 0) & (F.col("x") < n) & (F.col("y") >= 0) & (F.col("y") < n))
+    )
+    return scattered.groupBy("x", "y").agg(F.sum("n").alias("n_box"))

@@ -68,3 +68,30 @@ def test_polygon_tile_cover_contains_inside_points(spark):
     for _ in range(300):
         la, lo = float(rng.uniform(10, 20)), float(rng.uniform(10, 20))
         assert oracle_geo.point_to_tile_mercator(la, lo, z) in cover
+
+
+def test_grid_smooth_matches_numpy(spark):
+    import numpy as np
+    from osm_pbf_spark.functions.cells import quantize
+    from osm_pbf_spark.operators.tiling import grid_smooth
+
+    rng = np.random.default_rng(29)
+    lat = rng.uniform(-80, 80, 400)
+    lon = rng.uniform(-170, 170, 400)
+    level = 5
+    n = 1 << level
+    df = spark.createDataFrame(
+        [(float(a), float(o)) for a, o in zip(lat, lon)], "lat double, lon double"
+    )
+    got = {(r.x, r.y): r.n_box for r in grid_smooth(df, level).collect()}
+
+    qx, qy = quantize(lat, lon, level)
+    grid = np.zeros((n, n), dtype=np.int64)
+    np.add.at(grid, (qx, qy), 1)
+    want = {}
+    for x in range(n):
+        for y in range(n):
+            s = grid[max(0, x - 1):x + 2, max(0, y - 1):y + 2].sum()
+            if s > 0:
+                want[(x, y)] = int(s)
+    assert got == want
