@@ -647,6 +647,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_line_clip"] = q_line_clip
 
+    def q_tile_encode(spark, sf):  # tile pipeline end: clip -> binary payloads
+        from osm_pbf_spark.operators.tiling import clip_lines_to_tiles
+        from osm_pbf_spark.operators.vectortile import encode_tiles
+
+        seg = _synth_segments(load(spark, sf, "events")).filter(F.col("event_id") < 800)
+        enc = encode_tiles(clip_lines_to_tiles(seg, zoom=5, scheme="linear"), extent=4096)
+        return enc.select(
+            "tile_z",
+            "tile_x",
+            "tile_y",
+            "n_features",
+            F.length("payload").alias("n_bytes"),
+            F.md5("payload").alias("payload_md5"),
+        )
+
+    q["q_tile_encode"] = q_tile_encode
+
     def q_line_measures(spark, sf):  # geodesic length / shoelace / centroid
         from osm_pbf_spark.operators.measures import line_measures
 
@@ -1406,6 +1423,93 @@ def _ora_span_resolve() -> str:
                d.target_kind, d.target_n_spans
         FROM med m LEFT JOIN docs d ON d.target_id = m.target_id
     """
+
+
+def _ora_tile_encode() -> str:
+    """Full pure-Python replay of the tile-encode chain (synth segments
+    -> linear scale -> supercover -> Liang-Barsky clip -> quantize ->
+    payload bytes) with its OWN varint/zigzag encoder, mirroring every
+    Spark IEEE expression in the same order (the q_line_clip oracle
+    already pins the clip arithmetic bit-for-bit in SQL)."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(ORACLE_SF_DIR, "events.parquet"), columns=["event_id"])
+    ids = sorted(int(i) for i in t.column("event_id").to_pylist() if int(i) < 800)
+
+    zoom, n, nmax, extent = 5, 32.0, 31, 4096
+    tiles: dict[tuple, list] = {}
+    for e in ids:
+        lat0 = (e % 160 - 80) + 0.5
+        lon0 = ((e * 7) % 350 - 175) + 0.25
+        lat1 = lat0 + (e % 7 - 3) * 1.7
+        lon1 = lon0 + (e % 11 - 5) * 2.3
+        sx0 = (lon0 + 180.0) / 360.0 * n
+        sy0 = (90.0 - lat0) / 180.0 * n
+        sx1 = (lon1 + 180.0) / 360.0 * n
+        sy1 = (90.0 - lat1) / 180.0 * n
+        xa, xb = min(sx0, sx1), max(sx0, sx1)
+        dx, dy = sx1 - sx0, sy1 - sy0
+        ix_lo, ix_hi = max(math.floor(xa), 0), min(math.floor(xb), nmax)
+        for tx in range(ix_lo, ix_hi + 1):
+            cl, cr = max(float(tx), xa), min(tx + 1.0, xb)
+            if sx1 == sx0:
+                ymin, ymax = min(sy0, sy1), max(sy0, sy1)
+            else:
+                y_l = sy0 + (cl - sx0) / dx * dy
+                y_r = sy0 + (cr - sx0) / dx * dy
+                ymin, ymax = min(y_l, y_r), max(y_l, y_r)
+            iy_lo, iy_hi = max(math.floor(ymin), 0), min(math.floor(ymax), nmax)
+            for ty in range(iy_lo, iy_hi + 1):
+                if dx != 0.0:
+                    txf, txc = (tx - sx0) / dx, (tx + 1 - sx0) / dx
+                    txa, txb_ = min(txf, txc), max(txf, txc)
+                else:
+                    txa, txb_ = 0.0, 1.0
+                if dy != 0.0:
+                    tyf, tyc = (ty - sy0) / dy, (ty + 1 - sy0) / dy
+                    tya, tyb = min(tyf, tyc), max(tyf, tyc)
+                else:
+                    tya, tyb = 0.0, 1.0
+                t0 = max(0.0, txa, tya)
+                t1 = max(t0, min(1.0, txb_, tyb))
+                cx0, cy0 = sx0 + dx * t0, sy0 + dy * t0
+                cx1, cy1 = sx0 + dx * t1, sy0 + dy * t1
+                qq = lambda c, base: min(extent, max(0, math.floor((c - base) * float(extent))))
+                tiles.setdefault((zoom, tx, ty), []).append(
+                    (e, qq(cx0, tx), qq(cy0, ty), qq(cx1, tx), qq(cy1, ty))
+                )
+
+    def vi(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def zz(v: int) -> int:
+        return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+    rows = []
+    for (z, tx, ty), feats in tiles.items():
+        payload = bytearray()
+        for fid, x0, y0, x1, y1 in sorted(feats):
+            geom = vi(9) + vi(zz(x0)) + vi(zz(y0)) + vi(10) + vi(zz(x1 - x0)) + vi(zz(y1 - y0))
+            payload += b"\x08" + vi(fid) + b"\x12" + vi(len(geom)) + geom
+        rows.append(
+            (z, tx, ty, len(feats), len(payload), hashlib.md5(bytes(payload)).hexdigest())
+        )
+    return _values_sql(
+        [("tile_z", "INTEGER"), ("tile_x", "BIGINT"), ("tile_y", "BIGINT"),
+         ("n_features", "INTEGER"), ("n_bytes", "INTEGER"), ("payload_md5", "VARCHAR")],
+        rows,
+    )
 
 
 def _ora_way_pip() -> str:
@@ -2709,6 +2813,7 @@ def oracle_sql() -> dict[str, str]:
               AND a.lon_min <= b.lon_max AND b.lon_min <= a.lon_max
         """,
         "q_span_resolve": _ora_span_resolve(),
+        "q_tile_encode": _ora_tile_encode(),
         "q_grid_smooth": f"""
             {pts},
             q AS (

@@ -1,0 +1,147 @@
+"""Two-parallelism scaling study for the r3 operator families
+(distance_join, bbox_join, connected_components, grid_smooth).
+
+The sandbox has no multi-executor cluster, so the north rule's
+N -> 4N executor criterion is evidenced the same way as bench.py's
+pipeline study: the SAME job at local[N] and local[4N] on the SAME
+deterministic input, reporting throughput at both plus scaling
+efficiency t_N / (4 * t_4N). Legs are interleaved and best-of-REPS to
+defuse host-contention bursts (BENCH/BASELINE.md §2).
+
+Writes one JSON line; save output under BENCH/.
+
+Usage: python tools/bench_ops_scaling.py [n_points] [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_POINTS = int(sys.argv[1]) if len(sys.argv) > 1 else 3_000_000
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+CORES_LO, CORES_HI = 8, 32
+
+
+def _session(cores: int):
+    from osm_pbf_spark.session import get_spark
+
+    spark = get_spark(app_name=f"opsscale{cores}", master=f"local[{cores}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _points(spark, n: int):
+    """Deterministic synthetic points: hot-spot skew (25% of points in a
+    0.5-degree blob) + uniform remainder — the shape that punishes a
+    join that cannot split a hot cell."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(
+            F.col("id") % 4 == 0,
+            F.lit(40.0) + (F.col("id") % 5000).cast("double") / F.lit(10000.0),
+        )
+        .otherwise(F.lit(-60.0) + F.pmod(F.col("id") * F.lit(7919), F.lit(120000)).cast("double") / F.lit(1000.0))
+        .alias("lat"),
+        F.when(
+            F.col("id") % 4 == 0,
+            F.lit(-74.0) + F.pmod(F.col("id"), F.lit(5000)).cast("double") / F.lit(10000.0),
+        )
+        .otherwise(F.lit(-150.0) + F.pmod(F.col("id") * F.lit(104729), F.lit(300000)).cast("double") / F.lit(1000.0))
+        .alias("lon"),
+    )
+    return df
+
+
+def leg_distance_join(spark, n: int) -> int:
+    from osm_pbf_spark.operators.distance import distance_join
+
+    pts = _points(spark, n)
+    out = distance_join(pts, pts, 0.01, metric="euclid2_deg")
+    return out.where(out.id_a < out.id_b).count()
+
+
+def leg_bbox_join(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.bbox import bbox_join
+
+    pts = _points(spark, n // 10)  # boxes are heavier per row
+    boxes = pts.select(
+        F.col("id"),
+        F.col("lat").alias("lat_min"),
+        (F.col("lat") + F.lit(0.046875)).alias("lat_max"),
+        F.col("lon").alias("lon_min"),
+        (F.col("lon") + F.lit(0.046875)).alias("lon_max"),
+    )
+    out = bbox_join(boxes, boxes, level=11)
+    return out.where(F.col("id_a") < F.col("id_b")).count()
+
+
+def leg_connected_components(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.graph import connected_components
+
+    m = n // 3
+    edges = spark.range(m).select(
+        F.pmod(F.col("id") * F.lit(7919), F.lit(m)).alias("src"),
+        F.pmod(F.col("id") * F.lit(104729) + F.lit(13), F.lit(m)).alias("dst"),
+    )
+    return connected_components(edges, rounds=5).select(F.max("component")).collect()[0][0]
+
+
+def leg_grid_smooth(spark, n: int) -> int:
+    from osm_pbf_spark.operators.tiling import grid_smooth
+
+    return grid_smooth(_points(spark, n), level=11).count()
+
+
+LEGS = {
+    "distance_join": leg_distance_join,
+    "bbox_join": leg_bbox_join,
+    "connected_components": leg_connected_components,
+    "grid_smooth": leg_grid_smooth,
+}
+
+
+def main() -> None:
+    walls: dict[str, dict[int, list[float]]] = {k: {CORES_LO: [], CORES_HI: []} for k in LEGS}
+    checks: dict[str, set] = {k: set() for k in LEGS}
+    for rep in range(REPS):
+        for cores in (CORES_LO, CORES_HI):
+            spark = _session(cores)
+            try:
+                for name, fn in LEGS.items():
+                    fn(spark, 200_000)  # warm plan shape / codegen
+                    t = time.time()
+                    res = fn(spark, N_POINTS)
+                    walls[name][cores].append(time.time() - t)
+                    checks[name].add(res)
+            finally:
+                spark.stop()
+    report = {"n_points": N_POINTS, "reps": REPS, "cores": [CORES_LO, CORES_HI], "legs": {}}
+    for name in LEGS:
+        t_lo = min(walls[name][CORES_LO])
+        t_hi = min(walls[name][CORES_HI])
+        report["legs"][name] = {
+            "wall_lo": round(t_lo, 3),
+            "wall_hi": round(t_hi, 3),
+            "throughput_lo": round(N_POINTS / t_lo, 1),
+            "throughput_hi": round(N_POINTS / t_hi, 1),
+            "efficiency": round(t_lo / (4.0 * t_hi), 3),
+            "deterministic": len(checks[name]) == 1,
+            "result": sorted(checks[name])[0],
+            "all_reps": {str(c): [round(x, 3) for x in walls[name][c]] for c in walls[name]},
+        }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
