@@ -844,6 +844,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_bfs_hops"] = q_bfs_hops
 
+    def q_sssp(spark, sf):  # weighted shortest path (distributed Bellman-Ford)
+        from osm_pbf_spark.operators.graph import sssp
+
+        ev = load(spark, sf, "events").filter(F.col("event_id") < 400)
+        edges = ev.select(
+            (F.col("event_id") % 120).alias("src"),
+            ((F.col("event_id") * 13 + 7) % 120).alias("dst"),
+            (F.col("event_id") % 19 + 1).alias("w"),
+        )
+        srcs = spark.createDataFrame([(0,), (3,)], "node long")
+        return sssp(edges, srcs, max_rounds=12)
+
+    q["q_sssp"] = q_sssp
+
     def q_bbox_join(spark, sf):  # rect-overlap window query (r-tree class)
         # dyadic extents offset by 2^-6 deg: never lands on the 0.001-deg
         # point lattice, so no exact boundary touches across engines
@@ -930,6 +944,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return grid_smooth(customer_points(spark, sf), level=7)
 
     q["q_grid_smooth"] = q_grid_smooth
+
+    def q_geohash(spark, sf):  # native geohash encode (second cell scheme)
+        from osm_pbf_spark.functions.geohash import geohash_col
+
+        pts = customer_points(spark, sf).where(F.col("doc_id") <= 500)
+        return pts.select(
+            "doc_id",
+            geohash_col(F.col("lat"), F.col("lon"), 8).alias("gh8"),
+            geohash_col(F.col("lat"), F.col("lon"), 4).alias("gh4"),
+        )
+
+    q["q_geohash"] = q_geohash
 
     def q_zonal_stats(spark, sf):  # zonal statistics: PIP join -> per-zone agg
         # value per point is dyadic ((key%16)*0.25): the bigint sum is
@@ -1423,6 +1449,26 @@ def _ora_span_resolve() -> str:
                d.target_kind, d.target_n_spans
         FROM med m LEFT JOIN docs d ON d.target_id = m.target_id
     """
+
+
+def _ora_geohash() -> str:
+    """VALUES replay: geohash_py mirrors the native expression order;
+    the algorithm itself is pinned against an independent textbook
+    bisection implementation and published values in pytest."""
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.functions.geohash import geohash_py
+
+    t = pq.read_table(os.path.join(ORACLE_SF_DIR, "customer.parquet"), columns=["c_custkey"])
+    keys = sorted(int(k) for k in t.column("c_custkey").to_pylist() if int(k) <= 500)
+    rows = []
+    for k in keys:
+        lat = -60.0 + ((k * 7919) % 120000) / 1000.0
+        lon = -150.0 + ((k * 104729) % 300000) / 1000.0
+        rows.append((k, geohash_py(lat, lon, 8), geohash_py(lat, lon, 4)))
+    return _values_sql(
+        [("doc_id", "BIGINT"), ("gh8", "VARCHAR"), ("gh4", "VARCHAR")], rows
+    )
 
 
 def _ora_tile_encode() -> str:
@@ -2794,6 +2840,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS node, CAST(min(hops) AS INT) AS hops
             FROM walk GROUP BY node
         """,
+        "q_sssp": """
+            WITH RECURSIVE e AS (
+                SELECT event_id % 120 AS src, (event_id * 13 + 7) % 120 AS dst,
+                       event_id % 19 + 1 AS w
+                FROM events WHERE event_id < 400),
+            sym0 AS (SELECT src AS u, dst AS v, w FROM e WHERE src <> dst
+                     UNION ALL SELECT dst, src, w FROM e WHERE src <> dst),
+            sym AS (SELECT u, v, min(w) AS w FROM sym0 GROUP BY u, v),
+            srcs(node) AS (VALUES (0), (3)),
+            walk(node, d, hops) AS (
+                SELECT node, CAST(0 AS BIGINT), 0 FROM srcs
+                UNION
+                SELECT s.v, w.d + s.w, w.hops + 1
+                FROM walk w JOIN sym s ON s.u = w.node WHERE w.hops < 12)
+            SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS dist
+            FROM walk GROUP BY node
+        """,
         "q_bbox_join": """
             WITH boxes AS (
                 SELECT c_custkey AS id,
@@ -2814,6 +2877,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_span_resolve": _ora_span_resolve(),
         "q_tile_encode": _ora_tile_encode(),
+        "q_geohash": _ora_geohash(),
         "q_grid_smooth": f"""
             {pts},
             q AS (

@@ -43,7 +43,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bfs_hops", "connected_components", "near_dup_groups", "dedup_canonical"]
+__all__ = [
+    "bfs_hops",
+    "sssp",
+    "connected_components",
+    "near_dup_groups",
+    "dedup_canonical",
+]
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -211,6 +217,77 @@ def bfs_hops(
             eager=True
         )
     return visited
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+    max_rounds: int = 24,
+) -> DataFrame:
+    """Single-source (well, source-SET) shortest path over the
+    UNDIRECTED weighted graph ``edges[src, dst, weight]`` — distributed
+    Bellman-Ford: round r relaxes every edge from the current distance
+    frontier with one join + one min-aggregate. Returns ``(node,
+    dist)`` for every node reachable within ``max_rounds`` edges
+    (sources at dist 0). Paths needing more than ``max_rounds`` hops
+    keep the best <=``max_rounds``-hop distance — cap the oracle the
+    same way.
+
+    Weights should be EXACT (integers or dyadic): path distances are
+    sums, and only exact sums are reproducible across engines and
+    partitionings. Negative weights are rejected (undirected graph: a
+    negative edge is a negative cycle).
+
+    Per round: frontier ⋈ edges (one shuffle) + union + min-groupBy
+    (one shuffle), checkpointed; driver sees only the frontier count —
+    the iterative exception, same contract as ``bfs_hops``. Early-exits
+    when no distance improves.
+    """
+    if max_rounds < 0:
+        raise ValueError(f"max_rounds must be >= 0, got {max_rounds}")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w"))
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    if sym.where(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("sssp requires non-negative weights")
+    dist = (
+        sources.select(F.col(node).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist  # rows whose distance improved last round
+    for _ in range(max_rounds):
+        relaxed = frontier.join(sym, frontier["node"] == sym["u"]).select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        nxt = (
+            dist.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        # improved rows = new best strictly below the old best (or new node)
+        old = dist.select("node", F.col("dist").alias("_old"))
+        frontier = (
+            nxt.join(old, "node", "left")
+            .where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        dist = nxt
+        if frontier.isEmpty():
+            break
+    return dist
 
 
 def near_dup_groups(

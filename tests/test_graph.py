@@ -152,3 +152,61 @@ def test_bfs_max_hops_caps_both_sides(spark):
     srcs = spark.createDataFrame([(0,)], "node long")
     got = {r.node: r.hops for r in bfs_hops(e, srcs, max_hops=5).collect()}
     assert got == {i: i for i in range(6)}  # nodes beyond hop 5 absent
+
+
+def _py_bellman(edges, sources, rounds):
+    adj = {}
+    for a, b, w in edges:
+        if a != b:
+            adj.setdefault(a, {})
+            adj.setdefault(b, {})
+            adj[a][b] = min(adj[a].get(b, w), w)
+            adj[b][a] = min(adj[b].get(a, w), w)
+    dist = {s: 0 for s in sources}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj.get(u, {}).items():
+                if v not in nxt or d + w < nxt[v]:
+                    nxt[v] = d + w
+        if nxt == dist:
+            break
+        dist = nxt
+    return dist
+
+
+def test_sssp_matches_python_bellman(spark):
+    from osm_pbf_spark.operators.graph import sssp
+
+    rng = np.random.default_rng(31)
+    edges = [
+        (int(a), int(b), int(w))
+        for (a, b), w in zip(rng.integers(0, 120, size=(200, 2)), rng.integers(1, 20, 200))
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    srcs = spark.createDataFrame([(0,), (3,)], "node long")
+    got = {r.node: r.dist for r in sssp(e, srcs, max_rounds=50).collect()}
+    assert got == _py_bellman(edges, [0, 3], 50)
+    assert len(got) > 10
+
+
+def test_sssp_round_cap_semantics(spark):
+    from osm_pbf_spark.operators.graph import sssp
+
+    # path 0-1-...-10 with weight 1 each, plus a heavy shortcut 0->10
+    edges = [(i, i + 1, 1) for i in range(10)] + [(0, 10, 100)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    srcs = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in sssp(e, srcs, max_rounds=3).collect()}
+    # within 3 rounds: nodes 1..3 exact, node 10 only via the shortcut
+    assert got[1] == 1 and got[3] == 3 and got[10] == 100
+    assert 4 not in got or got[4] >= 4
+
+
+def test_sssp_rejects_negative_weights(spark):
+    from osm_pbf_spark.operators.graph import sssp
+
+    e = spark.createDataFrame([(1, 2, -5)], "src long, dst long, w long")
+    srcs = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(Exception, match="non-negative"):
+        sssp(e, srcs)

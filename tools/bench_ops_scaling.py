@@ -63,7 +63,7 @@ def leg_distance_join(spark, n: int) -> int:
     from osm_pbf_spark.operators.distance import distance_join
 
     pts = _points(spark, n)
-    out = distance_join(pts, pts, 0.01, metric="euclid2_deg")
+    out = distance_join(pts, pts, 0.005, metric="euclid2_deg")
     return out.where(out.id_a < out.id_b).count()
 
 
@@ -89,7 +89,7 @@ def leg_connected_components(spark, n: int) -> int:
 
     from osm_pbf_spark.operators.graph import connected_components
 
-    m = n // 3
+    m = n * 4  # per-round work must dominate the fixed round overhead
     edges = spark.range(m).select(
         F.pmod(F.col("id") * F.lit(7919), F.lit(m)).alias("src"),
         F.pmod(F.col("id") * F.lit(104729) + F.lit(13), F.lit(m)).alias("dst"),
@@ -100,7 +100,7 @@ def leg_connected_components(spark, n: int) -> int:
 def leg_grid_smooth(spark, n: int) -> int:
     from osm_pbf_spark.operators.tiling import grid_smooth
 
-    return grid_smooth(_points(spark, n), level=11).count()
+    return grid_smooth(_points(spark, n * 30), level=11).count()
 
 
 LEGS = {
