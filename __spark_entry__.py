@@ -957,6 +957,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_geohash"] = q_geohash
 
+    def q_convex_hull(spark, sf):  # per-group hull over exact integer grid
+        from osm_pbf_spark.operators.hull import convex_hull
+
+        pts = customer_points(spark, sf).where(F.col("doc_id") <= 2000)
+        grouped = pts.select(
+            F.pmod(F.col("doc_id"), F.lit(8)).alias("group_id"), "lat", "lon"
+        )
+        return convex_hull(grouped)
+
+    q["q_convex_hull"] = q_convex_hull
+
     def q_zonal_stats(spark, sf):  # zonal statistics: PIP join -> per-zone agg
         # value per point is dyadic ((key%16)*0.25): the bigint sum is
         # exact, so the one multiply + one divide are bit-identical
@@ -1468,6 +1479,34 @@ def _ora_geohash() -> str:
         rows.append((k, geohash_py(lat, lon, 8), geohash_py(lat, lon, 4)))
     return _values_sql(
         [("doc_id", "BIGINT"), ("gh8", "VARCHAR"), ("gh4", "VARCHAR")], rows
+    )
+
+
+def _ora_convex_hull() -> str:
+    """Jarvis-march replay (a different algorithm from the engine's
+    monotone chain) over the same exact integer grid -> VALUES."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.hull import hull_py
+
+    t = pq.read_table(os.path.join(ORACLE_SF_DIR, "customer.parquet"), columns=["c_custkey"])
+    keys = sorted(int(k) for k in t.column("c_custkey").to_pylist() if int(k) <= 2000)
+    groups: dict[int, set] = {}
+    for k in keys:
+        lat = -60.0 + ((k * 7919) % 120000) / 1000.0
+        lon = -150.0 + ((k * 104729) % 300000) / 1000.0
+        ix = math.floor(lon * 1000.0 + 0.5)
+        iy = math.floor(lat * 1000.0 + 0.5)
+        groups.setdefault(k % 8, set()).add((ix, iy))
+    rows = []
+    for g in sorted(groups):
+        for pos, (ix, iy) in enumerate(hull_py(sorted(groups[g]))):
+            rows.append((g, pos, ix, iy))
+    return _values_sql(
+        [("group_id", "BIGINT"), ("hull_pos", "INTEGER"), ("ix", "BIGINT"), ("iy", "BIGINT")],
+        rows,
     )
 
 
@@ -2878,6 +2917,7 @@ def oracle_sql() -> dict[str, str]:
         "q_span_resolve": _ora_span_resolve(),
         "q_tile_encode": _ora_tile_encode(),
         "q_geohash": _ora_geohash(),
+        "q_convex_hull": _ora_convex_hull(),
         "q_grid_smooth": f"""
             {pts},
             q AS (
