@@ -968,6 +968,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_convex_hull"] = q_convex_hull
 
+    def q_json_extract(spark, sf):  # semi-structured: JSON prop extraction + agg
+        ev = load(spark, sf, "events").filter(F.col("event_id") < 3000)
+        k = F.get_json_object(F.col("props"), "$.k").cast("long")
+        return (
+            ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("k").alias("k_sum"),
+                F.min("k").alias("k_min"),
+                F.max("k").alias("k_max"),
+            )
+        )
+
+    q["q_json_extract"] = q_json_extract
+
+    def q_regex_extract(spark, sf):  # regex extraction over text
+        d = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
+        return d.select(
+            "doc_id",
+            F.regexp_extract(F.col("text"), "([a-z]+ing)", 1).alias("first_ing"),
+            F.size(F.split(F.col("text"), "[.!?]")).alias("n_sentences"),
+        )
+
+    q["q_regex_extract"] = q_regex_extract
+
     def q_zonal_stats(spark, sf):  # zonal statistics: PIP join -> per-zone agg
         # value per point is dyadic ((key%16)*0.25): the bigint sum is
         # exact, so the one multiply + one divide are bit-identical
@@ -2878,6 +2904,19 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.hops < 24)
             SELECT CAST(node AS BIGINT) AS node, CAST(min(hops) AS INT) AS hops
             FROM walk GROUP BY node
+        """,
+        "q_json_extract": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+                   min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+            FROM events WHERE event_id < 3000 GROUP BY event_type
+        """,
+        "q_regex_extract": """
+            SELECT doc_id,
+                   regexp_extract(text, '([a-z]+ing)', 1) AS first_ing,
+                   CAST(len(string_split_regex(text, '[.!?]')) AS INT) AS n_sentences
+            FROM documents WHERE doc_id < 300
         """,
         "q_sssp": """
             WITH RECURSIVE e AS (
