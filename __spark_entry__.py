@@ -1322,6 +1322,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sink_compact"] = q_sink_compact
 
+    # ---- r3 widening batch 4: fingerprints, fuzzy/interval/snap joins,
+    # quadkeys, span chunking, collocations, per-group sampling ----
+
+    def q_table_fingerprint(spark, sf):  # order-independent table digest
+        from osm_pbf_spark.operators.checksum import table_fingerprint
+
+        li = load(spark, sf, "lineitem").select(
+            "l_returnflag", "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"
+        )
+        return table_fingerprint(li, group_cols=["l_returnflag"])
+
+    q["q_table_fingerprint"] = q_table_fingerprint
+
+    def q_fuzzy_join(spark, sf):  # edit-distance<=1 join (deletion blocking)
+        from osm_pbf_spark.operators.fuzzy import fuzzy_join
+
+        e = load(spark, sf, "events").filter(F.col("event_id") < 800)
+        d = e.select(
+            "event_id",
+            F.concat(F.lit("u"), (F.col("event_id") % 257).cast("string")).alias("s"),
+        )
+        return fuzzy_join(d, id_col="event_id", str_col="s", threshold=1)
+
+    q["q_fuzzy_join"] = q_fuzzy_join
+
+    def q_interval_join(spark, sf):  # 1-D temporal overlap join (bin cover)
+        from osm_pbf_spark.operators.temporal import interval_join
+
+        e = load(spark, sf, "events").filter(F.col("event_id") < 4000)
+        iv = e.select(
+            F.col("event_id").alias("id"),
+            (F.col("event_id") * F.lit(10_000_000)).alias("start_us"),
+            (
+                F.col("event_id") * F.lit(10_000_000)
+                + F.pmod(F.col("event_id") * 37, F.lit(50)) * F.lit(1_000_000)
+            ).alias("end_us"),
+        )
+        left = iv.filter(F.col("id") % 2 == 0)
+        right = iv.filter(F.col("id") % 2 == 1)
+        return interval_join(left, right, bin_micros=64_000_000)
+
+    q["q_interval_join"] = q_interval_join
+
+    def q_snap_segments(spark, sf):  # map-matching: nearest segment in range
+        from osm_pbf_spark.operators.distance import snap_to_segments
+
+        pts = customer_points(spark, sf)
+        st = supplier_stations(spark, sf)
+        seg = st.select(
+            F.col("station_id").alias("seg_id"),
+            F.col("s_lat").alias("alat"),
+            F.col("s_lon").alias("alon"),
+            (F.col("s_lat") + (F.pmod(F.col("station_id") * 13, F.lit(7)) - 3) * F.lit(0.9)).alias("blat"),
+            (F.col("s_lon") + (F.pmod(F.col("station_id") * 29, F.lit(11)) - 5) * F.lit(0.7)).alias("blon"),
+        )
+        return snap_to_segments(pts, seg, radius=2.0)
+
+    q["q_snap_segments"] = q_snap_segments
+
+    def q_quadkey(spark, sf):  # Bing quadkey encode + prefix pyramid property
+        from osm_pbf_spark.functions.tiles import quadkey_col
+
+        pts = customer_points(spark, sf)
+        qk = pts.select(
+            "doc_id", quadkey_col(F.col("lat"), F.col("lon"), 5).alias("qk")
+        )
+        return qk.select("doc_id", "qk", F.substring("qk", 1, 2).alias("qk_z2"))
+
+    q["q_quadkey"] = q_quadkey
+
+    def q_chunk_spans(spark, sf):  # training-window chunking of interleaved docs
+        from osm_pbf_spark.operators.docrender import chunk_spans, render_documents
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("mixed"))
+        return chunk_spans(render_documents(entities), max_chars=48)
+
+    q["q_chunk_spans"] = q_chunk_spans
+
+    def q_bigram_pmi(spark, sf):  # collocation mining (adjacent-token PMI)
+        from osm_pbf_spark.operators.text import bigram_pmi
+
+        d = load(spark, sf, "documents").filter(F.col("doc_id") < 800)
+        r = bigram_pmi(d, min_count=3)
+        # ln() is the one ulp-risky op — compare at 6 decimals (same
+        # posture as q_tfidf)
+        return r.select("a", "b", "c_ab", F.round("pmi", 6).alias("pmi"))
+
+    q["q_bigram_pmi"] = q_bigram_pmi
+
+    def q_group_sample(spark, sf):  # deterministic exactly-k-per-group sample
+        from osm_pbf_spark.operators.packing import group_sample
+
+        d = load(spark, sf, "documents")
+        return group_sample(d, k=25, group_col="lang", id_col="doc_id").select(
+            "doc_id", "lang", "source"
+        )
+
+    q["q_group_sample"] = q_group_sample
+
     return q
 
 
@@ -2336,6 +2436,61 @@ def _ora_kmeans() -> str:
 # ---------------------------------------------------------------------------
 
 
+def _ora_chunk_spans() -> str:
+    """Span VALUES come from the pure-Python render replay (same trust
+    level as _ora_doc_spans); DuckDB independently computes the chunk
+    assignment and the per-chunk aggregates."""
+    from tests import oracle_render
+
+    docs = oracle_render.render_file(_fixture_decoded("mixed"))
+    rows = [
+        (d["doc_id"], s["kind"], s["text"], s["offset"])
+        for d in docs
+        for s in d["spans"]
+    ]
+    spans_sql = _values_sql(
+        [("doc_id", "VARCHAR"), ("kind", "VARCHAR"), ("text", "VARCHAR"),
+         ("offset", "INTEGER")],
+        rows,
+    )
+    return f"""
+        WITH s AS ({spans_sql})
+        SELECT doc_id,
+               CAST(floor("offset" / CAST(48 AS DOUBLE)) AS BIGINT) AS chunk_idx,
+               count(*) AS n_spans,
+               CAST(sum(CASE WHEN len(text) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_text_spans,
+               CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_media,
+               CAST(sum(len(text)) AS BIGINT) AS chars
+        FROM s GROUP BY doc_id, chunk_idx
+    """
+
+
+def _hex40_bigint_sql(hexpr: str) -> str:
+    """SQL turning the first 10 hex chars of ``hexpr`` into the same
+    bigint Spark's conv(substr(h,1,10),16,10) yields — DuckDB has no
+    conv(), so each nibble is shifted into place (digit values are
+    exact; << on BIGINT never overflows at 40 bits)."""
+    terms = [
+        f"(CAST(strpos('0123456789abcdef', substr({hexpr}, {i}, 1)) - 1 AS BIGINT)"
+        f" << {4 * (10 - i)})"
+        for i in range(1, 11)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _quadkey_sql(z: int) -> str:
+    """Digit-concat replay of functions/tiles.quadkey_col for fixed z.
+    ``//`` (floor division) mirrors Spark's (x / s) CAST BIGINT, which
+    truncates — DuckDB's CAST would ROUND, so it must not appear here."""
+    digits = []
+    for i in range(1, z + 1):
+        s = 1 << (z - i)
+        digits.append(f"CAST((x // {s}) % 2 + ((y // {s}) % 2) * 2 AS VARCHAR)")
+    return " || ".join(digits)
+
+
 def oracle_sql() -> dict[str, str]:
     pts = f"WITH pts AS ({SQL_POINTS})"
     return {
@@ -3033,4 +3188,121 @@ def oracle_sql() -> dict[str, str]:
         "q_lsh_topk": _ora_lsh_topk(),
         "q_ivf_topk": _ora_ivf_topk(),
         "q_near_dup_lsh": _ora_near_dup_lsh(),
+        "q_table_fingerprint": f"""
+            WITH h AS (
+              SELECT l_returnflag, {_hex40_bigint_sql("hx")} AS v
+              FROM (SELECT l_returnflag,
+                           md5(concat_ws(chr(31),
+                               CAST(l_orderkey AS VARCHAR),
+                               CAST(l_partkey AS VARCHAR),
+                               CAST(l_suppkey AS VARCHAR),
+                               CAST(l_linenumber AS VARCHAR))) AS hx
+                    FROM lineitem))
+            SELECT l_returnflag, count(*) AS n_rows,
+                   CAST(sum(v) AS BIGINT) AS hash_sum,
+                   bit_xor(v) AS hash_xor
+            FROM h GROUP BY l_returnflag
+        """,
+        # brute-force all-pairs levenshtein vs the engine's
+        # deletion-neighborhood blocking join — independent algorithm
+        "q_fuzzy_join": """
+            WITH d AS (SELECT event_id, 'u' || CAST(event_id % 257 AS VARCHAR) AS s
+                       FROM events WHERE event_id < 800)
+            SELECT a.event_id AS id_a, b.event_id AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+            FROM d a JOIN d b ON a.event_id < b.event_id
+            WHERE levenshtein(a.s, b.s) <= 1
+        """,
+        # plain theta join vs the engine's bin-cover equi-join plan
+        "q_interval_join": """
+            WITH iv AS (SELECT event_id AS id,
+                               CAST(event_id * 10000000 AS BIGINT) AS start_us,
+                               CAST(event_id * 10000000
+                                    + ((event_id * 37) % 50) * 1000000 AS BIGINT)
+                                   AS end_us
+                        FROM events WHERE event_id < 4000),
+                 a AS (SELECT * FROM iv WHERE id % 2 = 0),
+                 b AS (SELECT * FROM iv WHERE id % 2 = 1)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.start_us AS start_a, a.end_us AS end_a,
+                   b.start_us AS start_b, b.end_us AS end_b
+            FROM a JOIN b ON a.start_us <= b.end_us AND b.start_us <= a.end_us
+        """,
+        # brute-force point x segment scan + window vs the engine's
+        # cell-window candidate join; d2 expression replicated verbatim
+        "q_snap_segments": f"""
+            WITH pts AS ({SQL_POINTS}), st AS ({SQL_STATIONS}),
+            seg AS (SELECT station_id AS seg_id, s_lat AS alat, s_lon AS alon,
+                           s_lat + ((station_id * 13) % 7 - 3) * CAST(0.9 AS DOUBLE)
+                               AS blat,
+                           s_lon + ((station_id * 29) % 11 - 5) * CAST(0.7 AS DOUBLE)
+                               AS blon
+                    FROM st),
+            uvw AS (SELECT p.doc_id, s.seg_id,
+                           s.blon - s.alon AS ux, s.blat - s.alat AS uy,
+                           p.lon - s.alon AS vx, p.lat - s.alat AS vy,
+                           p.lon - s.blon AS wx, p.lat - s.blat AS wy
+                    FROM pts p, seg s),
+            cand AS (SELECT doc_id, seg_id,
+                            CASE WHEN (ux * ux + uy * uy) = 0
+                                      OR (ux * vx + uy * vy) <= 0
+                                 THEN vx * vx + vy * vy
+                                 WHEN (ux * vx + uy * vy) >= (ux * ux + uy * uy)
+                                 THEN wx * wx + wy * wy
+                                 ELSE (ux * vy - uy * vx) * (ux * vy - uy * vx)
+                                      / (ux * ux + uy * uy)
+                            END AS d2
+                     FROM uvw),
+            filt AS (SELECT * FROM cand WHERE d2 <= CAST(4.0 AS DOUBLE)),
+            r AS (SELECT doc_id, seg_id, d2,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY d2, seg_id) AS rn
+                  FROM filt)
+            SELECT doc_id, seg_id, d2 FROM r WHERE rn = 1
+        """,
+        "q_quadkey": f"""
+            WITH pts AS ({SQL_POINTS}),
+            xy AS (SELECT doc_id,
+                least(greatest(CAST(floor((lon + 180.0) / 360.0 * 32.0) AS BIGINT),
+                               0), 31) AS x,
+                least(greatest(CAST(floor((lat + 90.0) / 180.0 * 32.0) AS BIGINT),
+                               0), 31) AS y
+              FROM pts),
+            k AS (SELECT doc_id, {_quadkey_sql(5)} AS qk FROM xy)
+            SELECT doc_id, qk, substr(qk, 1, 2) AS qk_z2 FROM k
+        """,
+        "q_chunk_spans": _ora_chunk_spans(),
+        "q_bigram_pmi": """
+            WITH d AS (SELECT list_filter(string_split(text, ' '), t -> t <> '')
+                           AS toks
+                       FROM documents WHERE doc_id < 800),
+            pr AS (SELECT unnest(list_transform(range(1, len(toks)),
+                       i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS p
+                   FROM d),
+            pairs AS (SELECT p.a AS a, p.b AS b FROM pr),
+            cab AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY a, b),
+            uni AS (SELECT unnest(toks) AS t FROM d),
+            cu AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+            nt AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tok FROM cu),
+            np AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n_pair FROM cab)
+            SELECT cab.a, cab.b, CAST(cab.c_ab AS BIGINT) AS c_ab,
+                   round(ln((CAST(cab.c_ab AS DOUBLE) / np.n_pair)
+                            / ((CAST(ca.c AS DOUBLE) / nt.n_tok)
+                               * (CAST(cb.c AS DOUBLE) / nt.n_tok))), 6) AS pmi
+            FROM cab
+            JOIN cu ca ON ca.t = cab.a
+            JOIN cu cb ON cb.t = cab.b, nt, np
+            WHERE cab.c_ab >= 3
+        """,
+        # exact replay: rank by the SAME 8-hex-char key prefix (not the
+        # full md5 — a 32-bit prefix collision would flip the tiebreak)
+        "q_group_sample": """
+            WITH r AS (SELECT doc_id, lang, source,
+                row_number() OVER (PARTITION BY lang
+                    ORDER BY substr(md5(CAST(lang AS VARCHAR) || ':'
+                                        || CAST(doc_id AS VARCHAR)), 1, 8),
+                             doc_id) AS rn
+              FROM documents)
+            SELECT doc_id, lang, source FROM r WHERE rn <= 25
+        """,
     }

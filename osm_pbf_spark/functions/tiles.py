@@ -179,3 +179,39 @@ def segment_tiles_crossing(
         if c is not None:
             out.add(c)
     return out
+
+
+def quadkey_col(lat, lon, z: int):
+    """Bing-maps quadkey string of the LINEAR z-level tile as a native
+    Column expression (public quadkey scheme: digit i from the most
+    significant bit is ``xbit + 2*ybit``). Linear (equirectangular)
+    grid like ``point_to_tile_linear``, so the whole expression — floor,
+    integer div/mod, concat — is engine-exact and whole-stage codegen;
+    zero Python. Quadkeys of different zoom levels never collide (they
+    differ in LENGTH — the prefix property is the point: tile b is an
+    ancestor of tile a ⟺ quadkey(b) is a prefix of quadkey(a)), which
+    makes pyramid rollups a plain ``substring`` groupBy.
+    """
+    from pyspark.sql import functions as F
+
+    if not (1 <= z <= 25):
+        raise ValueError("quadkey zoom must be in [1, 25]")
+    n = 1 << z
+    x = F.least(
+        F.greatest(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))), F.lit(0)
+        ),
+        F.lit(n - 1),
+    )
+    y = F.least(
+        F.greatest(
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n))), F.lit(0)
+        ),
+        F.lit(n - 1),
+    )
+    digits = []
+    for i in range(1, z + 1):
+        s = 1 << (z - i)
+        d = ((x / F.lit(s)).cast("bigint") % 2) + ((y / F.lit(s)).cast("bigint") % 2) * 2
+        digits.append(d.cast("string"))
+    return F.concat(*digits)

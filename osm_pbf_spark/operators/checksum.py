@@ -1,0 +1,77 @@
+"""Order-independent table fingerprints (SURVEY.md §2.6 companion).
+
+``table_fingerprint(df, group_cols, value_cols)`` reduces a table (or
+each group) to a tiny, deterministic, ORDER-INDEPENDENT digest:
+
+    n_rows     exact row count
+    hash_sum   int64 sum of per-row 40-bit md5 prefixes — EXACT (never
+               wraps) for up to 2^23 ≈ 8.4M rows per group; Spark 4
+               runs ANSI mode where a bigint-sum wrap THROWS rather
+               than wrapping, so the width is chosen to stay exact.
+               Beyond that row count per group rely on
+               (n_rows, hash_xor) — xor never overflows at any scale —
+               or fingerprint with more groups.
+    hash_xor   bit_xor of the same per-row values (never overflows)
+
+Both aggregates are commutative + associative, so Spark computes them
+with map-side partial aggregation — one narrow shuffle of one row per
+group per map task, regardless of table size. This is the cheap way to
+verify a 100-TB copy/migration (or a resumed ingest, sink/iceberg_like)
+without sorting or collecting anything: fingerprints match ⟺ the
+multisets of canonical row strings match (md5-collision caveat).
+
+The per-row value is ``conv(substr(md5(canon), 1, 10), 16, 10)`` where
+``canon`` joins the chosen columns with a 0x1f unit separator and a
+NULL sentinel — all ANSI-expressible, so DuckDB replays it exactly.
+
+Cross-ENGINE fingerprint comparison is only meaningful for value
+columns whose string cast is format-stable: integers, strings,
+booleans. DOUBLE→string differs between engines (Java shortest-repr
+uses E-notation where DuckDB does not) — round/quantize doubles to
+integers first, or compare Spark-vs-Spark only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["table_fingerprint", "SEP", "NULL_SENTINEL"]
+
+SEP = "\x1f"
+NULL_SENTINEL = "\x00null\x00"
+
+
+def _canon(value_cols: list[str]) -> F.Column:
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL)) for c in value_cols
+    ]
+    return F.concat_ws(SEP, *parts)
+
+
+def table_fingerprint(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Digest ``df`` into (group_cols..., n_rows, hash_sum, hash_xor).
+
+    With ``group_cols=None`` the whole table digests to one row (a
+    literal group key keeps the plan a plain hash aggregate).
+    ``value_cols`` defaults to every non-group column, in schema order
+    (column ORDER is part of the fingerprint; row order is not).
+    """
+    group_cols = list(group_cols or [])
+    if value_cols is None:
+        value_cols = [c for c in df.columns if c not in group_cols]
+    rowhash = F.conv(F.substring(F.md5(_canon(value_cols)), 1, 10), 16, 10).cast(
+        "bigint"
+    )
+    h = df.select(*group_cols, rowhash.alias("_h"))
+    keys = group_cols if group_cols else [F.lit(0).alias("_all")]
+    out = h.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_h").alias("hash_sum"),
+        F.expr("bit_xor(_h)").alias("hash_xor"),
+    )
+    return out.drop("_all") if not group_cols else out

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from ..functions.cells import MAX_LEVEL, _quant_col, cell_size_deg, xy_to_cell_col
 from .measures import _hav_m
 
-__all__ = ["distance_join", "pick_distance_level"]
+__all__ = ["distance_join", "pick_distance_level", "snap_to_segments"]
 
 # conservative meters-per-degree floors (true value varies with latitude)
 _M_PER_DEG_LAT = 110_567.0
@@ -150,3 +150,141 @@ def distance_join(
         dist = dla * dla + dlo * dlo
         cond = dist <= F.lit(float(radius) * float(radius))
     return j.select("id_a", "id_b", dist.alias("dist")).where(cond)
+
+
+def snap_to_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: float,
+    level: int | None = None,
+    point_id: str = "doc_id",
+    max_seg_cells: int = 64,
+) -> DataFrame:
+    """Map-matching primitive: snap each point to its nearest line
+    segment within ``radius`` DEGREES (flat euclid2_deg metric, same
+    posture as distance_join's gate metric). Points with no segment in
+    range produce no row.
+
+    points:   (point_id, lat, lon)
+    segments: (seg_id, alat, alon, blat, blon) — SHORT segments (road
+              graph edges); a segment spanning more than
+              ``max_seg_cells`` cover cells at the chosen level fails
+              loudly (pre-split long lines with the supercover in
+              operators/tiling.py first).
+
+    Returns (point_id, seg_id, d2) — ``d2`` the squared degree distance
+    to the winning segment; ties broken by smallest seg_id.
+
+    Plan (all native, no Python stage):
+      1. level = coarsest cell >= radius (same guarantee as
+         distance_join: every in-range segment point lies in the
+         point's 3x3 cell window);
+      2. points explode their 9-cell window; segments explode their
+         bbox cell cover (two nested native sequence Generates);
+      3. equi-join on cell — a (point, segment) pair may appear
+         SEVERAL times (segment covers several window cells), which is
+         harmless because the final per-point min(struct(d2, seg_id))
+         aggregate is idempotent — no dedup shuffle;
+      4. exact point-to-segment refine: the inside/outside test
+         compares dot vs len2 (multiplication only — engine-exact);
+         the single division cross^2/len2 is IEEE-correctly-rounded
+         and identical across engines.
+
+    One shuffle per side + one hash aggregate. Skewed cells (urban
+    cores) split via AQE skew-join like every equi-join in this module.
+    """
+    metric = "euclid2_deg"
+    if level is None:
+        level = pick_distance_level(radius, metric)
+    if not 2 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [2, {MAX_LEVEL}], got {level}")
+    n = 1 << level
+    dlat, dlon = cell_size_deg(level)
+    if dlat < radius or dlon < radius:
+        raise ValueError(f"level {level} cells are smaller than radius {radius} deg")
+
+    window = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    pts = (
+        points.select(
+            F.col(point_id).alias("_pid"),
+            F.col("lat").alias("_plat"),
+            F.col("lon").alias("_plon"),
+            _quant_col(F.col("lon"), 180.0, 360.0, level).alias("_x"),
+            _quant_col(F.col("lat"), 90.0, 180.0, level).alias("_y"),
+        )
+        .withColumn("_d", F.explode(window))
+        .withColumn("_ny", F.col("_y") + F.col("_d.dy"))
+        .where((F.col("_ny") >= 0) & (F.col("_ny") < n))
+        .withColumn("_nx", F.pmod(F.col("_x") + F.col("_d.dx"), F.lit(n)))
+        .select(
+            "_pid", "_plat", "_plon",
+            xy_to_cell_col(F.col("_nx"), F.col("_ny"), level).alias("_cell"),
+        )
+    )
+
+    seg = segments.select(
+        F.col("seg_id").alias("_sid"),
+        F.col("alat").alias("_alat"), F.col("alon").alias("_alon"),
+        F.col("blat").alias("_blat"), F.col("blon").alias("_blon"),
+        _quant_col(F.least("alon", "blon"), 180.0, 360.0, level).alias("_x0"),
+        _quant_col(F.greatest("alon", "blon"), 180.0, 360.0, level).alias("_x1"),
+        _quant_col(F.least("alat", "blat"), 90.0, 180.0, level).alias("_y0"),
+        _quant_col(F.greatest("alat", "blat"), 90.0, 180.0, level).alias("_y1"),
+    )
+    # guard lives in a WHERE (an unused projected column would be
+    # pruned by Catalyst and the check would never run)
+    fanout = (F.col("_x1") - F.col("_x0") + 1) * (F.col("_y1") - F.col("_y0") + 1)
+    seg = seg.where(
+        F.when(fanout <= F.lit(int(max_seg_cells)), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("snap_to_segments: segment "),
+                    F.col("_sid").cast("string"),
+                    F.lit(f" covers > {max_seg_cells} cells at level {level}; "
+                          "pre-split long segments"),
+                )
+            )
+        )
+    )
+    seg = (
+        seg.withColumn("_sx", F.explode(F.sequence(F.col("_x0"), F.col("_x1"))))
+        .withColumn("_sy", F.explode(F.sequence(F.col("_y0"), F.col("_y1"))))
+        .select(
+            "_sid", "_alat", "_alon", "_blat", "_blon",
+            xy_to_cell_col(F.col("_sx"), F.col("_sy"), level).alias("_cell"),
+        )
+    )
+
+    j = pts.join(seg, "_cell")
+    # exact point-to-segment squared distance (degree plane)
+    ux = F.col("_blon") - F.col("_alon")
+    uy = F.col("_blat") - F.col("_alat")
+    vx = F.col("_plon") - F.col("_alon")
+    vy = F.col("_plat") - F.col("_alat")
+    wx = F.col("_plon") - F.col("_blon")
+    wy = F.col("_plat") - F.col("_blat")
+    dot = ux * vx + uy * vy
+    len2 = ux * ux + uy * uy
+    cross = ux * vy - uy * vx
+    d2 = (
+        F.when((len2 == 0) | (dot <= 0), vx * vx + vy * vy)
+        .when(dot >= len2, wx * wx + wy * wy)
+        .otherwise(cross * cross / len2)
+    )
+    cand = j.select(
+        F.col("_pid"), F.col("_sid"), d2.alias("_d2")
+    ).where(F.col("_d2") <= F.lit(float(radius) * float(radius)))
+    best = cand.groupBy("_pid").agg(
+        F.min(F.struct(F.col("_d2"), F.col("_sid"))).alias("_best")
+    )
+    return best.select(
+        F.col("_pid").alias(point_id),
+        F.col("_best._sid").alias("seg_id"),
+        F.col("_best._d2").alias("d2"),
+    )

@@ -34,6 +34,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 SPAN_TYPE = pa.struct(
@@ -229,3 +230,41 @@ def render_documents(entities: DataFrame) -> DataFrame:
     """Entities (unified schema) -> interleaved-span documents."""
     cols = ["kind", "id", "lat", "lon", "tags", "refs", "members"]
     return entities.select(*cols).mapInArrow(_render_iter, DOC_SPARK_SCHEMA)
+
+
+def chunk_spans(docs: DataFrame, max_chars: int) -> DataFrame:
+    """Training-window chunking of interleaved documents: split each
+    document's span sequence into chunks of at most ``max_chars`` text
+    characters, NEVER splitting inside a span, media spans riding with
+    the text position they interleave at.
+
+    Chunk rule (deterministic, replayable in ANSI SQL): a span whose
+    running text offset (the span struct's own ``offset`` field — the
+    characters of the joined text stream BEFORE it) is in
+    ``[i*max_chars, (i+1)*max_chars)`` belongs to chunk ``i``. Zero-width
+    media spans land in the chunk of the text position they sit at.
+
+    Returns one row per (doc_id, chunk_idx):
+      (doc_id, chunk_idx, n_spans, n_text_spans, n_media, chars)
+    where ``chars`` sums len(text) of the chunk's text-bearing spans.
+
+    Plan: a native posexplode Generate + one hash aggregate on
+    (doc_id, chunk) — no window, no Python; at 10^12 docs this is a
+    map-side-combining aggregate whose key count ~= output rows.
+    """
+    if max_chars <= 0:
+        raise ValueError("max_chars must be positive")
+    s = docs.select("doc_id", F.posexplode("spans").alias("span_pos", "s")).select(
+        "doc_id",
+        # floor, not CAST(... AS BIGINT): Spark's cast truncates but
+        # DuckDB's rounds — floor is the one spelling both agree on
+        F.floor(F.col("s.offset") / F.lit(int(max_chars))).alias("chunk_idx"),
+        F.col("s.kind").alias("kind"),
+        F.length("s.text").alias("text_len"),
+    )
+    return s.groupBy("doc_id", "chunk_idx").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("text_len") > 0, 1).otherwise(0)).alias("n_text_spans"),
+        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0)).alias("n_media"),
+        F.sum("text_len").alias("chars"),
+    )

@@ -37,7 +37,13 @@ from pyspark.sql import functions as F
 
 from .text import token_count
 
-__all__ = ["concat_chunk_pack", "bin_pack_ffd", "stratified_sample", "md5_uniform_hex"]
+__all__ = [
+    "concat_chunk_pack",
+    "bin_pack_ffd",
+    "stratified_sample",
+    "group_sample",
+    "md5_uniform_hex",
+]
 
 
 def md5_uniform_hex(key) -> "F.Column":
@@ -82,6 +88,42 @@ def stratified_sample(
     else:
         thr = F.lit(_hex_threshold(float(fractions)))
     return df.filter(key < thr)
+
+
+def group_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    prefilter_fraction: float | None = None,
+) -> DataFrame:
+    """Deterministic exactly-k-per-group sample (uniform without
+    replacement): rank rows within each group by ``md5(group:id)`` and
+    keep the first ``k``. The hash order is a uniform random permutation
+    per group, engine-reproducible (same rule as stratified_sample).
+
+    Plan: one shuffle (the per-group ranking window). For huge groups
+    where shuffling every row just to rank it is wasteful, pass
+    ``prefilter_fraction`` = c*k/min_group_size (c ≈ 4 for comfortable
+    slack): rows are PRE-FILTERED to hash < that fraction before the
+    window, cutting shuffle volume by ~that factor. The pre-filter is
+    EXACT — it changes nothing — as long as ≥ k rows per group survive
+    it (the kept rows are the hash-smallest, which is what the ranking
+    selects anyway); callers own that bound. None (default) applies no
+    pre-filter.
+    """
+    key = md5_uniform_hex(
+        F.concat(F.col(group_col).cast("string"), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    base = df.withColumn("_gs_key", key)
+    if prefilter_fraction is not None:
+        base = base.filter(F.col("_gs_key") < F.lit(_hex_threshold(float(prefilter_fraction))))
+    w = Window.partitionBy(group_col).orderBy("_gs_key", id_col)
+    return (
+        base.withColumn("_gs_rank", F.row_number().over(w))
+        .filter(F.col("_gs_rank") <= k)
+        .drop("_gs_key", "_gs_rank")
+    )
 
 
 # ---------------- concatenation packing ----------------

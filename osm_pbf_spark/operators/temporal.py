@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize"]
+__all__ = ["asof_join", "sessionize", "interval_join"]
 
 
 def _epoch_micros(c: "F.Column") -> "F.Column":
@@ -83,6 +83,61 @@ def asof_join(
         {out_names[c]: F.last(out_names[c], ignorenulls=True).over(w) for c in right_cols}
     )
     return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    bin_micros: int = 256_000_000,
+    left_id: str = "id",
+    right_id: str = "id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair whose
+    [start_us, end_us] microsecond intervals overlap (closed ends,
+    ``a.start <= b.end AND b.start <= a.end``). Returns
+    (id_a, id_b, start_a, end_a, start_b, end_b).
+
+    Scale plan — the 1-D analogue of the cell-cover spatial join
+    (operators/distance.py): each interval explodes into its covered
+    time bins with a native ``sequence`` Generate (no Python), the
+    sides equi-join on the bin, and the exact predicate refines.
+    Candidate multiplicity is exactly 1 per true pair because a pair
+    is only KEPT in the bin containing max(start_a, start_b) — so no
+    distinct/dedup shuffle follows the join.
+
+    ``bin_micros`` trades Generate fan-out (long intervals cover many
+    bins) against bin hotness (many intervals per bin); size it near
+    the median interval length. Skewed hot bins (rush-hour) are split
+    by AQE skew-join like every other equi-join here.
+    """
+    b = F.lit(int(bin_micros))
+
+    def binned(df: DataFrame, idc: str, tag: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(f"id_{tag}"),
+            F.col(start_col).alias(f"start_{tag}"),
+            F.col(end_col).alias(f"end_{tag}"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start_col) / b), F.floor(F.col(end_col) / b)
+                )
+            ).alias("_bin"),
+        )
+
+    a = binned(left, left_id, "a")
+    c = binned(right, right_id, "b")
+    return (
+        a.join(c, "_bin")
+        .where(
+            (F.col("start_a") <= F.col("end_b"))
+            & (F.col("start_b") <= F.col("end_a"))
+            # keep each pair once: only in the bin of the later start
+            & (F.col("_bin") == F.floor(F.greatest("start_a", "start_b") / b))
+        )
+        .select("id_a", "id_b", "start_a", "end_a", "start_b", "end_b")
+    )
 
 
 def sessionize(

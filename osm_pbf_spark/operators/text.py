@@ -116,6 +116,68 @@ def tfidf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def bigram_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    whitespace-token bigrams over the corpus.
+
+        pmi = ln( (c_ab / N_pairs) / ((c_a / N_tok) * (c_b / N_tok)) )
+
+    Returns ``(a, b, c_ab:bigint, pmi:double)`` for bigrams seen at
+    least ``min_count`` times.
+
+    Plan: adjacent pairs come from ONE native Generate over
+    ``transform(sequence(1, n-1), ...)`` (element_at on the token
+    array — no self-join, no window shuffle to pair neighbors); then a
+    (a, b) hash aggregate, a token hash aggregate, and two broadcast
+    joins of the tiny vocab side. Corpus-size scalars ride a 1-row
+    cross join. Same exactness posture as tfidf: exact int counts, one
+    fixed-order double expression, gate-compare at round(pmi, 6).
+    """
+    toks_arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    d = docs.select(toks_arr.alias("_toks"))
+    uni = d.select(F.explode("_toks").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # the where-guard is load-bearing: for size<2 docs Spark's
+    # sequence(1, size-1) DESCENDS ([1,0]) and element_at(_toks, 0)
+    # throws under ANSI — such docs contribute unigrams only
+    pairs = d.where(F.size("_toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("_toks", i).alias("a"),
+                    F.element_at("_toks", i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    c_ab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    n_tok = uni.select(F.sum("c").alias("n_tok"))
+    n_pair = c_ab.select(F.sum("c_ab").alias("n_pair"))
+    ua = uni.select(F.col("t").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("t").alias("b"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        (F.col("c_ab").cast("double") / F.col("n_pair").cast("double"))
+        / (
+            (F.col("c_a").cast("double") / F.col("n_tok").cast("double"))
+            * (F.col("c_b").cast("double") / F.col("n_tok").cast("double"))
+        )
+    )
+    return (
+        c_ab.where(F.col("c_ab") >= min_count)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair))
+        .select("a", "b", "c_ab", pmi.alias("pmi"))
+    )
+
+
 def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document analysis columns in one pass."""
     c = F.col(text_col)

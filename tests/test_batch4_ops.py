@@ -1,0 +1,291 @@
+"""Batch-4 operators vs independent scalar/brute-force oracles:
+table fingerprints (checksum.py), edit-distance join (fuzzy.py),
+interval-overlap join (temporal.py), segment snapping (distance.py),
+quadkeys (functions/tiles.py), span chunking (docrender.py),
+bigram PMI (text.py), per-group sampling (packing.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pbf_spark.operators.checksum import NULL_SENTINEL, SEP, table_fingerprint
+from osm_pbf_spark.operators.fuzzy import fuzzy_join
+
+
+# ---------------- table_fingerprint ----------------
+
+
+def _row_h(*vals) -> int:
+    canon = SEP.join(NULL_SENTINEL if v is None else str(v) for v in vals)
+    return int(hashlib.md5(canon.encode()).hexdigest()[:10], 16)
+
+
+def test_fingerprint_matches_scalar_oracle_and_row_order_free(spark):
+    rows = [(i % 3, i, f"s{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "g int, k long, s string")
+    got = {r.g: (r.n_rows, r.hash_sum, r.hash_xor)
+           for r in table_fingerprint(df, ["g"]).collect()}
+    want = {}
+    for g, k, s in rows:
+        n, hs, hx = want.get(g, (0, 0, 0))
+        v = _row_h(k, s)
+        want[g] = (n + 1, hs + v, hx ^ v)
+    assert got == want
+    # row order / partitioning never matters
+    shuffled = df.repartition(7).sortWithinPartitions("s")
+    got2 = {r.g: (r.n_rows, r.hash_sum, r.hash_xor)
+            for r in table_fingerprint(shuffled, ["g"]).collect()}
+    assert got2 == want
+
+
+def test_fingerprint_detects_single_row_change_and_null_vs_empty(spark):
+    base = [(1, "x"), (2, "y")]
+    a = table_fingerprint(spark.createDataFrame(base, "k long, s string")).collect()[0]
+    b = table_fingerprint(
+        spark.createDataFrame([(1, "x"), (2, "z")], "k long, s string")
+    ).collect()[0]
+    assert a.n_rows == b.n_rows == 2
+    assert (a.hash_sum, a.hash_xor) != (b.hash_sum, b.hash_xor)
+    # NULL and '' must digest differently (the sentinel's whole job)
+    c = table_fingerprint(spark.createDataFrame([(1, None)], "k long, s string")).collect()[0]
+    d = table_fingerprint(spark.createDataFrame([(1, "")], "k long, s string")).collect()[0]
+    assert (c.hash_sum, c.hash_xor) != (d.hash_sum, d.hash_xor)
+
+
+# ---------------- fuzzy_join ----------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_join_exact_vs_bruteforce(spark):
+    rng = np.random.default_rng(5)
+    alphabet = "abcd"
+    words = [
+        (i, "".join(alphabet[int(x)] for x in rng.integers(0, 4, int(rng.integers(1, 6)))))
+        for i in range(250)
+    ]
+    df = spark.createDataFrame(words, "id long, s string")
+    got = {(r.id_a, r.id_b, r.dist) for r in fuzzy_join(df).collect()}
+    want = {
+        (i, j, _lev(si, sj))
+        for i, si in words
+        for j, sj in words
+        if i < j and _lev(si, sj) <= 1
+    }
+    assert got == want
+    assert want  # non-vacuous: the tiny alphabet guarantees near pairs
+
+
+def test_fuzzy_join_threshold0_and_reject(spark):
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abc"), (3, "abd")], "id long, s string"
+    )
+    got = {(r.id_a, r.id_b) for r in fuzzy_join(df, threshold=0).collect()}
+    assert got == {(1, 2)}
+    with pytest.raises(ValueError, match="threshold"):
+        fuzzy_join(df, threshold=2)
+
+
+# ---------------- interval_join ----------------
+
+
+def test_interval_join_vs_brute_multiplicity_one(spark):
+    from osm_pbf_spark.operators.temporal import interval_join
+
+    rng = np.random.default_rng(11)
+    def mk(n, base):
+        out = []
+        for i in range(n):
+            s = int(rng.integers(0, 20_000))
+            out.append((base + i, s, s + int(rng.integers(0, 900))))
+        return out
+
+    la, lb = mk(300, 0), mk(300, 10_000)
+    left = spark.createDataFrame(la, "id long, start_us long, end_us long")
+    right = spark.createDataFrame(lb, "id long, start_us long, end_us long")
+    # bin far smaller than max duration -> intervals cover MANY bins,
+    # exercising the keep-once-in-later-start-bin dedup rule
+    rows = interval_join(left, right, bin_micros=64).collect()
+    got = [(r.id_a, r.id_b) for r in rows]
+    assert len(got) == len(set(got))  # multiplicity exactly 1, no dedup stage
+    want = {
+        (ia, ib)
+        for ia, sa, ea in la
+        for ib, sb, eb in lb
+        if sa <= eb and sb <= ea
+    }
+    assert set(got) == want and want
+
+
+# ---------------- snap_to_segments ----------------
+
+
+def test_snap_to_segments_vs_brute(spark):
+    from osm_pbf_spark.operators.distance import snap_to_segments
+
+    rng = np.random.default_rng(3)
+    pts = [(i, float(rng.uniform(0, 20)), float(rng.uniform(0, 20))) for i in range(400)]
+    segs = []
+    for j in range(60):
+        alat, alon = float(rng.uniform(0, 20)), float(rng.uniform(0, 20))
+        segs.append((j, alat, alon,
+                     alat + float(rng.uniform(-3, 3)), alon + float(rng.uniform(-3, 3))))
+    p = spark.createDataFrame(pts, "doc_id long, lat double, lon double")
+    s = spark.createDataFrame(segs, "seg_id long, alat double, alon double, blat double, blon double")
+    got = {r.doc_id: (r.seg_id, r.d2) for r in snap_to_segments(p, s, radius=1.5).collect()}
+
+    def d2_of(plat, plon, alat, alon, blat, blon):
+        ux, uy = blon - alon, blat - alat
+        vx, vy = plon - alon, plat - alat
+        wx, wy = plon - blon, plat - blat
+        dot, len2 = ux * vx + uy * vy, ux * ux + uy * uy
+        cross = ux * vy - uy * vx
+        if len2 == 0 or dot <= 0:
+            return vx * vx + vy * vy
+        if dot >= len2:
+            return wx * wx + wy * wy
+        return cross * cross / len2
+
+    for pid, plat, plon in pts:
+        cand = sorted(
+            (d2_of(plat, plon, *sg[1:]), sg[0])
+            for sg in segs
+            if d2_of(plat, plon, *sg[1:]) <= 1.5 * 1.5
+        )
+        if not cand:
+            assert pid not in got
+        else:
+            d2, sid = cand[0]
+            assert got[pid][0] == sid
+            assert got[pid][1] == pytest.approx(d2, rel=1e-12)
+
+
+def test_snap_rejects_oversized_segment(spark):
+    from osm_pbf_spark.operators.distance import snap_to_segments
+
+    p = spark.createDataFrame([(1, 0.0, 0.0)], "doc_id long, lat double, lon double")
+    s = spark.createDataFrame(
+        [(1, -50.0, -120.0, 50.0, 120.0)],
+        "seg_id long, alat double, alon double, blat double, blon double",
+    )
+    with pytest.raises(Exception, match="pre-split"):
+        snap_to_segments(p, s, radius=2.0).collect()
+
+
+# ---------------- quadkey ----------------
+
+
+def _qk_py(lat: float, lon: float, z: int) -> str:
+    n = 1 << z
+    x = min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+    y = min(max(int(math.floor((lat + 90.0) / 180.0 * n)), 0), n - 1)
+    out = []
+    for i in range(1, z + 1):
+        s = 1 << (z - i)
+        out.append(str((x // s) % 2 + ((y // s) % 2) * 2))
+    return "".join(out)
+
+
+def test_quadkey_matches_python_and_prefix_property(spark):
+    from osm_pbf_spark.functions.tiles import quadkey_col
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, float(rng.uniform(-90, 90)), float(rng.uniform(-180, 180)))
+        for i in range(500)
+    ] + [(1000, 90.0, 180.0), (1001, -90.0, -180.0), (1002, 0.0, 0.0)]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    got = df.select(
+        "id", "lat", "lon",
+        quadkey_col(F.col("lat"), F.col("lon"), 7).alias("q7"),
+        quadkey_col(F.col("lat"), F.col("lon"), 4).alias("q4"),
+    ).collect()
+    for r in got:
+        assert r.q7 == _qk_py(r.lat, r.lon, 7)
+        assert r.q4 == _qk_py(r.lat, r.lon, 4)
+        assert r.q7.startswith(r.q4)  # ancestor ⟺ prefix
+
+
+# ---------------- chunk_spans ----------------
+
+
+def test_chunk_spans_never_splits_and_places_media(spark):
+    from osm_pbf_spark.operators.docrender import chunk_spans
+
+    spans = [
+        ("text", "a" * 30, None, 0),
+        ("media", "", "m/1", 30),   # zero-width media at offset 30 -> chunk 0
+        ("text", "b" * 30, None, 30),  # crosses 48 but starts at 30 -> chunk 0
+        ("text", "c" * 10, None, 60),  # chunk 1
+        ("media", "", "m/2", 70),
+        ("text", "d" * 40, None, 70),
+        ("text", "e", None, 110),      # chunk 2
+    ]
+    docs = spark.createDataFrame(
+        [("d1", spans)],
+        "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    got = {r.chunk_idx: (r.n_spans, r.n_text_spans, r.n_media, r.chars)
+           for r in chunk_spans(docs, max_chars=48).collect()}
+    assert got == {0: (3, 2, 1, 60), 1: (3, 2, 1, 50), 2: (1, 1, 0, 1)}
+    with pytest.raises(ValueError):
+        chunk_spans(docs, max_chars=0)
+
+
+# ---------------- bigram_pmi ----------------
+
+
+def test_bigram_pmi_hand_computed(spark):
+    from osm_pbf_spark.operators.text import bigram_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a  b"), (3, "c")],  # double space + 1-token doc
+        "doc_id long, text string",
+    )
+    rows = bigram_pmi(docs, min_count=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # unigrams a:3 b:3 c:1 (N_tok=7); pairs (a,b):3 (b,a):1 (N_pair=4)
+    assert (r.a, r.b, r.c_ab) == ("a", "b", 3)
+    want = math.log((3 / 4) / ((3 / 7) * (3 / 7)))
+    assert r.pmi == pytest.approx(want, rel=1e-12)
+
+
+# ---------------- group_sample ----------------
+
+
+def test_group_sample_exact_k_deterministic_prefilter_exact(spark):
+    from osm_pbf_spark.operators.packing import group_sample
+
+    rows = [(i, f"g{i % 5}") for i in range(300)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = group_sample(df, k=10, group_col="lang").collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.lang, set()).add(r.doc_id)
+    assert {g: len(v) for g, v in by_g.items()} == {
+        **{f"g{i}": 10 for i in range(5)}, "tiny": 1,
+    }
+    # deterministic across partitionings
+    got2 = group_sample(df.repartition(11), k=10, group_col="lang").collect()
+    assert {(r.doc_id, r.lang) for r in got2} == {(r.doc_id, r.lang) for r in got}
+    # generous pre-filter (60 rows/group, keep ~half >> k=10) is exact
+    # for the big groups (the 1-row group may fall below the filter,
+    # which is precisely the caller-owned bound the docstring states)
+    got3 = group_sample(df, k=10, group_col="lang", prefilter_fraction=0.5).collect()
+    big = {(r.doc_id, r.lang) for r in got if r.lang != "tiny"}
+    big3 = {(r.doc_id, r.lang) for r in got3 if r.lang != "tiny"}
+    assert big == big3
