@@ -1422,6 +1422,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_group_sample"] = q_group_sample
 
+    def q_pagerank(spark, sf):  # integer-quantized PageRank (exact, gateable)
+        from osm_pbf_spark.operators.graph import pagerank
+
+        e = load(spark, sf, "events").filter(F.col("event_id") < 900)
+        edges = e.select(
+            (F.col("event_id") % 180).alias("src"),
+            ((F.col("event_id") * 31 + 7) % 180).alias("dst"),
+        )
+        return pagerank(edges, iterations=6)
+
+    q["q_pagerank"] = q_pagerank
+
+    def q_quadkey_pyramid(spark, sf):  # prefix property => substring rollup
+        from functools import reduce
+
+        from osm_pbf_spark.functions.tiles import quadkey_col
+
+        pts = customer_points(spark, sf)
+        qk = pts.select(quadkey_col(F.col("lat"), F.col("lon"), 6).alias("qk"))
+        parts = [
+            qk.groupBy(F.substring("qk", 1, z).alias("key"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(F.lit(z).alias("z"), "key", "n_docs")
+            for z in (6, 4, 2)
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    q["q_quadkey_pyramid"] = q_quadkey_pyramid
+
+    def q_window_dist(spark, sf):  # distribution windows: ntile/percent_rank/cume_dist
+        o = load(spark, sf, "orders")
+        w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+        return o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(7).over(w).alias("bucket"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+
+    q["q_window_dist"] = q_window_dist
+
     return q
 
 
@@ -2491,6 +2533,38 @@ def _quadkey_sql(z: int) -> str:
     return " || ".join(digits)
 
 
+def _ora_pagerank(iters: int = 6, scale: int = 10**12, num: int = 85, den: int = 100) -> str:
+    """Independent DuckDB PageRank: the fixed iteration count unrolls
+    into a CTE chain (aggregates over a recursive reference are not
+    legal SQL, so recursion is spelled out). Integer floor division
+    (``//``) replicates Spark's ``div`` exactly on the non-negative
+    ranks, making every iterate bit-identical."""
+    base = (scale * (den - num)) // den
+    ctes = [
+        "e AS (SELECT DISTINCT event_id % 180 AS src,"
+        " (event_id * 31 + 7) % 180 AS dst FROM events"
+        " WHERE event_id < 900 AND event_id % 180 <> (event_id * 31 + 7) % 180)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(r.rank // o.outdeg) AS s"
+            f" FROM e JOIN r{i - 1} r ON e.src = r.node"
+            f" JOIN od o ON o.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node,"
+            f" CAST({base} + ({num} * COALESCE(c.s, 0)) // {den} AS BIGINT) AS rank"
+            f" FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, rank FROM r{iters}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     pts = f"WITH pts AS ({SQL_POINTS})"
     return {
@@ -3304,5 +3378,31 @@ def oracle_sql() -> dict[str, str]:
                              doc_id) AS rn
               FROM documents)
             SELECT doc_id, lang, source FROM r WHERE rn <= 25
+        """,
+        "q_pagerank": _ora_pagerank(),
+        "q_quadkey_pyramid": f"""
+            WITH pts AS ({SQL_POINTS}),
+            xy AS (SELECT
+                least(greatest(CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT),
+                               0), 63) AS x,
+                least(greatest(CAST(floor((lat + 90.0) / 180.0 * 64.0) AS BIGINT),
+                               0), 63) AS y
+              FROM pts),
+            k AS (SELECT {_quadkey_sql(6)} AS qk FROM xy)
+            SELECT CAST(6 AS INTEGER) AS z, substr(qk, 1, 6) AS key,
+                   count(*) AS n_docs FROM k GROUP BY 2
+            UNION ALL
+            SELECT 4, substr(qk, 1, 4), count(*) FROM k GROUP BY 2
+            UNION ALL
+            SELECT 2, substr(qk, 1, 2), count(*) FROM k GROUP BY 2
+        """,
+        "q_window_dist": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(ntile(7) OVER w AS INTEGER) AS bucket,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
         """,
     }

@@ -289,3 +289,30 @@ def test_group_sample_exact_k_deterministic_prefilter_exact(spark):
     big = {(r.doc_id, r.lang) for r in got if r.lang != "tiny"}
     big3 = {(r.doc_id, r.lang) for r in got3 if r.lang != "tiny"}
     assert big == big3
+
+
+# ---------------- pagerank ----------------
+
+
+def test_pagerank_matches_integer_replay(spark):
+    from osm_pbf_spark.operators.graph import pagerank
+
+    rng = np.random.default_rng(17)
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, 60, (300, 2)) if a != b}
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    scale, num, den, iters = 10**12, 85, 100, 5
+    got = {r.node: r.rank for r in pagerank(df, iterations=iters).repartition(7).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    base = scale * (den - num) // den
+    rank = {n: scale for n in nodes}
+    for _ in range(iters):
+        s = {n: 0 for n in nodes}
+        for a, b in edges:
+            s[b] += rank[a] // outdeg[a]
+        rank = {n: base + num * s[n] // den for n in nodes}
+    assert got == rank
+    assert all(v >= base for v in got.values())
