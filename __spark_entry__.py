@@ -1464,6 +1464,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_window_dist"] = q_window_dist
 
+    def q_jsonl_source(spark, sf):  # S-family: JSONL sink+source roundtrip —
+        # write documents as JSON lines, read back with an explicit schema,
+        # aggregate; the oracle aggregates the PARQUET directly, so any
+        # row/charset loss in the roundtrip fails the gate
+        import shutil
+        import tempfile
+
+        out = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driver_jsonl")
+        shutil.rmtree(out, ignore_errors=True)
+        load(spark, sf, "documents").select("doc_id", "text", "lang").write.json(out)
+        j = spark.read.schema("doc_id bigint, text string, lang string").json(out)
+        return j.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+
+    q["q_jsonl_source"] = q_jsonl_source
+
+    def q_csv_source(spark, sf):  # S-family: CSV roundtrip (numeric columns —
+        # quantities are small integers-as-doubles, so sums stay exact)
+        import shutil
+        import tempfile
+
+        out = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driver_csv")
+        shutil.rmtree(out, ignore_errors=True)
+        load(spark, sf, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+        ).write.option("header", True).csv(out)
+        c = spark.read.schema(
+            "l_orderkey bigint, l_linenumber int, l_quantity double, l_returnflag string"
+        ).option("header", True).csv(out)
+        return c.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_orderkey").alias("sum_key"),
+        )
+
+    q["q_csv_source"] = q_csv_source
+
     return q
 
 
@@ -3380,6 +3421,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM r WHERE rn <= 25
         """,
         "q_pagerank": _ora_pagerank(),
+        "q_jsonl_source": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(len(text)) AS BIGINT) AS chars,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents GROUP BY lang
+        """,
+        "q_csv_source": """
+            SELECT l_returnflag, count(*) AS n_rows,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "q_quadkey_pyramid": f"""
             WITH pts AS ({SQL_POINTS}),
             xy AS (SELECT

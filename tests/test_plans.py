@@ -118,3 +118,65 @@ def test_knn_two_round_never_broadcasts(spark):
     )
     assert "BroadcastHashJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Bucketing is THE repeated-large-join scale tool: two tables
+    bucketed on the join key by the same bucket count co-locate, so the
+    join plans with ZERO Exchange — at 100 TB that is the difference
+    between re-shuffling both sides per query and none."""
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    for name in ("bt_a", "bt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        df.write.bucketBy(8, "k").sortBy("k").option(
+            "path", str(tmp_path / name)
+        ).saveAsTable(name)
+    # force the large-large (sort-merge) path: at real scale neither
+    # side broadcasts, which is exactly when bucketing pays
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_interval_join_plan_has_no_dedup_stage(spark):
+    """The keep-once-in-later-start-bin rule makes pair multiplicity
+    exactly 1 — the plan must contain NO aggregate/distinct node and
+    no Python stage (pure Generate + join + filter)."""
+    from osm_pbf_spark.operators.temporal import interval_join
+
+    iv = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") * 10).alias("start_us"),
+        (F.col("id") * 10 + 25).alias("end_us"),
+    )
+    plan = _plan(interval_join(iv, iv, bin_micros=16))
+    assert "Aggregate" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_snap_and_pmi_stay_jvm_side(spark):
+    from osm_pbf_spark.operators.distance import snap_to_segments
+    from osm_pbf_spark.operators.text import bigram_pmi
+
+    p = _points(spark)
+    s = spark.createDataFrame(
+        [(1, 0.0, 0.0, 1.0, 1.0)],
+        "seg_id long, alat double, alon double, blat double, blon double",
+    )
+    plan = _plan(snap_to_segments(p, s, radius=2.0))
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    # exactly one final aggregate (the idempotent min(struct) — no
+    # distinct/dedup shuffle for candidate multiplicity)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, "a b")], "doc_id long, text string")
+    plan2 = _plan(bigram_pmi(docs, min_count=1))
+    assert "InPandas" not in plan2 and "EvalPython" not in plan2
