@@ -1505,6 +1505,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_csv_source"] = q_csv_source
 
+    def q_full_outer(spark, sf):  # R-family: full outer join (null-extended sides)
+        c = load(spark, sf, "customer").groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).alias("n_cust")
+        )
+        s = load(spark, sf, "supplier").groupBy("s_nationkey").agg(
+            F.count(F.lit(1)).alias("n_supp")
+        )
+        return c.join(
+            s, c["c_nationkey"] == s["s_nationkey"], "full_outer"
+        ).select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            "n_cust",
+            "n_supp",
+        )
+
+    q["q_full_outer"] = q_full_outer
+
+    def q_cube(spark, sf):  # R8 companion: CUBE grouping sets
+        return (
+            load(spark, sf, "orders")
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+        )
+
+    q["q_cube"] = q_cube
+
+    def q_scalar_subquery(spark, sf):  # correlated-free scalar subquery:
+        # orders above the global average price, per priority
+        o = load(spark, sf, "orders")
+        avg_price = o.agg(F.avg("o_totalprice").alias("_avg"))
+        return (
+            o.crossJoin(F.broadcast(avg_price))
+            .filter(F.col("o_totalprice") > F.col("_avg"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_above"),
+                F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            )
+        )
+
+    q["q_scalar_subquery"] = q_scalar_subquery
+
+    def q_unpivot(spark, sf):  # melt wide metrics to (key, metric, value)
+        p = load(spark, sf, "part").select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+        )
+        return p.unpivot(
+            ["p_partkey"], ["size", "retailprice"], "metric", "value"
+        ).filter(F.col("p_partkey") < 400)
+
+    q["q_unpivot"] = q_unpivot
+
+    def q_cdc_chunks(spark, sf):  # content-defined chunking (sub-doc dedup)
+        from osm_pbf_spark.operators.cdc import cdc_chunks
+
+        d = load(spark, sf, "documents").filter(F.col("doc_id") < 120).select(
+            "doc_id", "text"
+        )
+        ch = cdc_chunks(d)
+        # chunk hashes NATIVE (substring+md5) so DuckDB recomputes them
+        # independently from the raw table
+        return ch.join(d, "doc_id").select(
+            "doc_id",
+            "chunk_idx",
+            "c_start",
+            "c_len",
+            F.md5(F.expr("substring(text, c_start + 1, c_len)")).alias("chunk_md5"),
+        )
+
+    q["q_cdc_chunks"] = q_cdc_chunks
+
     return q
 
 
@@ -2606,6 +2682,38 @@ def _ora_pagerank(iters: int = 6, scale: int = 10**12, num: int = 85, den: int =
     )
 
 
+def _ora_cdc_chunks() -> str:
+    """Hybrid: boundaries from the pure-Python ring-recurrence replay
+    (tests/oracle_cdc.py — a different formulation of the window hash
+    than the engine's convolution kernel); DuckDB recomputes every
+    chunk's md5 from the raw documents table, so slicing and hashing
+    are verified engine-side."""
+    import pyarrow.parquet as pq
+
+    from tests import oracle_cdc
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = []
+    for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        if int(did) >= 120:
+            continue
+        for idx, start, length in oracle_cdc.chunks(text or ""):
+            rows.append((int(did), idx, start, length))
+    vals = _values_sql(
+        [("doc_id", "BIGINT"), ("chunk_idx", "INTEGER"),
+         ("c_start", "INTEGER"), ("c_len", "INTEGER")],
+        rows,
+    )
+    return f"""
+        WITH v AS ({vals})
+        SELECT v.doc_id, v.chunk_idx, v.c_start, v.c_len,
+               md5(substr(d.text, v.c_start + 1, v.c_len)) AS chunk_md5
+        FROM v JOIN documents d ON d.doc_id = v.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     pts = f"WITH pts AS ({SQL_POINTS})"
     return {
@@ -3433,6 +3541,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(l_orderkey) AS BIGINT) AS sum_key
             FROM lineitem GROUP BY l_returnflag
         """,
+        "q_full_outer": """
+            WITH c AS (SELECT c_nationkey, count(*) AS n_cust
+                       FROM customer GROUP BY c_nationkey),
+                 s AS (SELECT s_nationkey, count(*) AS n_supp
+                       FROM supplier GROUP BY s_nationkey)
+            SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+                   n_cust, n_supp
+            FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        """,
+        "q_cube": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_scalar_subquery": """
+            SELECT o_orderpriority, count(*) AS n_above,
+                   round(max(o_totalprice), 2) AS max_price
+            FROM orders
+            WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+            GROUP BY o_orderpriority
+        """,
+        "q_unpivot": """
+            SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+            FROM part WHERE p_partkey < 400
+            UNION ALL
+            SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE)
+            FROM part WHERE p_partkey < 400
+        """,
+        "q_cdc_chunks": _ora_cdc_chunks(),
         "q_quadkey_pyramid": f"""
             WITH pts AS ({SQL_POINTS}),
             xy AS (SELECT

@@ -316,3 +316,51 @@ def test_pagerank_matches_integer_replay(spark):
         rank = {n: base + num * s[n] // den for n in nodes}
     assert got == rank
     assert all(v >= base for v in got.values())
+
+
+# ---------------- content-defined chunking ----------------
+
+
+def test_cdc_kernel_matches_ring_replay_and_tiles_doc(spark):
+    from osm_pbf_spark.operators.cdc import cdc_boundaries_np, cdc_chunks
+    from tests import oracle_cdc
+
+    rng = np.random.default_rng(23)
+    texts = [
+        "".join(chr(int(c)) for c in rng.integers(32, 1000, int(n)))
+        for n in rng.integers(0, 2000, 40)
+    ]
+    for t in texts:
+        got = cdc_boundaries_np(t, 16, 0x3F, 32, 512)
+        want = oracle_cdc.boundaries(t)
+        assert got == want
+        # chunks tile the document exactly
+        if t:
+            assert got[-1] == len(t)
+            lens = np.diff([0] + got)
+            assert (lens >= 1).all() and (lens <= 512).all()
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.c_start, r.c_len))
+    for i, t in enumerate(texts):
+        assert sorted(by_doc.get(i, [])) == oracle_cdc.chunks(t)
+
+
+def test_cdc_edit_locality():
+    """The whole point of CDC: a point edit only moves boundaries near
+    the edit — chunks further than window+max_len away are unchanged."""
+    from tests import oracle_cdc
+
+    rng = np.random.default_rng(29)
+    base = "".join(chr(int(c)) for c in rng.integers(97, 123, 4000))
+    edited = base[:2000] + "X" + base[2001:]
+    b0 = set(oracle_cdc.boundaries(base))
+    b1 = set(oracle_cdc.boundaries(edited))
+    horizon = 2000 - (16 + 512), 2000 + (16 + 512)
+    assert {b for b in b0 if b < horizon[0]} == {b for b in b1 if b < horizon[0]}
+    assert {b for b in b0 if b > horizon[1]} == {b for b in b1 if b > horizon[1]}
