@@ -1581,6 +1581,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_cdc_chunks"] = q_cdc_chunks
 
+    def q_sink_evolve(spark, sf):  # C-family: add-column schema evolution —
+        # split 001 adds src_len; the union read NULL-back-fills split 000
+        # from manifest-carried schemas (no parquet footers opened)
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.sink.iceberg_like import IcebergLikeSink
+
+        root = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driver_evolve")
+        shutil.rmtree(root, ignore_errors=True)
+        sink = IcebergLikeSink(root, stats_col="doc_id")
+        d = load(spark, sf, "documents")
+        sink.write_split(d.filter(F.col("doc_id") < 50).select("doc_id", "lang"), "000")
+        sink.write_split(
+            d.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).select(
+                "doc_id", "lang", F.length("source").alias("src_len")
+            ),
+            "001",
+        )
+        sink.commit_snapshot()
+        return sink.read(spark).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("src_len").alias("n_evolved"),
+            F.sum("src_len").alias("src_len_sum"),
+        )
+
+    q["q_sink_evolve"] = q_sink_evolve
+
     return q
 
 
@@ -3570,6 +3598,17 @@ def oracle_sql() -> dict[str, str]:
             FROM part WHERE p_partkey < 400
         """,
         "q_cdc_chunks": _ora_cdc_chunks(),
+        "q_sink_evolve": """
+            WITH t AS (
+              SELECT doc_id, lang, NULL AS src_len
+              FROM documents WHERE doc_id < 50
+              UNION ALL
+              SELECT doc_id, lang, CAST(len(source) AS INTEGER)
+              FROM documents WHERE doc_id >= 50 AND doc_id < 100)
+            SELECT lang, count(*) AS n, count(src_len) AS n_evolved,
+                   CAST(sum(src_len) AS BIGINT) AS src_len_sum
+            FROM t GROUP BY lang
+        """,
         "q_quadkey_pyramid": f"""
             WITH pts AS ({SQL_POINTS}),
             xy AS (SELECT

@@ -201,6 +201,10 @@ class IcebergLikeSink:
             # metrics enabling manifest-level pruning in read()
             "file_stats": {k: file_stats[k] for k in sorted(file_stats)},
             "stats_col": self.stats_col,
+            # the split's Spark schema — metadata-carried so the read
+            # path can UNION schemas across splits (add-column
+            # evolution) without scanning any parquet footer
+            "schema": json.loads(df.schema.json()),
             "n_rows": n_rows,
             "n_bytes": n_bytes,
             "partition_by": self.partition_by,
@@ -227,6 +231,7 @@ class IcebergLikeSink:
         lineage: dict | None = None,
         fail_before_commit: bool = False,
         wall_s: float | None = None,
+        schema: dict | None = None,
     ) -> dict | None:
         """Commit a split whose data files were written DIRECTLY by the
         workers (pyarrow in the decode kernel) — the workers report
@@ -257,6 +262,8 @@ class IcebergLikeSink:
             "files": sorted(files),
             "file_stats": {k: file_stats[k] for k in sorted(file_stats)},
             "stats_col": self.stats_col,
+            "schema": schema,  # optional (worker-written files): None
+            # falls back to a mergeSchema footer read
             "n_rows": n_rows,
             "n_bytes": n_bytes,
             "partition_by": [],
@@ -306,6 +313,7 @@ class IcebergLikeSink:
                     "files": m["files"],
                     "file_stats": m.get("file_stats", {}),
                     "replaces": m.get("replaces", []),
+                    "schema": m.get("schema"),
                 }
                 for sid, m in live.items()
             },
@@ -437,6 +445,50 @@ class IcebergLikeSink:
         optional manifest-level stats pruning."""
         return self._filter_files(self._live_entries(), stats_range)
 
+    @staticmethod
+    def _merged_schema(entries: dict[str, dict]):
+        """SCHEMA EVOLUTION (add-column): union the manifest-carried
+        schemas of the given splits by field NAME, in split-id order —
+        files from splits that predate a column read it as NULL, the
+        Iceberg add-column semantic, with zero parquet footers opened.
+        Type CHANGES and renames are refused loudly (safe evolution
+        needs Iceberg's field-id mapping, out of scope). Returns None
+        when any split lacks a recorded schema (legacy / worker-written
+        manifests) — callers then fall back to a mergeSchema footer
+        read, which is correct but O(files) driver work."""
+        from pyspark.sql.types import StructType
+
+        fields: dict[str, dict] = {}
+        order: list[str] = []
+        for sid in sorted(entries):
+            sch = entries[sid].get("schema")
+            if sch is None:
+                return None
+            for f in sch["fields"]:
+                prev = fields.get(f["name"])
+                if prev is None:
+                    fields[f["name"]] = f
+                    order.append(f["name"])
+                elif prev["type"] != f["type"]:
+                    raise ValueError(
+                        f"schema evolution supports add-column only; field "
+                        f"{f['name']!r} changes type {prev['type']!r} -> "
+                        f"{f['type']!r} in split {sid}"
+                    )
+        if not order:
+            return None
+        merged = {
+            "type": "struct",
+            # a column absent from ANY split must be nullable
+            "fields": [{**fields[n], "nullable": True} for n in order],
+        }
+        return StructType.fromJson(merged)
+
+    def table_schema(self):
+        """The current table schema (live splits' union), or None when
+        it cannot be derived from manifests alone."""
+        return self._merged_schema(self._live_entries())
+
     def read(
         self,
         spark: SparkSession,
@@ -449,15 +501,23 @@ class IcebergLikeSink:
         BEFORE Spark ever lists them. NOTE: range pruning is a superset
         read — callers still apply their exact predicate.
         """
-        all_files = self.committed_files()
+        entries = self._live_entries()
+        all_files = self._filter_files(entries, None)
         if not all_files:
             raise FileNotFoundError(f"no committed splits under {self.root}")
-        files = self.committed_files(stats_range) if stats_range is not None else all_files
+        files = self._filter_files(entries, stats_range) if stats_range is not None else all_files
+        schema = self._merged_schema(entries)
         if not files:
             # fully pruned: empty frame with the table's schema
-            schema = spark.read.parquet(all_files[0]).schema
+            if schema is None:
+                schema = spark.read.parquet(all_files[0]).schema
             return spark.createDataFrame([], schema)
-        df = spark.read.parquet(*files)
+        if schema is not None:
+            # metadata-carried union schema: splits that predate a
+            # column yield NULL for it (add-column evolution)
+            df = spark.read.schema(schema).parquet(*files)
+        else:
+            df = spark.read.option("mergeSchema", "true").parquet(*files)
         if dedup_cols:
             df = df.dropDuplicates(dedup_cols)
         return df
@@ -494,13 +554,19 @@ class IcebergLikeSink:
         with open(mlist_path) as f:
             entries = json.load(f)["entries"]
         files = self._filter_files(entries, stats_range)
+        # time travel sees the schema AS OF that snapshot (columns
+        # added later are absent), derived from the frozen manifest list
+        schema = self._merged_schema(entries)
         if not files:
             all_files = self._filter_files(entries, None) or self.committed_files()
             if not all_files:
                 raise FileNotFoundError(f"snapshot {snap['snapshot_id']} is empty")
-            schema = spark.read.parquet(all_files[0]).schema
+            if schema is None:
+                schema = spark.read.parquet(all_files[0]).schema
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*files)
+        if schema is not None:
+            return spark.read.schema(schema).parquet(*files)
+        return spark.read.option("mergeSchema", "true").parquet(*files)
 
     # ---- maintenance -----------------------------------------------------
 
@@ -545,7 +611,13 @@ class IcebergLikeSink:
         rels = [rel for sid in targets for rel in live[sid]["files"]]
         files = [os.path.join(self.root, rel) for rel in rels]
         n_input_bytes = sum(os.path.getsize(f) for f in files)
-        df = spark.read.parquet(*files)
+        # union schema across the targets: compacting splits written
+        # before a column was added must not silently drop it
+        schema = self._merged_schema({sid: live[sid] for sid in targets})
+        if schema is not None:
+            df = spark.read.schema(schema).parquet(*files)
+        else:
+            df = spark.read.option("mergeSchema", "true").parquet(*files)
         if self.stats_col and self.stats_col in df.columns:
             df = df.sort(self.stats_col)
         cid = f"compact-{uuid.uuid4().hex[:12]}"
