@@ -1609,6 +1609,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sink_evolve"] = q_sink_evolve
 
+    def q_funnel(spark, sf):  # sequential-pattern funnel view->click->purchase
+        from osm_pbf_spark.operators.temporal import funnel
+
+        e = load(spark, sf, "events")
+        return funnel(e, ["view", "click", "purchase"])
+
+    q["q_funnel"] = q_funnel
+
+    def q_resample(spark, sf):  # 6h downsample + gap fill per user
+        from osm_pbf_spark.operators.temporal import resample
+
+        e = load(spark, sf, "events")
+        return resample(e, bucket_s=6 * 3600)
+
+    q["q_resample"] = q_resample
+
     return q
 
 
@@ -3598,6 +3614,39 @@ def oracle_sql() -> dict[str, str]:
             FROM part WHERE p_partkey < 400
         """,
         "q_cdc_chunks": _ora_cdc_chunks(),
+        "q_funnel": """
+            WITH v AS (SELECT user_id, min(ts) AS ts_1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+                 c AS (SELECT e.user_id, min(e.ts) AS ts_2 FROM events e
+                       JOIN v ON v.user_id = e.user_id AND e.ts >= v.ts_1
+                       WHERE e.event_type = 'click' GROUP BY e.user_id),
+                 p AS (SELECT e.user_id, min(e.ts) AS ts_3 FROM events e
+                       JOIN c ON c.user_id = e.user_id AND e.ts >= c.ts_2
+                       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT v.user_id, v.ts_1, c.ts_2, p.ts_3,
+                   CAST(1 + (CASE WHEN c.ts_2 IS NOT NULL THEN 1 ELSE 0 END)
+                          + (CASE WHEN p.ts_3 IS NOT NULL THEN 1 ELSE 0 END)
+                        AS INTEGER) AS stage
+            FROM v LEFT JOIN c ON c.user_id = v.user_id
+                   LEFT JOIN p ON p.user_id = v.user_id
+        """,
+        "q_resample": """
+            WITH a AS (
+              SELECT user_id,
+                     CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bucket,
+                     count(*) AS n_events,
+                     CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                         AS value_sum_q
+              FROM events GROUP BY user_id, bucket),
+            spans AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+                      FROM a GROUP BY user_id),
+            grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
+                     FROM spans)
+            SELECT g.user_id, g.bucket,
+                   COALESCE(a.n_events, 0) AS n_events, a.value_sum_q
+            FROM grid g LEFT JOIN a ON a.user_id = g.user_id
+                                   AND a.bucket = g.bucket
+        """,
         "q_sink_evolve": """
             WITH t AS (
               SELECT doc_id, lang, NULL AS src_len

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize", "interval_join"]
+__all__ = ["asof_join", "sessionize", "interval_join", "funnel", "resample"]
 
 
 def _epoch_micros(c: "F.Column") -> "F.Column":
@@ -179,4 +179,97 @@ def sessionize(
             (_epoch_micros(F.max(ts_col)) - _epoch_micros(F.min(ts_col)))
             / F.lit(1_000_000.0)
         ).alias("duration_s"),
+    )
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sequential-pattern funnel: for each user, the earliest time each
+    stage was reached IN ORDER — stage i+1 counts only at or after the
+    user's stage-i time (the classic view→click→purchase analysis).
+
+    Returns (user_col, ts_1..ts_k, stage) where ts_i is the first
+    qualifying stage-i event (NULL once the funnel broke) and ``stage``
+    is how many stages were completed (>=1 — users who never reached
+    stage 1 produce no row).
+
+    Plan: per stage one filtered aggregate + one equi-join — k narrow
+    shuffles ALL keyed on user_col, so Spark reuses one partitioning
+    (ReuseExchange) instead of re-shuffling the event log; events are
+    filtered to the stage's type BEFORE the shuffle. min() makes every
+    step deterministic; same-timestamp stage events count (>=, matching
+    the oracle)."""
+    if not stages:
+        raise ValueError("need at least one stage")
+    cur = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("ts_1"))
+    )
+    for i, st in enumerate(stages[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == st)
+            .select(user_col, F.col(ts_col).alias("_t"))
+            .join(cur.select(user_col, f"ts_{i - 1}"), user_col)
+            .where(F.col("_t") >= F.col(f"ts_{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min("_t").alias(f"ts_{i}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    stage = F.lit(0)
+    for i in range(1, len(stages) + 1):
+        stage = stage + F.when(F.col(f"ts_{i}").isNotNull(), 1).otherwise(0)
+    return cur.withColumn("stage", stage.cast("int"))
+
+
+def resample(
+    events: DataFrame,
+    bucket_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_quantum: int = 1000,
+) -> DataFrame:
+    """Fixed-width downsample WITH GAP FILL: per user, aggregate events
+    into ``bucket_s``-second buckets, then emit EVERY bucket between
+    the user's first and last event (missing buckets appear with
+    n_events=0 and NULL sum) — the time-series regularization step
+    before windowed models.
+
+    Values are quantized to integers (floor(value*quantum)) BEFORE
+    summing so the per-bucket sums are exact under any partitioning /
+    engine (a raw double sum's last bits depend on shuffle order —
+    ungateable); divide by quantum downstream if the float is wanted.
+
+    Plan: one (user, bucket) hash aggregate, one per-user span
+    aggregate, one native sequence-explode Generate for the grid, one
+    left join back — all keyed on user/bucket, no Python. Gap rows are
+    generated, never stored."""
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be positive")
+    b = F.floor(
+        _epoch_micros(F.col(ts_col)) / F.lit(int(bucket_s) * 1_000_000)
+    ).alias("bucket")
+    qv = F.floor(F.col(value_col) * F.lit(int(value_quantum)))
+    agg = events.select(F.col(user_col), b, qv.alias("_qv")).groupBy(
+        user_col, "bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_qv").alias("value_sum_q"),
+    )
+    grid = (
+        agg.groupBy(user_col)
+        .agg(F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1"))
+        .select(user_col, F.explode(F.sequence("_b0", "_b1")).alias("bucket"))
+    )
+    return grid.join(agg, [user_col, "bucket"], "left").select(
+        user_col,
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "value_sum_q",
     )

@@ -105,3 +105,46 @@ def test_sessionize_ntz_timestamps(spark):
              "user_id long, ts timestamp_ntz")
     out = {r.session_seq: r.n_events for r in sessionize(df, gap_s=3600).collect()}
     assert out == {1: 2, 2: 1}
+
+
+def test_funnel_ordering_constraint(spark):
+    from osm_pbf_spark.operators.temporal import funnel
+
+    rows = [
+        # u1 completes in order
+        (1, "view", _ts(10)), (1, "click", _ts(20)), (1, "purchase", _ts(30)),
+        # u2: click BEFORE the first view must not count; no click after
+        (2, "click", _ts(5)), (2, "view", _ts(10)), (2, "purchase", _ts(20)),
+        # u3: never viewed -> no row at all
+        (3, "click", _ts(1)), (3, "purchase", _ts(2)),
+        # u4: same-timestamp stage event counts (>=)
+        (4, "view", _ts(7)), (4, "click", _ts(7)), (4, "purchase", _ts(6)),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r.user_id: (r.stage, r.ts_1, r.ts_2, r.ts_3)
+           for r in funnel(e, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1] == (3, _ts(10), _ts(20), _ts(30))
+    assert got[2] == (1, _ts(10), None, None)  # early click ignored
+    assert got[4] == (2, _ts(7), _ts(7), None)  # equal ts counts; purchase too early
+
+
+def test_resample_gap_fill_and_quantized_sums(spark):
+    from osm_pbf_spark.operators.temporal import resample
+
+    rows = [
+        (1, _ts(0), 1.25), (1, _ts(5), 2.5),      # bucket 0
+        (1, _ts(35), 4.0),                         # bucket 3 (gap 1-2)
+        (2, _ts(12), -1.75),                       # single bucket
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {(r.user_id, r.bucket + 0): (r.n_events, r.value_sum_q)
+           for r in resample(e, bucket_s=10).collect()}
+    base = {b for (u, b) in got if u == 1}
+    assert base == {min(base) + i for i in range(4)}  # contiguous incl. gaps
+    b0 = min(base)
+    assert got[(1, b0)] == (2, 1250 + 2500)
+    assert got[(1, b0 + 1)] == (0, None) and got[(1, b0 + 2)] == (0, None)
+    assert got[(1, b0 + 3)] == (1, 4000)
+    ((u2b, v2),) = [(b, v) for (u, b), v in got.items() if u == 2]
+    assert v2 == (1, -1750)  # floor(-1.75*1000) = -1750 exactly
