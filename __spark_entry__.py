@@ -1625,6 +1625,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_resample"] = q_resample
 
+    def q_repetition(spark, sf):  # Gopher-style repetition quality signals
+        from osm_pbf_spark.operators.text import repetition_stats
+
+        d = load(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+        return repetition_stats(d)
+
+    q["q_repetition"] = q_repetition
+
+    def q_triangles(spark, sf):  # degree-ordered distributed triangle count
+        from osm_pbf_spark.operators.graph import triangle_count
+
+        e = load(spark, sf, "events").filter(F.col("event_id") < 1200)
+        edges = e.select(
+            (F.col("event_id") % 150).alias("src"),
+            ((F.col("event_id") * 29 + 5) % 150).alias("dst"),
+        )
+        return triangle_count(edges)
+
+    q["q_triangles"] = q_triangles
+
     return q
 
 
@@ -3614,6 +3634,48 @@ def oracle_sql() -> dict[str, str]:
             FROM part WHERE p_partkey < 400
         """,
         "q_cdc_chunks": _ora_cdc_chunks(),
+        # independent formulation: explode + GROUP BY vs the engine's
+        # shuffle-free per-row array fold
+        "q_repetition": """
+            WITH d AS (SELECT doc_id,
+                              list_filter(string_split(text, ' '), t -> t <> '')
+                                  AS toks
+                       FROM documents WHERE doc_id < 1000),
+            tri AS (SELECT doc_id,
+                           unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                               AS g
+                    FROM d),
+            tric AS (SELECT doc_id, count(*) AS n_tri,
+                            count(DISTINCT g) AS n_tri_d
+                     FROM tri GROUP BY doc_id),
+            tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+            tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+            topt AS (SELECT doc_id, max(c) AS top FROM tc GROUP BY doc_id)
+            SELECT d.doc_id, CAST(len(d.toks) AS INTEGER) AS n_tokens,
+                   CAST(COALESCE(tric.n_tri, 0) AS INTEGER) AS n_trigrams,
+                   CAST(COALESCE(tric.n_tri - tric.n_tri_d, 0) AS INTEGER)
+                       AS n_dup_trigrams,
+                   CAST(COALESCE(topt.top, 0) AS INTEGER) AS top_tok_count
+            FROM d LEFT JOIN tric ON tric.doc_id = d.doc_id
+                   LEFT JOIN topt ON topt.doc_id = d.doc_id
+        """,
+        # independent orientation: the oracle closes i<j<k ID-ordered
+        # triples; the engine orients by (degree, id)
+        "q_triangles": """
+            WITH raw AS (SELECT event_id % 150 AS a,
+                                (event_id * 29 + 5) % 150 AS b
+                         FROM events WHERE event_id < 1200),
+            und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                    FROM raw WHERE a <> b),
+            nodes AS (SELECT u AS n FROM und UNION SELECT v FROM und)
+            SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+                   (SELECT count(*) FROM und) AS n_edges,
+                   (SELECT count(*)
+                    FROM und e1
+                    JOIN und e2 ON e2.u = e1.v
+                    JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+        """,
         "q_funnel": """
             WITH v AS (SELECT user_id, min(ts) AS ts_1 FROM events
                        WHERE event_type = 'view' GROUP BY user_id),

@@ -47,6 +47,7 @@ __all__ = [
     "bfs_hops",
     "sssp",
     "pagerank",
+    "triangle_count",
     "connected_components",
     "near_dup_groups",
     "dedup_canonical",
@@ -407,3 +408,60 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact global triangle count of the undirected simple graph
+    (duplicate edges collapsed, self-loops dropped). Returns ONE row
+    ``(n_nodes, n_edges, n_triangles)``.
+
+    Algorithm: DEGREE-ORDERED edge orientation (the standard
+    distributed trick — Suri & Vassilvitskii's MapReduce triangle
+    counting): orient every edge from the endpoint with the smaller
+    (degree, id) to the larger, enumerate wedges from each node's
+    out-neighbors, and close them against the oriented edge set. Under
+    this orientation every node's out-degree is O(sqrt(m)), so wedge
+    volume is bounded by O(m^1.5) even on power-law graphs — a hub of
+    degree 10^6 contributes almost NO wedges because nearly all its
+    edges point INTO it. Without the ordering, wedges at hubs are
+    degree^2 and the job dies at scale.
+
+    Plan: degree aggregate + two equi-joins (wedge build, wedge close),
+    all on node keys; the closing edge's orientation is forced by the
+    same ordering, so each triangle is counted exactly once — no
+    dedup stage. The oracle counts i<j<k triples by PLAIN ID ordering
+    (a different orientation scheme) — equality of the totals checks
+    both."""
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = raw.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    j = und.join(du, "u").join(dv, "v")
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    oriented = j.select(
+        F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(ku < kv, kv).otherwise(ku).alias("ykey"),
+    )
+    a = oriented.select(F.col("x"), F.col("y").alias("p"), F.col("ykey").alias("pk"))
+    b = oriented.select(F.col("x"), F.col("y").alias("q"), F.col("ykey").alias("qk"))
+    wedges = a.join(b, "x").where(F.col("pk") < F.col("qk")).select("p", "q")
+    closing = oriented.select(F.col("x").alias("p"), F.col("y").alias("q"))
+    tris = wedges.join(closing, ["p", "q"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    counts = und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return counts.crossJoin(tris).select("n_nodes", "n_edges", "n_triangles")

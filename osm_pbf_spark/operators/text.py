@@ -178,6 +178,59 @@ def bigram_pmi(
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document, ALL as exact
+    integers (fractions are the caller's division):
+
+      n_tokens        whitespace tokens (empties dropped)
+      n_trigrams      token 3-grams (0 when n_tokens < 3)
+      n_dup_trigrams  n_trigrams - distinct trigrams (the classic
+                      duplicate-n-gram repetition rule)
+      top_tok_count   occurrences of the most frequent token (top-token
+                      dominance rule)
+
+    Plan: ZERO shuffles — trigram dedup is ``size - size(array_distinct)``
+    on a per-row array, and the top-token count is a native ``aggregate``
+    fold over the SORTED token array (longest equal-run scan, O(n log n)
+    per doc) — no explode, no groupBy; the whole operator pipelines in
+    one codegen stage. The oracle recomputes both via explode + GROUP BY
+    (an independent formulation).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n = F.size(toks)
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),  # guarded: sequence DESCENDS for n<3
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sorted_toks = F.sort_array(toks)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _step(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top = F.aggregate(sorted_toks, zero, _step, lambda acc: acc["best"])
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.size(tri).alias("n_trigrams"),
+        (F.size(tri) - F.size(F.array_distinct(tri))).alias("n_dup_trigrams"),
+        top.alias("top_tok_count"),
+    )
+
+
 def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document analysis columns in one pass."""
     c = F.col(text_col)

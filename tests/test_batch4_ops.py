@@ -364,3 +364,46 @@ def test_cdc_edit_locality():
     horizon = 2000 - (16 + 512), 2000 + (16 + 512)
     assert {b for b in b0 if b < horizon[0]} == {b for b in b1 if b < horizon[0]}
     assert {b for b in b0 if b > horizon[1]} == {b for b in b1 if b > horizon[1]}
+
+
+# ---------------- repetition stats / triangle count ----------------
+
+
+def test_repetition_stats_hand_case(spark):
+    from osm_pbf_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b"),   # trigrams: abc bca cab abc bca cab -> 6 total, 3 distinct
+            (2, "x  y"),              # 2 tokens -> no trigrams; top 1
+            (3, ""),                  # empty
+            (4, "w w w w"),           # trigram 'w w w' x2 -> dup 1; top 4
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_trigrams, r.n_dup_trigrams, r.top_tok_count)
+           for r in repetition_stats(docs).collect()}
+    assert got[1] == (8, 6, 3, 3)
+    assert got[2] == (2, 0, 0, 1)
+    assert got[3] == (0, 0, 0, 0)
+    assert got[4] == (4, 2, 1, 4)
+
+
+def test_triangle_count_known_graphs(spark):
+    from osm_pbf_spark.operators.graph import triangle_count
+
+    def count(pairs):
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        return triangle_count(df).collect()[0]
+
+    # K4: 4 triangles; duplicate + reversed + self edges must not matter
+    k4 = [(i, j) for i in range(4) for j in range(4) if i != j] + [(0, 0), (1, 2)]
+    r = count(k4)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    # star graph: no triangles; hub degree must not explode wedge count
+    star = [(0, i) for i in range(1, 50)]
+    r = count(star)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (50, 49, 0)
+    # two disjoint triangles sharing no nodes
+    r = count([(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)])
+    assert r.n_triangles == 2
