@@ -1645,6 +1645,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_triangles"] = q_triangles
 
+    def q_seg_intersect(spark, sf):  # r-tree class: segment-intersection join
+        from osm_pbf_spark.operators.segjoin import segment_intersect_join
+
+        seg = _synth_segments(load(spark, sf, "events")).filter(
+            F.col("event_id") < 1500
+        ).select(
+            F.col("event_id").alias("seg_id"),
+            F.col("lat0").alias("alat"),
+            F.col("lon0").alias("alon"),
+            F.col("lat1").alias("blat"),
+            F.col("lon1").alias("blon"),
+        )
+        out = segment_intersect_join(seg, seg, level=4)
+        return out.where(F.col("id_a") < F.col("id_b"))
+
+    q["q_seg_intersect"] = q_seg_intersect
+
     return q
 
 
@@ -3659,6 +3676,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(topt.top, 0) AS INTEGER) AS top_tok_count
             FROM d LEFT JOIN tric ON tric.doc_id = d.doc_id
                    LEFT JOIN topt ON topt.doc_id = d.doc_id
+        """,
+        # verbatim brute-force theta join with the SAME exact integer
+        # predicate — checks the cell-cover + responsibility-dedup plan
+        "q_seg_intersect": """
+            WITH seg AS (
+              SELECT event_id,
+                     (event_id % 160) - 80 + 0.5 AS lat0,
+                     ((event_id * 7) % 350) - 175 + 0.25 AS lon0,
+                     ((event_id % 160) - 80 + 0.5)
+                       + ((event_id % 7) - 3) * CAST(1.7 AS DOUBLE) AS lat1,
+                     (((event_id * 7) % 350) - 175 + 0.25)
+                       + ((event_id % 11) - 5) * CAST(2.3 AS DOUBLE) AS lon1
+              FROM events WHERE event_id < 1500),
+            s AS (SELECT event_id AS id,
+                         CAST(floor(lon0 * 1000000 + 0.5) AS BIGINT) AS p0x,
+                         CAST(floor(lat0 * 1000000 + 0.5) AS BIGINT) AS p0y,
+                         CAST(floor(lon1 * 1000000 + 0.5) AS BIGINT) AS p1x,
+                         CAST(floor(lat1 * 1000000 + 0.5) AS BIGINT) AS p1y
+                  FROM seg),
+            pr AS (SELECT a.id AS id_a, b.id AS id_b,
+                     (a.p1x-a.p0x)*(b.p0y-a.p0y) - (a.p1y-a.p0y)*(b.p0x-a.p0x) AS d1,
+                     (a.p1x-a.p0x)*(b.p1y-a.p0y) - (a.p1y-a.p0y)*(b.p1x-a.p0x) AS d2,
+                     (b.p1x-b.p0x)*(a.p0y-b.p0y) - (b.p1y-b.p0y)*(a.p0x-b.p0x) AS d3,
+                     (b.p1x-b.p0x)*(a.p1y-b.p0y) - (b.p1y-b.p0y)*(a.p1x-b.p0x) AS d4,
+                     a.p0x AS ax0, a.p0y AS ay0, a.p1x AS ax1, a.p1y AS ay1,
+                     b.p0x AS bx0, b.p0y AS by0, b.p1x AS bx1, b.p1y AS by1
+                   FROM s a JOIN s b ON a.id < b.id),
+            flags AS (SELECT id_a, id_b,
+                     (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+                      AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))) AS proper,
+                     ((d1 = 0 AND bx0 BETWEEN least(ax0, ax1) AND greatest(ax0, ax1)
+                               AND by0 BETWEEN least(ay0, ay1) AND greatest(ay0, ay1))
+                   OR (d2 = 0 AND bx1 BETWEEN least(ax0, ax1) AND greatest(ax0, ax1)
+                               AND by1 BETWEEN least(ay0, ay1) AND greatest(ay0, ay1))
+                   OR (d3 = 0 AND ax0 BETWEEN least(bx0, bx1) AND greatest(bx0, bx1)
+                               AND ay0 BETWEEN least(by0, by1) AND greatest(by0, by1))
+                   OR (d4 = 0 AND ax1 BETWEEN least(bx0, bx1) AND greatest(bx0, bx1)
+                               AND ay1 BETWEEN least(by0, by1) AND greatest(by0, by1)))
+                         AS touch
+                   FROM pr)
+            SELECT id_a, id_b, proper FROM flags WHERE proper OR touch
         """,
         # independent orientation: the oracle closes i<j<k ID-ordered
         # triples; the engine orients by (degree, id)

@@ -1,0 +1,127 @@
+"""Segment-intersection join (SURVEY.md §2.3 G-family, r3) — the last
+reference r-tree query class (BASELINE.json:6): which line segments
+cross which. Point-in-polygon, kNN, window (bbox), radius, and
+nearest-edge are the others, all already distributed; this one finds
+every (left, right) segment pair that intersects (proper crossings AND
+endpoint/collinear touches).
+
+Plan — same skeleton as operators/bbox.py (this is an MBR join with a
+different refine):
+
+  1. each segment's bbox is covered by grid cells at ``level`` (two
+     chained native sequence Generates, no Morton in the Generate);
+  2. one equi-join shuffle on (cx, cy);
+  3. RESPONSIBILITY-CELL dedup: emit a pair only in the cell holding
+     the bbox-intersection's min corner — multiplicity exactly 1, no
+     distinct shuffle;
+  4. EXACT intersect refine on integer-snapped coordinates
+     (``floor(v*scale + 0.5)``, the hull.py grid): four orientation
+     cross-products in int64 plus collinear on-segment bbox tests.
+
+Exactness bounds: at scale=1e6 a coordinate is <= 3.6e8 in grid units,
+so one orientation product is <= ~1.3e17 < 2^63 — safe for WORLD-span
+segments. But the SIGN test must compare signs, never multiply two
+orientations (d1*d2 would be ~1e34): the predicate is written as sign
+comparisons only. Every comparison is integer, so Spark and any ANSI
+engine agree bit-for-bit.
+
+The oracle (q_seg_intersect) runs the same predicate as a verbatim
+brute-force SQL theta join — the join STRATEGY (cell cover + dedup vs
+all-pairs) is what the gate checks, like q_bbox_join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cells import MAX_LEVEL
+
+__all__ = ["segment_intersect_join", "SEG_SNAP_SCALE"]
+
+SEG_SNAP_SCALE = 1_000_000.0  # micro-degree grid (~0.11 m)
+
+
+def _snap(c: F.Column) -> F.Column:
+    return F.floor(c * F.lit(SEG_SNAP_SCALE) + F.lit(0.5)).cast("long")
+
+
+def _orient(ax, ay, bx, by, cx, cy) -> F.Column:
+    """Exact int64 cross product (b-a) x (c-a)."""
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _opposite(d1: F.Column, d2: F.Column) -> F.Column:
+    return ((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))
+
+
+def _on_seg(ax, ay, bx, by, px, py) -> F.Column:
+    """Given collinearity, is p within the [a, b] bbox?"""
+    return (
+        (px >= F.least(ax, bx)) & (px <= F.greatest(ax, bx))
+        & (py >= F.least(ay, by)) & (py <= F.greatest(ay, by))
+    )
+
+
+def segment_intersect_join(
+    left: DataFrame,
+    right: DataFrame,
+    level: int,
+    left_id: str = "seg_id",
+    right_id: str = "seg_id",
+) -> DataFrame:
+    """All (id_a, id_b, proper) pairs of intersecting segments.
+    Segment columns on both sides: (id, alat, alon, blat, blon).
+    ``proper`` is true for a transversal crossing, false for endpoint
+    or collinear-overlap touches (both count as intersecting, matching
+    the inclusive SQL predicate). Self-join callers filter
+    ``id_a < id_b`` themselves."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}], got {level}")
+
+    from ..functions.cells import _quant_col
+
+    def prep(df: DataFrame, ident: str, suffix: str) -> DataFrame:
+        boxed = df.select(
+            F.col(ident).alias(f"id_{suffix}"),
+            _snap(F.col("alon")).alias(f"p0x_{suffix}"),
+            _snap(F.col("alat")).alias(f"p0y_{suffix}"),
+            _snap(F.col("blon")).alias(f"p1x_{suffix}"),
+            _snap(F.col("blat")).alias(f"p1y_{suffix}"),
+            _quant_col(F.least("alon", "blon"), 180.0, 360.0, level).alias(f"_x0_{suffix}"),
+            _quant_col(F.greatest("alon", "blon"), 180.0, 360.0, level).alias(f"_x1_{suffix}"),
+            _quant_col(F.least("alat", "blat"), 90.0, 180.0, level).alias(f"_y0_{suffix}"),
+            _quant_col(F.greatest("alat", "blat"), 90.0, 180.0, level).alias(f"_y1_{suffix}"),
+        )
+        return boxed.select(
+            "*",
+            F.explode(F.sequence(F.col(f"_y0_{suffix}"), F.col(f"_y1_{suffix}"))).alias("_cy"),
+        ).select(
+            "*",
+            F.explode(F.sequence(F.col(f"_x0_{suffix}"), F.col(f"_x1_{suffix}"))).alias("_cx"),
+        )
+
+    lt = prep(left, left_id, "a")
+    rt = prep(right, right_id, "b")
+    j = lt.join(rt, ["_cy", "_cx"])
+    responsible = (F.col("_cx") == F.greatest("_x0_a", "_x0_b")) & (
+        F.col("_cy") == F.greatest("_y0_a", "_y0_b")
+    )
+    p0x, p0y = F.col("p0x_a"), F.col("p0y_a")
+    p1x, p1y = F.col("p1x_a"), F.col("p1y_a")
+    q0x, q0y = F.col("p0x_b"), F.col("p0y_b")
+    q1x, q1y = F.col("p1x_b"), F.col("p1y_b")
+    d1 = _orient(p0x, p0y, p1x, p1y, q0x, q0y)
+    d2 = _orient(p0x, p0y, p1x, p1y, q1x, q1y)
+    d3 = _orient(q0x, q0y, q1x, q1y, p0x, p0y)
+    d4 = _orient(q0x, q0y, q1x, q1y, p1x, p1y)
+    proper = _opposite(d1, d2) & _opposite(d3, d4)
+    touch = (
+        ((d1 == 0) & _on_seg(p0x, p0y, p1x, p1y, q0x, q0y))
+        | ((d2 == 0) & _on_seg(p0x, p0y, p1x, p1y, q1x, q1y))
+        | ((d3 == 0) & _on_seg(q0x, q0y, q1x, q1y, p0x, p0y))
+        | ((d4 == 0) & _on_seg(q0x, q0y, q1x, q1y, p1x, p1y))
+    )
+    return j.where(responsible & (proper | touch)).select(
+        "id_a", "id_b", proper.alias("proper")
+    )

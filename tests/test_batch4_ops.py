@@ -407,3 +407,61 @@ def test_triangle_count_known_graphs(spark):
     # two disjoint triangles sharing no nodes
     r = count([(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)])
     assert r.n_triangles == 2
+
+
+# ---------------- segment-intersection join ----------------
+
+
+def test_segment_intersect_join_vs_brute(spark):
+    from osm_pbf_spark.operators.segjoin import SEG_SNAP_SCALE, segment_intersect_join
+
+    rng = np.random.default_rng(41)
+    segs = []
+    for j in range(120):
+        alat, alon = float(rng.uniform(0, 10)), float(rng.uniform(0, 10))
+        segs.append((j, alat, alon,
+                     alat + float(rng.uniform(-2, 2)), alon + float(rng.uniform(-2, 2))))
+    # engineered degeneracies: shared endpoint, collinear overlap, T-touch
+    segs += [
+        (200, 0.0, 0.0, 1.0, 1.0), (201, 1.0, 1.0, 2.0, 0.0),   # shared endpoint
+        (202, 5.0, 5.0, 5.0, 7.0), (203, 5.0, 6.0, 5.0, 8.0),   # collinear overlap
+        (204, 3.0, 3.0, 3.0, 5.0), (205, 2.0, 4.0, 3.0, 4.0),   # T touch
+    ]
+    df = spark.createDataFrame(
+        segs, "seg_id long, alat double, alon double, blat double, blon double"
+    )
+    out = segment_intersect_join(df, df, level=5).where(F.col("id_a") < F.col("id_b"))
+    got = {(r.id_a, r.id_b): r.proper for r in out.collect()}
+
+    def snap(v):
+        return math.floor(v * SEG_SNAP_SCALE + 0.5)
+
+    def orient(a, b, c):
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    def on_seg(a, b, p):
+        return (min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+                and min(a[1], b[1]) <= p[1] <= max(a[1], b[1]))
+
+    def inter(s, t):
+        p0 = (snap(s[2]), snap(s[1])); p1 = (snap(s[4]), snap(s[3]))
+        q0 = (snap(t[2]), snap(t[1])); q1 = (snap(t[4]), snap(t[3]))
+        d1, d2 = orient(p0, p1, q0), orient(p0, p1, q1)
+        d3, d4 = orient(q0, q1, p0), orient(q0, q1, p1)
+        opp = lambda x, y: (x > 0 > y) or (x < 0 < y)
+        proper = opp(d1, d2) and opp(d3, d4)
+        touch = ((d1 == 0 and on_seg(p0, p1, q0)) or (d2 == 0 and on_seg(p0, p1, q1))
+                 or (d3 == 0 and on_seg(q0, q1, p0)) or (d4 == 0 and on_seg(q0, q1, p1)))
+        return proper, touch
+
+    want = {}
+    for i in range(len(segs)):
+        for j in range(i + 1, len(segs)):
+            proper, touch = inter(segs[i], segs[j])
+            if proper or touch:
+                want[(segs[i][0], segs[j][0])] = proper
+    assert got == want
+    # the engineered touches are present and flagged non-proper
+    assert got[(200, 201)] is False
+    assert got[(202, 203)] is False
+    assert got[(204, 205)] is False
