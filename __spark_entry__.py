@@ -1322,6 +1322,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sink_compact"] = q_sink_compact
 
+    def q_sink_delete(spark, sf):  # C-family: Iceberg-v2-style equality
+        # deletes — DELETE WHERE (merge-on-read), time travel across the
+        # delete, then compaction applying it physically; all three
+        # reads must match the spec pipeline's per-cell aggregates
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.plans.ingest import ingest_pbf
+
+        path = _fixture_pbf("sink")
+        root = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driver_sink_delete")
+        shutil.rmtree(root, ignore_errors=True)
+        sink = ingest_pbf(spark, path, root, cell_level=12, blobs_per_split=1)
+        s1 = sink.current_snapshot()
+        sink.delete_where(spark, "pmod(cell, 4) = 1", ["doc_id"])
+
+        def counts(df, src):
+            return df.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("first_doc"),
+            ).select(F.lit(src).alias("src"), "cell", "n_docs", "first_doc")
+
+        # merge-on-read view, planned BEFORE compaction (compact never
+        # unlinks files, so the lazy plan stays valid)
+        mor = counts(sink.read(spark), "mor")
+        assert sink.compact(spark) is not None  # applies the delete physically
+        sink.commit_snapshot({"pipeline": "delete+compact"})
+        pre = counts(sink.read_snapshot(spark, s1["snapshot_id"]), "pre")
+        post = counts(sink.read(spark), "post")
+        return pre.unionByName(mor).unionByName(post)
+
+    q["q_sink_delete"] = q_sink_delete
+
     # ---- r3 widening batch 4: fingerprints, fuzzy/interval/snap joins,
     # quadkeys, span chunking, collocations, per-group sampling ----
 
@@ -1661,6 +1694,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.where(F.col("id_a") < F.col("id_b"))
 
     q["q_seg_intersect"] = q_seg_intersect
+
+    def q_poly_overlap(spark, sf):  # r-tree class: polygon-overlay join
+        # 800 synthetic diamonds (dyadic centers/half-sizes, so the
+        # snap grid is engine-exact); every 9th is a tiny satellite
+        # nested strictly inside a host diamond (id±3) so the
+        # containment kinds are exercised, not just boundary crossings
+        from osm_pbf_spark.operators.overlay import polygon_overlap_join
+
+        e = load(spark, sf, "events").filter(F.col("event_id") < 800)
+        tiny = F.col("event_id") % 9 == 0
+        host = F.col("event_id") + F.when(
+            F.col("event_id") % 18 == 0, F.lit(3)
+        ).otherwise(F.lit(-3))
+        p = e.select(
+            F.col("event_id").alias("poly_id"),
+            F.when(tiny, (host % 120) - 60 + F.lit(0.75))
+            .otherwise((F.col("event_id") % 120) - 60 + F.lit(0.5))
+            .alias("cx"),
+            F.when(tiny, ((host * 13) % 80) - 40 + F.lit(0.375))
+            .otherwise(((F.col("event_id") * 13) % 80) - 40 + F.lit(0.25))
+            .alias("cy"),
+            F.when(tiny, F.lit(0.0625))
+            .otherwise(F.lit(0.5) + (F.col("event_id") % 5) * F.lit(0.625))
+            .alias("hx"),
+            F.when(tiny, F.lit(0.0625))
+            .otherwise(F.lit(0.5) + (F.col("event_id") % 7) * F.lit(0.25))
+            .alias("hy"),
+        )
+        polys = p.select(
+            "poly_id",
+            F.array(
+                F.struct(F.col("cy").alias("lat"), (F.col("cx") + F.col("hx")).alias("lon")),
+                F.struct((F.col("cy") + F.col("hy")).alias("lat"), F.col("cx").alias("lon")),
+                F.struct(F.col("cy").alias("lat"), (F.col("cx") - F.col("hx")).alias("lon")),
+                F.struct((F.col("cy") - F.col("hy")).alias("lat"), F.col("cx").alias("lon")),
+            ).alias("pts"),
+        )
+        out = polygon_overlap_join(polys, polys, level=6)
+        return out.where(F.col("id_a") < F.col("id_b"))
+
+    q["q_poly_overlap"] = q_poly_overlap
+
+    def q_decontaminate(spark, sf):  # P24 benchmark-decontamination join
+        from osm_pbf_spark.operators.text import ngram_decontaminate
+
+        docs = load(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") % 41 == 0)
+        corpus = docs.filter(F.col("doc_id") % 41 != 0)
+        return ngram_decontaminate(corpus, bench, n=3)
+
+    q["q_decontaminate"] = q_decontaminate
 
     return q
 
@@ -2131,6 +2215,40 @@ def _ora_sink_compact() -> str:
         a[0] += 1
         a[1] = doc["doc_id"] if a[1] is None else min(a[1], doc["doc_id"])
     rows = [(src, c, *agg[c]) for src in ("pre", "post") for c in sorted(agg)]
+    return _values_sql(
+        [("src", "VARCHAR"), ("cell", "BIGINT"), ("n_docs", "BIGINT"),
+         ("first_doc", "VARCHAR")],
+        rows,
+    )
+
+
+def _ora_sink_delete() -> str:
+    """Scalar replay for the equality-delete gate: per-cell (n_docs,
+    min doc_id) of the spec pipeline under three views — 'pre' (the
+    pre-delete snapshot: everything), 'mor' (merge-on-read after
+    DELETE WHERE pmod(cell,4)=1), 'post' (after the compaction applied
+    the delete physically; must equal 'mor' exactly)."""
+    from tests import oracle_render
+
+    d = _fixture_decoded("sink")
+    docs = oracle_render.render_file(d)
+    coords = {f"node/{n['id']}": (n["lat"], n["lon"]) for n in d["nodes"]}
+
+    def agg_rows(src: str, drop_deleted: bool) -> list[tuple]:
+        agg: dict[int, list] = {}
+        for doc in docs:
+            ll = coords.get(doc["doc_id"])
+            cell = _cell_scalar(ll[0], ll[1], 12) if ll else -1
+            if drop_deleted and cell % 4 == 1:  # Python % == Spark pmod
+                continue
+            a = agg.setdefault(cell, [0, None])
+            a[0] += 1
+            a[1] = doc["doc_id"] if a[1] is None else min(a[1], doc["doc_id"])
+        return [(src, c, *agg[c]) for c in sorted(agg)]
+
+    rows = (
+        agg_rows("pre", False) + agg_rows("mor", True) + agg_rows("post", True)
+    )
     return _values_sql(
         [("src", "VARCHAR"), ("cell", "BIGINT"), ("n_docs", "BIGINT"),
          ("first_doc", "VARCHAR")],
@@ -3311,6 +3429,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pbf_header": _ora_pbf_header(),
         "q_sink_roundtrip": _ora_sink_roundtrip(),
         "q_sink_compact": _ora_sink_compact(),
+        "q_sink_delete": _ora_sink_delete(),
         "q_pbf_meta": _ora_pbf_meta(),
         "q_pbf_granularity": _ora_pbf_granularity(),
         "q_way_assembly": _ora_way_assembly(),
@@ -3802,5 +3921,110 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WINDOW w AS (PARTITION BY o_orderpriority
                          ORDER BY o_totalprice, o_orderkey)
+        """,
+        # polygon-overlay join: verbatim brute-force formulation of the
+        # same exact integer predicate — EXISTS over all edge pairs for
+        # 'cross', SUM-parity half-open crossing number for containment
+        # (the engine covers bboxes with grid cells and refines in one
+        # Arrow batch; the JOIN STRATEGY is what the gate checks)
+        "q_poly_overlap": """
+            WITH base AS (
+              SELECT event_id AS id,
+                     event_id % 9 = 0 AS tiny,
+                     event_id + (CASE WHEN event_id % 18 = 0 THEN 3 ELSE -3 END) AS host
+              FROM events WHERE event_id < 800),
+            p AS (
+              SELECT id,
+                     CASE WHEN tiny THEN (host % 120) - 60 + CAST(0.75 AS DOUBLE)
+                          ELSE (id % 120) - 60 + CAST(0.5 AS DOUBLE) END AS cx,
+                     CASE WHEN tiny THEN ((host * 13) % 80) - 40 + CAST(0.375 AS DOUBLE)
+                          ELSE ((id * 13) % 80) - 40 + CAST(0.25 AS DOUBLE) END AS cy,
+                     CASE WHEN tiny THEN CAST(0.0625 AS DOUBLE)
+                          ELSE CAST(0.5 AS DOUBLE) + (id % 5) * CAST(0.625 AS DOUBLE) END AS hx,
+                     CASE WHEN tiny THEN CAST(0.0625 AS DOUBLE)
+                          ELSE CAST(0.5 AS DOUBLE) + (id % 7) * CAST(0.25 AS DOUBLE) END AS hy
+              FROM base),
+            v AS (
+              SELECT id, k,
+                     CAST(floor((CASE WHEN k = 0 THEN cx + hx WHEN k = 2 THEN cx - hx
+                                      ELSE cx END) * 1000000 + 0.5) AS BIGINT) AS x,
+                     CAST(floor((CASE WHEN k = 1 THEN cy + hy WHEN k = 3 THEN cy - hy
+                                      ELSE cy END) * 1000000 + 0.5) AS BIGINT) AS y
+              FROM p, unnest([0, 1, 2, 3]) AS t(k)),
+            e AS (
+              SELECT a.id, a.x AS x0, a.y AS y0, b.x AS x1, b.y AS y1
+              FROM v a JOIN v b ON a.id = b.id AND b.k = (a.k + 1) % 4),
+            bb AS (SELECT id, min(x) mnx, max(x) mxx, min(y) mny, max(y) mxy
+                   FROM v GROUP BY id),
+            cand AS (
+              SELECT a.id AS id_a, b.id AS id_b FROM bb a JOIN bb b
+              ON a.id < b.id AND a.mnx <= b.mxx AND b.mnx <= a.mxx
+                 AND a.mny <= b.mxy AND b.mny <= a.mxy),
+            ep AS (
+              SELECT ea.id AS id_a, eb.id AS id_b,
+                     (ea.x1-ea.x0)*(eb.y0-ea.y0) - (ea.y1-ea.y0)*(eb.x0-ea.x0) AS d1,
+                     (ea.x1-ea.x0)*(eb.y1-ea.y0) - (ea.y1-ea.y0)*(eb.x1-ea.x0) AS d2,
+                     (eb.x1-eb.x0)*(ea.y0-eb.y0) - (eb.y1-eb.y0)*(ea.x0-eb.x0) AS d3,
+                     (eb.x1-eb.x0)*(ea.y1-eb.y0) - (eb.y1-eb.y0)*(ea.x1-eb.x0) AS d4,
+                     ea.x0 AS ax0, ea.y0 AS ay0, ea.x1 AS ax1, ea.y1 AS ay1,
+                     eb.x0 AS bx0, eb.y0 AS by0, eb.x1 AS bx1, eb.y1 AS by1
+              FROM e ea JOIN e eb ON ea.id < eb.id),
+            crossed AS (
+              SELECT DISTINCT id_a, id_b FROM ep
+              WHERE (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+                     AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+                 OR (d1 = 0 AND bx0 BETWEEN least(ax0, ax1) AND greatest(ax0, ax1)
+                            AND by0 BETWEEN least(ay0, ay1) AND greatest(ay0, ay1))
+                 OR (d2 = 0 AND bx1 BETWEEN least(ax0, ax1) AND greatest(ax0, ax1)
+                            AND by1 BETWEEN least(ay0, ay1) AND greatest(ay0, ay1))
+                 OR (d3 = 0 AND ax0 BETWEEN least(bx0, bx1) AND greatest(bx0, bx1)
+                            AND ay0 BETWEEN least(by0, by1) AND greatest(by0, by1))
+                 OR (d4 = 0 AND ax1 BETWEEN least(bx0, bx1) AND greatest(bx0, bx1)
+                            AND ay1 BETWEEN least(by0, by1) AND greatest(by0, by1))),
+            ins AS (
+              SELECT pt.id AS pid, eq.id AS qid
+              FROM (SELECT id, x AS px, y AS py FROM v WHERE k = 0) pt
+              JOIN e eq ON pt.id <> eq.id
+              GROUP BY pt.id, eq.id, pt.px, pt.py
+              HAVING sum(CASE WHEN ((eq.y0 <= pt.py AND pt.py < eq.y1)
+                                    AND (eq.x1-eq.x0)*(pt.py-eq.y0)
+                                        - (eq.y1-eq.y0)*(pt.px-eq.x0) > 0)
+                                OR ((eq.y1 <= pt.py AND pt.py < eq.y0)
+                                    AND (eq.x1-eq.x0)*(pt.py-eq.y0)
+                                        - (eq.y1-eq.y0)*(pt.px-eq.x0) < 0)
+                         THEN 1 ELSE 0 END) % 2 = 1)
+            SELECT id_a, id_b,
+                   CASE WHEN is_cross THEN 'cross'
+                        WHEN a_in_b THEN 'a_in_b' ELSE 'b_in_a' END AS kind
+            FROM (
+              SELECT c.id_a, c.id_b,
+                     EXISTS(SELECT 1 FROM crossed x
+                            WHERE x.id_a = c.id_a AND x.id_b = c.id_b) AS is_cross,
+                     EXISTS(SELECT 1 FROM ins i
+                            WHERE i.pid = c.id_a AND i.qid = c.id_b) AS a_in_b,
+                     EXISTS(SELECT 1 FROM ins i
+                            WHERE i.pid = c.id_b AND i.qid = c.id_a) AS b_in_a
+              FROM cand c)
+            WHERE is_cross OR a_in_b OR b_in_a
+        """,
+        # decontamination: the oracle generates n-grams by LIST SLICING
+        # and joins on the raw gram STRING (the engine uses a native
+        # transform Generate and joins on md5 — independent formulation
+        # of the same predicate)
+        "q_decontaminate": """
+            WITH tok AS (SELECT doc_id,
+                                list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                         FROM documents),
+            bg AS (SELECT DISTINCT array_to_string(toks[i : i + 2], ' ') AS gram
+                   FROM tok, unnest(generate_series(1, len(toks) - 2)) AS g(i)
+                   WHERE doc_id % 41 = 0 AND len(toks) >= 3),
+            corp AS (SELECT doc_id,
+                            list_distinct([array_to_string(toks[i : i + 2], ' ')
+                                           for i in generate_series(1, len(toks) - 2)]) AS grams
+                     FROM tok WHERE doc_id % 41 <> 0 AND len(toks) >= 3)
+            SELECT doc_id, count(*) AS dirty_grams
+            FROM (SELECT doc_id, unnest(grams) AS gram FROM corp)
+            WHERE gram IN (SELECT gram FROM bg)
+            GROUP BY doc_id
         """,
     }

@@ -116,6 +116,67 @@ def tfidf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def doc_ngrams(col: Column, n: int) -> Column:
+    """Whitespace-token n-grams of ``col`` as an array of
+    space-joined strings — one native transform/sequence Generate, no
+    Python, no self-join. Guarded for <n-token docs (Spark's
+    ``sequence(1, 0)`` DESCENDS — the r3 bigram_pmi lesson)."""
+    toks = F.filter(F.split(col, " "), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "hits",
+) -> DataFrame:
+    """Benchmark decontamination — the training-data staple: find (or
+    drop) corpus documents sharing any token n-gram with a benchmark /
+    eval set (the GPT-3/PaLM 13-gram-overlap rule; n configurable).
+
+    ``mode='hits'`` returns ``(id_col, dirty_grams:bigint)`` — per
+    contaminated doc, how many DISTINCT n-grams it shares with the
+    benchmark set. ``mode='clean'`` anti-joins those docs away;
+    ``mode='dirty'`` semi-joins to keep only them.
+
+    Plan shape (the 100-TB posture): the benchmark side is tiny by
+    definition — its distinct-gram md5 set BROADCASTS; the corpus side
+    is one native Generate (doc_ngrams) + array_distinct, a broadcast
+    hash join, and one narrow per-doc count — the only shuffle is the
+    final doc-keyed aggregate (none at all for 'clean'/'dirty', which
+    plan as broadcast semi/anti of the hit ids). Joining on full md5
+    (128-bit) rather than gram text keeps the probe slim with zero
+    collision risk; the DuckDB oracle joins on the raw gram string —
+    an independent formulation of the same predicate.
+    """
+    if mode not in ("hits", "clean", "dirty"):
+        raise ValueError(f"mode must be hits|clean|dirty, got {mode!r}")
+    bench_grams = (
+        bench.select(F.explode(doc_ngrams(F.col(text_col), n)).alias("gram"))
+        .select(F.md5("gram").alias("gk"))
+        .distinct()
+    )
+    corp = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(doc_ngrams(F.col(text_col), n))).alias("gram"),
+    ).select(id_col, F.md5("gram").alias("gk"))
+    hit_rows = corp.join(F.broadcast(bench_grams), "gk")
+    if mode == "hits":
+        return hit_rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("dirty_grams"))
+    dirty_ids = hit_rows.select(id_col)
+    how = "left_anti" if mode == "clean" else "left_semi"
+    return docs.join(F.broadcast(dirty_ids), id_col, how)
+
+
 def bigram_pmi(
     docs: DataFrame,
     text_col: str = "text",

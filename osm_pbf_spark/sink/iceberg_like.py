@@ -42,6 +42,12 @@ Maintenance protocol (the 100-TB operational surface):
 - ``expire_snapshots(keep_last=n)`` drops old history entries and
   vacuums data files only they referenced (replaced splits' files);
   manifests are never deleted, so restart semantics survive vacuum.
+- ``delete_keys`` / ``delete_where``: Iceberg-v2-style EQUALITY
+  DELETES (merge-on-read). A delete split commits the key tuples plus
+  the set of data splits it applies to; ``read``/``read_snapshot``
+  anti-join those keys away from exactly those splits (appends after
+  the delete are untouched), and ``compact()`` applies deletes
+  physically, retiring delete splits whose scope it rewrote.
 """
 
 from __future__ import annotations
@@ -57,6 +63,7 @@ from .. import __version__
 
 _MANIFEST_DIR = "_manifests"
 _SNAP_DIR = "_snapshots"
+_EQ_DELETES = "equality_deletes"
 
 
 class IcebergLikeSink:
@@ -282,6 +289,110 @@ class IcebergLikeSink:
         os.replace(tmp, self._manifest_path(split_id))  # THE atomic commit
         return manifest
 
+    def delete_keys(
+        self,
+        keys: DataFrame,
+        equality_cols: list[str],
+        split_id: str | None = None,
+        lineage: dict | None = None,
+        fail_before_commit: bool = False,
+    ) -> dict:
+        """ROW-LEVEL DELETE, Iceberg-v2 equality-delete style
+        (merge-on-read): commit a split holding the distinct
+        ``equality_cols`` tuples of ``keys``; readers anti-join those
+        tuples away from every data split that was live at commit time
+        (recorded in the manifest as ``applies_to``). No data file is
+        rewritten — the delete is one small parquet write + one atomic
+        manifest rename, O(keys) regardless of table size.
+
+        Scoping rule (matches Iceberg's data-sequence-number rule, with
+        explicit split ids standing in for sequence numbers): rows
+        APPENDED AFTER the delete keep their keys — only splits named
+        in ``applies_to`` are filtered. ``compact()`` later applies the
+        delete physically and retires the delete split once every split
+        it names has been rewritten. Explicit ids keep replays exact
+        under vacuum and need no commit-time global counter; at extreme
+        split counts (10^5+ live splits per delete) Iceberg's sequence
+        numbers would replace the list — compaction keeps tables far
+        below that here.
+        """
+        if not equality_cols:
+            raise ValueError("equality_cols must name at least one column")
+        missing = [c for c in equality_cols if c not in keys.columns]
+        if missing:
+            raise ValueError(f"key columns missing from keys frame: {missing}")
+        data_e, _dels = self._split_kinds(self._live_entries())
+        if not data_e:
+            raise FileNotFoundError(
+                f"no live data splits under {self.root} to delete from"
+            )
+        sid = split_id or f"delete-{uuid.uuid4().hex[:12]}"
+        if sid in self.completed_splits():
+            raise ValueError(f"split {sid!r} is already committed")
+        t0 = time.monotonic()
+        split_dir = os.path.join(self.root, "data", f"split={sid}")
+        slim = keys.select(*equality_cols).dropDuplicates(equality_cols)
+        slim.write.mode("overwrite").parquet(split_dir)
+        files = []
+        n_bytes = 0
+        for dirpath, _dirnames, filenames in os.walk(split_dir):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    full = os.path.join(dirpath, fn)
+                    files.append(os.path.relpath(full, self.root))
+                    n_bytes += os.path.getsize(full)
+        import pyarrow.parquet as pq
+
+        n_rows = sum(
+            pq.read_metadata(os.path.join(self.root, rel)).num_rows for rel in files
+        )
+        manifest = {
+            "split_id": sid,
+            "kind": _EQ_DELETES,
+            "equality_cols": list(equality_cols),
+            "applies_to": sorted(data_e),
+            "files": sorted(files),
+            "file_stats": {},
+            "stats_col": self.stats_col,
+            "schema": json.loads(slim.schema.json()),
+            "n_rows": n_rows,
+            "n_bytes": n_bytes,
+            "partition_by": [],
+            "replaces": [],
+            "lineage": {"engine_version": __version__, **(lineage or {})},
+            "metrics": {"write_wall_s": round(time.monotonic() - t0, 3)},
+            "committed_at_unix": int(time.time()),
+        }
+        if fail_before_commit:
+            raise RuntimeError(f"injected failure before commit of delete split {sid}")
+        tmp = self._manifest_path(sid) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path(sid))  # THE atomic commit
+        return manifest
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate,
+        equality_cols: list[str],
+        split_id: str | None = None,
+    ) -> dict:
+        """DELETE WHERE: evaluate ``predicate`` (a Column or SQL string)
+        against the current table and commit the matching rows'
+        ``equality_cols`` as an equality-delete split. The scan prunes
+        and pushes down like any read; the commit is merge-on-read."""
+        from pyspark.sql import functions as F
+
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        keys = self.read(spark).where(cond).select(*equality_cols)
+        return self.delete_keys(
+            keys,
+            equality_cols,
+            split_id=split_id,
+            lineage={"op": "delete_where", "predicate": str(predicate)},
+        )
+
     def commit_snapshot(self, properties: dict | None = None) -> dict:
         """Roll committed manifests into a table-level snapshot (atomic).
 
@@ -314,6 +425,17 @@ class IcebergLikeSink:
                     "file_stats": m.get("file_stats", {}),
                     "replaces": m.get("replaces", []),
                     "schema": m.get("schema"),
+                    # merge-on-read delete manifests carry their kind +
+                    # scope so time travel applies them identically
+                    **(
+                        {
+                            "kind": m["kind"],
+                            "equality_cols": m.get("equality_cols", []),
+                            "applies_to": m.get("applies_to", []),
+                        }
+                        if m.get("kind") == _EQ_DELETES
+                        else {}
+                    ),
                 }
                 for sid, m in live.items()
             },
@@ -335,8 +457,15 @@ class IcebergLikeSink:
             "manifest_list": mlist_name,
             "splits": sorted(live),
             "replaced_splits": sorted(replaced & set(manifests)),
-            "total_rows": sum(m["n_rows"] for m in live.values()),
-            "total_bytes": sum(m["n_bytes"] for m in live.values()),
+            # data rows/bytes only — equality-delete splits are
+            # metadata, not table content (their rows SUBTRACT, by an
+            # amount only a read can know)
+            "total_rows": sum(
+                m["n_rows"] for m in live.values() if m.get("kind") != _EQ_DELETES
+            ),
+            "total_bytes": sum(
+                m["n_bytes"] for m in live.values() if m.get("kind") != _EQ_DELETES
+            ),
             "properties": properties or {},
             "engine_version": __version__,
             "committed_at_unix": int(time.time()),
@@ -405,20 +534,42 @@ class IcebergLikeSink:
         manifest list (one driver-side file) serves indexed splits AND
         the already-replaced set; per-split manifests are opened only
         for splits committed after the last snapshot."""
-        index, replaced = self._manifest_index()
+        index, snap_replaced = self._manifest_index()
+        replaced = set(snap_replaced)
         entries: dict[str, dict] = {}
         for sid in sorted(self.completed_splits()):
             m = index.get(sid)
             if m is None:
-                if sid in replaced:  # superseded before the snapshot
+                if sid in snap_replaced:
+                    # superseded before the snapshot; commit_snapshot
+                    # folds replaces over ALL manifests, so this
+                    # split's own replaces are already in snap_replaced
+                    # — skipping the file read here is what keeps reads
+                    # O(1) after compacting 10^5 splits
                     continue
                 m = self._read_manifest(sid)
+                if sid in replaced:
+                    # superseded by a post-snapshot split: contributes
+                    # no files, but its own replaces must STILL
+                    # propagate — chained compactions commit with ids
+                    # in arbitrary sort order, and a missed hop would
+                    # resurrect long-replaced splits
+                    replaced = replaced | set(m.get("replaces", []))
+                    continue
             entries[sid] = m
             replaced = replaced | set(m.get("replaces", []))
         return {sid: m for sid, m in entries.items() if sid not in replaced}
 
     def live_splits(self) -> set[str]:
         return set(self._live_entries())
+
+    @staticmethod
+    def _split_kinds(entries: dict[str, dict]) -> tuple[dict, dict]:
+        """(data_entries, delete_entries) — merge-on-read delete
+        manifests never contribute table rows, files, or schema."""
+        data = {s: m for s, m in entries.items() if m.get("kind") != _EQ_DELETES}
+        dels = {s: m for s, m in entries.items() if m.get("kind") == _EQ_DELETES}
+        return data, dels
 
     def _filter_files(
         self, entries: dict[str, dict], stats_range: tuple[int, int] | None
@@ -441,9 +592,13 @@ class IcebergLikeSink:
     def committed_files(
         self, stats_range: tuple[int, int] | None = None
     ) -> list[str]:
-        """LIVE committed file paths (replaced splits excluded), with
-        optional manifest-level stats pruning."""
-        return self._filter_files(self._live_entries(), stats_range)
+        """LIVE committed DATA file paths (replaced splits and
+        merge-on-read delete files excluded), with optional
+        manifest-level stats pruning. NOTE: when live equality-delete
+        splits exist, reading these files directly sees pre-delete
+        rows — use :meth:`read`, which applies them."""
+        data, _dels = self._split_kinds(self._live_entries())
+        return self._filter_files(data, stats_range)
 
     @staticmethod
     def _merged_schema(entries: dict[str, dict]):
@@ -485,9 +640,80 @@ class IcebergLikeSink:
         return StructType.fromJson(merged)
 
     def table_schema(self):
-        """The current table schema (live splits' union), or None when
-        it cannot be derived from manifests alone."""
-        return self._merged_schema(self._live_entries())
+        """The current table schema (live DATA splits' union), or None
+        when it cannot be derived from manifests alone."""
+        data, _dels = self._split_kinds(self._live_entries())
+        return self._merged_schema(data)
+
+    def _read_entries(
+        self,
+        spark: SparkSession,
+        entries: dict[str, dict],
+        stats_range: tuple[int, int] | None,
+    ) -> DataFrame:
+        """Shared merge-on-read path for :meth:`read` (live entries)
+        and :meth:`read_snapshot` (a frozen manifest list): load the
+        data files (manifest-stats pruned), then apply every
+        equality-delete split to exactly the data splits it names in
+        ``applies_to`` — rows appended AFTER a delete are never
+        re-deleted (the Iceberg v2 scoping rule, expressed with
+        explicit split ids instead of data sequence numbers).
+
+        Plan shape: data splits group by the SET of deletes that apply
+        (a handful of generations in practice); each group is one scan
+        + one broadcast ANTI-JOIN per distinct equality-key tuple —
+        delete key sets are small next to the table, so no wide
+        shuffle is introduced."""
+        from pyspark.sql import functions as F
+
+        data_e, del_e = self._split_kinds(entries)
+        all_files = self._filter_files(data_e, None)
+        if not all_files:
+            raise FileNotFoundError(f"no committed data splits under {self.root}")
+        schema = self._merged_schema(data_e)
+
+        def load(files: list[str]) -> DataFrame:
+            if schema is not None:
+                # metadata-carried union schema: splits that predate a
+                # column yield NULL for it (add-column evolution)
+                return spark.read.schema(schema).parquet(*files)
+            return spark.read.option("mergeSchema", "true").parquet(*files)
+
+        def empty() -> DataFrame:
+            sch = schema or spark.read.parquet(all_files[0]).schema
+            return spark.createDataFrame([], sch)
+
+        if not del_e:
+            files = (
+                self._filter_files(data_e, stats_range)
+                if stats_range is not None
+                else all_files
+            )
+            return load(files) if files else empty()
+
+        groups: dict[frozenset, dict[str, dict]] = {}
+        for sid, m in data_e.items():
+            applying = frozenset(
+                d for d, dm in del_e.items() if sid in set(dm.get("applies_to", []))
+            )
+            groups.setdefault(applying, {})[sid] = m
+        out: DataFrame | None = None
+        for applying, ge in sorted(groups.items(), key=lambda kv: sorted(kv[1])):
+            files = self._filter_files(ge, stats_range)
+            if not files:
+                continue
+            df = load(files)
+            by_cols: dict[tuple, list[str]] = {}
+            for d in sorted(applying):
+                dm = del_e[d]
+                by_cols.setdefault(tuple(dm["equality_cols"]), []).extend(
+                    os.path.join(self.root, rel) for rel in dm["files"]
+                )
+            for cols, dfiles in sorted(by_cols.items()):
+                keys = spark.read.parquet(*dfiles).select(*cols)
+                df = df.join(F.broadcast(keys), on=list(cols), how="left_anti")
+            out = df if out is None else out.unionByName(df)
+        return out if out is not None else empty()
 
     def read(
         self,
@@ -495,29 +721,16 @@ class IcebergLikeSink:
         dedup_cols: list[str] | None = None,
         stats_range: tuple[int, int] | None = None,
     ) -> DataFrame:
-        """Read ONLY committed files (orphans from crashes are invisible).
+        """Read ONLY committed files (orphans from crashes are
+        invisible), with equality-delete splits applied merge-on-read.
 
         ``stats_range`` prunes files by the manifest's stats_col metrics
         BEFORE Spark ever lists them. NOTE: range pruning is a superset
-        read — callers still apply their exact predicate.
+        read — callers still apply their exact predicate. (Pruning
+        composes with deletes: dropping a file only removes rows, and
+        the anti-join runs on whatever survives.)
         """
-        entries = self._live_entries()
-        all_files = self._filter_files(entries, None)
-        if not all_files:
-            raise FileNotFoundError(f"no committed splits under {self.root}")
-        files = self._filter_files(entries, stats_range) if stats_range is not None else all_files
-        schema = self._merged_schema(entries)
-        if not files:
-            # fully pruned: empty frame with the table's schema
-            if schema is None:
-                schema = spark.read.parquet(all_files[0]).schema
-            return spark.createDataFrame([], schema)
-        if schema is not None:
-            # metadata-carried union schema: splits that predate a
-            # column yield NULL for it (add-column evolution)
-            df = spark.read.schema(schema).parquet(*files)
-        else:
-            df = spark.read.option("mergeSchema", "true").parquet(*files)
+        df = self._read_entries(spark, self._live_entries(), stats_range)
         if dedup_cols:
             df = df.dropDuplicates(dedup_cols)
         return df
@@ -553,20 +766,9 @@ class IcebergLikeSink:
             )
         with open(mlist_path) as f:
             entries = json.load(f)["entries"]
-        files = self._filter_files(entries, stats_range)
-        # time travel sees the schema AS OF that snapshot (columns
-        # added later are absent), derived from the frozen manifest list
-        schema = self._merged_schema(entries)
-        if not files:
-            all_files = self._filter_files(entries, None) or self.committed_files()
-            if not all_files:
-                raise FileNotFoundError(f"snapshot {snap['snapshot_id']} is empty")
-            if schema is None:
-                schema = spark.read.parquet(all_files[0]).schema
-            return spark.createDataFrame([], schema)
-        if schema is not None:
-            return spark.read.schema(schema).parquet(*files)
-        return spark.read.option("mergeSchema", "true").parquet(*files)
+        # time travel sees the schema AND the delete set AS OF that
+        # snapshot — both derived from the frozen manifest list
+        return self._read_entries(spark, entries, stats_range)
 
     # ---- maintenance -----------------------------------------------------
 
@@ -602,22 +804,40 @@ class IcebergLikeSink:
                 "columns on a file-list read"
             )
         live = self._live_entries()
-        targets = sorted(split_ids) if split_ids is not None else sorted(live)
-        unknown = [s for s in targets if s not in live]
+        data_e, del_e = self._split_kinds(live)
+        targets = sorted(split_ids) if split_ids is not None else sorted(data_e)
+        unknown = [s for s in targets if s not in data_e]
         if unknown:
-            raise ValueError(f"splits not live (unknown or already replaced): {unknown}")
-        if len(targets) < 2:
+            raise ValueError(
+                f"splits not live data splits (unknown, already replaced, "
+                f"or delete manifests): {unknown}"
+            )
+        # deletes scoped to any target get applied PHYSICALLY by the
+        # rewrite; a delete split is itself replaced once no live data
+        # split outside the rewrite still needs it (merge-on-read ->
+        # copy-on-write conversion, Iceberg's rewrite_data_files +
+        # rewrite_position_delete_files in one step)
+        applying = {
+            d: dm
+            for d, dm in del_e.items()
+            if set(dm.get("applies_to", [])) & set(targets)
+        }
+        if len(targets) < 2 and not applying:
             return None
-        rels = [rel for sid in targets for rel in live[sid]["files"]]
+        covered_dels = sorted(
+            d
+            for d, dm in del_e.items()
+            if set(dm.get("applies_to", [])) & set(data_e) <= set(targets)
+        )
+        rels = [rel for sid in targets for rel in data_e[sid]["files"]]
         files = [os.path.join(self.root, rel) for rel in rels]
         n_input_bytes = sum(os.path.getsize(f) for f in files)
         # union schema across the targets: compacting splits written
-        # before a column was added must not silently drop it
-        schema = self._merged_schema({sid: live[sid] for sid in targets})
-        if schema is not None:
-            df = spark.read.schema(schema).parquet(*files)
-        else:
-            df = spark.read.option("mergeSchema", "true").parquet(*files)
+        # before a column was added must not silently drop it; deletes
+        # applying to the targets are anti-joined during the rewrite
+        sub_entries = {sid: data_e[sid] for sid in targets}
+        sub_entries.update(applying)
+        df = self._read_entries(spark, sub_entries, None)
         if self.stats_col and self.stats_col in df.columns:
             df = df.sort(self.stats_col)
         cid = f"compact-{uuid.uuid4().hex[:12]}"
@@ -627,10 +847,11 @@ class IcebergLikeSink:
             lineage={
                 "op": "compact",
                 "inputs": targets,
+                "applied_deletes": sorted(applying),
                 "n_input_files": len(files),
                 "input_bytes": n_input_bytes,
             },
-            replaces=targets,
+            replaces=sorted(set(targets) | set(covered_dels)),
             fail_before_commit=fail_before_commit,
         )
 
