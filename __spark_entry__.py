@@ -1355,6 +1355,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sink_delete"] = q_sink_delete
 
+    def q_sink_upsert(spark, sf):  # C-family: MERGE-style upsert =
+        # equality delete + append in one idempotent pair; updated rows
+        # replace, new keys append, untouched rows survive
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.plans.ingest import ingest_pbf
+
+        path = _fixture_pbf("sink")
+        root = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driver_sink_upsert")
+        shutil.rmtree(root, ignore_errors=True)
+        sink = ingest_pbf(spark, path, root, cell_level=12, blobs_per_split=1)
+        base = sink.read(spark)
+        # update: docs in cells pmod 4 == 2 keep only their first span
+        upd = base.where("pmod(cell, 4) = 2").withColumn(
+            "spans", F.slice("spans", 1, 1)
+        )
+        # insert: copies of cells pmod 4 == 3 under new doc ids
+        new = base.where("pmod(cell, 4) = 3").withColumn(
+            "doc_id", F.concat(F.lit("copy/"), F.col("doc_id"))
+        )
+        sink.upsert(upd.unionByName(new), ["doc_id"], split_id="merge-1")
+        return sink.read(spark).groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum(F.size("spans")).alias("spans_total"),
+        )
+
+    q["q_sink_upsert"] = q_sink_upsert
+
     # ---- r3 widening batch 4: fingerprints, fuzzy/interval/snap joins,
     # quadkeys, span chunking, collocations, per-group sampling ----
 
@@ -1695,14 +1725,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_seg_intersect"] = q_seg_intersect
 
-    def q_poly_overlap(spark, sf):  # r-tree class: polygon-overlay join
-        # 800 synthetic diamonds (dyadic centers/half-sizes, so the
-        # snap grid is engine-exact); every 9th is a tiny satellite
-        # nested strictly inside a host diamond (id±3) so the
-        # containment kinds are exercised, not just boundary crossings
-        from osm_pbf_spark.operators.overlay import polygon_overlap_join
-
-        e = load(spark, sf, "events").filter(F.col("event_id") < 800)
+    def _synth_diamonds(e, n):
+        # synthetic diamonds (dyadic centers/half-sizes, so the snap
+        # grid is engine-exact); every 9th is a tiny satellite nested
+        # strictly inside a host diamond (id±3) so the containment
+        # kinds are exercised, not just boundary crossings
+        e = e.filter(F.col("event_id") < n)
         tiny = F.col("event_id") % 9 == 0
         host = F.col("event_id") + F.when(
             F.col("event_id") % 18 == 0, F.lit(3)
@@ -1722,7 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise(F.lit(0.5) + (F.col("event_id") % 7) * F.lit(0.25))
             .alias("hy"),
         )
-        polys = p.select(
+        return p.select(
             "poly_id",
             F.array(
                 F.struct(F.col("cy").alias("lat"), (F.col("cx") + F.col("hx")).alias("lon")),
@@ -1731,10 +1759,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.struct((F.col("cy") - F.col("hy")).alias("lat"), F.col("cx").alias("lon")),
             ).alias("pts"),
         )
+
+    def q_poly_overlap(spark, sf):  # r-tree class: polygon-overlay join
+        from osm_pbf_spark.operators.overlay import polygon_overlap_join
+
+        polys = _synth_diamonds(load(spark, sf, "events"), 800)
         out = polygon_overlap_join(polys, polys, level=6)
         return out.where(F.col("id_a") < F.col("id_b"))
 
     q["q_poly_overlap"] = q_poly_overlap
+
+    def q_poly_dissolve(spark, sf):  # GIS dissolve: overlap pairs -> CC
+        # -> footprint groups; singletons keep their own id
+        from osm_pbf_spark.operators.overlay import dissolve_groups
+
+        polys = _synth_diamonds(load(spark, sf, "events"), 400)
+        return dissolve_groups(polys, level=6)
+
+    q["q_poly_dissolve"] = q_poly_dissolve
 
     def q_decontaminate(spark, sf):  # P24 benchmark-decontamination join
         from osm_pbf_spark.operators.text import ngram_decontaminate
@@ -2254,6 +2296,114 @@ def _ora_sink_delete() -> str:
          ("first_doc", "VARCHAR")],
         rows,
     )
+
+
+def _ora_sink_upsert() -> str:
+    """Scalar replay for the upsert gate: spec-pipeline docs where
+    cells pmod 4 == 2 are REPLACED by single-span versions, cells
+    pmod 4 == 3 gain a 'copy/<doc_id>' twin, everything else is
+    untouched; per-cell (n_docs, min doc_id, total spans)."""
+    from tests import oracle_render
+
+    d = _fixture_decoded("sink")
+    docs = oracle_render.render_file(d)
+    coords = {f"node/{n['id']}": (n["lat"], n["lon"]) for n in d["nodes"]}
+    rows_in: list[tuple[str, int, int]] = []  # (doc_id, cell, n_spans)
+    for doc in docs:
+        ll = coords.get(doc["doc_id"])
+        cell = _cell_scalar(ll[0], ll[1], 12) if ll else -1
+        n_spans = len(doc["spans"])
+        if cell % 4 == 2:
+            rows_in.append((doc["doc_id"], cell, 1))
+        else:
+            rows_in.append((doc["doc_id"], cell, n_spans))
+            if cell % 4 == 3:
+                rows_in.append((f"copy/{doc['doc_id']}", cell, n_spans))
+    agg: dict[int, list] = {}
+    for doc_id, cell, n_spans in rows_in:
+        a = agg.setdefault(cell, [0, None, 0])
+        a[0] += 1
+        a[1] = doc_id if a[1] is None else min(a[1], doc_id)
+        a[2] += n_spans
+    rows = [(c, *agg[c]) for c in sorted(agg)]
+    return _values_sql(
+        [("cell", "BIGINT"), ("n_docs", "BIGINT"), ("first_doc", "VARCHAR"),
+         ("spans_total", "BIGINT")],
+        rows,
+    )
+
+
+def _poly_overlap_ctes(n: int) -> str:
+    """Shared CTE block for the polygon-overlay oracles: synth diamonds
+    (mirrors _synth_diamonds), snapped integer vertices/edges, bbox
+    candidates, brute edge-pair crossings, and SUM-parity containment.
+    Callers append their own final SELECT (pair classification for
+    q_poly_overlap, recursive closure for q_poly_dissolve)."""
+    return f"""base AS (
+              SELECT event_id AS id,
+                     event_id % 9 = 0 AS tiny,
+                     event_id + (CASE WHEN event_id % 18 = 0 THEN 3 ELSE -3 END) AS host
+              FROM events WHERE event_id < {n}),
+            p AS (
+              SELECT id,
+                     CASE WHEN tiny THEN (host % 120) - 60 + CAST(0.75 AS DOUBLE)
+                          ELSE (id % 120) - 60 + CAST(0.5 AS DOUBLE) END AS cx,
+                     CASE WHEN tiny THEN ((host * 13) % 80) - 40 + CAST(0.375 AS DOUBLE)
+                          ELSE ((id * 13) % 80) - 40 + CAST(0.25 AS DOUBLE) END AS cy,
+                     CASE WHEN tiny THEN CAST(0.0625 AS DOUBLE)
+                          ELSE CAST(0.5 AS DOUBLE) + (id % 5) * CAST(0.625 AS DOUBLE) END AS hx,
+                     CASE WHEN tiny THEN CAST(0.0625 AS DOUBLE)
+                          ELSE CAST(0.5 AS DOUBLE) + (id % 7) * CAST(0.25 AS DOUBLE) END AS hy
+              FROM base),
+            v AS (
+              SELECT id, k,
+                     CAST(floor((CASE WHEN k = 0 THEN cx + hx WHEN k = 2 THEN cx - hx
+                                      ELSE cx END) * 1000000 + 0.5) AS BIGINT) AS x,
+                     CAST(floor((CASE WHEN k = 1 THEN cy + hy WHEN k = 3 THEN cy - hy
+                                      ELSE cy END) * 1000000 + 0.5) AS BIGINT) AS y
+              FROM p, unnest([0, 1, 2, 3]) AS t(k)),
+            e AS (
+              SELECT a.id, a.x AS x0, a.y AS y0, b.x AS x1, b.y AS y1
+              FROM v a JOIN v b ON a.id = b.id AND b.k = (a.k + 1) % 4),
+            bb AS (SELECT id, min(x) mnx, max(x) mxx, min(y) mny, max(y) mxy
+                   FROM v GROUP BY id),
+            cand AS (
+              SELECT a.id AS id_a, b.id AS id_b FROM bb a JOIN bb b
+              ON a.id < b.id AND a.mnx <= b.mxx AND b.mnx <= a.mxx
+                 AND a.mny <= b.mxy AND b.mny <= a.mxy),
+            ep AS (
+              SELECT ea.id AS id_a, eb.id AS id_b,
+                     (ea.x1-ea.x0)*(eb.y0-ea.y0) - (ea.y1-ea.y0)*(eb.x0-ea.x0) AS d1,
+                     (ea.x1-ea.x0)*(eb.y1-ea.y0) - (ea.y1-ea.y0)*(eb.x1-ea.x0) AS d2,
+                     (eb.x1-eb.x0)*(ea.y0-eb.y0) - (eb.y1-eb.y0)*(ea.x0-eb.x0) AS d3,
+                     (eb.x1-eb.x0)*(ea.y1-eb.y0) - (eb.y1-eb.y0)*(ea.x1-eb.x0) AS d4,
+                     ea.x0 AS ax0, ea.y0 AS ay0, ea.x1 AS ax1, ea.y1 AS ay1,
+                     eb.x0 AS bx0, eb.y0 AS by0, eb.x1 AS bx1, eb.y1 AS by1
+              FROM e ea JOIN e eb ON ea.id < eb.id),
+            crossed AS (
+              SELECT DISTINCT id_a, id_b FROM ep
+              WHERE (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+                     AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+                 OR (d1 = 0 AND bx0 BETWEEN least(ax0, ax1) AND greatest(ax0, ax1)
+                            AND by0 BETWEEN least(ay0, ay1) AND greatest(ay0, ay1))
+                 OR (d2 = 0 AND bx1 BETWEEN least(ax0, ax1) AND greatest(ax0, ax1)
+                            AND by1 BETWEEN least(ay0, ay1) AND greatest(ay0, ay1))
+                 OR (d3 = 0 AND ax0 BETWEEN least(bx0, bx1) AND greatest(bx0, bx1)
+                            AND ay0 BETWEEN least(by0, by1) AND greatest(by0, by1))
+                 OR (d4 = 0 AND ax1 BETWEEN least(bx0, bx1) AND greatest(bx0, bx1)
+                            AND ay1 BETWEEN least(by0, by1) AND greatest(by0, by1))),
+            ins AS (
+              SELECT pt.id AS pid, eq.id AS qid
+              FROM (SELECT id, x AS px, y AS py FROM v WHERE k = 0) pt
+              JOIN e eq ON pt.id <> eq.id
+              GROUP BY pt.id, eq.id, pt.px, pt.py
+              HAVING sum(CASE WHEN ((eq.y0 <= pt.py AND pt.py < eq.y1)
+                                    AND (eq.x1-eq.x0)*(pt.py-eq.y0)
+                                        - (eq.y1-eq.y0)*(pt.px-eq.x0) > 0)
+                                OR ((eq.y1 <= pt.py AND pt.py < eq.y0)
+                                    AND (eq.x1-eq.x0)*(pt.py-eq.y0)
+                                        - (eq.y1-eq.y0)*(pt.px-eq.x0) < 0)
+                         THEN 1 ELSE 0 END) % 2 = 1)"""
 
 
 def _ora_frame_sample() -> str:
@@ -3430,6 +3580,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sink_roundtrip": _ora_sink_roundtrip(),
         "q_sink_compact": _ora_sink_compact(),
         "q_sink_delete": _ora_sink_delete(),
+        "q_sink_upsert": _ora_sink_upsert(),
         "q_pbf_meta": _ora_pbf_meta(),
         "q_pbf_granularity": _ora_pbf_granularity(),
         "q_way_assembly": _ora_way_assembly(),
@@ -3923,76 +4074,12 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY o_totalprice, o_orderkey)
         """,
         # polygon-overlay join: verbatim brute-force formulation of the
-        # same exact integer predicate — EXISTS over all edge pairs for
-        # 'cross', SUM-parity half-open crossing number for containment
+        # same exact integer predicate -- EXISTS over all edge pairs for
+        # 'cross', SUM-parity half-open crossing-number for containment
         # (the engine covers bboxes with grid cells and refines in one
         # Arrow batch; the JOIN STRATEGY is what the gate checks)
-        "q_poly_overlap": """
-            WITH base AS (
-              SELECT event_id AS id,
-                     event_id % 9 = 0 AS tiny,
-                     event_id + (CASE WHEN event_id % 18 = 0 THEN 3 ELSE -3 END) AS host
-              FROM events WHERE event_id < 800),
-            p AS (
-              SELECT id,
-                     CASE WHEN tiny THEN (host % 120) - 60 + CAST(0.75 AS DOUBLE)
-                          ELSE (id % 120) - 60 + CAST(0.5 AS DOUBLE) END AS cx,
-                     CASE WHEN tiny THEN ((host * 13) % 80) - 40 + CAST(0.375 AS DOUBLE)
-                          ELSE ((id * 13) % 80) - 40 + CAST(0.25 AS DOUBLE) END AS cy,
-                     CASE WHEN tiny THEN CAST(0.0625 AS DOUBLE)
-                          ELSE CAST(0.5 AS DOUBLE) + (id % 5) * CAST(0.625 AS DOUBLE) END AS hx,
-                     CASE WHEN tiny THEN CAST(0.0625 AS DOUBLE)
-                          ELSE CAST(0.5 AS DOUBLE) + (id % 7) * CAST(0.25 AS DOUBLE) END AS hy
-              FROM base),
-            v AS (
-              SELECT id, k,
-                     CAST(floor((CASE WHEN k = 0 THEN cx + hx WHEN k = 2 THEN cx - hx
-                                      ELSE cx END) * 1000000 + 0.5) AS BIGINT) AS x,
-                     CAST(floor((CASE WHEN k = 1 THEN cy + hy WHEN k = 3 THEN cy - hy
-                                      ELSE cy END) * 1000000 + 0.5) AS BIGINT) AS y
-              FROM p, unnest([0, 1, 2, 3]) AS t(k)),
-            e AS (
-              SELECT a.id, a.x AS x0, a.y AS y0, b.x AS x1, b.y AS y1
-              FROM v a JOIN v b ON a.id = b.id AND b.k = (a.k + 1) % 4),
-            bb AS (SELECT id, min(x) mnx, max(x) mxx, min(y) mny, max(y) mxy
-                   FROM v GROUP BY id),
-            cand AS (
-              SELECT a.id AS id_a, b.id AS id_b FROM bb a JOIN bb b
-              ON a.id < b.id AND a.mnx <= b.mxx AND b.mnx <= a.mxx
-                 AND a.mny <= b.mxy AND b.mny <= a.mxy),
-            ep AS (
-              SELECT ea.id AS id_a, eb.id AS id_b,
-                     (ea.x1-ea.x0)*(eb.y0-ea.y0) - (ea.y1-ea.y0)*(eb.x0-ea.x0) AS d1,
-                     (ea.x1-ea.x0)*(eb.y1-ea.y0) - (ea.y1-ea.y0)*(eb.x1-ea.x0) AS d2,
-                     (eb.x1-eb.x0)*(ea.y0-eb.y0) - (eb.y1-eb.y0)*(ea.x0-eb.x0) AS d3,
-                     (eb.x1-eb.x0)*(ea.y1-eb.y0) - (eb.y1-eb.y0)*(ea.x1-eb.x0) AS d4,
-                     ea.x0 AS ax0, ea.y0 AS ay0, ea.x1 AS ax1, ea.y1 AS ay1,
-                     eb.x0 AS bx0, eb.y0 AS by0, eb.x1 AS bx1, eb.y1 AS by1
-              FROM e ea JOIN e eb ON ea.id < eb.id),
-            crossed AS (
-              SELECT DISTINCT id_a, id_b FROM ep
-              WHERE (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
-                     AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
-                 OR (d1 = 0 AND bx0 BETWEEN least(ax0, ax1) AND greatest(ax0, ax1)
-                            AND by0 BETWEEN least(ay0, ay1) AND greatest(ay0, ay1))
-                 OR (d2 = 0 AND bx1 BETWEEN least(ax0, ax1) AND greatest(ax0, ax1)
-                            AND by1 BETWEEN least(ay0, ay1) AND greatest(ay0, ay1))
-                 OR (d3 = 0 AND ax0 BETWEEN least(bx0, bx1) AND greatest(bx0, bx1)
-                            AND ay0 BETWEEN least(by0, by1) AND greatest(by0, by1))
-                 OR (d4 = 0 AND ax1 BETWEEN least(bx0, bx1) AND greatest(bx0, bx1)
-                            AND ay1 BETWEEN least(by0, by1) AND greatest(by0, by1))),
-            ins AS (
-              SELECT pt.id AS pid, eq.id AS qid
-              FROM (SELECT id, x AS px, y AS py FROM v WHERE k = 0) pt
-              JOIN e eq ON pt.id <> eq.id
-              GROUP BY pt.id, eq.id, pt.px, pt.py
-              HAVING sum(CASE WHEN ((eq.y0 <= pt.py AND pt.py < eq.y1)
-                                    AND (eq.x1-eq.x0)*(pt.py-eq.y0)
-                                        - (eq.y1-eq.y0)*(pt.px-eq.x0) > 0)
-                                OR ((eq.y1 <= pt.py AND pt.py < eq.y0)
-                                    AND (eq.x1-eq.x0)*(pt.py-eq.y0)
-                                        - (eq.y1-eq.y0)*(pt.px-eq.x0) < 0)
-                         THEN 1 ELSE 0 END) % 2 = 1)
+        "q_poly_overlap": f"""
+            WITH {_poly_overlap_ctes(800)}
             SELECT id_a, id_b,
                    CASE WHEN is_cross THEN 'cross'
                         WHEN a_in_b THEN 'a_in_b' ELSE 'b_in_a' END AS kind
@@ -4006,6 +4093,30 @@ def oracle_sql() -> dict[str, str]:
                             WHERE i.pid = c.id_b AND i.qid = c.id_a) AS b_in_a
               FROM cand c)
             WHERE is_cross OR a_in_b OR b_in_a
+        """,
+        # dissolve: the same brute pair set closed transitively by a
+        # recursive CTE (independent of the engine's alternating-star
+        # CC); singletons label themselves
+        "q_poly_dissolve": f"""
+            WITH RECURSIVE {_poly_overlap_ctes(400)},
+            pairs AS (
+              SELECT c.id_a, c.id_b FROM cand c
+              WHERE EXISTS(SELECT 1 FROM crossed x
+                           WHERE x.id_a = c.id_a AND x.id_b = c.id_b)
+                 OR EXISTS(SELECT 1 FROM ins i
+                           WHERE i.pid = c.id_a AND i.qid = c.id_b)
+                 OR EXISTS(SELECT 1 FROM ins i
+                           WHERE i.pid = c.id_b AND i.qid = c.id_a)),
+            sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            ids AS (SELECT id AS node FROM p),
+            reach(node, lbl) AS (
+                SELECT node, node FROM ids
+                UNION
+                SELECT s.u, r.lbl FROM reach r JOIN sym s ON s.v = r.node)
+            SELECT CAST(node AS BIGINT) AS poly_id,
+                   CAST(min(lbl) AS BIGINT) AS group_id
+            FROM reach GROUP BY node
         """,
         # decontamination: the oracle generates n-grams by LIST SLICING
         # and joins on the raw gram STRING (the engine uses a native

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 from ..functions.cells import MAX_LEVEL, _quant_col
 from .segjoin import SEG_SNAP_SCALE
 
-__all__ = ["polygon_overlap_join"]
+__all__ = ["polygon_overlap_join", "dissolve_groups"]
 
 
 def _snap_arr(pts: F.Column, field: str) -> F.Column:
@@ -195,3 +195,42 @@ def polygon_overlap_join(
         f"id_b {cand.schema['id_b'].dataType.simpleString()}, kind string"
     )
     return cand.mapInPandas(_refine, schema=out_schema)
+
+
+def dissolve_groups(
+    polys: DataFrame,
+    level: int,
+    poly_id: str = "poly_id",
+    rounds: int | None = None,
+) -> DataFrame:
+    """DISSOLVE: partition polygons into groups whose members
+    transitively overlap/touch (the GIS "merge overlapping
+    footprints" op — building-footprint dedup, coverage merging).
+    Returns ``(poly_id, group_id)`` for EVERY input polygon, where
+    ``group_id`` is the minimum poly_id of its overlap component
+    (deterministic, engine-independent); isolated polygons form
+    singleton groups.
+
+    Composition of two scale-shaped primitives: the pair set from
+    :func:`polygon_overlap_join` (cell-cover join, no all-pairs) feeds
+    :func:`~..graph.connected_components` (alternating star rounds —
+    O(log n) rounds, two narrow shuffles each, no collect_list).
+    ``rounds`` forwards to the CC fixpoint control (None = converge
+    with one tiny aggregate action per round; k = fixed-round, zero
+    driver actions, correct when 2^k exceeds the overlap-graph
+    diameter)."""
+    from .graph import connected_components
+
+    pairs = polygon_overlap_join(polys, polys, level, poly_id, poly_id)
+    edges = pairs.where(F.col("id_a") < F.col("id_b")).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(edges, rounds=rounds)
+    return (
+        polys.select(F.col(poly_id))
+        .join(cc.withColumnRenamed("node", poly_id), poly_id, "left")
+        .select(
+            poly_id,
+            F.coalesce("component", F.col(poly_id)).alias("group_id"),
+        )
+    )

@@ -393,6 +393,46 @@ class IcebergLikeSink:
             lineage={"op": "delete_where", "predicate": str(predicate)},
         )
 
+    def upsert(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        split_id: str | None = None,
+        lineage: dict | None = None,
+    ) -> tuple[dict, dict]:
+        """MERGE-style upsert: rows in ``df`` REPLACE any live rows
+        sharing their ``key_cols`` tuple; new keys simply append.
+        Composed from the two primitives — an equality delete of
+        ``df``'s keys (scoped to the splits live now) followed by an
+        append of ``df`` — so it inherits their properties: no data
+        file is rewritten, the delete is O(keys), and the appended
+        split is NOT in the delete's ``applies_to``, which is exactly
+        what makes the new rows survive their own delete.
+
+        Ordering note: the delete commits first. A reader between the
+        two commits sees the table WITHOUT the updated keys (a deleted
+        state, never a doubled one); crash recovery is the normal
+        resume path — re-running commits the append split id
+        idempotently. Returns (delete_manifest, append_manifest).
+        """
+        sid = split_id or f"upsert-{uuid.uuid4().hex[:12]}"
+        line = {"op": "upsert", "append_split": sid, **(lineage or {})}
+        if f"{sid}-del" in self.completed_splits():
+            # resuming after a crash between the two commits: the
+            # delete already holds, finish the append idempotently
+            dm = self._read_manifest(f"{sid}-del")
+        else:
+            dm = self.delete_keys(
+                df.select(*key_cols),
+                key_cols,
+                split_id=f"{sid}-del",
+                lineage=line,
+            )
+        am = self.write_split(df, sid, lineage=line)
+        if am is None:  # resumed: the append had already committed
+            am = self._read_manifest(sid)
+        return dm, am
+
     def commit_snapshot(self, properties: dict | None = None) -> dict:
         """Roll committed manifests into a table-level snapshot (atomic).
 

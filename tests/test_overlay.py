@@ -200,3 +200,27 @@ def test_overlay_two_sided(spark, gallery_df):
     # self-pairs exist in the two-sided join (sq x sq) — drop them
     got = {(a, b) for a, b in pairs if a != b}
     assert got == expect
+
+
+def test_dissolve_matches_python_closure(spark, gallery_df):
+    """dissolve_groups == transitive closure of the brute-oracle pair
+    set, with singleton groups for isolated polygons."""
+    from osm_pbf_spark.operators.overlay import dissolve_groups
+
+    pairs = _oracle(GALLERY)
+    parent = {pid: pid for pid in GALLERY}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {pid: find(pid) for pid in GALLERY}
+    got = {r.poly_id: r.group_id for r in dissolve_groups(gallery_df, level=3).collect()}
+    assert got == want
+    assert got["island"] == "island"  # singleton keeps its own id

@@ -180,3 +180,38 @@ def test_snap_and_pmi_stay_jvm_side(spark):
     docs = spark.createDataFrame([(1, "a b c"), (2, "a b")], "doc_id long, text string")
     plan2 = _plan(bigram_pmi(docs, min_count=1))
     assert "InPandas" not in plan2 and "EvalPython" not in plan2
+
+
+def test_polygon_overlap_one_shuffle_one_python_stage(spark):
+    """Overlay join: the candidate stage is one (cx, cy) equi-join —
+    no distinct/aggregate (responsibility-cell dedup) — and the exact
+    refine is exactly ONE Arrow-batched Python stage."""
+    from osm_pbf_spark.operators.overlay import polygon_overlap_join
+
+    polys = spark.createDataFrame(
+        [
+            (f"p{i}", [(float(i % 5), float(i % 7)), (float(i % 5), i % 7 + 2.0),
+                       (i % 5 + 2.0, i % 7 + 2.0), (i % 5 + 2.0, float(i % 7))])
+            for i in range(30)
+        ],
+        "poly_id string, pts array<struct<lat: double, lon: double>>",
+    )
+    plan = _plan(polygon_overlap_join(polys, polys, level=5))
+    assert plan.count("InPandas") == 1, plan
+    assert "Aggregate" not in plan, plan  # multiplicity-1 by construction
+
+
+def test_decontaminate_broadcasts_bench_grams(spark):
+    """The benchmark gram set must BROADCAST (it is small by
+    definition); the corpus side never shuffles before the join, and
+    everything stays JVM-side."""
+    from osm_pbf_spark.operators.text import ngram_decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, "tok%d a b c d e" % i) for i in range(50)], "doc_id long, text string"
+    )
+    bench = docs.limit(3)
+    plan = _plan(ngram_decontaminate(docs, bench, n=3, mode="clean"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan

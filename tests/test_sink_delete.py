@@ -205,6 +205,63 @@ def test_chained_replaces_propagate_any_id_order(spark, tmp_path):
     assert _ids(sink.read(spark)) == list(range(50))
 
 
+def test_upsert_replaces_and_appends(spark, tmp_path):
+    sink = IcebergLikeSink(str(tmp_path / "t"), stats_col="cell")
+    sink.write_split(_docs(spark, 0, 100), "a")
+    # update 40..59 (new text) and insert 100..119
+    upd = spark.range(40, 120).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 7 % 1000).alias("cell"),
+        F.concat(F.lit("v2-"), F.col("id")).alias("text"),
+    )
+    dm, am = sink.upsert(upd, ["doc_id"], split_id="u1")
+    assert dm["applies_to"] == ["a"] and am["split_id"] == "u1"
+    rows = {r.doc_id: r.text for r in sink.read(spark).collect()}
+    assert len(rows) == 120
+    for i in range(120):
+        assert rows[i] == (f"v2-{i}" if i >= 40 else f"payload-{i}")
+
+    # a second upsert touching the SAME keys replaces the v2 rows too
+    upd2 = spark.range(50, 55).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 7 % 1000).alias("cell"),
+        F.concat(F.lit("v3-"), F.col("id")).alias("text"),
+    )
+    sink.upsert(upd2, ["doc_id"], split_id="u2")
+    rows = {r.doc_id: r.text for r in sink.read(spark).collect()}
+    assert len(rows) == 120 and rows[52] == "v3-52" and rows[60] == "v2-60"
+
+    # resume path: re-running a committed upsert is a no-op
+    dm3, am3 = sink.upsert(upd2, ["doc_id"], split_id="u2")
+    assert dm3["split_id"] == "u2-del" and am3["split_id"] == "u2"
+    assert {r.doc_id: r.text for r in sink.read(spark).collect()} == rows
+
+    # compaction folds the whole history into plain files
+    assert sink.compact(spark) is not None
+    raw = {r.doc_id: r.text for r in spark.read.parquet(*sink.committed_files()).collect()}
+    assert raw == rows
+
+
+def test_delete_composes_with_schema_evolution(spark, tmp_path):
+    """Equality deletes on an add-column-evolved table: keys may even
+    live in the ADDED column — old splits read it as NULL (never
+    matching a non-null key), new splits anti-join normally."""
+    sink = IcebergLikeSink(str(tmp_path / "t"), stats_col="cell")
+    sink.write_split(_docs(spark, 0, 50), "old")
+    evolved = _docs(spark, 50, 100).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, F.lit("en")).otherwise(F.lit("fr"))
+    )
+    sink.write_split(evolved, "new")
+    sink.delete_keys(
+        spark.createDataFrame([("fr",)], "lang string"), ["lang"]
+    )
+    got = sink.read(spark)
+    assert set(got.columns) == {"doc_id", "cell", "text", "lang"}
+    ids = _ids(got)
+    # old rows (lang NULL) all survive; new 'fr' rows are gone
+    assert ids == list(range(50)) + [i for i in range(50, 100) if i % 2 == 0]
+
+
 def test_delete_guards(spark, tmp_path):
     sink = IcebergLikeSink(str(tmp_path / "t"), stats_col="cell")
     keys = spark.createDataFrame([(1,)], "doc_id long")
