@@ -1778,6 +1778,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_poly_dissolve"] = q_poly_dissolve
 
+    def q_hausdorff(spark, sf):  # trajectory-similarity join: symmetric
+        # discrete Hausdorff <= radius over synthetic GPS tracks (groups
+        # of 4 jittered copies -> within-group pairs; exact integer h2)
+        from osm_pbf_spark.operators.distance import hausdorff_join
+
+        e = load(spark, sf, "events").filter(F.col("event_id") < 300)
+        base = F.col("event_id") - (F.col("event_id") % 4)
+        j = (F.col("event_id") % 4).cast("double")
+        npts = (F.lit(6) + F.col("event_id") % 3).cast("int")
+        lat0 = (base % 80) - 40 + F.lit(0.25) + j * F.lit(0.0625)
+        lon0 = ((base * 7) % 340) - 170 + F.lit(0.5) + j * F.lit(0.0625)
+        tracks = e.select(
+            F.col("event_id").alias("track_id"),
+            F.transform(
+                F.sequence(F.lit(0), npts - 1),
+                lambda i: F.struct(
+                    (lat0 + i.cast("double") * F.lit(0.125)).alias("lat"),
+                    (lon0 + (i % 3).cast("double") * F.lit(0.25)).alias("lon"),
+                ),
+            ).alias("pts"),
+        )
+        out = hausdorff_join(tracks, tracks, radius=0.5, level=8)
+        return out.where(F.col("id_a") < F.col("id_b"))
+
+    q["q_hausdorff"] = q_hausdorff
+
     def q_decontaminate(spark, sf):  # P24 benchmark-decontamination join
         from osm_pbf_spark.operators.text import ngram_decontaminate
 
@@ -4117,6 +4143,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS poly_id,
                    CAST(min(lbl) AS BIGINT) AS group_id
             FROM reach GROUP BY node
+        """,
+        # trajectory Hausdorff join: brute all-pairs double max-min on
+        # the same snapped integer grid (the engine's cell-cover +
+        # one-ring expansion is the strategy under test); r2 =
+        # ceil(0.5 * 1e6)^2 = 250000000000
+        "q_hausdorff": """
+            WITH t AS (
+              SELECT event_id AS id,
+                     event_id - (event_id % 4) AS base,
+                     CAST(event_id % 4 AS DOUBLE) AS j,
+                     6 + (event_id % 3) AS npts
+              FROM events WHERE event_id < 300),
+            pts AS (
+              SELECT id, i,
+                     CAST(floor((((base * 7) % 340) - 170 + CAST(0.5 AS DOUBLE)
+                                 + j * CAST(0.0625 AS DOUBLE)
+                                 + CAST(i % 3 AS DOUBLE) * CAST(0.25 AS DOUBLE))
+                                * 1000000 + 0.5) AS BIGINT) AS x,
+                     CAST(floor(((base % 80) - 40 + CAST(0.25 AS DOUBLE)
+                                 + j * CAST(0.0625 AS DOUBLE)
+                                 + CAST(i AS DOUBLE) * CAST(0.125 AS DOUBLE))
+                                * 1000000 + 0.5) AS BIGINT) AS y
+              FROM t, unnest(generate_series(0, npts - 1)) AS g(i)),
+            dall AS (
+              SELECT pa.id AS id_a, pb.id AS id_b, pa.i AS ai, pb.i AS bi,
+                     (pa.x-pb.x)*(pa.x-pb.x) + (pa.y-pb.y)*(pa.y-pb.y) AS d2
+              FROM pts pa JOIN pts pb ON pa.id < pb.id),
+            ha AS (SELECT id_a, id_b, max(m) AS h FROM (
+                     SELECT id_a, id_b, ai, min(d2) AS m
+                     FROM dall GROUP BY 1, 2, 3) GROUP BY 1, 2),
+            hb AS (SELECT id_a, id_b, max(m) AS h FROM (
+                     SELECT id_a, id_b, bi, min(d2) AS m
+                     FROM dall GROUP BY 1, 2, 3) GROUP BY 1, 2)
+            SELECT ha.id_a, ha.id_b, greatest(ha.h, hb.h) AS h2
+            FROM ha JOIN hb ON ha.id_a = hb.id_a AND ha.id_b = hb.id_b
+            WHERE greatest(ha.h, hb.h) <= 250000000000
         """,
         # decontamination: the oracle generates n-grams by LIST SLICING
         # and joins on the raw gram STRING (the engine uses a native

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from ..functions.cells import MAX_LEVEL, _quant_col, cell_size_deg, xy_to_cell_col
 from .measures import _hav_m
 
-__all__ = ["distance_join", "pick_distance_level", "snap_to_segments"]
+__all__ = ["distance_join", "hausdorff_join", "pick_distance_level", "snap_to_segments"]
 
 # conservative meters-per-degree floors (true value varies with latitude)
 _M_PER_DEG_LAT = 110_567.0
@@ -288,3 +288,126 @@ def snap_to_segments(
         F.col("_best._sid").alias("seg_id"),
         F.col("_best._d2").alias("d2"),
     )
+
+
+def hausdorff_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    level: int,
+    left_id: str = "track_id",
+    right_id: str = "track_id",
+) -> DataFrame:
+    """Trajectory-similarity join: all (id_a, id_b, h2) track pairs
+    whose symmetric DISCRETE HAUSDORFF distance is <= ``radius``
+    (euclid2_deg: ``h2`` is the squared distance on the snapped
+    micro-degree integer grid, radius in degrees) — the r-tree
+    family's trajectory query, and the classic GPS-trace dedup /
+    map-matching-candidate primitive.
+
+    Sides carry ``(id, pts: array<struct<lat: double, lon: double>>)``
+    (ordered or not — Hausdorff ignores order). Exactness: coordinates
+    snap to the segjoin.py micro-degree grid natively, every pairwise
+    d2 is an int64 (products <= ~5e17 < 2^63), and max/min over exact
+    ints is engine-independent — so the gate can hash h2 values.
+
+    Plan — the asymmetric-expansion variant of the bbox cover join:
+
+      1. per-track snapped int arrays + bbox, all native;
+      2. the LEFT side explodes its bbox cover EXPANDED by one cell
+         ring (cells sized >= radius, validated), the right side its
+         plain cover → tracks within ``radius`` always co-occur in
+         some cell;
+      3. one (cx, cy) equi-join + responsibility-cell dedup at the
+         expanded-intersection min corner — multiplicity exactly 1,
+         no distinct shuffle — plus an exact snapped-bbox prefilter
+         (bboxes farther than radius apart cannot hold a pair);
+      4. ONE Arrow-batched mapInPandas refine: numpy (na x nb) d2
+         matrix per candidate pair, h2 = max(max-min by rows,
+         max-min by cols), filter h2 <= r2.
+
+    Self-join callers filter ``id_a < id_b`` themselves.
+    """
+    if not 2 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [2, {MAX_LEVEL}], got {level}")
+    dlat, dlon = cell_size_deg(level)
+    if dlat < radius or dlon < radius:
+        raise ValueError(
+            f"level {level} cells ({dlat} x {dlon} deg) are smaller than "
+            f"radius {radius} deg — the one-ring expansion would miss pairs"
+        )
+    from .overlay import _snap_arr
+    from .segjoin import SEG_SNAP_SCALE
+
+    r2 = int(math.ceil(radius * SEG_SNAP_SCALE)) ** 2
+
+    def prep(df: DataFrame, ident: str, suffix: str, expand: int) -> DataFrame:
+        lats = F.transform("pts", lambda p: p["lat"])
+        lons = F.transform("pts", lambda p: p["lon"])
+        # quantized bbox, then an `expand`-cell ring (clamped to the
+        # grid) — expansion happens on the QUANTIZED ints, so the
+        # Morton-free Generate stays whole-stage codegen
+        n = 1 << level
+        x0 = _quant_col(F.array_min(lons), 180.0, 360.0, level)
+        x1 = _quant_col(F.array_max(lons), 180.0, 360.0, level)
+        y0 = _quant_col(F.array_min(lats), 90.0, 180.0, level)
+        y1 = _quant_col(F.array_max(lats), 90.0, 180.0, level)
+        boxed = df.select(
+            F.col(ident).alias(f"id_{suffix}"),
+            _snap_arr(F.col("pts"), "lon").alias(f"xs_{suffix}"),
+            _snap_arr(F.col("pts"), "lat").alias(f"ys_{suffix}"),
+            F.greatest(x0 - F.lit(expand), F.lit(0).cast("long")).alias(f"_x0_{suffix}"),
+            F.least(x1 + F.lit(expand), F.lit(n - 1).cast("long")).alias(f"_x1_{suffix}"),
+            F.greatest(y0 - F.lit(expand), F.lit(0).cast("long")).alias(f"_y0_{suffix}"),
+            F.least(y1 + F.lit(expand), F.lit(n - 1).cast("long")).alias(f"_y1_{suffix}"),
+        )
+        return boxed.select(
+            "*",
+            F.explode(F.sequence(F.col(f"_y0_{suffix}"), F.col(f"_y1_{suffix}"))).alias("_cy"),
+        ).select(
+            "*",
+            F.explode(F.sequence(F.col(f"_x0_{suffix}"), F.col(f"_x1_{suffix}"))).alias("_cx"),
+        )
+
+    lt = prep(left, left_id, "a", 1)
+    rt = prep(right, right_id, "b", 0)
+    j = lt.join(rt, ["_cy", "_cx"])
+    responsible = (F.col("_cx") == F.greatest("_x0_a", "_x0_b")) & (
+        F.col("_cy") == F.greatest("_y0_a", "_y0_b")
+    )
+    rsnap = F.lit(int(math.ceil(radius * SEG_SNAP_SCALE))).cast("long")
+    bbox_near = (
+        (F.array_min("xs_a") <= F.array_max("xs_b") + rsnap)
+        & (F.array_min("xs_b") <= F.array_max("xs_a") + rsnap)
+        & (F.array_min("ys_a") <= F.array_max("ys_b") + rsnap)
+        & (F.array_min("ys_b") <= F.array_max("ys_a") + rsnap)
+    )
+    cand = j.where(responsible & bbox_near).select(
+        "id_a", "xs_a", "ys_a", "id_b", "xs_b", "ys_b"
+    )
+
+    import numpy as np
+    import pandas as pd
+
+    def refine(it):
+        for pdf in it:
+            ids_a, ids_b, h2s = [], [], []
+            for id_a, xa, ya, id_b, xb, yb in zip(
+                pdf["id_a"], pdf["xs_a"], pdf["ys_a"],
+                pdf["id_b"], pdf["xs_b"], pdf["ys_b"],
+            ):
+                dx = np.asarray(xa, dtype=np.int64)[:, None] - np.asarray(xb, dtype=np.int64)[None, :]
+                dy = np.asarray(ya, dtype=np.int64)[:, None] - np.asarray(yb, dtype=np.int64)[None, :]
+                d2 = dx * dx + dy * dy
+                h2 = max(int(d2.min(axis=1).max()), int(d2.min(axis=0).max()))
+                if h2 <= r2:
+                    ids_a.append(id_a)
+                    ids_b.append(id_b)
+                    h2s.append(h2)
+            yield pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "h2": h2s})
+
+    out_schema = (
+        f"id_a {cand.schema['id_a'].dataType.simpleString()}, "
+        f"id_b {cand.schema['id_b'].dataType.simpleString()}, h2 bigint"
+    )
+    return cand.mapInPandas(refine, schema=out_schema)
