@@ -1814,6 +1814,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_decontaminate"] = q_decontaminate
 
+    def q_dbscan(spark, sf):  # grid DBSCAN: equi-join neighborhood, CC labels
+        from osm_pbf_spark.operators.clustering import dbscan
+
+        pts = customer_points(spark, sf)
+        return dbscan(pts, eps=5.0, min_pts=4, id_col="doc_id", x_col="lat", y_col="lon")
+
+    q["q_dbscan"] = q_dbscan
+
+    def q_bigram_lm(spark, sf):  # bigram-LM perplexity-style quality score
+        from osm_pbf_spark.operators.text import bigram_lm_score
+
+        d = load(spark, sf, "documents").filter(F.col("doc_id") < 800)
+        return bigram_lm_score(d)
+
+    q["q_bigram_lm"] = q_bigram_lm
+
+    def q_kmv_distinct(spark, sf):  # KMV cardinality sketch, replayable
+        from osm_pbf_spark.operators.sketch import kmv_distinct
+
+        li = load(spark, sf, "lineitem")
+        return kmv_distinct(li, ["l_returnflag"], "l_partkey", k=64)
+
+    q["q_kmv_distinct"] = q_kmv_distinct
+
     return q
 
 
@@ -4199,5 +4223,95 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, unnest(grams) AS gram FROM corp)
             WHERE gram IN (SELECT gram FROM bg)
             GROUP BY doc_id
+        """,
+        # independent all-pairs + recursive-CTE DBSCAN (engine: grid
+        # equi-join + large/small-star CC) — min tie-breaks make the
+        # labeling a pure function of the input set
+        "q_dbscan": f"""
+            WITH RECURSIVE pts AS ({SQL_POINTS}),
+            nbr AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM pts a JOIN pts b
+                  ON (a.lat - b.lat) * (a.lat - b.lat)
+                   + (a.lon - b.lon) * (a.lon - b.lon) <= 25.0),
+            deg AS (SELECT u, count(*) AS n FROM nbr GROUP BY u),
+            core AS (SELECT u AS id FROM deg WHERE n >= 4),
+            ce AS (SELECT n.u, n.v FROM nbr n
+                   JOIN core c1 ON n.u = c1.id
+                   JOIN core c2 ON n.v = c2.id
+                   WHERE n.u <> n.v),
+            reach(node, lbl) AS (
+                SELECT id, id FROM core
+                UNION
+                SELECT e.v, r.lbl FROM reach r JOIN ce e ON e.u = r.node),
+            comp AS (SELECT node AS id, min(lbl) AS cluster
+                     FROM reach GROUP BY node),
+            border AS (
+                SELECT n.u AS id, min(c.cluster) AS cluster
+                FROM nbr n JOIN comp c ON n.v = c.id
+                WHERE n.u <> n.v AND n.u NOT IN (SELECT id FROM core)
+                GROUP BY n.u)
+            SELECT p.doc_id AS id,
+                   CAST(coalesce(co.cluster, bo.cluster, -1) AS BIGINT)
+                       AS cluster,
+                   (co.id IS NOT NULL) AS is_core
+            FROM pts p
+            LEFT JOIN comp co ON co.id = p.doc_id
+            LEFT JOIN border bo ON bo.id = p.doc_id
+        """,
+        # add-one bigram LM; per-bigram log-prob quantized to
+        # micro-nats (bigint) before the per-doc sum -> order-free
+        "q_bigram_lm": """
+            WITH d AS (SELECT doc_id,
+                              list_filter(string_split(text, ' '),
+                                          t -> t <> '') AS toks
+                       FROM documents WHERE doc_id < 800),
+            pr AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(toks)),
+                              i -> struct_pack(a := toks[i],
+                                               b := toks[i + 1]))) AS p
+                   FROM d),
+            pairs AS (SELECT doc_id, p.a AS a, p.b AS b FROM pr),
+            cab AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY a, b),
+            ca AS (SELECT a, count(*) AS c_a FROM pairs GROUP BY a),
+            vo AS (SELECT count(DISTINCT t) AS v
+                   FROM (SELECT unnest(toks) AS t FROM d)),
+            sc AS (SELECT p.doc_id, count(*) AS n_bigrams,
+                          sum(CAST(round(ln(CAST(cab.c_ab + 1 AS DOUBLE)
+                                            / CAST(ca.c_a + vo.v AS DOUBLE))
+                                         * 1000000.0) AS BIGINT)) AS sq
+                   FROM pairs p
+                   JOIN cab ON cab.a = p.a AND cab.b = p.b
+                   JOIN ca ON ca.a = p.a, vo
+                   GROUP BY p.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(sc.sq AS DOUBLE)
+                       / CAST(sc.n_bigrams * 1000000 AS DOUBLE) AS lm_score
+            FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        """,
+        # KMV sketch replay: same 40-bit md5 hash, k smallest distinct,
+        # (k-1)*2^40/h_k as one exact-integer division
+        "q_kmv_distinct": f"""
+            WITH h AS (
+              SELECT grp, {_hex40_bigint_sql("hx")} AS hv
+              FROM (SELECT l_returnflag AS grp,
+                           md5(CAST(l_partkey AS VARCHAR)) AS hx
+                    FROM lineitem)),
+            counts AS (SELECT grp, count(*) AS n_rows FROM h GROUP BY grp),
+            dh AS (SELECT DISTINCT grp, hv FROM h),
+            rk AS (SELECT grp, hv,
+                          row_number() OVER (PARTITION BY grp ORDER BY hv)
+                              AS rn
+                   FROM dh),
+            sk AS (SELECT grp, count(*) AS kmv_k, max(hv) AS hk
+                   FROM rk WHERE rn <= 64 GROUP BY grp)
+            SELECT c.grp AS l_returnflag, c.n_rows,
+                   CAST(sk.kmv_k AS BIGINT) AS kmv_k,
+                   CASE WHEN sk.kmv_k < 64 THEN CAST(sk.kmv_k AS DOUBLE)
+                        ELSE CAST(63 AS DOUBLE) * 1099511627776.0
+                             / CAST(sk.hk AS DOUBLE)
+                   END AS kmv_estimate
+            FROM counts c JOIN sk ON sk.grp = c.grp
         """,
     }

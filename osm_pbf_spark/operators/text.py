@@ -325,3 +325,94 @@ def rolling_fingerprint(text: str, window: int = 16, mod: int = (1 << 61) - 1,
         if i >= window - 1:
             best = h if best is None or h < best else best
     return best
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-language-model quality score: train add-one-smoothed
+    token-bigram probabilities on the corpus itself, then score every
+    document by its mean bigram log-likelihood (the classic
+    perplexity-style quality filter — low scores flag gibberish /
+    boilerplate relative to the corpus).
+
+        p(b | a) = (c_ab + 1) / (c_a + V)
+
+    where ``c_ab`` counts the bigram, ``c_a`` counts bigrams with left
+    token a (so p sums to 1 over the smoothed vocab), and V is the
+    corpus unigram vocabulary size.
+
+    Exactness posture (same as operators/measures.py): each bigram's
+    log-prob is quantized to MICRO-NATS with one fixed-shape IEEE
+    expression — ``round(ln((c_ab+1)/(c_a+V)) * 1e6)`` cast bigint —
+    then bigint-SUMmed per doc (order-free, exact), and the mean is a
+    single integer/integer division. The one ulp-risky op is ln();
+    micro-nat rounding absorbs ~1-ulp engine drift everywhere except a
+    ~1e-10-wide boundary band.
+
+    Returns ``(doc_id, n_bigrams:bigint, lm_score:double)``;
+    documents with < 2 tokens get n_bigrams = 0 and NULL score.
+
+    Plan: one Generate for pairs, two corpus-level hash aggregates
+    (bigram + left counts, both map-side combinable), the vocab-size
+    scalar on a 1-row cross join, two joins of pair rows against the
+    count tables (broadcast when the vocab is small; shuffle hash
+    otherwise — vocab rows ≪ pair rows either way), one per-doc
+    aggregate.
+    """
+    toks_arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    d = docs.select(F.col(id_col).alias("doc_id"), toks_arr.alias("_toks"))
+    # size<2 guard: sequence(1, size-1) DESCENDS for size<2 and
+    # element_at(_toks, 0) throws under ANSI (same guard as bigram_pmi)
+    pairs = d.where(F.size("_toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("_toks", i).alias("a"),
+                    F.element_at("_toks", i + 1).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.a", "p.b")
+    c_ab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    vocab = d.select(F.explode("_toks").alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    )
+    logp_q = F.round(
+        F.log(
+            (F.col("c_ab") + 1).cast("double") / (F.col("c_a") + F.col("v")).cast("double")
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    scored = (
+        pairs.join(c_ab, ["a", "b"])
+        .join(c_a, "a")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(logp_q).alias("_sum_q"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("_sum_q").cast("double")
+                / (F.col("n_bigrams") * F.lit(1000000)).cast("double")
+            ).alias("lm_score"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias("n_bigrams"),
+            "lm_score",
+        )
+    )
