@@ -21,6 +21,7 @@ tools/check_oracles.py — run it after any edit here):
 
 from __future__ import annotations
 
+import hashlib
 import os
 import sys
 from collections.abc import Callable
@@ -1838,6 +1839,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_kmv_distinct"] = q_kmv_distinct
 
+    def q_line_dedup(spark, sf):  # C4-style global duplicate-line removal
+        from osm_pbf_spark.operators.text import line_dedup
+
+        ev = load(spark, sf, "events").filter(F.col("event_id") < 8000)
+        lines = ev.select(
+            F.col("user_id").alias("doc_id"),
+            F.col("event_id"),
+            F.concat(
+                F.col("event_type"), F.lit("#"), (F.col("event_id") % 23).cast("string")
+            ).alias("line"),
+        )
+        docs = lines.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("event_id", "line"))),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ).alias("text")
+        )
+        return line_dedup(docs)
+
+    q["q_line_dedup"] = q_line_dedup
+
+    def q_weighted_sample(spark, sf):  # A-ES weight-proportional k-per-group
+        from osm_pbf_spark.operators.packing import weighted_sample
+
+        d = load(spark, sf, "documents")
+        return weighted_sample(
+            d, k=20, weight_col="n_chars", group_col="lang", id_col="doc_id"
+        ).select("doc_id", "lang", "n_chars")
+
+    q["q_weighted_sample"] = q_weighted_sample
+
+    def q_redact_spans(spark, sf):  # span redaction + offset fixup on the
+        # interleaved table (digits -> '#'; offsets re-derived natively)
+        from osm_pbf_spark.operators.docrender import redact_spans, render_documents
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("mixed"))
+        docs = redact_spans(render_documents(entities), "[0-9]+", "#")
+        return docs.select(
+            "doc_id", F.posexplode("spans").alias("span_pos", "s")
+        ).select(
+            "doc_id",
+            "span_pos",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+
+    q["q_redact_spans"] = q_redact_spans
+
+    def q_rp_reduce(spark, sf):  # sign random projection + int quantization
+        from osm_pbf_spark.operators.ann import rp_reduce
+
+        e = load(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+        r = rp_reduce(e, dim=64, out_dim=16)
+        return r.select("vec_id", F.posexplode("rvec").alias("dim_idx", "q"))
+
+    q["q_rp_reduce"] = q_rp_reduce
+
     return q
 
 
@@ -2486,6 +2550,79 @@ def _ora_media_features() -> str:
         [("media_ref", "VARCHAR"), ("modality", "VARCHAR"), ("feat_mean", "DOUBLE"),
          ("feat_std", "DOUBLE"), ("n_feat", "INTEGER"), ("decoder", "VARCHAR")],
         rows,
+    )
+
+
+def _ora_redact_spans() -> str:
+    """Pre-redaction span VALUES from the pure-Python render replay
+    (same trust level as _ora_doc_spans); DuckDB INDEPENDENTLY performs
+    the redaction (its own RE2 regexp_replace) and re-derives offsets
+    with a window prefix sum — a different algorithm from the engine's
+    per-row aggregate fold."""
+    from tests import oracle_render
+
+    docs = oracle_render.render_file(_fixture_decoded("mixed"))
+    rows = [
+        (d["doc_id"], i, s["kind"], s["text"], s["media_ref"])
+        for d in docs
+        for i, s in enumerate(d["spans"])
+    ]
+    spans_sql = _values_sql(
+        [("doc_id", "VARCHAR"), ("span_pos", "INTEGER"), ("kind", "VARCHAR"),
+         ("text", "VARCHAR"), ("media_ref", "VARCHAR")],
+        rows,
+    )
+    return f"""
+        WITH spans AS ({spans_sql}),
+        r AS (SELECT doc_id, span_pos, kind, media_ref,
+                     regexp_replace(text, '[0-9]+', '#', 'g') AS text
+              FROM spans)
+        SELECT doc_id, span_pos, kind, text, media_ref,
+               CAST(coalesce(sum(len(text) + 1) OVER (PARTITION BY doc_id
+                    ORDER BY span_pos ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS INTEGER) AS offset
+        FROM r
+    """
+
+
+def _ora_rp_reduce() -> str:
+    """Fully independent pure-Python replay of the sign-RP spec (no
+    numpy, naive loops — exactness is the operator's contract: every
+    post-quantization op is int64)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    dim, out_dim, scale = 64, 16, 256
+    sgn = []
+    for j in range(out_dim):
+        bits = []
+        for blk in range((dim + 511) // 512):
+            h = hashlib.blake2b(
+                b"rp" + j.to_bytes(4, "little") + blk.to_bytes(4, "little"),
+                digest_size=64,
+            ).digest()
+            for byte in h:
+                for b in range(8):
+                    bits.append((byte >> (7 - b)) & 1)
+        sgn.append([2 * b - 1 for b in bits[:dim]])
+    rows = []
+    for vid, v in zip(ids, vecs):
+        if vid >= 200:
+            continue
+        q = [math.floor(float(x) * float(scale) + 0.5) for x in v]
+        for j in range(out_dim):
+            rows.append(
+                (vid, j, sum(si * qi for si, qi in zip(sgn[j], q)))
+            )
+    return _values_sql(
+        [("vec_id", "BIGINT"), ("dim_idx", "INTEGER"), ("q", "BIGINT")], rows
     )
 
 
@@ -4314,4 +4451,45 @@ def oracle_sql() -> dict[str, str]:
                    END AS kmv_estimate
             FROM counts c JOIN sk ON sk.grp = c.grp
         """,
+        # independent keeper formulation: row_number window over the
+        # raw event lines (never splits the joined text)
+        "q_line_dedup": """
+            WITH src AS (SELECT user_id AS doc_id, event_id,
+                                event_type || '#'
+                                    || CAST(event_id % 23 AS VARCHAR) AS line
+                         FROM events WHERE event_id < 8000),
+            lines AS (SELECT doc_id, line,
+                             row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY event_id) - 1 AS pos
+                      FROM src),
+            keep AS (SELECT doc_id, pos, line,
+                            row_number() OVER (PARTITION BY line
+                                ORDER BY doc_id, pos) AS rn
+                     FROM lines),
+            kept AS (SELECT doc_id, count(*) AS n_kept,
+                            string_agg(line, chr(10) ORDER BY pos) AS text
+                     FROM keep WHERE rn = 1 GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS n_lines
+                    FROM lines GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(k.text, '') AS text,
+                   t.n_lines, CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+            FROM tot t LEFT JOIN kept k ON k.doc_id = t.doc_id
+        """,
+        # A-ES replay: same md5 draw, ln(u)/w key, (key DESC, id) rank
+        "q_weighted_sample": f"""
+            WITH h AS (SELECT doc_id, lang, n_chars,
+                              md5(CAST(lang AS VARCHAR) || ':'
+                                  || CAST(doc_id AS VARCHAR)) AS hx
+                       FROM documents),
+            r AS (SELECT doc_id, lang, n_chars,
+                         row_number() OVER (PARTITION BY lang
+                             ORDER BY ln(CAST({_hex40_bigint_sql("hx")} + 1
+                                              AS DOUBLE) / 1099511627776.0)
+                                      / CAST(n_chars AS DOUBLE) DESC,
+                                      doc_id) AS rn
+                  FROM h)
+            SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20
+        """,
+        "q_redact_spans": _ora_redact_spans(),
+        "q_rp_reduce": _ora_rp_reduce(),
     }

@@ -360,3 +360,58 @@ def kmeans_assign(
         F.col("_a.cluster").alias("cluster"),
         F.col("_a.cos").alias("cos"),
     )
+
+
+def _rp_signs(dim: int, out_dim: int) -> np.ndarray:
+    """Deterministic ±1 sign matrix (out_dim x dim) from blake2b bits —
+    the sparse/sign random-projection family (Achlioptas 2003), chosen
+    over Gaussian entries so the projection is EXACT integer math."""
+    signs = np.empty((out_dim, dim), dtype=np.int64)
+    blocks = (dim + 511) // 512
+    for j in range(out_dim):
+        bits = []
+        for blk in range(blocks):
+            h = hashlib.blake2b(
+                b"rp" + j.to_bytes(4, "little") + blk.to_bytes(4, "little"),
+                digest_size=64,
+            ).digest()
+            bits.append(np.unpackbits(np.frombuffer(h, dtype=np.uint8)))
+        signs[j] = np.concatenate(bits)[:dim].astype(np.int64) * 2 - 1
+    return signs
+
+
+def rp_reduce(
+    vectors: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 256,
+) -> DataFrame:
+    """Random-projection dimensionality reduction + integer quantization
+    for embedding compression: quantize each input coordinate to
+    ``floor(v * scale + 0.5)`` (HALF-UP — banker's rounding differs
+    between engines) and project through the deterministic ±1 sign
+    matrix. Every op after the one float multiply-add is EXACT int64
+    arithmetic — order-free, so numpy, pure Python, and any SQL engine
+    produce identical bits (the oracle replays it with naive loops).
+
+    By Johnson–Lindenstrauss, cosine/L2 geometry survives to ~1/sqrt(
+    out_dim) distortion; the int64 output packs 16 dims in 128 bytes vs
+    64 float32 dims at 256 — the cheap pre-filter representation for
+    ANN shortlists. Overflow bound: |out_j| <= dim * scale * max|v|,
+    comfortably inside int64 for any real embedding.
+
+    Plan: one Arrow-batched pandas UDF (integer GEMM per batch), no
+    shuffle. Returns (id_col, rvec: array<bigint>).
+    """
+    signs = _rp_signs(dim, out_dim)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _proj(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        q = np.floor(m * float(scale) + 0.5).astype(np.int64)
+        out = q @ signs.T
+        return pd.Series(list(out))
+
+    return vectors.select(F.col(id_col), _proj(F.col(vec_col)).alias("rvec"))

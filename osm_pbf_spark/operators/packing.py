@@ -303,3 +303,63 @@ def bin_pack_ffd(
         .applyInPandas(_pack, schema=out_schema)
         .withColumnRenamed("_id", id_col)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per group
+    (Efraimidis–Spirakis A-ES): each row draws u uniform in (0, 1] from
+    the project-standard 40-bit md5 hash of (group:id) and gets the key
+    ln(u) / w — the top-k keys per group are exactly a weight-
+    proportional sample without replacement. Hash-seeded, so both
+    engines replay the identical sample.
+
+    Exactness note: ln() is the one ulp-risky op; a selection flip
+    would need two keys within ~1e-16 at the k-th rank boundary, where
+    typical adjacent-key gaps are ~1/|group| — negligible, and the
+    (key, id) ORDER makes actual ties deterministic.
+
+    Plan: one per-group ranking window (one shuffle); the weight guard
+    lives in a WHERE so Catalyst cannot prune it.
+    """
+    u_int = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(group_col).cast("string"),
+                    F.lit(":"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    # (h + 1) / 2^40 in (0, 1]; ln(u)/w in (-inf, 0], larger = luckier
+    u = (u_int + F.lit(1)).cast("double") / F.lit(float(1 << 40))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    guarded = df.where(
+        F.when(
+            F.col(weight_col).cast("double") <= 0.0,
+            F.raise_error(
+                F.concat(
+                    F.lit("weighted_sample: non-positive weight for id "),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("_ws_key"), id_col)
+    return (
+        guarded.withColumn("_ws_key", key)
+        .withColumn("_ws_rank", F.row_number().over(w))
+        .filter(F.col("_ws_rank") <= k)
+        .drop("_ws_key", "_ws_rank")
+    )

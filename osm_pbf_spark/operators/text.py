@@ -416,3 +416,61 @@ def bigram_lm_score(
             "lm_score",
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style global exact LINE deduplication: every distinct line in
+    the corpus survives only at its FIRST occurrence — minimum
+    (doc_id, position) — and every later occurrence (in the same or any
+    other document) is dropped; documents are reassembled from their
+    surviving lines in original order. This is the classic boilerplate
+    killer (nav bars, cookie banners, license footers repeat verbatim
+    across millions of pages).
+
+    Returns ``(doc_id, text, n_lines, n_kept)`` for EVERY input doc
+    (a doc whose lines all lost becomes the empty string).
+
+    Plan: posexplode -> one hash aggregate on the line (min occurrence
+    struct — map-side combinable, so a line repeated 10^6 times ships
+    once per map task) -> one equi-join back on the line -> one
+    per-doc regroup. All three shuffles are keyed and narrow; nothing
+    driver-side. The DuckDB oracle recomputes the keeper with a
+    row_number window — an independent formulation.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+    )
+    keeper = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_k")
+    )
+    kept = (
+        lines.join(keeper, "line")
+        .where((F.col("doc_id") == F.col("_k.doc_id")) & (F.col("pos") == F.col("_k.pos")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.line,
+                ),
+                sep,
+            ).alias("_text"),
+        )
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), sep, -1)).cast("bigint").alias("n_lines"),
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+    )
