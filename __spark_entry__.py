@@ -1902,6 +1902,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_rp_reduce"] = q_rp_reduce
 
+    def q_token_entropy(spark, sf):  # unigram-diversity quality signal
+        from osm_pbf_spark.operators.text import token_entropy
+
+        return token_entropy(load(spark, sf, "documents").filter(F.col("doc_id") < 600))
+
+    q["q_token_entropy"] = q_token_entropy
+
+    def q_inverted_index(spark, sf):  # token -> sorted posting lists
+        from osm_pbf_spark.operators.text import inverted_index
+
+        d = load(spark, sf, "documents").filter(F.col("doc_id") < 600)
+        return inverted_index(d, min_df=2, max_df=395)
+
+    q["q_inverted_index"] = q_inverted_index
+
+    def q_idw(spark, sf):  # inverse-distance-weighted interpolation
+        from osm_pbf_spark.operators.distance import idw_interpolate
+
+        pts = customer_points(spark, sf)
+        st = supplier_stations(spark, sf).select(
+            "station_id",
+            F.col("s_lat").alias("lat"),
+            F.col("s_lon").alias("lon"),
+            (F.col("station_id") % 97).alias("v"),
+        )
+        return idw_interpolate(pts, st, radius=3.0)
+
+    q["q_idw"] = q_idw
+
     return q
 
 
@@ -4492,4 +4521,68 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_redact_spans": _ora_redact_spans(),
         "q_rp_reduce": _ora_rp_reduce(),
+        "q_token_entropy": """
+            WITH d AS (SELECT doc_id,
+                              list_filter(string_split(text, ' '),
+                                          t -> t <> '') AS toks
+                       FROM documents WHERE doc_id < 600),
+            tk AS (SELECT doc_id, unnest(toks) AS t FROM d),
+            pt AS (SELECT doc_id, t, count(*) AS c FROM tk GROUP BY doc_id, t),
+            pd AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct
+                   FROM pt GROUP BY doc_id),
+            s AS (SELECT pt.doc_id,
+                         sum(pt.c * CAST(round(ln(CAST(pd.n_tokens AS DOUBLE)
+                                                  / CAST(pt.c AS DOUBLE))
+                                               * 1000000.0) AS BIGINT)) AS sq
+                  FROM pt JOIN pd ON pd.doc_id = pt.doc_id
+                  GROUP BY pt.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(pd.n_distinct, 0) AS BIGINT) AS n_distinct,
+                   CAST(s.sq AS DOUBLE)
+                       / CAST(pd.n_tokens * 1000000 AS DOUBLE) AS entropy
+            FROM d
+            LEFT JOIN pd ON pd.doc_id = d.doc_id
+            LEFT JOIN s ON s.doc_id = d.doc_id
+        """,
+        "q_inverted_index": """
+            WITH tk AS (SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id,
+                           unnest(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) AS token
+                    FROM documents WHERE doc_id < 600)),
+            dfc AS (SELECT token, count(*) AS df FROM tk GROUP BY token),
+            keep AS (SELECT token, df FROM dfc WHERE df >= 2 AND df <= 395)
+            SELECT k.token, CAST(k.df AS BIGINT) AS df,
+                   list_sort(list(t.doc_id)) AS postings
+            FROM keep k JOIN tk t ON t.token = k.token
+            GROUP BY k.token, k.df
+        """,
+        "q_idw": f"""
+            WITH pts AS ({SQL_POINTS}), st AS ({SQL_STATIONS}),
+            sv AS (SELECT station_id, s_lat, s_lon, station_id % 97 AS v
+                   FROM st),
+            pr AS (SELECT p.doc_id, s.v,
+                          (p.lat - s.s_lat) * (p.lat - s.s_lat)
+                        + (p.lon - s.s_lon) * (p.lon - s.s_lon) AS d2
+                   FROM pts p JOIN sv s
+                     ON (p.lat - s.s_lat) * (p.lat - s.s_lat)
+                      + (p.lon - s.s_lon) * (p.lon - s.s_lon) <= 9.0),
+            w AS (SELECT doc_id, v,
+                         CAST(round((9.0 / d2) * 1000000.0) AS BIGINT) AS wq
+                  FROM pr WHERE d2 > 0),
+            hits AS (SELECT doc_id, count(*) AS nh, min(v) AS vh
+                     FROM pr WHERE d2 = 0 GROUP BY doc_id),
+            cnt AS (SELECT doc_id, count(*) AS n_stations
+                    FROM pr GROUP BY doc_id),
+            ws AS (SELECT doc_id, sum(wq * v) AS num, sum(wq) AS den
+                   FROM w GROUP BY doc_id)
+            SELECT c.doc_id, c.n_stations,
+                   CASE WHEN h.nh > 0 THEN CAST(h.vh AS DOUBLE)
+                        ELSE CAST(ws.num AS DOUBLE) / CAST(ws.den AS DOUBLE)
+                   END AS idw_value
+            FROM cnt c
+            LEFT JOIN hits h ON h.doc_id = c.doc_id
+            LEFT JOIN ws ON ws.doc_id = c.doc_id
+        """,
     }

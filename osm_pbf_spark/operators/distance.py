@@ -411,3 +411,68 @@ def hausdorff_join(
         f"id_b {cand.schema['id_b'].dataType.simpleString()}, h2 bigint"
     )
     return cand.mapInPandas(refine, schema=out_schema)
+
+
+def idw_interpolate(
+    points: DataFrame,
+    stations: DataFrame,
+    radius: float,
+    value_col: str = "v",
+    metric: str = "euclid2_deg",
+    level: int | None = None,
+    point_id: str = "doc_id",
+    station_id: str = "station_id",
+) -> DataFrame:
+    """Inverse-distance-weighted spatial interpolation: every point
+    gets the IDW (power 2) average of station values within ``radius``.
+
+        idw = sum(w_i * v_i) / sum(w_i),   w_i = r^2 / d2_i
+
+    Exactness posture: each weight is quantized to an int64
+    ``round((r2 / d2) * 1e6)`` — division and multiplication are
+    exactly rounded IEEE ops, so both engines compute identical bits
+    BEFORE the round and the sums are exact integers (order-free). A
+    point exactly on a station (d2 = 0) takes the MINIMUM coincident
+    station value (the deterministic exact-hit convention) instead of
+    dividing by zero. Overflow bound: ANSI mode THROWS (loudly) if
+    sum(w*v) exceeds int64 — at the 1e6 weight scale that needs
+    ~1e12-weight-sum x values, i.e. stations ~1e-6*r2 squared-degrees
+    from a point with large values; quantize values or shrink the
+    scale for such corpora.
+
+    Returns (point_id, n_stations, idw_value:double) for points with
+    >= 1 station in range (no-neighbor points are absent, like any
+    inner spatial join).
+
+    Plan: the cell-window distance_join (one keyed shuffle) + one
+    per-point hash aggregate.
+    """
+    r2 = float(radius) * float(radius)
+    pairs = distance_join(
+        points,
+        stations,
+        radius,
+        metric=metric,
+        level=level,
+        left_id=point_id,
+        right_id=station_id,
+    )
+    sv = stations.select(
+        F.col(station_id).alias("id_b"), F.col(value_col).alias("_v")
+    )
+    j = pairs.join(sv, "id_b")
+    w_q = F.round(F.lit(r2) / F.col("dist") * F.lit(1000000.0)).cast("bigint")
+    hit = F.col("dist") == 0.0
+    agg = j.groupBy("id_a").agg(
+        F.count(F.lit(1)).alias("n_stations"),
+        F.sum(F.when(hit, 1).otherwise(0)).alias("_nhit"),
+        F.min(F.when(hit, F.col("_v"))).alias("_vhit"),
+        F.sum(F.when(~hit, w_q * F.col("_v")).otherwise(F.lit(0))).alias("_num"),
+        F.sum(F.when(~hit, w_q).otherwise(F.lit(0))).alias("_den"),
+    )
+    idw = F.when(F.col("_nhit") > 0, F.col("_vhit").cast("double")).otherwise(
+        F.col("_num").cast("double") / F.col("_den").cast("double")
+    )
+    return agg.select(
+        F.col("id_a").alias(point_id), "n_stations", idw.alias("idw_value")
+    )

@@ -474,3 +474,101 @@ def line_dedup(
         "n_lines",
         F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — the Gopher-family
+    diversity signal (near-zero entropy = one token repeated; high
+    entropy = diverse vocabulary).
+
+        H = (1/n) * sum_over_distinct_tokens c * ln(n / c)
+
+    Exactness posture: per-distinct-token ``ln(n/c)`` is quantized to
+    micro-nat bigints (the only ulp-risky op, absorbed by rounding),
+    the weighted sum is exact int64, and the final mean is one
+    integer/integer division — order-free, engine-identical.
+
+    Returns (doc_id, n_tokens, n_distinct, entropy:double); docs with
+    zero tokens get entropy NULL.
+
+    Plan: one Generate + one (doc, token) hash aggregate + one per-doc
+    aggregate; the per-doc total rides a window-free second aggregate
+    joined back on doc_id (both map-side combinable).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias(
+            "t"
+        ),
+    )
+    per_tok = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    term_q = F.round(
+        F.log(F.col("n_tokens").cast("double") / F.col("c").cast("double"))
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    ent = (
+        per_tok.join(per_doc, "doc_id")
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(F.sum(F.col("c") * term_q).alias("_s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            (
+                F.col("_s").cast("double")
+                / (F.col("n_tokens") * F.lit(1000000)).cast("double")
+            ).alias("entropy"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(ent, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias("n_tokens"),
+        F.coalesce(F.col("n_distinct"), F.lit(0).cast("bigint")).alias("n_distinct"),
+        "entropy",
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Build a token -> sorted-posting-list inverted index (the search /
+    retrieval primitive): one row per surviving token with its document
+    frequency and the SORTED array of doc ids containing it.
+
+    ``min_df`` / ``max_df`` bound which tokens keep postings — max_df
+    is the stopword cap and also the HARD bound on the largest posting
+    array a single row materializes (without it, 'the' at 10^12 docs
+    is a row-sized OOM; pass None only on corpora you know).
+
+    Plan: explode -> (doc, token) distinct -> token df aggregate ->
+    df-band semi-join -> one collect_list regroup. All shuffles are
+    keyed on the token; the df aggregate is map-side combinable.
+    """
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias(
+            "token"
+        ),
+    ).distinct()
+    dfc = tk.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    keep = dfc.where(F.col("df") >= min_df)
+    if max_df is not None:
+        keep = keep.where(F.col("df") <= max_df)
+    return (
+        tk.join(keep, "token")
+        .groupBy("token", "df")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+        .select("token", "df", "postings")
+    )
