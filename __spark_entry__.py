@@ -1931,6 +1931,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_idw"] = q_idw
 
+    def q_morans_i(spark, sf):  # global spatial autocorrelation, exact ints
+        from osm_pbf_spark.operators.spatialstats import grid_cell_counts, morans_i
+
+        return morans_i(grid_cell_counts(customer_points(spark, sf), 5.0))
+
+    q["q_morans_i"] = q_morans_i
+
+    def q_retention(spark, sf):  # weekly cohort retention triangle
+        from osm_pbf_spark.operators.temporal import retention_cohorts
+
+        return retention_cohorts(load(spark, sf, "events"))
+
+    q["q_retention"] = q_retention
+
+    def q_unpivot(spark, sf):  # melt wide metrics to (metric, val) rows
+        li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 300)
+        return li.unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_discount", "l_tax"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+
+    q["q_unpivot"] = q_unpivot
+
     return q
 
 
@@ -4584,5 +4609,51 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt c
             LEFT JOIN hits h ON h.doc_id = c.doc_id
             LEFT JOIN ws ON ws.doc_id = c.doc_id
+        """,
+        # all-integer Moran's I replay: d_i = n*x_i - S, queen pairs via
+        # a BETWEEN theta join (independent of the engine's 8-offset
+        # explode equi-join), one final exact-product division
+        "q_morans_i": f"""
+            WITH pts AS ({SQL_POINTS}),
+            cells AS (SELECT floor(lat / 5.0) AS cx, floor(lon / 5.0) AS cy,
+                             count(*) AS x
+                      FROM pts GROUP BY 1, 2),
+            tot AS (SELECT count(*) AS n, sum(x) AS s FROM cells),
+            dev AS (SELECT cx, cy, CAST(t.n * x - t.s AS BIGINT) AS d
+                    FROM cells, tot t),
+            pairs AS (SELECT a.d AS da, b.d AS db
+                      FROM dev a JOIN dev b
+                        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+                       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+                       AND NOT (b.cx = a.cx AND b.cy = a.cy)),
+            agg AS (SELECT count(*) AS w, sum(da * db) AS num FROM pairs),
+            den AS (SELECT sum(d * d) AS ss FROM dev)
+            SELECT t.n AS n_cells, a.w AS w_pairs,
+                   CAST(t.n * a.num AS DOUBLE)
+                       / CAST(a.w * d.ss AS DOUBLE) AS moran_i
+            FROM tot t, agg a, den d
+        """,
+        "q_retention": """
+            WITH wk AS (SELECT DISTINCT user_id,
+                               CAST(date_trunc('week', ts) AS DATE) AS week
+                        FROM events),
+            fi AS (SELECT user_id, min(week) AS cohort_week
+                   FROM wk GROUP BY user_id)
+            SELECT f.cohort_week,
+                   CAST(datediff('day', f.cohort_week, w.week) // 7 AS INT)
+                       AS week_n,
+                   count(DISTINCT w.user_id) AS n_users
+            FROM wk w JOIN fi f ON f.user_id = w.user_id
+            GROUP BY 1, 2
+        """,
+        # independent formulation: UNION ALL, not UNPIVOT
+        "q_unpivot": """
+            WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 300)
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS metric, l_quantity AS val FROM li
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM li
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM li
         """,
     }

@@ -273,3 +273,39 @@ def resample(
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         "value_sum_q",
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle — the classic product-analytics rollup:
+    a user's COHORT is the Monday-truncated week of their first
+    activity; for every (cohort_week, weeks-since-cohort) cell, count
+    distinct users active in that week.
+
+    Returns (cohort_week:date, week_n:int, n_users:bigint). week_n is
+    exact integer arithmetic: both weeks are Monday-aligned, so the
+    day difference is divisible by 7.
+
+    Plan: one (user, week) distinct, one per-user min aggregate (both
+    map-side combinable), one equi-join back on user, one final
+    count_distinct aggregate — all shuffles keyed on user or the tiny
+    (cohort, week_n) space.
+    """
+    weeks = events.select(
+        F.col(user_col).alias("user_id"),
+        F.to_date(F.date_trunc("week", F.col(ts_col))).alias("week"),
+    ).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_n"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
