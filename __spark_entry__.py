@@ -1956,6 +1956,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_unpivot"] = q_unpivot
 
+    def q_mixture_sample(spark, sf):  # training-mix construction (ppm quotas)
+        from osm_pbf_spark.operators.packing import mixture_sample
+
+        d = load(spark, sf, "documents")
+        out = mixture_sample(
+            d,
+            {"src1": 400000, "src2": 200000, "src3": 50000, "src17": 300000},
+            total=300,
+        )
+        return out.select("doc_id", "source", "lang")
+
+    q["q_mixture_sample"] = q_mixture_sample
+
+    def q_ntile(spark, sf):  # equal-frequency bucketing (quartiles per flag)
+        li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 2000)
+        w = Window.partitionBy("l_returnflag").orderBy(
+            "l_extendedprice", "l_orderkey", "l_linenumber"
+        )
+        return li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.ntile(4).over(w).alias("bucket"),
+        )
+
+    q["q_ntile"] = q_ntile
+
     return q
 
 
@@ -4655,5 +4682,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM li
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM li
+        """,
+        # quota replay: exact integer ppm arithmetic + the group_sample
+        # 8-hex md5 rank
+        "q_mixture_sample": """
+            WITH tgt(source, ppm) AS (VALUES
+                ('src1', 400000), ('src2', 200000),
+                ('src3', 50000), ('src17', 300000)),
+            q AS (SELECT d.source,
+                         least(count(*), 300 * t.ppm // 1000000) AS k
+                  FROM documents d JOIN tgt t ON t.source = d.source
+                  GROUP BY d.source, t.ppm),
+            r AS (SELECT doc_id, source, lang,
+                         row_number() OVER (PARTITION BY source
+                             ORDER BY substr(md5(source || ':'
+                                 || CAST(doc_id AS VARCHAR)), 1, 8),
+                                      doc_id) AS rn
+                  FROM documents)
+            SELECT r.doc_id, r.source, r.lang
+            FROM r JOIN q ON q.source = r.source WHERE r.rn <= q.k
+        """,
+        "q_ntile": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   ntile(4) OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                       AS bucket
+            FROM lineitem WHERE l_orderkey < 2000
         """,
     }

@@ -363,3 +363,72 @@ def weighted_sample(
         .filter(F.col("_ws_rank") <= k)
         .drop("_ws_key", "_ws_rank")
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    targets_ppm: dict[str, int],
+    total: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mixture construction: build a corpus of (at most)
+    ``total`` docs whose composition follows the target mixture —
+    group g contributes ``min(n_g, total * ppm_g // 10^6)`` docs,
+    selected by the deterministic md5 rank (uniform within group,
+    engine-replayable). Groups absent from ``targets_ppm`` contribute
+    nothing.
+
+    Weights are INTEGER PARTS-PER-MILLION so the per-group quota is
+    exact integer arithmetic (``DIV``) — no float weight can make two
+    engines disagree on a quota by one row. When a group is smaller
+    than its quota the shortfall is NOT redistributed (the caller sees
+    it by comparing counts — redistribution would make every group's
+    selection depend on every other group's size, breaking resume
+    stability).
+
+    Plan: one tiny per-group count aggregate broadcast back, then the
+    group_sample ranking window — one data-sized shuffle total.
+    """
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    for g, ppm in targets_ppm.items():
+        if ppm < 0:
+            raise ValueError(f"negative ppm for group {g!r}")
+    spark = docs.sparkSession
+    tgt = spark.createDataFrame(
+        [(g, int(ppm)) for g, ppm in sorted(targets_ppm.items())],
+        f"{group_col} string, _ppm long",
+    )
+    quota = (
+        docs.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(F.broadcast(tgt), group_col)
+        .select(
+            group_col,
+            # floor(total*ppm / 1e6): the numerator is an exact int in
+            # float64 (< 2^53) and a non-divisible quotient sits >= 1e-6
+            # from any integer while the division error is < 1 ulp — so
+            # this floor equals the oracle's integer `//` for any sane
+            # total*ppm; quotas beyond 2^53 should use bigger ppm units
+            F.least(
+                F.col("_n"),
+                F.floor(
+                    F.lit(int(total)) * F.col("_ppm") / F.lit(1_000_000.0)
+                ).cast("bigint"),
+            ).alias("_k"),
+        )
+    )
+    key = md5_uniform_hex(
+        F.concat(
+            F.col(group_col).cast("string"), F.lit(":"), F.col(id_col).cast("string")
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy("_mx_key", id_col)
+    return (
+        docs.join(F.broadcast(quota), group_col)
+        .withColumn("_mx_key", key)
+        .withColumn("_mx_rank", F.row_number().over(w))
+        .filter(F.col("_mx_rank") <= F.col("_k"))
+        .drop("_mx_key", "_mx_rank", "_k")
+    )

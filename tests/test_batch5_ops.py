@@ -200,3 +200,45 @@ def test_rp_reduce_preserves_cosine_ordering(spark):
         return num / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
 
     assert cos(got[0], got[1]) > cos(got[0], got[2])
+
+
+# ---------------- mixture_sample ----------------
+
+
+def test_mixture_sample_quotas_and_shortfall(spark):
+    from osm_pbf_spark.operators.packing import mixture_sample
+
+    rows = [(i, "big", "en") for i in range(200)] + [
+        (1000 + i, "small", "en") for i in range(5)
+    ] + [(2000 + i, "skip", "en") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string")
+    out = mixture_sample(
+        df, {"big": 500000, "small": 500000}, total=100, group_col="source"
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # big: quota 50 met; small: quota 50 but only 5 docs -> all 5, no
+    # redistribution; skip: not in targets -> absent
+    assert len(by_src["big"]) == 50
+    assert sorted(by_src["small"]) == [1000, 1001, 1002, 1003, 1004]
+    assert "skip" not in by_src
+
+
+def test_mixture_sample_is_deterministic_and_validated(spark):
+    import pytest
+
+    from osm_pbf_spark.operators.packing import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", "en") for i in range(90)],
+        "doc_id long, source string, lang string",
+    )
+    t = {"s0": 300000, "s1": 300000}
+    a = sorted(r.doc_id for r in mixture_sample(df, t, total=60).collect())
+    b = sorted(r.doc_id for r in mixture_sample(df, t, total=60).collect())
+    assert a == b and len(a) == 36  # 18 + 18
+    with pytest.raises(ValueError):
+        mixture_sample(df, {"s0": -1}, total=10)
+    with pytest.raises(ValueError):
+        mixture_sample(df, t, total=-5)
