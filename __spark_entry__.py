@@ -1983,6 +1983,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ntile"] = q_ntile
 
+    def q_cms(spark, sf):  # count-min sketch: build + probe vs exact counts
+        from osm_pbf_spark.operators.sketch import cms_lookup, count_min
+
+        li = load(spark, sf, "lineitem")
+        sk = count_min(li, "l_partkey", depth=4, width=128)
+        probes = (
+            load(spark, sf, "part")
+            .filter(F.col("p_partkey") % 41 == 0)
+            .select("p_partkey")
+        )
+        est = cms_lookup(sk, probes, "p_partkey", depth=4, width=128)
+        exact = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+            F.count(F.lit(1)).alias("exact_count")
+        )
+        return est.join(exact, "p_partkey", "left").select(
+            "p_partkey",
+            F.coalesce(F.col("exact_count"), F.lit(0).cast("bigint")).alias(
+                "exact_count"
+            ),
+            "cms_estimate",
+        )
+
+    q["q_cms"] = q_cms
+
+    def q_skyline(spark, sf):  # Pareto frontier (maximize size AND price)
+        from osm_pbf_spark.operators.skyline import skyline
+
+        p = load(spark, sf, "part").select("p_partkey", "p_size", "p_retailprice")
+        return skyline(p, ["p_size", "p_retailprice"])
+
+    q["q_skyline"] = q_skyline
+
+    def q_profile(spark, sf):  # one-scan long-format column profiler
+        from osm_pbf_spark.operators.checksum import profile_table
+
+        li = load(spark, sf, "lineitem")
+        return profile_table(li, ["l_quantity", "l_discount", "l_partkey", "l_tax"])
+
+    q["q_profile"] = q_profile
+
     return q
 
 
@@ -4708,5 +4748,79 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY l_extendedprice, l_orderkey, l_linenumber)
                        AS bucket
             FROM lineitem WHERE l_orderkey < 2000
+        """,
+        # full sketch replay: DuckDB rebuilds the identical count-min
+        # table from the raw rows (seeded 40-bit md5 mod width), then
+        # answers the same point queries
+        "q_cms": f"""
+            WITH seeds(i) AS (VALUES (0), (1), (2), (3)),
+            sk AS (
+              SELECT s.i AS cms_row,
+                     {_hex40_bigint_sql(
+                         "md5(CAST(s.i AS VARCHAR) || ':' "
+                         "|| CAST(l.l_partkey AS VARCHAR))")} % 128
+                         AS cms_bucket,
+                     count(*) AS cms_count
+              FROM lineitem l CROSS JOIN seeds s
+              GROUP BY 1, 2),
+            probes AS (SELECT p_partkey FROM part WHERE p_partkey % 41 = 0),
+            pl AS (
+              SELECT p.p_partkey, s.i AS cms_row,
+                     {_hex40_bigint_sql(
+                         "md5(CAST(s.i AS VARCHAR) || ':' "
+                         "|| CAST(p.p_partkey AS VARCHAR))")} % 128
+                         AS cms_bucket
+              FROM probes p CROSS JOIN seeds s),
+            est AS (
+              SELECT pl.p_partkey,
+                     min(coalesce(sk.cms_count, 0)) AS cms_estimate
+              FROM pl LEFT JOIN sk ON sk.cms_row = pl.cms_row
+                                  AND sk.cms_bucket = pl.cms_bucket
+              GROUP BY pl.p_partkey),
+            ex AS (SELECT l_partkey AS p_partkey, count(*) AS exact_count
+                   FROM lineitem GROUP BY 1)
+            SELECT est.p_partkey,
+                   coalesce(ex.exact_count, 0) AS exact_count,
+                   est.cms_estimate
+            FROM est LEFT JOIN ex ON ex.p_partkey = est.p_partkey
+        """,
+        # brute-force anti-dominance join — independent of the two-phase
+        # distributed plan
+        "q_skyline": """
+            SELECT p_partkey, p_size, p_retailprice FROM part a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part b
+              WHERE b.p_size >= a.p_size
+                AND b.p_retailprice >= a.p_retailprice
+                AND (b.p_size > a.p_size
+                     OR b.p_retailprice > a.p_retailprice))
+        """,
+        # n_null via count(*) - count(col): both engines yield BIGINT
+        # (DuckDB sum(int) would widen to HUGEINT)
+        "q_profile": """
+            SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+                   count(*) - count(l_quantity) AS n_null,
+                   count(DISTINCT l_quantity) AS n_distinct,
+                   CAST(min(l_quantity) AS DOUBLE) AS min_val,
+                   CAST(max(l_quantity) AS DOUBLE) AS max_val
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', count(*), count(*) - count(l_discount),
+                   count(DISTINCT l_discount),
+                   CAST(min(l_discount) AS DOUBLE),
+                   CAST(max(l_discount) AS DOUBLE)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey', count(*), count(*) - count(l_partkey),
+                   count(DISTINCT l_partkey),
+                   CAST(min(l_partkey) AS DOUBLE),
+                   CAST(max(l_partkey) AS DOUBLE)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', count(*), count(*) - count(l_tax),
+                   count(DISTINCT l_tax),
+                   CAST(min(l_tax) AS DOUBLE),
+                   CAST(max(l_tax) AS DOUBLE)
+            FROM lineitem
         """,
     }

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_fingerprint", "SEP", "NULL_SENTINEL"]
+__all__ = ["table_fingerprint", "profile_table", "SEP", "NULL_SENTINEL"]
 
 SEP = "\x1f"
 NULL_SENTINEL = "\x00null\x00"
@@ -75,3 +75,40 @@ def table_fingerprint(
         F.expr("bit_xor(_h)").alias("hash_xor"),
     )
     return out.drop("_all") if not group_cols else out
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-format per-column data-quality profile of numeric columns.
+
+    One row per profiled column: (col_name, n_rows, n_null, n_distinct,
+    min_val:double, max_val:double). The verification/exploration
+    primitive you run before trusting a 100-TB table: all six metrics
+    compute in ONE scan — a single global hash aggregate whose distinct
+    counts Spark plans with an Expand (one pass, map-side partial
+    aggregation per column), then a constant-size explode to long form.
+    No shuffle carries data rows; the exchange moves one partial-agg
+    row per task.
+
+    min/max are cast to double AFTER aggregating (exact for integer
+    columns up to 2^53 and a bit-identity for double columns — the
+    values are selected, never arithmetically combined, so the DuckDB
+    gate oracle matches them exactly; see q_profile).
+    """
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    structs = []
+    for c in cols:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("bigint")).alias("n_null"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.min(F.col(c)).cast("double").alias("min_val"),
+                F.max(F.col(c)).cast("double").alias("max_val"),
+            ).alias(f"_p_{c}")
+        )
+    one = df.agg(*structs)
+    return one.select(
+        F.explode(F.array(*[F.col(f"_p_{c}") for c in cols])).alias("p")
+    ).select("p.*")

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct"]
+__all__ = ["kmv_distinct", "count_min", "cms_lookup"]
 
 _HASH_SPACE = 1 << 40
 
@@ -40,6 +40,89 @@ _HASH_SPACE = 1 << 40
 def _hash40(col: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 10), 16, 10).cast(
         "bigint"
+    )
+
+
+def _hash40_seeded(col: F.Column, seed: int) -> F.Column:
+    """Seeded 40-bit md5 prefix: hash of '<seed>:<value>'."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string"))), 1, 10),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def count_min(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of ``value_col``.
+
+    Returns the sketch TABLE itself — at most ``depth * width`` rows of
+    (cms_row:int, cms_bucket:bigint, cms_count:bigint) — not an opaque
+    binary blob: every hash is the deterministic seeded 40-bit md5
+    prefix mod ``width``, so an independent engine (the DuckDB gate)
+    can rebuild the identical sketch from the raw table and a resumed
+    job can verify a sketch a previous run persisted.
+
+    Plan shape: one native posexplode Generate (depth rows per input
+    row, all hashing in whole-stage codegen) feeding ONE hash aggregate
+    whose key space is bounded by depth*width — map-side combine
+    collapses each task to <= depth*width partial rows no matter how
+    many input rows it scanned, so the single shuffle carries O(tasks *
+    depth * width) rows at any corpus size. That partial-agg bound is
+    the whole point of sketching at 100 TB: the reduce side never sees
+    the raw frequency distribution.
+
+    ``weight_col`` (optional, bigint-castable) turns it into a weighted
+    frequency sketch. Estimates are upper bounds: for any item,
+    min_i sketch[i][h_i(item)] >= true count, with the classic
+    (e/width)-overestimate-at-depth-confidence guarantee.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    buckets = F.array(
+        *[_hash40_seeded(F.col(value_col), i) % width for i in range(depth)]
+    )
+    e = df.select(F.posexplode(buckets).alias("cms_row", "cms_bucket"), w.alias("_w"))
+    return e.groupBy("cms_row", "cms_bucket").agg(F.sum("_w").alias("cms_count"))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query a ``count_min`` sketch for every row of ``probes``.
+
+    ``depth``/``width`` must match the sketch's build parameters (they
+    are part of the hash spec, not recoverable from the table). The
+    sketch is tiny by construction (<= depth*width rows) so the lookup
+    join is a broadcast hash join; absent buckets read as 0.
+
+    Returns probes' columns plus ``cms_estimate`` (bigint, >= the true
+    count of ``value_col`` in the sketched table).
+    """
+    buckets = F.array(
+        *[_hash40_seeded(F.col(value_col), i) % width for i in range(depth)]
+    )
+    keys = [c for c in probes.columns]
+    p = probes.select(
+        *keys, F.posexplode(buckets).alias("cms_row", "cms_bucket")
+    )
+    j = p.join(F.broadcast(sketch), ["cms_row", "cms_bucket"], "left")
+    return j.groupBy(*keys).agg(
+        F.min(F.coalesce(F.col("cms_count"), F.lit(0))).alias("cms_estimate")
     )
 
 
