@@ -1386,6 +1386,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sink_upsert"] = q_sink_upsert
 
+    def q_sink_incremental(spark, sf):  # C-family: incremental append
+        # scan (CDC-for-appends) — two append snapshots, then a
+        # compaction; each window must return exactly its appended rows
+        # and the pure-rewrite window must be empty
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.plans.ingest import ingest_pbf
+
+        path = _fixture_pbf("sink")
+        root = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driver_sink_incr")
+        shutil.rmtree(root, ignore_errors=True)
+        sink = ingest_pbf(spark, path, root, cell_level=12, blobs_per_split=1)
+        s1 = sink.current_snapshot()
+        base = sink.read(spark)
+        inc1 = base.where("pmod(cell, 4) = 3").withColumn(
+            "doc_id", F.concat(F.lit("inc/"), F.col("doc_id"))
+        )
+        sink.write_split(inc1, "incr-1", lineage={"op": "append"})
+        s2 = sink.commit_snapshot({"pipeline": "incr-1"})
+        inc2 = base.where("pmod(cell, 4) = 0").withColumn(
+            "doc_id", F.concat(F.lit("inc2/"), F.col("doc_id"))
+        )
+        sink.write_split(inc2, "incr-2", lineage={"op": "append"})
+        s3 = sink.commit_snapshot({"pipeline": "incr-2"})
+        assert sink.compact(spark) is not None
+        s4 = sink.commit_snapshot({"pipeline": "compact"})
+        # pure-rewrite window: a compaction of pre-window data is no data
+        empty = sink.read_incremental(spark, s3["snapshot_id"], s4["snapshot_id"])
+        assert empty.count() == 0
+
+        def counts(df, src):
+            return df.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("first_doc"),
+            ).select(F.lit(src).alias("src"), "cell", "n_docs", "first_doc")
+
+        w1 = counts(
+            sink.read_incremental(spark, s1["snapshot_id"], s2["snapshot_id"]), "w1"
+        )
+        w12 = counts(
+            sink.read_incremental(spark, s1["snapshot_id"], s3["snapshot_id"]), "w12"
+        )
+        return w1.unionByName(w12)
+
+    q["q_sink_incremental"] = q_sink_incremental
+
     # ---- r3 widening batch 4: fingerprints, fuzzy/interval/snap joins,
     # quadkeys, span chunking, collocations, per-group sampling ----
 
@@ -2015,6 +2062,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_skyline"] = q_skyline
 
+    def q_zorder(spark, sf):  # multi-column Z-order layout keys: the
+        # 2-col masked-spread kernel AND the generic k-col unrolled
+        # interleave, both pure native codegen
+        from osm_pbf_spark.functions.zorder import zorder_key_col
+
+        pts = customer_points(spark, sf)
+        z2 = zorder_key_col(
+            [F.col("lon"), F.col("lat")], [-180.0, -90.0], [180.0, 90.0], bits=16
+        )
+        z3 = zorder_key_col(
+            [F.col("lon"), F.col("lat"), F.col("doc_id")],
+            [-180.0, -90.0, 0.0],
+            [180.0, 90.0, float(1 << 21)],
+            bits=8,
+        )
+        return pts.select("doc_id", z2.alias("zkey2"), z3.alias("zkey3"))
+
+    q["q_zorder"] = q_zorder
+
     def q_profile(spark, sf):  # one-scan long-format column profiler
         from osm_pbf_spark.operators.checksum import profile_table
 
@@ -2469,6 +2535,45 @@ def _ora_sink_roundtrip() -> str:
     return _values_sql(
         [("cell", "BIGINT"), ("n_docs", "BIGINT"), ("first_doc", "VARCHAR"),
          ("spans_total", "BIGINT"), ("media_len_total", "BIGINT")],
+        rows,
+    )
+
+
+def _ora_sink_incremental() -> str:
+    """Scalar replay for the incremental append scan: window w1 holds
+    the 'inc/' copies of docs whose cell pmod 4 == 3 (cell -1 way/rel
+    docs included: pmod(-1,4)=3 in Spark AND Python), window w12 adds
+    the 'inc2/' copies of cell pmod 4 == 0 — per-cell (n_docs,
+    min doc_id) each, exactly what the appended splits contain."""
+    from tests import oracle_render
+
+    d = _fixture_decoded("sink")
+    docs = oracle_render.render_file(d)
+    coords = {f"node/{n['id']}": (n["lat"], n["lon"]) for n in d["nodes"]}
+
+    def cell_of(doc):
+        ll = coords.get(doc["doc_id"])
+        return _cell_scalar(ll[0], ll[1], 12) if ll else -1
+
+    w1 = [
+        (cell_of(doc), "inc/" + doc["doc_id"]) for doc in docs
+        if cell_of(doc) % 4 == 3
+    ]
+    w2 = [
+        (cell_of(doc), "inc2/" + doc["doc_id"]) for doc in docs
+        if cell_of(doc) % 4 == 0
+    ]
+    rows = []
+    for src, items in (("w1", w1), ("w12", w1 + w2)):
+        agg: dict[int, list] = {}
+        for cell, did in items:
+            a = agg.setdefault(cell, [0, None])
+            a[0] += 1
+            a[1] = did if a[1] is None else min(a[1], did)
+        rows += [(src, c, *agg[c]) for c in sorted(agg)]
+    return _values_sql(
+        [("src", "VARCHAR"), ("cell", "BIGINT"), ("n_docs", "BIGINT"),
+         ("first_doc", "VARCHAR")],
         rows,
     )
 
@@ -3296,6 +3401,26 @@ def _hex40_bigint_sql(hexpr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _zq_sql(e: str, lo: float, hi: float, bits: int) -> str:
+    """Replay of zorder._quant_range_col: same IEEE op order."""
+    n = float(1 << bits)
+    return (
+        f"least(greatest(CAST(floor((({e}) - ({lo!r})) / ({hi - lo!r}) "
+        f"* {n!r}) AS BIGINT), 0), {(1 << bits) - 1})"
+    )
+
+
+def _zinterleave_sql(qnames: list[str], bits: int) -> str:
+    """Unrolled Z-order interleave: bit b of column i -> b*k+i."""
+    k = len(qnames)
+    terms = [
+        f"((({qnames[i]} >> {b}) & 1) * {1 << (b * k + i)})"
+        for b in range(bits)
+        for i in range(k)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _quadkey_sql(z: int) -> str:
     """Digit-concat replay of functions/tiles.quadkey_col for fixed z.
     ``//`` (floor division) mirrors Spark's (x / s) CAST BIGINT, which
@@ -3887,6 +4012,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pbf_header": _ora_pbf_header(),
         "q_sink_roundtrip": _ora_sink_roundtrip(),
         "q_sink_compact": _ora_sink_compact(),
+        "q_sink_incremental": _ora_sink_incremental(),
         "q_sink_delete": _ora_sink_delete(),
         "q_sink_upsert": _ora_sink_upsert(),
         "q_pbf_meta": _ora_pbf_meta(),
@@ -4794,6 +4920,22 @@ def oracle_sql() -> dict[str, str]:
                 AND b.p_retailprice >= a.p_retailprice
                 AND (b.p_size > a.p_size
                      OR b.p_retailprice > a.p_retailprice))
+        """,
+        # arithmetic replay of the native Z-order kernels: quantize with
+        # the identical IEEE op order, interleave with unrolled >> & *
+        "q_zorder": f"""
+            {pts},
+            q AS (SELECT doc_id,
+                    {_zq_sql("lon", -180.0, 180.0, 16)} AS qx,
+                    {_zq_sql("lat", -90.0, 90.0, 16)} AS qy,
+                    {_zq_sql("lon", -180.0, 180.0, 8)} AS q3x,
+                    {_zq_sql("lat", -90.0, 90.0, 8)} AS q3y,
+                    {_zq_sql("doc_id", 0.0, float(1 << 21), 8)} AS q3i
+                  FROM pts)
+            SELECT doc_id,
+                   {_zinterleave_sql(["qx", "qy"], 16)} AS zkey2,
+                   {_zinterleave_sql(["q3x", "q3y", "q3i"], 8)} AS zkey3
+            FROM q
         """,
         # n_null via count(*) - count(col): both engines yield BIGINT
         # (DuckDB sum(int) would widen to HUGEINT)

@@ -787,6 +787,14 @@ class IcebergLikeSink:
         later appends never perturb the result — the snapshot's
         manifest list is immutable and its data files are retained
         until the snapshot is expired (after which this raises)."""
+        snap, entries = self._snapshot_entries(ref)
+        # time travel sees the schema AND the delete set AS OF that
+        # snapshot — both derived from the frozen manifest list
+        return self._read_entries(spark, entries, stats_range)
+
+    def _snapshot_entries(self, ref: int | str) -> tuple[dict, dict]:
+        """Resolve ``ref`` (snapshot_id or sequence number) to its
+        history entry + frozen manifest-list entries; loud on expiry."""
         snaps = self.snapshots()
         match = [
             s for s in snaps
@@ -806,9 +814,77 @@ class IcebergLikeSink:
             )
         with open(mlist_path) as f:
             entries = json.load(f)["entries"]
-        # time travel sees the schema AND the delete set AS OF that
-        # snapshot — both derived from the frozen manifest list
-        return self._read_entries(spark, entries, stats_range)
+        return snap, entries
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        from_ref: int | str,
+        to_ref: int | str,
+        stats_range: tuple[int, int] | None = None,
+    ) -> DataFrame:
+        """INCREMENTAL APPEND SCAN (Iceberg's CDC-for-appends): exactly
+        the rows APPENDED between two snapshots — the consume-new-data
+        primitive that lets a downstream training pipeline process a
+        100-TB table's daily growth without rescanning the table.
+
+        Semantics (same restrictions as Iceberg's incremental append
+        scan, enforced loudly instead of silently wrong):
+
+        - returned rows = data splits present in ``to_ref``'s manifest
+          list but not in ``from_ref``'s, EXCLUDING rewrites — a
+          compaction split (non-empty ``replaces``) whose inputs all
+          pre-date ``from_ref`` carries no new rows and is skipped;
+        - a rewrite that folded IN-WINDOW appends raises (their rows
+          are indistinguishable from old rows after the rewrite; run
+          incremental consumption before compacting, or snapshot more
+          often);
+        - a delete split appearing in the window raises (rows REMOVED
+          cannot be represented in an append-only scan).
+
+        The scan is time-travel-stable: both manifest lists are frozen,
+        so the same (from, to) window always returns the same rows even
+        after later appends/compactions (until expiry).
+        """
+        from_snap, from_entries = self._snapshot_entries(from_ref)
+        to_snap, to_entries = self._snapshot_entries(to_ref)
+        if to_snap.get("sequence_number", 0) < from_snap.get("sequence_number", 0):
+            raise ValueError(
+                f"to_ref (seq {to_snap.get('sequence_number')}) precedes "
+                f"from_ref (seq {from_snap.get('sequence_number')})"
+            )
+        # ids known at from-time: live entries + everything already replaced
+        from_known = set(from_entries) | set(from_snap.get("replaced_splits", []))
+        for e in from_entries.values():
+            from_known.update(e.get("replaces", []))
+        new_data: dict[str, dict] = {}
+        for sid, m in to_entries.items():
+            if sid in from_known:
+                continue
+            if m.get("kind") == _EQ_DELETES:
+                raise ValueError(
+                    f"incremental append scan window contains equality-delete "
+                    f"split {sid!r}; append-only consumption cannot represent "
+                    "removed rows — read full snapshots instead"
+                )
+            replaces = set(m.get("replaces", []))
+            if replaces:
+                folded = replaces - from_known
+                if folded:
+                    raise ValueError(
+                        f"rewrite split {sid!r} folded in-window appends "
+                        f"{sorted(folded)}; their rows are no longer "
+                        "distinguishable — consume increments before "
+                        "compacting, or widen the window"
+                    )
+                continue  # pure rewrite of pre-window data: no new rows
+            new_data[sid] = m
+        if not new_data:
+            schema = self._merged_schema(
+                self._split_kinds(to_entries)[0]
+            ) or self._read_entries(spark, to_entries, None).schema
+            return spark.createDataFrame([], schema)
+        return self._read_entries(spark, new_data, stats_range)
 
     # ---- maintenance -----------------------------------------------------
 
@@ -817,6 +893,7 @@ class IcebergLikeSink:
         spark: SparkSession,
         split_ids: list[str] | None = None,
         fail_before_commit: bool = False,
+        zorder: list[str] | None = None,
     ) -> dict | None:
         """Rewrite live splits' files into ~target_file_bytes
         stats-sorted files as ONE split that atomically replaces them.
@@ -878,7 +955,16 @@ class IcebergLikeSink:
         sub_entries = {sid: data_e[sid] for sid in targets}
         sub_entries.update(applying)
         df = self._read_entries(spark, sub_entries, None)
-        if self.stats_col and self.stats_col in df.columns:
+        if zorder:
+            # multi-dimensional layout: Z-order rewrite clusters every
+            # named column at once (Iceberg's zorder sort strategy) —
+            # parquet row-group/file stats stay tight on ALL of them,
+            # at the cost of slightly looser stats_col ranges than a
+            # plain linear sort
+            from ..functions.zorder import zorder_sorted
+
+            df = zorder_sorted(df, zorder)
+        elif self.stats_col and self.stats_col in df.columns:
             df = df.sort(self.stats_col)
         cid = f"compact-{uuid.uuid4().hex[:12]}"
         return self.write_split(
@@ -887,6 +973,7 @@ class IcebergLikeSink:
             lineage={
                 "op": "compact",
                 "inputs": targets,
+                "zorder": zorder or [],
                 "applied_deletes": sorted(applying),
                 "n_input_files": len(files),
                 "input_bytes": n_input_bytes,
