@@ -154,6 +154,51 @@ def _fixture_pbf(kind: str) -> str:
     return builders[kind](d)
 
 
+# BPE merge table for q_bpe (rank = list position): character merges
+# tuned to the corpus vocabulary so rules chain (e.g. 't a'->'ta',
+# 'ta b'->'tab', 'tab le'->'table' needs 'l e' first) and later merges
+# expose lower-rank pairs — exercising the full GPT-2 bpe() loop.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("l", "e"), ("t", "a"), ("ta", "b"),
+    ("tab", "le"), ("r", "o"), ("ro", "w"), ("d", "a"), ("da", "ta"),
+    ("s", "t"), ("o", "r"), ("j", "o"), ("jo", "i"), ("joi", "n"),
+    ("a", "g"), ("ag", "g"), ("q", "u"), ("qu", "e"), ("que", "r"),
+    ("s", "m"), ("sm", "a"), ("w", "i"), ("wi", "n"), ("win", "d"),
+    ("e", "r"), ("f", "i"), ("fi", "l"), ("fil", "t"), ("a", "s"),
+    ("h", "as"), ("c", "an"), ("a", "n"), ("s", "c"),
+]
+
+# deliberate misspellings of corpus vocabulary for the phonetic join
+PHONETIC_PROBES = ["tabel", "qery", "streem", "windoe", "bach", "jion", "filtr", "merj"]
+
+_SOUNDEX_CODE = {}
+for _letters, _d in (("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+                     ("L", "4"), ("MN", "5"), ("R", "6")):
+    for _ch in _letters:
+        _SOUNDEX_CODE[_ch] = _d
+
+
+def _soundex_py(word: str) -> str:
+    """Scalar replay of American Soundex (the algorithm Spark's native
+    ``soundex`` implements) — verified bit-equal to Spark across the
+    whole gate vocabulary by tests/test_batch9_ops.py."""
+    s = word.upper()
+    if not s or not s[0].isalpha():
+        return word
+    out = [s[0]]
+    prev = _SOUNDEX_CODE.get(s[0], "0")
+    for ch in s[1:]:
+        if not ch.isalpha() or ch in "HW":
+            continue  # H/W skipped and do NOT reset the previous code
+        d = _SOUNDEX_CODE.get(ch, "0")
+        if d != "0" and d != prev:
+            out.append(d)
+        prev = d
+        if len(out) == 4:
+            break
+    return ("".join(out) + "000")[:4]
+
+
 # stats-range for the sink-roundtrip prune: keeps the (50, 8) and
 # (40, -74) node clusters of the sink fixture, drops the (-10, 120)
 # cluster (cell ~258M at level 12) and the cell = -1 way/relation docs —
@@ -2081,6 +2126,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_zorder"] = q_zorder
 
+    def q_bpe(spark, sf):  # BPE tokenizer apply (GPT-2 bpe() loop)
+        from osm_pbf_spark.operators.text import bpe_encode
+
+        d = load(spark, sf, "documents").filter(F.col("doc_id") % 17 == 0)
+        enc = bpe_encode(d, BPE_MERGES)
+        return enc.select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.array_join("tokens", " ").alias("tokens_s"),
+        )
+
+    q["q_bpe"] = q_bpe
+
+    def q_soundex(spark, sf):  # native phonetic encoding over the corpus
+        d = load(spark, sf, "documents")
+        words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+            F.col("w") != ""
+        )
+        return words.groupBy(F.soundex("w").alias("code")).agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("w").alias("n_words"),
+            F.min("w").alias("first_word"),
+        )
+
+    q["q_soundex"] = q_soundex
+
+    def q_phonetic_join(spark, sf):  # soundex blocking + levenshtein refine
+        from osm_pbf_spark.operators.fuzzy import phonetic_join
+
+        d = load(spark, sf, "documents")
+        vocab = (
+            d.select(F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.col("w") != "")
+            .distinct()
+        )
+        probes = spark.createDataFrame(
+            [(p,) for p in PHONETIC_PROBES], "probe string"
+        )
+        return phonetic_join(probes, vocab, "probe", "w", max_edit=2).select(
+            "probe", "w"
+        )
+
+    q["q_phonetic_join"] = q_phonetic_join
+
+    def q_getis_ord(spark, sf):  # Gi* hot-spot z-scores on the point grid
+        from osm_pbf_spark.operators.spatialstats import (
+            getis_ord_gi,
+            grid_cell_counts,
+        )
+
+        pts = customer_points(spark, sf)
+        return getis_ord_gi(grid_cell_counts(pts, 5.0))
+
+    q["q_getis_ord"] = q_getis_ord
+
     def q_profile(spark, sf):  # one-scan long-format column profiler
         from osm_pbf_spark.operators.checksum import profile_table
 
@@ -2537,6 +2638,73 @@ def _ora_sink_roundtrip() -> str:
          ("spans_total", "BIGINT"), ("media_len_total", "BIGINT")],
         rows,
     )
+
+
+def _ora_bpe() -> str:
+    """Independent scalar replay of the BPE-apply spec over the gate
+    subset (doc_id % 17 == 0 of ORACLE_SF_DIR documents): per word,
+    repeatedly merge all occurrences of the lowest-rank adjacent pair.
+    The merge mechanics are written differently from the engine kernel
+    (index-walk rebuild vs list append) but the spec is the same."""
+    import pyarrow.parquet as pq
+
+    ranks = {p: i for i, p in enumerate(BPE_MERGES)}
+
+    def enc(word: str) -> list[str]:
+        sym = list(word)
+        while len(sym) > 1:
+            cand = [
+                (ranks[p], j)
+                for j, p in enumerate(zip(sym, sym[1:]))
+                if p in ranks
+            ]
+            if not cand:
+                break
+            r = min(c[0] for c in cand)
+            a, b = BPE_MERGES[r]
+            j = 0
+            while j < len(sym) - 1:
+                if sym[j] == a and sym[j + 1] == b:
+                    sym[j : j + 2] = [a + b]
+                else:
+                    j += 1
+            # note: after an in-place merge at j, the NEW symbol at j may
+            # pair with its successor — re-checking j (not j+1) matches
+            # left-to-right merge-all semantics
+        return sym
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = []
+    for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        if did % 17 != 0:
+            continue
+        words = [w for w in (text or "").split(" ") if w]
+        toks: list[str] = []
+        for w in words:
+            toks.extend(enc(w))
+        rows.append((did, len(words), len(toks), " ".join(toks)))
+    rows.sort()
+    return _values_sql(
+        [("doc_id", "BIGINT"), ("n_words", "INTEGER"), ("n_tokens", "INTEGER"),
+         ("tokens_s", "VARCHAR")],
+        rows,
+    )
+
+
+def _soundex_vocab_values() -> str:
+    """VALUES (w, code) mapping every distinct corpus word (plus the
+    phonetic probes) to its replayed Soundex code — the hybrid-oracle
+    candidate table; DuckDB recomputes all aggregates/refines itself."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(ORACLE_SF_DIR, "documents.parquet"), columns=["text"])
+    vocab: set[str] = set()
+    for text in t.column("text").to_pylist():
+        vocab.update(w for w in (text or "").split(" ") if w)
+    rows = [(w, _soundex_py(w)) for w in sorted(vocab)]
+    return _values_sql([("w", "VARCHAR"), ("code", "VARCHAR")], rows)
 
 
 def _ora_sink_incremental() -> str:
@@ -4920,6 +5088,52 @@ def oracle_sql() -> dict[str, str]:
                 AND b.p_retailprice >= a.p_retailprice
                 AND (b.p_size > a.p_size
                      OR b.p_retailprice > a.p_retailprice))
+        """,
+        "q_bpe": _ora_bpe(),
+        # hybrid: the (word -> code) map is the replayed Soundex spec
+        # (bit-equal to Spark's native soundex, pinned by pytest);
+        # DuckDB recomputes every aggregate from the raw table
+        "q_soundex": f"""
+            WITH m AS ({_soundex_vocab_values()}),
+            tok AS (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+            t AS (SELECT w FROM tok WHERE w <> '')
+            SELECT m.code, count(*) AS n_occ,
+                   count(DISTINCT t.w) AS n_words, min(t.w) AS first_word
+            FROM t JOIN m ON m.w = t.w
+            GROUP BY m.code
+        """,
+        "q_phonetic_join": f"""
+            WITH m AS ({_soundex_vocab_values()}),
+            probes(probe, pcode) AS (VALUES {", ".join(
+                f"('{p}', '{_soundex_py(p)}')" for p in PHONETIC_PROBES)})
+            SELECT p.probe, m.w
+            FROM probes p JOIN m ON m.code = p.pcode
+            WHERE levenshtein(p.probe, m.w) <= 2
+        """,
+        # Gi* replay: BETWEEN theta join for the 3x3 window (different
+        # join algorithm), identical exact-integer + IEEE expression
+        "q_getis_ord": f"""
+            WITH pts AS ({SQL_POINTS}),
+            cells AS (SELECT CAST(floor(lat / 5.0) AS BIGINT) AS cx,
+                             CAST(floor(lon / 5.0) AS BIGINT) AS cy,
+                             count(*) AS x
+                      FROM pts GROUP BY 1, 2),
+            tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+                           CAST(sum(x * x) AS BIGINT) AS s2
+                    FROM cells),
+            win AS (SELECT a.cx, a.cy, count(*) AS wi,
+                           CAST(sum(b.x) AS BIGINT) AS ti
+                    FROM cells a JOIN cells b
+                      ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+                     AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+                    GROUP BY a.cx, a.cy)
+            SELECT c.cx, c.cy, c.x, w.wi,
+                   CAST(t.n * w.ti - t.s * w.wi AS DOUBLE)
+                     / (sqrt(CAST(t.n * t.s2 - t.s * t.s AS DOUBLE))
+                        * sqrt(CAST(t.n * w.wi - w.wi * w.wi AS DOUBLE)
+                               / CAST(t.n - 1 AS DOUBLE))) AS gi_z
+            FROM cells c JOIN win w ON w.cx = c.cx AND w.cy = c.cy, tot t
         """,
         # arithmetic replay of the native Z-order kernels: quantize with
         # the identical IEEE op order, interleave with unrolled >> & *

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fuzzy_join"]
+__all__ = ["fuzzy_join", "phonetic_join"]
 
 
 def fuzzy_join(
@@ -97,4 +97,40 @@ def fuzzy_join(
         .withColumn("dist", F.levenshtein("sa", "sb"))
         .where(F.col("dist") <= threshold)
         .select("id_a", "id_b", "dist")
+    )
+
+
+def phonetic_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_edit: int = 2,
+) -> DataFrame:
+    """Phonetic-blocking fuzzy match: candidate pairs share an American
+    Soundex code (Spark's native ``soundex``), refined with native
+    ``levenshtein(a, b) <= max_edit`` — the classic name-matching /
+    entity-resolution recipe ("sounds alike AND spells close").
+
+    Unlike :func:`fuzzy_join` (exact by the deletion lemma), phonetic
+    blocking is approximate-RECALL by design: a pair whose codes differ
+    (e.g. a first-letter typo) is never considered — that is the
+    documented Soundex-blocking tradeoff. Precision is exact (the
+    levenshtein refine is native and final).
+
+    Plan: two map-only soundex projections, ONE equi-join shuffle on
+    the 4-char code (at most 26*7^3 distinct blocks — hot blocks mean
+    near-identical names, which is the match set itself), codegen
+    refine. No Python anywhere.
+    """
+    lc = left.select(
+        *left.columns, F.soundex(F.col(left_col)).alias("_sdx")
+    )
+    rc = right.select(
+        *right.columns, F.soundex(F.col(right_col)).alias("_sdx")
+    )
+    return (
+        lc.join(rc, "_sdx")
+        .where(F.levenshtein(F.col(left_col), F.col(right_col)) <= max_edit)
+        .drop("_sdx")
     )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grid_cell_counts", "morans_i"]
+__all__ = ["grid_cell_counts", "morans_i", "getis_ord_gi"]
 
 
 def grid_cell_counts(
@@ -88,4 +88,62 @@ def morans_i(cells: DataFrame, x_col: str = "x") -> DataFrame:
                 / (F.col("w_pairs") * F.col("_ss")).cast("double")
             ).alias("moran_i"),
         )
+    )
+
+
+def getis_ord_gi(cells: DataFrame, x_col: str = "x") -> DataFrame:
+    """Getis–Ord Gi* hot-spot z-scores (Getis & Ord 1992/1995) per grid
+    cell under binary queen weights INCLUDING self (the * variant):
+
+        Gi* = (T_i - xbar*W_i) / (s * sqrt((n*W_i - W_i^2)/(n-1)))
+
+    where T_i = sum of x over the existing cells in i's 3x3 window and
+    W_i counts them. |z| >~ 2 marks hot (or cold) spots.
+
+    Exactness posture (same discipline as morans_i): multiply the
+    numerator through by n — ``n*T_i - S*W_i`` is an exact int64 — and
+    factor the denominator as sqrt(n*S2 - S^2) * sqrt((n*W_i - W_i^2)
+    / (n-1)): every remaining op (int->double cast, one division, two
+    sqrts, one multiply, one divide) is a correctly-rounded IEEE op in
+    a FIXED order, so Spark and DuckDB produce identical bits and the
+    statistic is gate-hashable. Overflow THROWS under ANSI; keep
+    n_cells * max|x| under ~2^31 (rescale/bucket beyond).
+
+    Plan: the scatter form of the 3x3 window (each cell contributes its
+    x to its 9 neighbor slots via ONE native Generate — 9x |occupied
+    cells|, not 9x |points|), one keyed aggregate, an inner join back
+    to existing cells, and a broadcast 1-row totals cross join. Pure
+    codegen, two narrow shuffles, no Python.
+    """
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(x_col)).alias("_s"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("_s2"),
+    )
+    offs = F.array(*[F.lit(i) for i in range(9)])  # (0,0) INCLUDED: Gi*
+    scat = cells.select(
+        F.col(x_col).alias("xb"),
+        F.explode(
+            F.transform(
+                offs,
+                lambda i: F.struct(
+                    (F.col("cx") + (i % 3) - 1).alias("cx"),
+                    (F.col("cy") + (i / 3).cast("int") - 1).alias("cy"),
+                ),
+            )
+        ).alias("nb"),
+    ).select("xb", F.col("nb.cx").alias("cx"), F.col("nb.cy").alias("cy"))
+    win = scat.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("wi"), F.sum("xb").alias("ti")
+    )
+    j = cells.join(win, ["cx", "cy"]).crossJoin(F.broadcast(tot))
+    num = (F.col("_n") * F.col("ti") - F.col("_s") * F.col("wi")).cast("bigint")
+    a = (F.col("_n") * F.col("_s2") - F.col("_s") * F.col("_s")).cast("bigint")
+    b = (F.col("_n") * F.col("wi") - F.col("wi") * F.col("wi")).cast("bigint")
+    c = (F.col("_n") - F.lit(1)).cast("bigint")
+    z = num.cast("double") / (
+        F.sqrt(a.cast("double")) * F.sqrt(b.cast("double") / c.cast("double"))
+    )
+    return j.select(
+        "cx", "cy", F.col(x_col).alias("x"), "wi", z.alias("gi_z")
     )

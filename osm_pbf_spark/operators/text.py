@@ -572,3 +572,94 @@ def inverted_index(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
         .select("token", "df", "postings")
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a byte-pair-encoding merge table (the GPT-2 ``bpe()`` loop,
+    Sennrich et al. 2016) to every document — the tokenizer-apply step
+    of a training-data pipeline, where corpus size is measured in
+    TOKENS and this operator is what counts them.
+
+    Spec (deterministic, engine-replayable — the q_bpe oracle is an
+    independent scalar replay): pre-tokenize on single spaces; per
+    word, start from its character sequence and repeatedly merge ALL
+    occurrences (left-to-right) of the adjacent pair with the LOWEST
+    merge rank until no adjacent pair is in the table. No end-of-word
+    marker. ``merges`` order IS the rank order.
+
+    Scale shape: ONE Arrow-batched mapInPandas stage, no shuffle; the
+    merge table (real vocabularies: ~50k pairs) is closure-captured →
+    broadcast once per executor. The kernel encodes each DISTINCT word
+    once per Arrow batch (natural-language batches repeat words
+    heavily, so the loop runs on the vocabulary, not the corpus) with
+    an LRU-unbounded per-batch cache — bounded by the batch's distinct
+    words, which Arrow batch sizing already bounds.
+
+    Returns (id_col, n_words, n_tokens, tokens:array<string>).
+    """
+    import pandas as pd
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    if len(ranks) != len(merges):
+        raise ValueError("duplicate merge pairs in the merge table")
+
+    def _encode_word(word: str, cache: dict) -> list[str]:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        sym = list(word)
+        while len(sym) > 1:
+            best_rank = None
+            best = None
+            for pair in zip(sym, sym[1:]):
+                r = ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best = r, pair
+            if best is None:
+                break
+            merged = best[0] + best[1]
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == best[0] and sym[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        cache[word] = sym
+        return sym
+
+    def gen(batches):
+        for pdf in batches:
+            cache: dict[str, list[str]] = {}
+            ids, n_words, n_tokens, toks = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in (text or "").split(" ") if w]
+                enc: list[str] = []
+                for w in words:
+                    enc.extend(_encode_word(w, cache))
+                ids.append(did)
+                n_words.append(len(words))
+                n_tokens.append(len(enc))
+                toks.append(enc)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_words": n_words,
+                    "n_tokens": n_tokens,
+                    "tokens": toks,
+                }
+            )
+
+    id_type = dict(docs.dtypes)[id_col]
+    return docs.select(id_col, text_col).mapInPandas(
+        gen,
+        f"{id_col} {id_type}, n_words int, n_tokens int, tokens array<string>",
+    )
