@@ -2182,6 +2182,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_getis_ord"] = q_getis_ord
 
+    def q_kcore(spark, sf):  # k-core decomposition (synchronous peeling)
+        from osm_pbf_spark.operators.graph import kcore
+
+        e = load(spark, sf, "events").filter(F.col("event_id") < 900)
+        edges = e.select(
+            (F.col("event_id") % 150).alias("src"),
+            ((F.col("event_id") * 37 + 11) % 150).alias("dst"),
+        )
+        return kcore(edges, k=11, rounds=6)
+
+    q["q_kcore"] = q_kcore
+
+    def q_kmv_setops(spark, sf):  # mergeable KMV sketches: union/intersect
+        # estimates from two shard sketches, no data re-scan
+        from osm_pbf_spark.operators.sketch import kmv_set_estimate, kmv_sketch
+
+        li = load(spark, sf, "lineitem")
+        a = kmv_sketch(
+            li.filter(F.col("l_linenumber") <= 3), ["l_returnflag"], "l_partkey", k=64
+        )
+        b = kmv_sketch(
+            li.filter(F.col("l_linenumber") >= 2), ["l_returnflag"], "l_partkey", k=64
+        )
+        return kmv_set_estimate(a, b, ["l_returnflag"], k=64)
+
+    q["q_kmv_setops"] = q_kmv_setops
+
+    def q_recursive_cte(spark, sf):  # SQL surface: WITH RECURSIVE walk up
+        # the implicit binary-tree hierarchy of order keys
+        o = load(spark, sf, "orders").filter(F.col("o_orderkey") < 400)
+        o.createOrReplaceTempView("rcte_orders")
+        return spark.sql(
+            """
+            WITH RECURSIVE chain(root, node) AS (
+              SELECT o_orderkey, o_orderkey FROM rcte_orders
+              UNION ALL
+              SELECT root, node DIV 2 FROM chain WHERE node > 0
+            )
+            SELECT root, count(*) AS chain_len, sum(node) AS chain_sum
+            FROM chain GROUP BY root
+            """
+        )
+
+    q["q_recursive_cte"] = q_recursive_cte
+
     def q_profile(spark, sf):  # one-scan long-format column profiler
         from osm_pbf_spark.operators.checksum import profile_table
 
@@ -3587,6 +3632,34 @@ def _zinterleave_sql(qnames: list[str], bits: int) -> str:
         for i in range(k)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling replay for q_kcore (same convention as the
+    PageRank oracle: one CTE pair per round)."""
+    parts = [
+        """ed AS (SELECT event_id % 150 AS src,
+                        (event_id * 37 + 11) % 150 AS dst
+                 FROM events WHERE event_id < 900),
+           e0 AS (SELECT DISTINCT a, b FROM (
+                    SELECT src AS a, dst AS b FROM ed WHERE src <> dst
+                    UNION ALL
+                    SELECT dst AS a, src AS b FROM ed WHERE src <> dst))"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"k{i} AS (SELECT a FROM e{i} GROUP BY a HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"""e{i + 1} AS (SELECT e.a, e.b FROM e{i} e
+                 WHERE EXISTS (SELECT 1 FROM k{i} x WHERE x.a = e.a)
+                   AND EXISTS (SELECT 1 FROM k{i} y WHERE y.a = e.b))"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT a AS node, count(*) AS degree FROM e{rounds} GROUP BY a"
+    )
 
 
 def _quadkey_sql(z: int) -> str:
@@ -5088,6 +5161,67 @@ def oracle_sql() -> dict[str, str]:
                 AND b.p_retailprice >= a.p_retailprice
                 AND (b.p_size > a.p_size
                      OR b.p_retailprice > a.p_retailprice))
+        """,
+        "q_kcore": _kcore_sql(11, 6),
+        # independent window-rank formulation of the sketch merge (the
+        # engine merges k-length ARRAYS; the oracle re-ranks the union)
+        "q_kmv_setops": f"""
+            WITH ha AS (
+              SELECT grp, hv,
+                     row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+              FROM (SELECT DISTINCT l_returnflag AS grp,
+                           {_hex40_bigint_sql(
+                               "md5(CAST(l_partkey AS VARCHAR))")} AS hv
+                    FROM lineitem WHERE l_linenumber <= 3)),
+            ka AS (SELECT grp, hv FROM ha WHERE rn <= 64),
+            sa AS (SELECT grp, count(*) AS n, max(hv) AS hk
+                   FROM ka GROUP BY grp),
+            hb AS (
+              SELECT grp, hv,
+                     row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+              FROM (SELECT DISTINCT l_returnflag AS grp,
+                           {_hex40_bigint_sql(
+                               "md5(CAST(l_partkey AS VARCHAR))")} AS hv
+                    FROM lineitem WHERE l_linenumber >= 2)),
+            kb AS (SELECT grp, hv FROM hb WHERE rn <= 64),
+            sb AS (SELECT grp, count(*) AS n, max(hv) AS hk
+                   FROM kb GROUP BY grp),
+            hu AS (
+              SELECT grp, hv,
+                     row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+              FROM (SELECT DISTINCT grp, hv FROM
+                      (SELECT * FROM ka UNION ALL SELECT * FROM kb))),
+            ku AS (SELECT grp, hv FROM hu WHERE rn <= 64),
+            su AS (SELECT grp, count(*) AS n, max(hv) AS hk
+                   FROM ku GROUP BY grp),
+            ests AS (
+              SELECT sa.grp,
+                     CASE WHEN sa.n < 64 THEN CAST(sa.n AS DOUBLE)
+                          ELSE 69269232549888.0 / CAST(sa.hk AS DOUBLE)
+                     END AS est_a,
+                     CASE WHEN sb.n < 64 THEN CAST(sb.n AS DOUBLE)
+                          ELSE 69269232549888.0 / CAST(sb.hk AS DOUBLE)
+                     END AS est_b,
+                     CASE WHEN su.n < 64 THEN CAST(su.n AS DOUBLE)
+                          ELSE 69269232549888.0 / CAST(su.hk AS DOUBLE)
+                     END AS est_union
+              FROM sa JOIN sb ON sb.grp = sa.grp
+                      JOIN su ON su.grp = sa.grp)
+            SELECT grp AS l_returnflag, est_a, est_b, est_union,
+                   (est_a + est_b) - est_union AS est_intersect,
+                   ((est_a + est_b) - est_union) / est_union AS jaccard_est
+            FROM ests
+        """,
+        # DuckDB runs its own recursive CTE — fully independent engine path
+        "q_recursive_cte": """
+            WITH RECURSIVE chain(root, node) AS (
+              SELECT o_orderkey, o_orderkey FROM orders WHERE o_orderkey < 400
+              UNION ALL
+              SELECT root, node // 2 FROM chain WHERE node > 0
+            )
+            SELECT root, count(*) AS chain_len,
+                   CAST(sum(node) AS BIGINT) AS chain_sum
+            FROM chain GROUP BY root
         """,
         "q_bpe": _ora_bpe(),
         # hybrid: the (word -> code) map is the replayed Soundex spec

@@ -465,3 +465,73 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     )
     return counts.crossJoin(tris).select("n_nodes", "n_edges", "n_triangles")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling (Matula & Beck 1983,
+    the distributed variant): repeatedly drop every node whose degree
+    within the CURRENT alive subgraph is < k; the fixpoint is the
+    k-core — the standard graph-mining densest-region primitive (and
+    the unique maximal subgraph with min degree >= k, so the result is
+    order-independent and gateable).
+
+    Plan per round: one degree hash-aggregate + two semi-joins pruning
+    the symmetric edge set — three node/edge-keyed shuffles, lazily
+    ``localCheckpoint``-ed so the analyzed plan stays constant-size.
+    Fixed ``rounds`` runs with ZERO driver actions (the oracle replays
+    the identical round count, so the gate matches even pre-fixpoint);
+    ``rounds=None`` peels to the fixpoint with one count action per
+    round — the documented iterative exception (same convention as
+    ``connected_components``). Synchronous peeling converges in at most
+    the graph's degeneracy-ordering depth — tens of rounds on
+    real-world graphs.
+
+    Returns ``(node, degree)`` of the alive subgraph after the final
+    round (degree measured WITHIN it).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def peel(e: DataFrame) -> DataFrame:
+        keep = (
+            e.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .where(F.col("_d") >= k)
+            .select("a")
+        )
+        return (
+            e.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+
+    e = und
+    if rounds is not None:
+        for _ in range(rounds):
+            e = peel(e).localCheckpoint(eager=False)
+    else:
+        while True:
+            nxt = peel(e).localCheckpoint(eager=True)
+            # fixpoint <=> no edge dropped (symmetric set: count suffices)
+            if nxt.count() == e.count():
+                e = nxt
+                break
+            e = nxt
+    return (
+        e.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

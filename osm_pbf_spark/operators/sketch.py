@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "count_min", "cms_lookup"]
+__all__ = ["kmv_distinct", "kmv_sketch", "kmv_set_estimate", "count_min", "cms_lookup"]
 
 _HASH_SPACE = 1 << 40
 
@@ -152,4 +152,85 @@ def kmv_distinct(
     )
     return counts.join(sk, group_cols).select(
         *group_cols, "n_rows", "kmv_k", est.alias("kmv_estimate")
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Materialize the KMV sketch ITSELF per group: the sorted array of
+    the k smallest distinct 40-bit hashes — (group..., kmv_k, hashes).
+
+    This is the mergeable form (a theta sketch with fixed k): sketches
+    of partitions/tables/days union into the sketch of their union via
+    :func:`kmv_set_estimate` WITHOUT rescanning data — the property
+    that makes sketching work at 100 TB (compute once per shard, merge
+    k-sized states). Same deterministic md5 hash as kmv_distinct, so
+    any engine replays it.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = df.select(*[F.col(c) for c in group_cols], _hash40(F.col(value_col)).alias("_h"))
+    dh = h.distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    kept = dh.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= k)
+    return kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("kmv_k"),
+        F.sort_array(F.collect_list("_h")).alias("hashes"),
+    )
+
+
+def _kmv_est(arr, k: int):
+    """Estimate from a sorted k-min hash array: exact when the sketch
+    saw fewer than k distinct hashes, else (k-1) * 2^40 / h_k."""
+    return F.when(
+        F.size(arr) < k, F.size(arr).cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * _HASH_SPACE)) / F.element_at(arr, k).cast("double")
+    )
+
+
+def kmv_set_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Set-operation estimates from two :func:`kmv_sketch` tables
+    (theta-sketch semantics): per group,
+
+        est_union     from the merged sketch (k smallest of Ha ∪ Hb —
+                      itself a valid KMV sketch of A ∪ B)
+        est_intersect by inclusion-exclusion  est_a + est_b - est_union
+        jaccard       est_intersect / est_union
+
+    The merge is pure native array arithmetic on two k-length arrays
+    (array_union -> array_sort -> slice) riding ONE group-keyed join —
+    no re-scan of either input, which is the entire point: shard
+    sketches merge into exact-semantics estimates at any scale.
+    Deterministic: same md5 hash space, fixed-order IEEE arithmetic —
+    DuckDB replays every bit (q_kmv_setops uses an independent
+    window-rank formulation instead of arrays).
+    """
+    an = a.select(
+        *group_cols,
+        F.col("hashes").alias("_ha"),
+    )
+    bn = b.select(*group_cols, F.col("hashes").alias("_hb"))
+    j = an.join(bn, group_cols)
+    merged = F.slice(F.array_sort(F.array_union(F.col("_ha"), F.col("_hb"))), 1, k)
+    est_a = _kmv_est(F.col("_ha"), k)
+    est_b = _kmv_est(F.col("_hb"), k)
+    est_u = _kmv_est(merged, k)
+    est_i = (est_a + est_b) - est_u
+    return j.select(
+        *group_cols,
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        est_i.alias("est_intersect"),
+        (est_i / est_u).alias("jaccard_est"),
     )
