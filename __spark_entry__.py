@@ -2227,6 +2227,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_recursive_cte"] = q_recursive_cte
 
+    def q_debounce(spark, sf):  # cooldown dedup: keep >= gap after last KEPT
+        from osm_pbf_spark.operators.temporal import debounce
+
+        ev = load(spark, sf, "events").filter(F.col("event_id") < 4000)
+        kept = debounce(ev, key_col="user_id", ts_col="ts", gap_s=3600.0)
+        return kept.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("event_id").alias("first_event"),
+            F.sum("event_id").alias("id_sum"),
+        )
+
+    q["q_debounce"] = q_debounce
+
+    def q_dq_checks(spark, sf):  # declarative data-quality rule suite
+        from osm_pbf_spark.operators.dq import check_constraints
+
+        li = load(spark, sf, "lineitem")
+        o = load(spark, sf, "orders")
+        return check_constraints(
+            li,
+            not_null=["l_shipdate", "l_partkey"],
+            ranges=[("l_discount", 0.0, 0.1), ("l_quantity", 1.0, 30.0)],
+            in_set=[("l_returnflag", ["A", "N", "R"])],
+            unique=[["l_orderkey", "l_linenumber"]],
+            refs=[("l_orderkey", o, "o_orderkey")],
+        )
+
+    q["q_dq_checks"] = q_dq_checks
+
+    def q_lateral(spark, sf):  # correlated LATERAL subquery (top-2 per row)
+        c = load(spark, sf, "customer").filter(F.col("c_custkey") < 300)
+        o = load(spark, sf, "orders")
+        c.createOrReplaceTempView("lat_cust")
+        o.createOrReplaceTempView("lat_orders")
+        return spark.sql(
+            """
+            SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+            FROM lat_cust c, LATERAL (
+              SELECT o_orderkey, o_totalprice FROM lat_orders o
+              WHERE o.o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+            """
+        )
+
+    q["q_lateral"] = q_lateral
+
     def q_profile(spark, sf):  # one-scan long-format column profiler
         from osm_pbf_spark.operators.checksum import profile_table
 
@@ -2735,6 +2781,43 @@ def _ora_bpe() -> str:
         [("doc_id", "BIGINT"), ("n_words", "INTEGER"), ("n_tokens", "INTEGER"),
          ("tokens_s", "VARCHAR")],
         rows,
+    )
+
+
+def _ora_debounce() -> str:
+    """Scalar replay of the cooldown sweep (events < 4000, gap 3600 s,
+    (ts, event_id) tie-break), aggregated per user — VALUES literal."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    micros = t.column("ts").cast("int64").to_pylist()
+    rows = [
+        (u, e, m)
+        for e, u, m in zip(
+            t.column("event_id").to_pylist(), t.column("user_id").to_pylist(), micros
+        )
+        if e < 4000
+    ]
+    by_user: dict[int, list] = {}
+    for u, e, m in rows:
+        by_user.setdefault(u, []).append((m, e))
+    gap_us = 3600 * 1_000_000
+    out = []
+    for u in sorted(by_user):
+        kept = []
+        last = None
+        for m, e in sorted(by_user[u]):
+            if last is None or m - last >= gap_us:
+                kept.append(e)
+                last = m
+        out.append((u, len(kept), min(kept), sum(kept)))
+    return _values_sql(
+        [("user_id", "BIGINT"), ("n_kept", "BIGINT"), ("first_event", "BIGINT"),
+         ("id_sum", "BIGINT")],
+        out,
     )
 
 
@@ -5222,6 +5305,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT root, count(*) AS chain_len,
                    CAST(sum(node) AS BIGINT) AS chain_sum
             FROM chain GROUP BY root
+        """,
+        "q_debounce": _ora_debounce(),
+        # every rule replayed as a verbatim aggregate; count(CASE..)
+        # keeps DuckDB at BIGINT (sum would widen to HUGEINT)
+        "q_dq_checks": """
+            SELECT 'not_null:l_shipdate' AS rule,
+                   count(CASE WHEN l_shipdate IS NULL THEN 1 END)
+                       AS n_violations
+            FROM lineitem
+            UNION ALL
+            SELECT 'not_null:l_partkey',
+                   count(CASE WHEN l_partkey IS NULL THEN 1 END)
+            FROM lineitem
+            UNION ALL
+            SELECT 'range:l_discount',
+                   count(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+                              THEN 1 END)
+            FROM lineitem
+            UNION ALL
+            SELECT 'range:l_quantity',
+                   count(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 30.0)
+                              THEN 1 END)
+            FROM lineitem
+            UNION ALL
+            SELECT 'in_set:l_returnflag',
+                   count(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                              THEN 1 END)
+            FROM lineitem
+            UNION ALL
+            SELECT 'unique:l_orderkey,l_linenumber',
+                   coalesce(CAST(sum(n - 1) AS BIGINT), 0)
+            FROM (SELECT count(*) AS n FROM lineitem
+                  GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+            UNION ALL
+            SELECT 'ref:l_orderkey', count(*)
+            FROM lineitem l
+            WHERE l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)
+        """,
+        # DuckDB's own LATERAL — independent engine path
+        "q_lateral": """
+            SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+            FROM customer c, LATERAL (
+              SELECT o_orderkey, o_totalprice FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+            WHERE c.c_custkey < 300
         """,
         "q_bpe": _ora_bpe(),
         # hybrid: the (word -> code) map is the replayed Soundex spec

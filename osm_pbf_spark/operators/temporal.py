@@ -309,3 +309,51 @@ def retention_cohorts(
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+def debounce(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: float = 60.0,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Cooldown deduplication (debounce/throttle): per key, keep an
+    event iff it is at least ``gap_s`` seconds after the LAST KEPT
+    event of that key — the standard event-throttling / repeated-click
+    dedup. NOT sessionize: the kept set depends on itself (a dropped
+    event does not restart the clock), which is inherently sequential
+    per key and has no window/join formulation.
+
+    Plan: one keyed shuffle into an Arrow-batched ``applyInPandas``
+    kernel (the documented sequential-per-group UDF case, like FFD
+    packing); the per-key scan is O(n log n) for the sort + O(n) for
+    the sweep on int64 epoch-micros. A key's events must fit one group
+    batch — at 10^12 events pre-split pathological keys by coarse time
+    range first (each range seeded by its first event, ranges >> gap).
+
+    Deterministic: ties break on (ts, id). Returns the kept rows with
+    their original columns.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if gap_s <= 0:
+        raise ValueError(f"gap_s must be > 0, got {gap_s}")
+    gap_us = int(round(gap_s * 1_000_000))
+    schema = events.schema
+
+    def _keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        ts = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        keep = np.zeros(len(pdf), dtype=bool)
+        last = None
+        for i, t in enumerate(ts):
+            if last is None or t - last >= gap_us:
+                keep[i] = True
+                last = t
+        return pdf.loc[keep, [f.name for f in schema.fields]]
+
+    return events.groupBy(key_col).applyInPandas(
+        lambda key, pdf: _keep(pdf), schema=schema
+    )

@@ -1,0 +1,111 @@
+"""Batch-11 operators: cooldown debounce (temporal.debounce) and the
+declarative data-quality checker (dq.check_constraints)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(s: int):
+    return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_debounce_keeps_cooldown_survivors(spark):
+    from osm_pbf_spark.operators.temporal import debounce
+
+    # key 1: events at 0, 30, 60, 61, 130 s with gap 60 -> keep 0, 60, 130
+    # (30 is dropped but does NOT restart the clock — the sessionize
+    # distinction); key 2: all inside one gap -> keep only the first
+    rows = [
+        (1, 1, _ts(0)), (2, 1, _ts(30)), (3, 1, _ts(60)), (4, 1, _ts(61)),
+        (5, 1, _ts(130)),
+        (6, 2, _ts(0)), (7, 2, _ts(10)), (8, 2, _ts(59)),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
+    kept = {r.event_id for r in debounce(df, gap_s=60.0).collect()}
+    assert kept == {1, 3, 5, 6}
+
+
+def test_debounce_tie_break_and_partitioning(spark):
+    from osm_pbf_spark.operators.temporal import debounce
+
+    rows = [(i, i % 7, _ts((i * 13) % 500)) for i in range(300)]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
+
+    def brute():
+        by = {}
+        for e, u, t in rows:
+            by.setdefault(u, []).append((t, e))
+        out = set()
+        for u, evs in by.items():
+            last = None
+            for t, e in sorted(evs):
+                if last is None or (t - last).total_seconds() >= 45:
+                    out.add(e)
+                    last = t
+        return out
+
+    want = brute()
+    for parts in (1, 8):
+        got = {r.event_id for r in debounce(df.repartition(parts), gap_s=45.0).collect()}
+        assert got == want
+
+
+def test_debounce_validation(spark):
+    from osm_pbf_spark.operators.temporal import debounce
+
+    df = spark.createDataFrame([(1, 1, _ts(0))], "event_id bigint, user_id bigint, ts timestamp")
+    with pytest.raises(ValueError):
+        debounce(df, gap_s=0)
+
+
+def test_check_constraints_counts(spark):
+    from osm_pbf_spark.operators.dq import check_constraints
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (1, 10.0, "A"),   # duplicate key (1 extra copy)
+            (2, -5.0, "B"),   # range + set violation
+            (3, None, None),  # null v (range rule skips NULL), null flag
+            (9, 2.0, "A"),    # orphan key
+        ],
+        "k bigint, v double, flag string",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk bigint")
+    got = {
+        r.rule: r.n_violations
+        for r in check_constraints(
+            df,
+            not_null=["flag"],
+            ranges=[("v", 0.0, 100.0)],
+            in_set=[("flag", ["A"])],
+            unique=[["k"]],
+            refs=[("k", parent, "pk")],
+        ).collect()
+    }
+    assert got == {
+        "not_null:flag": 1,
+        "range:v": 1,       # NULL v is not a range violation
+        "in_set:flag": 1,   # NULL flag is not an in_set violation
+        "unique:k": 1,
+        "ref:k": 1,
+    }
+
+
+def test_check_constraints_all_green_and_empty(spark):
+    from osm_pbf_spark.operators.dq import check_constraints
+
+    df = spark.createDataFrame([(1, 5.0)], "k bigint, v double")
+    got = {
+        r.rule: r.n_violations
+        for r in check_constraints(
+            df, not_null=["k"], ranges=[("v", 0.0, 10.0)], unique=[["k"]]
+        ).collect()
+    }
+    assert got == {"not_null:k": 0, "range:v": 0, "unique:k": 0}
+    with pytest.raises(ValueError):
+        check_constraints(df)
