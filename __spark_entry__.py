@@ -2227,6 +2227,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_recursive_cte"] = q_recursive_cte
 
+    def q_sink_zorder(spark, sf):  # C-family: Z-order rewrite + multi-column
+        # manifest stats -> MULTI-dimensional file pruning; the in-query
+        # asserts pin that pruning actually skipped files and the read
+        # is still a correct superset
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.sink.iceberg_like import IcebergLikeSink
+
+        root = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driver_sink_z")
+        shutil.rmtree(root, ignore_errors=True)
+        sink = IcebergLikeSink(
+            root, stats_col=None, stats_cols=["a", "b"],
+            target_file_bytes=48 * 1024,
+        )
+        li = load(spark, sf, "lineitem")
+        d = li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("doc_id")
+        ).select(
+            "doc_id",
+            (F.col("doc_id") * 7919 % 1000).alias("a"),
+            (F.col("doc_id") * 104729 % 1000).alias("b"),
+        )
+        for i in range(4):
+            sink.write_split(
+                d.filter(F.pmod("doc_id", F.lit(4)) == i).repartition(2), f"{i:04d}"
+            )
+        sink.commit_snapshot()
+        assert sink.compact(spark, zorder=["a", "b"]) is not None
+        sink.commit_snapshot({"pipeline": "zorder"})
+        ranges = {"a": (100, 299), "b": (400, 599)}
+        n_all = len(sink.committed_files())
+        n_kept = len(sink.committed_files(stats_ranges=ranges))
+        assert n_all >= 3, f"compaction produced too few files ({n_all})"
+        assert n_kept < n_all, f"pruning skipped nothing ({n_kept}/{n_all})"
+        docs = sink.read(spark, stats_ranges=ranges).filter(
+            F.col("a").between(100, 299) & F.col("b").between(400, 599)
+        )
+        return docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.min("doc_id").alias("id_min"),
+            F.max("doc_id").alias("id_max"),
+        )
+
+    q["q_sink_zorder"] = q_sink_zorder
+
     def q_debounce(spark, sf):  # cooldown dedup: keep >= gap after last KEPT
         from osm_pbf_spark.operators.temporal import debounce
 
@@ -5305,6 +5352,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT root, count(*) AS chain_len,
                    CAST(sum(node) AS BIGINT) AS chain_sum
             FROM chain GROUP BY root
+        """,
+        # the pruned read is a superset + exact predicate, so the
+        # expected result is the plain filtered aggregate
+        "q_sink_zorder": """
+            WITH d AS (SELECT l_orderkey * 10 + l_linenumber AS doc_id
+                       FROM lineitem),
+            e AS (SELECT doc_id, doc_id * 7919 % 1000 AS a,
+                         doc_id * 104729 % 1000 AS b FROM d)
+            SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                   min(doc_id) AS id_min, max(doc_id) AS id_max
+            FROM e
+            WHERE a BETWEEN 100 AND 299 AND b BETWEEN 400 AND 599
         """,
         "q_debounce": _ora_debounce(),
         # every rule replayed as a verbatim aggregate; count(CASE..)

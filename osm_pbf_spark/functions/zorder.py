@@ -80,7 +80,12 @@ def zorder_key_col(
     return out
 
 
-def zorder_sorted(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
+def zorder_sorted(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """``df`` globally sorted on the Z-order key of ``cols``.
 
     Column ranges come from one tiny min/max aggregate (the same
@@ -88,6 +93,12 @@ def zorder_sorted(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
     never appears in the output. Ties inside one quantization cell keep
     the sort stable enough for layout purposes (exact tie order is
     irrelevant to clustering quality).
+
+    ``num_partitions`` pins the output file count for a rewrite:
+    repartitionByRange(n, key) + sortWithinPartitions is globally
+    ordered by construction and — unlike a plain ``sort`` — is NOT
+    re-coalesced by AQE (explicit repartition counts are respected),
+    so each output partition becomes one ~target-sized file.
     """
     aggs = []
     for c in cols:
@@ -98,4 +109,8 @@ def zorder_sorted(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
     if any(v is None for v in los + his):
         raise ValueError(f"zorder columns {cols} have no non-NULL values")
     key = zorder_key_col([F.col(c) for c in cols], los, his, bits=bits)
-    return df.withColumn("_zkey", key).sort("_zkey").drop("_zkey")
+    keyed = df.withColumn("_zkey", key)
+    if num_partitions is not None:
+        keyed = keyed.repartitionByRange(max(1, num_partitions), "_zkey")
+        return keyed.sortWithinPartitions("_zkey").drop("_zkey")
+    return keyed.sort("_zkey").drop("_zkey")

@@ -73,9 +73,17 @@ class IcebergLikeSink:
         partition_by: list[str] | None = None,
         target_file_bytes: int = 16 * 1024 * 1024,
         stats_col: str | None = "cell",
+        stats_cols: list[str] | None = None,
     ) -> None:
         self.root = root
         self.partition_by = partition_by or []
+        # ADDITIONAL per-file [min, max] metric columns (beyond
+        # stats_col) recorded in each manifest — with a Z-order
+        # compaction layout (compact(zorder=...)), multi-column
+        # manifest stats make MULTI-dimensional file pruning real:
+        # read(stats_ranges={...}) skips files on every recorded
+        # column without opening a single parquet footer.
+        self.stats_cols = stats_cols or []
         # column whose per-file [min, max] is recorded in each manifest
         # (Iceberg-style file metrics). With cell-sorted input (the
         # default ingest layout) these ranges are tight and read() can
@@ -170,43 +178,63 @@ class IcebergLikeSink:
         import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
 
-        def _meta(rel: str) -> tuple[int, dict | None]:
+        def _col_minmax(md, name: str) -> tuple | None:
+            if not (md.num_row_groups and md.num_rows):
+                return None
+            col_j = next(
+                (
+                    j
+                    for j in range(md.num_columns)
+                    if md.row_group(0).column(j).path_in_schema == name
+                ),
+                None,
+            )
+            if col_j is None:
+                return None
+            mins, maxs = [], []
+            for g in range(md.num_row_groups):
+                s = md.row_group(g).column(col_j).statistics
+                if s is None or not s.has_min_max:
+                    return None
+                mins.append(s.min)
+                maxs.append(s.max)
+            return min(mins), max(maxs)
+
+        def _meta(rel: str) -> tuple[int, dict | None, dict]:
             md = pq.read_metadata(os.path.join(self.root, rel))
             stats = None
-            if self.stats_col and md.num_row_groups:
-                col_j = next(
-                    (
-                        j
-                        for j in range(md.num_columns)
-                        if md.row_group(0).column(j).path_in_schema == self.stats_col
-                    ),
-                    None,
-                )
-                if col_j is not None and md.num_rows:
-                    mins, maxs = [], []
-                    for g in range(md.num_row_groups):
-                        s = md.row_group(g).column(col_j).statistics
-                        if s is None or not s.has_min_max:
-                            break
-                        mins.append(s.min)
-                        maxs.append(s.max)
-                    else:
-                        stats = {"min": min(mins), "max": max(maxs)}
-            return md.num_rows, stats
+            if self.stats_col:
+                mm = _col_minmax(md, self.stats_col)
+                if mm is not None:
+                    stats = {"min": mm[0], "max": mm[1]}
+            multi = {}
+            for c in self.stats_cols:
+                mm = _col_minmax(md, c)
+                if mm is not None:
+                    multi[c] = [mm[0], mm[1]]
+            return md.num_rows, stats, multi
 
         file_stats: dict[str, dict] = {}
+        file_stats_multi: dict[str, dict] = {}
         n_rows = 0
         with ThreadPoolExecutor(max_workers=16) as ex:
-            for rel, (rows, stats) in zip(files, ex.map(_meta, files)):
+            for rel, (rows, stats, multi) in zip(files, ex.map(_meta, files)):
                 n_rows += rows
                 if stats is not None:
                     file_stats[rel] = {"rows": rows, **stats}
+                if multi:
+                    file_stats_multi[rel] = multi
         manifest = {
             "split_id": split_id,
             "files": sorted(files),
             # per-file [min, max] of stats_col — Iceberg-style file
             # metrics enabling manifest-level pruning in read()
             "file_stats": {k: file_stats[k] for k in sorted(file_stats)},
+            # per-file [min, max] of the EXTRA stats_cols (multi-dim
+            # pruning; pairs with the Z-order compaction layout)
+            "file_stats_multi": {
+                k: file_stats_multi[k] for k in sorted(file_stats_multi)
+            },
             "stats_col": self.stats_col,
             # the split's Spark schema — metadata-carried so the read
             # path can UNION schemas across splits (add-column
@@ -463,6 +491,7 @@ class IcebergLikeSink:
                 sid: {
                     "files": m["files"],
                     "file_stats": m.get("file_stats", {}),
+                    "file_stats_multi": m.get("file_stats_multi", {}),
                     "replaces": m.get("replaces", []),
                     "schema": m.get("schema"),
                     # merge-on-read delete manifests carry their kind +
@@ -612,25 +641,43 @@ class IcebergLikeSink:
         return data, dels
 
     def _filter_files(
-        self, entries: dict[str, dict], stats_range: tuple[int, int] | None
+        self,
+        entries: dict[str, dict],
+        stats_range: tuple[int, int] | None,
+        stats_ranges: dict[str, tuple] | None = None,
     ) -> list[str]:
         """Entry files -> absolute paths, manifest-stat pruned: with
         ``stats_range=(lo, hi)``, only files whose [min, max] of
-        stats_col overlaps it — no parquet footer ever opened."""
+        stats_col overlaps it; ``stats_ranges={col: (lo, hi)}`` prunes
+        on the extra ``stats_cols`` metrics conjunctively (a file
+        survives only if EVERY named range overlaps). No parquet footer
+        ever opened. Files lacking a metric are conservatively kept."""
         files = []
         for sid in sorted(entries):
             m = entries[sid]
             stats = m.get("file_stats", {})
+            multi = m.get("file_stats_multi", {})
             for rel in m["files"]:
                 if stats_range is not None and rel in stats:
                     lo, hi = stats_range
                     if stats[rel]["max"] < lo or stats[rel]["min"] > hi:
                         continue
+                if stats_ranges:
+                    fm = multi.get(rel, {})
+                    pruned = False
+                    for c, (lo, hi) in stats_ranges.items():
+                        if c in fm and (fm[c][1] < lo or fm[c][0] > hi):
+                            pruned = True
+                            break
+                    if pruned:
+                        continue
                 files.append(os.path.join(self.root, rel))
         return files
 
     def committed_files(
-        self, stats_range: tuple[int, int] | None = None
+        self,
+        stats_range: tuple[int, int] | None = None,
+        stats_ranges: dict[str, tuple] | None = None,
     ) -> list[str]:
         """LIVE committed DATA file paths (replaced splits and
         merge-on-read delete files excluded), with optional
@@ -638,7 +685,7 @@ class IcebergLikeSink:
         splits exist, reading these files directly sees pre-delete
         rows — use :meth:`read`, which applies them."""
         data, _dels = self._split_kinds(self._live_entries())
-        return self._filter_files(data, stats_range)
+        return self._filter_files(data, stats_range, stats_ranges)
 
     @staticmethod
     def _merged_schema(entries: dict[str, dict]):
@@ -690,6 +737,7 @@ class IcebergLikeSink:
         spark: SparkSession,
         entries: dict[str, dict],
         stats_range: tuple[int, int] | None,
+        stats_ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Shared merge-on-read path for :meth:`read` (live entries)
         and :meth:`read_snapshot` (a frozen manifest list): load the
@@ -725,8 +773,8 @@ class IcebergLikeSink:
 
         if not del_e:
             files = (
-                self._filter_files(data_e, stats_range)
-                if stats_range is not None
+                self._filter_files(data_e, stats_range, stats_ranges)
+                if stats_range is not None or stats_ranges
                 else all_files
             )
             return load(files) if files else empty()
@@ -739,7 +787,7 @@ class IcebergLikeSink:
             groups.setdefault(applying, {})[sid] = m
         out: DataFrame | None = None
         for applying, ge in sorted(groups.items(), key=lambda kv: sorted(kv[1])):
-            files = self._filter_files(ge, stats_range)
+            files = self._filter_files(ge, stats_range, stats_ranges)
             if not files:
                 continue
             df = load(files)
@@ -760,17 +808,22 @@ class IcebergLikeSink:
         spark: SparkSession,
         dedup_cols: list[str] | None = None,
         stats_range: tuple[int, int] | None = None,
+        stats_ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Read ONLY committed files (orphans from crashes are
         invisible), with equality-delete splits applied merge-on-read.
 
         ``stats_range`` prunes files by the manifest's stats_col metrics
-        BEFORE Spark ever lists them. NOTE: range pruning is a superset
-        read — callers still apply their exact predicate. (Pruning
-        composes with deletes: dropping a file only removes rows, and
-        the anti-join runs on whatever survives.)
+        BEFORE Spark ever lists them; ``stats_ranges={col: (lo, hi)}``
+        prunes conjunctively on the extra ``stats_cols`` metrics —
+        multi-dimensional pruning, which a ``compact(zorder=[...])``
+        layout makes tight on EVERY recorded column at once. NOTE:
+        range pruning is a superset read — callers still apply their
+        exact predicate. (Pruning composes with deletes: dropping a
+        file only removes rows, and the anti-join runs on whatever
+        survives.)
         """
-        df = self._read_entries(spark, self._live_entries(), stats_range)
+        df = self._read_entries(spark, self._live_entries(), stats_range, stats_ranges)
         if dedup_cols:
             df = df.dropDuplicates(dedup_cols)
         return df
@@ -960,10 +1013,12 @@ class IcebergLikeSink:
             # named column at once (Iceberg's zorder sort strategy) —
             # parquet row-group/file stats stay tight on ALL of them,
             # at the cost of slightly looser stats_col ranges than a
-            # plain linear sort
+            # plain linear sort. File count pinned from input bytes so
+            # AQE cannot coalesce the rewrite into one giant file.
             from ..functions.zorder import zorder_sorted
 
-            df = zorder_sorted(df, zorder)
+            n_out = max(1, round(n_input_bytes / self.target_file_bytes))
+            df = zorder_sorted(df, zorder, num_partitions=n_out)
         elif self.stats_col and self.stats_col in df.columns:
             df = df.sort(self.stats_col)
         cid = f"compact-{uuid.uuid4().hex[:12]}"

@@ -100,8 +100,10 @@ def test_compact_zorder_lossless_and_clusters_secondary(spark, tmp_path):
     # linear compaction baseline
     lin = IcebergLikeSink(str(tmp_path / "lin"), stats_col="cell",
                           target_file_bytes=64 * 1024)
+    # small target => enough output files that the z-curve's top bits
+    # split BOTH dimensions (2 files would split only the top column)
     zo = IcebergLikeSink(str(tmp_path / "zo"), stats_col="cell",
-                         target_file_bytes=64 * 1024)
+                         target_file_bytes=16 * 1024)
     for s in (lin, zo):
         for i in range(4):
             s.write_split(_docs2(spark, i * 4000, (i + 1) * 4000).coalesce(2), f"{i:04d}")
@@ -114,9 +116,46 @@ def test_compact_zorder_lossless_and_clusters_secondary(spark, tmp_path):
     zo.commit_snapshot()
     # lossless either way
     assert rows(lin) == before and rows(zo) == before
-    # the z-order rewrite must cluster the SECONDARY column far better
-    # than the linear stats_col sort (which leaves aux unclustered)
-    if len(zo.committed_files()) > 1 and len(lin.committed_files()) > 1:
+    # the zorder rewrite pins its file count from input bytes (AQE must
+    # not coalesce it away) — multiple files, deterministically
+    assert len(zo.committed_files()) > 1
+    if len(lin.committed_files()) > 1:
+        # the z-order rewrite must cluster the SECONDARY column far
+        # better than the linear stats_col sort
         assert _file_stat_extent(zo, "aux") < 0.8 * _file_stat_extent(lin, "aux")
-        # and still cluster cell usefully vs the full 0..999 extent
-        assert _file_stat_extent(zo, "cell") < 600
+    # and still cluster cell usefully vs the full 0..999 extent
+    assert _file_stat_extent(zo, "cell") < 600
+
+
+def test_multicolumn_manifest_stats_pruning(spark, tmp_path):
+    sink = IcebergLikeSink(
+        str(tmp_path / "mz"), stats_col=None, stats_cols=["cell", "aux"],
+        target_file_bytes=48 * 1024,
+    )
+    for i in range(4):
+        sink.write_split(_docs2(spark, i * 4000, (i + 1) * 4000).coalesce(2), f"{i:04d}")
+    sink.commit_snapshot()
+    assert sink.compact(spark, zorder=["cell", "aux"]) is not None
+    sink.commit_snapshot()
+
+    n_all = len(sink.committed_files())
+    assert n_all >= 3
+    ranges = {"cell": (0, 199), "aux": (700, 999)}
+    kept = sink.committed_files(stats_ranges=ranges)
+    assert 0 < len(kept) < n_all  # multi-dim pruning actually skips files
+
+    # pruned read is a correct superset: exact predicate gives the truth
+    got = sorted(
+        r.doc_id
+        for r in sink.read(spark, stats_ranges=ranges)
+        .filter("cell BETWEEN 0 AND 199 AND aux BETWEEN 700 AND 999")
+        .collect()
+    )
+    want = sorted(
+        i for i in range(16000)
+        if 0 <= (i * 7919) % 1000 <= 199 and 700 <= (i * 104729) % 1000 <= 999
+    )
+    assert got == want
+
+    # a range on an UNRECORDED column keeps every file (conservative)
+    assert len(sink.committed_files(stats_ranges={"doc_id": (0, 1)})) == n_all
