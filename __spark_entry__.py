@@ -2274,6 +2274,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sink_zorder"] = q_sink_zorder
 
+    def q_sink_bucket(spark, sf):  # C-family: hidden bucket partitioning —
+        # point-lookup reads prune whole bucket files from the manifest
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.sink.iceberg_like import IcebergLikeSink
+
+        root = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driver_sink_b")
+        shutil.rmtree(root, ignore_errors=True)
+        sink = IcebergLikeSink(
+            root, stats_col=None, bucket_by=("doc_id", 8),
+            target_file_bytes=256 * 1024,
+        )
+        li = load(spark, sf, "lineitem")
+        d = li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("doc_id"),
+            F.col("l_quantity").alias("qty"),
+            F.col("l_returnflag").alias("flag"),
+        )
+        sink.write_split(d.filter(F.pmod("doc_id", F.lit(2)) == 0), "0000")
+        sink.write_split(d.filter(F.pmod("doc_id", F.lit(2)) == 1), "0001")
+        sink.commit_snapshot()
+        probes = [1, 71, 101, 171, 181, 191, 201, 999999991]
+        n_all = len(sink.committed_files())
+        n_kept = len(sink.committed_files(bucket_keys=probes))
+        assert n_all >= 8, f"bucketed layout produced too few files ({n_all})"
+        assert n_kept < n_all, f"bucket pruning skipped nothing ({n_kept}/{n_all})"
+        return (
+            sink.read(spark, bucket_keys=probes)
+            .filter(F.col("doc_id").isin(probes))
+            .select("doc_id", "qty", "flag")
+        )
+
+    q["q_sink_bucket"] = q_sink_bucket
+
+    def q_incr_mv(spark, sf):  # C-family: incremental materialized-view
+        # maintenance — merge(old state, agg(increment)) must equal the
+        # full recompute; the gate hash enforces the equality
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.plans.ingest import ingest_pbf
+
+        path = _fixture_pbf("sink")
+        root = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driver_sink_mv")
+        shutil.rmtree(root, ignore_errors=True)
+        sink = ingest_pbf(spark, path, root, cell_level=12, blobs_per_split=1)
+        s1 = sink.current_snapshot()
+        state1 = (
+            sink.read_snapshot(spark, s1["snapshot_id"])
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        inc = sink.read(spark).where("pmod(cell, 4) = 2").withColumn(
+            "doc_id", F.concat(F.lit("mv/"), F.col("doc_id"))
+        )
+        sink.write_split(inc, "mv-1", lineage={"op": "append"})
+        s2 = sink.commit_snapshot({"pipeline": "mv"})
+        inc_agg = (
+            sink.read_incremental(spark, s1["snapshot_id"], s2["snapshot_id"])
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        merged = (
+            state1.unionByName(inc_agg)
+            .groupBy("cell")
+            .agg(F.sum("n_docs").alias("n_docs"))
+        )
+        full = sink.read(spark).groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+        lab = lambda df, s: df.select(F.lit(s).alias("src"), "cell", "n_docs")
+        return lab(merged, "merged").unionByName(lab(full, "full"))
+
+    q["q_incr_mv"] = q_incr_mv
+
     def q_debounce(spark, sf):  # cooldown dedup: keep >= gap after last KEPT
         from osm_pbf_spark.operators.temporal import debounce
 
@@ -2828,6 +2904,26 @@ def _ora_bpe() -> str:
         [("doc_id", "BIGINT"), ("n_words", "INTEGER"), ("n_tokens", "INTEGER"),
          ("tokens_s", "VARCHAR")],
         rows,
+    )
+
+
+def _ora_incr_mv() -> str:
+    """Scalar replay for the incremental-MV gate: per-cell counts of
+    the base docs plus one extra copy for cells with cell % 4 == 2,
+    emitted under BOTH labels — merged state must equal full recompute."""
+    from tests import oracle_render
+
+    d = _fixture_decoded("sink")
+    docs = oracle_render.render_file(d)
+    coords = {f"node/{n['id']}": (n["lat"], n["lon"]) for n in d["nodes"]}
+    agg: dict[int, int] = {}
+    for doc in docs:
+        ll = coords.get(doc["doc_id"])
+        cell = _cell_scalar(ll[0], ll[1], 12) if ll else -1
+        agg[cell] = agg.get(cell, 0) + (2 if cell % 4 == 2 else 1)
+    rows = [(src, c, agg[c]) for src in ("merged", "full") for c in sorted(agg)]
+    return _values_sql(
+        [("src", "VARCHAR"), ("cell", "BIGINT"), ("n_docs", "BIGINT")], rows
     )
 
 
@@ -5365,6 +5461,16 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WHERE a BETWEEN 100 AND 299 AND b BETWEEN 400 AND 599
         """,
+        # bucket pruning is a superset read; the exact IN-filter defines
+        # the expected rows
+        "q_sink_bucket": """
+            WITH d AS (SELECT l_orderkey * 10 + l_linenumber AS doc_id,
+                              l_quantity AS qty, l_returnflag AS flag
+                       FROM lineitem)
+            SELECT doc_id, qty, flag FROM d
+            WHERE doc_id IN (1, 71, 101, 171, 181, 191, 201, 999999991)
+        """,
+        "q_incr_mv": _ora_incr_mv(),
         "q_debounce": _ora_debounce(),
         # every rule replayed as a verbatim aggregate; count(CASE..)
         # keeps DuckDB at BIGINT (sum would widen to HUGEINT)

@@ -74,9 +74,22 @@ class IcebergLikeSink:
         target_file_bytes: int = 16 * 1024 * 1024,
         stats_col: str | None = "cell",
         stats_cols: list[str] | None = None,
+        bucket_by: tuple[str, int] | None = None,
     ) -> None:
         self.root = root
         self.partition_by = partition_by or []
+        # HIDDEN PARTITIONING (Iceberg's bucket transform): rows are
+        # laid out in ``bucket_by = (col, n)`` directories keyed by a
+        # DERIVED 40-bit-md5 bucket of col — the bucket column never
+        # exists in the data or the table schema. read(bucket_keys=[..])
+        # recomputes the transform on the probe values driver-side and
+        # prunes whole files: the point-lookup path at 100 TB (scan
+        # |probes| buckets out of n, zero parquet footers opened).
+        # The same deterministic hash spec as operators/sketch.py, so
+        # any engine can replay the layout.
+        if bucket_by is not None and (len(bucket_by) != 2 or bucket_by[1] < 1):
+            raise ValueError(f"bucket_by must be (col, n>=1), got {bucket_by!r}")
+        self.bucket_by = tuple(bucket_by) if bucket_by else None
         # ADDITIONAL per-file [min, max] metric columns (beyond
         # stats_col) recorded in each manifest — with a Z-order
         # compaction layout (compact(zorder=...)), multi-column
@@ -140,6 +153,22 @@ class IcebergLikeSink:
         split_dir = os.path.join(self.root, "data", f"split={split_id}")
         t0 = time.monotonic()
         spark = df.sparkSession
+        # the TABLE schema — captured before any hidden layout column
+        # is added (the bucket column must never appear on reads)
+        table_schema = json.loads(df.schema.json())
+        if self.bucket_by:
+            if self.partition_by:
+                raise ValueError("bucket_by cannot combine with partition_by")
+            from pyspark.sql import functions as F
+
+            bcol, nb = self.bucket_by
+            bexpr = (
+                F.conv(
+                    F.substring(F.md5(F.col(bcol).cast("string")), 1, 10), 16, 10
+                ).cast("bigint")
+                % nb
+            )
+            df = df.withColumn("_bucket", bexpr).hint("rebalance", "_bucket")
         _ADV = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
         old_adv = spark.conf.get(_ADV, None)
         if self.partition_by:
@@ -158,6 +187,8 @@ class IcebergLikeSink:
             writer = writer.option("parquet.block.size", str(8 * 1024 * 1024))
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
+        elif self.bucket_by:
+            writer = writer.partitionBy("_bucket")
         try:
             spark.conf.set(_ADV, str(self.target_file_bytes))
             writer.parquet(split_dir)
@@ -216,6 +247,7 @@ class IcebergLikeSink:
 
         file_stats: dict[str, dict] = {}
         file_stats_multi: dict[str, dict] = {}
+        file_buckets: dict[str, int] = {}
         n_rows = 0
         with ThreadPoolExecutor(max_workers=16) as ex:
             for rel, (rows, stats, multi) in zip(files, ex.map(_meta, files)):
@@ -224,6 +256,10 @@ class IcebergLikeSink:
                     file_stats[rel] = {"rows": rows, **stats}
                 if multi:
                     file_stats_multi[rel] = multi
+                if self.bucket_by:
+                    for part in rel.split(os.sep):
+                        if part.startswith("_bucket="):
+                            file_buckets[rel] = int(part.split("=", 1)[1])
         manifest = {
             "split_id": split_id,
             "files": sorted(files),
@@ -236,10 +272,14 @@ class IcebergLikeSink:
                 k: file_stats_multi[k] for k in sorted(file_stats_multi)
             },
             "stats_col": self.stats_col,
+            # hidden-partitioning layout: per-file bucket id + the
+            # transform spec (bucket pruning in read(bucket_keys=...))
+            "file_buckets": {k: file_buckets[k] for k in sorted(file_buckets)},
+            "bucket_by": list(self.bucket_by) if self.bucket_by else None,
             # the split's Spark schema — metadata-carried so the read
             # path can UNION schemas across splits (add-column
             # evolution) without scanning any parquet footer
-            "schema": json.loads(df.schema.json()),
+            "schema": table_schema,
             "n_rows": n_rows,
             "n_bytes": n_bytes,
             "partition_by": self.partition_by,
@@ -492,6 +532,7 @@ class IcebergLikeSink:
                     "files": m["files"],
                     "file_stats": m.get("file_stats", {}),
                     "file_stats_multi": m.get("file_stats_multi", {}),
+                    "file_buckets": m.get("file_buckets", {}),
                     "replaces": m.get("replaces", []),
                     "schema": m.get("schema"),
                     # merge-on-read delete manifests carry their kind +
@@ -645,18 +686,22 @@ class IcebergLikeSink:
         entries: dict[str, dict],
         stats_range: tuple[int, int] | None,
         stats_ranges: dict[str, tuple] | None = None,
+        buckets: set[int] | None = None,
     ) -> list[str]:
         """Entry files -> absolute paths, manifest-stat pruned: with
         ``stats_range=(lo, hi)``, only files whose [min, max] of
         stats_col overlaps it; ``stats_ranges={col: (lo, hi)}`` prunes
         on the extra ``stats_cols`` metrics conjunctively (a file
-        survives only if EVERY named range overlaps). No parquet footer
-        ever opened. Files lacking a metric are conservatively kept."""
+        survives only if EVERY named range overlaps); ``buckets`` keeps
+        only files whose recorded hidden-bucket id is in the set. No
+        parquet footer ever opened. Files lacking a metric/bucket are
+        conservatively kept."""
         files = []
         for sid in sorted(entries):
             m = entries[sid]
             stats = m.get("file_stats", {})
             multi = m.get("file_stats_multi", {})
+            fbuckets = m.get("file_buckets", {})
             for rel in m["files"]:
                 if stats_range is not None and rel in stats:
                     lo, hi = stats_range
@@ -671,13 +716,28 @@ class IcebergLikeSink:
                             break
                     if pruned:
                         continue
+                if buckets is not None and rel in fbuckets:
+                    if fbuckets[rel] not in buckets:
+                        continue
                 files.append(os.path.join(self.root, rel))
         return files
+
+    def bucket_of(self, value) -> int:
+        """The hidden-partition bucket of a key value: 40-bit md5 prefix
+        of str(value) mod n — the Python replay of the write-side Spark
+        expression (CAST to string matches for int/string key columns)."""
+        if not self.bucket_by:
+            raise ValueError("table has no bucket_by layout")
+        import hashlib
+
+        _col, n = self.bucket_by
+        return int(hashlib.md5(str(value).encode()).hexdigest()[:10], 16) % n
 
     def committed_files(
         self,
         stats_range: tuple[int, int] | None = None,
         stats_ranges: dict[str, tuple] | None = None,
+        bucket_keys: list | None = None,
     ) -> list[str]:
         """LIVE committed DATA file paths (replaced splits and
         merge-on-read delete files excluded), with optional
@@ -685,7 +745,12 @@ class IcebergLikeSink:
         splits exist, reading these files directly sees pre-delete
         rows — use :meth:`read`, which applies them."""
         data, _dels = self._split_kinds(self._live_entries())
-        return self._filter_files(data, stats_range, stats_ranges)
+        buckets = (
+            {self.bucket_of(v) for v in bucket_keys}
+            if bucket_keys is not None
+            else None
+        )
+        return self._filter_files(data, stats_range, stats_ranges, buckets)
 
     @staticmethod
     def _merged_schema(entries: dict[str, dict]):
@@ -738,6 +803,7 @@ class IcebergLikeSink:
         entries: dict[str, dict],
         stats_range: tuple[int, int] | None,
         stats_ranges: dict[str, tuple] | None = None,
+        buckets: set[int] | None = None,
     ) -> DataFrame:
         """Shared merge-on-read path for :meth:`read` (live entries)
         and :meth:`read_snapshot` (a frozen manifest list): load the
@@ -773,8 +839,8 @@ class IcebergLikeSink:
 
         if not del_e:
             files = (
-                self._filter_files(data_e, stats_range, stats_ranges)
-                if stats_range is not None or stats_ranges
+                self._filter_files(data_e, stats_range, stats_ranges, buckets)
+                if stats_range is not None or stats_ranges or buckets is not None
                 else all_files
             )
             return load(files) if files else empty()
@@ -787,7 +853,7 @@ class IcebergLikeSink:
             groups.setdefault(applying, {})[sid] = m
         out: DataFrame | None = None
         for applying, ge in sorted(groups.items(), key=lambda kv: sorted(kv[1])):
-            files = self._filter_files(ge, stats_range, stats_ranges)
+            files = self._filter_files(ge, stats_range, stats_ranges, buckets)
             if not files:
                 continue
             df = load(files)
@@ -809,6 +875,7 @@ class IcebergLikeSink:
         dedup_cols: list[str] | None = None,
         stats_range: tuple[int, int] | None = None,
         stats_ranges: dict[str, tuple] | None = None,
+        bucket_keys: list | None = None,
     ) -> DataFrame:
         """Read ONLY committed files (orphans from crashes are
         invisible), with equality-delete splits applied merge-on-read.
@@ -823,7 +890,14 @@ class IcebergLikeSink:
         file only removes rows, and the anti-join runs on whatever
         survives.)
         """
-        df = self._read_entries(spark, self._live_entries(), stats_range, stats_ranges)
+        buckets = (
+            {self.bucket_of(v) for v in bucket_keys}
+            if bucket_keys is not None
+            else None
+        )
+        df = self._read_entries(
+            spark, self._live_entries(), stats_range, stats_ranges, buckets
+        )
         if dedup_cols:
             df = df.dropDuplicates(dedup_cols)
         return df
@@ -972,6 +1046,11 @@ class IcebergLikeSink:
                 "compact() supports the stats-clustered layout; "
                 "directory-partitioned tables would lose their partition "
                 "columns on a file-list read"
+            )
+        if self.bucket_by:
+            raise ValueError(
+                "compact() on a bucket-partitioned table would destroy "
+                "the hidden bucket layout; rewrite per bucket instead"
             )
         live = self._live_entries()
         data_e, del_e = self._split_kinds(live)
