@@ -2350,6 +2350,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_incr_mv"] = q_incr_mv
 
+    def q_sink_timeprune(spark, sf):  # C-family: temporal file pruning —
+        # timestamp manifest stats (normalized to epoch micros) skip
+        # whole files for a time-window read (the day-transform use case)
+        import datetime as dt
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.operators.temporal import _epoch_micros
+        from osm_pbf_spark.sink.iceberg_like import IcebergLikeSink
+
+        root = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driver_sink_t")
+        shutil.rmtree(root, ignore_errors=True)
+        sink = IcebergLikeSink(root, stats_col=None, stats_cols=["ts"])
+        ev = load(spark, sf, "events").select("event_id", "ts", "user_id")
+        sink.write_split(
+            ev.repartitionByRange(6, "ts").sortWithinPartitions("ts"), "0000"
+        )
+        sink.commit_snapshot()
+        lo, hi = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 15)
+        lo_us, hi_us = 1_704_844_800_000_000, 1_705_276_800_000_000
+        n_all = len(sink.committed_files())
+        n_kept = len(sink.committed_files(stats_ranges={"ts": (lo, hi)}))
+        assert n_all >= 3, f"time-sorted layout produced too few files ({n_all})"
+        assert n_kept < n_all, f"time pruning skipped nothing ({n_kept}/{n_all})"
+        docs = sink.read(spark, stats_ranges={"ts": (lo, hi)}).filter(
+            _epoch_micros(F.col("ts")).between(lo_us, hi_us)
+        )
+        return docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("id_sum"),
+            F.min("event_id").alias("id_min"),
+            F.max("event_id").alias("id_max"),
+        )
+
+    q["q_sink_timeprune"] = q_sink_timeprune
+
+    def q_grouping_sets(spark, sf):  # explicit GROUPING SETS + grouping()
+        li = load(spark, sf, "lineitem")
+        li.createOrReplaceTempView("gs_lineitem")
+        return spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus,
+                   grouping(l_returnflag) AS g1, grouping(l_linestatus) AS g2,
+                   count(*) AS n, round(sum(l_quantity), 2) AS qty
+            FROM gs_lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+            """
+        )
+
+    q["q_grouping_sets"] = q_grouping_sets
+
     def q_debounce(spark, sf):  # cooldown dedup: keep >= gap after last KEPT
         from osm_pbf_spark.operators.temporal import debounce
 
@@ -5471,6 +5523,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id IN (1, 71, 101, 171, 181, 191, 201, 999999991)
         """,
         "q_incr_mv": _ora_incr_mv(),
+        # temporal pruning is a superset read; epoch_us matches the
+        # engine's _epoch_micros convention on naive timestamps
+        "q_sink_timeprune": """
+            SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum,
+                   min(event_id) AS id_min, max(event_id) AS id_max
+            FROM events
+            WHERE epoch_us(ts) BETWEEN 1704844800000000 AND 1705276800000000
+        """,
+        "q_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   grouping(l_returnflag) AS g1, grouping(l_linestatus) AS g2,
+                   count(*) AS n, round(sum(l_quantity), 2) AS qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+        """,
         "q_debounce": _ora_debounce(),
         # every rule replayed as a verbatim aggregate; count(CASE..)
         # keeps DuckDB at BIGINT (sum would widen to HUGEINT)

@@ -66,6 +66,29 @@ _SNAP_DIR = "_snapshots"
 _EQ_DELETES = "equality_deletes"
 
 
+def _stat_jsonable(v):
+    """Normalize a parquet column statistic to a JSON-storable,
+    order-preserving key: ints/floats/strings pass through; timestamps
+    become exact epoch MICROSECONDS (the engine-wide convention,
+    operators/temporal._epoch_micros — naive values read as UTC); dates
+    become midnight-UTC micros. Returns None for types we cannot order
+    portably (the caller then records no stat: conservative keep)."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        td = v - _dt.datetime(1970, 1, 1)
+        return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days * 86_400_000_000
+    return None
+
+
 class IcebergLikeSink:
     def __init__(
         self,
@@ -227,8 +250,12 @@ class IcebergLikeSink:
                 s = md.row_group(g).column(col_j).statistics
                 if s is None or not s.has_min_max:
                     return None
-                mins.append(s.min)
-                maxs.append(s.max)
+                lo = _stat_jsonable(s.min)
+                hi = _stat_jsonable(s.max)
+                if lo is None or hi is None:
+                    return None
+                mins.append(lo)
+                maxs.append(hi)
             return min(mins), max(maxs)
 
         def _meta(rel: str) -> tuple[int, dict | None, dict]:
@@ -711,7 +738,14 @@ class IcebergLikeSink:
                     fm = multi.get(rel, {})
                     pruned = False
                     for c, (lo, hi) in stats_ranges.items():
-                        if c in fm and (fm[c][1] < lo or fm[c][0] > hi):
+                        lo = _stat_jsonable(lo)
+                        hi = _stat_jsonable(hi)
+                        if (
+                            c in fm
+                            and lo is not None
+                            and hi is not None
+                            and (fm[c][1] < lo or fm[c][0] > hi)
+                        ):
                             pruned = True
                             break
                     if pruned:
