@@ -2402,6 +2402,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_grouping_sets"] = q_grouping_sets
 
+    def q_corr(spark, sf):  # exact-integer Pearson correlation per group
+        from osm_pbf_spark.operators.stats import pearson_corr
+
+        li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 20000)
+        d = li.select(
+            "l_returnflag",
+            F.col("l_quantity").cast("bigint").alias("x"),
+            F.floor("l_extendedprice").alias("y"),
+        )
+        return pearson_corr(d, "x", "y", ["l_returnflag"])
+
+    q["q_corr"] = q_corr
+
+    def q_ols(spark, sf):  # exact-integer least-squares line per group
+        from osm_pbf_spark.operators.stats import ols_fit
+
+        li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 20000)
+        d = li.select(
+            "l_returnflag",
+            F.col("l_quantity").cast("bigint").alias("x"),
+            F.floor("l_extendedprice").alias("y"),
+        )
+        return ols_fit(d, "x", "y", ["l_returnflag"])
+
+    q["q_ols"] = q_ols
+
+    def q_zscore(spark, sf):  # per-row outlier z-scores, bit-reproducible
+        from osm_pbf_spark.operators.stats import zscore
+
+        li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 2000)
+        d = li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.col("l_quantity").cast("bigint").alias("x"),
+        )
+        return zscore(d, "x", ["l_returnflag"])
+
+    q["q_zscore"] = q_zscore
+
     def q_debounce(spark, sf):  # cooldown dedup: keep >= gap after last KEPT
         from osm_pbf_spark.operators.temporal import debounce
 
@@ -5523,6 +5563,58 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id IN (1, 71, 101, 171, 181, 191, 201, 999999991)
         """,
         "q_incr_mv": _ora_incr_mv(),
+        # exact-integer moments -> fixed IEEE chain (morans_i discipline)
+        "q_corr": """
+            WITH d AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                              CAST(floor(l_extendedprice) AS BIGINT) AS y
+                       FROM lineitem WHERE l_orderkey < 20000),
+            m AS (SELECT l_returnflag, count(*) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(y * y) AS BIGINT) AS syy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy
+                  FROM d GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+            FROM m
+        """,
+        "q_ols": """
+            WITH d AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                              CAST(floor(l_extendedprice) AS BIGINT) AS y
+                       FROM lineitem WHERE l_orderkey < 20000),
+            m AS (SELECT l_returnflag, count(*) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy
+                  FROM d GROUP BY l_returnflag),
+            s AS (SELECT l_returnflag, n, sx, sy,
+                         CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+                  FROM m)
+            SELECT l_returnflag, n, slope,
+                   (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) AS intercept
+            FROM s
+        """,
+        "q_zscore": """
+            WITH d AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                              CAST(l_quantity AS BIGINT) AS x
+                       FROM lineitem WHERE l_orderkey < 2000),
+            m AS (SELECT l_returnflag, count(*) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(x * x) AS BIGINT) AS sxx
+                  FROM d GROUP BY l_returnflag)
+            SELECT d.l_orderkey, d.l_linenumber, d.l_returnflag, d.x,
+                   CAST(m.n * d.x - m.sx AS DOUBLE)
+                     / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                            * (CAST(m.n AS DOUBLE)
+                               / CAST(m.n - 1 AS DOUBLE))) AS z
+            FROM d JOIN m ON m.l_returnflag = d.l_returnflag
+        """,
         # temporal pruning is a superset read; epoch_us matches the
         # engine's _epoch_micros convention on naive timestamps
         "q_sink_timeprune": """

@@ -1,0 +1,111 @@
+"""Exact-integer descriptive statistics (SURVEY.md §2.4 companion, r3).
+
+Pearson correlation, simple OLS regression, and per-row z-scores over
+INTEGER-valued columns, computed with the same exactness discipline as
+``spatialstats.morans_i`` / ``getis_ord_gi``: clear denominators first —
+
+    num   = n*Σxy − Σx*Σy          (exact int64)
+    var_x = n*Σx² − (Σx)²          (exact int64)
+    var_y = n*Σy² − (Σy)²          (exact int64)
+
+so the statistic is a FIXED-ORDER chain of correctly-rounded IEEE ops
+(int→double casts, sqrt, *, /) on exact integers — any engine
+reproduces the bits, which is what makes these gateable (naive
+avg/stddev sum doubles in shuffle order; their last bits are
+nondeterministic).
+
+Overflow posture: ANSI mode THROWS on int64 overflow — keep
+n * max|x| * max|y| and n * Σy² under 2^63 (rescale/floor-divide the
+inputs beyond; the q_corr/q_ols gate queries floor prices for this).
+
+Plans: one hash aggregate per group (map-side partial, one narrow
+shuffle); z-scores add a broadcast join of the tiny per-group moments
+back onto the rows. Pure whole-stage codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pearson_corr", "ols_fit", "zscore"]
+
+
+def _moments(df: DataFrame, x: str, y: str | None, group_cols: list[str]):
+    xc = F.col(x).cast("bigint")
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(xc).alias("_sx"),
+        F.sum(xc * xc).alias("_sxx"),
+    ]
+    if y is not None:
+        yc = F.col(y).cast("bigint")
+        aggs += [
+            F.sum(yc).alias("_sy"),
+            F.sum(yc * yc).alias("_syy"),
+            F.sum(xc * yc).alias("_sxy"),
+        ]
+    keys = group_cols if group_cols else [F.lit(0).alias("_all")]
+    out = df.groupBy(*keys).agg(*aggs)
+    return out.drop("_all") if not group_cols else out
+
+
+def _num_varx_vary():
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("bigint")
+    vx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("bigint")
+    vy = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("bigint")
+    return num, vx, vy
+
+
+def pearson_corr(
+    df: DataFrame, x_col: str, y_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(group..., n, corr) — Pearson r of two integer columns per group."""
+    g = list(group_cols or [])
+    m = _moments(df, x_col, y_col, g)
+    num, vx, vy = _num_varx_vary()
+    corr = num.cast("double") / (
+        F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+    )
+    return m.select(*g, F.col("_n").alias("n"), corr.alias("corr"))
+
+
+def ols_fit(
+    df: DataFrame, x_col: str, y_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(group..., n, slope, intercept) — least-squares line y = a·x + b
+    per group; slope is a ratio of exact integers, intercept the fixed
+    chain (Σy − slope·Σx)/n."""
+    g = list(group_cols or [])
+    m = _moments(df, x_col, y_col, g)
+    num, vx, _vy = _num_varx_vary()
+    slope = num.cast("double") / vx.cast("double")
+    intercept = (
+        F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
+    ) / F.col("_n").cast("double")
+    return m.select(
+        *g, F.col("_n").alias("n"), slope.alias("slope"), intercept.alias("intercept")
+    )
+
+
+def zscore(
+    df: DataFrame, x_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Every input row plus its per-group sample z-score of ``x_col``:
+
+        z = (n·x − Σx) / sqrt((n·Σx² − (Σx)²) · (n / (n−1)))
+
+    (= (x − mean)/s with the denominators cleared). The per-group
+    moments are a tiny aggregate broadcast back onto the rows — the
+    standard outlier-flagging shape at any scale."""
+    g = list(group_cols or [])
+    m = _moments(df, x_col, None, g)
+    j = df.join(F.broadcast(m), g) if g else df.crossJoin(F.broadcast(m))
+    xc = F.col(x_col).cast("bigint")
+    num = (F.col("_n") * xc - F.col("_sx")).cast("bigint")
+    a = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("bigint")
+    z = num.cast("double") / F.sqrt(
+        a.cast("double")
+        * (F.col("_n").cast("double") / (F.col("_n") - F.lit(1)).cast("double"))
+    )
+    return j.select(*df.columns, z.alias("z"))
