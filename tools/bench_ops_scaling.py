@@ -1,5 +1,6 @@
 """Two-parallelism scaling study for the r3 operator families
-(distance_join, bbox_join, connected_components, grid_smooth).
+(distance_join, bbox_join, connected_components, grid_smooth, plus the
+late-r3 batch: skyline, count_min, debounce, kcore, getis_ord).
 
 The sandbox has no multi-executor cluster, so the north rule's
 N -> 4N executor criterion is evidenced the same way as bench.py's
@@ -103,11 +104,79 @@ def leg_grid_smooth(spark, n: int) -> int:
     return grid_smooth(_points(spark, n * 30), level=11).count()
 
 
+def leg_skyline(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.skyline import skyline
+
+    pts = spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.col("id") * F.lit(7919), F.lit(1_000_000)).alias("x"),
+        F.pmod(F.col("id") * F.lit(104729), F.lit(1_000_000)).alias("y"),
+    )
+    return skyline(pts, ["x", "y"], n_salts=256).count()
+
+
+def leg_count_min(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.sketch import count_min
+
+    df = spark.range(n * 3).select(
+        F.pmod(F.col("id") * F.lit(7919), F.lit(100_000)).alias("v")
+    )
+    return count_min(df, "v", depth=4, width=1024).count()
+
+
+def leg_debounce(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.temporal import debounce
+
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.col("id"), F.lit(n // 300)).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.pmod(F.col("id") * F.lit(37), F.lit(5_000))
+        ).alias("ts"),
+    )
+    return debounce(ev, gap_s=50.0).count()
+
+
+def leg_kcore(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.graph import kcore
+
+    # hash-derived endpoints: a LINEAR congruential pair would collapse
+    # to N distinct edges (everything mod N ignores i div N) — xxhash64
+    # gives an ER-like graph with avg degree ~16, whose 8-core is large
+    m = n * 2
+    nodes = m // 8
+    edges = spark.range(m).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(nodes)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id") + F.lit(m)), F.lit(nodes)).alias("dst"),
+    )
+    return kcore(edges, k=8, rounds=4).count()
+
+
+def leg_getis_ord(spark, n: int) -> int:
+    from osm_pbf_spark.operators.spatialstats import getis_ord_gi, grid_cell_counts
+
+    cells = grid_cell_counts(_points(spark, n * 10), 0.05)
+    return getis_ord_gi(cells).count()
+
+
 LEGS = {
     "distance_join": leg_distance_join,
     "bbox_join": leg_bbox_join,
     "connected_components": leg_connected_components,
     "grid_smooth": leg_grid_smooth,
+    "skyline": leg_skyline,
+    "count_min": leg_count_min,
+    "debounce": leg_debounce,
+    "kcore": leg_kcore,
+    "getis_ord": leg_getis_ord,
 }
 
 
