@@ -2182,17 +2182,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_getis_ord"] = q_getis_ord
 
+    def _md5_graph(spark, sf):
+        # md5-derived ER-ish graph (~100 nodes, deg ~16) — a linear
+        # congruential pair would collapse to <=150 distinct edges and
+        # make every graph statistic trivial; md5 is DuckDB-replayable
+        e = load(spark, sf, "events").filter(F.col("event_id") < 900)
+        h = lambda c: F.conv(F.substring(F.md5(c), 1, 10), 16, 10).cast("bigint")
+        return e.select(
+            (h(F.col("event_id").cast("string")) % 100).alias("src"),
+            (
+                h(F.concat(F.col("event_id").cast("string"), F.lit(":d"))) % 100
+            ).alias("dst"),
+        )
+
     def q_kcore(spark, sf):  # k-core decomposition (synchronous peeling)
         from osm_pbf_spark.operators.graph import kcore
 
-        e = load(spark, sf, "events").filter(F.col("event_id") < 900)
-        edges = e.select(
-            (F.col("event_id") % 150).alias("src"),
-            ((F.col("event_id") * 37 + 11) % 150).alias("dst"),
-        )
-        return kcore(edges, k=11, rounds=6)
+        return kcore(_md5_graph(spark, sf), k=12, rounds=6)
 
     q["q_kcore"] = q_kcore
+
+    def q_clustering_coeff(spark, sf):  # per-node local clustering coeff
+        from osm_pbf_spark.operators.graph import clustering_coefficient
+
+        return clustering_coefficient(_md5_graph(spark, sf))
+
+    q["q_clustering_coeff"] = q_clustering_coeff
 
     def q_kmv_setops(spark, sf):  # mergeable KMV sketches: union/intersect
         # estimates from two shard sketches, no data re-scan
@@ -3952,17 +3967,23 @@ def _zinterleave_sql(qnames: list[str], bits: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+_MD5_GRAPH_SQL = f"""ed AS (
+        SELECT {_hex40_bigint_sql("md5(CAST(event_id AS VARCHAR))")} % 100
+                   AS src,
+               {_hex40_bigint_sql(
+                   "md5(CAST(event_id AS VARCHAR) || ':d')")} % 100 AS dst
+        FROM events WHERE event_id < 900)"""
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """Unrolled peeling replay for q_kcore (same convention as the
     PageRank oracle: one CTE pair per round)."""
     parts = [
-        """ed AS (SELECT event_id % 150 AS src,
-                        (event_id * 37 + 11) % 150 AS dst
-                 FROM events WHERE event_id < 900),
-           e0 AS (SELECT DISTINCT a, b FROM (
+        _MD5_GRAPH_SQL,
+        """e0 AS (SELECT DISTINCT a, b FROM (
                     SELECT src AS a, dst AS b FROM ed WHERE src <> dst
                     UNION ALL
-                    SELECT dst AS a, src AS b FROM ed WHERE src <> dst))"""
+                    SELECT dst AS a, src AS b FROM ed WHERE src <> dst))""",
     ]
     for i in range(rounds):
         parts.append(
@@ -5480,7 +5501,31 @@ def oracle_sql() -> dict[str, str]:
                 AND (b.p_size > a.p_size
                      OR b.p_retailprice > a.p_retailprice))
         """,
-        "q_kcore": _kcore_sql(11, 6),
+        "q_kcore": _kcore_sql(12, 6),
+        # neighbor-pair formulation (plain id order) vs the engine's
+        # degree-ordered wedge scheme — independent triangle counting
+        "q_clustering_coeff": f"""
+            WITH {_MD5_GRAPH_SQL},
+            und AS (SELECT DISTINCT least(src, dst) AS u,
+                           greatest(src, dst) AS v
+                    FROM ed WHERE src <> dst),
+            nb AS (SELECT u AS n, v AS m FROM und
+                   UNION ALL SELECT v AS n, u AS m FROM und),
+            deg AS (SELECT n, count(*) AS d FROM nb GROUP BY n),
+            tri AS (SELECT n1.n AS n, count(*) AS t
+                    FROM nb n1 JOIN nb n2 ON n2.n = n1.n AND n2.m > n1.m
+                    WHERE EXISTS (SELECT 1 FROM und e
+                                  WHERE e.u = least(n1.m, n2.m)
+                                    AND e.v = greatest(n1.m, n2.m))
+                    GROUP BY n1.n)
+            SELECT deg.n AS node, deg.d AS degree,
+                   coalesce(tri.t, 0) AS n_tri,
+                   CASE WHEN deg.d >= 2
+                        THEN CAST(2 * coalesce(tri.t, 0) AS DOUBLE)
+                             / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+                        ELSE 0.0 END AS cc
+            FROM deg LEFT JOIN tri ON tri.n = deg.n
+        """,
         # independent window-rank formulation of the sketch merge (the
         # engine merges k-length ARRAYS; the oracle re-ranks the union)
         "q_kmv_setops": f"""

@@ -150,3 +150,40 @@ def test_recursive_cte_chain(spark):
     assert rows[5] == (4, 8)
     assert rows[1] == (2, 1)
     assert rows[8] == (5, 15)
+
+
+def _brute_cc(edges: set[tuple[int, int]]) -> dict[int, tuple[int, int, float]]:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for n, nbrs in adj.items():
+        d = len(nbrs)
+        t = sum(len(adj[m] & nbrs) for m in nbrs) // 2
+        cc = (2.0 * t) / (d * (d - 1)) if d >= 2 else 0.0
+        out[n] = (d, t, cc)
+    return out
+
+
+def test_clustering_coefficient_vs_brute(spark):
+    import numpy as np
+
+    from osm_pbf_spark.operators.graph import clustering_coefficient
+
+    rng = np.random.RandomState(9)
+    edges = {tuple(sorted((int(a), int(b)))) for a, b in rng.randint(0, 40, (300, 2)) if a != b}
+    df = spark.createDataFrame(sorted(edges), "src bigint, dst bigint")
+    got = {r.node: (r.degree, r.n_tri, r.cc) for r in clustering_coefficient(df).collect()}
+    want = _brute_cc(edges)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n][0] == want[n][0] and got[n][1] == want[n][1]
+        assert got[n][2] == want[n][2]  # exact-int ratio: identical bits
+    # a triangle + pendant: classic values
+    tri = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (1, 4)], "src bigint, dst bigint")
+    r = {x.node: x.cc for x in clustering_coefficient(tri).collect()}
+    assert r[2] == 1.0 and r[3] == 1.0 and r[4] == 0.0
+    assert abs(r[1] - 1.0 / 3.0) < 1e-15
