@@ -2457,6 +2457,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_zscore"] = q_zscore
 
+    def q_media_neardup(spark, sf):  # perceptual-hash (dHash) media dedup:
+        # decode -> native 64-bit gradient hash -> pigeonhole-banded
+        # candidate join -> popcount verify; near-dups planted by native
+        # single-pixel perturbations of the deterministic fake decode
+        from osm_pbf_spark.operators.multimodal import (
+            dhash64_col,
+            media_pixels,
+            near_dup_media_pairs,
+            synth_media_table,
+        )
+
+        media = synth_media_table(spark, 48)
+        px = media_pixels(media)
+        base_id = F.substring("media_ref", 2, 10).cast("int")
+        variants = (
+            px.where(base_id < 10)
+            .withColumn("_pos", F.pmod(base_id * 5, F.lit(64)))
+            .select(
+                F.concat(F.lit("dup/"), F.col("media_ref")).alias("media_ref"),
+                F.transform(
+                    "px",
+                    lambda x, i: F.when(
+                        i == F.col("_pos"), F.least(x + 1, F.lit(255))
+                    ).otherwise(x),
+                ).alias("px"),
+            )
+        )
+        gallery = px.unionByName(variants)
+        hashed = gallery.select(
+            "media_ref", dhash64_col(F.col("px")).alias("phash")
+        )
+        return near_dup_media_pairs(hashed, max_hamming=3)
+
+    q["q_media_neardup"] = q_media_neardup
+
     def q_debounce(spark, sf):  # cooldown dedup: keep >= gap after last KEPT
         from osm_pbf_spark.operators.temporal import debounce
 
@@ -3031,6 +3066,47 @@ def _ora_incr_mv() -> str:
     rows = [(src, c, agg[c]) for src in ("merged", "full") for c in sorted(agg)]
     return _values_sql(
         [("src", "VARCHAR"), ("cell", "BIGINT"), ("n_docs", "BIGINT")], rows
+    )
+
+
+def _ora_media_neardup() -> str:
+    """Independent scalar replay of the media near-dup gate: rebuild
+    the synth payloads + fake decode + planted perturbations, compute
+    dHash with a plain bit loop, and BRUTE all-pairs hamming — the
+    oracle is band-free, so it also proves the pigeonhole candidate
+    join lost no pair."""
+    import hashlib as _hl
+
+    def pix(i: int) -> list[int]:
+        payload = _hl.blake2b(i.to_bytes(4, "little"), digest_size=32).digest()
+        return list(_hl.blake2b(payload, digest_size=64).digest())
+
+    items: dict[str, list[int]] = {f"m{i}": pix(i) for i in range(48)}
+    for i in range(10):
+        p = list(items[f"m{i}"])
+        pos = (i * 5) % 64
+        p[pos] = min(p[pos] + 1, 255)
+        items[f"dup/m{i}"] = p
+
+    def dh(p: list[int]) -> int:
+        v = 0
+        for i in range(64):
+            if p[i] > p[(i + 1) % 64]:
+                v |= 1 << i
+        return v
+
+    hs = {r: dh(p) for r, p in items.items()}
+    refs = sorted(hs)
+    rows = []
+    for x in range(len(refs)):
+        for y in range(x + 1, len(refs)):
+            a, b = refs[x], refs[y]
+            ham = bin(hs[a] ^ hs[b]).count("1")
+            if ham <= 3:
+                rows.append((a, b, ham))
+    rows.sort()
+    return _values_sql(
+        [("id_a", "VARCHAR"), ("id_b", "VARCHAR"), ("hamming", "INTEGER")], rows
     )
 
 
@@ -5676,6 +5752,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                     (l_returnflag), ())
         """,
+        "q_media_neardup": _ora_media_neardup(),
         "q_debounce": _ora_debounce(),
         # every rule replayed as a verbatim aggregate; count(CASE..)
         # keeps DuckDB at BIGINT (sum would widen to HUGEINT)

@@ -126,3 +126,113 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
             (f"m{i}", modality, bytearray(payload), 8, 8, 4000 if modality == "video" else 0)
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("px", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def media_pixels(media: DataFrame) -> DataFrame:
+    """Decode payloads to a 64-value integer pixel vector (the decode
+    boundary for perceptual hashing): real path resizes to 8x8
+    grayscale when PIL exists; the deterministic fake emits the raw
+    blake2b bytes (module docstring). One Arrow-batched stage."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import PIL  # noqa: F401
+
+            def decode(payload: bytes) -> np.ndarray:
+                px = _decode_image_real(payload)
+                if px.ndim == 3:
+                    px = px.mean(axis=2)
+                from PIL import Image
+
+                im = Image.fromarray(px.astype(np.uint8)).resize((8, 8))
+                return np.asarray(im, dtype=np.int64).ravel()
+        except ImportError:
+
+            def decode(payload: bytes) -> np.ndarray:
+                h = hashlib.blake2b(payload or b"", digest_size=64).digest()
+                return np.frombuffer(h, dtype=np.uint8).astype(np.int64)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            px = [
+                decode(bytes(p) if p is not None else b"").tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"media_ref": pdf["media_ref"], "px": px})
+
+    return media.select("media_ref", "payload").mapInPandas(gen, PIXELS_SCHEMA)
+
+
+def dhash64_col(px_col) -> F.Column:
+    """NATIVE 64-bit difference hash (the classic dHash perceptual
+    hash): bit i = 1 iff px[i] > px[(i+1) mod 64], OR-folded with
+    shifts — one whole-stage-codegen projection, no Python. Near-
+    duplicate images differ in few gradient signs, so hamming distance
+    on this hash is the standard image-dedup metric."""
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        cond = (
+            F.element_at(px_col, i + 1) > F.element_at(px_col, ((i + 1) % 64) + 1)
+        ).cast("long")
+        out = out.bitwiseOR(F.shiftleft(cond, i))
+    return out
+
+
+def near_dup_media_pairs(
+    hashed: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_ref",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """All media pairs with dHash hamming distance <= max_hamming —
+    perceptual near-duplicate detection (re-encodes, small edits).
+
+    Candidate scheme: the 4x16-bit pigeonhole (exact recall for
+    hamming <= 3: at least one quarter is untouched), one equi-join
+    shuffle on the band key, native popcount verify
+    ``bit_count(a XOR b)``. Same scale posture as dedup.simhash_pairs
+    'quarters' — beyond ~10^8 distinct images switch to a 2^32-keyspace
+    multi-index (halves32) exactly as documented there.
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("pigeonhole recall holds for max_hamming in [0, 3]")
+    h = hashed.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+    bands = h.select(
+        "id",
+        "h",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("h"), 16 * b).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("h").alias("ha"), "band", "key"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("h").alias("hb"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.where(ham <= max_hamming).select(
+        "id_a", "id_b", ham.alias("hamming")
+    )

@@ -109,3 +109,68 @@ def test_check_constraints_all_green_and_empty(spark):
     assert got == {"not_null:k": 0, "range:v": 0, "unique:k": 0}
     with pytest.raises(ValueError):
         check_constraints(df)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash media near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_media_neardup_recall_vs_brute(spark):
+    import numpy as np
+
+    from osm_pbf_spark.operators.multimodal import (
+        dhash64_col,
+        near_dup_media_pairs,
+    )
+
+    rng = np.random.RandomState(13)
+    base = rng.randint(0, 256, (30, 64))
+    rows = [(f"g{i}", base[i].tolist()) for i in range(30)]
+    # planted variants: bump k random pixels by 1 (k = 1..3)
+    for i in range(12):
+        p = base[i % 30].copy()
+        for pos in rng.choice(64, size=(i % 3) + 1, replace=False):
+            p[pos] = min(int(p[pos]) + 1, 255)
+        rows.append((f"v{i}", p.tolist()))
+    df = spark.createDataFrame(rows, "media_ref string, px array<int>")
+    hashed = df.select("media_ref", dhash64_col(F.col("px")).alias("phash"))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in near_dup_media_pairs(hashed, max_hamming=3).collect()
+    }
+
+    # brute replay
+    def dh(p):
+        v = 0
+        for i in range(64):
+            if p[i] > p[(i + 1) % 64]:
+                v |= 1 << i
+        return v
+
+    hs = {ref: dh(p) for ref, p in rows}
+    refs = sorted(hs)
+    want = set()
+    for x in range(len(refs)):
+        for y in range(x + 1, len(refs)):
+            a, b = refs[x], refs[y]
+            ham = bin(hs[a] ^ hs[b]).count("1")
+            if ham <= 3:
+                want.add((a, b, ham))
+    assert got == want
+    # exact duplicates pair at hamming 0
+    assert any(h == 0 for _, _, h in got) or not any(
+        hs[f"v{i}"] == hs[f"g{i % 30}"] for i in range(12)
+    )
+
+
+def test_media_neardup_validation_and_plan(spark):
+    from osm_pbf_spark.operators.multimodal import near_dup_media_pairs
+
+    hashed = spark.createDataFrame([("a", 5)], "media_ref string, phash long")
+    with pytest.raises(ValueError):
+        near_dup_media_pairs(hashed, max_hamming=4)
+    plan = near_dup_media_pairs(hashed)._jdf.queryExecution().executedPlan().toString()
+    # banding is one native Generate; the verify is native popcount
+    assert "Generate posexplode" in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
