@@ -345,7 +345,12 @@ def debounce(
 
     def _keep(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
-        ts = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        s = pdf[ts_col]
+        if getattr(s.dtype, "tz", None) is not None:
+            # TIMESTAMP_LTZ arrives tz-aware in pandas; normalize to
+            # naive UTC so the int64-micros sweep is tz-independent
+            s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        ts = s.to_numpy(dtype="datetime64[us]").astype(np.int64)
         keep = np.zeros(len(pdf), dtype=bool)
         last = None
         for i, t in enumerate(ts):
