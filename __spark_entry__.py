@@ -2492,6 +2492,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_media_neardup"] = q_media_neardup
 
+    def q_audio_frames(spark, sf):  # STFT-shaped overlapping window plan
+        from osm_pbf_spark.operators.multimodal import audio_frame_plan
+
+        u = load(spark, sf, "events").select("user_id").distinct()
+        clips = u.select(
+            F.col("user_id").alias("clip_id"),
+            (F.lit(200) + F.pmod(F.col("user_id") * 37, F.lit(5000))).alias(
+                "dur_ms"
+            ),
+        )
+        return audio_frame_plan(
+            clips, frame_ms=400, hop_ms=160, id_col="clip_id", duration_col="dur_ms"
+        )
+
+    q["q_audio_frames"] = q_audio_frames
+
     def q_debounce(spark, sf):  # cooldown dedup: keep >= gap after last KEPT
         from osm_pbf_spark.operators.temporal import debounce
 
@@ -5753,6 +5769,19 @@ def oracle_sql() -> dict[str, str]:
                                     (l_returnflag), ())
         """,
         "q_media_neardup": _ora_media_neardup(),
+        "q_audio_frames": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            c AS (SELECT user_id AS clip_id,
+                         200 + (user_id * 37) % 5000 AS dur_ms FROM u),
+            f AS (SELECT clip_id,
+                         unnest(generate_series(0,
+                             (dur_ms - 400) // 160)) AS frame_idx
+                  FROM c WHERE dur_ms >= 400)
+            SELECT clip_id, frame_idx,
+                   frame_idx * 160 AS start_ms,
+                   frame_idx * 160 + 400 AS end_ms
+            FROM f
+        """,
         "q_debounce": _ora_debounce(),
         # every rule replayed as a verbatim aggregate; count(CASE..)
         # keeps DuckDB at BIGINT (sum would widen to HUGEINT)

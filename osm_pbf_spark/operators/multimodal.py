@@ -236,3 +236,38 @@ def near_dup_media_pairs(
     return cand.where(ham <= max_hamming).select(
         "id_a", "id_b", ham.alias("hamming")
     )
+
+
+def audio_frame_plan(
+    clips: DataFrame,
+    frame_ms: int = 400,
+    hop_ms: int = 160,
+    id_col: str = "media_ref",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Overlapping analysis-window PLAN (the STFT/spectrogram shape):
+    one row per (clip, frame_idx) with [start_ms, end_ms) where frames
+    start at hop multiples and n_frames = 1 + (dur - frame) div hop;
+    clips shorter than one frame emit nothing. Like
+    :func:`frame_sample_plan` the decode is stubbed — the row
+    explosion (one native sequence Generate), schema, and partitioning
+    are the real distributed shape the audio featurizer plugs into.
+    """
+    if frame_ms < 1 or hop_ms < 1:
+        raise ValueError(f"frame_ms/hop_ms must be >= 1, got {frame_ms}/{hop_ms}")
+    dur = F.col(duration_col)
+    n = ((dur - F.lit(frame_ms)) / F.lit(hop_ms)).cast("long") + F.lit(1)
+    out = (
+        clips.where(dur >= frame_ms)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0).cast("long"), n - 1)).alias("frame_idx"),
+        )
+        .select(
+            id_col,
+            "frame_idx",
+            (F.col("frame_idx") * hop_ms).alias("start_ms"),
+            (F.col("frame_idx") * hop_ms + frame_ms).alias("end_ms"),
+        )
+    )
+    return out
