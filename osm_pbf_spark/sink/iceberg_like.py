@@ -941,6 +941,7 @@ class IcebergLikeSink:
         spark: SparkSession,
         ref: int | str,
         stats_range: tuple[int, int] | None = None,
+        stats_ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """TIME TRAVEL: read exactly the files a past snapshot froze.
 
@@ -951,7 +952,7 @@ class IcebergLikeSink:
         snap, entries = self._snapshot_entries(ref)
         # time travel sees the schema AND the delete set AS OF that
         # snapshot — both derived from the frozen manifest list
-        return self._read_entries(spark, entries, stats_range)
+        return self._read_entries(spark, entries, stats_range, stats_ranges)
 
     def _snapshot_entries(self, ref: int | str) -> tuple[dict, dict]:
         """Resolve ``ref`` (snapshot_id or sequence number) to its
@@ -983,6 +984,7 @@ class IcebergLikeSink:
         from_ref: int | str,
         to_ref: int | str,
         stats_range: tuple[int, int] | None = None,
+        stats_ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """INCREMENTAL APPEND SCAN (Iceberg's CDC-for-appends): exactly
         the rows APPENDED between two snapshots — the consume-new-data
@@ -1045,7 +1047,7 @@ class IcebergLikeSink:
                 self._split_kinds(to_entries)[0]
             ) or self._read_entries(spark, to_entries, None).schema
             return spark.createDataFrame([], schema)
-        return self._read_entries(spark, new_data, stats_range)
+        return self._read_entries(spark, new_data, stats_range, stats_ranges)
 
     # ---- maintenance -----------------------------------------------------
 
