@@ -179,31 +179,53 @@ LEGS = {
     "getis_ord": leg_getis_ord,
 }
 
+# per-leg size multiplier on N_POINTS: every timed region must DWARF
+# the fixed costs (scan gen, codegen, Python-worker spinup) or the
+# efficiency number measures overhead, not the operator
+LEG_SCALE = {
+    "distance_join": 0.7,
+    "bbox_join": 1.0,
+    "connected_components": 0.7,
+    "grid_smooth": 12.0,
+    "skyline": 10.0,
+    "count_min": 10.0,
+    "debounce": 6.0,
+    "kcore": 4.0,
+    "getis_ord": 12.0,
+}
+
 
 def main() -> None:
     walls: dict[str, dict[int, list[float]]] = {k: {CORES_LO: [], CORES_HI: []} for k in LEGS}
     checks: dict[str, set] = {k: set() for k in LEGS}
-    for rep in range(REPS):
-        for cores in (CORES_LO, CORES_HI):
-            spark = _session(cores)
-            try:
-                for name, fn in LEGS.items():
-                    fn(spark, 200_000)  # warm plan shape / codegen
+    # ONE FRESH SESSION PER (leg, cores, rep): running legs back-to-back
+    # in a shared JVM lets an earlier leg's heap/GC state bleed into the
+    # next measurement (observed: skyline 3x slower after the 3.8G-pair
+    # distance leg). Startup is untimed.
+    for name, fn in LEGS.items():
+        n = int(N_POINTS * LEG_SCALE[name])
+        for rep in range(REPS):
+            for cores in (CORES_LO, CORES_HI):
+                spark = _session(cores)
+                try:
+                    fn(spark, max(50_000, n // 20))  # warm plan/codegen
                     t = time.time()
-                    res = fn(spark, N_POINTS)
+                    res = fn(spark, n)
                     walls[name][cores].append(time.time() - t)
                     checks[name].add(res)
-            finally:
-                spark.stop()
+                finally:
+                    spark.stop()
     report = {"n_points": N_POINTS, "reps": REPS, "cores": [CORES_LO, CORES_HI], "legs": {}}
     for name in LEGS:
+        n = int(N_POINTS * LEG_SCALE[name])
         t_lo = min(walls[name][CORES_LO])
         t_hi = min(walls[name][CORES_HI])
         report["legs"][name] = {
+            "n_input": n,
             "wall_lo": round(t_lo, 3),
             "wall_hi": round(t_hi, 3),
-            "throughput_lo": round(N_POINTS / t_lo, 1),
-            "throughput_hi": round(N_POINTS / t_hi, 1),
+            "throughput_lo": round(n / t_lo, 1),
+            "throughput_hi": round(n / t_hi, 1),
             "efficiency": round(t_lo / (4.0 * t_hi), 3),
             "deterministic": len(checks[name]) == 1,
             "result": sorted(checks[name])[0],
