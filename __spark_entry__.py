@@ -2508,6 +2508,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_audio_frames"] = q_audio_frames
 
+    def q_twap(spark, sf):  # time-weighted average (step-function values)
+        from osm_pbf_spark.operators.temporal import twap
+
+        ev = load(spark, sf, "events").select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.floor(F.col("value") * 1000).alias("vq"),
+        )
+        return twap(ev, key_col="user_id", ts_col="ts", value_col="vq")
+
+    q["q_twap"] = q_twap
+
+    def q_rolling(spark, sf):  # rolling k-row window aggregates per key
+        li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 3000)
+        # (orderkey, linenumber) is NOT unique in this synthetic table —
+        # extend the tie-break until remaining ties are rows identical
+        # in every aggregated column (then window contents are
+        # order-insensitive multisets)
+        w = (
+            Window.partitionBy("l_returnflag")
+            .orderBy(
+                "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+            )
+            .rowsBetween(-4, 0)
+        )
+        q5 = F.col("l_quantity").cast("bigint")
+        return li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.sum(q5).over(w).alias("roll_qty"),
+            F.count(F.lit(1)).over(w).alias("roll_n"),
+            F.max(q5).over(w).alias("roll_max"),
+        )
+
+    q["q_rolling"] = q_rolling
+
     def q_debounce(spark, sf):  # cooldown dedup: keep >= gap after last KEPT
         from osm_pbf_spark.operators.temporal import debounce
 
@@ -5769,6 +5807,34 @@ def oracle_sql() -> dict[str, str]:
                                     (l_returnflag), ())
         """,
         "q_media_neardup": _ora_media_neardup(),
+        # exact-int Σv·Δt / ΣΔt (Δt in whole seconds); epoch_us matches
+        # the engine's naive-UTC convention
+        "q_twap": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+                              CAST(floor(value * 1000) AS BIGINT) AS vq
+                       FROM events),
+            w AS (SELECT user_id, vq,
+                         (lead(tu) OVER (PARTITION BY user_id
+                              ORDER BY tu, event_id) - tu)
+                             // 1000000 AS dt
+                  FROM e)
+            SELECT user_id, count(*) AS n_obs,
+                   CAST(CAST(sum(vq * dt) AS BIGINT) AS DOUBLE)
+                     / CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE) AS twap
+            FROM w GROUP BY user_id
+        """,
+        "q_rolling": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+                       AS roll_qty,
+                   count(*) OVER w AS roll_n,
+                   max(CAST(l_quantity AS BIGINT)) OVER w AS roll_max
+            FROM lineitem WHERE l_orderkey < 3000
+            WINDOW w AS (PARTITION BY l_returnflag
+                         ORDER BY l_orderkey, l_linenumber, l_partkey,
+                                  l_suppkey, l_quantity
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
         "q_audio_frames": """
             WITH u AS (SELECT DISTINCT user_id FROM events),
             c AS (SELECT user_id AS clip_id,

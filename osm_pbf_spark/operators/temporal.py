@@ -22,7 +22,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize", "interval_join", "funnel", "resample"]
+__all__ = [
+    "asof_join",
+    "sessionize",
+    "interval_join",
+    "funnel",
+    "resample",
+    "retention_cohorts",
+    "debounce",
+    "twap",
+]
 
 
 def _epoch_micros(c: "F.Column") -> "F.Column":
@@ -361,4 +370,46 @@ def debounce(
 
     return events.groupBy(key_col).applyInPandas(
         lambda key, pdf: _keep(pdf), schema=schema
+    )
+
+
+def twap(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "vq",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average (TWAP) per key over step-function values:
+    each observation holds from its timestamp to the NEXT one, so
+
+        twap = Σ v_i · Δt_i / Σ Δt_i       (last observation: no Δt)
+
+    ``value_col`` must be INTEGER-quantized by the caller (the
+    engine-exactness discipline: both sums are exact int64, the final
+    division is one correctly-rounded IEEE op ⇒ gate-hashable bits —
+    a raw double Σ v·Δt would be shuffle-order-dependent). Δt is in
+    whole SECONDS (micros DIV 1e6) to keep v·Δt sums far from int64
+    overflow at month-long gaps.
+
+    Plan: one lead() window per key ((ts, id) tie-break) + one hash
+    aggregate — two narrow key shuffles, pure codegen, the standard
+    financial/telemetry downsampling primitive.
+
+    Returns (key, n_obs, twap:double); keys with fewer than 2
+    observations yield NULL twap (zero total duration).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    tu = _epoch_micros(F.col(ts_col))
+    d = events.select(
+        F.col(key_col),
+        F.col(value_col).cast("bigint").alias("_v"),
+        ((F.lead(tu).over(w) - tu) / F.lit(1_000_000)).cast("bigint").alias("_dt"),
+    )
+    return d.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (
+            F.sum(F.col("_v") * F.col("_dt")).cast("double")
+            / F.sum("_dt").cast("double")
+        ).alias("twap"),
     )
