@@ -174,3 +174,31 @@ def test_media_neardup_validation_and_plan(spark):
     # banding is one native Generate; the verify is native popcount
     assert "Generate posexplode" in plan
     assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average
+# ---------------------------------------------------------------------------
+
+
+def test_twap_step_function(spark):
+    import datetime as dt
+
+    from osm_pbf_spark.operators.temporal import twap
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        # key 1: v=10 for 60 s, v=30 for 30 s, last obs open-ended
+        (1, 1, base, 10),
+        (2, 1, base + dt.timedelta(seconds=60), 30),
+        (3, 1, base + dt.timedelta(seconds=90), 999),
+        # key 2: single obs -> NULL twap (no duration)
+        (4, 2, base, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, vq bigint"
+    )
+    got = {r.user_id: (r.n_obs, r.twap) for r in twap(df).collect()}
+    assert got[1][0] == 3
+    assert got[1][1] == (10 * 60 + 30 * 30) / 90.0
+    assert got[2] == (1, None)
