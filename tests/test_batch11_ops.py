@@ -202,3 +202,26 @@ def test_twap_step_function(spark):
     assert got[1][0] == 3
     assert got[1][1] == (10 * 60 + 30 * 30) / 90.0
     assert got[2] == (1, None)
+
+
+def test_audio_frame_plan_windows(spark):
+    from osm_pbf_spark.operators.multimodal import audio_frame_plan
+
+    clips = spark.createDataFrame(
+        [("a", 1000), ("b", 400), ("c", 399), ("d", 560)],
+        "media_ref string, duration_ms int",
+    )
+    got = {
+        (r.media_ref, r.frame_idx, r.start_ms, r.end_ms)
+        for r in audio_frame_plan(clips, frame_ms=400, hop_ms=160).collect()
+    }
+    # a: n = 1 + (1000-400)//160 = 4 frames; b: exactly 1; c: none;
+    # d: n = 1 + 160//160 = 2
+    want = {("a", i, i * 160, i * 160 + 400) for i in range(4)}
+    want |= {("b", 0, 0, 400), ("d", 0, 0, 400), ("d", 1, 160, 560)}
+    assert got == want
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        audio_frame_plan(clips, frame_ms=0)
