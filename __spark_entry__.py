@@ -2253,10 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         root = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driver_sink_z")
         shutil.rmtree(root, ignore_errors=True)
-        sink = IcebergLikeSink(
-            root, stats_col=None, stats_cols=["a", "b"],
-            target_file_bytes=48 * 1024,
-        )
+        sink = IcebergLikeSink(root, stats_col=None, stats_cols=["a", "b"])
         li = load(spark, sf, "lineitem")
         d = li.select(
             (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("doc_id")
@@ -2270,6 +2267,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 d.filter(F.pmod("doc_id", F.lit(4)) == i).repartition(2), f"{i:04d}"
             )
         sink.commit_snapshot()
+        # target the rewrite at ~1/6 of the ACTUAL input bytes so the
+        # multi-file layout (and therefore the pruning demonstration)
+        # holds at every sf the gate runs
+        total = sum(os.path.getsize(f) for f in sink.committed_files())
+        sink = IcebergLikeSink(
+            root, stats_col=None, stats_cols=["a", "b"],
+            target_file_bytes=max(4096, total // 6),
+        )
         assert sink.compact(spark, zorder=["a", "b"]) is not None
         sink.commit_snapshot({"pipeline": "zorder"})
         ranges = {"a": (100, 299), "b": (400, 599)}
