@@ -2448,6 +2448,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ols"] = q_ols
 
+    def q_spearman(spark, sf):  # rank correlation on unique ranks
+        from osm_pbf_spark.operators.stats import spearman_corr
+
+        li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 20000)
+        d = li.select(
+            "l_returnflag",
+            F.col("l_quantity").cast("bigint").alias("x"),
+            F.floor("l_extendedprice").alias("y"),
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount",
+        )
+        # the 7-column tuple is verified unique in this table — the
+        # tie chain makes both rank orders strictly total
+        ties = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"]
+        return spearman_corr(d, "x", "y", ties, ["l_returnflag"])
+
+    q["q_spearman"] = q_spearman
+
+    def q_ks_drift(spark, sf):  # two-sample KS distance (drift check)
+        from osm_pbf_spark.operators.stats import ks_test
+
+        li = load(spark, sf, "lineitem")
+        d = li.select(
+            F.col("l_quantity").alias("v"),
+            F.when(F.col("l_linenumber") <= 3, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("s"),
+        )
+        return ks_test(d, "v", "s")
+
+    q["q_ks_drift"] = q_ks_drift
+
     def q_zscore(spark, sf):  # per-row outlier z-scores, bit-reproducible
         from osm_pbf_spark.operators.stats import zscore
 
@@ -5779,6 +5812,59 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
                      / CAST(n AS DOUBLE) AS intercept
             FROM s
+        """,
+        "q_spearman": """
+            WITH d AS (SELECT l_returnflag,
+                              CAST(l_quantity AS BIGINT) AS x,
+                              CAST(floor(l_extendedprice) AS BIGINT) AS y,
+                              l_orderkey, l_linenumber, l_partkey,
+                              l_suppkey, l_extendedprice, l_discount
+                       FROM lineitem WHERE l_orderkey < 20000),
+            r AS (SELECT l_returnflag,
+                         row_number() OVER (PARTITION BY l_returnflag
+                             ORDER BY x, l_orderkey, l_linenumber,
+                                      l_partkey, l_suppkey,
+                                      l_extendedprice, l_discount) AS rx,
+                         row_number() OVER (PARTITION BY l_returnflag
+                             ORDER BY y, l_orderkey, l_linenumber,
+                                      l_partkey, l_suppkey,
+                                      l_extendedprice, l_discount) AS ry
+                  FROM d),
+            m AS (SELECT l_returnflag, count(*) AS n,
+                         CAST(sum(rx) AS BIGINT) AS sx,
+                         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+                         CAST(sum(ry) AS BIGINT) AS sy,
+                         CAST(sum(ry * ry) AS BIGINT) AS syy,
+                         CAST(sum(rx * ry) AS BIGINT) AS sxy
+                  FROM r GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                       AS spearman
+            FROM m
+        """,
+        "q_ks_drift": """
+            WITH d AS (SELECT l_quantity AS v,
+                              CASE WHEN l_linenumber <= 3 THEN 'a'
+                                   ELSE 'b' END AS s
+                       FROM lineitem),
+            per AS (SELECT v, count(CASE WHEN s = 'a' THEN 1 END) AS na,
+                           count(CASE WHEN s = 'b' THEN 1 END) AS nb
+                    FROM d GROUP BY v),
+            cum AS (SELECT CAST(sum(na) OVER w AS BIGINT) AS ca,
+                           CAST(sum(nb) OVER w AS BIGINT) AS cb
+                    FROM per
+                    WINDOW w AS (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            tot AS (SELECT count(CASE WHEN s = 'a' THEN 1 END) AS n_a,
+                           count(CASE WHEN s = 'b' THEN 1 END) AS n_b
+                    FROM d)
+            SELECT t.n_a, t.n_b,
+                   CAST(max(abs(c.ca * t.n_b - c.cb * t.n_a)) AS DOUBLE)
+                     / CAST(t.n_a * t.n_b AS DOUBLE) AS ks_d
+            FROM cum c, tot t
+            GROUP BY t.n_a, t.n_b
         """,
         "q_zscore": """
             WITH d AS (SELECT l_orderkey, l_linenumber, l_returnflag,

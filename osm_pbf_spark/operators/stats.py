@@ -25,10 +25,10 @@ back onto the rows. Pure whole-stage codegen, no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pearson_corr", "ols_fit", "zscore"]
+__all__ = ["pearson_corr", "ols_fit", "zscore", "spearman_corr", "ks_test"]
 
 
 def _moments(df: DataFrame, x: str, y: str | None, group_cols: list[str]):
@@ -109,3 +109,96 @@ def zscore(
         * (F.col("_n").cast("double") / (F.col("_n") - F.lit(1)).cast("double"))
     )
     return j.select(*df.columns, z.alias("z"))
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    tie_cols: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Spearman rank correlation = Pearson r on integer ranks — monotone
+    association, robust to outliers/nonlinearity.
+
+    Ranks are UNIQUE row_number()s over (value, *tie_cols), so the
+    whole computation inherits :func:`pearson_corr`'s exact-integer /
+    fixed-IEEE-chain bit-reproducibility. ``tie_cols`` MUST complete a
+    strict total order (typically the row's key columns) — with a
+    genuine tie left unresolved, rank assignment (and therefore the
+    statistic) would be engine/partitioning-dependent. This is the
+    unique-rank variant; for heavily tied data use average ranks (not
+    offered: fractional ranks forfeit the exactness contract).
+
+    Overflow: n * Σrank² ~ n⁴/3 must stay under 2^63 → n per group up
+    to ~55k; sample larger groups first.
+
+    Plan: two ranking windows + pearson_corr's single aggregate — three
+    narrow shuffles on the group key, pure codegen.
+    """
+    g = list(group_cols or [])
+    part = [F.col(c) for c in g] if g else [F.lit(0)]
+    wx = Window.partitionBy(*part).orderBy(x_col, *tie_cols)
+    wy = Window.partitionBy(*part).orderBy(y_col, *tie_cols)
+    ranked = df.select(
+        *g,
+        F.row_number().over(wx).alias("_rx"),
+        F.row_number().over(wy).alias("_ry"),
+    )
+    return pearson_corr(ranked, "_rx", "_ry", g).withColumnRenamed(
+        "corr", "spearman"
+    )
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    sides: tuple[str, str] = ("a", "b"),
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance — THE distribution-drift
+    check for a training-data pipeline (did today's shard drift from
+    yesterday's?):
+
+        D = sup_v |F_a(v) − F_b(v)| = max_v |c_a(v)·n_b − c_b(v)·n_a|
+                                        / (n_a · n_b)
+
+    with c_s(v) = #{side-s values <= v}. The numerator is an exact
+    int64 at every distinct value (c·n <= n_a·n_b), so D is ONE
+    correctly-rounded division — bit-reproducible under any shuffle
+    order, unlike a floating CDF difference.
+
+    Plan: one (value) hash aggregate of per-side counts (map-side
+    combinable — the shuffle carries distinct values, not rows), one
+    global cumulative window over distinct values, a broadcast 1-row
+    totals join, one max aggregate. The single global window sorts
+    only DISTINCT values; pre-bin continuous data if that cardinality
+    is itself at scale.
+
+    Returns one row (n_a, n_b, ks_d:double).
+    """
+    sa, sb = sides
+    per = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.sum((F.col(side_col) == sa).cast("bigint")).alias("_na"),
+        F.sum((F.col(side_col) == sb).cast("bigint")).alias("_nb"),
+    )
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.select(
+        F.sum("_na").over(w).alias("_ca"), F.sum("_nb").over(w).alias("_cb")
+    )
+    tot = df.agg(
+        F.sum((F.col(side_col) == sa).cast("bigint")).alias("n_a"),
+        F.sum((F.col(side_col) == sb).cast("bigint")).alias("n_b"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    num = F.abs(F.col("_ca") * F.col("n_b") - F.col("_cb") * F.col("n_a"))
+    return j.groupBy("n_a", "n_b").agg(
+        (
+            F.max(num).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("ks_d")
+    )

@@ -67,3 +67,52 @@ def test_zscore_no_groups(spark):
     df = spark.createDataFrame([(i, i % 5) for i in range(20)], "id bigint, x bigint")
     got = zscore(df, "x").collect()
     assert len(got) == 20 and all(math.isfinite(r.z) for r in got)
+
+
+def test_spearman_unique_ranks_vs_numpy(spark):
+    from osm_pbf_spark.operators.stats import spearman_corr
+
+    rng = np.random.RandomState(21)
+    x = rng.permutation(300)
+    y = (x * 3 + rng.randint(0, 200, 300)) % 500
+    rows = [(int(i), int(xv), int(yv)) for i, (xv, yv) in enumerate(zip(x, y))]
+    df = spark.createDataFrame(rows, "id bigint, x bigint, y bigint")
+    r = spearman_corr(df, "x", "y", tie_cols=["id"]).collect()[0]
+
+    def ranks(a):
+        order = np.lexsort((np.arange(len(a)), a))  # (value, id) unique
+        rk = np.empty(len(a), dtype=float)
+        rk[order] = np.arange(1, len(a) + 1)
+        return rk
+
+    want = np.corrcoef(ranks(np.array(x)), ranks(np.array(y)))[0, 1]
+    assert abs(r.spearman - want) < 1e-12
+    # monotone transform invariance: spearman(x, x^3-ish) == 1
+    mono = spark.createDataFrame(
+        [(i, i, i * i * i - 5 * i) for i in range(1, 60)], "id bigint, x bigint, y bigint"
+    )
+    rm = spearman_corr(mono, "x", "y", ["id"]).collect()[0]
+    assert abs(rm.spearman - 1.0) < 1e-12
+
+
+def test_ks_test_vs_brute(spark):
+    from osm_pbf_spark.operators.stats import ks_test
+
+    rng = np.random.RandomState(4)
+    a = rng.randint(0, 40, 500)
+    b = rng.randint(10, 50, 300)  # shifted distribution
+    rows = [(int(v), "a") for v in a] + [(int(v), "b") for v in b]
+    df = spark.createDataFrame(rows, "v bigint, s string")
+    r = ks_test(df, "v", "s").collect()[0]
+    assert (r.n_a, r.n_b) == (500, 300)
+
+    vals = sorted(set(a) | set(b))
+    want = max(
+        abs((a <= v).sum() * 300 - (b <= v).sum() * 500) for v in vals
+    ) / (500 * 300)
+    assert r.ks_d == want
+    # identical samples -> D == 0
+    same = spark.createDataFrame(
+        [(int(v), s) for v in a for s in ("a", "b")], "v bigint, s string"
+    )
+    assert ks_test(same, "v", "s").collect()[0].ks_d == 0.0
