@@ -2481,6 +2481,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ks_drift"] = q_ks_drift
 
+    def q_chi2_drift(spark, sf):  # categorical drift (chi-square)
+        from osm_pbf_spark.operators.stats import chi2_test
+
+        li = load(spark, sf, "lineitem")
+        d = li.select(
+            F.col("l_returnflag").alias("c"),
+            F.when(F.col("l_linenumber") <= 3, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("s"),
+        )
+        return chi2_test(d, "c", "s")
+
+    q["q_chi2_drift"] = q_chi2_drift
+
     def q_zscore(spark, sf):  # per-row outlier z-scores, bit-reproducible
         from osm_pbf_spark.operators.stats import zscore
 
@@ -5812,6 +5826,42 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
                      / CAST(n AS DOUBLE) AS intercept
             FROM s
+        """,
+        # per-term micro-unit quantization (HALF-UP floor(x*1e6+0.5))
+        # makes the chi-square sum order-free exact
+        "q_chi2_drift": """
+            WITH d AS (SELECT l_returnflag AS c,
+                              CASE WHEN l_linenumber <= 3 THEN 'a'
+                                   ELSE 'b' END AS s
+                       FROM lineitem),
+            per AS (SELECT c, count(CASE WHEN s = 'a' THEN 1 END) AS oa,
+                           count(CASE WHEN s = 'b' THEN 1 END) AS ob
+                    FROM d GROUP BY c),
+            tot AS (SELECT count(CASE WHEN s = 'a' THEN 1 END) AS ca,
+                           count(CASE WHEN s = 'b' THEN 1 END) AS cb
+                    FROM d),
+            terms AS (
+              SELECT p.oa + p.ob + 0 AS r, t.ca + t.cb AS n,
+                     CAST(floor(
+                       (CAST(p.oa * (t.ca + t.cb) - (p.oa + p.ob) * t.ca
+                             AS DOUBLE)
+                        * CAST(p.oa * (t.ca + t.cb) - (p.oa + p.ob) * t.ca
+                               AS DOUBLE))
+                       / CAST((t.ca + t.cb) * (p.oa + p.ob) * t.ca AS DOUBLE)
+                       * 1000000.0 + 0.5) AS BIGINT)
+                     +
+                     CAST(floor(
+                       (CAST(p.ob * (t.ca + t.cb) - (p.oa + p.ob) * t.cb
+                             AS DOUBLE)
+                        * CAST(p.ob * (t.ca + t.cb) - (p.oa + p.ob) * t.cb
+                               AS DOUBLE))
+                       / CAST((t.ca + t.cb) * (p.oa + p.ob) * t.cb AS DOUBLE)
+                       * 1000000.0 + 0.5) AS BIGINT) AS tq
+              FROM per p, tot t)
+            SELECT n AS n_total, count(*) - 1 AS dof,
+                   CAST(CAST(sum(tq) AS BIGINT) AS DOUBLE) / 1000000.0
+                       AS chi2
+            FROM terms GROUP BY n
         """,
         "q_spearman": """
             WITH d AS (SELECT l_returnflag,

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pearson_corr", "ols_fit", "zscore", "spearman_corr", "ks_test"]
+__all__ = ["pearson_corr", "ols_fit", "zscore", "spearman_corr", "ks_test", "chi2_test"]
 
 
 def _moments(df: DataFrame, x: str, y: str | None, group_cols: list[str]):
@@ -201,4 +201,63 @@ def ks_test(
             F.max(num).cast("double")
             / (F.col("n_a") * F.col("n_b")).cast("double")
         ).alias("ks_d")
+    )
+
+
+def chi2_test(
+    df: DataFrame,
+    cat_col: str,
+    side_col: str,
+    sides: tuple[str, str] = ("a", "b"),
+) -> DataFrame:
+    """Two-sample chi-square homogeneity test over a categorical column
+    — the CATEGORICAL drift check beside :func:`ks_test`'s numeric one
+    (did the language/source mix of today's shard move?).
+
+        chi2 = Σ_ij (o_ij − e_ij)² / e_ij,   e_ij = r_i·c_j / N
+             = Σ_ij (o_ij·N − r_i·c_j)² / (N·r_i·c_j)
+
+    Exactness: per term, o·N − r·c and N·r·c are exact int64
+    (N·r·c <= N³: keep N under ~2M rows, or pre-sample); the term's
+    double square/divide is a FIXED chain both engines round
+    identically, and terms are quantized to MICRO units (HALF-UP,
+    exact for term < 2^43) before the int64 sum — order-free, so the
+    statistic is gate-hashable (a raw double Σ of terms would be
+    shuffle-order-dependent). chi2 resolves micro-unit granularity.
+
+    Plan: one (category) hash aggregate (map-side combinable), a
+    broadcast 1-row totals join, one sum — two narrow shuffles, pure
+    codegen. Returns one row (n_total, dof, chi2:double).
+    """
+    sa, sb = sides
+    per = df.groupBy(F.col(cat_col).alias("_c")).agg(
+        F.sum((F.col(side_col) == sa).cast("bigint")).alias("_oa"),
+        F.sum((F.col(side_col) == sb).cast("bigint")).alias("_ob"),
+    )
+    tot = df.agg(
+        F.sum((F.col(side_col) == sa).cast("bigint")).alias("_ca"),
+        F.sum((F.col(side_col) == sb).cast("bigint")).alias("_cb"),
+    )
+    j = per.crossJoin(F.broadcast(tot)).select(
+        "_oa",
+        "_ob",
+        "_ca",
+        "_cb",
+        (F.col("_oa") + F.col("_ob")).alias("_r"),
+        (F.col("_ca") + F.col("_cb")).alias("_n"),
+    )
+
+    def term_q(o, c):
+        num = (F.col(o) * F.col("_n") - F.col("_r") * F.col(c)).cast("bigint")
+        den = (F.col("_n") * F.col("_r") * F.col(c)).cast("bigint")
+        t = (num.cast("double") * num.cast("double")) / den.cast("double")
+        return F.floor(t * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+
+    rows = j.select(
+        "_n",
+        (term_q("_oa", "_ca") + term_q("_ob", "_cb")).alias("_tq"),
+    )
+    return rows.groupBy(F.col("_n").alias("n_total")).agg(
+        (F.count(F.lit(1)) - 1).alias("dof"),
+        (F.sum("_tq").cast("double") / F.lit(1_000_000.0)).alias("chi2"),
     )

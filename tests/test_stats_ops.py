@@ -116,3 +116,34 @@ def test_ks_test_vs_brute(spark):
         [(int(v), s) for v in a for s in ("a", "b")], "v bigint, s string"
     )
     assert ks_test(same, "v", "s").collect()[0].ks_d == 0.0
+
+
+def test_chi2_test_vs_scalar(spark):
+    from osm_pbf_spark.operators.stats import chi2_test
+
+    # contingency: cat X: a=30 b=10; cat Y: a=20 b=40
+    rows = (
+        [("X", "a")] * 30 + [("X", "b")] * 10 + [("Y", "a")] * 20 + [("Y", "b")] * 40
+    )
+    df = spark.createDataFrame(rows, "c string, s string")
+    r = chi2_test(df, "c", "s").collect()[0]
+    assert r.n_total == 100 and r.dof == 1
+
+    def scalar():
+        obs = {("X", "a"): 30, ("X", "b"): 10, ("Y", "a"): 20, ("Y", "b"): 40}
+        rt = {"X": 40, "Y": 60}
+        ct = {"a": 50, "b": 50}
+        n = 100
+        total = 0
+        for (ci, sj), o in obs.items():
+            e = rt[ci] * ct[sj] / n
+            total += (o - e) ** 2 / e
+        return total
+
+    assert abs(r.chi2 - scalar()) < 2e-6  # micro-unit quantization grid
+    # homogeneous split -> chi2 == 0
+    same = spark.createDataFrame(
+        [("X", s) for s in ("a", "b")] * 25 + [("Y", s) for s in ("a", "b")] * 10,
+        "c string, s string",
+    )
+    assert chi2_test(same, "c", "s").collect()[0].chi2 == 0.0
