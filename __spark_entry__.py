@@ -2495,6 +2495,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_chi2_drift"] = q_chi2_drift
 
+    def q_mannwhitney(spark, sf):  # rank-based drift (Mann-Whitney U)
+        from osm_pbf_spark.operators.stats import mann_whitney_u
+
+        li = load(spark, sf, "lineitem")
+        d = li.select(
+            F.col("l_quantity").cast("bigint").alias("v"),
+            F.when(F.col("l_linenumber") <= 3, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("s"),
+        )
+        return mann_whitney_u(d, "v", "s")
+
+    q["q_mannwhitney"] = q_mannwhitney
+
+    def q_robust_z(spark, sf):  # median/MAD outlier flags, exact-int
+        from osm_pbf_spark.operators.stats import robust_zscore
+
+        li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 20000)
+        d = li.select(
+            "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+        )
+        return robust_zscore(d, "q", ["l_returnflag"], min_dev_mads=2)
+
+    q["q_robust_z"] = q_robust_z
+
+    def q_bloom(spark, sf):  # Bloom filter build + probe, replayable bits
+        from osm_pbf_spark.operators.sketch import bloom_build, bloom_probe
+
+        li = load(spark, sf, "lineitem")
+        sk = bloom_build(li, "l_partkey", n_words=4096, depth=4)
+        probes = (
+            load(spark, sf, "part")
+            .filter(F.col("p_partkey") % 7 == 0)
+            .select(
+                F.when(
+                    F.col("p_partkey") % 2 == 0, F.col("p_partkey")
+                )
+                .otherwise(F.col("p_partkey") + 10_000_000)
+                .alias("probe_key")
+            )
+        )
+        return bloom_probe(sk, probes, "probe_key", n_words=4096, depth=4)
+
+    q["q_bloom"] = q_bloom
+
+    def q_scd2(spark, sf):  # SCD2 dimension build from the event log
+        from osm_pbf_spark.operators.temporal import scd2_build
+
+        ev = load(spark, sf, "events").filter(F.col("user_id") < 200)
+        return scd2_build(
+            ev, "user_id", "ts", ["event_type"], id_col="event_id"
+        )
+
+    q["q_scd2"] = q_scd2
+
     def q_zscore(spark, sf):  # per-row outlier z-scores, bit-reproducible
         from osm_pbf_spark.operators.stats import zscore
 
@@ -5862,6 +5917,125 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(sum(tq) AS BIGINT) AS DOUBLE) / 1000000.0
                        AS chi2
             FROM terms GROUP BY n
+        """,
+        # doubled rank sums keep tie-averaged ranks exact int64; the
+        # tie-corrected z is the same fixed IEEE chain as the engine
+        "q_mannwhitney": """
+            WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+                              CASE WHEN l_linenumber <= 3 THEN 'a'
+                                   ELSE 'b' END AS s
+                       FROM lineitem),
+            per AS (SELECT v,
+                           count(CASE WHEN s = 'a' THEN 1 END) AS na,
+                           count(CASE WHEN s = 'b' THEN 1 END) AS nb
+                    FROM d GROUP BY v),
+            cum AS (SELECT na, na + nb AS cnt,
+                           sum(na + nb) OVER (ORDER BY v) - (na + nb)
+                               AS bef
+                    FROM per),
+            c AS (SELECT CAST(sum(na * (2 * bef + cnt + 1)) AS BIGINT)
+                             AS r2a,
+                         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT)
+                             AS ties
+                  FROM cum),
+            tot AS (SELECT count(CASE WHEN s = 'a' THEN 1 END) AS n_a,
+                           count(CASE WHEN s = 'b' THEN 1 END) AS n_b
+                    FROM d)
+            SELECT n_a, n_b,
+                   CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+                   CAST((r2a - n_a * (n_a + 1)) - n_a * n_b AS DOUBLE)
+                     / (2.0 * sqrt(
+                         CAST(n_a * n_b AS DOUBLE)
+                         * CAST((n_a + n_b) * (n_a + n_b) * (n_a + n_b)
+                                - (n_a + n_b) - ties AS DOUBLE)
+                         / CAST(12 * (n_a + n_b) * (n_a + n_b - 1)
+                                AS DOUBLE)))
+                       AS z
+            FROM c, tot
+        """,
+        # lower-median / MAD replay over distinct-value cumulative
+        # counts; `//` keeps DuckDB at Spark's truncating semantics
+        "q_robust_z": """
+            WITH d AS (SELECT l_returnflag AS g,
+                              CAST(l_quantity AS BIGINT) AS x
+                       FROM lineitem WHERE l_orderkey < 20000),
+            per AS (SELECT g, x AS v, count(*) AS c FROM d GROUP BY g, x),
+            cum AS (SELECT g, v,
+                           sum(c) OVER (PARTITION BY g ORDER BY v) AS cm,
+                           sum(c) OVER (PARTITION BY g) AS n
+                    FROM per),
+            med AS (SELECT g, min(v) AS med FROM cum
+                    WHERE cm >= (n + 1) // 2 GROUP BY g),
+            dev AS (SELECT d.g, d.x, med.med, abs(d.x - med.med) AS dv
+                    FROM d JOIN med ON med.g = d.g),
+            per2 AS (SELECT g, dv AS v, count(*) AS c FROM dev
+                     GROUP BY g, dv),
+            cum2 AS (SELECT g, v,
+                            sum(c) OVER (PARTITION BY g ORDER BY v) AS cm,
+                            sum(c) OVER (PARTITION BY g) AS n
+                     FROM per2),
+            mad AS (SELECT g, min(v) AS mad FROM cum2
+                    WHERE cm >= (n + 1) // 2 GROUP BY g)
+            SELECT dev.g AS l_returnflag, dev.x AS x, dev.med AS med,
+                   mad.mad AS mad,
+                   CASE WHEN mad.mad > 0
+                        THEN CAST(dev.x - dev.med AS DOUBLE)
+                             / CAST(mad.mad AS DOUBLE) END AS robust_z
+            FROM dev JOIN mad ON mad.g = dev.g
+            WHERE CAST(dev.dv AS DOUBLE) >= 2.0 * CAST(mad.mad AS DOUBLE)
+        """,
+        # full filter replay: DuckDB rebuilds the identical 32-bit words
+        # (seeded 40-bit md5 positions, bit_or agg) and probes them
+        "q_bloom": f"""
+            WITH seeds(i) AS (VALUES (0), (1), (2), (3)),
+            ins AS (
+              SELECT {_hex40_bigint_sql(
+                  "md5(CAST(s.i AS VARCHAR) || ':' "
+                  "|| CAST(l.l_partkey AS VARCHAR))")} % 131072 AS p
+              FROM lineitem l CROSS JOIN seeds s),
+            sk AS (SELECT p // 32 AS w,
+                          bit_or(CAST(1 AS BIGINT)
+                                 << CAST(p % 32 AS INTEGER)) AS bits
+                   FROM ins GROUP BY 1),
+            probes AS (SELECT CASE WHEN p_partkey % 2 = 0 THEN p_partkey
+                                   ELSE p_partkey + 10000000 END
+                                  AS probe_key
+                       FROM part WHERE p_partkey % 7 = 0),
+            pl AS (
+              SELECT probe_key,
+                     {_hex40_bigint_sql(
+                         "md5(CAST(s.i AS VARCHAR) || ':' "
+                         "|| CAST(probe_key AS VARCHAR))")} % 131072 AS p
+              FROM probes CROSS JOIN seeds s)
+            SELECT probe_key,
+                   min(CASE WHEN (coalesce(sk.bits, 0)
+                                  & (CAST(1 AS BIGINT)
+                                     << CAST(pl.p % 32 AS INTEGER))) <> 0
+                            THEN 1 ELSE 0 END) = 1 AS bloom_member
+            FROM pl LEFT JOIN sk ON sk.w = pl.p // 32
+            GROUP BY probe_key
+        """,
+        # change-run collapse + lead() interval close, null-safe compare
+        "q_scd2": """
+            WITH e AS (SELECT user_id, ts, event_type, event_id
+                       FROM events WHERE user_id < 200),
+            f AS (SELECT user_id, ts, event_type, event_id,
+                         lag(event_type) OVER w AS prev,
+                         lag(ts) OVER w AS pts
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)),
+            runs AS (SELECT user_id, ts, event_type, event_id FROM f
+                     WHERE pts IS NULL
+                        OR event_type IS DISTINCT FROM prev),
+            o AS (SELECT user_id, event_type, ts AS valid_from,
+                         lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                             AS valid_to
+                  FROM runs)
+            SELECT user_id, event_type, valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM o
         """,
         "q_spearman": """
             WITH d AS (SELECT l_returnflag,

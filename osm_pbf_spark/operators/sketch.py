@@ -32,7 +32,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "kmv_sketch", "kmv_set_estimate", "count_min", "cms_lookup"]
+__all__ = [
+    "kmv_distinct",
+    "kmv_sketch",
+    "kmv_set_estimate",
+    "count_min",
+    "cms_lookup",
+    "bloom_build",
+    "bloom_probe",
+]
 
 _HASH_SPACE = 1 << 40
 
@@ -124,6 +132,82 @@ def cms_lookup(
     return j.groupBy(*keys).agg(
         F.min(F.coalesce(F.col("cms_count"), F.lit(0))).alias("cms_estimate")
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    n_words: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Bloom filter of ``value_col`` as a TABLE of 32-bit words — the
+    membership twin of :func:`count_min` (Bloom 1970): never a false
+    negative, tunable false-positive rate ~(1 − e^{−d·n/m})^d with
+    m = n_words·32 bits.
+
+    Like every sketch in this module the hashes are deterministic
+    seeded 40-bit md5 prefixes, so an independent engine (the DuckDB
+    gate) rebuilds the identical words from the raw table, a resumed
+    job can verify a persisted filter bit-for-bit, and two filters
+    built over different shards MERGE by bit_or-ing words — compute
+    once per shard, OR forever, never re-scan.
+
+    Words are 32-bit (bit index 0..31 inside a BIGINT word) so no
+    engine has to reason about sign bits or 1<<63 overflow.
+
+    Plan: one native posexplode Generate (depth rows per input, all
+    hashing in codegen) into ONE hash aggregate whose keyspace is
+    bounded by n_words — map-side combine caps every task's shuffle
+    output at n_words rows no matter how many rows it scanned.
+
+    Returns <= n_words rows of (bloom_word:int, bloom_bits:bigint);
+    unset words are simply absent.
+    """
+    if n_words < 1 or depth < 1:
+        raise ValueError(f"n_words/depth must be >= 1, got {n_words}/{depth}")
+    m = n_words * 32
+    pos = F.array(*[_hash40_seeded(F.col(value_col), i) % m for i in range(depth)])
+    e = df.select(F.explode(pos).alias("_p"))
+    # F.shiftleft takes a literal shift only; the SQL form shifts by a column
+    words = e.select(
+        (F.col("_p") / 32).cast("bigint").alias("bloom_word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 32 AS INT))").alias("_bit"),
+    )
+    return words.groupBy("bloom_word").agg(
+        F.bit_or("_bit").alias("bloom_bits")
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    n_words: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Test every row of ``probes`` against a :func:`bloom_build`
+    filter. ``n_words``/``depth`` are part of the hash spec and must
+    match the build. The filter is tiny by construction, so the lookup
+    is a broadcast join; a probe is a member iff ALL depth bits are
+    set (an absent word row means those bits are 0).
+
+    Returns probes' columns plus ``bloom_member:boolean`` — true for
+    every value actually inserted (no false negatives, pinned by
+    test), possibly true for a bounded fraction of others.
+    """
+    m = n_words * 32
+    pos = F.array(*[_hash40_seeded(F.col(value_col), i) % m for i in range(depth)])
+    keys = list(probes.columns)
+    p = probes.select(*keys, F.explode(pos).alias("_p")).select(
+        *keys,
+        (F.col("_p") / 32).cast("bigint").alias("bloom_word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 32 AS INT))").alias("_bit"),
+    )
+    j = p.join(F.broadcast(sketch), ["bloom_word"], "left")
+    hit = (
+        F.coalesce(F.col("bloom_bits"), F.lit(0)).bitwiseAND(F.col("_bit")) != 0
+    ).cast("int")
+    return j.groupBy(*keys).agg((F.min(hit) == 1).alias("bloom_member"))
 
 
 def kmv_distinct(

@@ -28,7 +28,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pearson_corr", "ols_fit", "zscore", "spearman_corr", "ks_test", "chi2_test"]
+__all__ = [
+    "pearson_corr",
+    "ols_fit",
+    "zscore",
+    "spearman_corr",
+    "ks_test",
+    "chi2_test",
+    "mann_whitney_u",
+    "robust_zscore",
+]
 
 
 def _moments(df: DataFrame, x: str, y: str | None, group_cols: list[str]):
@@ -201,6 +210,173 @@ def ks_test(
             F.max(num).cast("double")
             / (F.col("n_a") * F.col("n_b")).cast("double")
         ).alias("ks_d")
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    sides: tuple[str, str] = ("a", "b"),
+) -> DataFrame:
+    """Two-sample Mann–Whitney U rank test — the NONPARAMETRIC numeric
+    drift check beside :func:`ks_test` (sensitive to location shift
+    where KS reacts to any CDF gap).
+
+    Exactness discipline: with ties, a value v occupying sorted ranks
+    lo..hi contributes the average rank (lo+hi)/2 — always a multiple
+    of 1/2 — so this computes DOUBLED rank sums as exact int64:
+
+        R2_a = Σ_v n_a(v) · (2·cum_before(v) + cnt(v) + 1)
+        U2_a = R2_a − n_a·(n_a + 1)            (= 2·U_a, exact int64)
+
+    The tie-corrected normal approximation is then one FIXED chain of
+    correctly-rounded IEEE ops on exact integers (gate-hashable):
+
+        σ² = (n_a·n_b) · (n³ − n − T) / (12·n·(n−1)),  T = Σ_ties t³−t
+        z  = (U2_a − n_a·n_b) / (2·σ)
+
+    Overflow posture (ANSI throws on wrap): n³ must stay under 2^63 —
+    keep n under ~2 × 10⁶ rows, or pre-sample/bin.
+
+    Plan (identical shape to ks_test): one distinct-value hash
+    aggregate (map-side combinable — the shuffle carries distinct
+    values, not rows), one global cumulative window over distinct
+    values, a broadcast 1-row totals join, one final aggregate.
+
+    Returns one row (n_a, n_b, u_a:double, z:double).
+    """
+    sa, sb = sides
+    per = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.sum((F.col(side_col) == sa).cast("bigint")).alias("_na"),
+        F.sum((F.col(side_col) == sb).cast("bigint")).alias("_nb"),
+    )
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cnt = F.col("_na") + F.col("_nb")
+    cum = per.select(
+        "_na",
+        cnt.alias("_cnt"),
+        (F.sum(cnt).over(w) - cnt).alias("_before"),
+    )
+    contrib = cum.agg(
+        F.sum(
+            F.col("_na")
+            * (F.lit(2) * F.col("_before") + F.col("_cnt") + F.lit(1))
+        ).alias("_r2a"),
+        F.sum(F.col("_cnt") * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")).alias(
+            "_ties"
+        ),
+    )
+    tot = df.agg(
+        F.sum((F.col(side_col) == sa).cast("bigint")).alias("n_a"),
+        F.sum((F.col(side_col) == sb).cast("bigint")).alias("n_b"),
+    )
+    j = contrib.crossJoin(F.broadcast(tot))
+    n = F.col("n_a") + F.col("n_b")
+    u2a = (F.col("_r2a") - F.col("n_a") * (F.col("n_a") + F.lit(1))).cast("bigint")
+    t1 = (n * n * n - n - F.col("_ties")).cast("bigint")
+    sigma2 = (
+        (F.col("n_a") * F.col("n_b")).cast("double")
+        * t1.cast("double")
+        / (F.lit(12) * n * (n - F.lit(1))).cast("double")
+    )
+    z = (u2a - F.col("n_a") * F.col("n_b")).cast("double") / (
+        F.lit(2.0) * F.sqrt(sigma2)
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        (u2a.cast("double") / F.lit(2.0)).alias("u_a"),
+        z.alias("z"),
+    )
+
+
+def _lower_median(df: DataFrame, group_cols: list[str], col: str, out: str) -> DataFrame:
+    """Per-group lower median (percentile_disc(0.5) semantics): the
+    smallest value whose cumulative count reaches ceil(n/2). Exact for
+    integer inputs and independently replayable — no interpolation.
+
+    Plan: one distinct-value count aggregate (map-side combinable — the
+    per-group window sorts DISTINCT values only), one cumulative window,
+    one min aggregate.
+    """
+    per = df.groupBy(*group_cols, F.col(col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*[F.col(c) for c in group_cols])
+    cum = per.select(
+        *group_cols,
+        "_v",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(wn).alias("_n"),
+    )
+    # ceil(n/2) = floor((n+1)/2), exact below 2^52
+    hit = cum.where(F.col("_cum") >= F.floor((F.col("_n") + F.lit(1)) / F.lit(2)))
+    return hit.groupBy(*group_cols).agg(F.min("_v").alias(out))
+
+
+def robust_zscore(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    min_dev_mads: float | None = None,
+) -> DataFrame:
+    """Median/MAD robust z-score per row — the outlier/quality filter
+    that survives heavy tails where mean/stddev z-scores (``zscore``)
+    are dragged by the outliers themselves.
+
+    Requires an INTEGER-valued column (caller quantizes, same contract
+    as the rest of this module): the lower median and the MAD
+    (lower median of |x − med|) are then exact int64, and the score
+
+        robust_z = (x − med) / mad          (NULL when mad = 0)
+
+    is ONE correctly-rounded division — bit-reproducible anywhere. The
+    conventional 1.4826 normal-consistency factor is deliberately NOT
+    baked in (non-dyadic literal; callers can scale the threshold
+    instead).
+
+    ``min_dev_mads``: if set, only rows with |x − med| >= k·mad are
+    returned (the flagged outliers) — the filter is exact integer
+    arithmetic when k is integral.
+
+    Plan: two distinct-value median passes (each one map-side-combining
+    aggregate + a per-group window over DISTINCT values) + two broadcast
+    joins of the tiny per-group stats back onto the rows. No Python.
+    """
+    xc = F.col(value_col).cast("bigint")
+    base = df.select(*group_cols, xc.alias("_x"))
+    med = _lower_median(base, group_cols, "_x", "_med")
+    with_med = base.join(F.broadcast(med), group_cols)
+    dev = with_med.select(
+        *group_cols, "_x", F.abs(F.col("_x") - F.col("_med")).alias("_dev")
+    )
+    mad = _lower_median(dev, group_cols, "_dev", "_mad")
+    out = dev.join(F.broadcast(med), group_cols).join(F.broadcast(mad), group_cols)
+    if min_dev_mads is not None:
+        out = out.where(
+            F.col("_dev").cast("double")
+            >= F.lit(float(min_dev_mads)) * F.col("_mad").cast("double")
+        )
+    rz = F.when(
+        F.col("_mad") > 0,
+        (F.col("_x") - F.col("_med")).cast("double") / F.col("_mad").cast("double"),
+    )
+    return out.select(
+        *group_cols,
+        F.col("_x").alias("x"),
+        F.col("_med").alias("med"),
+        F.col("_mad").alias("mad"),
+        rz.alias("robust_z"),
     )
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "retention_cohorts",
     "debounce",
     "twap",
+    "scd2_build",
 ]
 
 
@@ -412,4 +413,56 @@ def twap(
             F.sum(F.col("_v") * F.col("_dt")).cast("double")
             / F.sum("_dt").cast("double")
         ).alias("twap"),
+    )
+
+
+def scd2_build(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tracked_cols: list[str],
+    id_col: str | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 table from a change
+    event stream: one validity interval per run of unchanged tracked
+    values per key —
+
+        (key, tracked..., valid_from, valid_to, is_current)
+
+    with ``valid_to`` = the next CHANGE's timestamp (half-open
+    [from, to) intervals that tile each key's history) and NULL on the
+    current row. Consecutive events whose tracked columns are all
+    unchanged are collapsed into the earlier row's interval — the
+    dimension-table build step of a warehouse ingest, and the
+    entity-history primitive for an event log at scale.
+
+    Change detection compares each tracked column to its lag() with
+    null-safe equality (a NULL -> value transition IS a change).
+    Ordering per key is (ts, id_col) — pass ``id_col`` whenever
+    (key, ts) is not unique, or runs are nondeterministic.
+
+    Plan: ONE key shuffle — both windows (lag for change flags, lead
+    for interval close) share the same partitioning/ordering so
+    Catalyst plans a single Exchange; everything else is codegen.
+    """
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = F.lit(False)
+    for c in tracked_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    flagged = events.select(
+        key_col,
+        ts_col,
+        *tracked_cols,
+        *( [id_col] if id_col else [] ),
+        (F.lag(ts_col).over(w).isNull() | changed).alias("_chg"),
+    )
+    runs = flagged.where(F.col("_chg"))
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return runs.select(
+        key_col,
+        *tracked_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
