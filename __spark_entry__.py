@@ -2550,6 +2550,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_scd2"] = q_scd2
 
+    def q_bloom_join(spark, sf):  # runtime-filter join reduction (lossless)
+        from osm_pbf_spark.operators.sketch import bloom_semi_reduce
+
+        li = load(spark, sf, "lineitem")
+        keys = (
+            load(spark, sf, "orders")
+            .filter(F.col("o_orderkey") % 97 == 0)
+            .select("o_orderkey", "o_orderpriority")
+        )
+        reduced = bloom_semi_reduce(
+            li, keys, "l_orderkey", "o_orderkey", n_words=1024, depth=3
+        )
+        j = reduced.join(keys, reduced["l_orderkey"] == keys["o_orderkey"])
+        return j.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+
+    q["q_bloom_join"] = q_bloom_join
+
+    def q_pq_topk(spark, sf):  # product-quantization ADC top-k (ANN family)
+        from osm_pbf_spark.operators.ann import pq_encode, pq_topk, pq_train
+
+        e = load(spark, sf, "embeddings")
+        book = pq_train(e, m=4, n_codes=16)
+        codes = pq_encode(e, book)
+        return pq_topk(e.filter(F.col("vec_id") < 30), codes, book, k=3)
+
+    q["q_pq_topk"] = q_pq_topk
+
     def q_zscore(spark, sf):  # per-row outlier z-scores, bit-reproducible
         from osm_pbf_spark.operators.stats import zscore
 
@@ -3958,6 +3988,73 @@ def _ora_ivf_topk() -> str:
     )
 
 
+def _ora_pq_topk() -> str:
+    """Scalar replay of the PQ/ADC top-k spec: the codebook is the
+    engine's exported state (same deterministic trainer on the same
+    id-sorted capped sample — hybrid-oracle convention, like IVF), but
+    encode, LUT, and the ADC scan are replayed in PURE PYTHON integer
+    arithmetic (math.floor per dimension, left-to-right int sums) —
+    the quantized spec makes numpy's and Python's bits identical."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.ann import _pq_train_mat
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = [int(i) for i in t.column("vec_id").to_pylist()]
+    vecs = t.column("embedding").to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    sample = np.asarray([vecs[i] for i in order[:4096]], dtype=np.float64)
+    m, n_codes = 4, 16
+    book = _pq_train_mat(sample, m, n_codes)
+    dsub = book.shape[2]
+    scale = float(1 << 20)
+
+    def d2q(vec: list, cent, lo: int) -> int:
+        s = 0
+        for d in range(dsub):
+            diff = float(vec[lo + d]) - float(cent[d])
+            s += math.floor(diff * diff * scale + 0.5)
+        return s
+
+    codes = []
+    for v in vecs:
+        cs = []
+        for s in range(m):
+            dists = [d2q(v, book[s][j], s * dsub) for j in range(n_codes)]
+            cs.append(dists.index(min(dists)))  # ties -> lowest code
+        codes.append(cs)
+
+    rows = []
+    for qi, qid in enumerate(ids):
+        if qid >= 30:
+            continue
+        lut = [
+            [d2q(vecs[qi], book[s][j], s * dsub) for j in range(n_codes)]
+            for s in range(m)
+        ]
+        scored = []
+        for ci, nid in enumerate(ids):
+            if nid == qid:
+                continue
+            adc = 0
+            for s in range(m):
+                adc += lut[s][codes[ci][s]]
+            scored.append((adc, nid))
+        scored.sort()
+        for rank, (adc, nid) in enumerate(scored[:3], start=1):
+            rows.append((qid, nid, rank, adc))
+    return _values_sql(
+        [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"), ("rank", "INTEGER"),
+         ("adc_d2q", "BIGINT")],
+        rows,
+    )
+
+
 def _ora_pack_bins() -> str:
     """Scalar replay of the FFD bin-packing spec (operators/packing.py
     bin_pack_ffd): md5-mod grouping, per-group sort by (tokens desc,
@@ -5012,6 +5109,20 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash_pairs": _ora_simhash_pairs(),
         "q_lsh_topk": _ora_lsh_topk(),
         "q_ivf_topk": _ora_ivf_topk(),
+        "q_pq_topk": _ora_pq_topk(),
+        # the Bloom pre-filter is TRANSPARENT to the join result — the
+        # oracle is the plain join, so any dropped true match fails the
+        # hash (end-to-end no-false-negative check)
+        "q_bloom_join": """
+            SELECT o.o_orderpriority,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderkey % 97 = 0
+            GROUP BY o.o_orderpriority
+        """,
         "q_near_dup_lsh": _ora_near_dup_lsh(),
         "q_table_fingerprint": f"""
             WITH h AS (

@@ -415,3 +415,182 @@ def rp_reduce(
         return pd.Series(list(out))
 
     return vectors.select(F.col(id_col), _proj(F.col(vec_col)).alias("rvec"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the compression member of the
+# ANN family: LSH buckets (cosine_topk_lsh), IVF lists (cosine_topk_ivf),
+# and PQ codes compress the VECTORS themselves so the scan reads m bytes
+# per candidate instead of d floats.
+# ---------------------------------------------------------------------------
+
+_PQ_SCALE = float(1 << 20)  # dyadic: *SCALE is an exact float64 op
+
+
+def _pq_d2q(sub: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Quantized squared-L2 distances between rows of ``sub`` (n, dsub)
+    and rows of ``cent`` (k, dsub):
+
+        d2q = Σ_d floor((x_d − c_d)² · 2^20 + 0.5)     (int64)
+
+    Each per-dimension term is a fixed chain of correctly-rounded IEEE
+    ops (subtract, square, exact dyadic scale, +0.5, floor), and the
+    int64 sum is order-free — numpy here, pure-Python loops in the
+    oracle, and any SQL engine agree on every bit."""
+    diff = sub[:, None, :] - cent[None, :, :]
+    return (
+        np.floor(diff * diff * _PQ_SCALE + 0.5).astype(np.int64).sum(axis=-1)
+    )
+
+
+def pq_train(
+    candidates: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    train_sample: int = 4096,
+    n_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train a product-quantization codebook: split the vector into
+    ``m`` contiguous subspaces and run a deterministic plain-L2 Lloyd
+    k-means (``n_codes`` centroids) per subspace on an id-sorted,
+    size-capped sample — the same bounded-sample training posture as
+    ``cosine_topk_ivf`` (at 10^12 rows the codebook still trains on a
+    driver-bounded sample; only the (m, n_codes, d/m) matrix ships).
+
+    Deterministic like ``_kmeans_centroids``: evenly spaced sample
+    rows as init (no RNG), fixed iteration count, assignment by the
+    quantized distance spec (_pq_d2q, ties -> lowest code), empty
+    clusters keep their centroid. Returns (m, n_codes, d/m) float64.
+    """
+    samp = (
+        candidates.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(train_sample)
+        .collect()
+    )
+    if not samp:
+        raise ValueError("empty sample for PQ training")
+    return _pq_train_mat(
+        np.asarray([r["_v"] for r in samp], dtype=np.float64), m, n_codes, n_iters
+    )
+
+
+def _pq_train_mat(
+    mat: np.ndarray, m: int, n_codes: int, n_iters: int = 10
+) -> np.ndarray:
+    """Numpy core of :func:`pq_train` (callable without a SparkSession —
+    the oracle builds the identical codebook from the same id-sorted
+    sample)."""
+    n, d = mat.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    k = min(n_codes, n)
+    book = np.empty((m, k, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        cent = sub[(np.arange(k, dtype=np.int64) * n) // k].copy()
+        for _ in range(n_iters):
+            assign = np.argmin(_pq_d2q(sub, cent), axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        book[s] = cent
+    return book
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` small integer codes (nearest centroid
+    per subspace under the _pq_d2q spec, ties -> lowest code): the
+    compressed representation a PQ scan reads instead of the floats —
+    m bytes/vector at n_codes<=256 vs 4·d, the ~64x bandwidth cut that
+    makes exhaustive ANN scans feasible.
+
+    One Arrow-batched pandas UDF, no shuffle. Returns
+    (id_col, pq_codes: array<int>).
+    """
+    book = codebook
+    m, _, dsub = book.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _enc(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            codes[:, s] = np.argmin(_pq_d2q(sub, book[s]), axis=1)
+        return pd.Series(list(codes))
+
+    return vectors.select(F.col(id_col), _enc(F.col(vec_col)).alias("pq_codes"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: np.ndarray,
+    k: int,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    codes_col: str = "pq_codes",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: each query precomputes a
+    (m × n_codes) lookup table of quantized subspace distances to every
+    centroid; a candidate's approximate squared L2 is then m integer
+    table lookups summed — NO float math in the scan, and the scan
+    reads only the codes.
+
+    Plan: queries (small by contract) carry their LUT through ONE
+    Arrow-batched UDF, broadcast onto the codes table; the ADC sum is a
+    native ordered ``aggregate`` fold over ``sequence(0, m-1)`` (pure
+    codegen — int64 adds, order-fixed); the per-query top-k
+    ``row_number`` filter benefits from Spark's WindowGroupLimit
+    pushdown, so each task forwards only its local top-k to the single
+    (query_id)-keyed shuffle. Compose with IVF buckets to cut the scan
+    itself at 10^12 rows (IVF-PQ).
+
+    Returns (query_id, neighbor_id, rank, adc_d2q:int64) — adc_d2q is
+    the EXACT quantized spec distance (scale 2^20), deterministic and
+    engine-replayable; ties rank by neighbor_id.
+    """
+    book = codebook
+    m, n_codes, dsub = book.shape
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _lut(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.empty((len(mat), m * n_codes), dtype=np.int64)
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            out[:, s * n_codes : (s + 1) * n_codes] = _pq_d2q(sub, book[s])
+        return pd.Series(list(out))
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), _lut(F.col(vec_col)).alias("_lut")
+    )
+    c = codes.select(F.col(cand_id).alias("neighbor_id"), F.col(codes_col))
+    adc = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0L, (acc, i) -> "
+        f"acc + element_at(_lut, i * {n_codes} + element_at({codes_col}, i + 1) + 1))"
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_d2q", adc)
+        .select("query_id", "neighbor_id", "adc_d2q")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2q").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_d2q")
+    )
