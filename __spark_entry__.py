@@ -2329,6 +2329,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sink_bucket"] = q_sink_bucket
 
+    def q_sink_bloom(spark, sf):  # C-family: manifest Bloom filters —
+        # point-lookup file pruning on a column the layout is NOT
+        # organized by (bucket_by covers one column; blooms cover any)
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.sink.iceberg_like import IcebergLikeSink
+
+        root = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driver_sink_bl")
+        shutil.rmtree(root, ignore_errors=True)
+        sink = IcebergLikeSink(
+            root, stats_col=None, bloom_cols=["doc_id"],
+            bloom_words=128, bloom_depth=3, target_file_bytes=128 * 1024,
+        )
+        # orderkey < 1000 bounds distinct keys/file (~400) at every sf,
+        # keeping the 4096-bit filters far from saturation — sizing the
+        # bloom to the file's key count is the caller's contract
+        li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 1000)
+        d = li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("doc_id"),
+            F.col("l_quantity").alias("qty"),
+            F.col("l_returnflag").alias("flag"),
+        )
+        sink.write_split(d.filter(F.col("doc_id") % 2 == 0).repartition(4), "0000")
+        sink.write_split(d.filter(F.col("doc_id") % 2 == 1).repartition(4), "0001")
+        sink.commit_snapshot()
+        probes = [11, 31, 42, 1013, 3022, 6081, 7772, 9991, 999999991]
+        n_all = len(sink.committed_files())
+        n_kept = len(sink.committed_files(bloom_keys={"doc_id": probes}))
+        assert n_all >= 8, f"layout produced too few files ({n_all})"
+        assert n_kept < n_all, f"bloom pruning skipped nothing ({n_kept}/{n_all})"
+        return (
+            sink.read(spark, bloom_keys={"doc_id": probes})
+            .filter(F.col("doc_id").isin(probes))
+            .select("doc_id", "qty", "flag")
+        )
+
+    q["q_sink_bloom"] = q_sink_bloom
+
     def q_incr_mv(spark, sf):  # C-family: incremental materialized-view
         # maintenance — merge(old state, agg(increment)) must equal the
         # full recompute; the gate hash enforces the equality
@@ -2579,6 +2618,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pq_topk(e.filter(F.col("vec_id") < 30), codes, book, k=3)
 
     q["q_pq_topk"] = q_pq_topk
+
+    def q_ivfpq(spark, sf):  # IVF-PQ with residual codes (the 10^12 shape)
+        from osm_pbf_spark.operators.ann import ivfpq_topk
+
+        e = load(spark, sf, "embeddings")
+        return ivfpq_topk(
+            e.filter(F.col("vec_id") < 20), e, k=3, n_lists=16, nprobe=4
+        )
+
+    q["q_ivfpq"] = q_ivfpq
+
+    def q_hist_quantiles(spark, sf):  # mergeable histogram-sketch quantiles
+        from osm_pbf_spark.operators.sketch import binned_quantiles
+
+        li = load(spark, sf, "lineitem")
+        d = li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice")).cast("bigint").alias("price"),
+        )
+        return binned_quantiles(
+            d, "price", ["l_returnflag"], lo=0, hi=120_000, n_bins=128
+        )
+
+    q["q_hist_quantiles"] = q_hist_quantiles
 
     def q_zscore(spark, sf):  # per-row outlier z-scores, bit-reproducible
         from osm_pbf_spark.operators.stats import zscore
@@ -4055,6 +4118,91 @@ def _ora_pq_topk() -> str:
     )
 
 
+def _ora_ivfpq() -> str:
+    """Pure-Python integer replay of the IVF-PQ spec: codebooks are the
+    engine's exported state (deterministic trainers on the id-sorted
+    capped sample — hybrid convention), but coarse assignment, probe
+    order, residual codes, and the ADC scan are replayed with
+    math.floor loops — the quantized spec makes every bit identical."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.ann import _pq_d2q, _pq_train_mat
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = [int(i) for i in t.column("vec_id").to_pylist()]
+    vecs = t.column("embedding").to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    sample = np.asarray([vecs[i] for i in order[:4096]], dtype=np.float64)
+    n_lists, nprobe, m, n_codes, k = 16, 4, 4, 16, 3
+    coarse = _pq_train_mat(sample, 1, n_lists)[0]
+    assign = np.argmin(_pq_d2q(sample, coarse), axis=1)
+    book = _pq_train_mat(sample - coarse[assign], m, n_codes)
+    dsub = book.shape[2]
+    scale = float(1 << 20)
+
+    def d2q(vec, cent, lo=0) -> int:
+        s = 0
+        for d in range(len(cent)):
+            diff = float(vec[lo + d]) - float(cent[d])
+            s += math.floor(diff * diff * scale + 0.5)
+        return s
+
+    # candidate pass: list assignment + residual codes, pure Python
+    lists, codes = [], []
+    for v in vecs:
+        li = min(range(n_lists), key=lambda j: (d2q(v, coarse[j]), j))
+        lists.append(li)
+        res = [float(v[d]) - float(coarse[li][d]) for d in range(len(v))]
+        codes.append(
+            [
+                min(
+                    range(n_codes),
+                    key=lambda j: (d2q(res, book[s][j], s * dsub), j),
+                )
+                for s in range(m)
+            ]
+        )
+    by_list: dict[int, list[int]] = {}
+    for idx, li in enumerate(lists):
+        by_list.setdefault(li, []).append(idx)
+
+    rows = []
+    for qi, qid in enumerate(ids):
+        if qid >= 20:
+            continue
+        qv = vecs[qi]
+        probe = sorted(range(n_lists), key=lambda j: (d2q(qv, coarse[j]), j))[
+            :nprobe
+        ]
+        scored = []
+        for li in probe:
+            res = [float(qv[d]) - float(coarse[li][d]) for d in range(len(qv))]
+            lut = [
+                [d2q(res, book[s][j], s * dsub) for j in range(n_codes)]
+                for s in range(m)
+            ]
+            for ci in by_list.get(li, []):
+                if ids[ci] == qid:
+                    continue
+                adc = 0
+                for s in range(m):
+                    adc += lut[s][codes[ci][s]]
+                scored.append((adc, ids[ci]))
+        scored.sort()
+        for rank, (adc, nid) in enumerate(scored[:k], start=1):
+            rows.append((qid, nid, rank, adc))
+    return _values_sql(
+        [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"), ("rank", "INTEGER"),
+         ("adc_d2q", "BIGINT")],
+        rows,
+    )
+
+
 def _ora_pack_bins() -> str:
     """Scalar replay of the FFD bin-packing spec (operators/packing.py
     bin_pack_ffd): md5-mod grouping, per-group sort by (tokens desc,
@@ -5110,6 +5258,30 @@ def oracle_sql() -> dict[str, str]:
         "q_lsh_topk": _ora_lsh_topk(),
         "q_ivf_topk": _ora_ivf_topk(),
         "q_pq_topk": _ora_pq_topk(),
+        "q_ivfpq": _ora_ivfpq(),
+        # all-integer bin/ceil(q*n) arithmetic — `//` matches Spark's
+        # div on the non-negative domain the clamp leaves
+        "q_hist_quantiles": """
+            WITH d AS (SELECT l_returnflag AS g,
+                              CAST(floor(l_extendedprice) AS BIGINT) AS v
+                       FROM lineitem),
+            h AS (SELECT g,
+                         greatest(0, least(127, (v * 128) // 120000)) AS b,
+                         count(*) AS c
+                  FROM d GROUP BY 1, 2),
+            cum AS (SELECT g, b,
+                           sum(c) OVER (PARTITION BY g ORDER BY b) AS cm,
+                           sum(c) OVER (PARTITION BY g) AS n
+                    FROM h),
+            qs(q_num, q_den) AS (VALUES (1, 2), (9, 10), (99, 100)),
+            hit AS (SELECT g, q_num, q_den, min(b) AS hist_bin
+                    FROM cum CROSS JOIN qs
+                    WHERE cm * q_den >= q_num * n
+                    GROUP BY 1, 2, 3)
+            SELECT g AS l_returnflag, q_num, q_den, hist_bin,
+                   0 + (hist_bin * 120000) // 128 AS q_est
+            FROM hit
+        """,
         # the Bloom pre-filter is TRANSPARENT to the join result — the
         # oracle is the plain join, so any dropped true match fails the
         # hash (end-to-end no-false-negative check)
@@ -5954,6 +6126,15 @@ def oracle_sql() -> dict[str, str]:
                        FROM lineitem)
             SELECT doc_id, qty, flag FROM d
             WHERE doc_id IN (1, 71, 101, 171, 181, 191, 201, 999999991)
+        """,
+        # pruning is a superset read; the in-query asserts pin that
+        # files were actually skipped, the hash pins no row was lost
+        "q_sink_bloom": """
+            WITH d AS (SELECT l_orderkey * 10 + l_linenumber AS doc_id,
+                              l_quantity AS qty, l_returnflag AS flag
+                       FROM lineitem WHERE l_orderkey < 1000)
+            SELECT doc_id, qty, flag FROM d
+            WHERE doc_id IN (11, 31, 42, 1013, 3022, 6081, 7772, 9991, 999999991)
         """,
         "q_incr_mv": _ora_incr_mv(),
         # exact-integer moments -> fixed IEEE chain (morans_i discipline)

@@ -594,3 +594,139 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_d2q")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    train_sample: int = 4096,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the composition that actually runs at 10^12 vectors —
+    IVF lists bound WHICH candidates each query scans, PQ codes bound
+    WHAT the scan reads (m bytes vs d floats), residual encoding
+    (Jégou 2011 §IV) keeps the codes tight around each list centroid.
+
+    Everything after the one float subtract per dimension is the
+    _pq_d2q quantized-int64 spec, so list assignment, probe order,
+    codes, and ADC distances are all bit-replayable in pure Python
+    (the q_ivfpq oracle) — ties break to the lowest list/code id.
+
+    Train (driver, bounded sample, deterministic): coarse = plain-L2
+    k-means on the full vector (``_pq_train_mat`` with m=1); PQ book =
+    per-subspace k-means on the sample RESIDUALS v − coarse[assign(v)].
+    Assign: candidates carry (ivf_list, pq_codes) from ONE vectorized
+    UDF — no shuffle. Search: queries explode to their nprobe nearest
+    lists with a PER-LIST residual LUT, equi-join on list id (the only
+    data shuffle, same slim shape as cosine_topk_ivf), native ordered
+    ``aggregate`` fold for ADC, WindowGroupLimit-pushed top-k.
+
+    Returns (query_id, neighbor_id, rank, adc_d2q:int64); recall < 1
+    by design (unprobed lists are unseen — raise nprobe/n_lists).
+    """
+    samp = (
+        candidates.select(F.col(cand_id).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(train_sample)
+        .collect()
+    )
+    if not samp:
+        raise ValueError("empty sample for IVF-PQ training")
+    mat = np.asarray([r["_v"] for r in samp], dtype=np.float64)
+    coarse = _pq_train_mat(mat, 1, n_lists)[0]  # (n_lists, d) plain-L2 k-means
+    assign = np.argmin(_pq_d2q(mat, coarse), axis=1)
+    book = _pq_train_mat(mat - coarse[assign], m, n_codes)
+    n_lists_eff = coarse.shape[0]
+    dsub = book.shape[2]
+    npb = min(nprobe, n_lists_eff)
+
+    cand_t = T.StructType(
+        [
+            T.StructField("ivf_list", T.IntegerType()),
+            T.StructField("pq_codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(cand_t)
+    def _enc(vecs: pd.Series) -> pd.DataFrame:
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        lists = np.argmin(_pq_d2q(v, coarse), axis=1)
+        res = v - coarse[lists]
+        codes = np.empty((len(v), m), dtype=np.int32)
+        for s in range(m):
+            codes[:, s] = np.argmin(
+                _pq_d2q(res[:, s * dsub : (s + 1) * dsub], book[s]), axis=1
+            )
+        return pd.DataFrame(
+            {"ivf_list": lists.astype(np.int32), "pq_codes": list(codes)}
+        )
+
+    probe_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("ivf_list", T.IntegerType()),
+                T.StructField("lut", T.ArrayType(T.LongType())),
+            ]
+        )
+    )
+
+    @F.pandas_udf(probe_t)
+    def _probe(vecs: pd.Series) -> pd.Series:
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        d2 = _pq_d2q(v, coarse)
+        order = np.lexsort(
+            (np.broadcast_to(np.arange(n_lists_eff), d2.shape), d2), axis=1
+        )[:, :npb]
+        out = []
+        for row, lists in zip(v, order):
+            entries = []
+            for li in lists:
+                res = row - coarse[li]
+                lut = np.empty(m * n_codes, dtype=np.int64)
+                for s in range(m):
+                    lut[s * n_codes : (s + 1) * n_codes] = _pq_d2q(
+                        res[None, s * dsub : (s + 1) * dsub], book[s]
+                    )[0]
+                entries.append({"ivf_list": int(li), "lut": lut})
+            out.append(entries)
+        return pd.Series(out)
+
+    c = candidates.select(
+        F.col(cand_id).alias("neighbor_id"), _enc(F.col(vec_col)).alias("_e")
+    ).select("neighbor_id", F.col("_e.ivf_list").alias("ivf_list"), F.col("_e.pq_codes").alias("pq_codes"))
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"), _probe(F.col(vec_col)).alias("_p")
+        )
+        .select("query_id", F.explode("_p").alias("_pe"))
+        .select(
+            "query_id",
+            F.col("_pe.ivf_list").alias("ivf_list"),
+            F.col("_pe.lut").alias("_lut"),
+        )
+    )
+    adc = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0L, (acc, i) -> "
+        f"acc + element_at(_lut, i * {n_codes} + element_at(pq_codes, i + 1) + 1))"
+    )
+    pairs = (
+        c.join(q, "ivf_list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_d2q", adc)
+        .select("query_id", "neighbor_id", "adc_d2q")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2q").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_d2q")
+    )

@@ -41,6 +41,8 @@ __all__ = [
     "bloom_build",
     "bloom_probe",
     "bloom_semi_reduce",
+    "histogram_fixed",
+    "binned_quantiles",
 ]
 
 _HASH_SPACE = 1 << 40
@@ -372,3 +374,113 @@ def bloom_semi_reduce(
             .drop(f"_bp{i}", f"_bw{i}", f"_bb{i}")
         )
     return out
+
+
+def histogram_fixed(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: int,
+    hi: int,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Fixed-range equi-width histogram over an INTEGER column — the
+    mergeable distribution sketch beside count_min (frequencies), KMV
+    (cardinality), and Bloom (membership): histograms of shards ADD
+    (sum counts per bin) into the histogram of the union.
+
+    Bin assignment is exact integer arithmetic, replayable anywhere:
+
+        bin = clamp( (v − lo) · n_bins DIV (hi − lo), 0, n_bins−1 )
+
+    (values outside [lo, hi) clamp into the edge bins, so the sketch
+    is total — no dropped rows). Overflow: |v − lo| · n_bins must fit
+    int64.
+
+    Plan: ONE hash aggregate whose keyspace is bounded by n_bins per
+    group — map-side combine caps every task's shuffle output no
+    matter how many rows it scanned (the count_min property).
+
+    Returns (group..., hist_bin:bigint, hist_count:bigint).
+    """
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    v = F.col(value_col).cast("bigint")
+    # all-integer bin arithmetic (DIV) — no float division anywhere, so
+    # any engine replays the exact bin of every row; negative (v-lo)
+    # truncates toward 0 but the clamp absorbs the difference
+    scaled = df.withColumn("_hraw", (v - F.lit(int(lo))) * F.lit(int(n_bins)))
+    raw = F.expr(f"_hraw div {int(hi - lo)}")
+    bin_ = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.lit(int(n_bins - 1)).cast("bigint"), raw),
+    )
+    return scaled.groupBy(*group_cols, bin_.alias("hist_bin")).agg(
+        F.count(F.lit(1)).alias("hist_count")
+    )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: int,
+    hi: int,
+    n_bins: int = 128,
+    qs: list[tuple[int, int]] = ((1, 2), (9, 10), (99, 100)),
+) -> DataFrame:
+    """Approximate per-group quantiles from a :func:`histogram_fixed`
+    sketch — bin-resolution accuracy ((hi−lo)/n_bins), but the shuffle
+    carries n_bins rows per group instead of every distinct value
+    (q_percentiles' exact path), which is the trade you take on a
+    100-TB continuous column.
+
+    Quantiles are given as exact fractions (num, den): the selected
+    bin is the first with cum_count · den >= num · n, an ALL-INTEGER
+    ceil(q·n) comparison — no float boundary anywhere, so any engine
+    replays it. The reported estimate is the bin's lower edge
+    ``lo + bin·(hi−lo) DIV n_bins`` (int).
+
+    Returns (group..., q_num:int, q_den:int, hist_bin, q_est:bigint).
+    """
+    h = histogram_fixed(df, value_col, group_cols, lo, hi, n_bins)
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("hist_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*[F.col(c) for c in group_cols])
+    cum = h.select(
+        *group_cols,
+        "hist_bin",
+        F.sum("hist_count").over(w).alias("_cum"),
+        F.sum("hist_count").over(wn).alias("_n"),
+    )
+    qdf = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(a)).alias("q_num"), F.lit(int(b)).alias("q_den")
+                )
+                for a, b in qs
+            ]
+        )
+    )
+    x = cum.select(*group_cols, "hist_bin", "_cum", "_n", qdf.alias("_q")).select(
+        *group_cols,
+        "hist_bin",
+        "_cum",
+        "_n",
+        F.col("_q.q_num").alias("q_num"),
+        F.col("_q.q_den").alias("q_den"),
+    )
+    hit = x.where(F.col("_cum") * F.col("q_den") >= F.col("q_num") * F.col("_n"))
+    first = hit.groupBy(*group_cols, "q_num", "q_den").agg(
+        F.min("hist_bin").alias("hist_bin")
+    )
+    est = F.lit(int(lo)) + F.expr(f"(hist_bin * {int(hi - lo)}) div {int(n_bins)}")
+    return first.select(
+        *group_cols, "q_num", "q_den", "hist_bin", est.alias("q_est")
+    )

@@ -89,6 +89,41 @@ def _stat_jsonable(v):
     return None
 
 
+def _bloom_positions(value, n_words: int, depth: int) -> list[tuple[int, int]]:
+    """(word_idx, bit_mask) pairs for one value — the pure-Python replay
+    of the operators/sketch.py Bloom spec (seeded 40-bit md5 positions
+    into 32-bit words). str(value) matches Spark CAST AS STRING for
+    int/string columns, the supported bloom_cols types."""
+    import hashlib
+
+    m = n_words * 32
+    out = []
+    sv = str(value)
+    for seed in range(depth):
+        p = int(hashlib.md5(f"{seed}:{sv}".encode()).hexdigest()[:10], 16) % m
+        out.append((p // 32, 1 << (p % 32)))
+    return out
+
+
+def _bloom_words_of(values, n_words: int, depth: int) -> dict[str, int]:
+    """Bloom words (JSON-keyed sparse map) of a set of values."""
+    words: dict[int, int] = {}
+    for v in values:
+        if v is None:
+            continue
+        for w, mask in _bloom_positions(v, n_words, depth):
+            words[w] = words.get(w, 0) | mask
+    return {str(w): bits for w, bits in sorted(words.items())}
+
+
+def _bloom_maybe_member(words: dict[str, int], value, n_words: int, depth: int) -> bool:
+    """True unless the filter PROVES the value absent (some bit unset)."""
+    for w, mask in _bloom_positions(value, n_words, depth):
+        if not (words.get(str(w), 0) & mask):
+            return False
+    return True
+
+
 class IcebergLikeSink:
     def __init__(
         self,
@@ -98,6 +133,9 @@ class IcebergLikeSink:
         stats_col: str | None = "cell",
         stats_cols: list[str] | None = None,
         bucket_by: tuple[str, int] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_words: int = 256,
+        bloom_depth: int = 3,
     ) -> None:
         self.root = root
         self.partition_by = partition_by or []
@@ -120,6 +158,23 @@ class IcebergLikeSink:
         # read(stats_ranges={...}) skips files on every recorded
         # column without opening a single parquet footer.
         self.stats_cols = stats_cols or []
+        # MANIFEST-LEVEL BLOOM FILTERS: per file, record a small Bloom
+        # filter (operators/sketch.py hash spec: seeded 40-bit md5
+        # positions into 32-bit words) of each ``bloom_cols`` column's
+        # DISTINCT values. read(bloom_keys={col: [v, ...]}) then prunes
+        # whole files on POINT lookups over columns the physical layout
+        # was NOT organized by — min/max ranges are useless for a
+        # needle-in-a-100-TB-haystack id, bucket_by only covers the one
+        # layout column; the bloom covers any recorded column with zero
+        # parquet footers opened. int/string columns only (the hash
+        # feeds str(value), which must match Spark's CAST AS STRING).
+        if bloom_words < 1 or bloom_depth < 1:
+            raise ValueError(
+                f"bloom_words/bloom_depth must be >= 1, got {bloom_words}/{bloom_depth}"
+            )
+        self.bloom_cols = bloom_cols or []
+        self.bloom_words = bloom_words
+        self.bloom_depth = bloom_depth
         # column whose per-file [min, max] is recorded in each manifest
         # (Iceberg-style file metrics). With cell-sorted input (the
         # default ingest layout) these ranges are tight and read() can
@@ -258,8 +313,9 @@ class IcebergLikeSink:
                 maxs.append(hi)
             return min(mins), max(maxs)
 
-        def _meta(rel: str) -> tuple[int, dict | None, dict]:
-            md = pq.read_metadata(os.path.join(self.root, rel))
+        def _meta(rel: str) -> tuple[int, dict | None, dict, dict]:
+            full = os.path.join(self.root, rel)
+            md = pq.read_metadata(full)
             stats = None
             if self.stats_col:
                 mm = _col_minmax(md, self.stats_col)
@@ -270,19 +326,31 @@ class IcebergLikeSink:
                 mm = _col_minmax(md, c)
                 if mm is not None:
                     multi[c] = [mm[0], mm[1]]
-            return md.num_rows, stats, multi
+            blooms = {}
+            for c in self.bloom_cols:
+                try:
+                    vals = pq.read_table(full, columns=[c]).column(c).to_pylist()
+                except (KeyError, OSError):  # column absent in this file
+                    continue
+                blooms[c] = _bloom_words_of(
+                    set(vals), self.bloom_words, self.bloom_depth
+                )
+            return md.num_rows, stats, multi, blooms
 
         file_stats: dict[str, dict] = {}
         file_stats_multi: dict[str, dict] = {}
+        file_blooms: dict[str, dict] = {}
         file_buckets: dict[str, int] = {}
         n_rows = 0
         with ThreadPoolExecutor(max_workers=16) as ex:
-            for rel, (rows, stats, multi) in zip(files, ex.map(_meta, files)):
+            for rel, (rows, stats, multi, blooms) in zip(files, ex.map(_meta, files)):
                 n_rows += rows
                 if stats is not None:
                     file_stats[rel] = {"rows": rows, **stats}
                 if multi:
                     file_stats_multi[rel] = multi
+                if blooms:
+                    file_blooms[rel] = blooms
                 if self.bucket_by:
                     for part in rel.split(os.sep):
                         if part.startswith("_bucket="):
@@ -298,6 +366,19 @@ class IcebergLikeSink:
             "file_stats_multi": {
                 k: file_stats_multi[k] for k in sorted(file_stats_multi)
             },
+            # per-file Bloom words per bloom_cols column (point-lookup
+            # file pruning via read(bloom_keys=...)); the spec rides the
+            # manifest so readers probe with the words' own parameters
+            "file_blooms": {k: file_blooms[k] for k in sorted(file_blooms)},
+            "bloom_spec": (
+                {
+                    "cols": list(self.bloom_cols),
+                    "n_words": self.bloom_words,
+                    "depth": self.bloom_depth,
+                }
+                if self.bloom_cols
+                else None
+            ),
             "stats_col": self.stats_col,
             # hidden-partitioning layout: per-file bucket id + the
             # transform spec (bucket pruning in read(bucket_keys=...))
@@ -560,6 +641,8 @@ class IcebergLikeSink:
                     "file_stats": m.get("file_stats", {}),
                     "file_stats_multi": m.get("file_stats_multi", {}),
                     "file_buckets": m.get("file_buckets", {}),
+                    "file_blooms": m.get("file_blooms", {}),
+                    "bloom_spec": m.get("bloom_spec"),
                     "replaces": m.get("replaces", []),
                     "schema": m.get("schema"),
                     # merge-on-read delete manifests carry their kind +
@@ -714,14 +797,18 @@ class IcebergLikeSink:
         stats_range: tuple[int, int] | None,
         stats_ranges: dict[str, tuple] | None = None,
         buckets: set[int] | None = None,
+        bloom_probes: dict[str, list] | None = None,
     ) -> list[str]:
         """Entry files -> absolute paths, manifest-stat pruned: with
         ``stats_range=(lo, hi)``, only files whose [min, max] of
         stats_col overlaps it; ``stats_ranges={col: (lo, hi)}`` prunes
         on the extra ``stats_cols`` metrics conjunctively (a file
         survives only if EVERY named range overlaps); ``buckets`` keeps
-        only files whose recorded hidden-bucket id is in the set. No
-        parquet footer ever opened. Files lacking a metric/bucket are
+        only files whose recorded hidden-bucket id is in the set;
+        ``bloom_probes={col: [v, ...]}`` drops a file when its recorded
+        Bloom words prove NO probe value can be present (point-lookup
+        pruning — a superset read, like every prune here). No parquet
+        footer ever opened. Files lacking a metric/bucket/bloom are
         conservatively kept."""
         files = []
         for sid in sorted(entries):
@@ -729,6 +816,8 @@ class IcebergLikeSink:
             stats = m.get("file_stats", {})
             multi = m.get("file_stats_multi", {})
             fbuckets = m.get("file_buckets", {})
+            fblooms = m.get("file_blooms", {})
+            bspec = m.get("bloom_spec") or {}
             for rel in m["files"]:
                 if stats_range is not None and rel in stats:
                     lo, hi = stats_range
@@ -753,6 +842,22 @@ class IcebergLikeSink:
                 if buckets is not None and rel in fbuckets:
                     if fbuckets[rel] not in buckets:
                         continue
+                if bloom_probes and bspec:
+                    fb = fblooms.get(rel, {})
+                    pruned = False
+                    for c, probe_vals in bloom_probes.items():
+                        if c not in fb:
+                            continue  # no filter recorded: keep
+                        if not any(
+                            _bloom_maybe_member(
+                                fb[c], v, bspec["n_words"], bspec["depth"]
+                            )
+                            for v in probe_vals
+                        ):
+                            pruned = True
+                            break
+                    if pruned:
+                        continue
                 files.append(os.path.join(self.root, rel))
         return files
 
@@ -772,6 +877,7 @@ class IcebergLikeSink:
         stats_range: tuple[int, int] | None = None,
         stats_ranges: dict[str, tuple] | None = None,
         bucket_keys: list | None = None,
+        bloom_keys: dict[str, list] | None = None,
     ) -> list[str]:
         """LIVE committed DATA file paths (replaced splits and
         merge-on-read delete files excluded), with optional
@@ -784,7 +890,7 @@ class IcebergLikeSink:
             if bucket_keys is not None
             else None
         )
-        return self._filter_files(data, stats_range, stats_ranges, buckets)
+        return self._filter_files(data, stats_range, stats_ranges, buckets, bloom_keys)
 
     @staticmethod
     def _merged_schema(entries: dict[str, dict]):
@@ -838,6 +944,7 @@ class IcebergLikeSink:
         stats_range: tuple[int, int] | None,
         stats_ranges: dict[str, tuple] | None = None,
         buckets: set[int] | None = None,
+        bloom_probes: dict[str, list] | None = None,
     ) -> DataFrame:
         """Shared merge-on-read path for :meth:`read` (live entries)
         and :meth:`read_snapshot` (a frozen manifest list): load the
@@ -873,8 +980,13 @@ class IcebergLikeSink:
 
         if not del_e:
             files = (
-                self._filter_files(data_e, stats_range, stats_ranges, buckets)
-                if stats_range is not None or stats_ranges or buckets is not None
+                self._filter_files(
+                    data_e, stats_range, stats_ranges, buckets, bloom_probes
+                )
+                if stats_range is not None
+                or stats_ranges
+                or buckets is not None
+                or bloom_probes
                 else all_files
             )
             return load(files) if files else empty()
@@ -887,7 +999,9 @@ class IcebergLikeSink:
             groups.setdefault(applying, {})[sid] = m
         out: DataFrame | None = None
         for applying, ge in sorted(groups.items(), key=lambda kv: sorted(kv[1])):
-            files = self._filter_files(ge, stats_range, stats_ranges, buckets)
+            files = self._filter_files(
+                ge, stats_range, stats_ranges, buckets, bloom_probes
+            )
             if not files:
                 continue
             df = load(files)
@@ -910,9 +1024,15 @@ class IcebergLikeSink:
         stats_range: tuple[int, int] | None = None,
         stats_ranges: dict[str, tuple] | None = None,
         bucket_keys: list | None = None,
+        bloom_keys: dict[str, list] | None = None,
     ) -> DataFrame:
         """Read ONLY committed files (orphans from crashes are
         invisible), with equality-delete splits applied merge-on-read.
+
+        ``bloom_keys={col: [v, ...]}`` prunes files whose manifest
+        Bloom words prove none of the probe values are present — the
+        point-lookup path over columns the layout was NOT organized by
+        (superset read: apply the exact IN-filter after).
 
         ``stats_range`` prunes files by the manifest's stats_col metrics
         BEFORE Spark ever lists them; ``stats_ranges={col: (lo, hi)}``
@@ -930,7 +1050,7 @@ class IcebergLikeSink:
             else None
         )
         df = self._read_entries(
-            spark, self._live_entries(), stats_range, stats_ranges, buckets
+            spark, self._live_entries(), stats_range, stats_ranges, buckets, bloom_keys
         )
         if dedup_cols:
             df = df.dropDuplicates(dedup_cols)
