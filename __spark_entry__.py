@@ -1146,6 +1146,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_frame_sample"] = q_frame_sample
 
+    def q_image_patches(spark, sf):  # ViT patch-token plan (image sibling)
+        from osm_pbf_spark.operators.multimodal import image_patch_plan
+
+        p = load(spark, sf, "part").filter(F.col("p_partkey") < 500)
+        media = p.select(
+            F.concat(F.lit("img"), F.col("p_partkey").cast("string")).alias(
+                "media_ref"
+            ),
+            F.lit("image").alias("modality"),
+            F.lit(None).cast("binary").alias("payload"),
+            (F.col("p_size") * 7 + 13).cast("int").alias("width"),
+            ((F.col("p_partkey") % 37) * 5 + 8).cast("int").alias("height"),
+            F.lit(0).alias("duration_ms"),
+        )
+        return image_patch_plan(media, patch=16)
+
+    q["q_image_patches"] = q_image_patches
+
     # ---- PBF decode surface (consumes a deterministic synthesized PBF,
     # not the sf tables — the DuckDB oracles are VALUES literals built
     # from the pure-Python spec oracles in tests/oracle_pbf.py /
@@ -6454,6 +6472,24 @@ def oracle_sql() -> dict[str, str]:
                    frame_idx * 160 AS start_ms,
                    frame_idx * 160 + 400 AS end_ms
             FROM f
+        """,
+        # row-major ViT patch grid; `//` = Spark div on the positive
+        # domain, sub-patch images emit no rows
+        "q_image_patches": """
+            WITH m AS (SELECT 'img' || CAST(p_partkey AS VARCHAR)
+                                  AS media_ref,
+                              (p_size * 7 + 13) // 16 AS nx,
+                              ((p_partkey % 37) * 5 + 8) // 16 AS ny
+                       FROM part WHERE p_partkey < 500),
+            r AS (SELECT media_ref, nx,
+                         unnest(generate_series(0, ny - 1)) AS py
+                  FROM m WHERE ny > 0 AND nx > 0),
+            g AS (SELECT media_ref, nx, py,
+                         unnest(generate_series(0, nx - 1)) AS px
+                  FROM r)
+            SELECT media_ref, py * nx + px AS patch_id, py, px,
+                   py * 16 AS y0, px * 16 AS x0
+            FROM g
         """,
         "q_debounce": _ora_debounce(),
         # every rule replayed as a verbatim aggregate; count(CASE..)

@@ -271,3 +271,45 @@ def audio_frame_plan(
         )
     )
     return out
+
+
+def image_patch_plan(media: DataFrame, patch: int = 16) -> DataFrame:
+    """ViT-style patch-token PLAN (P10/P10b's image sibling): one row
+    per (image, patch) over the non-overlapping ``patch``x``patch``
+    grid — the token layout a vision encoder consumes. Edge remainders
+    are DROPPED (ViT requires divisible inputs; resize upstream), and
+    images smaller than one patch emit no rows.
+
+        patch_id  = row-major token index (py * n_cols + px)
+        y0, x0    = the patch's top-left pixel offset
+
+    Like frame_sample_plan / audio_frame_plan, the pixel decode is
+    stubbed behind the media_pixels boundary; the row explosion is one
+    native sequence-cross Generate — pure codegen, map-only, linear.
+    """
+    if patch < 1:
+        raise ValueError(f"patch must be >= 1, got {patch}")
+    img = media.filter(F.col("modality") == "image").select(
+        "media_ref",
+        F.expr(f"height div {int(patch)}").alias("_ny"),
+        F.expr(f"width div {int(patch)}").alias("_nx"),
+    )
+    g = img.where((F.col("_ny") > 0) & (F.col("_nx") > 0)).select(
+        "media_ref",
+        "_nx",
+        F.explode(F.sequence(F.lit(0), F.col("_ny") - 1)).alias("py"),
+    )
+    g = g.select(
+        "media_ref",
+        "py",
+        "_nx",
+        F.explode(F.sequence(F.lit(0), F.col("_nx") - 1)).alias("px"),
+    )
+    return g.select(
+        "media_ref",
+        (F.col("py") * F.col("_nx") + F.col("px")).alias("patch_id"),
+        "py",
+        "px",
+        (F.col("py") * F.lit(int(patch))).alias("y0"),
+        (F.col("px") * F.lit(int(patch))).alias("x0"),
+    )

@@ -207,3 +207,48 @@ def test_scd2_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------------------- image patches
+
+
+def test_image_patch_plan_grid_and_drops(spark):
+    from osm_pbf_spark.operators.multimodal import image_patch_plan
+
+    rows = [
+        ("a", "image", None, 33, 17, 0),  # 2x1 grid of 16px patches
+        ("b", "image", None, 15, 64, 0),  # width < patch -> dropped
+        ("c", "video", None, 64, 64, 9),  # wrong modality -> dropped
+        ("d", "image", None, 32, 32, 0),  # exact 2x2
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_ref string, modality string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    got = sorted(
+        map(tuple, image_patch_plan(df, patch=16).collect())
+    )
+    want = sorted(
+        [
+            ("a", 0, 0, 0, 0, 0),
+            ("a", 1, 0, 1, 0, 16),
+            ("d", 0, 0, 0, 0, 0),
+            ("d", 1, 0, 1, 0, 16),
+            ("d", 2, 1, 0, 16, 0),
+            ("d", 3, 1, 1, 16, 16),
+        ]
+    )
+    assert got == want
+
+
+def test_image_patch_plan_is_map_only(spark):
+    from osm_pbf_spark.operators.multimodal import image_patch_plan
+
+    df = spark.createDataFrame(
+        [("a", "image", None, 64, 64, 0)],
+        "media_ref string, modality string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    plan = image_patch_plan(df, patch=16)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure Generate/Project, no shuffle
