@@ -1799,6 +1799,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_resample"] = q_resample
 
+    def q_fill_forward(spark, sf):  # gap-fill imputation over the 6h grid
+        from osm_pbf_spark.operators.temporal import fill_forward, resample
+
+        e = load(spark, sf, "events")
+        return fill_forward(
+            resample(e, bucket_s=6 * 3600), "user_id", "bucket", ["value_sum_q"]
+        )
+
+    q["q_fill_forward"] = q_fill_forward
+
+    def q_rolling_time(spark, sf):  # time-RANGE rolling window (vs q_rolling's ROWS)
+        li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 20000)
+        return spark.sql(
+            """
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT)
+                       AS qty_30d,
+                   CAST(count(*) OVER w AS BIGINT) AS n_30d
+            FROM {li}
+            WINDOW w AS (PARTITION BY l_suppkey
+                         ORDER BY CAST(unix_date(CAST(l_shipdate AS DATE)) AS BIGINT)
+                         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+            """,
+            li=li,
+        )
+
+    q["q_rolling_time"] = q_rolling_time
+
     def q_repetition(spark, sf):  # Gopher-style repetition quality signals
         from osm_pbf_spark.operators.text import repetition_stats
 
@@ -5588,6 +5616,44 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_events, 0) AS n_events, a.value_sum_q
             FROM grid g LEFT JOIN a ON a.user_id = g.user_id
                                    AND a.bucket = g.bucket
+        """,
+        # resample replay + IGNORE NULLS carry-forward
+        "q_fill_forward": """
+            WITH a AS (
+              SELECT user_id,
+                     CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bucket,
+                     count(*) AS n_events,
+                     CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                         AS value_sum_q
+              FROM events GROUP BY user_id, bucket),
+            spans AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+                      FROM a GROUP BY user_id),
+            grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
+                     FROM spans),
+            j AS (SELECT g.user_id, g.bucket,
+                         COALESCE(a.n_events, 0) AS n_events, a.value_sum_q
+                  FROM grid g LEFT JOIN a ON a.user_id = g.user_id
+                                         AND a.bucket = g.bucket)
+            SELECT user_id, bucket, n_events,
+                   last_value(value_sum_q IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY bucket)
+                       AS value_sum_q
+            FROM j
+        """,
+        # RANGE frame by ship-date epoch days — frames are value-based,
+        # so tie order cannot perturb the sums
+        "q_rolling_time": """
+            WITH d AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+                              CAST(l_quantity AS BIGINT) AS q,
+                              CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                                  AS ed
+                       FROM lineitem WHERE l_orderkey < 20000)
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   CAST(sum(q) OVER w AS BIGINT) AS qty_30d,
+                   CAST(count(*) OVER w AS BIGINT) AS n_30d
+            FROM d
+            WINDOW w AS (PARTITION BY l_suppkey ORDER BY ed
+                         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         """,
         "q_sink_evolve": """
             WITH t AS (

@@ -32,6 +32,7 @@ __all__ = [
     "debounce",
     "twap",
     "scd2_build",
+    "fill_forward",
 ]
 
 
@@ -465,4 +466,28 @@ def scd2_build(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def fill_forward(
+    grid: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Carry the last non-NULL observation forward along ``order_col``
+    within each key — the imputation companion to :func:`resample`'s
+    gap rows (a missing bucket inherits the prior bucket's value, the
+    step-function reading ``twap`` also assumes).
+
+    ONE key shuffle (a single window partitioning serves every value
+    column); leading NULLs (no prior observation) stay NULL.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.withColumns(
+        {c: F.last(c, ignorenulls=True).over(w) for c in value_cols}
     )

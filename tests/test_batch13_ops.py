@@ -252,3 +252,31 @@ def test_image_patch_plan_is_map_only(spark):
     )
     plan = image_patch_plan(df, patch=16)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure Generate/Project, no shuffle
+
+
+# ---------------------------------------------------------------- fill forward
+
+
+def test_fill_forward_carries_last_non_null(spark):
+    from osm_pbf_spark.operators.temporal import fill_forward
+
+    rows = [
+        ("a", 0, None),
+        ("a", 1, 10),
+        ("a", 2, None),
+        ("a", 3, None),
+        ("a", 4, 40),
+        ("b", 0, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v int")
+    got = {
+        (r.k, r.t): r.v for r in fill_forward(df, "k", "t", ["v"]).collect()
+    }
+    assert got == {
+        ("a", 0): None,  # leading NULL stays
+        ("a", 1): 10,
+        ("a", 2): 10,
+        ("a", 3): 10,
+        ("a", 4): 40,
+        ("b", 0): None,  # keys never leak values
+    }

@@ -11,7 +11,8 @@ defuse host-contention bursts (BENCH/BASELINE.md §2).
 
 Writes one JSON line; save output under BENCH/.
 
-Usage: python tools/bench_ops_scaling.py [n_points] [reps]
+Usage: python tools/bench_ops_scaling.py [n_points] [reps] [leg ...]
+(naming legs runs only those — for extending an existing study file)
 """
 
 from __future__ import annotations
@@ -160,6 +161,51 @@ def leg_kcore(spark, n: int) -> int:
     return kcore(edges, k=8, rounds=4).count()
 
 
+def leg_bloom_reduce(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.sketch import bloom_semi_reduce
+
+    probe = spark.range(n).select(F.col("id").alias("k"))
+    build = spark.range(0, n, 1000).select(F.col("id").alias("bk"))
+    return bloom_semi_reduce(probe, build, "k", "bk", n_words=4096, depth=3).count()
+
+
+def leg_pq_scan(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.ann import pq_encode, pq_topk, pq_train
+
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                F.pmod(F.col("id") * F.lit(7919 + 13 * d), F.lit(1000)).cast(
+                    "double"
+                )
+                / F.lit(250.0)
+                for d in range(16)
+            ]
+        ).alias("embedding"),
+    )
+    book = pq_train(emb, m=4, n_codes=16, train_sample=2048)
+    codes = pq_encode(emb, book)
+    out = pq_topk(emb.filter(F.col("vec_id") < 32), codes, book, k=5)
+    return out.count()
+
+
+def leg_hist_quantiles(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.sketch import binned_quantiles
+
+    df = spark.range(n).select(
+        F.lit("g").alias("g"),
+        F.pmod(F.col("id") * F.lit(7919), F.lit(1_000_000)).alias("v"),
+    )
+    return binned_quantiles(df, "v", ["g"], 0, 1_000_000, 256).count()
+
+
 def leg_getis_ord(spark, n: int) -> int:
     from osm_pbf_spark.operators.spatialstats import getis_ord_gi, grid_cell_counts
 
@@ -177,6 +223,9 @@ LEGS = {
     "debounce": leg_debounce,
     "kcore": leg_kcore,
     "getis_ord": leg_getis_ord,
+    "bloom_reduce": leg_bloom_reduce,
+    "pq_scan": leg_pq_scan,
+    "hist_quantiles": leg_hist_quantiles,
 }
 
 # per-leg size multiplier on N_POINTS: every timed region must DWARF
@@ -192,17 +241,24 @@ LEG_SCALE = {
     "debounce": 6.0,
     "kcore": 4.0,
     "getis_ord": 12.0,
+    "bloom_reduce": 20.0,
+    "pq_scan": 1.0,
+    # 60M rows finished in ~0.6 s (overhead-dominated measurement);
+    # the histogram needs ~600M rows before the agg dwarfs fixed costs
+    "hist_quantiles": 200.0,
 }
 
 
 def main() -> None:
-    walls: dict[str, dict[int, list[float]]] = {k: {CORES_LO: [], CORES_HI: []} for k in LEGS}
-    checks: dict[str, set] = {k: set() for k in LEGS}
+    only = set(sys.argv[3:])
+    legs = {k: v for k, v in LEGS.items() if not only or k in only}
+    walls: dict[str, dict[int, list[float]]] = {k: {CORES_LO: [], CORES_HI: []} for k in legs}
+    checks: dict[str, set] = {k: set() for k in legs}
     # ONE FRESH SESSION PER (leg, cores, rep): running legs back-to-back
     # in a shared JVM lets an earlier leg's heap/GC state bleed into the
     # next measurement (observed: skyline 3x slower after the 3.8G-pair
     # distance leg). Startup is untimed.
-    for name, fn in LEGS.items():
+    for name, fn in legs.items():
         n = int(N_POINTS * LEG_SCALE[name])
         for rep in range(REPS):
             for cores in (CORES_LO, CORES_HI):
@@ -216,7 +272,7 @@ def main() -> None:
                 finally:
                     spark.stop()
     report = {"n_points": N_POINTS, "reps": REPS, "cores": [CORES_LO, CORES_HI], "legs": {}}
-    for name in LEGS:
+    for name in legs:
         n = int(N_POINTS * LEG_SCALE[name])
         t_lo = min(walls[name][CORES_LO])
         t_hi = min(walls[name][CORES_HI])
