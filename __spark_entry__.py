@@ -1679,6 +1679,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_csv_source"] = q_csv_source
 
+    def q_orc_source(spark, sf):  # S-family: ORC roundtrip (2nd columnar fmt)
+        import shutil
+        import tempfile
+
+        out = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driver_orc")
+        shutil.rmtree(out, ignore_errors=True)
+        load(spark, sf, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+        ).write.orc(out)
+        c = spark.read.orc(out)
+        return c.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum("l_orderkey").alias("sum_key"),
+        )
+
+    q["q_orc_source"] = q_orc_source
+
+    def q_dup_substr(spark, sf):  # ExactSubstr duplicated-passage detection
+        from osm_pbf_spark.operators.text import duplicate_substrings
+
+        d = load(spark, sf, "documents")
+        return duplicate_substrings(d, gram_chars=30, min_count=3)
+
+    q["q_dup_substr"] = q_dup_substr
+
+    def q_dup_substr_spans(spark, sf):  # locate the duplicated windows per doc
+        from osm_pbf_spark.operators.text import duplicate_substrings
+
+        d = load(spark, sf, "documents").filter(F.col("doc_id") < 1500)
+        dup = duplicate_substrings(d, gram_chars=30, min_count=3)
+        pos = d.where(F.length("text") >= 30).select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - F.lit(29))
+            ).alias("pos"),
+            F.col("text"),
+        ).select(
+            "doc_id", "pos", F.md5(F.expr("substring(text, pos, 30)")).alias("gram_key")
+        )
+        hits = pos.join(dup.select("gram_key"), "gram_key")
+        return hits.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+        )
+
+    q["q_dup_substr_spans"] = q_dup_substr_spans
+
     def q_full_outer(spark, sf):  # R-family: full outer join (null-extended sides)
         c = load(spark, sf, "customer").groupBy("c_nationkey").agg(
             F.count(F.lit(1)).alias("n_cust")
@@ -6390,6 +6439,43 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) = 1 AS bloom_member
             FROM pl LEFT JOIN sk ON sk.w = pl.p // 32
             GROUP BY probe_key
+        """,
+        "q_orc_source": """
+            SELECT l_returnflag, count(*) AS n_rows,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        # character-window replay: generate_series + substr + md5
+        "q_dup_substr": """
+            WITH g AS (
+              SELECT doc_id,
+                     md5(substr(text, CAST(p AS INTEGER), 30)) AS gram_key
+              FROM documents, LATERAL (
+                SELECT unnest(generate_series(1, len(text) - 29)) AS p) s
+              WHERE len(text) >= 30)
+            SELECT gram_key,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM g GROUP BY gram_key HAVING count(*) >= 3
+        """,
+        "q_dup_substr_spans": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id < 1500),
+            g AS (
+              SELECT doc_id, p,
+                     md5(substr(text, CAST(p AS INTEGER), 30)) AS gram_key
+              FROM d, LATERAL (
+                SELECT unnest(generate_series(1, len(text) - 29)) AS p) s
+              WHERE len(text) >= 30),
+            dup AS (SELECT gram_key FROM g GROUP BY gram_key
+                    HAVING count(*) >= 3)
+            SELECT g.doc_id,
+                   count(*) AS n_dup_windows,
+                   CAST(min(g.p) AS INTEGER) AS first_pos,
+                   CAST(max(g.p) AS INTEGER) AS last_pos
+            FROM g JOIN dup ON dup.gram_key = g.gram_key
+            GROUP BY g.doc_id
         """,
         # change-run collapse + lead() interval close, null-safe compare
         "q_scd2": """

@@ -663,3 +663,63 @@ def bpe_encode(
         gen,
         f"{id_col} {id_type}, n_words int, n_tokens int, tokens array<string>",
     )
+
+
+def duplicate_substrings(
+    docs: DataFrame,
+    gram_chars: int = 40,
+    min_count: int = 2,
+    stride: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-substring detection at CHARACTER granularity —
+    the "deduplicating training data" primitive of Lee et al. 2021
+    (ExactSubstr): any ``gram_chars``-long window of text occurring
+    ``min_count``+ times across the corpus is a duplicated passage
+    (boilerplate, licenses, quoted spam) that n-gram/MinHash DOC-level
+    dedup (P3/P4) never sees when the surrounding document differs.
+
+    Returns per-gram stats (gram_key:md5, n_docs, n_occurrences) for
+    every duplicated window — join back on
+    ``md5(substring(text, pos, gram_chars))`` to locate/excise spans
+    (q_dup_substr_spans does exactly that).
+
+    Plan: one native sequence Generate (a row per window START — with
+    ``stride`` s, positions 1, 1+s, 1+2s, ...), substring+md5 in
+    whole-stage codegen, ONE md5-keyed hash aggregate whose map-side
+    combine collapses hot grams per task. Row volume is total_chars /
+    stride: at 100 TB run stride 10-50 exactly as the paper's suffix-
+    array implementation samples — a duplicated passage of length
+    L >> gram_chars still yields overlapping hits at any stride <=
+    L - gram_chars.
+    """
+    if gram_chars < 1 or stride < 1 or min_count < 1:
+        raise ValueError(
+            f"gram_chars/stride/min_count must be >= 1, got "
+            f"{gram_chars}/{stride}/{min_count}"
+        )
+    # sequence(1, 0) DESCENDS in Spark (recorded bigram_pmi lesson) —
+    # sub-gram docs must be filtered out, not clamped
+    g = docs.where(F.length(F.col(text_col)) >= gram_chars).select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.length(F.col(text_col)) - F.lit(gram_chars - 1),
+                F.lit(stride),
+            )
+        ).alias("_pos"),
+        F.col(text_col).alias("_t"),
+    ).select(
+        "_id",
+        F.md5(F.expr(f"substring(_t, _pos, {int(gram_chars)})")).alias("gram_key"),
+    )
+    return (
+        g.groupBy("gram_key")
+        .agg(
+            F.count_distinct(F.col("_id")).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+    )

@@ -280,3 +280,50 @@ def test_fill_forward_carries_last_non_null(spark):
         ("a", 4): 40,
         ("b", 0): None,  # keys never leak values
     }
+
+
+# ------------------------------------------------------------ dup substrings
+
+
+def test_duplicate_substrings_finds_planted_passage(spark):
+    from osm_pbf_spark.operators.text import duplicate_substrings
+
+    boiler = "All rights reserved under the Universal License v2."  # 51 chars
+    rows = [
+        (1, "alpha " * 20 + boiler),
+        (2, boiler + " beta " * 20),
+        (3, "unique text one with nothing shared at all " * 3),
+        (4, "gamma " * 10 + boiler + " delta " * 10),
+        (5, "short"),  # sub-gram doc: must not generate (sequence guard)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    dup = duplicate_substrings(df, gram_chars=40, min_count=3).collect()
+    # cross-doc: the boilerplate's sliding windows (51-char passage at
+    # 40-gram = 12 windows), once per doc in 3 docs
+    cross = [r for r in dup if r.n_docs == 3]
+    assert len(cross) == 12
+    assert all(r.n_occurrences == 3 for r in cross)
+    # WITHIN-doc repetition ("alpha " * 20) is a duplicated passage too
+    assert any(r.n_docs == 1 and r.n_occurrences >= 3 for r in dup)
+
+
+def test_duplicate_substrings_stride_still_hits_long_passages(spark):
+    from osm_pbf_spark.operators.text import duplicate_substrings
+
+    passage = "x" * 10 + "the quick brown fox jumps over the lazy dog " * 3
+    rows = [(i, f"doc{i} " * 5 + passage) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    full = duplicate_substrings(df, gram_chars=40, min_count=4, stride=1)
+    strided = duplicate_substrings(df, gram_chars=40, min_count=4, stride=7)
+    assert full.count() > 0
+    assert 0 < strided.count() <= full.count()  # sampled, never empty
+
+
+def test_duplicate_substrings_rejects_bad_params(spark):
+    import pytest
+
+    from osm_pbf_spark.operators.text import duplicate_substrings
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        duplicate_substrings(df, gram_chars=0)
