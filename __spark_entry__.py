@@ -1728,6 +1728,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_dup_substr_spans"] = q_dup_substr_spans
 
+    def q_bpe_train(spark, sf):  # learn the BPE merge table distributed
+        from osm_pbf_spark.operators.text import bpe_train
+
+        d = load(spark, sf, "documents")
+        m = bpe_train(d, n_merges=12)
+        rows = [(i, a, b, c) for i, (a, b, c) in enumerate(m)]
+        return spark.createDataFrame(
+            rows, "rank int, left string, right string, pair_count bigint"
+        )
+
+    q["q_bpe_train"] = q_bpe_train
+
     def q_full_outer(spark, sf):  # R-family: full outer join (null-extended sides)
         c = load(spark, sf, "customer").groupBy("c_nationkey").agg(
             F.count(F.lit(1)).alias("n_cust")
@@ -4146,6 +4158,58 @@ def _ora_ivf_topk() -> str:
     )
 
 
+def _ora_bpe_train() -> str:
+    """Independent pure-Python replay of the BPE training loop (word
+    frequencies -> weighted pair counts -> argmax with (cnt desc, a, b)
+    tie-break -> left-to-right scan merge), emitted as VALUES."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "documents.parquet"), columns=["text"]
+    )
+    freq: Counter = Counter()
+    for text in t.column("text").to_pylist():
+        for w in (text or "").split(" "):
+            if w:
+                freq[w] += 1
+    toks = {w: list(w) for w in freq}
+    rows = []
+    for rank in range(12):
+        counts: Counter = Counter()
+        for w, sym in toks.items():
+            f = freq[w]
+            for p in zip(sym, sym[1:]):
+                counts[p] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < 2:
+            break
+        rows.append((rank, a, b, cnt))
+        merged = a + b
+        for w, sym in toks.items():
+            if len(sym) < 2:
+                continue
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            toks[w] = out
+    return _values_sql(
+        [("rank", "INTEGER"), ("left", "VARCHAR"), ("right", "VARCHAR"),
+         ("pair_count", "BIGINT")],
+        rows,
+    )
+
+
 def _ora_pq_topk() -> str:
     """Scalar replay of the PQ/ADC top-k spec: the codebook is the
     engine's exported state (same deterministic trainer on the same
@@ -5353,6 +5417,7 @@ def oracle_sql() -> dict[str, str]:
         "q_lsh_topk": _ora_lsh_topk(),
         "q_ivf_topk": _ora_ivf_topk(),
         "q_pq_topk": _ora_pq_topk(),
+        "q_bpe_train": _ora_bpe_train(),
         "q_ivfpq": _ora_ivfpq(),
         # all-integer bin/ceil(q*n) arithmetic — `//` matches Spark's
         # div on the non-negative domain the clamp leaves

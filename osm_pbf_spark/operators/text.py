@@ -723,3 +723,91 @@ def duplicate_substrings(
         )
         .where(F.col("n_occurrences") >= min_count)
     )
+
+
+def _apply_merge(tokens: F.Column, a: str, b: str) -> F.Column:
+    """One BPE merge applied to a symbol array, as a native fold:
+    left-to-right, non-overlapping — equivalent to the scan in
+    bpe_encode's kernel because a merged symbol a+b is strictly longer
+    than a, so it can never re-match as the left element of the same
+    pair within the round."""
+    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+    return F.aggregate(
+        tokens,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (t == lb),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lab)),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 20,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """LEARN a byte-pair-encoding merge table from the corpus (Sennrich
+    et al. 2016) — the training side of :func:`bpe_encode`:
+
+        repeat n_merges times:
+          count adjacent symbol pairs over the DISTINCT-word vocabulary,
+          weighted by word frequency; merge the most frequent pair
+          (ties: lexicographically smallest (left, right)); stop early
+          when the best count < min_pair_count.
+
+    Returns [(left, right, pair_count), ...] in rank order — feed
+    [(l, r) for l, r, _ in result] straight into ``bpe_encode``.
+
+    Scale shape: the corpus is scanned ONCE (the word-frequency
+    aggregate); every round then runs over the DISTINCT-word vocabulary
+    only — pair counting is a native transform/sequence Generate + one
+    hash agg (map-side combinable), the merge application is a native
+    fold, and the only driver traffic per round is the 1-row argmax
+    (inherent: each merge is a global decision — this is why real BPE
+    training samples or caps the corpus, not because counting doesn't
+    scale). A lazy localCheckpoint per round keeps the plan
+    constant-size (the graph.py rounds pattern).
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    state = words.select(
+        "freq",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+            "toks"
+        ),
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = state.where(F.size("toks") >= 2).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i -> "
+                    "struct(element_at(toks, i) AS a, "
+                    "element_at(toks, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        state = state.select(
+            "freq", _apply_merge(F.col("toks"), a, b).alias("toks")
+        ).localCheckpoint(eager=False)
+    return merges

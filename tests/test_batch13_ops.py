@@ -327,3 +327,70 @@ def test_duplicate_substrings_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         duplicate_substrings(df, gram_chars=0)
+
+
+# ---------------------------------------------------------------- bpe train
+
+
+def test_bpe_train_matches_reference_loop(spark):
+    from osm_pbf_spark.operators.text import bpe_train
+
+    corpus = ["low low low lower lowest", "new newer newest low"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "doc_id bigint, text string")
+    got = bpe_train(df, n_merges=6)
+
+    # pure-Python reference replay
+    from collections import Counter
+
+    freq: Counter = Counter(w for t in corpus for w in t.split(" ") if w)
+    toks = {w: list(w) for w in freq}
+    want = []
+    for _ in range(6):
+        counts: Counter = Counter()
+        for w, sym in toks.items():
+            for p in zip(sym, sym[1:]):
+                counts[p] += freq[w]
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        want.append((a, b, cnt))
+        for w, sym in toks.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            toks[w] = out
+    assert got == want
+
+
+def test_bpe_train_feeds_encode_and_compresses(spark):
+    from osm_pbf_spark.operators.text import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 4) for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    merges = [(a, b) for a, b, _ in bpe_train(df, n_merges=10)]
+    # the tiny vocab saturates early: every word becomes ONE symbol and
+    # training stops when no pair repeats — 7 merges for these 6 words
+    assert 1 <= len(merges) <= 10
+    enc = bpe_encode(df, merges).collect()
+    # fully-merged vocabulary: token count == word count, far below chars
+    assert all(r.n_tokens == r.n_words for r in enc)
+
+
+def test_bpe_merge_fold_equals_scan_on_repeats(spark):
+    # "xxxx" with merge (x, x) must give [xx, xx] (non-overlapping scan)
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.text import _apply_merge
+
+    df = spark.createDataFrame([(["x", "x", "x", "x"],)], "toks array<string>")
+    out = df.select(_apply_merge(F.col("toks"), "x", "x").alias("m")).collect()
+    assert out[0].m == ["xx", "xx"]
