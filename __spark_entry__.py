@@ -2907,6 +2907,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_profile"] = q_profile
 
+    def q_ring_valid(spark, sf):  # polygon validity: ring self-intersections
+        from osm_pbf_spark.operators.segjoin import ring_self_intersections
+
+        e = load(spark, sf, "events").filter(F.col("event_id") < 900)
+        # dyadic synthetic quads; every 5th is a bowtie (diagonals are
+        # segments 1/3), every remaining 7th a rotated bowtie (2/4)
+        cx = (F.col("event_id") % 120) - 60 + F.lit(0.5)
+        cy = ((F.col("event_id") * 13) % 80) - 40 + F.lit(0.25)
+        h = F.lit(0.5) + (F.col("event_id") % 4) * F.lit(0.25)
+
+        def pt(la, lo):
+            return F.struct(la.alias("lat"), lo.alias("lon"))
+
+        bl, br = pt(cy - h, cx - h), pt(cy - h, cx + h)
+        tr, tl = pt(cy + h, cx + h), pt(cy + h, cx - h)
+        pts = (
+            F.when(F.col("event_id") % 5 == 0, F.array(bl, tr, br, tl))
+            .when(F.col("event_id") % 7 == 0, F.array(tr, br, tl, bl))
+            .otherwise(F.array(bl, br, tr, tl))
+        )
+        rings = e.select(
+            F.col("event_id").alias("poly_id"),
+            F.lit(0).cast("int").alias("ring_idx"),
+            pts.alias("pts"),
+        )
+        return ring_self_intersections(rings, level=6)
+
+    q["q_ring_valid"] = q_ring_valid
+
+    def q_percent_rank(spark, sf):  # distribution windows: percent_rank/cume_dist/ntile
+        o = load(spark, sf, "orders").filter(F.col("o_orderkey") < 4000)
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            "o_totalprice", "o_orderkey"
+        )
+        return o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+
+    q["q_percent_rank"] = q_percent_rank
+
     return q
 
 
@@ -5681,6 +5726,62 @@ def oracle_sql() -> dict[str, str]:
                          AS touch
                    FROM pr)
             SELECT id_a, id_b, proper FROM flags WHERE proper OR touch
+        """,
+        # brute-force same-ring pair scan with the same exact integer
+        # orientation predicate — checks the grid-join ring validity plan
+        "q_ring_valid": """
+            WITH p AS (
+              SELECT event_id,
+                     (event_id % 120) - 60 + 0.5 AS cx,
+                     ((event_id * 13) % 80) - 40 + 0.25 AS cy,
+                     0.5 + (event_id % 4) * 0.25 AS h,
+                     CASE WHEN event_id % 5 = 0 THEN 1
+                          WHEN event_id % 7 = 0 THEN 2 ELSE 0 END AS kind
+              FROM events WHERE event_id < 900),
+            c AS (SELECT event_id, kind,
+                     CAST(floor((cx - h) * 1000000 + 0.5) AS BIGINT) AS x0,
+                     CAST(floor((cx + h) * 1000000 + 0.5) AS BIGINT) AS x1,
+                     CAST(floor((cy - h) * 1000000 + 0.5) AS BIGINT) AS y0,
+                     CAST(floor((cy + h) * 1000000 + 0.5) AS BIGINT) AS y1
+                  FROM p),
+            v AS (SELECT event_id, u.i AS i, u.x AS x, u.y AS y FROM (
+                    SELECT event_id, UNNEST(CASE
+                      WHEN kind = 1 THEN
+                        [{'i': 1, 'x': x0, 'y': y0}, {'i': 2, 'x': x1, 'y': y1},
+                         {'i': 3, 'x': x1, 'y': y0}, {'i': 4, 'x': x0, 'y': y1}]
+                      WHEN kind = 2 THEN
+                        [{'i': 1, 'x': x1, 'y': y1}, {'i': 2, 'x': x1, 'y': y0},
+                         {'i': 3, 'x': x0, 'y': y1}, {'i': 4, 'x': x0, 'y': y0}]
+                      ELSE
+                        [{'i': 1, 'x': x0, 'y': y0}, {'i': 2, 'x': x1, 'y': y0},
+                         {'i': 3, 'x': x1, 'y': y1}, {'i': 4, 'x': x0, 'y': y1}]
+                      END) AS u
+                    FROM c)),
+            s AS (SELECT a.event_id, a.i,
+                         a.x AS px, a.y AS py, b.x AS qx, b.y AS qy
+                  FROM v a JOIN v b
+                    ON b.event_id = a.event_id AND b.i = a.i % 4 + 1),
+            pr AS (SELECT s1.event_id, s1.i AS si, s2.i AS sj,
+                     (s1.qx-s1.px)*(s2.py-s1.py) - (s1.qy-s1.py)*(s2.px-s1.px) AS d1,
+                     (s1.qx-s1.px)*(s2.qy-s1.py) - (s1.qy-s1.py)*(s2.qx-s1.px) AS d2,
+                     (s2.qx-s2.px)*(s1.py-s2.py) - (s2.qy-s2.py)*(s1.px-s2.px) AS d3,
+                     (s2.qx-s2.px)*(s1.qy-s2.py) - (s2.qy-s2.py)*(s1.qx-s2.px) AS d4
+                   FROM s s1 JOIN s s2
+                     ON s2.event_id = s1.event_id AND s1.i < s2.i)
+            SELECT event_id AS poly_id, CAST(0 AS INTEGER) AS ring_idx,
+                   CAST(si AS INTEGER) AS seg_i, CAST(sj AS INTEGER) AS seg_j
+            FROM pr
+            WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+              AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+        """,
+        "q_percent_rank": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume,
+                   CAST(ntile(4) OVER w AS INTEGER) AS quartile
+            FROM orders WHERE o_orderkey < 4000
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
         """,
         # independent orientation: the oracle closes i<j<k ID-ordered
         # triples; the engine orients by (degree, id)

@@ -125,3 +125,96 @@ def segment_intersect_join(
     return j.where(responsible & (proper | touch)).select(
         "id_a", "id_b", proper.alias("proper")
     )
+
+
+def ring_self_intersections(
+    rings_df: DataFrame,
+    level: int = 12,
+) -> DataFrame:
+    """Polygon VALIDITY check: every pair of non-adjacent segments of
+    the same ring that PROPERLY cross (a transversal "bowtie"
+    crossing — the classic invalid-geometry bug in hand-drawn or
+    stitched OSM polygons). Input is the pip_join_rings ring shape
+    ``(poly_id, ring_idx, pts array<struct<lat,lon>>)`` without the
+    closing duplicate; the closing segment is synthesized.
+
+    Adjacent segments share an endpoint, which is never a PROPER
+    crossing (orientation 0 -> the touch branch), so the proper filter
+    alone yields exactly the invalid pairs; collinear-overlap
+    degeneracies are touches and deliberately not flagged here.
+
+    Plan: one native Generate (a row per segment), the cell-grid
+    segment equi-join (segment_intersect_join — each candidate pair
+    tested once in its responsible cell), two slim meta joins to map
+    segment ids back to (ring, index). Returns
+    (poly_id, ring_idx, seg_i, seg_j) with seg_i < seg_j.
+    """
+    segs = (
+        rings_df.where(F.size("pts") >= 3)
+        .select(
+            "poly_id",
+            "ring_idx",
+            "pts",
+            F.explode(F.sequence(F.lit(1), F.size("pts"))).alias("i"),
+        )
+        .select(
+            "poly_id",
+            "ring_idx",
+            "i",
+            F.concat_ws(
+                "#", "poly_id", F.col("ring_idx").cast("string"), F.col("i").cast("string")
+            ).alias("sid"),
+            F.element_at("pts", F.col("i")).alias("_p"),
+            F.element_at(
+                "pts",
+                F.when(F.col("i") == F.size("pts"), F.lit(1)).otherwise(
+                    F.col("i") + 1
+                ),
+            ).alias("_q"),
+        )
+        .select(
+            "poly_id",
+            "ring_idx",
+            "i",
+            "sid",
+            F.col("_p.lat").alias("alat"),
+            F.col("_p.lon").alias("alon"),
+            F.col("_q.lat").alias("blat"),
+            F.col("_q.lon").alias("blon"),
+        )
+    )
+    pairs = (
+        segment_intersect_join(segs, segs, level, left_id="sid", right_id="sid")
+        .where(F.col("proper") & (F.col("id_a") < F.col("id_b")))
+        # cheap superset reduction BEFORE the meta joins: keep only
+        # same-(poly, ring) candidate pairs by sid prefix.  If a
+        # string poly_id itself contains '#' this can keep extras —
+        # the exact typed equality below still filters precisely.
+        .where(
+            F.substring_index("id_a", "#", 2) == F.substring_index("id_b", "#", 2)
+        )
+    )
+    meta = segs.select("sid", "poly_id", "ring_idx", "i")
+    ma = meta.select(
+        F.col("sid").alias("id_a"),
+        F.col("poly_id").alias("poly_id"),
+        F.col("ring_idx").alias("ring_idx"),
+        F.col("i").alias("_ia"),
+    )
+    mb = meta.select(
+        F.col("sid").alias("id_b"),
+        F.col("poly_id").alias("_pb"),
+        F.col("ring_idx").alias("_rb"),
+        F.col("i").alias("_ib"),
+    )
+    out = (
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .where((F.col("poly_id") == F.col("_pb")) & (F.col("ring_idx") == F.col("_rb")))
+    )
+    return out.select(
+        "poly_id",
+        "ring_idx",
+        F.least("_ia", "_ib").alias("seg_i"),
+        F.greatest("_ia", "_ib").alias("seg_j"),
+    )

@@ -465,3 +465,58 @@ def test_segment_intersect_join_vs_brute(spark):
     assert got[(200, 201)] is False
     assert got[(202, 203)] is False
     assert got[(204, 205)] is False
+
+
+def test_ring_self_intersections(spark):
+    from osm_pbf_spark.operators.segjoin import SEG_SNAP_SCALE, ring_self_intersections
+
+    def ring(poly_id, ring_idx, pts):
+        return (poly_id, ring_idx, [{"lat": la, "lon": lo} for la, lo in pts])
+
+    rows = [
+        # valid convex quad -> no flags
+        ring(1, 0, [(0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0)]),
+        # bowtie: vertices 2/3 swapped -> segments 1 and 3 cross
+        ring(2, 0, [(0.0, 0.0), (2.0, 2.0), (0.0, 2.0), (2.0, 0.0)]),
+        # figure-8 pentagon: one crossing
+        ring(3, 0, [(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0), (-1.0, 1.0)]),
+        # ring that merely TOUCHES itself at a vertex (pinch) -> not proper
+        ring(4, 0, [(0.0, 0.0), (1.0, 1.0), (2.0, 0.0), (1.0, 1.0, ), (0.0, 2.0)][:3]
+             + [(2.0, 2.0)]),
+        # two mutually overlapping valid rings must NOT cross-flag
+        ring(5, 0, [(10.0, 10.0), (10.0, 14.0), (14.0, 14.0), (14.0, 10.0)]),
+        ring(6, 0, [(11.0, 9.0), (11.0, 13.0), (13.0, 13.0), (13.0, 9.0)]),
+        # same poly, two rings (outer + hole) that cross EACH OTHER but
+        # not themselves -> ring-scoped check stays silent
+        ring(7, 0, [(20.0, 20.0), (20.0, 24.0), (24.0, 24.0), (24.0, 20.0)]),
+        ring(7, 1, [(22.0, 18.0), (22.0, 22.0), (26.0, 22.0), (26.0, 18.0)]),
+    ]
+    df = spark.createDataFrame(
+        rows, "poly_id long, ring_idx int, pts array<struct<lat double, lon double>>"
+    )
+    out = ring_self_intersections(df, level=8)
+    got = {(r.poly_id, r.ring_idx, r.seg_i, r.seg_j) for r in out.collect()}
+
+    # brute-force oracle: same integer predicate on every same-ring pair
+    def snap(v):
+        return math.floor(v * SEG_SNAP_SCALE + 0.5)
+
+    def orient(a, b, c):
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    want = set()
+    for poly_id, ring_idx, pts in rows:
+        p = [(snap(d["lon"]), snap(d["lat"])) for d in pts]
+        n = len(p)
+        segs = [(p[i], p[(i + 1) % n]) for i in range(n)]
+        for i in range(n):
+            for j in range(i + 1, n):
+                (p0, p1), (q0, q1) = segs[i], segs[j]
+                d1, d2 = orient(p0, p1, q0), orient(p0, p1, q1)
+                d3, d4 = orient(q0, q1, p0), orient(q0, q1, p1)
+                opp = lambda x, y: (x > 0 > y) or (x < 0 < y)
+                if opp(d1, d2) and opp(d3, d4):
+                    want.add((poly_id, ring_idx, i + 1, j + 1))
+    assert got == want
+    assert (2, 0, 1, 3) in got and (3, 0, 1, 3) in got
+    assert not any(pid in (1, 4, 5, 6, 7) for pid, *_ in got)
