@@ -2952,6 +2952,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_percent_rank"] = q_percent_rank
 
+    def q_cusum(spark, sf):  # sequential changepoint detection, prefix-identity form
+        from osm_pbf_spark.operators.stats import cusum_changepoints
+
+        e = load(spark, sf, "events").filter(F.col("event_id") < 10000)
+        d = e.select(
+            (F.col("event_id") % 40).alias("series"),
+            F.col("event_id").alias("seq"),
+            (
+                (F.col("event_id") % 7)
+                + ((F.col("event_id") % 40) % 3)
+                * 2
+                * (F.expr("event_id DIV 4000") % 2)
+            ).alias("v"),
+        )
+        return cusum_changepoints(
+            d, key_col="series", order_col="seq", val_col="v",
+            drift=4, threshold=60,
+        )
+
+    q["q_cusum"] = q_cusum
+
     return q
 
 
@@ -5782,6 +5803,33 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_orderkey < 4000
             WINDOW w AS (PARTITION BY o_orderpriority
                          ORDER BY o_totalprice, o_orderkey)
+        """,
+        # verbatim replay of the CUSUM prefix identity
+        # S_i = C_i - min(0, min_{j<=i} C_j) — exact int64 end-to-end
+        "q_cusum": """
+            WITH d AS (SELECT event_id % 40 AS key, event_id AS ord,
+                         (event_id % 7)
+                           + ((event_id % 40) % 3) * 2 * ((event_id // 4000) % 2)
+                           AS v
+                       FROM events WHERE event_id < 10000),
+            c AS (SELECT key, ord,
+                    sum(v - 4) OVER w AS cu, sum(4 - v) OVER w AS cd
+                  FROM d WINDOW w AS (PARTITION BY key ORDER BY ord
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            s AS (SELECT key, ord,
+                    cu - least(0, min(cu) OVER w) AS s_up,
+                    cd - least(0, min(cd) OVER w) AS s_dn
+                  FROM c WINDOW w AS (PARTITION BY key ORDER BY ord
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            f AS (SELECT key, ord, s_up, s_dn,
+                    lag(s_up, 1, 0) OVER (PARTITION BY key ORDER BY ord) AS pu,
+                    lag(s_dn, 1, 0) OVER (PARTITION BY key ORDER BY ord) AS pd
+                  FROM s)
+            SELECT key, ord, 'up' AS side, s_up AS stat
+            FROM f WHERE s_up > 60 AND pu <= 60
+            UNION ALL
+            SELECT key, ord, 'down' AS side, s_dn AS stat
+            FROM f WHERE s_dn > 60 AND pd <= 60
         """,
         # independent orientation: the oracle closes i<j<k ID-ordered
         # triples; the engine orients by (degree, id)

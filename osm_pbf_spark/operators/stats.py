@@ -37,6 +37,7 @@ __all__ = [
     "chi2_test",
     "mann_whitney_u",
     "robust_zscore",
+    "cusum_changepoints",
 ]
 
 
@@ -437,3 +438,69 @@ def chi2_test(
         (F.count(F.lit(1)) - 1).alias("dof"),
         (F.sum("_tq").cast("double") / F.lit(1_000_000.0)).alias("chi2"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    val_col: str,
+    drift: int,
+    threshold: int,
+) -> DataFrame:
+    """Two-sided CUSUM mean-shift detection over an INTEGER-valued
+    series, per key (SURVEY.md §2.4 companion — the drift-detection
+    family next to ks_test / chi2_test, but SEQUENTIAL: it localizes
+    WHERE the shift happens, not just that two samples differ).
+
+    The textbook recurrence S_i = max(0, S_{i-1} + x_i - drift) is
+    sequentially dependent, which would force a per-key sequential
+    kernel. It is eliminated with the prefix identity
+
+        S_i = C_i - min(0, min_{j<=i} C_j),   C_i = cumsum(x_i - drift)
+
+    so the whole operator is two native window aggregates (running sum
+    + running min) per side — one key shuffle, whole-stage codegen, no
+    Python, no iteration. All arithmetic is exact int64 (caller
+    pre-quantizes ``val_col``; ANSI throws on overflow rather than
+    corrupting), so any engine reproduces the bits.
+
+    Emits one row per UPWARD-crossing of ``threshold`` (S goes from
+    <= h to > h) on either side: (key, order, side 'up'/'down', stat).
+    No post-alarm reset — every crossing of the un-reset statistic is
+    reported, a deterministic, restart-friendly spec (reset CUSUM is
+    kept-state-dependent like temporal.debounce; this variant stays
+    distributed-friendly).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.col(val_col).cast("bigint")
+    up_c = F.sum(x - F.lit(drift)).over(w)
+    dn_c = F.sum((-x) + F.lit(drift)).over(w)
+    stats = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("ord"),
+        (up_c - F.least(F.lit(0).cast("bigint"), F.min(up_c).over(w))).alias("s_up"),
+        (dn_c - F.least(F.lit(0).cast("bigint"), F.min(dn_c).over(w))).alias("s_dn"),
+    )
+    wl = Window.partitionBy("key").orderBy("ord")
+    h = F.lit(threshold).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    flagged = stats.select(
+        "key",
+        "ord",
+        ((F.col("s_up") > h) & (F.lag("s_up", 1, 0).over(wl) <= h)).alias("_fu"),
+        ((F.col("s_dn") > h) & (F.lag("s_dn", 1, 0).over(wl) <= h)).alias("_fd"),
+        "s_up",
+        "s_dn",
+    )
+    up = flagged.where("_fu").select(
+        "key", "ord", F.lit("up").alias("side"), F.col("s_up").alias("stat")
+    )
+    dn = flagged.where("_fd").select(
+        "key", "ord", F.lit("down").alias("side"), F.col("s_dn").alias("stat")
+    )
+    return up.unionAll(dn)

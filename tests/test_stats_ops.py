@@ -147,3 +147,38 @@ def test_chi2_test_vs_scalar(spark):
         "c string, s string",
     )
     assert chi2_test(same, "c", "s").collect()[0].chi2 == 0.0
+
+
+def test_cusum_vs_sequential_recurrence(spark):
+    """The distributed prefix-identity form must equal the textbook
+    sequential recurrence S_i = max(0, S_{i-1} + x_i - k), crossings
+    and statistic values both."""
+    from osm_pbf_spark.operators.stats import cusum_changepoints
+
+    rng = np.random.RandomState(11)
+    rows = []
+    series = {}
+    for key in range(6):
+        n = 80 + key * 7
+        base = rng.randint(0, 9, n)
+        # inject a mean shift in the middle for even keys
+        if key % 2 == 0:
+            base[n // 2:] += 5
+        series[str(key)] = [int(v) for v in base]
+        rows += [(str(key), i, int(v)) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "k string, i int, v bigint")
+    drift, h = 5, 12
+    out = cusum_changepoints(df, "k", "i", "v", drift=drift, threshold=h)
+    got = {(r.key, r.ord, r.side): r.stat for r in out.collect()}
+
+    want = {}
+    for key, vals in series.items():
+        for sign, side in ((1, "up"), (-1, "down")):
+            s_prev = 0
+            for i, v in enumerate(vals):
+                s = max(0, s_prev + sign * (v - drift))
+                if s > h and s_prev <= h:
+                    want[(key, i, side)] = s
+                s_prev = s
+    assert got == want
+    assert any(side == "up" for _, _, side in got)  # shifts were detected
