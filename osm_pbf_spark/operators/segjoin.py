@@ -41,9 +41,50 @@ __all__ = ["segment_intersect_join", "SEG_SNAP_SCALE"]
 
 SEG_SNAP_SCALE = 1_000_000.0  # micro-degree grid (~0.11 m)
 
+# packed-point layout: one int64 carries both snapped coordinates,
+# (x + 2^31) in bits 32..63, (y + 2^31) in bits 0..31 — the regroup
+# shuffles TWO longs per segment endpoint pair instead of four, the
+# same packed-vertex discipline as the way-assembly regroup.  The
+# guard bound is 2^30-1 snapped units (~1073 degrees): within it the
+# biased halves fit uint32 AND every orientation product stays under
+# 2^62, so the exactness analysis above holds; beyond it the operator
+# raises instead of silently wrapping.
+_PACK_BIAS = 1 << 31
+_PACK_MASK = (1 << 32) - 1
+_PT_BOUND = (1 << 30) - 1
+
 
 def _snap(c: F.Column) -> F.Column:
     return F.floor(c * F.lit(SEG_SNAP_SCALE) + F.lit(0.5)).cast("long")
+
+
+def _pack_pt(x: F.Column, y: F.Column) -> F.Column:
+    """Bias-pack a snapped (x, y) into one int64; rows beyond the
+    exactness bound raise instead of silently wrapping into a wrong
+    grid position (the guard lives in the USED column so Catalyst
+    cannot prune it)."""
+    ok = (
+        (x >= -_PT_BOUND) & (x <= _PT_BOUND) & (y >= -_PT_BOUND) & (y <= _PT_BOUND)
+    )
+    packed = F.shiftleft(x + F.lit(_PACK_BIAS), 32).bitwiseOR(y + F.lit(_PACK_BIAS))
+    return F.when(ok, packed).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("segment coordinate exceeds exactness bound: x="),
+                x.cast("string"),
+                F.lit(" y="),
+                y.cast("string"),
+            )
+        )
+    )
+
+
+def _ux(p: F.Column) -> F.Column:
+    return F.shiftrightunsigned(p, 32) - F.lit(_PACK_BIAS)
+
+
+def _uy(p: F.Column) -> F.Column:
+    return p.bitwiseAND(F.lit(_PACK_MASK)) - F.lit(_PACK_BIAS)
 
 
 def _orient(ax, ay, bx, by, cx, cy) -> F.Column:
@@ -82,12 +123,13 @@ def segment_intersect_join(
     from ..functions.cells import _quant_col
 
     def prep(df: DataFrame, ident: str, suffix: str) -> DataFrame:
+        # shuffle row is (id, two packed endpoints, bbox-min cell, cell
+        # key) — the _x1/_y1 cover bounds exist only to drive the
+        # Generates and are dropped before the exchange
         boxed = df.select(
             F.col(ident).alias(f"id_{suffix}"),
-            _snap(F.col("alon")).alias(f"p0x_{suffix}"),
-            _snap(F.col("alat")).alias(f"p0y_{suffix}"),
-            _snap(F.col("blon")).alias(f"p1x_{suffix}"),
-            _snap(F.col("blat")).alias(f"p1y_{suffix}"),
+            _pack_pt(_snap(F.col("alon")), _snap(F.col("alat"))).alias(f"p0_{suffix}"),
+            _pack_pt(_snap(F.col("blon")), _snap(F.col("blat"))).alias(f"p1_{suffix}"),
             _quant_col(F.least("alon", "blon"), 180.0, 360.0, level).alias(f"_x0_{suffix}"),
             _quant_col(F.greatest("alon", "blon"), 180.0, 360.0, level).alias(f"_x1_{suffix}"),
             _quant_col(F.least("alat", "blat"), 90.0, 180.0, level).alias(f"_y0_{suffix}"),
@@ -97,7 +139,12 @@ def segment_intersect_join(
             "*",
             F.explode(F.sequence(F.col(f"_y0_{suffix}"), F.col(f"_y1_{suffix}"))).alias("_cy"),
         ).select(
-            "*",
+            f"id_{suffix}",
+            f"p0_{suffix}",
+            f"p1_{suffix}",
+            f"_x0_{suffix}",
+            f"_y0_{suffix}",
+            "_cy",
             F.explode(F.sequence(F.col(f"_x0_{suffix}"), F.col(f"_x1_{suffix}"))).alias("_cx"),
         )
 
@@ -107,10 +154,10 @@ def segment_intersect_join(
     responsible = (F.col("_cx") == F.greatest("_x0_a", "_x0_b")) & (
         F.col("_cy") == F.greatest("_y0_a", "_y0_b")
     )
-    p0x, p0y = F.col("p0x_a"), F.col("p0y_a")
-    p1x, p1y = F.col("p1x_a"), F.col("p1y_a")
-    q0x, q0y = F.col("p0x_b"), F.col("p0y_b")
-    q1x, q1y = F.col("p1x_b"), F.col("p1y_b")
+    p0x, p0y = _ux(F.col("p0_a")), _uy(F.col("p0_a"))
+    p1x, p1y = _ux(F.col("p1_a")), _uy(F.col("p1_a"))
+    q0x, q0y = _ux(F.col("p0_b")), _uy(F.col("p0_b"))
+    q1x, q1y = _ux(F.col("p1_b")), _uy(F.col("p1_b"))
     d1 = _orient(p0x, p0y, p1x, p1y, q0x, q0y)
     d2 = _orient(p0x, p0y, p1x, p1y, q1x, q1y)
     d3 = _orient(q0x, q0y, q1x, q1y, p0x, p0y)

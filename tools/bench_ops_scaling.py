@@ -213,6 +213,47 @@ def leg_getis_ord(spark, n: int) -> int:
     return getis_ord_gi(cells).count()
 
 
+def leg_seg_intersect(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.segjoin import segment_intersect_join
+
+    # NOT _points: its 0.5-degree hot blob makes short segments
+    # mutually all-intersecting (quadratic OUTPUT — the leg would
+    # measure row materialization, not the join).  Same skew idea at
+    # output-friendly density: 25% of segments in a 5-degree band.
+    # constant DENSITY (~20k segs per square degree in the hot band, a
+    # fixed 5-deg lat span, lon span grows with n) so intersecting
+    # pairs stay O(n) — otherwise throughput-at-two-sizes measures
+    # quadratic output growth, not the operator
+    # xxhash64-derived coordinates: linear-congruential lattices put
+    # points on a wrapping 1-D line whose pair counts explode once the
+    # wrap spacing dips under the segment length (same lesson as the
+    # kcore scaling graphs)
+    lon_span_u = max(10_000, (n // 4) // 10)  # units of 1e-4 deg
+    hot = F.col("id") % 4 == 0
+    h1 = F.xxhash64(F.col("id"), F.lit(1))
+    h2 = F.xxhash64(F.col("id"), F.lit(2))
+    hlat = F.lit(40.0) + F.pmod(h1, F.lit(50000)).cast("double") / F.lit(10000.0)
+    hlon = F.lit(-74.0) + F.pmod(h2, F.lit(lon_span_u)).cast("double") / F.lit(10000.0)
+    ulat = F.lit(-60.0) + F.pmod(h1, F.lit(120000)).cast("double") / F.lit(1000.0)
+    ulon = F.lit(-150.0) + F.pmod(h2, F.lit(300000)).cast("double") / F.lit(1000.0)
+    pts = spark.range(n).select(
+        "id",
+        F.when(hot, hlat).otherwise(ulat).alias("lat"),
+        F.when(hot, hlon).otherwise(ulon).alias("lon"),
+    )
+    segs = pts.select(
+        F.col("id").alias("seg_id"),
+        F.col("lat").alias("alat"),
+        F.col("lon").alias("alon"),
+        (F.col("lat") + (F.pmod(F.col("id") * F.lit(31), F.lit(100)).cast("double") - F.lit(50.0)) / F.lit(10000.0)).alias("blat"),
+        (F.col("lon") + (F.pmod(F.col("id") * F.lit(37), F.lit(100)).cast("double") - F.lit(50.0)) / F.lit(10000.0)).alias("blon"),
+    )
+    out = segment_intersect_join(segs, segs, level=13)
+    return out.where(F.col("id_a") < F.col("id_b")).count()
+
+
 LEGS = {
     "distance_join": leg_distance_join,
     "bbox_join": leg_bbox_join,
@@ -226,6 +267,7 @@ LEGS = {
     "bloom_reduce": leg_bloom_reduce,
     "pq_scan": leg_pq_scan,
     "hist_quantiles": leg_hist_quantiles,
+    "seg_intersect": leg_seg_intersect,
 }
 
 # per-leg size multiplier on N_POINTS: every timed region must DWARF
@@ -246,6 +288,7 @@ LEG_SCALE = {
     # 60M rows finished in ~0.6 s (overhead-dominated measurement);
     # the histogram needs ~600M rows before the agg dwarfs fixed costs
     "hist_quantiles": 200.0,
+    "seg_intersect": 0.7,
 }
 
 
