@@ -2686,6 +2686,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_bloom"] = q_bloom
 
+    def q_hll(spark, sf):  # HyperLogLog register table, replayable bits
+        from osm_pbf_spark.operators.sketch import hll_sketch
+
+        li = load(spark, sf, "lineitem")
+        return hll_sketch(li, "l_partkey", p=8)
+
+    q["q_hll"] = q_hll
+
+    def q_hll_est(spark, sf):  # HLL fold: exact harmonic sum + floor estimate
+        from osm_pbf_spark.operators.sketch import hll_estimate, hll_sketch
+
+        li = load(spark, sf, "lineitem")
+        est = hll_estimate(hll_sketch(li, "l_partkey", p=8), p=8)
+        # `est` (linear-counting branch) uses ln() — libm, not
+        # bit-gateable; the exact-integer columns are the gate surface
+        return est.select("hll_m", "hll_observed", "s_scaled", "est_floor")
+
+    q["q_hll_est"] = q_hll_est
+
+    def q_str_partition(spark, sf):  # STR r-tree bulk-load tiling as layout op
+        from osm_pbf_spark.operators.layout import str_partition
+        from osm_pbf_spark.sources.tables import customer_points
+
+        pts = customer_points(spark, sf)
+        return str_partition(pts, 4, 4, id_col="doc_id").select(
+            "doc_id", "str_slab", "str_tile", "part_id"
+        )
+
+    q["q_str_partition"] = q_str_partition
+
+    def q_points_along(spark, sf):  # linear referencing: densify tracks
+        from osm_pbf_spark.operators.measures import points_along_lines
+
+        ev = load(spark, sf, "events").filter(F.col("event_id") < 2000)
+        verts = ev.select(
+            "user_id",
+            F.col("event_id").alias("seq"),
+            derived_lat("event_id").alias("lat"),
+            derived_lon("event_id").alias("lon"),
+        )
+        return points_along_lines(
+            verts, 50_000_000, line_col="user_id", seq_col="seq"
+        )
+
+    q["q_points_along"] = q_points_along
+
     def q_scd2(spark, sf):  # SCD2 dimension build from the event log
         from osm_pbf_spark.operators.temporal import scd2_build
 
@@ -4650,6 +4696,23 @@ def _hex40_bigint_sql(hexpr: str) -> str:
         f"(CAST(strpos('0123456789abcdef', substr({hexpr}, {i}, 1)) - 1 AS BIGINT)"
         f" << {4 * (10 - i)})"
         for i in range(1, 11)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# the identical float chain hll_estimate uses (alpha_256 * m^2 * 2^41);
+# repr() round-trips, so both engines parse the same double
+_HLL_EST_NUM = (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0 * float(1 << 41)
+
+
+def _hexn_bigint_sql(hexpr: str, start: int, n: int) -> str:
+    """SQL for Spark's conv(substr(h, start, n), 16, 10) — the
+    variable-width sibling of _hex40_bigint_sql (n <= 15 keeps the
+    shifted sum exact in BIGINT)."""
+    terms = [
+        f"(CAST(strpos('0123456789abcdef', substr({hexpr}, {start + i}, 1)) - 1 AS BIGINT)"
+        f" << {4 * (n - 1 - i)})"
+        for i in range(n)
     ]
     return "(" + " + ".join(terms) + ")"
 
@@ -6653,6 +6716,127 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) = 1 AS bloom_member
             FROM pl LEFT JOIN sk ON sk.w = pl.p // 32
             GROUP BY probe_key
+        """,
+        # identical-register HLL rebuild: bucket = 2-hex-char prefix,
+        # rho = 41 - bit_length of the 40-bit suffix (bin() exists in
+        # both engines and never left-pads)
+        "q_hll": f"""
+            WITH h AS (SELECT md5('hll:' || CAST(l_partkey AS VARCHAR)) AS hx
+                       FROM lineitem),
+            r AS (SELECT {_hexn_bigint_sql("hx", 1, 2)} AS b,
+                         {_hexn_bigint_sql("hx", 3, 10)} AS v40
+                  FROM h)
+            SELECT CAST(b AS INTEGER) AS hll_bucket,
+                   CAST(max(CASE WHEN v40 = 0 THEN 41
+                                 ELSE 41 - length(bin(v40)) END) AS INTEGER)
+                       AS hll_register
+            FROM r GROUP BY b
+        """,
+        "q_hll_est": f"""
+            WITH h AS (SELECT md5('hll:' || CAST(l_partkey AS VARCHAR)) AS hx
+                       FROM lineitem),
+            r AS (SELECT {_hexn_bigint_sql("hx", 1, 2)} AS b,
+                         {_hexn_bigint_sql("hx", 3, 10)} AS v40
+                  FROM h),
+            sk AS (SELECT b,
+                          max(CASE WHEN v40 = 0 THEN 41
+                                   ELSE 41 - length(bin(v40)) END) AS reg
+                   FROM r GROUP BY b),
+            f AS (SELECT count(*) AS obs,
+                         CAST((256 - count(*)) * (CAST(1 AS BIGINT) << 41)
+                              + sum(CAST(1 AS BIGINT) << CAST(41 - reg AS INTEGER))
+                              AS BIGINT) AS s
+                  FROM sk)
+            SELECT CAST(256 AS INTEGER) AS hll_m,
+                   CAST(obs AS BIGINT) AS hll_observed,
+                   s AS s_scaled,
+                   CAST(floor(CAST({_HLL_EST_NUM!r} AS DOUBLE)
+                              / CAST(s AS DOUBLE)) AS BIGINT) AS est_floor
+            FROM f
+        """,
+        # independent formulation: two plain global ranking windows vs
+        # the engine's distributed two-pass prefix-sum ranks
+        "q_str_partition": """
+            WITH pts AS (
+              SELECT c_custkey AS doc_id,
+                     CAST(-60.0 + ((c_custkey * 7919) % 120000) / 1000.0
+                          AS DOUBLE) AS lat,
+                     CAST(-150.0 + ((c_custkey * 104729) % 300000) / 1000.0
+                          AS DOUBLE) AS lon
+              FROM customer),
+            rx AS (SELECT doc_id, lat, lon,
+                          row_number() OVER (ORDER BY lon, doc_id) - 1 AS rank_x,
+                          count(*) OVER () AS n
+                   FROM pts),
+            sl AS (SELECT *, CAST((rank_x * 4) // n AS INTEGER) AS str_slab
+                   FROM rx),
+            ry AS (SELECT doc_id, str_slab,
+                          row_number() OVER (PARTITION BY str_slab
+                                             ORDER BY lat, doc_id) - 1 AS rank_y,
+                          count(*) OVER (PARTITION BY str_slab) AS m
+                   FROM sl)
+            SELECT doc_id, str_slab,
+                   CAST((rank_y * 4) // m AS INTEGER) AS str_tile,
+                   CAST(str_slab * 4 + (rank_y * 4) // m AS INTEGER) AS part_id
+            FROM ry
+        """,
+        # full scalar replay: snap -> segment int lengths -> running
+        # chainage -> ceil-DIV sample indexes -> one fixed IEEE
+        # interpolation chain (same bits as the engine)
+        "q_points_along": """
+            WITH pos AS (
+              SELECT user_id, event_id,
+                     CAST(floor(CAST(-60.0 + ((event_id * 7919) % 120000)
+                                     / 1000.0 AS DOUBLE)
+                                * 1000000.0 + 0.5) AS BIGINT) AS y,
+                     CAST(floor(CAST(-150.0 + ((event_id * 104729) % 300000)
+                                     / 1000.0 AS DOUBLE)
+                                * 1000000.0 + 0.5) AS BIGINT) AS x
+              FROM events WHERE event_id < 2000),
+            segs AS (
+              SELECT user_id, event_id,
+                     lag(x) OVER w AS ax, lag(y) OVER w AS ay,
+                     x AS bx, y AS by,
+                     max(event_id) OVER (PARTITION BY user_id) AS max_seq
+              FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+            s2 AS (
+              SELECT *,
+                     CAST(floor(sqrt(CAST((bx-ax)*(bx-ax) + (by-ay)*(by-ay)
+                                          AS DOUBLE)) + 0.5) AS BIGINT) AS len
+              FROM segs WHERE ax IS NOT NULL),
+            s3 AS (
+              SELECT *,
+                     coalesce(sum(len) OVER (PARTITION BY user_id
+                                             ORDER BY event_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0) AS cum,
+                     sum(len) OVER (PARTITION BY user_id) AS total
+              FROM s2),
+            s4 AS (
+              SELECT *,
+                     CAST((cum + 49999999) // 50000000 AS BIGINT) AS k_lo,
+                     CAST((cum + len + 49999999) // 50000000 - 1
+                       + CASE WHEN event_id = max_seq
+                                   AND total % 50000000 = 0
+                              THEN 1 ELSE 0 END AS BIGINT) AS k_hi
+              FROM s3),
+            e AS (
+              SELECT user_id, ax, ay, bx, by, cum, len,
+                     unnest(generate_series(k_lo, k_hi)) AS sample_k
+              FROM s4 WHERE k_hi >= k_lo),
+            t AS (
+              SELECT *,
+                     CASE WHEN len > 0
+                          THEN CAST(sample_k * 50000000 - cum AS DOUBLE)
+                               / CAST(len AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END AS tt
+              FROM e)
+            SELECT user_id,
+                   CAST(sample_k AS BIGINT) AS sample_k,
+                   CAST(sample_k * 50000000 AS BIGINT) AS chain,
+                   CAST(ax AS DOUBLE) + tt * CAST(bx - ax AS DOUBLE) AS px,
+                   CAST(ay AS DOUBLE) + tt * CAST(by - ay AS DOUBLE) AS py
+            FROM t
         """,
         "q_orc_source": """
             SELECT l_returnflag, count(*) AS n_rows,

@@ -30,7 +30,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["segment_measures", "line_measures", "DEG2RAD", "EARTH_RADIUS_M"]
+__all__ = [
+    "segment_measures",
+    "line_measures",
+    "points_along_lines",
+    "DEG2RAD",
+    "EARTH_RADIUS_M",
+    "PAL_SNAP_SCALE",
+]
 
 DEG2RAD = 0.017453292519943295  # closest float64 to pi/180 — keep literal
 EARTH_RADIUS_M = 6371008.8
@@ -95,4 +102,122 @@ def line_measures(segs: DataFrame, line_id_col: str = "line_id") -> DataFrame:
         F.sum("cross2_u").alias("cross2_u"),
         F.sum("mid_lat_u").alias("mid_lat_u"),
         F.sum("mid_lon_u").alias("mid_lon_u"),
+    )
+
+
+# ---------------- linear referencing: points along lines ----------------
+
+PAL_SNAP_SCALE = 1_000_000.0  # micro-degree grid, same as segjoin's
+
+
+def points_along_lines(
+    verts: DataFrame,
+    spacing: int,
+    line_col: str = "line_id",
+    seq_col: str = "seq",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Linear referencing / densify: emit a point every ``spacing``
+    integer length-units along each polyline (chainage 0 = first
+    vertex; the final endpoint is included iff the total length is a
+    multiple of ``spacing``). The resample-along-geometry primitive —
+    map rendering at fixed vertex budgets, ML point sampling along
+    roads, km-posts.
+
+    Input is an ordered VERTEX TABLE (line_col, seq_col, lat, lon) —
+    deliberately not an array column: windows stream it, nothing ever
+    materializes a whole line in one value, so a 10^8-vertex coastline
+    costs the same per-row work as a 10-vertex alley.
+
+    Engine-exactness: coords snap to the micro-degree integer grid
+    (floor(x*1e6+0.5) — segjoin's convention); each segment's length is
+    floor(sqrt(double(dx^2+dy^2)) + 0.5) in grid units — CAST and sqrt
+    are correctly-rounded IEEE ops, so every engine gets the same
+    integer. Chainage arithmetic (running sums, ceil-DIV sample
+    indexes) is all int64. The interpolation t = (k*spacing - cum) /
+    len and the output coords ax + t*(bx-ax) are ONE fixed chain of
+    IEEE ops on exact ints — bit-identical cross-engine, gate-hashable.
+
+    Plan: one key-shuffle window (running length + total share the
+    Exchange) + one native Generate; zero Python. Returns
+    (line_col, sample_k:bigint, chain:bigint, px:double, py:double)
+    with px/py in GRID UNITS (divide by PAL_SNAP_SCALE for degrees).
+
+    Zero-length segments own no samples (empty ceil-DIV range); the
+    endpoint sample of a spacing-multiple line is emitted by the LAST
+    segment only (seq = max), with t guarded to 0 when that segment
+    has zero length. Lines with a single vertex emit nothing.
+    """
+    if spacing < 1:
+        raise ValueError(f"spacing must be >= 1, got {spacing}")
+    from pyspark.sql import Window
+
+    sp = int(spacing)
+    snap = lambda c: F.floor(c * F.lit(PAL_SNAP_SCALE) + F.lit(0.5)).cast("long")  # noqa: E731
+    w = Window.partitionBy(line_col).orderBy(seq_col)
+    v = verts.select(
+        line_col,
+        seq_col,
+        snap(F.col(lon_col)).alias("_x"),
+        snap(F.col(lat_col)).alias("_y"),
+    )
+    segs = v.select(
+        line_col,
+        seq_col,
+        F.lag("_x").over(w).alias("_ax"),
+        F.lag("_y").over(w).alias("_ay"),
+        F.col("_x").alias("_bx"),
+        F.col("_y").alias("_by"),
+    ).where(F.col("_ax").isNotNull())
+    dx, dy = F.col("_bx") - F.col("_ax"), F.col("_by") - F.col("_ay")
+    segs = segs.withColumn(
+        "_len",
+        F.floor(F.sqrt((dx * dx + dy * dy).cast("double")) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    # running-sum + total + last-seq share ONE window Exchange
+    wcum = (
+        Window.partitionBy(line_col)
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(line_col)
+    segs = (
+        segs.withColumn("_cum", F.coalesce(F.sum("_len").over(wcum), F.lit(0)))
+        .withColumn("_total", F.sum("_len").over(wall))
+        .withColumn("_last", F.col(seq_col) == F.max(seq_col).over(wall))
+    )
+    cum_end = F.col("_cum") + F.col("_len")
+    k_lo = F.expr(f"(_cum + {sp} - 1) DIV {sp}")
+    k_hi = F.expr(f"(_cum + _len + {sp} - 1) DIV {sp} - 1") + F.when(
+        F.col("_last") & (F.expr(f"_total % {sp}") == 0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    out = segs.select(
+        line_col,
+        "_ax",
+        "_ay",
+        "_bx",
+        "_by",
+        "_cum",
+        "_len",
+        F.explode(
+            F.when(k_hi >= k_lo, F.sequence(k_lo, k_hi)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ).alias("sample_k"),
+    )
+    t = F.when(
+        F.col("_len") > 0,
+        (F.col("sample_k") * F.lit(sp) - F.col("_cum")).cast("double")
+        / F.col("_len").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        line_col,
+        F.col("sample_k").cast("bigint").alias("sample_k"),
+        (F.col("sample_k") * F.lit(sp)).cast("bigint").alias("chain"),
+        (F.col("_ax").cast("double") + t * (F.col("_bx") - F.col("_ax")).cast("double")).alias("px"),
+        (F.col("_ay").cast("double") + t * (F.col("_by") - F.col("_ay")).cast("double")).alias("py"),
     )

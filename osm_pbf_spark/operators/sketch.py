@@ -43,6 +43,8 @@ __all__ = [
     "bloom_semi_reduce",
     "histogram_fixed",
     "binned_quantiles",
+    "hll_sketch",
+    "hll_estimate",
 ]
 
 _HASH_SPACE = 1 << 40
@@ -483,4 +485,103 @@ def binned_quantiles(
     est = F.lit(int(lo)) + F.expr(f"(hist_bin * {int(hi - lo)}) div {int(n_bins)}")
     return first.select(
         *group_cols, "q_num", "q_den", "hist_bin", est.alias("q_est")
+    )
+
+
+# ---------------- HyperLogLog distinct sketch ----------------
+
+# alpha_m bias constants (Flajolet et al. 2007 §4) for the supported
+# register counts; p must be a multiple of 4 so the bucket is a whole
+# md5 hex prefix (keeps the DuckDB replay a plain substring).
+_HLL_ALPHA = {16: 0.673, 256: 0.7213 / (1 + 1.079 / 256.0), 4096: 0.7213 / (1 + 1.079 / 4096.0)}
+_HLL_RHO_BITS = 40  # rho read from a 40-bit md5 suffix -> register <= 41
+
+
+def hll_sketch(df: DataFrame, value_col: str, p: int = 8) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007) — the
+    canonical mergeable distinct-count sketch beside KMV (set algebra)
+    and CMS/Bloom (frequency/membership).
+
+    Every value hashes to md5('hll:'||v); the first p/4 hex chars pick
+    a register (m = 2^p of them), the next 10 hex chars are a 40-bit
+    suffix whose leading-zero count sets rho = 41 - bit_length(v40)
+    (v40 = 0 caps at 41). The register keeps max(rho). All of it is
+    engine-replayable: bit_length is length(bin(v)) in BOTH Spark and
+    DuckDB, so the gate rebuilds identical registers from the raw
+    table — Spark's own approx_count_distinct is HLL too, but its
+    registers are opaque and unverifiable, which is why this exists.
+
+    Plan: one projection (hashing in codegen) into ONE hash aggregate
+    whose keyspace is bounded by m — map-side combine caps every
+    task's shuffle output at m rows regardless of scan size. Sketches
+    over different shards MERGE by max(register) per bucket (pinned by
+    test): compute once per shard, max forever, never re-scan.
+
+    Returns <= m rows (hll_bucket:int, hll_register:int); buckets no
+    value hashed into are absent (register 0).
+    """
+    if (1 << p) not in _HLL_ALPHA:
+        raise ValueError(f"p must be one of 4/8/12 (m in 16/256/4096), got {p}")
+    bh = p // 4  # bucket hex chars
+    h = F.md5(F.concat(F.lit("hll:"), F.col(value_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, bh), 16, 10).cast("int")
+    v40 = F.conv(F.substring(h, bh + 1, 10), 16, 10).cast("bigint")
+    rho = F.when(v40 == 0, F.lit(_HLL_RHO_BITS + 1)).otherwise(
+        F.lit(_HLL_RHO_BITS + 1) - F.length(F.bin(v40))
+    )
+    return (
+        df.select(bucket.alias("hll_bucket"), rho.alias("_rho"))
+        .groupBy("hll_bucket")
+        .agg(F.max("_rho").cast("int").alias("hll_register"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
+    """Fold a :func:`hll_sketch` register table into one estimate row.
+
+    The harmonic sum is EXACT integer arithmetic: with registers
+    capped at 41, sum_j 2^-M_j scaled by 2^41 is
+    s_scaled = (m - observed)*2^41 + sum(1 << (41 - M_j)) — at
+    m = 4096 the sum is < 2^53, exact int64, so every engine agrees on
+    every bit and the gate can hash it. est_raw = alpha_m * m^2 * 2^41
+    / s_scaled is then ONE IEEE division of exact ints (bit-identical
+    cross-engine); est_floor = floor(est_raw) is the gate-stable form.
+
+    ``est`` additionally applies the small-range linear-counting
+    correction (m*ln(m/zeros) when est_raw <= 2.5m and zeros > 0) —
+    the estimate a user should read. ln() is libm and may differ by
+    1 ulp across engines, so ``est`` is NOT hash-gated; the exact
+    columns are.
+
+    Returns (hll_m, hll_observed, s_scaled, est_floor, est).
+    """
+    m = 1 << p
+    if m not in _HLL_ALPHA:
+        raise ValueError(f"p must be one of 4/8/12, got {p}")
+    top = _HLL_RHO_BITS + 1
+    agg = sketch.agg(
+        F.count("*").cast("bigint").alias("hll_observed"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {top} - hll_register)")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("_s_obs"),
+    )
+    s = (
+        (F.lit(m) - F.col("hll_observed")) * F.lit(1 << top) + F.col("_s_obs")
+    ).cast("bigint")
+    num = float(_HLL_ALPHA[m]) * float(m) * float(m) * float(1 << top)
+    est_raw = F.lit(num) / s.cast("double")
+    zeros = (F.lit(m) - F.col("hll_observed")).cast("double")
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(est_raw)
+    return agg.select(
+        F.lit(m).cast("int").alias("hll_m"),
+        "hll_observed",
+        s.alias("s_scaled"),
+        F.floor(est_raw).cast("bigint").alias("est_floor"),
+        est.alias("est"),
     )

@@ -1,0 +1,238 @@
+"""Batch-15 operators: HLL sketch, STR partitioning, points-along-lines."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------- HyperLogLog ----------------
+
+
+def _hll(spark, n, p):
+    from osm_pbf_spark.operators.sketch import hll_estimate, hll_sketch
+
+    df = spark.range(n).select(F.col("id").cast("string").alias("v"))
+    return hll_estimate(hll_sketch(df, "v", p=p), p=p).first()
+
+
+def test_hll_accuracy_p12(spark):
+    est = _hll(spark, 50_000, 12)
+    # standard error 1.04/sqrt(4096) = 1.6%; 5% is > 3 sigma
+    assert abs(est.est / 50_000 - 1) < 0.05
+    assert est.hll_m == 4096
+
+
+def test_hll_small_range_linear_counting(spark):
+    est = _hll(spark, 30, 8)
+    # the linear-counting branch is near-exact at 30 of 256 registers
+    assert abs(est.est - 30) < 3
+
+
+def test_hll_merge_equals_full(spark):
+    from osm_pbf_spark.operators.sketch import hll_sketch
+
+    df = spark.range(20_000).select(F.col("id").cast("string").alias("v"))
+    a = hll_sketch(df.where(F.col("id") % 2 == 0), "v", p=8)
+    b = hll_sketch(df.where(F.col("id") % 2 == 1), "v", p=8)
+    merged = (
+        a.unionAll(b)
+        .groupBy("hll_bucket")
+        .agg(F.max("hll_register").alias("hll_register"))
+    )
+    full = hll_sketch(df, "v", p=8)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_hll_deterministic_across_partitionings(spark):
+    from osm_pbf_spark.operators.sketch import hll_sketch
+
+    df = spark.range(5_000).select(F.col("id").cast("string").alias("v"))
+    a = hll_sketch(df, "v", p=8)
+    b = hll_sketch(df.repartition(13), "v", p=8)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_hll_bad_p_raises(spark):
+    from osm_pbf_spark.operators.sketch import hll_estimate, hll_sketch
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError):
+        hll_sketch(df, "v", p=7)
+    with pytest.raises(ValueError):
+        hll_estimate(df, p=3)
+
+
+# ---------------- STR partitioning ----------------
+
+
+def _pts(spark, n):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100000)).cast("double") / 1000).alias("lon"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(50000)).cast("double") / 1000).alias("lat"),
+    )
+
+
+def test_str_balance_and_coverage(spark):
+    from osm_pbf_spark.operators.layout import str_partition
+
+    out = str_partition(_pts(spark, 1000), 4, 4, id_col="doc_id")
+    sizes = {r["part_id"]: r["count"] for r in out.groupBy("part_id").count().collect()}
+    assert set(sizes) == set(range(16))
+    # slab quota splits 1000 into 250s; tiles into 62/63
+    assert min(sizes.values()) >= 62 and max(sizes.values()) <= 63
+
+
+def test_str_deterministic_across_partitionings(spark):
+    from osm_pbf_spark.operators.layout import str_partition
+
+    pts = _pts(spark, 500)
+    a = str_partition(pts, 3, 5, id_col="doc_id").select("doc_id", "part_id")
+    b = str_partition(pts.repartition(11), 3, 5, id_col="doc_id").select(
+        "doc_id", "part_id"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_str_slabs_are_x_rank_rectangles(spark):
+    from osm_pbf_spark.operators.layout import str_partition
+
+    out = str_partition(_pts(spark, 800), 4, 2, id_col="doc_id")
+    slabs = (
+        out.groupBy("str_slab")
+        .agg(F.min("lon").alias("lo"), F.max("lon").alias("hi"))
+        .orderBy("str_slab")
+        .collect()
+    )
+    for a, b in zip(slabs, slabs[1:]):
+        assert a["hi"] <= b["lo"]
+    # within a slab, tiles tile the y axis the same way
+    tiles = (
+        out.where(F.col("str_slab") == 0)
+        .groupBy("str_tile")
+        .agg(F.min("lat").alias("lo"), F.max("lat").alias("hi"))
+        .orderBy("str_tile")
+        .collect()
+    )
+    for a, b in zip(tiles, tiles[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+def test_str_empty_and_validation(spark):
+    from osm_pbf_spark.operators.layout import str_partition
+
+    empty = _pts(spark, 10).where(F.lit(False))
+    assert str_partition(empty, 2, 2, id_col="doc_id").count() == 0
+    with pytest.raises(ValueError):
+        str_partition(_pts(spark, 10), 0, 2, id_col="doc_id")
+
+
+def test_str_single_slab_is_pure_y_ntile(spark):
+    from osm_pbf_spark.operators.layout import str_partition
+
+    out = str_partition(_pts(spark, 90), 1, 3, id_col="doc_id")
+    rows = out.select("doc_id", "lat", "part_id").collect()
+    ordered = sorted(rows, key=lambda r: (r["lat"], r["doc_id"]))
+    for i, r in enumerate(ordered):
+        assert r["part_id"] == (i * 3) // 90
+
+
+# ---------------- points along lines ----------------
+
+
+def _pal_oracle(verts, spacing):
+    """Independent scalar replay (pure Python, same IEEE chain)."""
+    import collections
+
+    by_line = collections.defaultdict(list)
+    for line, seq, lat, lon in verts:
+        x = math.floor(lon * 1_000_000.0 + 0.5)
+        y = math.floor(lat * 1_000_000.0 + 0.5)
+        by_line[line].append((seq, x, y))
+    out = []
+    for line, vs in by_line.items():
+        vs.sort()
+        if len(vs) < 2:
+            continue
+        segs = []
+        for (s0, ax, ay), (s1, bx, by) in zip(vs, vs[1:]):
+            ln = math.floor(math.sqrt(float((bx - ax) ** 2 + (by - ay) ** 2)) + 0.5)
+            segs.append((s1, ax, ay, bx, by, ln))
+        total = sum(s[5] for s in segs)
+        cum = 0
+        for idx, (seq, ax, ay, bx, by, ln) in enumerate(segs):
+            k_lo = -((-cum) // spacing)
+            k_hi = -((-(cum + ln)) // spacing) - 1
+            if idx == len(segs) - 1 and total % spacing == 0:
+                k_hi += 1
+            for k in range(k_lo, k_hi + 1):
+                t = float(k * spacing - cum) / float(ln) if ln > 0 else 0.0
+                out.append(
+                    (line, k, k * spacing,
+                     float(ax) + t * float(bx - ax),
+                     float(ay) + t * float(by - ay))
+                )
+            cum += ln
+    return sorted(out)
+
+
+def test_points_along_matches_scalar_oracle(spark):
+    from osm_pbf_spark.operators.measures import points_along_lines
+
+    import random
+
+    rng = random.Random(7)
+    verts = []
+    for line in range(12):
+        n = rng.randint(1, 9)
+        for seq in range(n):
+            verts.append(
+                (line, seq, rng.uniform(-1, 1), rng.uniform(-1, 1))
+            )
+    df = spark.createDataFrame(verts, "line_id int, seq int, lat double, lon double")
+    got = sorted(
+        tuple(r) for r in points_along_lines(df, 170_000).collect()
+    )
+    assert got == _pal_oracle(verts, 170_000)
+
+
+def test_points_along_endpoint_on_multiple(spark):
+    from osm_pbf_spark.operators.measures import points_along_lines
+
+    # length exactly 2000 units, spacing 1000 -> k = 0, 1, 2 (endpoint in)
+    df = spark.createDataFrame(
+        [(1, 0, 0.0, 0.0), (1, 1, 0.0, 0.002)],
+        "line_id int, seq int, lat double, lon double",
+    )
+    rows = points_along_lines(df, 1000).orderBy("sample_k").collect()
+    assert [r["sample_k"] for r in rows] == [0, 1, 2]
+    assert rows[-1]["px"] == 2000.0 and rows[-1]["py"] == 0.0
+
+
+def test_points_along_zero_length_segments(spark):
+    from osm_pbf_spark.operators.measures import points_along_lines
+
+    # repeated vertex mid-line owns no samples; single endpoint emit
+    df = spark.createDataFrame(
+        [(1, 0, 0.0, 0.0), (1, 1, 0.0, 0.001), (1, 2, 0.0, 0.001),
+         (1, 3, 0.0, 0.002)],
+        "line_id int, seq int, lat double, lon double",
+    )
+    rows = points_along_lines(df, 1000).orderBy("sample_k").collect()
+    assert [r["sample_k"] for r in rows] == [0, 1, 2]
+    assert len(rows) == 3  # endpoint emitted exactly once
+
+
+def test_points_along_validation_and_degenerates(spark):
+    from osm_pbf_spark.operators.measures import points_along_lines
+
+    df = spark.createDataFrame(
+        [(1, 0, 0.0, 0.0)], "line_id int, seq int, lat double, lon double"
+    )
+    assert points_along_lines(df, 100).count() == 0  # single vertex
+    with pytest.raises(ValueError):
+        points_along_lines(df, 0)
