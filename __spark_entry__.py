@@ -2732,6 +2732,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_points_along"] = q_points_along
 
+    def q_map_match(spark, sf):  # HMM map matching: tracks onto a street grid
+        from osm_pbf_spark.operators.matching import map_match
+
+        ev = load(spark, sf, "events")
+        # street grid: 20 horizontal streets 0.002 deg apart, 10 edges each
+        k = F.col("event_id")
+        segs = ev.filter(k < 200).select(
+            k.alias("seg_id"),
+            (F.lit(40.0) + F.expr("event_id DIV 10").cast("double") * F.lit(0.002)).alias("alat"),
+            (F.lit(-74.0) + (k % 10).cast("double") * F.lit(0.01)).alias("alon"),
+            (F.lit(40.0) + F.expr("event_id DIV 10").cast("double") * F.lit(0.002)).alias("blat"),
+            (F.lit(-74.0) + (k % 10 + 1).cast("double") * F.lit(0.01)).alias("blon"),
+        )
+        # tracks: each user walks their home street with jitter that
+        # sometimes strays nearer a parallel street (the HMM's job)
+        pts = ev.filter(k < 3000).select(
+            "user_id",
+            "event_id",
+            (
+                F.lit(40.0)
+                + (F.col("user_id") % 20).cast("double") * F.lit(0.002)
+                + ((k * 13) % 25 - 12).cast("double") / F.lit(10000.0)
+            ).alias("lat"),
+            (F.lit(-74.0) + ((k * 37) % 1000).cast("double") / F.lit(10000.0)).alias(
+                "lon"
+            ),
+        )
+        return map_match(
+            pts,
+            segs,
+            radius=0.004,
+            switch_penalty=3000,
+            track_col="user_id",
+            seq_col="event_id",
+        )
+
+    q["q_map_match"] = q_map_match
+
     def q_scd2(spark, sf):  # SCD2 dimension build from the event log
         from osm_pbf_spark.operators.temporal import scd2_build
 
@@ -3202,6 +3240,44 @@ def _ora_geohash() -> str:
         rows.append((k, geohash_py(lat, lon, 8), geohash_py(lat, lon, 4)))
     return _values_sql(
         [("doc_id", "BIGINT"), ("gh8", "VARCHAR"), ("gh4", "VARCHAR")], rows
+    )
+
+
+def _ora_map_match() -> str:
+    """Full pure-Python replay of the Viterbi map-matching spec
+    (matching.map_match_py: brute-force candidates + scalar DP, the
+    engine runs a cell join + vectorized numpy DP — independent
+    plumbing, same integer-cost spec)."""
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.matching import map_match_py
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"),
+        columns=["event_id", "user_id"],
+    )
+    eids = t.column("event_id").to_pylist()
+    uids = t.column("user_id").to_pylist()
+    segs = []
+    pts = []
+    for eid, uid in zip(eids, uids):
+        k = int(eid)
+        if k < 200:
+            lat = 40.0 + float(k // 10) * 0.002
+            segs.append(
+                (k, lat, -74.0 + float(k % 10) * 0.01,
+                 lat, -74.0 + float(k % 10 + 1) * 0.01)
+            )
+        if k < 3000:
+            u = int(uid)
+            lat = 40.0 + float(u % 20) * 0.002 + float((k * 13) % 25 - 12) / 10000.0
+            lon = -74.0 + float((k * 37) % 1000) / 10000.0
+            pts.append((u, k, lat, lon))
+    rows = map_match_py(pts, segs, 0.004, 3000)
+    return _values_sql(
+        [("user_id", "BIGINT"), ("event_id", "BIGINT"),
+         ("seg_id", "BIGINT"), ("emit", "BIGINT")],
+        rows,
     )
 
 
@@ -5470,6 +5546,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_encode": _ora_tile_encode(),
         "q_geohash": _ora_geohash(),
         "q_convex_hull": _ora_convex_hull(),
+        "q_map_match": _ora_map_match(),
         "q_grid_smooth": f"""
             {pts},
             q AS (

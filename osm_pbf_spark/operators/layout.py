@@ -112,6 +112,10 @@ def str_partition(
     ).withColumn(
         "str_slab", F.expr(f"CAST((_rank_x * {int(n_x)}) DIV {int(n)} AS INT)")
     )
+    # the pass-2 count aggregate AND the final output both consume the
+    # pass-1 window sort; a lazy localCheckpoint materializes it once
+    # (same pattern as text.bpe_train's per-round plans)
+    t = t.localCheckpoint(eager=False)
 
     # ---- pass 2: exact rank along (y, id) within each slab -> tile ----
     t = t.withColumn("_yrid", _range_id(F.col(y_col), ylo, yhi, n_ranges))

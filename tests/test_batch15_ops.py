@@ -236,3 +236,88 @@ def test_points_along_validation_and_degenerates(spark):
     assert points_along_lines(df, 100).count() == 0  # single vertex
     with pytest.raises(ValueError):
         points_along_lines(df, 0)
+
+
+# ---------------- HMM map matching ----------------
+
+
+def _grid_scene():
+    """Two parallel streets, 10 edges each."""
+    segs = []
+    for i in range(10):
+        segs.append((i, 0.0, i * 0.01, 0.0, (i + 1) * 0.01))
+        segs.append((100 + i, 0.003, i * 0.01, 0.003, (i + 1) * 0.01))
+    return segs
+
+
+def test_map_match_penalty_suppresses_outlier(spark):
+    from osm_pbf_spark.operators.matching import map_match
+
+    segs = _grid_scene()
+    pts = [(1, j, 0.0002 if j != 4 else 0.0028, 0.005 + j * 0.01) for j in range(8)]
+    seg_df = spark.createDataFrame(
+        segs, "seg_id long, alat double, alon double, blat double, blon double"
+    )
+    pt_df = spark.createDataFrame(pts, "track_id long, seq long, lat double, lon double")
+    with_pen = {r["seq"]: r["seg_id"] for r in map_match(pt_df, seg_df, 0.01, 5000).collect()}
+    no_pen = {r["seq"]: r["seg_id"] for r in map_match(pt_df, seg_df, 0.01, 0).collect()}
+    assert no_pen[4] >= 100   # per-point nearest jumps to street B
+    assert with_pen[4] < 100  # HMM keeps the route on street A
+
+
+def test_map_match_matches_python_replay(spark):
+    import random
+
+    from osm_pbf_spark.operators.matching import map_match, map_match_py
+
+    rng = random.Random(11)
+    segs = _grid_scene()
+    pts = []
+    for tid in range(6):
+        base = rng.choice([0.0, 0.003])
+        for j in range(rng.randint(2, 10)):
+            pts.append(
+                (tid, j, base + rng.uniform(-0.002, 0.002), rng.uniform(0.0, 0.1))
+            )
+    seg_df = spark.createDataFrame(
+        segs, "seg_id long, alat double, alon double, blat double, blon double"
+    )
+    pt_df = spark.createDataFrame(pts, "track_id long, seq long, lat double, lon double")
+    got = sorted(tuple(r) for r in map_match(pt_df, seg_df, 0.004, 3000).collect())
+    assert got == map_match_py(pts, segs, 0.004, 3000)
+    # determinism across partitionings
+    got2 = sorted(
+        tuple(r)
+        for r in map_match(pt_df.repartition(7), seg_df, 0.004, 3000).collect()
+    )
+    assert got2 == got
+
+
+def test_map_match_gap_bridging(spark):
+    from osm_pbf_spark.operators.matching import map_match
+
+    segs = _grid_scene()
+    # middle point is far from every segment -> absent from output,
+    # DP bridges seq 0 -> 2
+    pts = [(1, 0, 0.0001, 0.005), (1, 1, 5.0, 5.0), (1, 2, 0.0001, 0.015)]
+    seg_df = spark.createDataFrame(
+        segs, "seg_id long, alat double, alon double, blat double, blon double"
+    )
+    pt_df = spark.createDataFrame(pts, "track_id long, seq long, lat double, lon double")
+    rows = map_match(pt_df, seg_df, 0.004, 1000).orderBy("seq").collect()
+    assert [r["seq"] for r in rows] == [0, 2]
+    assert all(r["seg_id"] < 100 for r in rows)
+
+
+def test_map_match_validation(spark):
+    from osm_pbf_spark.operators.matching import map_match
+
+    df = spark.createDataFrame(
+        [(1, 0, 0.0, 0.0)], "track_id long, seq long, lat double, lon double"
+    )
+    segs = spark.createDataFrame(
+        [(1, 0.0, 0.0, 0.0, 0.001)],
+        "seg_id long, alat double, alon double, blat double, blon double",
+    )
+    with pytest.raises(ValueError):
+        map_match(df, segs, 0.004, -1)

@@ -254,6 +254,38 @@ def leg_seg_intersect(spark, n: int) -> int:
     return out.where(F.col("id_a") < F.col("id_b")).count()
 
 
+def leg_str_partition(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.layout import str_partition
+
+    pts = _points(spark, n)
+    out = str_partition(pts, 16, 16, id_col="id")
+    # deterministic checksum of the full assignment
+    return int(
+        out.agg(
+            F.sum(F.col("part_id").cast("bigint") * (F.col("id") % 997))
+        ).first()[0]
+        % (1 << 31)
+    )
+
+
+def leg_points_along(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.measures import points_along_lines
+
+    verts = _points(spark, n).select(
+        (F.col("id") / 100).cast("long").alias("line_id"),
+        (F.col("id") % 100).alias("seq"),
+        "lat",
+        "lon",
+    )
+    # ~1e8-unit segments -> spacing 2e8 keeps output O(n)
+    out = points_along_lines(verts, 200_000_000)
+    return out.count()
+
+
 LEGS = {
     "distance_join": leg_distance_join,
     "bbox_join": leg_bbox_join,
@@ -264,6 +296,8 @@ LEGS = {
     "debounce": leg_debounce,
     "kcore": leg_kcore,
     "getis_ord": leg_getis_ord,
+    "str_partition": leg_str_partition,
+    "points_along": leg_points_along,
     "bloom_reduce": leg_bloom_reduce,
     "pq_scan": leg_pq_scan,
     "hist_quantiles": leg_hist_quantiles,
@@ -289,6 +323,10 @@ LEG_SCALE = {
     # the histogram needs ~600M rows before the agg dwarfs fixed costs
     "hist_quantiles": 200.0,
     "seg_intersect": 0.7,
+    "str_partition": 4.0,
+    # 12M verts finished in ~1.5 s (overhead-dominated); the window +
+    # Generate need ~120M before the operator dwarfs fixed costs
+    "points_along": 40.0,
 }
 
 
