@@ -2770,6 +2770,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_map_match"] = q_map_match
 
+    def q_contour(spark, sf):  # marching-squares isolines over the density raster
+        from osm_pbf_spark.functions.cells import _quant_col
+        from osm_pbf_spark.operators.tiling import contour_segments
+
+        pts = customer_points(spark, sf)
+        grid = pts.select(
+            _quant_col(F.col("lon"), 180.0, 360.0, 7).alias("x"),
+            _quant_col(F.col("lat"), 90.0, 180.0, 7).alias("y"),
+        ).groupBy("x", "y").agg(F.count(F.lit(1)).alias("n"))
+        return contour_segments(grid, 2)
+
+    q["q_contour"] = q_contour
+
+    def q_adaptive_cells(spark, sf):  # data-adaptive quadtree leaf assignment
+        from osm_pbf_spark.operators.tiling import adaptive_cells
+
+        pts = customer_points(spark, sf)
+        return adaptive_cells(pts, k=4, min_level=3, max_level=8).select(
+            "doc_id", "level", "cx", "cy"
+        )
+
+    q["q_adaptive_cells"] = q_adaptive_cells
+
     def q_scd2(spark, sf):  # SCD2 dimension build from the event log
         from osm_pbf_spark.operators.temporal import scd2_build
 
@@ -5564,6 +5587,66 @@ def oracle_sql() -> dict[str, str]:
             FROM scatter
             WHERE x BETWEEN 0 AND 127 AND y BETWEEN 0 AND 127
             GROUP BY x, y
+        """,
+        # independent formulation: VALUES case table join vs the
+        # engine's literal-map Generate; same canonical segment set
+        "q_contour": f"""
+            {pts},
+            q AS (
+                SELECT least(greatest(CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                             / CAST(360.0 AS DOUBLE) * CAST(128.0 AS DOUBLE)) AS BIGINT),
+                             0), 127) AS x,
+                       least(greatest(CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                             / CAST(180.0 AS DOUBLE) * CAST(128.0 AS DOUBLE)) AS BIGINT),
+                             0), 127) AS y
+                FROM pts),
+            cnt AS (SELECT x, y FROM q GROUP BY x, y HAVING count(*) >= 2),
+            d(dx, dy, bit) AS (VALUES (0,0,1),(1,0,2),(1,1,4),(0,1,8)),
+            blocks AS (SELECT x - dx AS bx, y - dy AS by,
+                              CAST(sum(bit) AS INTEGER) AS ms_case
+                       FROM cnt, d GROUP BY 1, 2),
+            segs(ms_case, x0o, y0o, x1o, y1o) AS (VALUES
+                (1,0,1,1,0),(2,1,0,2,1),(3,0,1,2,1),(4,1,2,2,1),
+                (5,0,1,1,0),(5,1,2,2,1),(6,1,0,1,2),(7,0,1,1,2),
+                (8,0,1,1,2),(9,1,0,1,2),(10,1,0,2,1),(10,0,1,1,2),
+                (11,1,2,2,1),(12,0,1,2,1),(13,1,0,2,1),(14,0,1,1,0))
+            SELECT CAST(bx AS BIGINT) AS bx, CAST(by AS BIGINT) AS by, ms_case,
+                   CAST(2*bx + x0o AS BIGINT) AS x0,
+                   CAST(2*by + y0o AS BIGINT) AS y0,
+                   CAST(2*bx + x1o AS BIGINT) AS x1,
+                   CAST(2*by + y1o AS BIGINT) AS y1
+            FROM blocks JOIN segs USING (ms_case)
+        """,
+        # independent formulation: integer-division ancestors + CTE
+        # joins vs the engine's bit-shift Generate (fx >= 0 so // and
+        # shiftright agree)
+        "q_adaptive_cells": f"""
+            {pts},
+            q AS (
+                SELECT doc_id,
+                       least(greatest(CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                             / CAST(360.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)) AS BIGINT),
+                             0), 255) AS fx,
+                       least(greatest(CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                             / CAST(180.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)) AS BIGINT),
+                             0), 255) AS fy
+                FROM pts),
+            counts AS (SELECT fx, fy, count(*) AS n FROM q GROUP BY fx, fy),
+            lvls AS (SELECT unnest(generate_series(3, 8)) AS lv),
+            anc AS (SELECT fx, fy, n, lv,
+                           fx // (1 << (8 - lv)) AS cx,
+                           fy // (1 << (8 - lv)) AS cy
+                    FROM counts, lvls),
+            per AS (SELECT lv, cx, cy, sum(n) AS nl FROM anc GROUP BY 1, 2, 3),
+            leaf AS (SELECT fx, fy, min(lv) AS leaf
+                     FROM anc JOIN per USING (lv, cx, cy)
+                     WHERE nl <= 4 GROUP BY fx, fy),
+            asn AS (SELECT c.fx, c.fy, coalesce(leaf, 8) AS level
+                    FROM counts c LEFT JOIN leaf USING (fx, fy))
+            SELECT q.doc_id, CAST(level AS INTEGER) AS level,
+                   CAST(fx // (1 << (8 - level)) AS BIGINT) AS cx,
+                   CAST(fy // (1 << (8 - level)) AS BIGINT) AS cy
+            FROM q JOIN asn USING (fx, fy)
         """,
         "q_zonal_stats": f"""
             {pts},

@@ -319,3 +319,190 @@ def grid_smooth(
         .where((F.col("x") >= 0) & (F.col("x") < n) & (F.col("y") >= 0) & (F.col("y") < n))
     )
     return scattered.groupBy("x", "y").agg(F.sum("n").alias("n_box"))
+
+
+# ---------------- marching-squares contour extraction ----------------
+
+# midpoint marching squares: per 2x2 block (corners bit0=(+0,+0),
+# bit1=(+1,+0), bit2=(+1,+1), bit3=(+0,+1)), the iso-segments connect
+# edge midpoints B=(1,0), R=(2,1), T=(1,2), L=(0,1) in DOUBLED block
+# coordinates. Saddles (cases 5/10) are resolved as "center below
+# threshold" (two separate blobs); segment endpoints are sorted by
+# (x, y) so the output set is canonical.
+_MS_SEGMENTS: dict[int, list[tuple[tuple[int, int], tuple[int, int]]]] = {
+    1: [((0, 1), (1, 0))],
+    2: [((1, 0), (2, 1))],
+    3: [((0, 1), (2, 1))],
+    4: [((1, 2), (2, 1))],
+    5: [((0, 1), (1, 0)), ((1, 2), (2, 1))],
+    6: [((1, 0), (1, 2))],
+    7: [((0, 1), (1, 2))],
+    8: [((0, 1), (1, 2))],
+    9: [((1, 0), (1, 2))],
+    10: [((1, 0), (2, 1)), ((0, 1), (1, 2))],
+    11: [((1, 2), (2, 1))],
+    12: [((0, 1), (2, 1))],
+    13: [((1, 0), (2, 1))],
+    14: [((0, 1), (1, 0))],
+}
+
+
+def contour_segments(
+    grid: DataFrame,
+    threshold: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    val_col: str = "n",
+) -> DataFrame:
+    """Raster -> vector isoline extraction (marching squares) over a
+    cell-value grid — the inverse direction of the tile-assign /
+    rasterize family: turn a density raster back into boundary
+    polylines (heatmap contours, coverage outlines).
+
+    A cell is ABOVE iff ``val_col >= threshold``; absent cells are
+    below (callers whose grids omit zero cells get that for free —
+    threshold must be > the implicit absent value). Per 2x2 corner
+    block the standard midpoint case table emits 0-2 segments whose
+    endpoints are edge midpoints, reported in DOUBLED grid coordinates
+    (2x + 1 style) so everything stays exact int64 — no halves, no
+    floats, gate-hashable. Saddle blocks (diagonal corners above)
+    resolve as two separate blobs; each segment's endpoints are sorted
+    by (x, y), making the output a canonical SET.
+
+    Plan (all native codegen): filter to above-cells -> scatter each
+    to its 4 corner blocks (one Generate) -> ONE bounded hash agg
+    (sum of distinct corner bits = the case index) -> literal case-map
+    lookup + explode. Scatter volume is 4x |above cells|, never 4x
+    |points| — threshold pushes into the scan.
+
+    Returns (bx, by, ms_case, x0, y0, x1, y1).
+    """
+    corners = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(bit).alias("bit"))
+            for dx, dy, bit in ((0, 0, 1), (1, 0, 2), (1, 1, 4), (0, 1, 8))
+        ]
+    )
+    above = grid.where(F.col(val_col) >= F.lit(int(threshold)))
+    blocks = (
+        above.withColumn("_c", F.explode(corners))
+        .select(
+            (F.col(x_col) - F.col("_c.dx")).alias("bx"),
+            (F.col(y_col) - F.col("_c.dy")).alias("by"),
+            F.col("_c.bit").alias("_bit"),
+        )
+        .groupBy("bx", "by")
+        # each corner contributes exactly one distinct bit per block,
+        # so SUM == OR and stays partial-aggregatable
+        .agg(F.sum("_bit").cast("int").alias("ms_case"))
+    )
+    entries = []
+    for case, segs in sorted(_MS_SEGMENTS.items()):
+        entries.append(F.lit(case))
+        entries.append(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a[0]).alias("x0o"), F.lit(a[1]).alias("y0o"),
+                        F.lit(b[0]).alias("x1o"), F.lit(b[1]).alias("y1o"),
+                    )
+                    for a, b in segs
+                ]
+            )
+        )
+    ms_map = F.create_map(*entries)
+    # element_at misses (case 15 = interior) -> NULL -> explode drops
+    out = blocks.withColumn("_seg", F.explode(F.element_at(ms_map, F.col("ms_case"))))
+    two = F.lit(2).cast("bigint")
+    return out.select(
+        F.col("bx").cast("bigint").alias("bx"),
+        F.col("by").cast("bigint").alias("by"),
+        "ms_case",
+        (two * F.col("bx") + F.col("_seg.x0o")).alias("x0"),
+        (two * F.col("by") + F.col("_seg.y0o")).alias("y0"),
+        (two * F.col("bx") + F.col("_seg.x1o")).alias("x1"),
+        (two * F.col("by") + F.col("_seg.y1o")).alias("y1"),
+    )
+
+
+# ---------------- adaptive quadtree cells ----------------
+
+
+def adaptive_cells(
+    pts: DataFrame,
+    k: int,
+    min_level: int,
+    max_level: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Adaptive quadtree leaf assignment: each point gets the cell of
+    the SHALLOWEST level in [min_level, max_level] whose population is
+    <= ``k`` (capped at max_level) — exactly the leaf a quadtree built
+    by "split while count > k" would place it in, because per-cell
+    counts are monotone non-increasing with depth: every ancestor of a
+    <=k cell above it holds > k points and therefore split. This is
+    the data-adaptive tile pyramid — dense urban extents descend to
+    fine cells, oceans stay one coarse cell — i.e. the variable-zoom
+    layout a tile server or spatial index actually wants.
+
+    Plan (all native): quantize ONCE at max_level (finest), collapse
+    points to occupied finest cells, scatter each cell up its ancestor
+    chain (one Generate bounded by the level span; coarser ids are
+    parent BIT-SHIFTS of the finest — the r3 multi-level-cells lesson,
+    exact), aggregate per-level counts, pick min qualifying level per
+    finest cell, join back to points on the finest cell. Cell-table
+    stages dwarf nothing: every shuffle after the first collapse is
+    |occupied cells|-sized, only the final join is points-sized.
+
+    Returns the input columns + (level:int, cx:bigint, cy:bigint).
+    """
+    from ..functions.cells import MAX_LEVEL, _quant_col
+
+    if not 0 <= min_level <= max_level <= MAX_LEVEL:
+        raise ValueError(
+            f"need 0 <= min_level <= max_level <= {MAX_LEVEL}, "
+            f"got {min_level}/{max_level}"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = pts.select(
+        "*",
+        _quant_col(F.col(lon_col), 180.0, 360.0, max_level).alias("_fx"),
+        _quant_col(F.col(lat_col), 90.0, 180.0, max_level).alias("_fy"),
+    )
+    counts = q.groupBy("_fx", "_fy").agg(F.count(F.lit(1)).alias("_n"))
+    lv = F.explode(F.sequence(F.lit(int(min_level)), F.lit(int(max_level)))).alias(
+        "_lv"
+    )
+    anc = counts.select("_fx", "_fy", "_n", lv).select(
+        "_fx",
+        "_fy",
+        "_n",
+        "_lv",
+        F.expr(f"shiftright(_fx, {int(max_level)} - _lv)").alias("_cx"),
+        F.expr(f"shiftright(_fy, {int(max_level)} - _lv)").alias("_cy"),
+    )
+    per_level = anc.groupBy("_lv", "_cx", "_cy").agg(F.sum("_n").alias("_nl"))
+    leaf = (
+        anc.join(per_level, ["_lv", "_cx", "_cy"])
+        .where(F.col("_nl") <= F.lit(int(k)))
+        .groupBy("_fx", "_fy")
+        .agg(F.min("_lv").alias("_leaf"))
+    )
+    assigned = counts.join(leaf, ["_fx", "_fy"], "left").select(
+        "_fx",
+        "_fy",
+        F.coalesce(F.col("_leaf"), F.lit(int(max_level))).cast("int").alias("level"),
+    )
+    out = q.join(assigned, ["_fx", "_fy"])
+    return out.select(
+        *pts.columns,
+        "level",
+        F.expr(f"shiftright(_fx, {int(max_level)} - level)")
+        .cast("bigint")
+        .alias("cx"),
+        F.expr(f"shiftright(_fy, {int(max_level)} - level)")
+        .cast("bigint")
+        .alias("cy"),
+    )

@@ -323,7 +323,9 @@ LEG_SCALE = {
     # the histogram needs ~600M rows before the agg dwarfs fixed costs
     "hist_quantiles": 200.0,
     "seg_intersect": 0.7,
-    "str_partition": 4.0,
+    # 12M rows ran in ~9 s with ~no core sensitivity (driver actions +
+    # checkpoint write dominate); the window sorts need ~60M rows
+    "str_partition": 20.0,
     # 12M verts finished in ~1.5 s (overhead-dominated); the window +
     # Generate need ~120M before the operator dwarfs fixed costs
     "points_along": 40.0,
