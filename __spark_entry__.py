@@ -2793,6 +2793,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_adaptive_cells"] = q_adaptive_cells
 
+    def q_minhash_join(spark, sf):  # incremental dedup: new batch vs corpus
+        from osm_pbf_spark.operators.dedup import minhash_lsh_join
+
+        d = load(spark, sf, "documents")
+        corpus = d.filter(F.col("doc_id") < 200)
+        new = (
+            d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+            .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        )
+        return minhash_lsh_join(new, corpus, threshold=0.5)
+
+    q["q_minhash_join"] = q_minhash_join
+
+    def q_stay_points(spark, sf):  # trajectory dwell detection
+        from osm_pbf_spark.operators.matching import stay_points
+
+        ev = load(spark, sf, "events").filter(F.col("event_id") < 4000)
+        k = F.col("event_id")
+        wander = (k * 31) % 10 >= 6
+        home_lat = F.lit(40.0) + (F.col("user_id") % 50).cast("double") * F.lit(0.01)
+        home_lon = F.lit(-74.0) + (F.col("user_id") % 37).cast("double") * F.lit(0.01)
+        pts = ev.select(
+            "user_id",
+            k.alias("seq"),
+            (k * F.lit(60_000_000)).alias("ts_us"),
+            (
+                home_lat
+                + F.when(
+                    wander, ((k * 17) % 1000 - 500).cast("double") / F.lit(10000.0)
+                ).otherwise(((k * 13) % 9 - 4).cast("double") / F.lit(1000000.0))
+            ).alias("lat"),
+            (
+                home_lon
+                + F.when(
+                    wander, ((k * 19) % 1000 - 500).cast("double") / F.lit(10000.0)
+                ).otherwise(((k * 23) % 9 - 4).cast("double") / F.lit(1000000.0))
+            ).alias("lon"),
+        )
+        return stay_points(
+            pts, radius=0.0005, min_duration_us=50 * 60_000_000,
+            track_col="user_id",
+        )
+
+    q["q_stay_points"] = q_stay_points
+
     def q_scd2(spark, sf):  # SCD2 dimension build from the event log
         from osm_pbf_spark.operators.temporal import scd2_build
 
@@ -3300,6 +3345,40 @@ def _ora_map_match() -> str:
     return _values_sql(
         [("user_id", "BIGINT"), ("event_id", "BIGINT"),
          ("seg_id", "BIGINT"), ("emit", "BIGINT")],
+        rows,
+    )
+
+
+def _ora_stay_points() -> str:
+    """Pure-Python replay of the stay-point spec (stay_points_py is
+    the scalar reference the engine's applyInPandas kernel mirrors)."""
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.matching import stay_points_py
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"),
+        columns=["event_id", "user_id"],
+    )
+    pts = []
+    for eid, uid in zip(t.column("event_id").to_pylist(), t.column("user_id").to_pylist()):
+        k, u = int(eid), int(uid)
+        if k >= 4000:
+            continue
+        wander = (k * 31) % 10 >= 6
+        home_lat = 40.0 + float(u % 50) * 0.01
+        home_lon = -74.0 + float(u % 37) * 0.01
+        if wander:
+            lat = home_lat + float((k * 17) % 1000 - 500) / 10000.0
+            lon = home_lon + float((k * 19) % 1000 - 500) / 10000.0
+        else:
+            lat = home_lat + float((k * 13) % 9 - 4) / 1000000.0
+            lon = home_lon + float((k * 23) % 9 - 4) / 1000000.0
+        pts.append((u, k, k * 60_000_000, lat, lon))
+    rows = stay_points_py(pts, 0.0005, 50 * 60_000_000)
+    return _values_sql(
+        [("user_id", "BIGINT"), ("start_seq", "BIGINT"), ("end_seq", "BIGINT"),
+         ("n_pts", "BIGINT"), ("dur_us", "BIGINT"), ("cx", "BIGINT"), ("cy", "BIGINT")],
         rows,
     )
 
@@ -4118,6 +4197,72 @@ def _ora_minhash_pairs() -> str:
         SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b,
                i.inter / (sa.n + sb.n - i.inter) AS jaccard
         FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+        WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+    """
+
+
+def _ora_minhash_join() -> str:
+    """Hybrid (same trust level as _ora_minhash_pairs): Python replays
+    the banding spec over BOTH sides to get the cross-side candidate
+    pairs; DuckDB recomputes exact 5-shingle Jaccard + threshold."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.dedup import (
+        _BANDS,
+        _N_PERM,
+        _minhash_sig,
+        _shingle_hashes,
+    )
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    corpus = [(int(i), s) for i, s in docs if int(i) < 200]
+    new = [(int(i) + 1_000_000, s) for i, s in docs if 100 <= int(i) < 300]
+    rpb = _N_PERM // _BANDS
+    buckets: dict[int, tuple[list[int], list[int]]] = {}
+    for side, rows in ((0, new), (1, corpus)):
+        for i, s in rows:
+            sig = _minhash_sig(_shingle_hashes(s or "", 5))
+            for b in range(_BANDS):
+                h = hashlib.blake2b(
+                    sig[b * rpb : (b + 1) * rpb].tobytes(), digest_size=8,
+                    key=b.to_bytes(2, "little"),
+                )
+                key = (b << 56) | (int.from_bytes(h.digest(), "little") & ((1 << 56) - 1))
+                buckets.setdefault(key, ([], []))[side].append(i)
+    pairs = set()
+    for ns, cs in buckets.values():
+        for a in ns:
+            for b in cs:
+                pairs.add((a, b))
+    cand_vals = ", ".join(f"({a}, {b})" for a, b in sorted(pairs))
+    return f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        newb AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                 WHERE doc_id >= 100 AND doc_id < 300),
+        unioned AS (SELECT * FROM corpus UNION ALL SELECT * FROM newb),
+        cand(new_id, corpus_id) AS (VALUES {cand_vals}),
+        grams AS (
+            SELECT doc_id AS id,
+                   unnest(list_distinct([substr(text, CAST(i AS INT), 5)
+                                         for i in generate_series(1, len(text) - 4)])) AS gram
+            FROM unioned),
+        sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+        inter AS (
+            SELECT c.new_id, c.corpus_id, count(*) AS inter
+            FROM cand c
+            JOIN grams ga ON ga.id = c.new_id
+            JOIN grams gb ON gb.id = c.corpus_id AND gb.gram = ga.gram
+            GROUP BY c.new_id, c.corpus_id)
+        SELECT CAST(i.new_id AS BIGINT) AS new_id,
+               CAST(i.corpus_id AS BIGINT) AS corpus_id,
+               i.inter / (sa.n + sb.n - i.inter) AS jaccard
+        FROM inter i JOIN sizes sa ON sa.id = i.new_id
+        JOIN sizes sb ON sb.id = i.corpus_id
         WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
     """
 
@@ -5475,6 +5620,7 @@ def oracle_sql() -> dict[str, str]:
         "q_media_features": _ora_media_features(),
         "q_frame_sample": _ora_frame_sample(),
         "q_minhash_pairs": _ora_minhash_pairs(),
+        "q_minhash_join": _ora_minhash_join(),
         "q_dedup_groups": _ora_dedup_groups(),
         "q_distance_join": f"""
             {pts}
@@ -5570,6 +5716,7 @@ def oracle_sql() -> dict[str, str]:
         "q_geohash": _ora_geohash(),
         "q_convex_hull": _ora_convex_hull(),
         "q_map_match": _ora_map_match(),
+        "q_stay_points": _ora_stay_points(),
         "q_grid_smooth": f"""
             {pts},
             q AS (

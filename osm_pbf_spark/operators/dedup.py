@@ -559,3 +559,106 @@ def simhash_pairs(
         .select(F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "hamming")
     )
     return _expand_group_pairs(rep_pairs, members, "hamming", F.lit(0).cast("int"))
+
+
+# ---------------- cross-corpus LSH join ----------------
+
+
+def minhash_lsh_join(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Incremental near-dup lookup: which documents of ``new_docs``
+    already exist (Jaccard >= threshold) in ``corpus`` — the PRODUCTION
+    shape of MinHash dedup at 100 TB: a daily crawl batch is checked
+    against the accumulated corpus without ever self-joining the
+    corpus (minhash_lsh_pairs' within-corpus problem is assumed
+    already solved; this operator answers the standing query that
+    keeps it solved).
+
+    Same deterministic banding spec as minhash_lsh_pairs (so a corpus
+    side can be banded ONCE, persisted, and reused across batches);
+    same exact-duplicate pre-collapse per side (a 10^4-copy boilerplate
+    blob on either side collapses to one rep before the band join);
+    same exact shingle-Jaccard verification (one mapInPandas pass,
+    memoized per distinct text). Hot bands are capped on the CORPUS
+    side (the side whose degenerate keys are corpus-sized); the new
+    batch's bands are never dropped.
+
+    Plan: band join is a shuffle-hash join building on the NEW side
+    (the small side of the standing query — never a broadcast that
+    would re-run the corpus signature pass). Returns
+    (new_id, corpus_id, jaccard) over MEMBER ids (collapse expanded).
+    """
+    reps_n, mem_n = _collapse_exact(new_docs, text_col, id_col)
+    reps_c, mem_c = _collapse_exact(corpus, text_col, id_col)
+    base_n = _min_parallel(reps_n)
+    base_c = _min_parallel(reps_c)
+    bands = _bands_udf(shingle_k)
+    slim_n = base_n.withColumn("band", F.explode(bands(F.col("_text")))).select(
+        "id", "band"
+    )
+    slim_c = base_c.withColumn("band", F.explode(bands(F.col("_text")))).select(
+        "id", "band"
+    )
+    slim_c = _cap_hot_buckets(slim_c, "band", max_bucket)
+
+    rep_pairs = (
+        slim_c.alias("c")
+        .join(slim_n.alias("n").hint("shuffle_hash"), F.col("c.band") == F.col("n.band"))
+        .select(F.col("n.id").alias("id_a"), F.col("c.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        rep_pairs.join(
+            base_n.select(F.col("id").alias("id_a"), F.col("_text").alias("ta")), "id_a"
+        )
+        .join(base_c.select(F.col("id").alias("id_b"), F.col("_text").alias("tb")), "id_b")
+        .select("id_a", "id_b", "ta", "tb")
+    )
+
+    t_new = dict(new_docs.dtypes)[id_col]
+    t_cor = dict(corpus.dtypes)[id_col]
+
+    def _verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cache: dict[str, np.ndarray] = {}
+
+            def hashes(t: str) -> np.ndarray:
+                h = cache.get(t)
+                if h is None:
+                    h = _shingle_hashes(t or "", shingle_k)
+                    cache[t] = h
+                return h
+
+            jac = np.empty(len(pdf))
+            for i, (x, y) in enumerate(zip(pdf["ta"], pdf["tb"])):
+                a = hashes(x)
+                b = hashes(y)
+                inter = np.intersect1d(a, b, assume_unique=True).size
+                u = a.size + b.size - inter
+                jac[i] = (inter / u) if u else 1.0
+            keep = jac >= threshold
+            out = pdf.loc[keep, ["id_a", "id_b"]].copy()
+            out["jaccard"] = jac[keep]
+            yield out
+
+    verified = cand.mapInPandas(
+        _verify, f"id_a {t_new}, id_b {t_cor}, jaccard double"
+    )
+    return (
+        verified.join(mem_n.alias("mn"), F.col("mn.rep") == F.col("id_a"))
+        .join(mem_c.alias("mc"), F.col("mc.rep") == F.col("id_b"))
+        .select(
+            F.col("mn.id").alias("new_id"),
+            F.col("mc.id").alias("corpus_id"),
+            "jaccard",
+        )
+    )

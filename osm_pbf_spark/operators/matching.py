@@ -52,7 +52,13 @@ from pyspark.sql import functions as F
 from ..functions.cells import MAX_LEVEL, _quant_col, cell_size_deg, xy_to_cell_col
 from .distance import pick_distance_level
 
-__all__ = ["map_match", "map_match_py", "MM_SNAP_SCALE"]
+__all__ = [
+    "map_match",
+    "map_match_py",
+    "stay_points",
+    "stay_points_py",
+    "MM_SNAP_SCALE",
+]
 
 MM_SNAP_SCALE = 1_000_000.0  # micro-degree grid
 
@@ -320,4 +326,144 @@ def map_match_py(
             rev.append((tid, seq, sid, e))
             j = bp[j]
         out.extend(reversed(rev))
+    return sorted(out)
+
+
+# ---------------- stay-point detection ----------------
+
+
+def stay_points(
+    points: DataFrame,
+    radius: float,
+    min_duration_us: int,
+    track_col: str = "track_id",
+    seq_col: str = "seq",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Dwell detection over GPS tracks (Li et al. 2008 "Mining user
+    similarity based on location history", the anchor-window spec): a
+    stay point is a maximal run of consecutive points all within
+    ``radius`` degrees of the run's FIRST point (the anchor) lasting at
+    least ``min_duration_us`` microseconds — home/work/POI visits, the
+    trajectory-mining primitive between raw fixes and semantic places.
+
+    The scan is kept-state-dependent (whether a run ends depends on
+    where the previous run started), i.e. the same inherently
+    sequential-per-group class as temporal.debounce — ONE applyInPandas
+    stage grouped by track, embarrassingly parallel across tracks.
+
+    Exactness: coords snap to the micro-degree grid; the window test is
+    an INT64 compare d2 <= floor((radius*1e6)^2) (squared snapped
+    distance vs squared snapped radius); durations are int64 micros;
+    the reported centroid is an integer DIV. Every engine and the pure
+    replay (``stay_points_py``) agree on all bits.
+
+    points: (track_col, seq_col, ts_col:int64 micros, lat, lon).
+    Returns (track_col, start_seq, end_seq, n_pts, dur_us, cx, cy) —
+    cx/cy the integer-DIV centroid in grid units.
+    """
+    if min_duration_us < 0:
+        raise ValueError(f"min_duration_us must be >= 0, got {min_duration_us}")
+    r2 = int(math.floor(float(radius) * MM_SNAP_SCALE) ** 2)
+    snap = lambda c: F.floor(c * F.lit(MM_SNAP_SCALE) + F.lit(0.5)).cast("long")  # noqa: E731
+    base = points.select(
+        F.col(track_col).alias("_tid"),
+        F.col(seq_col).alias("_seq"),
+        F.col(ts_col).cast("long").alias("_ts"),
+        snap(F.col("lon")).alias("_x"),
+        snap(F.col("lat")).alias("_y"),
+    )
+    seq_t = points.schema[seq_col].dataType.simpleString()
+    tid_t = points.schema[track_col].dataType.simpleString()
+    schema = (
+        f"{track_col} {tid_t}, start_seq {seq_t}, end_seq {seq_t}, "
+        "n_pts bigint, dur_us bigint, cx bigint, cy bigint"
+    )
+    mdur = int(min_duration_us)
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_seq")
+        tid = pdf["_tid"].iloc[0]
+        seqs = pdf["_seq"].to_list()
+        ts = pdf["_ts"].to_numpy(dtype=np.int64)
+        xs = pdf["_x"].to_numpy(dtype=np.int64)
+        ys = pdf["_y"].to_numpy(dtype=np.int64)
+        n = len(pdf)
+        rows = []
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n:
+                dx = int(xs[j]) - int(xs[i])
+                dy = int(ys[j]) - int(ys[i])
+                if dx * dx + dy * dy > r2:
+                    break
+                j += 1
+            # run is [i, j); emit iff it dwells long enough
+            if int(ts[j - 1]) - int(ts[i]) >= mdur and j - i >= 2:
+                cnt = j - i
+                rows.append(
+                    (
+                        tid,
+                        seqs[i],
+                        seqs[j - 1],
+                        cnt,
+                        int(ts[j - 1]) - int(ts[i]),
+                        int(xs[i:j].sum()) // cnt,
+                        int(ys[i:j].sum()) // cnt,
+                    )
+                )
+                i = j
+            else:
+                i += 1
+        return pd.DataFrame(
+            rows,
+            columns=[track_col, "start_seq", "end_seq", "n_pts", "dur_us", "cx", "cy"],
+        )
+
+    return base.groupBy("_tid").applyInPandas(_scan, schema)
+
+
+def stay_points_py(
+    points: list[tuple], radius: float, min_duration_us: int
+) -> list[tuple]:
+    """Pure-Python replay of the stay_points spec. points:
+    (track_id, seq, ts_us, lat, lon); returns sorted result tuples."""
+    r2 = int(math.floor(float(radius) * MM_SNAP_SCALE) ** 2)
+
+    def sn(c: float) -> int:
+        return math.floor(c * MM_SNAP_SCALE + 0.5)
+
+    tracks: dict = {}
+    for tid, seq, ts, lat, lon in points:
+        tracks.setdefault(tid, []).append((seq, int(ts), sn(lon), sn(lat)))
+    out = []
+    for tid in tracks:
+        pts = sorted(tracks[tid])
+        n = len(pts)
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n:
+                dx = pts[j][2] - pts[i][2]
+                dy = pts[j][3] - pts[i][3]
+                if dx * dx + dy * dy > r2:
+                    break
+                j += 1
+            if pts[j - 1][1] - pts[i][1] >= min_duration_us and j - i >= 2:
+                cnt = j - i
+                out.append(
+                    (
+                        tid,
+                        pts[i][0],
+                        pts[j - 1][0],
+                        cnt,
+                        pts[j - 1][1] - pts[i][1],
+                        sum(p[2] for p in pts[i:j]) // cnt,
+                        sum(p[3] for p in pts[i:j]) // cnt,
+                    )
+                )
+                i = j
+            else:
+                i += 1
     return sorted(out)

@@ -460,3 +460,126 @@ def test_adaptive_cells_deterministic_and_validation(spark):
         adaptive_cells(df, 0, 2, 9)
     with _pytest.raises(ValueError):
         adaptive_cells(df, 5, 9, 2)
+
+
+# ---------------- cross-corpus LSH join ----------------
+
+
+def test_minhash_join_agrees_with_self_join_cross_pairs(spark):
+    from osm_pbf_spark.operators.dedup import minhash_lsh_join, minhash_lsh_pairs
+
+    base = [
+        (i, f"the quick brown fox jumps over the lazy dog variant {i % 7} "
+            f"with some shared boilerplate text that repeats everywhere")
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(base, "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i + 1000, t) for i, t in base[20:]] + [(2000, "completely different content")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in minhash_lsh_join(new, corpus, 0.5, max_bucket=None).collect()
+    )
+    # reference: the self-join over the union, restricted to cross pairs
+    union = corpus.unionByName(new)
+    ref = sorted(
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]), r["jaccard"])
+        for r in minhash_lsh_pairs(union, 0.5, max_bucket=None).collect()
+        if (r["id_a"] >= 1000) != (r["id_b"] >= 1000)
+    )
+    assert got == ref
+    assert any(j == 1.0 for _, _, j in got)  # exact cross-dups found
+    assert all(nid != 2000 for nid, _, _ in got)  # unrelated doc absent
+
+
+def test_minhash_join_expands_exact_copies(spark):
+    from osm_pbf_spark.operators.dedup import minhash_lsh_join
+
+    text = "a perfectly ordinary document about map tiles and spark shuffles"
+    corpus = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, text), (11, text)], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["new_id"], r["corpus_id"]) for r in minhash_lsh_join(new, corpus).collect()
+    )
+    assert rows == [(10, 1), (10, 2), (11, 1), (11, 2)]
+
+
+# ---------------- stay points ----------------
+
+
+def test_stay_points_home_excursion_home(spark):
+    from osm_pbf_spark.operators.matching import stay_points
+
+    rows = []
+    ts = 0
+    # dwell at home (5 points, 40 min), excursion (3 spread points),
+    # dwell at work (4 points, 30 min)
+    for i in range(5):
+        rows.append((1, i, ts, 40.0 + i * 1e-6, -74.0))
+        ts += 10 * 60_000_000
+    for i in range(3):
+        rows.append((1, 5 + i, ts, 40.1 + i * 0.05, -74.2 - i * 0.05))
+        ts += 10 * 60_000_000
+    for i in range(4):
+        rows.append((1, 8 + i, ts, 40.5, -74.5 + i * 1e-6))
+        ts += 10 * 60_000_000
+    df = spark.createDataFrame(
+        rows, "track_id long, seq long, ts_us long, lat double, lon double"
+    )
+    out = stay_points(df, 0.001, 20 * 60_000_000, track_col="track_id").orderBy(
+        "start_seq"
+    ).collect()
+    assert [(r["start_seq"], r["end_seq"], r["n_pts"]) for r in out] == [
+        (0, 4, 5),
+        (8, 11, 4),
+    ]
+
+
+def test_stay_points_matches_python_replay(spark):
+    import random
+
+    from osm_pbf_spark.operators.matching import stay_points, stay_points_py
+
+    rng = random.Random(23)
+    pts = []
+    for tid in range(8):
+        ts = 0
+        lat, lon = rng.uniform(-50, 50), rng.uniform(-100, 100)
+        for seq in range(rng.randint(3, 25)):
+            if rng.random() < 0.3:  # jump
+                lat += rng.uniform(-0.05, 0.05)
+                lon += rng.uniform(-0.05, 0.05)
+            else:  # jitter in place
+                lat += rng.uniform(-2e-6, 2e-6)
+                lon += rng.uniform(-2e-6, 2e-6)
+            ts += rng.randint(1, 30) * 60_000_000
+            pts.append((tid, seq, ts, lat, lon))
+    df = spark.createDataFrame(
+        pts, "track_id long, seq long, ts_us long, lat double, lon double"
+    )
+    got = sorted(tuple(r) for r in stay_points(df, 0.0005, 30 * 60_000_000).collect())
+    assert got == stay_points_py(pts, 0.0005, 30 * 60_000_000)
+    got2 = sorted(
+        tuple(r)
+        for r in stay_points(df.repartition(5), 0.0005, 30 * 60_000_000).collect()
+    )
+    assert got2 == got
+
+
+def test_stay_points_duration_gate_and_validation(spark):
+    from osm_pbf_spark.operators.matching import stay_points
+
+    # two co-located points but only 5 minutes apart -> no stay point
+    df = spark.createDataFrame(
+        [(1, 0, 0, 10.0, 10.0), (1, 1, 5 * 60_000_000, 10.0, 10.0)],
+        "track_id long, seq long, ts_us long, lat double, lon double",
+    )
+    assert stay_points(df, 0.001, 20 * 60_000_000).count() == 0
+    with pytest.raises(ValueError):
+        stay_points(df, 0.001, -1)
