@@ -2838,6 +2838,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_stay_points"] = q_stay_points
 
+    def q_pca(spark, sf):  # data-dependent dim reduction (vs q_rp_reduce's RP)
+        from osm_pbf_spark.operators.ann import pca_encode, pca_train
+
+        e = load(spark, sf, "embeddings")
+        proj = pca_train(e, dim=64, out_dim=8)
+        enc = pca_encode(e.filter(F.col("vec_id") < 200), proj)
+        return enc.select("vec_id", F.posexplode("pvec").alias("dim_idx", "q"))
+
+    q["q_pca"] = q_pca
+
     def q_scd2(spark, sf):  # SCD2 dimension build from the event log
         from osm_pbf_spark.operators.temporal import scd2_build
 
@@ -3346,6 +3356,40 @@ def _ora_map_match() -> str:
         [("user_id", "BIGINT"), ("event_id", "BIGINT"),
          ("seg_id", "BIGINT"), ("emit", "BIGINT")],
         rows,
+    )
+
+
+def _ora_pca() -> str:
+    """Hybrid (the PQ-codebook convention): the projection matrix is
+    the operator's exported state (trained in-process from the same
+    parquet — partition-invariant exact-integer Gram, deterministic
+    eigh); pure-Python naive loops replay quantize + integer GEMM."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.ann import pca_train
+    from osm_pbf_spark.session import get_spark
+
+    spark = get_spark("oracle-pca-train")
+    e = spark.read.parquet(os.path.join(ORACLE_SF_DIR, "embeddings.parquet"))
+    proj = pca_train(e, dim=64, out_dim=8)
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    rows = []
+    for vid, v in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()):
+        if int(vid) >= 200:
+            continue
+        q = [math.floor(float(x) * 256.0 + 0.5) for x in v]
+        for j in range(8):
+            acc = 0
+            for d in range(64):
+                acc += q[d] * int(proj[j, d])
+            rows.append((int(vid), j, acc))
+    return _values_sql(
+        [("vec_id", "BIGINT"), ("dim_idx", "INTEGER"), ("q", "BIGINT")], rows
     )
 
 
@@ -5717,6 +5761,7 @@ def oracle_sql() -> dict[str, str]:
         "q_convex_hull": _ora_convex_hull(),
         "q_map_match": _ora_map_match(),
         "q_stay_points": _ora_stay_points(),
+        "q_pca": _ora_pca(),
         "q_grid_smooth": f"""
             {pts},
             q AS (

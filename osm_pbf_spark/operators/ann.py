@@ -730,3 +730,130 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_d2q")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA reduction — the data-dependent sibling of rp_reduce: learn the
+# projection from the corpus covariance instead of a random sign matrix.
+# ---------------------------------------------------------------------------
+
+_PCA_PROJ_SCALE = float(1 << 20)  # dyadic quantization of the eigvecs
+
+
+def pca_train(
+    vectors: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    scale: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Learn an integer-quantized PCA projection from the corpus.
+
+    The distributed part is EXACT and partition-invariant: vectors are
+    quantized to ``floor(v*scale + 0.5)`` int64; each Arrow batch emits
+    its partial Gram/sum/count as (i, j, v) rows (i=j=-1 for the count,
+    j=-1 for per-dim sums, upper-triangle products else); ONE hash
+    aggregate with keyspace bounded by dim*(dim+1)/2 + dim + 1 sums
+    them — the sketch-family shuffle shape, map-side combined, so every
+    task ships <= ~2k rows no matter how many vectors it scanned.
+    Products are <= (scale*max|v|)^2 per row; int64-exact up to ~2^62 /
+    that per corpus — at scale 256 and unit-norm embeddings that is
+    >10^12 rows; shrink ``scale`` for bigger corpora.
+
+    The driver step (numpy eigh of the dim x dim covariance assembled
+    from the exact integers with Python-bigint numerators) picks the
+    top ``out_dim`` eigenvectors, fixes each one's sign (largest-|c|
+    component positive, lowest index on ties) and quantizes to int64 at
+    2^20 — the returned matrix IS the exported state (the same hybrid
+    convention as the PQ codebooks: encode/replay are bit-exact GIVEN
+    the matrix; the float eigensolve itself is process-deterministic,
+    not a cross-engine contract).
+
+    Returns an int64 ndarray of shape (out_dim, dim).
+    """
+    if not 1 <= out_dim <= dim:
+        raise ValueError(f"need 1 <= out_dim <= dim, got {out_dim}/{dim}")
+
+    tri_i, tri_j = np.triu_indices(dim)
+
+    def _partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            q = np.floor(m * float(scale) + 0.5).astype(np.int64)
+            g = q.T @ q  # batch-local: |q|<=scale*max|v|, n_batch ~1e4 — exact
+            s = q.sum(axis=0)
+            rows = {"i": [-1], "j": [-1], "v": [len(pdf)]}
+            rows["i"] += list(range(dim))
+            rows["j"] += [-1] * dim
+            rows["v"] += [int(x) for x in s]
+            rows["i"] += [int(x) for x in tri_i]
+            rows["j"] += [int(x) for x in tri_j]
+            rows["v"] += [int(g[a, b]) for a, b in zip(tri_i, tri_j)]
+            yield pd.DataFrame(rows)
+
+    parts = (
+        vectors.select(F.col(vec_col).alias("v"))
+        .mapInPandas(_partial, "i int, j int, v long")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    n = 0
+    s = np.zeros(dim, dtype=object)
+    G = np.zeros((dim, dim), dtype=object)
+    for r in parts:
+        i, j, v = int(r["i"]), int(r["j"]), int(r["v"])
+        if i == -1:
+            n = v
+        elif j == -1:
+            s[i] = v
+        else:
+            G[i, j] = v
+            G[j, i] = v
+    if n < 2:
+        raise ValueError(f"pca_train needs >= 2 vectors, got {n}")
+    # covariance with exact integer numerators: C_ij ∝ n*G_ij - s_i*s_j
+    C = np.empty((dim, dim), dtype=np.float64)
+    den = float(n) * float(n) * float(scale) * float(scale)
+    for a in range(dim):
+        for b in range(dim):
+            C[a, b] = float(int(n) * int(G[a, b]) - int(s[a]) * int(s[b])) / den
+    w, v = np.linalg.eigh(C)
+    top = v[:, ::-1][:, :out_dim].T  # rows = components, descending eigenvalue
+    proj = np.empty((out_dim, dim), dtype=np.int64)
+    for r_i in range(out_dim):
+        comp = top[r_i]
+        pivot = int(np.argmax(np.abs(comp)))  # first max on ties
+        if comp[pivot] < 0:
+            comp = -comp
+        proj[r_i] = np.floor(comp * _PCA_PROJ_SCALE + 0.5).astype(np.int64)
+    return proj
+
+
+def pca_encode(
+    vectors: DataFrame,
+    proj: "np.ndarray",
+    scale: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project vectors through a :func:`pca_train` matrix — the exact
+    mirror of rp_reduce's encode: quantize to int64, one integer GEMM
+    per Arrow batch, no shuffle. Given the same matrix, numpy, pure
+    Python and any engine agree on every output bit.
+
+    Returns (id_col, pvec: array<bigint>).
+    """
+    mat = np.asarray(proj, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _proj_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        q = np.floor(m * float(scale) + 0.5).astype(np.int64)
+        out = q @ mat.T
+        return pd.Series(list(out))
+
+    return vectors.select(F.col(id_col), _proj_udf(F.col(vec_col)).alias("pvec"))

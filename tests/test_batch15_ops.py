@@ -583,3 +583,54 @@ def test_stay_points_duration_gate_and_validation(spark):
     assert stay_points(df, 0.001, 20 * 60_000_000).count() == 0
     with pytest.raises(ValueError):
         stay_points(df, 0.001, -1)
+
+
+# ---------------- PCA reduce ----------------
+
+
+def test_pca_train_deterministic_and_orthogonal(spark, sf_dir):
+    import numpy as np
+
+    from osm_pbf_spark.operators.ann import pca_train
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p1 = pca_train(e, dim=64, out_dim=6)
+    p2 = pca_train(e.repartition(9), dim=64, out_dim=6)
+    assert (p1 == p2).all()
+    # quantized eigvecs stay near-orthonormal at the 2^20 scale
+    f = p1.astype(np.float64) / float(1 << 20)
+    gram = f @ f.T
+    assert np.allclose(gram, np.eye(6), atol=1e-3)
+
+
+def test_pca_variance_concentrates_and_encode_replays(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    from osm_pbf_spark.operators.ann import pca_encode, pca_train
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = pca_train(e, dim=64, out_dim=5)
+    enc = pca_encode(e, proj).orderBy("vec_id")
+    rows = enc.collect()
+    mat = np.array([r["pvec"] for r in rows], dtype=np.float64)
+    var = mat.var(axis=0)
+    assert var[0] >= var[-1]
+    # pure-Python replay of one row
+    first = e.orderBy("vec_id").first()
+    q = [math.floor(float(x) * 256.0 + 0.5) for x in first["embedding"]]
+    want = [sum(q[d] * int(proj[j, d]) for d in range(64)) for j in range(5)]
+    assert list(rows[0]["pvec"]) == want
+
+
+def test_pca_validation(spark):
+    from osm_pbf_spark.operators.ann import pca_train
+
+    one = spark.createDataFrame(
+        [(1, [0.0] * 4)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        pca_train(one, dim=4, out_dim=5)
+    with pytest.raises(ValueError):
+        pca_train(one, dim=4, out_dim=2)  # n < 2
