@@ -2848,6 +2848,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_pca"] = q_pca
 
+    def q_isochrone(spark, sf):  # composed: sssp -> threshold raster -> contour
+        from osm_pbf_spark.operators.graph import sssp
+        from osm_pbf_spark.operators.tiling import contour_segments
+
+        R, C = 10, 8  # grid street network, node id = i*C + j
+        ids = spark.range(R * C)
+        row = F.expr("id DIV 8")
+        col = F.col("id") % C
+        h = ids.where(col < C - 1).select(
+            F.col("id").alias("src"),
+            (F.col("id") + 1).alias("dst"),
+            (F.lit(10) + F.col("id") % 7).alias("w"),
+        )
+        v = ids.where(row < R - 1).select(
+            F.col("id").alias("src"),
+            (F.col("id") + C).alias("dst"),
+            (F.lit(25) + F.col("id") % 9).alias("w"),
+        )
+        srcs = spark.createDataFrame([(4 * C + 3,)], "node long")
+        d = sssp(h.unionByName(v), srcs, max_rounds=16)
+        grid = d.where(F.col("dist") <= 60).select(
+            (F.col("node") % C).alias("x"),
+            F.expr("node DIV 8").alias("y"),
+            F.lit(1).alias("n"),
+        )
+        return contour_segments(grid, 1)
+
+    q["q_isochrone"] = q_isochrone
+
     def q_scd2(spark, sf):  # SCD2 dimension build from the event log
         from osm_pbf_spark.operators.temporal import scd2_build
 
@@ -5779,6 +5808,42 @@ def oracle_sql() -> dict[str, str]:
             FROM scatter
             WHERE x BETWEEN 0 AND 127 AND y BETWEEN 0 AND 127
             GROUP BY x, y
+        """,
+        # composed pipeline oracle: DuckDB runs its OWN recursion for
+        # the distances, then the same VALUES case-table contour
+        "q_isochrone": """
+            WITH RECURSIVE ids AS (SELECT range AS id FROM range(80)),
+            e AS (
+                SELECT id AS src, id + 1 AS dst, 10 + id % 7 AS w
+                FROM ids WHERE id % 8 < 7
+                UNION ALL
+                SELECT id, id + 8, 25 + id % 9 FROM ids WHERE id // 8 < 9),
+            sym0 AS (SELECT src AS u, dst AS v, w FROM e
+                     UNION ALL SELECT dst, src, w FROM e),
+            sym AS (SELECT u, v, min(w) AS w FROM sym0 GROUP BY u, v),
+            walk(node, d, hops) AS (
+                SELECT CAST(35 AS BIGINT), CAST(0 AS BIGINT), 0
+                UNION
+                SELECT s.v, w.d + s.w, w.hops + 1
+                FROM walk w JOIN sym s ON s.u = w.node WHERE w.hops < 16),
+            dist AS (SELECT node, min(d) AS dist FROM walk GROUP BY node),
+            cnt AS (SELECT node % 8 AS x, node // 8 AS y FROM dist
+                    WHERE dist <= 60),
+            dd(dx, dy, bit) AS (VALUES (0,0,1),(1,0,2),(1,1,4),(0,1,8)),
+            blocks AS (SELECT x - dx AS bx, y - dy AS by,
+                              CAST(sum(bit) AS INTEGER) AS ms_case
+                       FROM cnt, dd GROUP BY 1, 2),
+            segs(ms_case, x0o, y0o, x1o, y1o) AS (VALUES
+                (1,0,1,1,0),(2,1,0,2,1),(3,0,1,2,1),(4,1,2,2,1),
+                (5,0,1,1,0),(5,1,2,2,1),(6,1,0,1,2),(7,0,1,1,2),
+                (8,0,1,1,2),(9,1,0,1,2),(10,1,0,2,1),(10,0,1,1,2),
+                (11,1,2,2,1),(12,0,1,2,1),(13,1,0,2,1),(14,0,1,1,0))
+            SELECT CAST(bx AS BIGINT) AS bx, CAST(by AS BIGINT) AS by, ms_case,
+                   CAST(2*bx + x0o AS BIGINT) AS x0,
+                   CAST(2*by + y0o AS BIGINT) AS y0,
+                   CAST(2*bx + x1o AS BIGINT) AS x1,
+                   CAST(2*by + y1o AS BIGINT) AS y1
+            FROM blocks JOIN segs USING (ms_case)
         """,
         # independent formulation: VALUES case table join vs the
         # engine's literal-map Generate; same canonical segment set
