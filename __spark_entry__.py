@@ -2877,6 +2877,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_isochrone"] = q_isochrone
 
+    def q_grid_morph(spark, sf):  # morphological closing of the density raster
+        from osm_pbf_spark.functions.cells import _quant_col
+        from osm_pbf_spark.operators.tiling import grid_dilate, grid_erode
+
+        pts = customer_points(spark, sf)
+        grid = pts.select(
+            _quant_col(F.col("lon"), 180.0, 360.0, 7).alias("x"),
+            _quant_col(F.col("lat"), 90.0, 180.0, 7).alias("y"),
+        ).distinct()
+        return grid_erode(grid_dilate(grid, 2), 2)
+
+    q["q_grid_morph"] = q_grid_morph
+
     def q_scd2(spark, sf):  # SCD2 dimension build from the event log
         from osm_pbf_spark.operators.temporal import scd2_build
 
@@ -5022,6 +5035,16 @@ def _hex40_bigint_sql(hexpr: str) -> str:
 _HLL_EST_NUM = (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0 * float(1 << 41)
 
 
+def _disk2_consts():
+    from osm_pbf_spark.operators.tiling import _disk_offsets
+
+    offs = _disk_offsets(2)
+    return ", ".join(f"({dx}, {dy})" for dx, dy in offs), len(offs)
+
+
+_DISK2_VALS, _DISK2_N = _disk2_consts()
+
+
 def _hexn_bigint_sql(hexpr: str, start: int, n: int) -> str:
     """SQL for Spark's conv(substr(h, start, n), 16, 10) — the
     variable-width sibling of _hex40_bigint_sql (n <= 15 keeps the
@@ -5844,6 +5867,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2*bx + x1o AS BIGINT) AS x1,
                    CAST(2*by + y1o AS BIGINT) AS y1
             FROM blocks JOIN segs USING (ms_case)
+        """,
+        # closing = erode(dilate(.)): DISTINCT scatter then exact
+        # |disk|-vote count, same disk literal as the engine
+        "q_grid_morph": f"""
+            {pts},
+            g AS (
+                SELECT DISTINCT
+                       least(greatest(CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                             / CAST(360.0 AS DOUBLE) * CAST(128.0 AS DOUBLE)) AS BIGINT),
+                             0), 127) AS x,
+                       least(greatest(CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                             / CAST(180.0 AS DOUBLE) * CAST(128.0 AS DOUBLE)) AS BIGINT),
+                             0), 127) AS y
+                FROM pts),
+            disk(dx, dy) AS (VALUES {_DISK2_VALS}),
+            dil AS (SELECT DISTINCT x + dx AS x, y + dy AS y FROM g, disk),
+            votes AS (SELECT x - dx AS x, y - dy AS y FROM dil, disk)
+            SELECT x, y FROM votes GROUP BY x, y
+            HAVING count(*) = {_DISK2_N}
         """,
         # independent formulation: VALUES case table join vs the
         # engine's literal-map Generate; same canonical segment set

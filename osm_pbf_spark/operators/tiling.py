@@ -506,3 +506,87 @@ def adaptive_cells(
         .cast("bigint")
         .alias("cy"),
     )
+
+
+# ---------------- raster morphology ----------------
+
+
+def _disk_offsets(k: int) -> list[tuple[int, int]]:
+    """Integer disk: all (dx, dy) with dx^2 + dy^2 <= k^2."""
+    return [
+        (dx, dy)
+        for dx in range(-k, k + 1)
+        for dy in range(-k, k + 1)
+        if dx * dx + dy * dy <= k * k
+    ]
+
+
+def grid_dilate(
+    grid: DataFrame, k: int, x_col: str = "x", y_col: str = "y"
+) -> DataFrame:
+    """Morphological DILATION of an occupied-cell set by the integer
+    disk of radius ``k`` — every cell within the disk of an occupied
+    cell becomes occupied (coverage buffering, gap bridging before
+    contouring). One native Generate (|disk| rows per occupied cell)
+    + one distinct aggregate; pure codegen, the scatter is
+    |disk| x |occupied cells|, never x |points|.
+
+    Returns distinct (x, y).
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _disk_offsets(k)
+        ]
+    )
+    return (
+        grid.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .withColumn("_d", F.explode(offs))
+        .select(
+            (F.col("x") + F.col("_d.dx")).alias("x"),
+            (F.col("y") + F.col("_d.dy")).alias("y"),
+        )
+        .distinct()
+    )
+
+
+def grid_erode(
+    grid: DataFrame, k: int, x_col: str = "x", y_col: str = "y"
+) -> DataFrame:
+    """Morphological EROSION by the integer disk of radius ``k`` — a
+    cell survives iff its WHOLE disk neighborhood is occupied (noise
+    stripping, core extraction). Implemented as a vote scatter: each
+    occupied cell votes for every cell whose disk contains it; a cell
+    survives iff it collects |disk| votes (occupied cells are distinct,
+    so the count is exact — the center's own vote is included).
+    erode(dilate(.)) is morphological CLOSING, dilate(erode(.)) is
+    OPENING; both compose from these two one-shuffle primitives.
+
+    Returns surviving (x, y).
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    disk = _disk_offsets(k)
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in disk
+        ]
+    )
+    votes = (
+        grid.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .distinct()
+        .withColumn("_d", F.explode(offs))
+        .select(
+            (F.col("x") - F.col("_d.dx")).alias("x"),
+            (F.col("y") - F.col("_d.dy")).alias("y"),
+        )
+    )
+    return (
+        votes.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") == F.lit(len(disk)))
+        .select("x", "y")
+    )

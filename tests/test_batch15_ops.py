@@ -634,3 +634,47 @@ def test_pca_validation(spark):
         pca_train(one, dim=4, out_dim=5)
     with pytest.raises(ValueError):
         pca_train(one, dim=4, out_dim=2)  # n < 2
+
+
+# ---------------- raster morphology ----------------
+
+
+def test_dilate_erode_basic_shapes(spark):
+    from osm_pbf_spark.operators.tiling import grid_dilate, grid_erode
+
+    # a single cell dilated by 1 -> the 5-cell von Neumann cross
+    g = spark.createDataFrame([(0, 0)], "x int, y int")
+    d = sorted((r["x"], r["y"]) for r in grid_dilate(g, 1).collect())
+    assert d == [(-1, 0), (0, -1), (0, 0), (0, 1), (1, 0)]
+    # eroding the cross by 1 recovers exactly the center
+    cross = spark.createDataFrame(d, "x int, y int")
+    e = [(r["x"], r["y"]) for r in grid_erode(cross, 1).collect()]
+    assert e == [(0, 0)]
+
+
+def test_closing_fills_small_holes(spark):
+    from osm_pbf_spark.operators.tiling import grid_dilate, grid_erode
+
+    # a 5x5 block with its center missing: closing by 1 restores it
+    cells = [(x, y) for x in range(5) for y in range(5) if (x, y) != (2, 2)]
+    g = spark.createDataFrame(cells, "x int, y int")
+    closed = {(r["x"], r["y"]) for r in grid_erode(grid_dilate(g, 1), 1).collect()}
+    assert (2, 2) in closed
+    assert set(cells) <= closed
+
+
+def test_erosion_antiextensive_dilation_extensive(spark):
+    import random
+
+    from osm_pbf_spark.operators.tiling import grid_dilate, grid_erode
+
+    rng = random.Random(5)
+    cells = list({(rng.randint(0, 15), rng.randint(0, 15)) for _ in range(80)})
+    g = spark.createDataFrame(cells, "x int, y int")
+    orig = set(cells)
+    dil = {(r["x"], r["y"]) for r in grid_dilate(g, 2).collect()}
+    ero = {(r["x"], r["y"]) for r in grid_erode(g, 2).collect()}
+    assert orig <= dil
+    assert ero <= orig
+    with pytest.raises(ValueError):
+        grid_dilate(g, -1)
