@@ -2890,6 +2890,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_grid_morph"] = q_grid_morph
 
+    def q_od_matrix(spark, sf):  # per-origin shortest distances (OD matrix)
+        from osm_pbf_spark.operators.graph import sssp_matrix
+
+        ev = load(spark, sf, "events").filter(F.col("event_id") < 400)
+        edges = ev.select(
+            (F.col("event_id") % 120).alias("src"),
+            ((F.col("event_id") * 13 + 7) % 120).alias("dst"),
+            (F.col("event_id") % 19 + 1).alias("w"),
+        )
+        srcs = spark.createDataFrame([(0,), (3,), (7,)], "node long")
+        return sssp_matrix(edges, srcs, max_rounds=12)
+
+    q["q_od_matrix"] = q_od_matrix
+
     def q_scd2(spark, sf):  # SCD2 dimension build from the event log
         from osm_pbf_spark.operators.temporal import scd2_build
 
@@ -5788,6 +5802,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM walk w JOIN sym s ON s.u = w.node WHERE w.hops < 12)
             SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS dist
             FROM walk GROUP BY node
+        """,
+        # per-origin recursion: the walk carries the origin label, so
+        # DuckDB recomputes each source's distances independently
+        "q_od_matrix": """
+            WITH RECURSIVE e AS (
+                SELECT event_id % 120 AS src, (event_id * 13 + 7) % 120 AS dst,
+                       event_id % 19 + 1 AS w
+                FROM events WHERE event_id < 400),
+            sym0 AS (SELECT src AS u, dst AS v, w FROM e WHERE src <> dst
+                     UNION ALL SELECT dst, src, w FROM e WHERE src <> dst),
+            sym AS (SELECT u, v, min(w) AS w FROM sym0 GROUP BY u, v),
+            srcs(origin) AS (VALUES (0), (3), (7)),
+            walk(origin, node, d, hops) AS (
+                SELECT origin, origin, CAST(0 AS BIGINT), 0 FROM srcs
+                UNION
+                SELECT w.origin, s.v, w.d + s.w, w.hops + 1
+                FROM walk w JOIN sym s ON s.u = w.node WHERE w.hops < 12)
+            SELECT CAST(origin AS BIGINT) AS origin, CAST(node AS BIGINT) AS node,
+                   CAST(min(d) AS BIGINT) AS dist
+            FROM walk GROUP BY origin, node
         """,
         "q_bbox_join": """
             WITH boxes AS (

@@ -599,3 +599,77 @@ def clustering_coefficient(
         / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
     ).otherwise(F.lit(0.0))
     return out.select("node", "degree", "n_tri", cc.alias("cc"))
+
+
+def sssp_matrix(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+    max_rounds: int = 24,
+) -> DataFrame:
+    """Origin-destination distance matrix: per-SOURCE shortest
+    distances over the undirected weighted graph — :func:`sssp` keeps
+    the min over the source SET; this keeps every source's own label,
+    i.e. the many-to-many routing primitive behind OD matrices,
+    accessibility scoring and travel-time isochrone batteries.
+
+    Same distributed Bellman-Ford shape with the state keyed by
+    (origin, node): round r joins the improved frontier to the edge
+    list and min-aggregates per (origin, node) — state is
+    |sources| x |reached nodes| rows, the honest cost of a matrix (at
+    10^4+ origins batch the sources). Same exactness contract
+    (integer weights => reproducible sums), same iterative exception
+    (per-round localCheckpoint; the driver sees only loop-control
+    counts), same <=``max_rounds``-hop capped semantics — cap the
+    oracle identically.
+
+    Returns (origin, node, dist) for every (source, node) pair
+    reachable within ``max_rounds`` edges.
+    """
+    if max_rounds < 0:
+        raise ValueError(f"max_rounds must be >= 0, got {max_rounds}")
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    )
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    if sym.where(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("sssp_matrix requires non-negative weights")
+    dist = (
+        sources.select(F.col(node).alias("origin"))
+        .distinct()
+        .select("origin", F.col("origin").alias("node"), F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_rounds):
+        relaxed = frontier.join(sym, frontier["node"] == sym["u"]).select(
+            "origin",
+            F.col("v").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        nxt = (
+            dist.union(relaxed)
+            .groupBy("origin", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        old = dist.select("origin", "node", F.col("dist").alias("_old"))
+        frontier = (
+            nxt.join(old, ["origin", "node"], "left")
+            .where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("origin", "node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        dist = nxt
+        if frontier.isEmpty():
+            break
+    return dist

@@ -678,3 +678,65 @@ def test_erosion_antiextensive_dilation_extensive(spark):
     assert ero <= orig
     with pytest.raises(ValueError):
         grid_dilate(g, -1)
+
+
+# ---------------- OD matrix (labeled sssp) ----------------
+
+
+def test_sssp_matrix_per_origin_vs_scalar_dijkstra(spark):
+    import heapq
+    import random
+
+    from osm_pbf_spark.operators.graph import sssp_matrix
+
+    rng = random.Random(17)
+    edges = [
+        (rng.randint(0, 29), rng.randint(0, 29), rng.randint(1, 9))
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    srcs = spark.createDataFrame([(0,), (5,)], "node long")
+    got = sorted(
+        (r["origin"], r["node"], r["dist"])
+        for r in sssp_matrix(df, srcs, max_rounds=30).collect()
+    )
+
+    adj = {}
+    for a, b, w in edges:
+        if a != b:
+            adj.setdefault(a, {})[b] = min(adj.get(a, {}).get(b, w), w)
+            adj.setdefault(b, {})[a] = min(adj.get(b, {}).get(a, w), w)
+    want = []
+    for origin in (0, 5):
+        dist = {origin: 0}
+        pq = [(0, origin)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, 1 << 60):
+                continue
+            for v, w in adj.get(u, {}).items():
+                if d + w < dist.get(v, 1 << 60):
+                    dist[v] = d + w
+                    heapq.heappush(pq, (d + w, v))
+        want += [(origin, n, d) for n, d in dist.items()]
+    assert got == sorted(want)  # 30 rounds >= diameter here -> exact
+
+
+def test_sssp_matrix_origins_independent(spark):
+    from osm_pbf_spark.operators.graph import sssp, sssp_matrix
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2), (1, 2, 2), (2, 3, 2), (3, 4, 2)], "src long, dst long, w long"
+    )
+    srcs = spark.createDataFrame([(0,), (4,)], "node long")
+    mat = {
+        (r["origin"], r["node"]): r["dist"]
+        for r in sssp_matrix(edges, srcs, max_rounds=8).collect()
+    }
+    # each origin's column equals its own single-source run
+    for origin in (0, 4):
+        one = spark.createDataFrame([(origin,)], "node long")
+        solo = {
+            r["node"]: r["dist"] for r in sssp(edges, one, max_rounds=8).collect()
+        }
+        assert {n: d for (o, n), d in mat.items() if o == origin} == solo
