@@ -68,7 +68,9 @@ def str_partition(
     populations balanced to within one row).
 
     Requires ``id_col`` unique (the deterministic tie-break; duplicate
-    ids would make ranks ambiguous). Returns the input columns plus
+    ids would make ranks ambiguous) and ``x_col``/``y_col`` non-NULL
+    (a NULL coordinate has no rank; such rows would silently fall out
+    of the range-bucket map). Returns the input columns plus
     ``str_slab``, ``str_tile``, ``part_id = str_slab * n_y + str_tile``.
 
     Scale: two key shuffles (the range-partition windows), driver

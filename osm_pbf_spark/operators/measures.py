@@ -128,7 +128,9 @@ def points_along_lines(
     Input is an ordered VERTEX TABLE (line_col, seq_col, lat, lon) —
     deliberately not an array column: windows stream it, nothing ever
     materializes a whole line in one value, so a 10^8-vertex coastline
-    costs the same per-row work as a 10-vertex alley.
+    costs the same per-row work as a 10-vertex alley. ``seq_col`` must
+    be UNIQUE within a line (it is the tie-break that makes the window
+    order, and therefore the chainage, deterministic).
 
     Engine-exactness: coords snap to the micro-degree integer grid
     (floor(x*1e6+0.5) — segjoin's convention); each segment's length is

@@ -523,6 +523,10 @@ def hll_sketch(df: DataFrame, value_col: str, p: int = 8) -> DataFrame:
     if (1 << p) not in _HLL_ALPHA:
         raise ValueError(f"p must be one of 4/8/12 (m in 16/256/4096), got {p}")
     bh = p // 4  # bucket hex chars
+    # NULLs carry no distinct value (standard COUNT DISTINCT semantics);
+    # without the filter they would ride through md5(NULL)=NULL into a
+    # junk NULL-bucket row
+    df = df.where(F.col(value_col).isNotNull())
     h = F.md5(F.concat(F.lit("hll:"), F.col(value_col).cast("string")))
     bucket = F.conv(F.substring(h, 1, bh), 16, 10).cast("int")
     v40 = F.conv(F.substring(h, bh + 1, 10), 16, 10).cast("bigint")

@@ -361,7 +361,10 @@ def contour_segments(
 
     A cell is ABOVE iff ``val_col >= threshold``; absent cells are
     below (callers whose grids omit zero cells get that for free —
-    threshold must be > the implicit absent value). Per 2x2 corner
+    threshold must be > the implicit absent value). Input cells must
+    be DISTINCT (x, y) rows — the case index sums corner bits, so a
+    duplicated cell would double its bit (aggregate grids, the normal
+    producers, satisfy this by construction). Per 2x2 corner
     block the standard midpoint case table emits 0-2 segments whose
     endpoints are edge midpoints, reported in DOUBLED grid coordinates
     (2x + 1 style) so everything stays exact int64 — no halves, no

@@ -740,3 +740,15 @@ def test_sssp_matrix_origins_independent(spark):
             r["node"]: r["dist"] for r in sssp(edges, one, max_rounds=8).collect()
         }
         assert {n: d for (o, n), d in mat.items() if o == origin} == solo
+
+
+def test_hll_ignores_nulls(spark):
+    from osm_pbf_spark.operators.sketch import hll_estimate, hll_sketch
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(100)] + [(None,)] * 50, "v string"
+    )
+    sk = hll_sketch(df, "v", p=8)
+    assert sk.where(F.col("hll_bucket").isNull()).count() == 0
+    est = hll_estimate(sk, p=8).first()
+    assert abs(est.est - 100) < 10  # linear-counting regime, near-exact
