@@ -2904,6 +2904,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_od_matrix"] = q_od_matrix
 
+    def q_validate_spans(spark, sf):  # the per-row span-sequence invariant as DQ
+        from osm_pbf_spark.operators.docrender import render_documents, validate_spans
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("mixed"))
+        return validate_spans(render_documents(entities))
+
+    q["q_validate_spans"] = q_validate_spans
+
     def q_scd2(spark, sf):  # SCD2 dimension build from the event log
         from osm_pbf_spark.operators.temporal import scd2_build
 
@@ -4298,6 +4307,44 @@ def _ora_minhash_pairs() -> str:
                i.inter / (sa.n + sb.n - i.inter) AS jaccard
         FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
         WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+    """
+
+
+def _ora_validate_spans() -> str:
+    """Span VALUES from the pure-Python render replay; DuckDB
+    recomputes the offset invariant with a window (an independent
+    formulation of the engine's array fold)."""
+    from tests import oracle_render
+
+    docs = oracle_render.render_file(_fixture_decoded("mixed"))
+    rows = [
+        (d["doc_id"], pos, s["text"], s["media_ref"], s["offset"])
+        for d in docs
+        for pos, s in enumerate(d["spans"])
+    ]
+    spans_sql = _values_sql(
+        [("doc_id", "VARCHAR"), ("span_pos", "INTEGER"), ("text", "VARCHAR"),
+         ("media_ref", "VARCHAR"), ("offset", "INTEGER")],
+        rows,
+    )
+    return f"""
+        WITH s AS ({spans_sql}),
+        e AS (
+            SELECT doc_id, span_pos, "offset", text, media_ref,
+                   CAST(coalesce(sum(CASE WHEN len(text) > 0
+                                          THEN len(text) + 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY span_pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS INTEGER) AS expected
+            FROM s)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN len(text) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_text,
+               CAST(sum(len(text)) AS BIGINT) AS text_chars,
+               bool_and("offset" = expected) AS offsets_ok,
+               bool_and(len(text) = 0 OR media_ref = '') AS width_ok
+        FROM e GROUP BY doc_id
     """
 
 
@@ -5731,6 +5778,7 @@ def oracle_sql() -> dict[str, str]:
         "q_frame_sample": _ora_frame_sample(),
         "q_minhash_pairs": _ora_minhash_pairs(),
         "q_minhash_join": _ora_minhash_join(),
+        "q_validate_spans": _ora_validate_spans(),
         "q_dedup_groups": _ora_dedup_groups(),
         "q_distance_join": f"""
             {pts}

@@ -324,3 +324,54 @@ def redact_spans(docs: DataFrame, pattern: str, replacement: str) -> DataFrame:
     )
     other = [c for c in docs.columns if c not in ("doc_id", "spans")]
     return docs.select("doc_id", rebuilt.alias("spans"), *other)
+
+
+def validate_spans(docs: DataFrame) -> DataFrame:
+    """Per-document validation of the interleaved-span invariant — the
+    north-star table's per-row contract (span-sequence equality: kind,
+    text, media_ref, order) expressed as a first-class DQ operator,
+    so a 100-TB table can be audited without rendering anything:
+
+    - ``offsets_ok``: every span's ``offset`` equals the running
+      length of the space-joined text stream before it (each
+      text-bearing span contributes len(text)+1; zero-width spans
+      contribute 0) — replayed with ONE native ``aggregate`` fold over
+      the array, no explode, no shuffle;
+    - ``width_ok``: a span carries text OR a media_ref, never both
+      (media/geometry spans are zero-width by construction).
+
+    Returns (doc_id, n_spans, n_text, text_chars, offsets_ok,
+    width_ok); a clean table has bool_and(offsets_ok AND width_ok)
+    TRUE. Pure codegen map stage — at 10^12 docs this is a scan.
+    """
+    spans = F.col("spans")
+    zero = F.struct(
+        F.lit(0).cast("int").alias("pos"), F.lit(True).alias("ok")
+    )
+    step = lambda acc, s: F.struct(  # noqa: E731
+        (
+            acc["pos"]
+            + F.when(F.length(s["text"]) > 0, F.length(s["text"]) + 1).otherwise(
+                F.lit(0)
+            ).cast("int")
+        ).cast("int").alias("pos"),
+        (acc["ok"] & (s["offset"] == acc["pos"])).alias("ok"),
+    )
+    fold = F.aggregate(spans, zero, step)
+    return docs.select(
+        "doc_id",
+        F.size(spans).cast("bigint").alias("n_spans"),
+        F.size(F.filter(spans, lambda s: F.length(s["text"]) > 0))
+        .cast("bigint")
+        .alias("n_text"),
+        F.aggregate(
+            spans,
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc + F.length(s["text"]).cast("bigint"),
+        ).alias("text_chars"),
+        fold["ok"].alias("offsets_ok"),
+        F.forall(
+            spans,
+            lambda s: (F.length(s["text"]) == 0) | (s["media_ref"] == F.lit("")),
+        ).alias("width_ok"),
+    )

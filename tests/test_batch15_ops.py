@@ -752,3 +752,46 @@ def test_hll_ignores_nulls(spark):
     assert sk.where(F.col("hll_bucket").isNull()).count() == 0
     est = hll_estimate(sk, p=8).first()
     assert abs(est.est - 100) < 10  # linear-counting regime, near-exact
+
+
+# ---------------- span validation ----------------
+
+
+def _mk_docs(spark, spans_rows):
+    return spark.createDataFrame(
+        spans_rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+
+
+def test_validate_spans_accepts_valid_and_flags_corrupt(spark):
+    from osm_pbf_spark.operators.docrender import validate_spans
+
+    good = [
+        ("d1", [("text", "node 1", "", 0), ("geom", "", "geom:p", 7)]),
+        ("d2", [("text", "ab", "", 0), ("tag-key", "k", "", 3),
+                ("media", "", "m:1", 5), ("text", "x", "", 5)]),
+    ]
+    bad_offset = [("d3", [("text", "ab", "", 0), ("text", "cd", "", 4)])]  # want 3
+    bad_width = [("d4", [("text", "ab", "m:2", 0)])]  # text AND media_ref
+    out = {
+        r["doc_id"]: (r["offsets_ok"], r["width_ok"], r["n_text"], r["text_chars"])
+        for r in validate_spans(
+            _mk_docs(spark, good + bad_offset + bad_width)
+        ).collect()
+    }
+    assert out["d1"] == (True, True, 1, 6)
+    assert out["d2"] == (True, True, 3, 4)
+    assert out["d3"][0] is False
+    assert out["d4"][1] is True or out["d4"][1] is False  # defined either way
+    assert out["d4"][1] is False
+
+
+def test_validate_spans_is_pure_codegen(spark):
+    from osm_pbf_spark.operators.docrender import validate_spans
+
+    df = _mk_docs(spark, [("d", [("text", "a", "", 0)])])
+    plan = validate_spans(df)._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan  # map-only scan
