@@ -2913,6 +2913,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_validate_spans"] = q_validate_spans
 
+    def q_token_budget(spark, sf):  # fill a token budget in hash order
+        from osm_pbf_spark.operators.packing import token_budget_sample
+
+        d = load(spark, sf, "documents")
+        return token_budget_sample(d, 10_000)
+
+    q["q_token_budget"] = q_token_budget
+
     def q_scd2(spark, sf):  # SCD2 dimension build from the event log
         from osm_pbf_spark.operators.temporal import scd2_build
 
@@ -5655,6 +5663,24 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT doc_id + 1000000, text FROM documents)
             SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
             FROM unioned GROUP BY md5(text)
+        """,
+        # independent formulation: ONE global window over the hash
+        # order vs the engine's two-pass bucketed prefix sum
+        "q_token_budget": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS doc_tokens,
+                       substr(md5(':' || CAST(doc_id AS VARCHAR)), 1, 8) AS k
+                FROM documents),
+            c AS (
+                SELECT doc_id, doc_tokens,
+                       CAST(coalesce(sum(doc_tokens)
+                            OVER (ORDER BY k, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+                FROM t)
+            SELECT doc_id, doc_tokens, cum_before
+            FROM c WHERE cum_before < 10000
         """,
         "q_token_stats": """
             SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

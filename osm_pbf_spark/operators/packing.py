@@ -432,3 +432,98 @@ def mixture_sample(
         .filter(F.col("_mx_rank") <= F.col("_k"))
         .drop("_mx_key", "_mx_rank", "_k")
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    n_ranges: int = 256,
+) -> DataFrame:
+    """Token-budget corpus construction: take documents in the
+    deterministic md5 order until the budget fills — the "build me a
+    1B-token corpus" primitive (mixture_sample fixes COMPOSITION by
+    doc counts; this fixes SIZE by tokens). A document is kept iff the
+    tokens of the docs BEFORE it (in hash order) are < budget, so the
+    boundary-crossing document is included and the sample is the
+    unique hash-order prefix holding >= budget tokens (or everything,
+    if the corpus is smaller). Adding new docs to the corpus only
+    perturbs the sample where their hashes land — the selection is
+    stable under appends, like every md5-ranked sampler here.
+
+    With ``group_col``, each group fills its own budget (window per
+    group — scalable when groups are many). Without it the prefix sum
+    is the DISTRIBUTED two-pass (hash-prefix range buckets -> tiny
+    per-bucket totals -> driver exclusive prefix -> within-bucket
+    window), never a single-partition global window — the
+    concat_chunk_pack discipline with md5 order instead of id order
+    (the hash is uniform, so the 2-hex-char bucket ranges are balanced
+    by construction).
+
+    Returns the kept docs: (id_col[, group_col], doc_tokens:bigint,
+    cum_before:bigint).
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    from .text import token_count
+
+    if tokens_col is None:
+        docs = docs.withColumn("_tb_toks", token_count(F.col(text_col)).cast("long"))
+        tokens_col = "_tb_toks"
+    key = md5_uniform_hex(
+        F.concat(
+            (F.col(group_col).cast("string") if group_col else F.lit("")),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    t = docs.withColumn("_tb_key", key)
+    if group_col is not None:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy("_tb_key", id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        t = t.withColumn(
+            "cum_before", F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+        )
+        out_cols = [id_col, group_col]
+    else:
+        rid_width = max(1, min(4, (n_ranges.bit_length() + 3) // 4))
+        n_rid = 16 ** rid_width
+        t = t.withColumn(
+            "_tb_rid", F.conv(F.substring("_tb_key", 1, rid_width), 16, 10).cast("int")
+        )
+        sums = {
+            int(r): int(s or 0)
+            for r, s in t.groupBy("_tb_rid").agg(F.sum(tokens_col)).collect()
+        }
+        base, acc = {}, 0
+        for rid in range(n_rid):
+            if rid in sums:
+                base[rid] = acc
+                acc += sums[rid]
+        if not base:
+            base = {0: 0}
+        base_expr = F.element_at(
+            F.create_map(*[F.lit(v) for kv in base.items() for v in kv]),
+            F.col("_tb_rid"),
+        )
+        w = (
+            Window.partitionBy("_tb_rid")
+            .orderBy("_tb_key", id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        t = t.withColumn(
+            "cum_before",
+            (base_expr + F.coalesce(F.sum(tokens_col).over(w), F.lit(0))).cast("long"),
+        )
+        out_cols = [id_col]
+    return t.where(F.col("cum_before") < F.lit(int(budget_tokens))).select(
+        *out_cols,
+        F.col(tokens_col).cast("long").alias("doc_tokens"),
+        "cum_before",
+    )

@@ -795,3 +795,50 @@ def test_validate_spans_is_pure_codegen(spark):
     plan = validate_spans(df)._jdf.queryExecution().executedPlan().toString()
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
     assert "Exchange" not in plan, plan  # map-only scan
+
+
+# ---------------- token-budget sampling ----------------
+
+
+def test_token_budget_prefix_property(spark, sf_dir):
+    from osm_pbf_spark.operators.packing import token_budget_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = token_budget_sample(docs, 3000).collect()
+    total = sum(r["doc_tokens"] for r in out)
+    assert total >= 3000  # boundary doc included
+    assert max(r["cum_before"] for r in out) < 3000
+    # exactly the hash-order prefix: kept cum_before values tile
+    # [0, total) with no gaps
+    ordered = sorted(out, key=lambda r: r["cum_before"])
+    acc = 0
+    for r in ordered:
+        assert r["cum_before"] == acc
+        acc += r["doc_tokens"]
+    # stable under appends: adding docs only perturbs at their hash
+    # positions -> old members with cum_before below every new hash
+    # stay members (weak but cheap invariant: determinism + budget 0)
+    assert token_budget_sample(docs, 0).count() == 0
+
+
+def test_token_budget_grouped_fills_each_group(spark, sf_dir):
+    from pyspark.sql import functions as _F
+
+    from osm_pbf_spark.operators.packing import token_budget_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = token_budget_sample(docs, 800, group_col="lang")
+    agg = {
+        r["lang"]: (r["tot"], r["mx"])
+        for r in out.groupBy("lang")
+        .agg(
+            _F.sum("doc_tokens").alias("tot"), _F.max("cum_before").alias("mx")
+        )
+        .collect()
+    }
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert set(agg) == langs
+    for tot, mx in agg.values():
+        assert mx < 800
+    with pytest.raises(ValueError):
+        token_budget_sample(docs, -1)
