@@ -2921,6 +2921,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_token_budget"] = q_token_budget
 
+    def q_hll_grouped(spark, sf):  # per-group HLL distinct estimates
+        from osm_pbf_spark.operators.sketch import hll_estimate, hll_sketch
+
+        li = load(spark, sf, "lineitem")
+        sk = hll_sketch(li, "l_partkey", p=8, group_cols=["l_returnflag"])
+        est = hll_estimate(sk, p=8, group_cols=["l_returnflag"])
+        return est.select(
+            "l_returnflag", "hll_m", "hll_observed", "s_scaled", "est_floor"
+        )
+
+    q["q_hll_grouped"] = q_hll_grouped
+
     def q_scd2(spark, sf):  # SCD2 dimension build from the event log
         from osm_pbf_spark.operators.temporal import scd2_build
 
@@ -7404,6 +7416,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ax AS DOUBLE) + tt * CAST(bx - ax AS DOUBLE) AS px,
                    CAST(ay AS DOUBLE) + tt * CAST(by - ay AS DOUBLE) AS py
             FROM t
+        """,
+        "q_hll_grouped": f"""
+            WITH h AS (SELECT l_returnflag,
+                              md5('hll:' || CAST(l_partkey AS VARCHAR)) AS hx
+                       FROM lineitem),
+            r AS (SELECT l_returnflag,
+                         {_hexn_bigint_sql("hx", 1, 2)} AS b,
+                         {_hexn_bigint_sql("hx", 3, 10)} AS v40
+                  FROM h),
+            sk AS (SELECT l_returnflag, b,
+                          max(CASE WHEN v40 = 0 THEN 41
+                                   ELSE 41 - length(bin(v40)) END) AS reg
+                   FROM r GROUP BY l_returnflag, b),
+            f AS (SELECT l_returnflag, count(*) AS obs,
+                         CAST((256 - count(*)) * (CAST(1 AS BIGINT) << 41)
+                              + sum(CAST(1 AS BIGINT) << CAST(41 - reg AS INTEGER))
+                              AS BIGINT) AS s
+                  FROM sk GROUP BY l_returnflag)
+            SELECT l_returnflag,
+                   CAST(256 AS INTEGER) AS hll_m,
+                   CAST(obs AS BIGINT) AS hll_observed,
+                   s AS s_scaled,
+                   CAST(floor(CAST({_HLL_EST_NUM!r} AS DOUBLE)
+                              / CAST(s AS DOUBLE)) AS BIGINT) AS est_floor
+            FROM f
         """,
         "q_orc_source": """
             SELECT l_returnflag, count(*) AS n_rows,

@@ -497,7 +497,12 @@ _HLL_ALPHA = {16: 0.673, 256: 0.7213 / (1 + 1.079 / 256.0), 4096: 0.7213 / (1 + 
 _HLL_RHO_BITS = 40  # rho read from a 40-bit md5 suffix -> register <= 41
 
 
-def hll_sketch(df: DataFrame, value_col: str, p: int = 8) -> DataFrame:
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    p: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """HyperLogLog register table (Flajolet et al. 2007) — the
     canonical mergeable distinct-count sketch beside KMV (set algebra)
     and CMS/Bloom (frequency/membership).
@@ -518,7 +523,10 @@ def hll_sketch(df: DataFrame, value_col: str, p: int = 8) -> DataFrame:
     test): compute once per shard, max forever, never re-scan.
 
     Returns <= m rows (hll_bucket:int, hll_register:int); buckets no
-    value hashed into are absent (register 0).
+    value hashed into are absent (register 0). With ``group_cols`` the
+    sketch is per group (group..., hll_bucket, hll_register) — the
+    shuffle keyspace is then |groups| * m, still map-side combined
+    (the per-group twin of kmv_distinct's surface).
     """
     if (1 << p) not in _HLL_ALPHA:
         raise ValueError(f"p must be one of 4/8/12 (m in 16/256/4096), got {p}")
@@ -533,14 +541,19 @@ def hll_sketch(df: DataFrame, value_col: str, p: int = 8) -> DataFrame:
     rho = F.when(v40 == 0, F.lit(_HLL_RHO_BITS + 1)).otherwise(
         F.lit(_HLL_RHO_BITS + 1) - F.length(F.bin(v40))
     )
+    g = list(group_cols or [])
     return (
-        df.select(bucket.alias("hll_bucket"), rho.alias("_rho"))
-        .groupBy("hll_bucket")
+        df.select(*g, bucket.alias("hll_bucket"), rho.alias("_rho"))
+        .groupBy(*g, "hll_bucket")
         .agg(F.max("_rho").cast("int").alias("hll_register"))
     )
 
 
-def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
+def hll_estimate(
+    sketch: DataFrame,
+    p: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Fold a :func:`hll_sketch` register table into one estimate row.
 
     The harmonic sum is EXACT integer arithmetic: with registers
@@ -557,13 +570,15 @@ def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
     1 ulp across engines, so ``est`` is NOT hash-gated; the exact
     columns are.
 
-    Returns (hll_m, hll_observed, s_scaled, est_floor, est).
+    Returns (hll_m, hll_observed, s_scaled, est_floor, est) — one row
+    per group when ``group_cols`` is given, one row total otherwise.
     """
     m = 1 << p
     if m not in _HLL_ALPHA:
         raise ValueError(f"p must be one of 4/8/12, got {p}")
     top = _HLL_RHO_BITS + 1
-    agg = sketch.agg(
+    g = list(group_cols or [])
+    agg = sketch.groupBy(*g).agg(
         F.count("*").cast("bigint").alias("hll_observed"),
         F.coalesce(
             F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {top} - hll_register)")),
@@ -583,6 +598,7 @@ def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(est_raw)
     return agg.select(
+        *g,
         F.lit(m).cast("int").alias("hll_m"),
         "hll_observed",
         s.alias("s_scaled"),

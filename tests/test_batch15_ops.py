@@ -842,3 +842,20 @@ def test_token_budget_grouped_fills_each_group(spark, sf_dir):
         assert mx < 800
     with pytest.raises(ValueError):
         token_budget_sample(docs, -1)
+
+
+def test_hll_grouped_matches_per_group_global(spark):
+    from osm_pbf_spark.operators.sketch import hll_estimate, hll_sketch
+
+    df = spark.createDataFrame(
+        [(i % 3, str(i % 500)) for i in range(3000)], "g int, v string"
+    )
+    grouped = hll_estimate(
+        hll_sketch(df, "v", p=8, group_cols=["g"]), p=8, group_cols=["g"]
+    )
+    got = {r["g"]: (r["hll_observed"], r["s_scaled"]) for r in grouped.collect()}
+    for g in (0, 1, 2):
+        solo = hll_estimate(
+            hll_sketch(df.where(F.col("g") == g), "v", p=8), p=8
+        ).first()
+        assert got[g] == (solo["hll_observed"], solo["s_scaled"])
