@@ -286,6 +286,37 @@ def leg_points_along(spark, n: int) -> int:
     return out.count()
 
 
+def leg_map_match(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.matching import map_match
+
+    # street grid: 200 rows x 50 columns of horizontal edges over a
+    # 2 x 0.5 degree city; tracks of 50 points walk their home street
+    # with jitter straying toward neighbors (real HMM work per step)
+    cols_n = 50
+    segs = spark.range(200 * cols_n).select(
+        F.col("id").alias("seg_id"),
+        (F.lit(40.0) + F.expr(f"id DIV {cols_n}").cast("double") * F.lit(0.002)).alias("alat"),
+        (F.lit(-74.0) + (F.col("id") % cols_n).cast("double") * F.lit(0.01)).alias("alon"),
+        (F.lit(40.0) + F.expr(f"id DIV {cols_n}").cast("double") * F.lit(0.002)).alias("blat"),
+        (F.lit(-74.0) + (F.col("id") % cols_n + 1).cast("double") * F.lit(0.01)).alias("blon"),
+    )
+    k = F.col("id")
+    pts = spark.range(n).select(
+        F.expr("id DIV 50").alias("track_id"),
+        (k % 50).alias("seq"),
+        (
+            F.lit(40.0)
+            + (F.expr("id DIV 50") % 200).cast("double") * F.lit(0.002)
+            + ((k * 13) % 25 - 12).cast("double") / F.lit(10000.0)
+        ).alias("lat"),
+        (F.lit(-74.0) + ((k * 37) % (cols_n * 100)).cast("double") / F.lit(10000.0)).alias("lon"),
+    )
+    out = map_match(pts, segs, radius=0.004, switch_penalty=3000)
+    return out.count()
+
+
 LEGS = {
     "distance_join": leg_distance_join,
     "bbox_join": leg_bbox_join,
@@ -296,6 +327,7 @@ LEGS = {
     "debounce": leg_debounce,
     "kcore": leg_kcore,
     "getis_ord": leg_getis_ord,
+    "map_match": leg_map_match,
     "str_partition": leg_str_partition,
     "points_along": leg_points_along,
     "bloom_reduce": leg_bloom_reduce,
@@ -329,6 +361,9 @@ LEG_SCALE = {
     # 12M verts finished in ~1.5 s (overhead-dominated); the window +
     # Generate need ~120M before the operator dwarfs fixed costs
     "points_along": 40.0,
+    # ~50 candidate segs x 50-point Viterbi per track: heavy per-row
+    # work, 900k points is already ~1 min at 8 cores
+    "map_match": 0.3,
 }
 
 
