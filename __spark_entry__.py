@@ -2933,6 +2933,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_hll_grouped"] = q_hll_grouped
 
+    def q_fill_interp(spark, sf):  # linear-interpolation gap fill (vs step)
+        from osm_pbf_spark.operators.temporal import fill_interpolate, resample
+
+        e = load(spark, sf, "events")
+        return fill_interpolate(
+            resample(e, bucket_s=6 * 3600),
+            "user_id",
+            "bucket",
+            "value_sum_q",
+            out_col="v_interp",
+        ).select("user_id", "bucket", "n_events", "v_interp")
+
+    q["q_fill_interp"] = q_fill_interp
+
     def q_scd2(spark, sf):  # SCD2 dimension build from the event log
         from osm_pbf_spark.operators.temporal import scd2_build
 
@@ -6544,6 +6558,51 @@ def oracle_sql() -> dict[str, str]:
                        OVER (PARTITION BY user_id ORDER BY bucket)
                        AS value_sum_q
             FROM j
+        """,
+        # two-sided carries + one fixed IEEE chain on exact ints —
+        # the doubles hash identically
+        "q_fill_interp": """
+            WITH a AS (
+              SELECT user_id,
+                     CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bucket,
+                     count(*) AS n_events,
+                     CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                         AS value_sum_q
+              FROM events GROUP BY user_id, bucket),
+            spans AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+                      FROM a GROUP BY user_id),
+            grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
+                     FROM spans),
+            j AS (SELECT g.user_id, g.bucket,
+                         COALESCE(a.n_events, 0) AS n_events, a.value_sum_q
+                  FROM grid g LEFT JOIN a ON a.user_id = g.user_id
+                                         AND a.bucket = g.bucket),
+            c AS (SELECT user_id, bucket, n_events, value_sum_q,
+                         last_value(CASE WHEN value_sum_q IS NOT NULL
+                                         THEN bucket END IGNORE NULLS)
+                             OVER wb AS pt,
+                         last_value(value_sum_q IGNORE NULLS) OVER wb AS pv,
+                         first_value(CASE WHEN value_sum_q IS NOT NULL
+                                          THEN bucket END IGNORE NULLS)
+                             OVER wf AS nt,
+                         first_value(value_sum_q IGNORE NULLS) OVER wf AS nv
+                  FROM j
+                  WINDOW wb AS (PARTITION BY user_id ORDER BY bucket
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW),
+                         wf AS (PARTITION BY user_id ORDER BY bucket
+                                ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING))
+            SELECT user_id, bucket, n_events,
+                   CASE WHEN value_sum_q IS NOT NULL
+                        THEN CAST(value_sum_q AS DOUBLE)
+                        WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        THEN CAST(pv AS DOUBLE)
+                             + CAST(nv - pv AS DOUBLE)
+                               * (CAST(bucket - pt AS DOUBLE)
+                                  / CAST(nt - pt AS DOUBLE))
+                        ELSE NULL END AS v_interp
+            FROM c
         """,
         # RANGE frame by ship-date epoch days — frames are value-based,
         # so tie order cannot perturb the sums

@@ -491,3 +491,56 @@ def fill_forward(
     return grid.withColumns(
         {c: F.last(c, ignorenulls=True).over(w) for c in value_cols}
     )
+
+
+def fill_interpolate(
+    grid: DataFrame,
+    key_col: str,
+    order_col: str,
+    val_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear-interpolation imputation — the two-sided companion to
+    :func:`fill_forward`'s step function: a NULL observation takes the
+    straight line between its nearest non-NULL neighbors,
+
+        v = prev + (next - prev) * (t - t_prev) / (t_next - t_prev)
+
+    with ``order_col`` numeric (exact ints — the resample grid's epoch
+    keys). Rows before the first or after the last observation stay
+    NULL (compose with fill_forward for the edges). The interpolation
+    is ONE fixed chain of IEEE ops on exact integers — bit-identical
+    across engines, gate-hashable.
+
+    ONE key shuffle: the backward- and forward-looking windows share
+    the same partitioning, so both carries ride a single Exchange.
+    """
+    out_col = out_col or val_col
+    cand = F.when(
+        F.col(val_col).isNotNull(),
+        F.struct(F.col(order_col).alias("t"), F.col(val_col).alias("v")),
+    )
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev = F.last(cand, ignorenulls=True).over(wb)
+    nxt = F.first(cand, ignorenulls=True).over(wf)
+    interp = prev["v"].cast("double") + (
+        nxt["v"] - prev["v"]
+    ).cast("double") * (
+        (F.col(order_col) - prev["t"]).cast("double")
+        / (nxt["t"] - prev["t"]).cast("double")
+    )
+    filled = (
+        F.when(F.col(val_col).isNotNull(), F.col(val_col).cast("double"))
+        .when(prev.isNotNull() & nxt.isNotNull(), interp)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return grid.withColumn(out_col, filled)

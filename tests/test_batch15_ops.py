@@ -859,3 +859,28 @@ def test_hll_grouped_matches_per_group_global(spark):
             hll_sketch(df.where(F.col("g") == g), "v", p=8), p=8
         ).first()
         assert got[g] == (solo["hll_observed"], solo["s_scaled"])
+
+
+# ---------------- linear interpolation gap fill ----------------
+
+
+def test_fill_interpolate_values_and_edges(spark):
+    from osm_pbf_spark.operators.temporal import fill_interpolate
+
+    rows = [
+        (1, 0, None), (1, 1, 10), (1, 2, None), (1, 3, None), (1, 4, 40),
+        (1, 5, None),
+        (2, 0, 7),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, v long")
+    out = {
+        (r["k"], r["t"]): r["vi"]
+        for r in fill_interpolate(df, "k", "t", "v", out_col="vi").collect()
+    }
+    assert out[(1, 0)] is None          # before first obs
+    assert out[(1, 1)] == 10.0
+    assert out[(1, 2)] == 20.0          # 10 + 30 * 1/3
+    assert out[(1, 3)] == 30.0
+    assert out[(1, 4)] == 40.0
+    assert out[(1, 5)] is None          # after last obs
+    assert out[(2, 0)] == 7.0
