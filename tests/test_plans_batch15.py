@@ -107,3 +107,23 @@ def test_minhash_join_band_join_is_shuffle_hash(spark):
     # the band join must stay a shuffle join (broadcast would re-run
     # the corpus signature pass per side)
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_fill_interpolate_shares_one_window_exchange(spark):
+    from osm_pbf_spark.operators.temporal import fill_interpolate
+
+    df = spark.createDataFrame([(1, 0, 10)], "k int, t int, v long")
+    plan = _plan(fill_interpolate(df, "k", "t", "v"))
+    assert _no_python(plan), plan
+    # the backward and forward carries merge into ONE Window over ONE
+    # key Exchange
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_token_budget_global_is_one_exchange_no_python(spark):
+    from osm_pbf_spark.operators.packing import token_budget_sample
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = _plan(token_budget_sample(docs, 10))
+    assert _no_python(plan), plan
+    assert _n_exchanges(plan) == 1, plan  # the bucketed window
