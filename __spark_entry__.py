@@ -2947,6 +2947,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_fill_interp"] = q_fill_interp
 
+    def q_pbf_multi(spark, sf):  # multi-file PBF scan: union manifest, one stage
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, hdr = src.read_pbf(
+            spark, [_fixture_pbf("mixed"), _fixture_pbf("granularity")]
+        )
+        return entities.groupBy("kind").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("id_sum"),
+            F.sum(
+                F.coalesce(
+                    F.floor(F.col("lat") * F.lit(1e7) + F.lit(0.5)).cast("bigint"),
+                    F.lit(0).cast("bigint"),
+                )
+            ).alias("lat_e7_sum"),
+        )
+
+    q["q_pbf_multi"] = q_pbf_multi
+
     def q_scd2(spark, sf):  # SCD2 dimension build from the event log
         from osm_pbf_spark.operators.temporal import scd2_build
 
@@ -4342,6 +4361,31 @@ def _ora_minhash_pairs() -> str:
         FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
         WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
     """
+
+
+def _ora_pbf_multi() -> str:
+    """Pure-Python spec-oracle decode of BOTH files, summed — the
+    multi-file manifest union must be exactly the union of the
+    single-file decodes."""
+    import math
+
+    agg: dict[str, list] = {}
+    for kind_fixture in ("mixed", "granularity"):
+        d = _fixture_decoded(kind_fixture)
+        for kind, ents in (("node", d["nodes"]), ("way", d["ways"]),
+                           ("relation", d["relations"])):
+            a = agg.setdefault(kind, [0, 0, 0])
+            for ent in ents:
+                a[0] += 1
+                a[1] += int(ent["id"])
+                if kind == "node":
+                    a[2] += math.floor(float(ent["lat"]) * 1e7 + 0.5)
+    rows = [(k, n, s, l) for k, (n, s, l) in sorted(agg.items())]
+    return _values_sql(
+        [("kind", "VARCHAR"), ("n", "BIGINT"), ("id_sum", "BIGINT"),
+         ("lat_e7_sum", "BIGINT")],
+        rows,
+    )
 
 
 def _ora_validate_spans() -> str:
@@ -5831,6 +5875,7 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_pairs": _ora_minhash_pairs(),
         "q_minhash_join": _ora_minhash_join(),
         "q_validate_spans": _ora_validate_spans(),
+        "q_pbf_multi": _ora_pbf_multi(),
         "q_dedup_groups": _ora_dedup_groups(),
         "q_distance_join": f"""
             {pts}

@@ -480,12 +480,72 @@ def _decode_render_write_partition_factory(
     return _fused_write
 
 
+def _scan_one(p: str) -> tuple[dict, list[tuple]]:
+    """Header-only scan of one file -> (header dict, manifest rows)."""
+    header = None
+    rows = []
+    for r in scan_blobs(p):
+        if r.blob_type == "OSMHeader":
+            header = decode_header_block(read_blob_payload(p, r.offset, r.size))
+        elif r.blob_type == "OSMData":
+            rows.append((p, r.seq, r.offset, r.size))
+    if header is None:
+        header = {"required_features": [], "optional_features": [], "bbox": None}
+    return header, rows
+
+
 def read_pbf(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     parallelism: int | None = None,
 ) -> tuple[DataFrame, dict]:
-    """Distributed decode -> (unified entity DataFrame, header dict)."""
+    """Distributed decode -> (unified entity DataFrame, header dict).
+
+    ``path`` may be a LIST of .pbf files (a planet split into regional
+    extracts): each file gets its own driver-light header scan, the
+    blob manifests union, and ONE decode stage reads every file's byte
+    ranges in parallel (the manifest already carries a per-row path).
+    The returned header is then the MERGE: feature lists unioned
+    (first-seen order), bbox the envelope union. Entities appearing in
+    several extracts (overlapping clips) are NOT deduplicated — ids
+    are global, so a plain dropDuplicates('kind','id') downstream is
+    exact. Single-path calls are byte-for-byte the old behavior.
+    """
+    if not isinstance(path, str):
+        paths = list(path)
+        if not paths:
+            raise ValueError("read_pbf: empty path list")
+        merged: dict = {"required_features": [], "optional_features": [], "bbox": None}
+        all_rows = []
+        for p in paths:
+            ents_header = _scan_one(p)
+            h, rows = ents_header
+            for key in ("required_features", "optional_features"):
+                for feat in h.get(key, []):
+                    if feat not in merged[key]:
+                        merged[key].append(feat)
+            bb = h.get("bbox")
+            if bb is not None:
+                mb = merged["bbox"]
+                merged["bbox"] = (
+                    dict(bb)
+                    if mb is None
+                    else {
+                        "left": min(mb["left"], bb["left"]),
+                        "right": max(mb["right"], bb["right"]),
+                        "bottom": min(mb["bottom"], bb["bottom"]),
+                        "top": max(mb["top"], bb["top"]),
+                    }
+                )
+            all_rows.extend(rows)
+        manifest = spark.createDataFrame(
+            all_rows, schema="path string, seq long, offset long, size long"
+        )
+        n = parallelism or min(len(all_rows), spark.sparkContext.defaultParallelism) or 1
+        entities = manifest.repartition(n).mapInArrow(
+            _decode_partition, ENTITY_SPARK_SCHEMA
+        )
+        return entities, merged
     refs = scan_blobs(path)
     header = None
     data_refs = []

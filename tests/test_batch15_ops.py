@@ -884,3 +884,37 @@ def test_fill_interpolate_values_and_edges(spark):
     assert out[(1, 4)] == 40.0
     assert out[(1, 5)] is None          # after last obs
     assert out[(2, 0)] == 7.0
+
+
+# ---------------- multi-file PBF scan ----------------
+
+
+def test_read_pbf_multi_equals_union(spark, fixtures_dir):
+    import os
+
+    from pyspark.sql import functions as _F
+
+    from osm_pbf_spark.sources import pbf_source as src
+
+    p1 = os.path.join(fixtures_dir, "mixed.osm.pbf")
+    p2 = os.path.join(fixtures_dir, "granularity.osm.pbf")
+
+    def sig(df):
+        return sorted(
+            tuple(r)
+            for r in df.groupBy("kind")
+            .agg(_F.count("*").alias("n"), _F.sum("id").alias("s"))
+            .collect()
+        )
+
+    both, hdr = src.read_pbf(spark, [p1, p2])
+    a, h1 = src.read_pbf(spark, p1)
+    b, h2 = src.read_pbf(spark, p2)
+    assert sig(both) == sig(a.unionByName(b))
+    # merged header: feature union, first-seen order
+    for feat in h1["required_features"] + h2["required_features"]:
+        assert feat in hdr["required_features"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        src.read_pbf(spark, [])
