@@ -3253,6 +3253,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_cusum"] = q_cusum
 
+    def q_hilbert(spark, sf):  # Hilbert-curve layout keys (Z-order's
+        # better-locality sibling); unrolled xy2d walk, one chained
+        # projection per level, pure codegen — oracle replays the
+        # identical integer chain
+        from osm_pbf_spark.functions.hilbert import hilbert_key_col
+
+        pts = customer_points(spark, sf)
+        return hilbert_key_col(
+            pts, F.col("lon"), F.col("lat"), (-180.0, -90.0), (180.0, 90.0), bits=8
+        ).select("doc_id", "hkey")
+
+    q["q_hilbert"] = q_hilbert
+
+    def q_setsim(spark, sf):  # EXACT set-similarity self-join via prefix
+        # filtering (rarity-ordered prefixes; integer Jaccard test) —
+        # oracle is a brute all-pairs SQL join, fully independent
+        from osm_pbf_spark.operators.dedup import set_similarity_join
+
+        d = load(spark, sf, "documents").filter(F.col("doc_id") < 1500)
+        return set_similarity_join(d, threshold=(9, 10))
+
+    q["q_setsim"] = q_setsim
+
+    def q_frechet(spark, sf):  # order-aware trajectory-similarity join:
+        # discrete Frechet <= radius over the q_hausdorff track corpus
+        # (same candidate stage; anti-diagonal-vectorized DP refine)
+        from osm_pbf_spark.operators.distance import frechet_join
+
+        e = load(spark, sf, "events").filter(F.col("event_id") < 240)
+        base = F.col("event_id") - (F.col("event_id") % 4)
+        j = (F.col("event_id") % 4).cast("double")
+        npts = (F.lit(6) + F.col("event_id") % 3).cast("int")
+        lat0 = (base % 80) - 40 + F.lit(0.25) + j * F.lit(0.0625)
+        lon0 = ((base * 7) % 340) - 170 + F.lit(0.5) + j * F.lit(0.0625)
+        tracks = e.select(
+            F.col("event_id").alias("track_id"),
+            F.transform(
+                F.sequence(F.lit(0), npts - 1),
+                lambda i: F.struct(
+                    (lat0 + i.cast("double") * F.lit(0.125)).alias("lat"),
+                    (lon0 + (i % 3).cast("double") * F.lit(0.25)).alias("lon"),
+                ),
+            ).alias("pts"),
+        )
+        out = frechet_join(tracks, tracks, radius=0.5, level=8)
+        return out.where(F.col("id_a") < F.col("id_b"))
+
+    q["q_frechet"] = q_frechet
+
+    def q_bm25(spark, sf):  # Okapi BM25 retrieval scores (the ranking
+        # step over the inverted-index surface); ln drifts ~1 ulp ->
+        # round(score, 6), the tfidf/pmi gate posture
+        from osm_pbf_spark.operators.text import bm25
+
+        d = load(spark, sf, "documents").filter(F.col("doc_id") < 1200)
+        out = bm25(d, ["the", "spark", "data", "quick"])
+        return out.select(
+            "doc_id", "n_hits", F.round(F.col("score"), 6).alias("score")
+        )
+
+    q["q_bm25"] = q_bm25
+
+    def q_labelprop(spark, sf):  # deterministic synchronous label
+        # propagation (community detection) — unrolled-CTE oracle like
+        # pagerank/kcore
+        from osm_pbf_spark.operators.graph import label_propagation
+
+        return label_propagation(_md5_graph(spark, sf), rounds=3)
+
+    q["q_labelprop"] = q_labelprop
+
     return q
 
 
@@ -5323,6 +5394,108 @@ def _ora_cdc_chunks() -> str:
                md5(substr(d.text, v.c_start + 1, v.c_len)) AS chunk_md5
         FROM v JOIN documents d ON d.doc_id = v.doc_id
     """
+
+
+def _ora_hilbert(bits: int = 8) -> str:
+    """Unrolled replay of functions/hilbert.py's xy2d walk: one CTE per
+    level running the identical integer shift/mask/xor/add chain
+    (distinct column names per level — no lateral-alias ambiguity)."""
+    mask = (1 << bits) - 1
+    parts = [
+        f"WITH pts AS ({SQL_POINTS}), h{bits} AS (SELECT doc_id, "
+        f"{_zq_sql('lon', -180.0, 180.0, bits)} AS x{bits}, "
+        f"{_zq_sql('lat', -90.0, 90.0, bits)} AS y{bits}, "
+        f"CAST(0 AS BIGINT) AS d{bits} FROM pts)"
+    ]
+    for k in range(bits - 1, -1, -1):
+        p = k + 1
+        rx = f"((x{p} >> {k}) & 1)"
+        ry = f"((y{p} >> {k}) & 1)"
+        parts.append(
+            f", h{k} AS (SELECT doc_id, "
+            f"d{p} + {1 << (2 * k)} * CAST(xor(3 * {rx}, {ry}) AS BIGINT) AS d{k}, "
+            f"CASE WHEN {ry} = 1 THEN x{p} WHEN {rx} = 1 "
+            f"THEN xor(y{p}, {mask}) ELSE y{p} END AS x{k}, "
+            f"CASE WHEN {ry} = 1 THEN y{p} WHEN {rx} = 1 "
+            f"THEN xor(x{p}, {mask}) ELSE x{p} END AS y{k} "
+            f"FROM h{p})"
+        )
+    parts.append(f" SELECT doc_id, d0 AS hkey FROM h0")
+    return "".join(parts)
+
+
+def _ora_frechet() -> str:
+    """Pure-Python replay of q_frechet: brute-force ALL track pairs +
+    the SCALAR Frechet DP (distance.frechet_py) — independent of the
+    engine's cell-cover candidate stage and anti-diagonal numpy kernel.
+    Track generation mirrors the query's dyadic-literal arithmetic
+    (every value is exactly representable, so replay is bit-trivial);
+    snapping replays _snap_arr's floor(v * 1e6 + 0.5)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.distance import frechet_py
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"), columns=["event_id"]
+    )
+    tracks = {}
+    for eid in t.column("event_id").to_pylist():
+        k = int(eid)
+        if k >= 240:
+            continue
+        base = k - (k % 4)
+        j = float(k % 4)
+        npts = 6 + k % 3
+        lat0 = (base % 80) - 40 + 0.25 + j * 0.0625
+        lon0 = ((base * 7) % 340) - 170 + 0.5 + j * 0.0625
+        pts = []
+        for i in range(npts):
+            lat = lat0 + float(i) * 0.125
+            lon = lon0 + float(i % 3) * 0.25
+            pts.append(
+                (math.floor(lon * 1_000_000.0 + 0.5),
+                 math.floor(lat * 1_000_000.0 + 0.5))
+            )
+        tracks[k] = pts
+    r2 = 500_000 ** 2
+    ids = sorted(tracks)
+    rows = []
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            f2 = frechet_py(tracks[a], tracks[b])
+            if f2 <= r2:
+                rows.append((a, b, f2))
+    return _values_sql(
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("f2", "BIGINT")], rows
+    )
+
+
+def _ora_labelprop(rounds: int = 3) -> str:
+    """Unrolled synchronous-LPA replay (the pagerank/kcore CTE-chain
+    convention): per round a neighbor-label count + a window-rank
+    argmax — an independent formulation of the engine's
+    max(struct(cnt, -label)) pick."""
+    parts = [
+        f"WITH {_MD5_GRAPH_SQL}, "
+        "eu AS (SELECT src AS a, dst AS b FROM ed WHERE src <> dst "
+        "UNION SELECT dst, src FROM ed WHERE src <> dst), "
+        "nd AS (SELECT DISTINCT a AS node FROM eu), "
+        "l0 AS (SELECT node, node AS label FROM nd)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", c{r} AS (SELECT e.a AS node, l.label, count(*) AS c "
+            f"FROM eu e JOIN l{r - 1} l ON l.node = e.b GROUP BY 1, 2), "
+            f"p{r} AS (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, label ASC) AS rn FROM c{r}) WHERE rn = 1), "
+            f"l{r} AS (SELECT n.node, coalesce(p.label, n.node) AS label "
+            f"FROM nd n LEFT JOIN p{r} p ON p.node = n.node)"
+        )
+    parts.append(f" SELECT node, label FROM l{rounds}")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7887,4 +8060,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(l_tax) AS DOUBLE)
             FROM lineitem
         """,
+        "q_hilbert": _ora_hilbert(),
+        # brute all-pairs token join — completely independent of the
+        # engine's prefix filtering; exact integer Jaccard test
+        "q_setsim": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1500),
+            tokr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d),
+            tok AS (SELECT DISTINCT doc_id, t FROM tokr WHERE t <> ''),
+            sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                   FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+            SELECT pr.id_a, pr.id_b, CAST(pr.inter AS BIGINT) AS n_inter,
+                   CAST(sa.n + sb.n - pr.inter AS BIGINT) AS n_union
+            FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
+                    JOIN sz sb ON sb.doc_id = pr.id_b
+            WHERE 10 * pr.inter >= 9 * (sa.n + sb.n - pr.inter)
+        """,
+        "q_frechet": _ora_frechet(),
+        # verbatim BM25: same fixed-order float chain (left-assoc, one
+        # avgdl division); non-dyadic constants via exact VARCHAR casts
+        "q_bm25": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1200),
+            tokr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d),
+            tok AS (SELECT * FROM tokr WHERE term <> ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM d) AS n_docs,
+                          (SELECT count(*) FROM tok) AS n_toks),
+            hits AS (SELECT * FROM tok
+                     WHERE term IN ('the', 'spark', 'data', 'quick')),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+            dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM hits GROUP BY term)
+            SELECT tf.doc_id, count(*) AS n_hits,
+                   round(sum(
+                     ln((CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE))
+                        / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                        + CAST(1.0 AS DOUBLE))
+                     * CAST(tf.tf AS DOUBLE) * CAST('2.2' AS DOUBLE)
+                     / (CAST(tf.tf AS DOUBLE) + CAST('1.2' AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                           * CAST(dl.dl AS DOUBLE)
+                           / (CAST(st.n_toks AS DOUBLE)
+                              / CAST(st.n_docs AS DOUBLE))))
+                   ), 6) AS score
+            FROM tf JOIN dfq ON dfq.term = tf.term
+                    JOIN dl ON dl.doc_id = tf.doc_id, st
+            GROUP BY tf.doc_id
+        """,
+        "q_labelprop": _ora_labelprop(),
     }

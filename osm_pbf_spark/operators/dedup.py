@@ -662,3 +662,114 @@ def minhash_lsh_join(
             "jaccard",
         )
     )
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    threshold: tuple[int, int] = (6, 10),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_token: int | None = None,
+) -> DataFrame:
+    """EXACT token-set Jaccard self-join via PREFIX FILTERING (Chaudhuri
+    et al. SSJoin / Bayardo All-Pairs / Vernica et al.'s MapReduce
+    formulation — the standard exact set-similarity join at scale,
+    complementing the approximate MinHash path): all (id_a < id_b)
+    pairs whose whitespace-token sets have Jaccard >= num/den.
+
+    ``threshold`` is an exact integer fraction ``(num, den)`` so the
+    acceptance test ``den * inter >= num * union`` is pure int64 — no
+    float threshold ambiguity between engines.
+
+    Plan (no all-pairs anywhere):
+
+      1. distinct (id, token) explode; per-token document frequency;
+      2. per-doc token array sorted by GLOBAL rarity order (df, token)
+         ascending — rare tokens first;
+      3. each doc emits only its PREFIX: the first
+         ``n - ceil(tau*n) + 1`` tokens. Prefix lemma: if
+         J(A,B) >= tau, the first common token in rarity order sits
+         within BOTH prefixes (all >= ceil(tau*max(|A|,|B|)) common
+         tokens lie at-or-after it in each side's sorted array), so
+         the prefix equi-join loses nothing;
+      4. one token equi-join (id_a < id_b) + exact length prefilter
+         ``den * min(na, nb) >= num * max(na, nb)`` (Jaccard is at
+         most min/max of the set sizes) -> candidate pair dedup (one
+         narrow groupBy — a pair can share several prefix tokens);
+      5. verify: join the two sorted token arrays back by id, exact
+         ``inter = size(array_intersect)`` native, keep by the integer
+         cross-multiplication.
+
+    Returns ``(id_a, id_b, n_inter, n_union)`` — all exact ints, fully
+    gate-hashable; the driver oracle is a brute all-pairs SQL join
+    (completely independent of prefix filtering).
+
+    Scale posture: candidate volume is governed by df-rare prefix
+    tokens (the reason for the rarity sort); a pathological token that
+    is both frequent and prefix-resident (near-constant-length corpus
+    of tiny docs) can be capped with ``max_token`` — same recall
+    contract as the LSH caps (_cap_hot_buckets semantics, documented
+    drop). Everything is native codegen; the only Python-free shuffles
+    are the token df agg, the prefix join, the pair dedup, and two
+    id-keyed array joins.
+    """
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError(f"threshold must be a fraction in (0, 1], got {num}/{den}")
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    df_t = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc array in (df, tok) rarity order; native sort on the
+    # struct ordering, then strip to the token strings
+    ordered = (
+        toks.join(df_t, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks"),
+        )
+        .withColumn("n", F.size("toks"))
+    )
+    # prefix length: n - ceil(num*n/den) + 1, ceil via (num*n + den - 1) div den
+    plen = F.col("n") - F.floor((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den)) + 1
+    prefix = ordered.select(
+        "id", "n", F.explode(F.slice("toks", 1, plen.cast("int"))).alias("tok")
+    )
+    prefix = _cap_hot_buckets(prefix, "tok", max_token)
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("n").alias("na"), "tok"
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("n").alias("nb"), "tok"
+    )
+    cand = (
+        a.join(b, "tok")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.lit(den) * F.least("na", "nb")
+                >= F.lit(num) * F.greatest("na", "nb")
+            )
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.first("na").alias("na"), F.first("nb").alias("nb"))
+    )
+    arrs = ordered.select("id", "toks")
+    pairs = (
+        cand.join(arrs.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")), "id_a")
+        .join(arrs.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("ta", "tb")).cast("bigint"))
+        .withColumn("n_union", (F.col("na") + F.col("nb") - F.col("n_inter")).cast("bigint"))
+    )
+    return pairs.where(
+        F.lit(den) * F.col("n_inter") >= F.lit(num) * F.col("n_union")
+    ).select("id_a", "id_b", "n_inter", "n_union")

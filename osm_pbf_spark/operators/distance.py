@@ -46,7 +46,13 @@ from pyspark.sql import functions as F
 from ..functions.cells import MAX_LEVEL, _quant_col, cell_size_deg, xy_to_cell_col
 from .measures import _hav_m
 
-__all__ = ["distance_join", "hausdorff_join", "pick_distance_level", "snap_to_segments"]
+__all__ = [
+    "distance_join",
+    "frechet_join",
+    "hausdorff_join",
+    "pick_distance_level",
+    "snap_to_segments",
+]
 
 # conservative meters-per-degree floors (true value varies with latitude)
 _M_PER_DEG_LAT = 110_567.0
@@ -328,6 +334,55 @@ def hausdorff_join(
 
     Self-join callers filter ``id_a < id_b`` themselves.
     """
+    cand, r2 = _track_candidates(left, right, radius, level, left_id, right_id)
+
+    import numpy as np
+    import pandas as pd
+
+    def refine(it):
+        for pdf in it:
+            ids_a, ids_b, h2s = [], [], []
+            for id_a, xa, ya, id_b, xb, yb in zip(
+                pdf["id_a"], pdf["xs_a"], pdf["ys_a"],
+                pdf["id_b"], pdf["xs_b"], pdf["ys_b"],
+            ):
+                dx = np.asarray(xa, dtype=np.int64)[:, None] - np.asarray(xb, dtype=np.int64)[None, :]
+                dy = np.asarray(ya, dtype=np.int64)[:, None] - np.asarray(yb, dtype=np.int64)[None, :]
+                d2 = dx * dx + dy * dy
+                h2 = max(int(d2.min(axis=1).max()), int(d2.min(axis=0).max()))
+                if h2 <= r2:
+                    ids_a.append(id_a)
+                    ids_b.append(id_b)
+                    h2s.append(h2)
+            yield pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "h2": h2s})
+
+    out_schema = (
+        f"id_a {cand.schema['id_a'].dataType.simpleString()}, "
+        f"id_b {cand.schema['id_b'].dataType.simpleString()}, h2 bigint"
+    )
+    return cand.mapInPandas(refine, schema=out_schema)
+
+
+def _track_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    level: int,
+    left_id: str,
+    right_id: str,
+) -> tuple[DataFrame, int]:
+    """Shared candidate stage of the trajectory-similarity joins
+    (hausdorff_join, frechet_join): asymmetric-expansion cell-cover
+    equi-join + responsibility-cell dedup + exact snapped-bbox
+    prefilter. Returns ``(candidates, r2)`` where candidates carries
+    ``(id_a, xs_a, ys_a, id_b, xs_b, ys_b)`` snapped int arrays with
+    multiplicity exactly 1 per surviving pair, and ``r2`` is the
+    squared radius on the snapped grid.
+
+    Sound for ANY track metric >= Hausdorff (Frechet is): metric <= r
+    implies Hausdorff <= r implies the pair co-occurs in a cell and
+    passes the bbox prefilter.
+    """
     if not 2 <= level <= MAX_LEVEL:
         raise ValueError(f"level must be in [2, {MAX_LEVEL}], got {level}")
     dlat, dlon = cell_size_deg(level)
@@ -385,13 +440,131 @@ def hausdorff_join(
     cand = j.where(responsible & bbox_near).select(
         "id_a", "xs_a", "ys_a", "id_b", "xs_b", "ys_b"
     )
+    return cand, r2
+
+
+def _frechet2_diag(d2):
+    """Discrete-Frechet squared distance of one candidate pair from its
+    exact int64 (na x nb) d2 matrix — the coupled-walk DP
+
+        dp[i,j] = max(d2[i,j], min(dp[i-1,j], dp[i,j-1], dp[i-1,j-1]))
+
+    vectorized over ANTI-DIAGONALS (entries of one diagonal depend only
+    on the two previous diagonals, never on each other — the standard
+    DTW/Frechet parallelization), so the kernel is ~(na+nb) numpy ops
+    instead of na*nb Python ops. All values exact int64."""
+    import numpy as np
+
+    na, nb = d2.shape
+    big = np.iinfo(np.int64).max
+    prev2 = None  # diagonal s-2, aligned to its own i-offset
+    prev = None   # diagonal s-1
+    o_prev2 = o_prev = 0
+    for s in range(na + nb - 1):
+        i0 = max(0, s - nb + 1)
+        i1 = min(na - 1, s)
+        idx = np.arange(i0, i1 + 1)
+        vals = d2[idx, s - idx]
+        if s == 0:
+            cur = vals.copy()
+        else:
+
+            def pull(diag, off, want_i):
+                # value at absolute row want_i of a stored diagonal
+                out = np.full(len(idx), big, dtype=np.int64)
+                if diag is None:
+                    return out
+                pos = want_i - off
+                ok = (pos >= 0) & (pos < len(diag)) & (want_i >= 0)
+                out[ok] = diag[pos[ok]]
+                return out
+
+            up = pull(prev, o_prev, idx - 1)        # dp[i-1, j]
+            lf = pull(prev, o_prev, idx)            # dp[i, j-1]
+            dg = pull(prev2, o_prev2, idx - 1)      # dp[i-1, j-1]
+            # (i-1,j) invalid when i==0; (i,j-1) invalid when j==0 i.e.
+            # i==s; both encoded by the range checks above except the
+            # boundary rows of THIS diagonal, which pull() handles via
+            # absolute-row bounds. j-1 < 0 happens only for i == s,
+            # where prev holds no row i (its i1 == s-1) -> stays big.
+            best = np.minimum(np.minimum(up, lf), dg)
+            # the very first cell of a boundary walk: dp[0, j] depends
+            # only on dp[0, j-1]; dp[i, 0] only on dp[i-1, 0]; the pull
+            # defaults make the missing arms +inf, which is correct.
+            cur = np.maximum(vals, best)
+        prev2, o_prev2 = prev, o_prev
+        prev, o_prev = cur, i0
+    # the final diagonal (s = na+nb-2) holds exactly dp[na-1, nb-1]
+    return int(cur[0])
+
+
+def frechet_py(pa, pb):
+    """Scalar pure-Python discrete-Frechet DP over snapped int coords
+    (test + gate oracle reference — independent of the numpy kernel).
+    ``pa``/``pb`` are lists of (x, y) int tuples."""
+    na, nb = len(pa), len(pb)
+    dp = [[0] * nb for _ in range(na)]
+    for i in range(na):
+        for j in range(nb):
+            dx = pa[i][0] - pb[j][0]
+            dy = pa[i][1] - pb[j][1]
+            d2 = dx * dx + dy * dy
+            if i == 0 and j == 0:
+                reach = d2
+            elif i == 0:
+                reach = max(d2, dp[0][j - 1])
+            elif j == 0:
+                reach = max(d2, dp[i - 1][0])
+            else:
+                reach = max(d2, min(dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]))
+            dp[i][j] = reach
+    return dp[na - 1][nb - 1]
+
+
+def frechet_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    level: int,
+    left_id: str = "track_id",
+    right_id: str = "track_id",
+) -> DataFrame:
+    """Trajectory-similarity join on DISCRETE FRECHET distance: all
+    (id_a, id_b, f2) pairs with coupled-walk distance <= ``radius``
+    (euclid2_deg; ``f2`` is the squared distance on the snapped
+    micro-degree integer grid).
+
+    Frechet is the ORDER-AWARE track metric Hausdorff is not: two
+    vehicles driving the same road in OPPOSITE directions are near-zero
+    Hausdorff but large Frechet, so this is the right join for
+    direction-sensitive trace dedup / co-movement mining. (Reversing a
+    track changes its Frechet neighbors — that is the semantics, not a
+    bug. The coupling itself is symmetric in the pair.)
+
+    Plan: the exact candidate stage is SHARED with hausdorff_join
+    (asymmetric-expansion cell cover + responsibility-cell dedup +
+    snapped-bbox prefilter — sound because Frechet >= Hausdorff, so
+    every Frechet-near pair is Hausdorff-near), then ONE Arrow-batched
+    mapInPandas refine runs the anti-diagonal-vectorized DP per
+    candidate pair. All distances exact int64 ⇒ ``f2`` is
+    gate-hashable; the driver oracle (q_frechet) replays a brute-force
+    all-pairs SCALAR DP in pure Python — independent plumbing and an
+    independent kernel formulation of the same spec.
+
+    Cost: O(na*nb) per surviving candidate pair (inherent to exact
+    Frechet) but only ~(na+nb) numpy ops; candidates are bounded by
+    the cell cover exactly as in hausdorff_join.
+
+    Self-join callers filter ``id_a < id_b`` themselves.
+    """
+    cand, r2 = _track_candidates(left, right, radius, level, left_id, right_id)
 
     import numpy as np
     import pandas as pd
 
     def refine(it):
         for pdf in it:
-            ids_a, ids_b, h2s = [], [], []
+            ids_a, ids_b, f2s = [], [], []
             for id_a, xa, ya, id_b, xb, yb in zip(
                 pdf["id_a"], pdf["xs_a"], pdf["ys_a"],
                 pdf["id_b"], pdf["xs_b"], pdf["ys_b"],
@@ -399,16 +572,21 @@ def hausdorff_join(
                 dx = np.asarray(xa, dtype=np.int64)[:, None] - np.asarray(xb, dtype=np.int64)[None, :]
                 dy = np.asarray(ya, dtype=np.int64)[:, None] - np.asarray(yb, dtype=np.int64)[None, :]
                 d2 = dx * dx + dy * dy
+                # cheap exact lower bound first: Hausdorff <= Frechet,
+                # so a pair failing Hausdorff needs no DP at all
                 h2 = max(int(d2.min(axis=1).max()), int(d2.min(axis=0).max()))
-                if h2 <= r2:
+                if h2 > r2:
+                    continue
+                f2 = _frechet2_diag(d2)
+                if f2 <= r2:
                     ids_a.append(id_a)
                     ids_b.append(id_b)
-                    h2s.append(h2)
-            yield pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "h2": h2s})
+                    f2s.append(f2)
+            yield pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "f2": f2s})
 
     out_schema = (
         f"id_a {cand.schema['id_a'].dataType.simpleString()}, "
-        f"id_b {cand.schema['id_b'].dataType.simpleString()}, h2 bigint"
+        f"id_b {cand.schema['id_b'].dataType.simpleString()}, f2 bigint"
     )
     return cand.mapInPandas(refine, schema=out_schema)
 

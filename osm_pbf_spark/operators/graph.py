@@ -673,3 +673,62 @@ def sssp_matrix(
         if frontier.isEmpty():
             break
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007, made deterministic): over the symmetrized simple graph,
+    every node starts as its own label and each round takes the label
+    that is MOST FREQUENT among its neighbors, ties broken toward the
+    SMALLEST label. Returns ``(node, label)``.
+
+    Classic LPA is scan-order-dependent (asynchronous updates, random
+    tie-breaks); this variant is the gateable one: synchronous rounds +
+    (count DESC, label ASC) argmax make every round a pure function of
+    the previous labeling, so any engine replays it exactly — the
+    driver oracle unrolls the same rounds as a CTE chain (the
+    pagerank/kcore convention). Synchronous LPA can oscillate on
+    bipartite structures rather than converge; fixed ``rounds`` (the
+    power-iteration convention) sidesteps that and keeps the loop free
+    of driver actions.
+
+    Per round: one equi-join of labels onto the symmetric edge set, one
+    (node, label) count aggregate, one argmax aggregate — argmax via
+    ``max(struct(cnt, -label))`` so the smallest label wins ties
+    without a window shuffle. Isolated nodes keep their own label via
+    the final left join. Lazily checkpointed per round (constant-size
+    analyzed plan; zero driver actions).
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = e.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        nbr = e.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        picked = (
+            counts.groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("label"))
+        )
+        labels = (
+            nodes.join(picked, "node", "left")
+            .select("node", F.coalesce("label", "node").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -811,3 +811,73 @@ def bpe_train(
             "freq", _apply_merge(F.col("toks"), a, b).alias("toks")
         ).localCheckpoint(eager=False)
     return merges
+
+
+def bm25(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance scores for one query over the corpus — the
+    retrieval-ranking step on top of the inverted_index surface:
+
+        idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)       (Lucene form)
+        score   = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    over whitespace tokens; ``dl`` = doc token count, ``avgdl`` = mean
+    over ALL docs (including non-matching ones). Returns
+    ``(doc_id, n_hits, score)`` for every document matching >= 1 term.
+
+    Plan shape: one (doc, term) tf aggregate restricted to the query
+    terms (the term filter pushes into the token Generate's output —
+    the scan never shuffles non-query tokens), one tiny df aggregate
+    over |terms| rows, per-doc length agg, and a broadcast of the
+    |terms|-row idf table + 1-row corpus stats. Two narrow shuffles;
+    everything whole-stage codegen, no Python.
+
+    Cross-engine exactness: counts exact ints; the per-(doc, term)
+    float chain is fixed-order; ``ln`` drifts ~1 ulp between JVM and
+    libm, so callers gate-compare at round(score, 6) per row (no
+    cross-row float sums beyond |terms| <= ~10 adds — the same posture
+    as tfidf / bigram_pmi).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t for t in dict.fromkeys(query_terms)]  # dedup, keep order
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.select(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        toks.select(F.count(F.lit(1)).alias("n_toks"))
+    )
+    hits = toks.where(F.col("term").isin(terms))
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = hits.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    # avgdl as the exact-int ratio n_toks / n_docs, divided ONCE
+    avgdl = F.col("n_toks").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfc = F.col("tf").cast("double")
+    denom = tfc + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b)) + F.lit(float(b)) * F.col("dl").cast("double") / avgdl
+    )
+    term_score = idf * tfc * F.lit(float(k1) + 1.0) / denom
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum(term_score).alias("score"),
+        )
+    )
