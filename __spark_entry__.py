@@ -3324,6 +3324,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_labelprop"] = q_labelprop
 
+    def q_hex_assign(spark, sf):  # H3-like pointy-top axial hex grid
+        # assignment (the hex sibling of the Morton cells) — pure
+        # codegen projection + one hash agg; oracle replays the
+        # identical fixed IEEE chain with repr-literal constants
+        from osm_pbf_spark.functions.hexgrid import hex_counts
+
+        return hex_counts(customer_points(spark, sf), size=0.25)
+
+    q["q_hex_assign"] = q_hex_assign
+
+    def q_hex_kring(spark, sf):  # isotropic ring-1 hex density
+        # smoothing (6 equidistant neighbors — the kernel a 3x3 box
+        # can't give); scatter is 7x occupied hexes, two narrow shuffles
+        from osm_pbf_spark.functions.hexgrid import hex_kring_counts
+
+        return hex_kring_counts(customer_points(spark, sf), size=0.25)
+
+    q["q_hex_kring"] = q_hex_kring
+
     return q
 
 
@@ -5496,6 +5515,45 @@ def _ora_labelprop(rounds: int = 3) -> str:
         )
     parts.append(f" SELECT node, label FROM l{rounds}")
     return "".join(parts)
+
+
+def _ora_hex_cte(size: float = 0.25) -> str:
+    """CTE chain replaying functions/hexgrid.hex_cell_df's exact IEEE
+    op sequence over SQL_POINTS (constants injected via repr through a
+    VARCHAR cast = strtod, correctly rounded — the same doubles Spark
+    gets from F.lit; floor(v+0.5) is the engine-portable HALF-UP).
+    Yields a CTE named ``hex`` with (doc_id, hq, hr)."""
+    from osm_pbf_spark.functions.hexgrid import C_2THIRD, C_SQRT3_3, C_THIRD
+
+    c1 = f"CAST('{C_SQRT3_3!r}' AS DOUBLE)"
+    c2 = f"CAST('{C_THIRD!r}' AS DOUBLE)"
+    c3 = f"CAST('{C_2THIRD!r}' AS DOUBLE)"
+    sz = f"CAST('{size!r}' AS DOUBLE)"
+    return f"""
+        pts AS ({SQL_POINTS}),
+        hx0 AS (SELECT doc_id,
+                       (lon * {c1} - lat * {c2}) / {sz} AS xf,
+                       (lat * {c3}) / {sz} AS zf
+                FROM pts),
+        hx1 AS (SELECT doc_id, xf, zf, (0.0 - xf) - zf AS yf FROM hx0),
+        hx2 AS (SELECT doc_id, xf, yf, zf,
+                       CAST(floor(xf + 0.5) AS DOUBLE) AS fx,
+                       CAST(floor(yf + 0.5) AS DOUBLE) AS fy,
+                       CAST(floor(zf + 0.5) AS DOUBLE) AS fz
+                FROM hx1),
+        hx3 AS (SELECT doc_id, fx, fy, fz,
+                       abs(fx - xf) AS dx, abs(fy - yf) AS dy,
+                       abs(fz - zf) AS dz
+                FROM hx2),
+        hex AS (SELECT doc_id,
+                       CAST(CASE WHEN dx > dy AND dx > dz
+                                 THEN (0.0 - fy) - fz ELSE fx END
+                            AS BIGINT) AS hq,
+                       CAST(CASE WHEN dx > dy AND dx > dz THEN fz
+                                 WHEN dy > dz THEN fz
+                                 ELSE (0.0 - fx) - fy END
+                            AS BIGINT) AS hr
+                FROM hx3)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8110,4 +8168,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tf.doc_id
         """,
         "q_labelprop": _ora_labelprop(),
+        "q_hex_assign": f"""
+            WITH {_ora_hex_cte()}
+            SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr
+        """,
+        # scatter-to-ring smoothing: per-hex counts joined against the
+        # 7-offset VALUES window, re-aggregated — the grid_smooth
+        # double-aggregate convention on the hex lattice
+        "q_hex_kring": f"""
+            WITH {_ora_hex_cte()},
+            cnt AS (SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr),
+            offs(dq, dr) AS (VALUES (0, 0), (1, 0), (1, -1), (0, -1),
+                                    (-1, 0), (-1, 1), (0, 1))
+            SELECT cnt.hq + offs.dq AS hq, cnt.hr + offs.dr AS hr,
+                   sum(cnt.n) AS n_ring
+            FROM cnt, offs
+            GROUP BY 1, 2
+        """,
     }

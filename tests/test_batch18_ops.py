@@ -1,0 +1,92 @@
+"""Batch-18 operators: H3-like hex grid (assignment + k-ring
+smoothing), rectangular zonal statistics, trajectory kinematics,
+exact frequent items (Misra-Gries candidates + exact recount), URL
+parse/normalize, Naive-Bayes text classification. Scalar/brute
+oracles + plan-shape pins, the established discipline."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _no_python(plan: str) -> bool:
+    return (
+        "ArrowEvalPython" not in plan
+        and "BatchEvalPython" not in plan
+        and "InPandas" not in plan
+    )
+
+
+# ---------------------------------------------------------------- hexgrid
+
+def test_hex_assign_matches_scalar_replay(spark):
+    from osm_pbf_spark.functions.hexgrid import hex_cell_df, hex_py
+
+    # battery: lattice points, centers, edges, negatives, boundary band
+    coords = []
+    for i in range(-7, 8):
+        for j in range(-7, 8):
+            coords.append((i * 0.9 + j * 0.037, j * 1.1 - i * 0.013))
+    coords += [(0.0, 0.0), (89.9, 179.9), (-89.9, -179.9), (0.125, 0.125)]
+    df = spark.createDataFrame(coords, "lat double, lon double")
+    got = [
+        (r.hq, r.hr)
+        for r in hex_cell_df(df, size=0.25).orderBy("lat", "lon").collect()
+    ]
+    exp = [hex_py(lat, lon, 0.25) for lat, lon in sorted(coords)]
+    assert got == exp
+
+
+def test_hex_assign_is_nearest_center(spark):
+    """The cube-round assignment picks the hex whose center is nearest
+    (Euclidean in the axial-scaled plane) — checked brute-force over a
+    local center neighborhood for a pseudo-random point battery."""
+    from osm_pbf_spark.functions.hexgrid import hex_center, hex_py
+
+    size = 0.5
+    pts = [
+        (math.sin(i * 1.7) * 3.0, math.cos(i * 2.3) * 3.0) for i in range(300)
+    ]
+    for lat, lon in pts:
+        hq, hr = hex_py(lat, lon, size)
+        clat, clon = hex_center(hq, hr, size)
+        d0 = (lat - clat) ** 2 + (lon - clon) ** 2
+        for dq in (-2, -1, 0, 1, 2):
+            for dr in (-2, -1, 0, 1, 2):
+                nlat, nlon = hex_center(hq + dq, hr + dr, size)
+                d = (lat - nlat) ** 2 + (lon - nlon) ** 2
+                assert d >= d0 - 1e-12, (lat, lon, hq, hr, dq, dr)
+
+
+def test_hex_kring_conserves_mass_and_shape(spark):
+    from osm_pbf_spark.functions.hexgrid import hex_kring_counts
+
+    # one point -> exactly 7 ring cells each with n_ring = 1
+    df = spark.createDataFrame([(10.0, 20.0)], "lat double, lon double")
+    rows = hex_kring_counts(df, size=0.25).collect()
+    assert len(rows) == 7 and all(r.n_ring == 1 for r in rows)
+    # total scattered mass = 7 * n_points always
+    df2 = spark.createDataFrame(
+        [(float(i % 13) * 0.3, float(i % 7) * 0.4) for i in range(200)],
+        "lat double, lon double",
+    )
+    out = hex_kring_counts(df2, size=0.25).agg(F.sum("n_ring")).collect()[0][0]
+    assert out == 7 * 200
+
+
+def test_hex_plan_pure_codegen(spark):
+    from osm_pbf_spark.functions.hexgrid import hex_cell_df, hex_kring_counts
+
+    df = spark.createDataFrame([(1.0, 2.0)], "lat double, lon double")
+    p = _plan(hex_cell_df(df))
+    assert _no_python(p) and "Exchange" not in p
+    p2 = _plan(hex_kring_counts(df))
+    assert _no_python(p2)
+    assert p2.count("Exchange") == 2  # two narrow shuffles, no more
