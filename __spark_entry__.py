@@ -3343,6 +3343,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_hex_kring"] = q_hex_kring
 
+    def q_zonal(spark, sf):  # rectangular zonal statistics: cell-cover
+        # equi-join + exact BETWEEN refine + per-zone integer agg;
+        # oracle is a plain BETWEEN theta join — independent algorithm
+        from osm_pbf_spark.operators.spatialstats import zonal_stats
+
+        pts = customer_points(spark, sf).withColumn(
+            "v", F.col("doc_id") % F.lit(1000)
+        )
+        zones = load(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("zone_id"),
+            ((F.col("n_nationkey") * 13 % 100 - 60).cast("double") + F.lit(0.5))
+            .alias("lat_min"),
+            ((F.col("n_nationkey") * 13 % 100 - 60).cast("double") + F.lit(0.5)
+             + F.lit(9.0)).alias("lat_max"),
+            ((F.col("n_nationkey") * 29 % 280 - 150).cast("double") + F.lit(0.25))
+            .alias("lon_min"),
+            ((F.col("n_nationkey") * 29 % 280 - 150).cast("double") + F.lit(0.25)
+             + F.lit(14.0)).alias("lon_max"),
+        )
+        return zonal_stats(pts, zones, level=5)
+
+    q["q_zonal"] = q_zonal
+
     return q
 
 
@@ -8171,6 +8194,34 @@ def oracle_sql() -> dict[str, str]:
         "q_hex_assign": f"""
             WITH {_ora_hex_cte()}
             SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr
+        """,
+        # plain BETWEEN theta join + agg — a fully independent
+        # algorithm from the engine's cell-cover equi-join path
+        "q_zonal": f"""
+            WITH pts AS ({SQL_POINTS}),
+            pv AS (SELECT doc_id, lat, lon, doc_id % 1000 AS v FROM pts),
+            zones AS (SELECT n_nationkey AS zone_id,
+                CAST((n_nationkey * 13) % 100 - 60 AS DOUBLE) + 0.5 AS lat_min,
+                CAST((n_nationkey * 13) % 100 - 60 AS DOUBLE) + 0.5 + 9.0
+                    AS lat_max,
+                CAST((n_nationkey * 29) % 280 - 150 AS DOUBLE) + 0.25
+                    AS lon_min,
+                CAST((n_nationkey * 29) % 280 - 150 AS DOUBLE) + 0.25 + 14.0
+                    AS lon_max
+              FROM nation),
+            hit AS (SELECT z.zone_id, count(*) AS n_pts,
+                           sum(p.v) AS sum_v, min(p.v) AS min_v,
+                           max(p.v) AS max_v
+                    FROM zones z JOIN pv p
+                      ON p.lat BETWEEN z.lat_min AND z.lat_max
+                     AND p.lon BETWEEN z.lon_min AND z.lon_max
+                    GROUP BY z.zone_id)
+            SELECT z.zone_id,
+                   coalesce(h.n_pts, 0) AS n_pts,
+                   coalesce(h.sum_v, 0) AS sum_v,
+                   h.min_v, h.max_v,
+                   CAST(h.sum_v AS DOUBLE) / CAST(h.n_pts AS DOUBLE) AS mean_v
+            FROM zones z LEFT JOIN hit h ON h.zone_id = z.zone_id
         """,
         # scatter-to-ring smoothing: per-hex counts joined against the
         # 7-offset VALUES window, re-aggregated — the grid_smooth

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grid_cell_counts", "morans_i", "getis_ord_gi"]
+__all__ = ["grid_cell_counts", "morans_i", "getis_ord_gi", "zonal_stats"]
 
 
 def grid_cell_counts(
@@ -146,4 +146,107 @@ def getis_ord_gi(cells: DataFrame, x_col: str = "x") -> DataFrame:
     )
     return j.select(
         "cx", "cy", F.col(x_col).alias("x"), "wi", z.alias("gi_z")
+    )
+
+
+def zonal_stats(
+    points: DataFrame,
+    zones: DataFrame,
+    level: int,
+    value_col: str = "v",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    zone_id_col: str = "zone_id",
+    bounds_cols: tuple[str, str, str, str] = (
+        "lat_min", "lat_max", "lon_min", "lon_max"
+    ),
+    max_zone_cells: int = 4096,
+) -> DataFrame:
+    """Zonal statistics over rectangular zones — the raster-analysis
+    staple (mean/min/max/sum of a value surface per zone), expressed
+    as the engine's standard two-stage spatial join: cover each zone's
+    bbox with grid cells at ``level`` (a bounded 2-D Generate), equi-
+    join points on their cell id, refine with exact inclusive BETWEEN
+    compares, aggregate per zone. Every point lands in exactly ONE
+    cell, so a point matches an overlapping zone exactly once — no
+    dedup stage needed.
+
+    Exactness contract: ``value_col`` must be integral (bigint) so the
+    per-zone sum is order-free exact; ``mean_v`` is the single final
+    IEEE division. Zones with zero points are kept (n_pts = 0,
+    NULL min/max/mean) via a left join from the zone table.
+
+    Scale: the cover explode is bounded by ``max_zone_cells`` per zone
+    (guard lives in a WHERE — Catalyst prunes unused projected
+    columns); the points side shuffles once on the cell key with
+    map-side partial aggregation unavailable only for min/max of the
+    refine join — AQE broadcasts the (small) exploded zone side when
+    it fits. A point inside k overlapping zones contributes k rows —
+    inherent to the semantics, not a plan defect.
+    """
+    from ..functions.cells import MAX_LEVEL, _quant_col
+
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}], got {level}")
+    la0, la1, lo0, lo1 = bounds_cols
+    z = zones.select(
+        F.col(zone_id_col).alias("_zid"),
+        F.col(la0).alias("_la0"), F.col(la1).alias("_la1"),
+        F.col(lo0).alias("_lo0"), F.col(lo1).alias("_lo1"),
+        _quant_col(F.col(lo0), 180.0, 360.0, level).alias("_x0"),
+        _quant_col(F.col(lo1), 180.0, 360.0, level).alias("_x1"),
+        _quant_col(F.col(la0), 90.0, 180.0, level).alias("_y0"),
+        _quant_col(F.col(la1), 90.0, 180.0, level).alias("_y1"),
+    )
+    fanout = (F.col("_x1") - F.col("_x0") + 1) * (F.col("_y1") - F.col("_y0") + 1)
+    z = z.where(
+        F.when(fanout <= F.lit(int(max_zone_cells)), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("zonal_stats: zone "),
+                    F.col("_zid").cast("string"),
+                    F.lit(f" covers > {max_zone_cells} cells at level "
+                          f"{level}; raise level or split the zone"),
+                )
+            )
+        )
+    )
+    cover = (
+        z.withColumn("_cx", F.explode(F.sequence(F.col("_x0"), F.col("_x1"))))
+        .withColumn("_cy", F.explode(F.sequence(F.col("_y0"), F.col("_y1"))))
+        .drop("_x0", "_x1", "_y0", "_y1")
+    )
+    p = points.select(
+        F.col(value_col).cast("bigint").alias("_v"),
+        F.col(lat_col).alias("_plat"),
+        F.col(lon_col).alias("_plon"),
+        _quant_col(F.col(lon_col), 180.0, 360.0, level).alias("_cx"),
+        _quant_col(F.col(lat_col), 90.0, 180.0, level).alias("_cy"),
+    )
+    hits = (
+        p.join(cover, ["_cx", "_cy"])
+        .where(
+            (F.col("_plat") >= F.col("_la0")) & (F.col("_plat") <= F.col("_la1"))
+            & (F.col("_plon") >= F.col("_lo0")) & (F.col("_plon") <= F.col("_lo1"))
+        )
+        .groupBy("_zid")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.sum("_v").alias("sum_v"),
+            F.min("_v").alias("min_v"),
+            F.max("_v").alias("max_v"),
+        )
+    )
+    return (
+        zones.select(F.col(zone_id_col).alias("_zid"))
+        .join(hits, "_zid", "left")
+        .select(
+            F.col("_zid").alias(zone_id_col),
+            F.coalesce(F.col("n_pts"), F.lit(0).cast("bigint")).alias("n_pts"),
+            F.coalesce(F.col("sum_v"), F.lit(0).cast("bigint")).alias("sum_v"),
+            "min_v",
+            "max_v",
+            (F.col("sum_v").cast("double") / F.col("n_pts").cast("double"))
+            .alias("mean_v"),
+        )
     )

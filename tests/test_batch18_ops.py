@@ -90,3 +90,61 @@ def test_hex_plan_pure_codegen(spark):
     p2 = _plan(hex_kring_counts(df))
     assert _no_python(p2)
     assert p2.count("Exchange") == 2  # two narrow shuffles, no more
+
+
+# ------------------------------------------------------------- zonal stats
+
+def test_zonal_stats_matches_brute(spark):
+    from osm_pbf_spark.operators.spatialstats import zonal_stats
+
+    pts = [
+        (float(i % 37) - 18.0, float((i * 7) % 53) - 26.0, i % 11)
+        for i in range(500)
+    ]
+    zones = [
+        (z, -20.0 + z * 3.0, -20.0 + z * 3.0 + 8.0,
+         -25.0 + z * 5.0, -25.0 + z * 5.0 + 12.0)
+        for z in range(8)
+    ]
+    pdf = spark.createDataFrame(pts, "lat double, lon double, v long")
+    zdf = spark.createDataFrame(
+        zones, "zone_id long, lat_min double, lat_max double, "
+               "lon_min double, lon_max double"
+    )
+    got = {
+        r.zone_id: (r.n_pts, r.sum_v, r.min_v, r.max_v)
+        for r in zonal_stats(pdf, zdf, level=6).collect()
+    }
+    for z, la0, la1, lo0, lo1 in zones:
+        hit = [v for la, lo, v in pts if la0 <= la <= la1 and lo0 <= lo <= lo1]
+        exp = (
+            (len(hit), sum(hit), min(hit), max(hit))
+            if hit else (0, 0, None, None)
+        )
+        assert got[z] == exp, z
+    assert set(got) == set(range(8))  # empty zones kept
+
+
+def test_zonal_stats_fanout_guard_fires(spark):
+    from osm_pbf_spark.operators.spatialstats import zonal_stats
+
+    pdf = spark.createDataFrame([(0.0, 0.0, 1)], "lat double, lon double, v long")
+    zdf = spark.createDataFrame(
+        [(1, -80.0, 80.0, -170.0, 170.0)],
+        "zone_id long, lat_min double, lat_max double, "
+        "lon_min double, lon_max double",
+    )
+    with pytest.raises(Exception, match="covers > 16 cells"):
+        zonal_stats(pdf, zdf, level=6, max_zone_cells=16).collect()
+
+
+def test_zonal_stats_plan_native(spark):
+    from osm_pbf_spark.operators.spatialstats import zonal_stats
+
+    pdf = spark.createDataFrame([(0.0, 0.0, 1)], "lat double, lon double, v long")
+    zdf = spark.createDataFrame(
+        [(1, -1.0, 1.0, -1.0, 1.0)],
+        "zone_id long, lat_min double, lat_max double, "
+        "lon_min double, lon_max double",
+    )
+    assert _no_python(_plan(zonal_stats(pdf, zdf, level=6)))
