@@ -3366,6 +3366,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_zonal"] = q_zonal
 
+    def q_kinematics(spark, sf):  # per-fix trajectory speed/heading
+        # enrichment: one window shuffle, native trig chains; bearing
+        # micro-deg rounded (atan2 posture), NULL on zero-distance
+        from osm_pbf_spark.operators.matching import trajectory_kinematics
+
+        e = load(spark, sf, "events")
+        fixes = e.select(
+            (F.col("event_id") % 16).alias("track_id"),
+            "ts",
+            "event_id",
+            (F.col("event_id") % 160 - 80 + F.lit(0.5)).alias("lat"),
+            ((F.col("event_id") * 7) % 350 - 175 + F.lit(0.25)).alias("lon"),
+        )
+        return trajectory_kinematics(fixes, order_cols=("event_id",))
+
+    q["q_kinematics"] = q_kinematics
+
     return q
 
 
@@ -8194,6 +8211,48 @@ def oracle_sql() -> dict[str, str]:
         "q_hex_assign": f"""
             WITH {_ora_hex_cte()}
             SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr
+        """,
+        # verbatim window + trig replay of trajectory_kinematics (the
+        # q_line_measures haversine chain + the atan2 bearing chain)
+        "q_kinematics": """
+            WITH f AS (
+              SELECT event_id % 16 AS track_id, ts, event_id,
+                     (event_id % 160) - 80 + 0.5 AS lat,
+                     ((event_id * 7) % 350) - 175 + 0.25 AS lon
+              FROM events),
+            l AS (
+              SELECT track_id, ts, lat, lon,
+                     LAG(lat) OVER w AS pla, LAG(lon) OVER w AS plo,
+                     epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS dt_us
+              FROM f
+              WINDOW w AS (PARTITION BY track_id ORDER BY ts, event_id)),
+            h AS (
+              SELECT *,
+                     SIN(((lat - pla) * 0.017453292519943295) / 2.0) AS sdlat,
+                     SIN(((lon - plo) * 0.017453292519943295) / 2.0) AS sdlon,
+                     (lon - plo) * 0.017453292519943295 AS dlon
+              FROM l WHERE pla IS NOT NULL),
+            m AS (
+              SELECT track_id, ts, dt_us,
+                CAST(ROUND(12742017.6 * ASIN(SQRT(LEAST(GREATEST(
+                    sdlat * sdlat
+                    + COS(pla * 0.017453292519943295)
+                      * COS(lat * 0.017453292519943295) * (sdlon * sdlon)
+                  , 0.0), 1.0)))) AS BIGINT) AS dist_m,
+                ATAN2(SIN(dlon) * COS(lat * 0.017453292519943295),
+                      COS(pla * 0.017453292519943295)
+                      * SIN(lat * 0.017453292519943295)
+                      - SIN(pla * 0.017453292519943295)
+                        * COS(lat * 0.017453292519943295) * COS(dlon))
+                  * 57.29577951308232 AS brg
+              FROM h)
+            SELECT track_id, ts, dist_m, dt_us,
+                   CASE WHEN dt_us > 0 THEN CAST(dist_m AS DOUBLE)
+                        * 1000000.0 / CAST(dt_us AS DOUBLE) END AS speed_mps,
+                   CASE WHEN dist_m > 0 THEN
+                        ROUND(brg - 360.0 * FLOOR(brg / 360.0), 6)
+                   END AS bearing_deg
+            FROM m
         """,
         # plain BETWEEN theta join + agg — a fully independent
         # algorithm from the engine's cell-cover equi-join path

@@ -467,3 +467,88 @@ def stay_points_py(
             else:
                 i += 1
     return sorted(out)
+
+
+RAD2DEG = 57.29577951308232  # closest float64 to 180/pi — keep literal
+
+
+def trajectory_kinematics(
+    fixes: DataFrame,
+    track_col: str = "track_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-fix kinematics — the standard trajectory-enrichment pass
+    (speed / heading / dwell between consecutive fixes) that precedes
+    stay-point detection or map matching.
+
+    For every fix after its track's first, emits:
+
+    - ``dist_m``  bigint — round(haversine meters) to the previous fix
+      (METER granularity, the measures.py gate posture: the trig chain
+      crosses JVM Math vs libm at ~1 ulp; integer meters absorb it);
+    - ``dt_us``   bigint — exact epoch-microsecond delta;
+    - ``speed_mps`` double — dist_m * 1e6 / dt_us, a fixed two-op IEEE
+      chain on exact integers (NULL when dt_us <= 0: duplicate or
+      out-of-order timestamps never divide by zero);
+    - ``bearing_deg`` double — initial great-circle bearing from the
+      previous fix, normalized to [0, 360) and rounded to 1e-6 deg
+      (the ln()/atan2 micro-quantization posture). NULL when
+      dist_m = 0: sub-meter jitter has no meaningful heading, and the
+      atan2 x-argument's sign is ulp-unstable at zero distance — the
+      NULL is the deterministic spec, not a cop-out.
+
+    ``order_cols`` extends the per-track ORDER BY past ``ts_col`` when
+    timestamps alone are not a total order (the q_rolling lesson: a
+    non-unique frame order hashes differently across engines).
+
+    Plan: ONE window shuffle (partitionBy track, orderBy ts) and a
+    native projection — no Python, no join; map-side codegen end to
+    end at any corpus size. Tracks are independent; skew = the longest
+    single track, the same posture as map_match.
+    """
+    from pyspark.sql import Window
+
+    from .measures import _hav_m
+    from .temporal import _epoch_micros
+
+    w = Window.partitionBy(track_col).orderBy(ts_col, *order_cols)
+    la, lo = F.col(lat_col), F.col(lon_col)
+    pla = F.lag(lat_col).over(w)
+    plo = F.lag(lon_col).over(w)
+    base = fixes.select(
+        F.col(track_col),
+        F.col(ts_col),
+        la.alias("_la"),
+        lo.alias("_lo"),
+        pla.alias("_pla"),
+        plo.alias("_plo"),
+        (_epoch_micros(F.col(ts_col)) - _epoch_micros(F.lag(ts_col).over(w)))
+        .alias("dt_us"),
+    ).where(F.col("_pla").isNotNull())
+    d2r = F.lit(0.017453292519943295)
+    dist_m = F.round(
+        _hav_m(F.col("_pla"), F.col("_plo"), F.col("_la"), F.col("_lo"))
+    ).cast("bigint")
+    dlon = (F.col("_lo") - F.col("_plo")) * d2r
+    y = F.sin(dlon) * F.cos(F.col("_la") * d2r)
+    x = F.cos(F.col("_pla") * d2r) * F.sin(F.col("_la") * d2r) - F.sin(
+        F.col("_pla") * d2r
+    ) * F.cos(F.col("_la") * d2r) * F.cos(dlon)
+    brg = F.atan2(y, x) * F.lit(RAD2DEG)
+    brg = brg - F.lit(360.0) * F.floor(brg / F.lit(360.0))
+    out = base.withColumn("dist_m", dist_m).select(
+        track_col,
+        ts_col,
+        "dist_m",
+        "dt_us",
+        F.when(
+            F.col("dt_us") > 0,
+            F.col("dist_m").cast("double") * F.lit(1000000.0)
+            / F.col("dt_us").cast("double"),
+        ).alias("speed_mps"),
+        F.when(F.col("dist_m") > 0, F.round(brg, 6)).alias("bearing_deg"),
+    )
+    return out

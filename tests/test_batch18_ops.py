@@ -148,3 +148,71 @@ def test_zonal_stats_plan_native(spark):
         "lon_min double, lon_max double",
     )
     assert _no_python(_plan(zonal_stats(pdf, zdf, level=6)))
+
+
+# ------------------------------------------------------------ kinematics
+
+def test_kinematics_known_headings_and_speed(spark):
+    from osm_pbf_spark.operators.matching import trajectory_kinematics
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 0.0, 0.0),
+        (1, t0 + dt.timedelta(seconds=100), 1.0, 0.0),   # due north
+        (1, t0 + dt.timedelta(seconds=200), 1.0, 1.0),   # due east
+        (1, t0 + dt.timedelta(seconds=300), 0.0, 1.0),   # due south
+        (1, t0 + dt.timedelta(seconds=400), 0.0, 1.0),   # zero move
+    ]
+    df = spark.createDataFrame(
+        rows, "track_id long, ts timestamp, lat double, lon double"
+    )
+    out = {
+        r.ts: r for r in trajectory_kinematics(df).collect()
+    }
+    assert len(out) == 4
+    ordered = [out[k] for k in sorted(out)]
+    # ~111 km per degree; speeds ~1.1 km/s over 100 s
+    assert abs(ordered[0].dist_m - 111195) < 10
+    assert ordered[0].bearing_deg == 0.0
+    # due east at lat 1: 90 deg minus the convergence term sin(lat)*dlon/2
+    assert abs(ordered[1].bearing_deg - 89.991274) < 1e-3
+    # great-circle convergence term at lat 1
+    assert abs(ordered[2].bearing_deg - 180.0) < 1e-6
+    assert ordered[3].dist_m == 0 and ordered[3].bearing_deg is None
+    assert ordered[3].speed_mps == 0.0
+    for r in ordered[:3]:
+        assert abs(r.speed_mps - r.dist_m / 100.0) < 1e-9
+
+
+def test_kinematics_unordered_and_dup_ts(spark):
+    from osm_pbf_spark.operators.matching import trajectory_kinematics
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 2, 10.0, 10.0),
+        (1, t0, 1, 0.0, 0.0),     # duplicate ts: order_cols breaks tie
+        (1, t0 + dt.timedelta(seconds=10), 3, 10.0, 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "track_id long, ts timestamp, seq long, lat double, lon double"
+    )
+    out = trajectory_kinematics(df, order_cols=("seq",)).orderBy("ts").collect()
+    assert len(out) == 2
+    assert out[0].dt_us == 0 and out[0].speed_mps is None  # dup ts: no div0
+    assert out[1].dt_us == 10_000_000 and out[1].speed_mps is not None
+
+
+def test_kinematics_plan_one_exchange_no_python(spark):
+    from osm_pbf_spark.operators.matching import trajectory_kinematics
+
+    df = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1), 0.0, 0.0)],
+        "track_id long, ts timestamp, lat double, lon double",
+    )
+    p = _plan(trajectory_kinematics(df))
+    assert _no_python(p)
+    assert p.count("Exchange") == 1
