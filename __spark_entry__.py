@@ -3383,6 +3383,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_kinematics"] = q_kinematics
 
+    def q_frequent_items(spark, sf):  # exact heavy hitters: Misra-Gries
+        # Arrow-batch candidates (<= k rows/batch shuffled, tail never
+        # moves) + exact broadcast recount; oracle = plain GROUP BY
+        # HAVING — fully independent of the sketch path
+        from osm_pbf_spark.operators.sketch import frequent_items
+
+        items = load(spark, sf, "orders").select(
+            F.when(
+                F.col("o_orderkey") % 5 < 3, F.col("o_orderkey") % 40
+            )
+            .otherwise(F.col("o_orderkey"))
+            .cast("string")
+            .alias("item")
+        )
+        return frequent_items(items, "item", k=256, min_count=100)
+
+    q["q_frequent_items"] = q_frequent_items
+
     return q
 
 
@@ -8211,6 +8229,16 @@ def oracle_sql() -> dict[str, str]:
         "q_hex_assign": f"""
             WITH {_ora_hex_cte()}
             SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr
+        """,
+        # plain GROUP BY + HAVING — independent of the MG sketch path
+        "q_frequent_items": """
+            WITH it AS (
+              SELECT CAST(CASE WHEN o_orderkey % 5 < 3
+                               THEN o_orderkey % 40
+                               ELSE o_orderkey END AS VARCHAR) AS item
+              FROM orders)
+            SELECT item, count(*) AS n
+            FROM it GROUP BY item HAVING count(*) >= 100
         """,
         # verbatim window + trig replay of trajectory_kinematics (the
         # q_line_measures haversine chain + the atan2 bearing chain)

@@ -45,6 +45,7 @@ __all__ = [
     "binned_quantiles",
     "hll_sketch",
     "hll_estimate",
+    "frequent_items",
 ]
 
 _HASH_SPACE = 1 << 40
@@ -605,3 +606,130 @@ def hll_estimate(
         F.floor(est_raw).cast("bigint").alias("est_floor"),
         est.alias("est"),
     )
+
+
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    min_count: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters without shuffling the long tail — the
+    Misra-Gries summary (Misra & Gries 1982, the space-saving family)
+    used the way a 100-TB engine should use it: as a CANDIDATE
+    generator whose guaranteed superset is then recounted exactly.
+
+    Returns ``(item:string, n:bigint)`` for every non-NULL item whose
+    exact count is >= ``min_count`` — deterministic and
+    partitioning-invariant, because the final counts are exact and the
+    MG candidate set is a superset of the answer under ANY batching:
+    per Arrow batch the exact value counts are MG-compressed to <= k
+    weighted counters (subtract t = the (k+1)-th largest count, drop
+    non-positives — every unit of per-item undercount is paid for by
+    >= k+1 units of total decrement), so summed across batches each
+    item's retained weight w satisfies  true - N/(k+1) <= w <= true.
+    Candidates keep  w + ceil(N/(k+1)) >= min_count  (superset-safe),
+    then one broadcast semi-join recounts them exactly.
+
+    ``min_count`` must exceed N/(k+1) (N = non-NULL rows) or the
+    candidate set is unbounded — raises loudly with the measured N
+    rather than silently exploding the broadcast; raise k or
+    min_count. Defaults to ceil(N/(k+1)) + 1 when None (the tightest
+    sound threshold).
+
+    Plan: one Arrow-batched MG pass (numpy value counts — the
+    vectorized-kernel posture, never per-row Python) emitting <= k
+    counter rows + 1 size-marker row per batch, one narrow hash
+    aggregate over those counters, then a second scan recounting only
+    the (small, broadcast) candidate set. The tail never shuffles:
+    a groupBy(col).count() at 10^12 rows moves every distinct value
+    through the exchange; this moves <= k rows per Arrow batch.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    vals = df.select(F.col(col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
+
+    out_schema = "item string, w long"
+
+    def mg_batches(batches):
+        for b in batches:
+            arr = b.column(0)
+            n = len(arr)
+            if n == 0:
+                continue
+            items, counts = np.unique(
+                np.asarray(arr.to_pandas(), dtype=object), return_counts=True
+            )
+            if len(items) > k:
+                t = np.partition(counts, len(counts) - (k + 1))[
+                    len(counts) - (k + 1)
+                ]
+                keep = counts > t
+                items, counts = items[keep], counts[keep] - t
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(list(items) + [None], type=pa.string()),
+                    pa.array(
+                        list(counts.astype("int64")) + [int(n)],
+                        type=pa.int64(),
+                    ),
+                ],
+                names=["item", "w"],
+            )
+
+    partials = vals.mapInArrow(mg_batches, out_schema)
+    agg = partials.groupBy(
+        F.col("item").isNull().alias("_is_n"), "item"
+    ).agg(F.sum("w").alias("w"))
+    # ceil(N/(k+1)) as exact integer arithmetic
+    loss_bound = F.floor(
+        (F.col("_n") + F.lit(k)).cast("bigint") / F.lit(k + 1)
+    ).cast("bigint")
+    n_total = (
+        agg.where(F.col("_is_n"))
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("_n"))
+        .withColumn("_lb", loss_bound)
+    )
+    if min_count is None:
+        mc = F.col("_lb") + F.lit(1)
+    else:
+        mc = F.lit(int(min_count)).cast("bigint")
+    cand = (
+        agg.where(~F.col("_is_n"))
+        .crossJoin(F.broadcast(n_total))
+        .where(F.col("w") + F.col("_lb") >= mc)
+        .select("item", mc.alias("_mc"))
+    )
+    result = (
+        vals.join(F.broadcast(cand), "item")
+        .groupBy("item", "_mc")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= F.col("_mc"))
+        .select("item", "n")
+    )
+    # CORRECTNESS guard: an item MG dropped entirely has no candidate
+    # row at all, so min_count <= N/(k+1) silently loses answers. The
+    # guard must evaluate even when the candidate set is EMPTY — a
+    # WHERE on the candidate/recount path gets removed by AQE's
+    # empty-relation propagation — so it rides the output as a union
+    # branch over the always-present 1-row N aggregate: zero rows when
+    # sound, raise_error when violated.
+    guard = n_total.where(mc <= F.col("_lb")).select(
+        F.raise_error(
+            F.concat(
+                F.lit("frequent_items: min_count "),
+                mc.cast("string"),
+                F.lit(" <= N/(k+1) loss bound "),
+                F.col("_lb").cast("string"),
+                F.lit(" — completeness broken; raise k or min_count"),
+            )
+        ).cast("string").alias("item"),
+        F.lit(None).cast("bigint").alias("n"),
+    )
+    return result.unionByName(guard)

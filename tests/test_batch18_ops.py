@@ -216,3 +216,63 @@ def test_kinematics_plan_one_exchange_no_python(spark):
     p = _plan(trajectory_kinematics(df))
     assert _no_python(p)
     assert p.count("Exchange") == 1
+
+
+# --------------------------------------------------------- frequent items
+
+def test_frequent_items_exact_and_partition_invariant(spark):
+    from osm_pbf_spark.operators.sketch import frequent_items
+
+    rows = (
+        [("hot%d" % (i % 5),) for i in range(400)]
+        + [("warm%d" % (i % 20),) for i in range(200)]
+        + [("tail%d" % i,) for i in range(300)]
+        + [(None,)] * 10
+    )
+    exp = {}
+    for (v,) in rows:
+        if v is not None:
+            exp[v] = exp.get(v, 0) + 1
+    want = {k: v for k, v in exp.items() if v >= 50}
+    for nparts in (1, 7, 32):
+        df = spark.createDataFrame(rows, "item string").repartition(nparts)
+        got = {
+            r.item: r.n
+            for r in frequent_items(df, "item", k=32, min_count=50).collect()
+        }
+        assert got == want, nparts
+
+
+def test_frequent_items_loss_bound_guard(spark):
+    from osm_pbf_spark.operators.sketch import frequent_items
+
+    df = spark.createDataFrame([("a%d" % i,) for i in range(500)], "item string")
+    with pytest.raises(Exception, match="loss bound"):
+        frequent_items(df, "item", k=4, min_count=3).collect()
+
+
+def test_frequent_items_default_threshold(spark):
+    from osm_pbf_spark.operators.sketch import frequent_items
+
+    rows = [("big",)] * 90 + [("t%d" % i,) for i in range(10)]
+    df = spark.createDataFrame(rows, "item string")
+    # N=100, k=9 -> loss bound ceil(100/10)=10, default min_count 11
+    got = {r.item: r.n for r in frequent_items(df, "item", k=9).collect()}
+    assert got == {"big": 90}
+
+
+def test_frequent_items_arrow_stage_reused(spark):
+    from osm_pbf_spark.operators.sketch import frequent_items
+
+    df = spark.createDataFrame(
+        [("a%d" % (i % 3),) for i in range(60)], "item string"
+    ).repartition(3)
+    out = frequent_items(df, "item", k=8, min_count=10)
+    out.collect()
+    p = _plan(out)  # adaptive plan after execution
+    # vectorized Arrow kernel only — never row-at-a-time Python
+    assert "BatchEvalPython" not in p and "InPandas" not in p
+    assert "MapInArrow" in p
+    # the MG subtree feeds candidates + N + guard: AQE must REUSE its
+    # exchange, not re-run the scan per branch
+    assert "ReusedExchange" in p
