@@ -3401,6 +3401,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_frequent_items"] = q_frequent_items
 
+    def q_url_normalize(spark, sf):  # crawl-pipeline URL canonical key:
+        # regexp parse + normalization spec (lowercase, default-port
+        # drop, trailing-slash strip, fragment drop) — pure codegen;
+        # oracle runs the same regex spec on DuckDB's RE2 (vs Java
+        # regex here: two independent regex engines must agree)
+        from osm_pbf_spark.operators.text import url_normalize
+
+        k = F.col("o_orderkey")
+        o = load(spark, sf, "orders").filter(k < 3000)
+        url = F.concat(
+            F.element_at(
+                F.array(F.lit("http"), F.lit("HTTPS"), F.lit("ftp")),
+                (k % 3 + 1).cast("int"),
+            ),
+            F.lit("://"),
+            F.lit("WWW.Site"), (k % 50).cast("string"), F.lit(".Example.COM"),
+            F.element_at(
+                F.array(F.lit(""), F.lit(":80"), F.lit(":443"), F.lit(":8080")),
+                (k % 4 + 1).cast("int"),
+            ),
+            F.element_at(
+                F.array(F.lit(""), F.lit("/"), F.lit("/a/b"), F.lit("/a/b/"),
+                        F.lit("/idx.html")),
+                (k % 5 + 1).cast("int"),
+            ),
+            F.element_at(
+                F.array(F.lit(""), F.lit("?x=1&y=2")), (k % 2 + 1).cast("int")
+            ),
+            F.when(k % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+        )
+        return url_normalize(o.select("o_orderkey", url.alias("url"))).select(
+            "o_orderkey", "url", "scheme", "host", "port", "path",
+            "query", "fragment", "url_norm", "domain",
+        )
+
+    q["q_url_normalize"] = q_url_normalize
+
     return q
 
 
@@ -8229,6 +8266,53 @@ def oracle_sql() -> dict[str, str]:
         "q_hex_assign": f"""
             WITH {_ora_hex_cte()}
             SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr
+        """,
+        # same regex spec on DuckDB's RE2 (vs Spark's Java regex) +
+        # CASE-form URL synthesis (vs element_at arrays)
+        "q_url_normalize": r"""
+            WITH u AS (
+              SELECT o_orderkey,
+                     (CASE o_orderkey % 3 WHEN 0 THEN 'http'
+                           WHEN 1 THEN 'HTTPS' ELSE 'ftp' END)
+                     || '://' || 'WWW.Site' || CAST(o_orderkey % 50 AS VARCHAR)
+                     || '.Example.COM'
+                     || (CASE o_orderkey % 4 WHEN 0 THEN '' WHEN 1 THEN ':80'
+                              WHEN 2 THEN ':443' ELSE ':8080' END)
+                     || (CASE o_orderkey % 5 WHEN 0 THEN '' WHEN 1 THEN '/'
+                              WHEN 2 THEN '/a/b' WHEN 3 THEN '/a/b/'
+                              ELSE '/idx.html' END)
+                     || (CASE o_orderkey % 2 WHEN 0 THEN '' ELSE '?x=1&y=2' END)
+                     || (CASE WHEN o_orderkey % 7 = 0 THEN '#sec' ELSE '' END)
+                     AS url
+              FROM orders WHERE o_orderkey < 3000),
+            p AS (
+              SELECT o_orderkey, url,
+                regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)
+                    AS scheme,
+                regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1)
+                    AS host,
+                regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]*:([0-9]+)', 1) AS port,
+                regexp_extract(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+                regexp_extract(url, '\?([^#]*)', 1) AS query,
+                regexp_extract(url, '#(.*)$', 1) AS fragment
+              FROM u),
+            n AS (
+              SELECT p.*,
+                lower(scheme) AS scheme_l, lower(host) AS host_l,
+                CASE WHEN port = '' OR (lower(scheme) = 'http' AND port = '80')
+                          OR (lower(scheme) = 'https' AND port = '443')
+                     THEN '' ELSE ':' || port END AS port_part,
+                CASE WHEN path IN ('', '/') THEN '/'
+                     ELSE regexp_replace(path, '/$', '') END AS path_n,
+                CASE WHEN query = '' THEN '' ELSE '?' || query END AS query_part
+              FROM p)
+            SELECT o_orderkey, url, scheme, host, port, path, query, fragment,
+                   scheme_l || '://' || host_l || port_part || path_n
+                       || query_part AS url_norm,
+                   regexp_extract(host_l, '([^.]+\.[^.]+)$', 1) AS domain
+            FROM n
         """,
         # plain GROUP BY + HAVING — independent of the MG sketch path
         "q_frequent_items": """

@@ -881,3 +881,84 @@ def bm25(
             F.sum(term_score).alias("score"),
         )
     )
+
+
+# ------------------------- URL parse / normalize -------------------------
+
+# Engine-portable regex subset only (character classes, groups, anchors
+# — no backrefs/lookaround), so Spark's Java regex and DuckDB's RE2
+# agree; both return '' for a non-matching regexp_extract group.
+_URL_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)"
+_URL_PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]*:([0-9]+)"
+_URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
+_URL_QUERY_RE = r"\?([^#]*)"
+_URL_FRAG_RE = r"#(.*)$"
+_URL_DOMAIN_RE = r"([^.]+\.[^.]+)$"
+
+
+def url_parse(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Split absolute URLs into (scheme, host, port, path, query,
+    fragment) string columns — the crawl-pipeline pre-step for host
+    bucketing, robots grouping and URL dedup. Pure regexp projection:
+    whole-stage codegen, no shuffle, no UDF. Components that are
+    absent come back as '' (the regexp_extract convention on BOTH
+    engines), never NULL — so downstream concat never NULL-poisons.
+    """
+    u = F.col(url_col)
+    return df.withColumns(
+        {
+            "scheme": F.regexp_extract(u, _URL_SCHEME_RE, 1),
+            "host": F.regexp_extract(u, _URL_HOST_RE, 1),
+            "port": F.regexp_extract(u, _URL_PORT_RE, 1),
+            "path": F.regexp_extract(u, _URL_PATH_RE, 1),
+            "query": F.regexp_extract(u, _URL_QUERY_RE, 1),
+            "fragment": F.regexp_extract(u, _URL_FRAG_RE, 1),
+        }
+    )
+
+
+def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonical URL key + registrable-domain-ish grouping column —
+    the exact-dedup key for crawl corpora (the first dedup any web
+    pipeline runs is URL-normalized exact match).
+
+    Normalization spec (deterministic, documented, engine-replayable):
+    lowercase scheme and host; drop the port when it is the scheme
+    default (http:80 / https:443) or empty; empty path becomes '/',
+    else ONE trailing slash is stripped (path '/' stays); query kept
+    verbatim when non-empty ('?' re-attached); fragment dropped.
+    Appends ``url_norm`` and ``domain`` (last two host labels — a
+    heuristic, not the public-suffix list, and documented as such).
+
+    Plan: url_parse's regexp projection + native string ops — no
+    shuffle, no UDF; at 10^12 URLs this is a map-only pass.
+    """
+    parsed = url_parse(df, url_col)
+    scheme_l = F.lower(F.col("scheme"))
+    host_l = F.lower(F.col("host"))
+    port = F.col("port")
+    drop_port = (
+        (port == F.lit(""))
+        | ((scheme_l == F.lit("http")) & (port == F.lit("80")))
+        | ((scheme_l == F.lit("https")) & (port == F.lit("443")))
+    )
+    port_part = F.when(drop_port, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    path = F.col("path")
+    path_n = (
+        F.when(path.isin("", "/"), F.lit("/"))
+        .otherwise(F.regexp_replace(path, r"/$", ""))
+    )
+    query_part = F.when(F.col("query") == F.lit(""), F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.col("query"))
+    )
+    return parsed.withColumns(
+        {
+            "url_norm": F.concat(
+                scheme_l, F.lit("://"), host_l, port_part, path_n, query_part
+            ),
+            "domain": F.regexp_extract(host_l, _URL_DOMAIN_RE, 1),
+        }
+    )

@@ -276,3 +276,46 @@ def test_frequent_items_arrow_stage_reused(spark):
     # the MG subtree feeds candidates + N + guard: AQE must REUSE its
     # exchange, not re-run the scan per branch
     assert "ReusedExchange" in p
+
+
+# ----------------------------------------------------------------- URLs
+
+def test_url_normalize_known_values(spark):
+    from osm_pbf_spark.operators.text import url_normalize
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/a/b/?q=1#f", "http://www.ex.com/a/b?q=1",
+         "ex.com"),
+        ("https://Host.Org:443", "https://host.org/", "host.org"),
+        ("https://Host.Org:8443/x", "https://host.org:8443/x", "host.org"),
+        ("ftp://a.b.c.d:80/f/", "ftp://a.b.c.d:80/f", "c.d"),
+        ("http://single", "http://single/", ""),
+        ("http://e.com/", "http://e.com/", "e.com"),
+        ("http://e.com/deep/x.html", "http://e.com/deep/x.html", "e.com"),
+        # garbage in -> deterministic empty components (path defaults '/')
+        ("not a url", ":///", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    got = {r.url: (r.url_norm, r.domain) for r in url_normalize(df).collect()}
+    for u, norm, dom in cases:
+        assert got[u] == (norm, dom), u
+
+
+def test_url_parse_components(spark):
+    from osm_pbf_spark.operators.text import url_parse
+
+    df = spark.createDataFrame(
+        [("https://h.io:9000/p/q?a=b&c=d#frag",)], "url string"
+    )
+    r = url_parse(df).collect()[0]
+    assert (r.scheme, r.host, r.port, r.path, r.query, r.fragment) == (
+        "https", "h.io", "9000", "/p/q", "a=b&c=d", "frag"
+    )
+
+
+def test_url_plan_map_only(spark):
+    from osm_pbf_spark.operators.text import url_normalize
+
+    df = spark.createDataFrame([("http://x.y/",)], "url string")
+    p = _plan(url_normalize(df))
+    assert _no_python(p) and "Exchange" not in p
