@@ -3438,6 +3438,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_url_normalize"] = q_url_normalize
 
+    def q_nb_classify(spark, sf):  # multinomial Naive Bayes lang
+        # classifier (the fastText-quality-filter role) — micro-nat
+        # quantized log-likelihoods, exact bigint scores, deterministic
+        # argmax; oracle replays the identical chain in SQL
+        from osm_pbf_spark.operators.text import nb_classify
+
+        d = load(spark, sf, "documents")
+        train = d.filter(F.col("doc_id") < 400).select(
+            "doc_id", "text", F.col("lang").alias("label")
+        )
+        return nb_classify(train, d.select("doc_id", "text"))
+
+    q["q_nb_classify"] = q_nb_classify
+
     return q
 
 
@@ -8266,6 +8280,49 @@ def oracle_sql() -> dict[str, str]:
         "q_hex_assign": f"""
             WITH {_ora_hex_cte()}
             SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr
+        """,
+        # verbatim micro-nat NB replay: same ln/round chain, window
+        # argmax instead of the engine's row_number pick
+        "q_nb_classify": """
+            WITH tr AS (SELECT doc_id, lang, text FROM documents
+                        WHERE doc_id < 400),
+            ttokr AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                      FROM tr),
+            ttok AS (SELECT * FROM ttokr WHERE tok <> ''),
+            c AS (SELECT lang, tok, count(*) AS c FROM ttok GROUP BY 1, 2),
+            t AS (SELECT lang, count(*) AS t FROM ttok GROUP BY 1),
+            v AS (SELECT count(DISTINCT tok) AS v FROM ttok),
+            nn AS (SELECT count(*) AS n FROM tr),
+            lbl AS (SELECT pr.lang, coalesce(t.t, 0) AS t, v.v,
+                           CAST(round(ln(CAST(pr.nd AS DOUBLE)
+                                         / CAST(nn.n AS DOUBLE))
+                                      * 1000000.0) AS BIGINT) AS prior_q
+                    FROM (SELECT lang, count(*) AS nd FROM tr GROUP BY 1) pr
+                    LEFT JOIN t ON t.lang = pr.lang, nn, v),
+            stokr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+            stok AS (SELECT * FROM stokr WHERE tok <> ''),
+            terms AS (SELECT s.doc_id, l.lang,
+                             CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                                           / CAST(l.t + l.v AS DOUBLE))
+                                        * 1000000.0) AS BIGINT) AS lq
+                      FROM stok s CROSS JOIN lbl l
+                      LEFT JOIN c ON c.lang = l.lang AND c.tok = s.tok),
+            sums AS (SELECT doc_id, lang, sum(lq) AS s, count(*) AS nt
+                     FROM terms GROUP BY 1, 2),
+            tot AS (SELECT d.doc_id, l.lang,
+                           l.prior_q + coalesce(su.s, 0) AS score_q,
+                           coalesce(su.nt, 0) AS n_toks
+                    FROM (SELECT doc_id FROM documents) d
+                    CROSS JOIN lbl l
+                    LEFT JOIN sums su
+                      ON su.doc_id = d.doc_id AND su.lang = l.lang)
+            SELECT doc_id, lang AS pred_label, score_q, n_toks
+            FROM (SELECT tot.*, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score_q DESC, lang ASC) AS rn
+                  FROM tot)
+            WHERE rn = 1
         """,
         # same regex spec on DuckDB's RE2 (vs Spark's Java regex) +
         # CASE-form URL synthesis (vs element_at arrays)

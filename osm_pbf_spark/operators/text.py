@@ -962,3 +962,111 @@ def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
             "domain": F.regexp_extract(host_l, _URL_DOMAIN_RE, 1),
         }
     )
+
+
+def nb_classify(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes over whitespace tokens — the classic
+    corpus-quality / language classifier of LLM data pipelines (the
+    role fastText plays in public web-corpus recipes), trained and
+    applied wholly inside the engine.
+
+        p(label | doc) ∝ p(label) * Π_tok p(tok | label)
+        p(tok | label) = (c_lt + 1) / (t_l + V)     [add-one smoothing]
+
+    Exactness posture (bigram_lm_score discipline): every token
+    log-likelihood and the log-prior are quantized to MICRO-NATS with
+    one fixed-shape IEEE chain — round(ln(int/int) * 1e6) cast bigint
+    — then bigint-SUMmed per (doc, label) (order-free, exact), so the
+    winning label and its score are gate-hashable; ties broken by
+    label ascending (deterministic). Unseen tokens score with c = 0
+    under the same smoothed formula; V is the TRAIN vocabulary.
+
+    Returns ``(doc_id, pred_label, score_q:bigint, n_toks:bigint)``;
+    zero-token documents are classified by priors alone.
+
+    Plan: two corpus aggregates on the train side (per-(label,token)
+    counts + per-label totals), tiny broadcast label/V/N dims, one
+    |score tokens| x |labels| term expansion (labels are few — the
+    documented fanout), one (doc,label) aggregate, one ranking window.
+    All native; no Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    def toks(df: DataFrame, keep: F.Column, alias: str) -> DataFrame:
+        arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        return df.select(keep.alias(alias), F.explode(arr).alias("tok"))
+
+    ttok = toks(train, F.col(label_col), "_lbl")
+    c = ttok.groupBy("_lbl", "tok").agg(F.count(F.lit(1)).alias("_c"))
+    t = ttok.groupBy("_lbl").agg(F.count(F.lit(1)).alias("_t"))
+    v = ttok.agg(F.count_distinct("tok").alias("_v"))
+    nrow = train.agg(F.count(F.lit(1)).alias("_n"))
+    micro = F.lit(1000000.0)
+    labels = (
+        train.groupBy(F.col(label_col).alias("_lbl"))
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .join(t, "_lbl", "left")
+        .crossJoin(F.broadcast(nrow))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "_lbl",
+            F.coalesce(F.col("_t"), F.lit(0).cast("bigint")).alias("_t"),
+            "_v",
+            F.round(
+                F.log(F.col("_nd").cast("double") / F.col("_n").cast("double"))
+                * micro
+            )
+            .cast("bigint")
+            .alias("_prior_q"),
+        )
+    )
+    stok = toks(score, F.col(id_col), "_did")
+    terms = (
+        stok.crossJoin(F.broadcast(labels.select("_lbl", "_t", "_v")))
+        .join(c, ["_lbl", "tok"], "left")
+        .select(
+            "_did",
+            "_lbl",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("_c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("_t") + F.col("_v")).cast("double")
+                )
+                * micro
+            )
+            .cast("bigint")
+            .alias("_lq"),
+        )
+    )
+    sums = terms.groupBy("_did", "_lbl").agg(
+        F.sum("_lq").alias("_s"), F.count(F.lit(1)).alias("_nt")
+    )
+    grid = score.select(F.col(id_col).alias("_did")).crossJoin(
+        F.broadcast(labels.select("_lbl", "_prior_q"))
+    )
+    tot = grid.join(sums, ["_did", "_lbl"], "left").select(
+        "_did",
+        "_lbl",
+        (F.col("_prior_q") + F.coalesce(F.col("_s"), F.lit(0).cast("bigint")))
+        .alias("score_q"),
+        F.coalesce(F.col("_nt"), F.lit(0).cast("bigint")).alias("n_toks"),
+    )
+    w = Window.partitionBy("_did").orderBy(
+        F.col("score_q").desc(), F.col("_lbl").asc()
+    )
+    return (
+        tot.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("_did").alias(id_col),
+            F.col("_lbl").alias("pred_label"),
+            "score_q",
+            "n_toks",
+        )
+    )

@@ -319,3 +319,77 @@ def test_url_plan_map_only(spark):
     df = spark.createDataFrame([("http://x.y/",)], "url string")
     p = _plan(url_normalize(df))
     assert _no_python(p) and "Exchange" not in p
+
+
+# ------------------------------------------------------------ naive bayes
+
+def _nb_py(train, score):
+    """Scalar replay of nb_classify's exact micro-nat spec."""
+    from collections import Counter
+
+    c = Counter()
+    t = Counter()
+    nd = Counter()
+    vocab = set()
+    for _, label, text in train:
+        nd[label] += 1
+        for tok in [x for x in text.split(" ") if x]:
+            c[(label, tok)] += 1
+            t[label] += 1
+            vocab.add(tok)
+    n, v = len(train), len(vocab)
+    out = {}
+    for did, _, text in score:
+        toks = [x for x in text.split(" ") if x]
+        best = None
+        for label in sorted(nd):
+            sq = int(round(math.log(nd[label] / n) * 1e6))
+            for tok in toks:
+                sq += int(round(
+                    math.log((c[(label, tok)] + 1) / (t[label] + v)) * 1e6
+                ))
+            if best is None or sq > best[1]:
+                best = (label, sq)
+        out[did] = (best[0], best[1], len(toks))
+    return out
+
+
+def test_nb_classify_matches_scalar_replay(spark):
+    from osm_pbf_spark.operators.text import nb_classify
+
+    train = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the dog ate the food"),
+        (3, "fr", "le chat et le chien"),
+        (4, "fr", "le pain et le vin"),
+        (5, "de", "der hund und die katze"),
+    ]
+    score = [
+        (10, "", "the cat ate"),
+        (11, "", "le chien et le chat"),
+        (12, "", "die katze"),
+        (13, "", "unseen tokens only here"),
+        (14, "", ""),  # zero tokens: priors alone (en/fr tie -> en)
+    ]
+    tdf = spark.createDataFrame(train, "doc_id long, label string, text string")
+    sdf = spark.createDataFrame(
+        [(d, t) for d, _, t in score], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.pred_label, r.score_q, r.n_toks)
+        for r in nb_classify(tdf, sdf).collect()
+    }
+    exp = _nb_py(train, score)
+    assert got == exp
+    assert got[10][0] == "en" and got[11][0] == "fr" and got[12][0] == "de"
+    assert got[14][0] == "en"  # 2-2-1 priors: en/fr tie, label asc wins
+
+
+def test_nb_classify_plan_native(spark):
+    from osm_pbf_spark.operators.text import nb_classify
+
+    tdf = spark.createDataFrame(
+        [(1, "x", "a b")], "doc_id long, label string, text string"
+    )
+    sdf = spark.createDataFrame([(2, "a")], "doc_id long, text string")
+    assert _no_python(_plan(nb_classify(tdf, sdf)))
