@@ -3452,6 +3452,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_nb_classify"] = q_nb_classify
 
+    def q_quantiles(spark, sf):  # exact per-group percentiles (type-1)
+        # in one pass: distinct-value shuffle + cumulative window +
+        # integer cum*den >= num*n selection — no approx sketch, no
+        # global sort; oracle replays the identical integer rule
+        from osm_pbf_spark.operators.stats import exact_quantiles
+
+        li = load(spark, sf, "lineitem").select(
+            "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+        )
+        return exact_quantiles(
+            li, "qty", ["l_returnflag"],
+            qs=[(1, 4), (1, 2), (3, 4), (9, 10), (1, 1)],
+            labels=["p25", "p50", "p75", "p90", "p100"],
+        )
+
+    q["q_quantiles"] = q_quantiles
+
     return q
 
 
@@ -8280,6 +8297,26 @@ def oracle_sql() -> dict[str, str]:
         "q_hex_assign": f"""
             WITH {_ora_hex_cte()}
             SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr
+        """,
+        # the same integer type-1 rule over DuckDB's window machinery
+        "q_quantiles": """
+            WITH per AS (
+              SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+                     count(*) AS c
+              FROM lineitem GROUP BY 1, 2),
+            cum AS (
+              SELECT l_returnflag, v,
+                     sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(c) OVER (PARTITION BY l_returnflag) AS n
+              FROM per)
+            SELECT l_returnflag,
+                   min(CASE WHEN cum * 4 >= 1 * n THEN v END) AS p25,
+                   min(CASE WHEN cum * 2 >= 1 * n THEN v END) AS p50,
+                   min(CASE WHEN cum * 4 >= 3 * n THEN v END) AS p75,
+                   min(CASE WHEN cum * 10 >= 9 * n THEN v END) AS p90,
+                   min(CASE WHEN cum * 1 >= 1 * n THEN v END) AS p100
+            FROM cum GROUP BY l_returnflag
         """,
         # verbatim micro-nat NB replay: same ln/round chain, window
         # argmax instead of the engine's row_number pick

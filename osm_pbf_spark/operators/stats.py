@@ -504,3 +504,69 @@ def cusum_changepoints(
         "key", "ord", F.lit("down").alias("side"), F.col("s_dn").alias("stat")
     )
     return up.unionAll(dn)
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: list[tuple[int, int]],
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """EXACT per-group quantiles at 100-TB scale — percentile_disc
+    (type-1) semantics: for q = num/den, the smallest value whose
+    cumulative count reaches ceil(q·n), i.e. cum·den >= num·n in pure
+    int64 arithmetic. Generalizes ``_lower_median`` (q = 1/2) to any
+    rational list of quantiles in ONE pass.
+
+    Why not approx_percentile / a t-digest: those are engine-specific
+    and not independently replayable; why not a global sort: this
+    shuffles only the DISTINCT values of each group (map-side combine
+    collapses duplicates), the per-group window sorts distinct values,
+    and every quantile reads the same cumulative table. For columns
+    with bounded value domains (quantized metrics, token counts,
+    scores) the shuffle is domain-sized, not corpus-sized.
+
+    Requires an INTEGER-valued column (caller quantizes — the module
+    contract); quantiles as (num, den) int fractions keep everything
+    exact. Returns one row per group with a bigint column per
+    quantile, named by ``labels`` (default ``q_<num>_<den>``).
+
+    Plan: one distinct-value count aggregate, one cumulative window,
+    one min-aggregate computing ALL quantiles together. No Python.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for num, den in qs:
+        if not (0 < num <= den):
+            raise ValueError(f"quantile {num}/{den} out of (0, 1]")
+    if labels is None:
+        labels = [f"q_{num}_{den}" for num, den in qs]
+    if len(labels) != len(qs):
+        raise ValueError("labels must match qs")
+    xc = F.col(value_col).cast("bigint")
+    per = df.groupBy(*group_cols, xc.alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*[F.col(c) for c in group_cols])
+    cum = per.select(
+        *group_cols,
+        "_v",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(wn).alias("_n"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_cum") * F.lit(int(den)) >= F.lit(int(num)) * F.col("_n"),
+                F.col("_v"),
+            )
+        ).alias(lbl)
+        for (num, den), lbl in zip(qs, labels)
+    ]
+    return cum.groupBy(*group_cols).agg(*aggs)

@@ -393,3 +393,45 @@ def test_nb_classify_plan_native(spark):
     )
     sdf = spark.createDataFrame([(2, "a")], "doc_id long, text string")
     assert _no_python(_plan(nb_classify(tdf, sdf)))
+
+
+# -------------------------------------------------------- exact quantiles
+
+def test_exact_quantiles_matches_numpy_type1(spark):
+    from osm_pbf_spark.operators.stats import exact_quantiles
+
+    import numpy as np
+
+    vals = [(("g%d" % (i % 3)), int(v)) for i, v in enumerate(
+        np.random.RandomState(7).randint(-50, 200, size=400)
+    )]
+    df = spark.createDataFrame(vals, "g string, v long")
+    qs = [(1, 10), (1, 4), (1, 2), (3, 4), (1, 1)]
+    got = {
+        r.g: (r.q_1_10, r.q_1_4, r.q_1_2, r.q_3_4, r.q_1_1)
+        for r in exact_quantiles(df, "v", ["g"], qs).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        xs = sorted(v for gg, v in vals if gg == g)
+        n = len(xs)
+        exp = tuple(xs[-(-num * n // den) - 1] for num, den in qs)  # ceil
+        assert got[g] == exp, g
+
+
+def test_exact_quantiles_validation_and_ties(spark):
+    from osm_pbf_spark.operators.stats import exact_quantiles
+
+    df = spark.createDataFrame([("a", 5)] * 9 + [("a", 7)], "g string, v long")
+    r = exact_quantiles(df, "v", ["g"], [(9, 10), (91, 100)]).collect()[0]
+    assert r.q_9_10 == 5 and r.q_91_100 == 7  # boundary exact at cum*den=num*n
+    with pytest.raises(ValueError, match="out of"):
+        exact_quantiles(df, "v", ["g"], [(0, 10)])
+    with pytest.raises(ValueError, match="labels"):
+        exact_quantiles(df, "v", ["g"], [(1, 2)], labels=["a", "b"])
+
+
+def test_exact_quantiles_plan_native(spark):
+    from osm_pbf_spark.operators.stats import exact_quantiles
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    assert _no_python(_plan(exact_quantiles(df, "v", ["g"], [(1, 2)])))
