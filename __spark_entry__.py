@@ -3469,6 +3469,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_quantiles"] = q_quantiles
 
+    def q_rendezvous(spark, sf):  # consistent HRW shard assignment —
+        # one native array-aggregate fold per row, zero shuffle; oracle
+        # = cross-join + window argmax (independent formulation)
+        from osm_pbf_spark.operators.packing import rendezvous_assign
+
+        c = load(spark, sf, "customer").select(
+            F.col("c_custkey").alias("doc_id")
+        )
+        return rendezvous_assign(
+            c, "doc_id", [f"shard{i}" for i in range(7)]
+        )
+
+    q["q_rendezvous"] = q_rendezvous
+
+    def q_zrange(spark, sf):  # Z-order range-scan decomposition: a 2-D
+        # bbox becomes an OR of 1-D key BETWEENs (driver-side quadtree,
+        # merged adjacent ranges) — the stats-prunable scan over the
+        # C13 layout; oracle filters by quantized COORDS (never touches
+        # the curve), so equality proves the decomposition
+        from osm_pbf_spark.functions.zorder import (
+            zorder_key_col,
+            zorder_ranges,
+            zrange_predicate,
+        )
+
+        pts = customer_points(spark, sf)
+        key = zorder_key_col(
+            [F.col("lon"), F.col("lat")], [-180.0, -90.0], [180.0, 90.0], bits=8
+        )
+        ranges = zorder_ranges(37, 133, 60, 201, bits=8, max_ranges=2048)
+        return (
+            pts.withColumn("zkey", key)
+            .where(zrange_predicate(F.col("zkey"), ranges))
+            .select("doc_id", "zkey")
+        )
+
+    q["q_zrange"] = q_zrange
+
     return q
 
 
@@ -8297,6 +8335,36 @@ def oracle_sql() -> dict[str, str]:
         "q_hex_assign": f"""
             WITH {_ora_hex_cte()}
             SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr
+        """,
+        # the oracle filters by quantized COORDS and never touches the
+        # Z-curve — matching output proves the range decomposition
+        "q_zrange": f"""
+            WITH pts AS ({SQL_POINTS}),
+            q AS (SELECT doc_id,
+                         {_zq_sql('lon', -180.0, 180.0, 8)} AS qx,
+                         {_zq_sql('lat', -90.0, 90.0, 8)} AS qy
+                  FROM pts)
+            SELECT doc_id, {_zinterleave_sql(['qx', 'qy'], 8)} AS zkey
+            FROM q
+            WHERE qx BETWEEN 37 AND 133 AND qy BETWEEN 60 AND 201
+        """,
+        # cross join + window argmax vs the engine's array fold —
+        # independent formulation of the same HRW weight spec
+        "q_rendezvous": f"""
+            WITH sh(shard) AS (VALUES ('shard0'), ('shard1'), ('shard2'),
+                                      ('shard3'), ('shard4'), ('shard5'),
+                                      ('shard6')),
+            w AS (SELECT c_custkey AS doc_id, sh.shard,
+                         {_hex40_bigint_sql(
+                             "md5(sh.shard || '|' || CAST(c_custkey AS VARCHAR))"
+                         )} AS w
+                  FROM customer, sh)
+            SELECT doc_id, shard FROM (
+              SELECT doc_id, shard,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY w DESC, shard ASC) AS rn
+              FROM w)
+            WHERE rn = 1
         """,
         # the same integer type-1 rule over DuckDB's window machinery
         "q_quantiles": """

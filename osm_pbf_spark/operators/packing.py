@@ -527,3 +527,54 @@ def token_budget_sample(
         F.col(tokens_col).cast("long").alias("doc_tokens"),
         "cum_before",
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    shards: list[str],
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing — the consistent
+    shard assignment for incremental pipelines: every key goes to the
+    shard with the highest md5-derived weight, so ADDING a shard moves
+    ONLY the keys that now rank the new shard first (≈ 1/(n+1) of
+    them) and removing one moves only ITS keys. Plain `hash % n`
+    reshuffles almost everything on every resize — at 100 TB that is
+    the difference between re-bucketing one shard's worth of data and
+    rewriting the table (the property is pinned by test).
+
+    Weight spec (engine-replayable): w(key, shard) = the project
+    40-bit md5 prefix of '<shard>|<key>'; argmax with ties (md5
+    collisions — unreachable in practice) broken by shard ascending.
+
+    Plan: ONE native array `aggregate` fold over the shard list per
+    row — pure projection, zero shuffle, zero Python; |shards| md5
+    calls per row (use a two-level hierarchy beyond ~10^3 shards).
+    """
+    if not (1 <= len(shards) <= 1024):
+        raise ValueError(f"need 1..1024 shards, got {len(shards)}")
+    if len(set(shards)) != len(shards):
+        raise ValueError("shard names must be unique")
+    key = F.col(key_col).cast("string")
+
+    def weight(s: F.Column) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(s, F.lit("|"), key)), 1, 10), 16, 10
+        ).cast("bigint")
+
+    arr = F.array(*[F.lit(s) for s in shards])
+    init = F.struct(
+        F.lit(-1).cast("bigint").alias("w"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    best = F.aggregate(
+        arr,
+        init,
+        lambda acc, s: F.when(
+            (weight(s) > acc["w"])
+            | ((weight(s) == acc["w"]) & (s < acc["s"])),
+            F.struct(weight(s).alias("w"), s.alias("s")),
+        ).otherwise(acc),
+    )
+    return df.withColumn(out_col, best["s"])

@@ -435,3 +435,117 @@ def test_exact_quantiles_plan_native(spark):
 
     df = spark.createDataFrame([("a", 1)], "g string, v long")
     assert _no_python(_plan(exact_quantiles(df, "v", ["g"], [(1, 2)])))
+
+
+# ------------------------------------------------------------- rendezvous
+
+def test_rendezvous_stability_on_reshard(spark):
+    """THE HRW property: adding a shard moves ONLY keys that go to the
+    new shard; removing one moves only its own keys."""
+    from osm_pbf_spark.operators.packing import rendezvous_assign
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    s7 = [f"s{i}" for i in range(7)]
+    a7 = {r.k: r.shard for r in rendezvous_assign(df, "k", s7).collect()}
+    a8 = {
+        r.k: r.shard
+        for r in rendezvous_assign(df, "k", s7 + ["s7"]).collect()
+    }
+    moved = {k for k in a7 if a7[k] != a8[k]}
+    assert all(a8[k] == "s7" for k in moved)
+    assert 0 < len(moved) < 150  # ~1/8 of 500
+    a6 = {
+        r.k: r.shard
+        for r in rendezvous_assign(df, "k", s7[:-1]).collect()
+    }
+    for k in a7:
+        if a7[k] != "s6":
+            assert a6[k] == a7[k], k
+
+
+def test_rendezvous_plan_and_validation(spark):
+    from osm_pbf_spark.operators.packing import rendezvous_assign
+
+    df = spark.createDataFrame([(1,)], "k long")
+    p = _plan(rendezvous_assign(df, "k", ["a", "b"]))
+    assert _no_python(p) and "Exchange" not in p
+    with pytest.raises(ValueError, match="unique"):
+        rendezvous_assign(df, "k", ["a", "a"])
+    with pytest.raises(ValueError, match="1..1024"):
+        rendezvous_assign(df, "k", [])
+
+
+# ------------------------------------------------------------ zorder ranges
+
+def _z_of(x: int, y: int, bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_ranges_exhaustive_small_grids(spark):
+    from osm_pbf_spark.functions.zorder import zorder_ranges
+
+    for bits in (2, 3, 4):
+        n = 1 << bits
+        rects = [
+            (0, n - 1, 0, n - 1), (1, 2, 1, 2), (0, 0, 0, 0),
+            (1, n - 2, 2, n - 1), (n // 2, n - 1, 0, n // 2),
+        ]
+        for qx0, qx1, qy0, qy1 in rects:
+            rng = zorder_ranges(qx0, qx1, qy0, qy1, bits)
+            # sorted, disjoint, merged
+            for (a0, a1), (b0, b1) in zip(rng, rng[1:]):
+                assert a1 + 1 < b0, (rng,)
+            member = set()
+            for lo, hi in rng:
+                member.update(range(lo, hi + 1))
+            exp = {
+                _z_of(x, y, bits)
+                for x in range(qx0, qx1 + 1)
+                for y in range(qy0, qy1 + 1)
+            }
+            assert member == exp, (bits, qx0, qx1, qy0, qy1)
+
+
+def test_zorder_ranges_guard_and_validation(spark):
+    from osm_pbf_spark.functions.zorder import zorder_ranges
+
+    with pytest.raises(ValueError, match="max_ranges"):
+        zorder_ranges(1, 200, 1, 200, 8, max_ranges=10)
+    with pytest.raises(ValueError, match="outside"):
+        zorder_ranges(0, 256, 0, 1, 8)
+    with pytest.raises(ValueError, match="empty"):
+        zorder_ranges(5, 4, 0, 1, 8)
+
+
+def test_zrange_predicate_fast_optimize(spark):
+    """The regression that motivated the exists-form: many-term OR
+    chains over a Morton key send constraint propagation super-linear.
+    The exists predicate must plan + run a 247-range filter in
+    seconds."""
+    import time
+
+    from osm_pbf_spark.functions.zorder import (
+        zorder_key_col, zorder_ranges, zrange_predicate,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i % 90), float((i * 7) % 180)) for i in range(400)],
+        "lat double, lon double",
+    )
+    key = zorder_key_col(
+        [F.col("lon"), F.col("lat")], [-180.0, -90.0], [180.0, 90.0], bits=8
+    )
+    ranges = zorder_ranges(37, 133, 60, 201, 8)
+    assert len(ranges) > 200
+    t0 = time.time()
+    out = (
+        df.withColumn("zkey", key)
+        .where(zrange_predicate(F.col("zkey"), ranges))
+        .count()
+    )
+    assert time.time() - t0 < 30.0
+    assert out > 0
