@@ -3507,6 +3507,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_zrange"] = q_zrange
 
+    def q_flow_dir(spark, sf):  # D8 hydrology flow direction: scatter
+        # + equi-join + max(struct) argmax, ties by smallest code,
+        # pits/flats -1; oracle = 8-offset VALUES join + window rank
+        from osm_pbf_spark.operators.tiling import flow_direction
+
+        k = F.col("o_orderkey")
+        grid = load(spark, sf, "orders").filter(k < 1024).select(
+            (k % 32).alias("x"),
+            ((k - k % 32) / 32 % 32).cast("bigint").alias("y"),
+            ((k * 7919) % 1000).alias("z"),
+        )
+        return flow_direction(grid)
+
+    q["q_flow_dir"] = q_flow_dir
+
     return q
 
 
@@ -8335,6 +8350,32 @@ def oracle_sql() -> dict[str, str]:
         "q_hex_assign": f"""
             WITH {_ora_hex_cte()}
             SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr
+        """,
+        # 8-offset VALUES join + window rank — independent formulation
+        # of the engine's scatter + max(struct) argmax
+        "q_flow_dir": """
+            WITH g AS (
+              SELECT o_orderkey % 32 AS x,
+                     (o_orderkey // 32) % 32 AS y,
+                     (o_orderkey * 7919) % 1000 AS z
+              FROM orders WHERE o_orderkey < 1024),
+            offs(dir, dx, dy) AS (VALUES (0, 1, 0), (1, 1, -1), (2, 0, -1),
+                                         (3, -1, -1), (4, -1, 0), (5, -1, 1),
+                                         (6, 0, 1), (7, 1, 1)),
+            cand AS (SELECT c.x, c.y, c.z, o.dir, c.z - n.z AS drop
+                     FROM g c JOIN offs o ON TRUE
+                     JOIN g n ON n.x = c.x + o.dx AND n.y = c.y + o.dy
+                     WHERE c.z > n.z),
+            best AS (SELECT x, y, dir, drop FROM (
+                       SELECT cand.*, row_number() OVER (
+                           PARTITION BY x, y
+                           ORDER BY drop DESC, dir ASC) AS rn
+                       FROM cand)
+                     WHERE rn = 1)
+            SELECT g.x, g.y, g.z,
+                   CAST(coalesce(b.dir, -1) AS INTEGER) AS flow_dir,
+                   coalesce(b.drop, 0) AS drop
+            FROM g LEFT JOIN best b ON b.x = g.x AND b.y = g.y
         """,
         # the oracle filters by quantized COORDS and never touches the
         # Z-curve — matching output proves the range decomposition

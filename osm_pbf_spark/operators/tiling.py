@@ -593,3 +593,81 @@ def grid_erode(
         .where(F.col("_n") == F.lit(len(disk)))
         .select("x", "y")
     )
+
+
+# D8 neighbor offsets, direction codes 0..7 (E, SE, S, SW, W, NW, N, NE
+# in +x-east / +y-north grid axes). Ties broken by SMALLEST code.
+_D8_OFFS: list[tuple[int, int, int]] = [
+    (0, 1, 0), (1, 1, -1), (2, 0, -1), (3, -1, -1),
+    (4, -1, 0), (5, -1, 1), (6, 0, 1), (7, 1, 1),
+]
+
+
+def flow_direction(
+    cells: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    z_col: str = "z",
+) -> DataFrame:
+    """D8 flow direction over an integer elevation raster — the first
+    step of every hydrology / drainage pipeline (flow accumulation,
+    watershed labeling build on it): each occupied cell flows to the
+    8-neighbor with the LARGEST positive drop (z - z_neighbor), ties
+    broken by smallest direction code; cells with no positive drop to
+    an OCCUPIED neighbor (pits, flats, raster edge) get dir = -1.
+    Simple-D8 variant: drops are NOT distance-weighted (the 1/sqrt(2)
+    diagonal factor is irrational — the integer spec stays exact and
+    engine-replayable; documented variant choice).
+
+    Requires integer z (caller quantizes elevation — the module-wide
+    contract). Returns (x, y, z, flow_dir:int, drop:bigint — 0 when
+    flow_dir = -1).
+
+    Plan: the grid-DBSCAN scatter shape — each cell scatters to the 8
+    positions it neighbors (one native Generate, 8x|occupied|), one
+    cell equi-join, one max(struct) argmax aggregate, one left join
+    for the pit rows. All codegen, two narrow shuffles.
+    """
+    c = cells.select(
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+        F.col(z_col).cast("bigint").alias("z"),
+    )
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("dir"), F.lit(dx).alias("dx"), F.lit(dy).alias("dy")
+            )
+            for d, dx, dy in _D8_OFFS
+        ]
+    )
+    # cell (x,y) is the dir-neighbor of center (x - dx, y - dy)
+    nb = c.withColumn("_o", F.explode(offs)).select(
+        (F.col("x") - F.col("_o.dx")).alias("x"),
+        (F.col("y") - F.col("_o.dy")).alias("y"),
+        F.col("_o.dir").alias("_dir"),
+        F.col("z").alias("_zn"),
+    )
+    best = (
+        c.join(nb, ["x", "y"])
+        .where(F.col("z") > F.col("_zn"))
+        .groupBy("x", "y")
+        .agg(
+            F.max(
+                F.struct(
+                    (F.col("z") - F.col("_zn")).alias("drop"),
+                    (-F.col("_dir")).alias("negdir"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "x", "y",
+            (-F.col("_b.negdir")).cast("int").alias("_fd"),
+            F.col("_b.drop").alias("_drop"),
+        )
+    )
+    return c.join(best, ["x", "y"], "left").select(
+        "x", "y", "z",
+        F.coalesce(F.col("_fd"), F.lit(-1)).cast("int").alias("flow_dir"),
+        F.coalesce(F.col("_drop"), F.lit(0).cast("bigint")).alias("drop"),
+    )

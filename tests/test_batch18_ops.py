@@ -549,3 +549,43 @@ def test_zrange_predicate_fast_optimize(spark):
     )
     assert time.time() - t0 < 30.0
     assert out > 0
+
+
+# ------------------------------------------------------------- D8 flow
+
+def test_flow_direction_matches_brute(spark):
+    from osm_pbf_spark.operators.tiling import _D8_OFFS, flow_direction
+
+    cells = {}
+    for x in range(8):
+        for y in range(8):
+            cells[(x, y)] = ((x * 37 + y * 101) * 7919) % 500
+    df = spark.createDataFrame(
+        [(x, y, z) for (x, y), z in cells.items()], "x long, y long, z long"
+    )
+    got = {(r.x, r.y): (r.flow_dir, r.drop) for r in flow_direction(df).collect()}
+    for (x, y), z in cells.items():
+        best = (-1, 0)
+        for d, dx, dy in _D8_OFFS:
+            zn = cells.get((x + dx, y + dy))
+            if zn is not None and z > zn:
+                drop = z - zn
+                if best[0] == -1 or drop > best[1] or (
+                    drop == best[1] and d < best[0]
+                ):
+                    best = (d, drop)
+        assert got[(x, y)] == best, (x, y)
+    assert any(v[0] == -1 for v in got.values())  # pits/edge minima exist
+
+
+def test_flow_direction_tiebreak_and_plan(spark):
+    from osm_pbf_spark.operators.tiling import flow_direction
+
+    # center higher than two equal neighbors (E and N): smaller code (E=0) wins
+    df = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 3), (1, 2, 3)], "x long, y long, z long"
+    )
+    got = {(r.x, r.y): r.flow_dir for r in flow_direction(df).collect()}
+    assert got[(1, 1)] == 0
+    assert got[(2, 1)] == -1 and got[(1, 2)] == -1
+    assert _no_python(_plan(flow_direction(df)))
