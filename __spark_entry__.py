@@ -3522,6 +3522,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_flow_dir"] = q_flow_dir
 
+    def q_lttb(spark, sf):  # LTTB shape-preserving downsampling —
+        # exact-int triangle areas (next-bucket centroid multiplied
+        # through, never divided), earliest-point ties; oracle is an
+        # independent pure-Python scalar replay
+        from osm_pbf_spark.operators.temporal import lttb_downsample
+
+        e = load(spark, sf, "events").filter(F.col("event_id") < 900)
+        s = e.select(
+            (F.col("event_id") % 6).alias("series_id"),
+            F.col("event_id").alias("x"),
+            ((F.col("event_id") * 7919) % 1000).alias("y"),
+        )
+        return lttb_downsample(s, k=24)
+
+    q["q_lttb"] = q_lttb
+
     return q
 
 
@@ -5667,6 +5683,57 @@ def _ora_frechet() -> str:
                 rows.append((a, b, f2))
     return _values_sql(
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("f2", "BIGINT")], rows
+    )
+
+
+def _ora_lttb(k: int = 24) -> str:
+    """Independent scalar LTTB replay of q_lttb: plain Python loops
+    (no numpy, no bucket vectorization) over the same exact-integer
+    triangle-area spec — argmax by strict >, so ties keep the earliest
+    point, matching the engine's np.argmax convention."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"), columns=["event_id"]
+    )
+    series: dict[int, list[tuple[int, int]]] = {}
+    for eid in t.column("event_id").to_pylist():
+        e = int(eid)
+        if e >= 900:
+            continue
+        series.setdefault(e % 6, []).append((e, (e * 7919) % 1000))
+    rows = []
+    for sid in sorted(series):
+        pts = sorted(series[sid])
+        n = len(pts)
+        if n <= k:
+            rows += [(sid, x, y) for x, y in pts]
+            continue
+        edges = [1 + (b * (n - 2)) // (k - 2) for b in range(k - 1)]
+        keep = [0]
+        prev = 0
+        for b in range(k - 2):
+            lo, hi = edges[b], edges[b + 1]
+            if b + 1 < k - 2:
+                nlo, nhi = edges[b + 1], edges[b + 2]
+            else:
+                nlo, nhi = n - 1, n
+            m = nhi - nlo
+            sx = sum(x for x, _ in pts[nlo:nhi])
+            sy = sum(y for _, y in pts[nlo:nhi])
+            xp, yp = pts[prev]
+            best, best_a = None, -1
+            for i in range(lo, hi):
+                xc, yc = pts[i]
+                a = abs((xp * m - sx) * (yc - yp) - (xp - xc) * (sy - yp * m))
+                if a > best_a:
+                    best, best_a = i, a
+            prev = best
+            keep.append(prev)
+        keep.append(n - 1)
+        rows += [(sid, pts[i][0], pts[i][1]) for i in keep]
+    return _values_sql(
+        [("series_id", "BIGINT"), ("x", "BIGINT"), ("y", "BIGINT")], rows
     )
 
 
@@ -8351,6 +8418,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_ora_hex_cte()}
             SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr
         """,
+        "q_lttb": _ora_lttb(),
         # 8-offset VALUES join + window rank — independent formulation
         # of the engine's scatter + max(struct) argmax
         "q_flow_dir": """

@@ -544,3 +544,92 @@ def fill_interpolate(
         .otherwise(F.lit(None).cast("double"))
     )
     return grid.withColumn(out_col, filled)
+
+
+def lttb_downsample(
+    series: DataFrame,
+    k: int,
+    key_col: str = "series_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    — THE time-series decimation that keeps visual shape (peaks,
+    troughs, slope changes) where uniform striding flattens them: per
+    series, keep the first and last points, split the interior into
+    k-2 equal buckets, and from each bucket keep the point forming the
+    largest triangle with the PREVIOUSLY KEPT point and the NEXT
+    bucket's centroid.
+
+    Exact-integer spec (gate-replayable): x and y must be integral;
+    the next bucket's centroid (sx/m, sy/m) is never divided —
+    the doubled triangle area is multiplied through by m, so the
+    argmax compares A = |(x_p*m - sx)*(y_c - y_p) - (x_p - x_c)*
+    (sy - y_p*m)| in pure int64; ties keep the EARLIEST point. The
+    selection is therefore a pure function of the ordered series —
+    partitioning/engine invariant.
+
+    Plan: one keyed shuffle into an Arrow-batched ``applyInPandas``
+    kernel (the debounce/FFD sequential-per-group class: each bucket's
+    choice depends on the previous selection, so the cross-bucket scan
+    is inherently ordered; within a bucket the candidate areas are one
+    vectorized numpy expression). Series are independent — the 100-TB
+    posture is millions of series in parallel, and k rows per series
+    come back out.
+
+    Returns (key, x, y) of the kept points; series with <= k points
+    pass through whole.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+
+    def dsample(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([x_col, y_col], kind="mergesort")
+        n = len(pdf)
+        if n <= k:
+            return pdf[[key_col, x_col, y_col]]
+        xs = pdf[x_col].to_numpy(dtype=np.int64)
+        ys = pdf[y_col].to_numpy(dtype=np.int64)
+        # bucket b (0-based, b in [0, k-2)) spans interior indices
+        # [1 + b*(n-2)//(k-2), 1 + (b+1)*(n-2)//(k-2)) — exact integer
+        # DIV edges (the concat_chunk_pack chunking discipline)
+        edges = [1 + (b * (n - 2)) // (k - 2) for b in range(k - 1)]
+        keep = [0]
+        prev = 0
+        for b in range(k - 2):
+            lo, hi = edges[b], edges[b + 1]
+            if lo >= hi:
+                continue
+            if b + 1 < k - 2:
+                nlo, nhi = edges[b + 1], edges[b + 2]
+                if nlo >= nhi:
+                    nlo, nhi = n - 1, n
+            else:
+                nlo, nhi = n - 1, n
+            m = nhi - nlo
+            sx = int(xs[nlo:nhi].sum())
+            sy = int(ys[nlo:nhi].sum())
+            xp, yp = int(xs[prev]), int(ys[prev])
+            a = np.abs(
+                (xp * m - sx) * (ys[lo:hi] - yp)
+                - (xp - xs[lo:hi]) * (sy - yp * m)
+            )
+            prev = lo + int(np.argmax(a))  # argmax ties -> earliest
+            keep.append(prev)
+        keep.append(n - 1)
+        return pdf.iloc[keep][[key_col, x_col, y_col]]
+
+    base = series.select(
+        F.col(key_col).alias(key_col),
+        F.col(x_col).cast("bigint").alias(x_col),
+        F.col(y_col).cast("bigint").alias(y_col),
+    )
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(
+        [base.schema[key_col], base.schema[x_col], base.schema[y_col]]
+    )
+    return base.groupBy(key_col).applyInPandas(dsample, out_schema)

@@ -589,3 +589,44 @@ def test_flow_direction_tiebreak_and_plan(spark):
     assert got[(1, 1)] == 0
     assert got[(2, 1)] == -1 and got[(1, 2)] == -1
     assert _no_python(_plan(flow_direction(df)))
+
+
+# ---------------------------------------------------------------- LTTB
+
+def test_lttb_endpoints_count_and_peak_preservation(spark):
+    from osm_pbf_spark.operators.temporal import lttb_downsample
+
+    # flat series with one sharp spike: uniform striding would miss it,
+    # LTTB must keep it
+    pts = [(1, i, 10 if i != 57 else 500) for i in range(100)]
+    df = spark.createDataFrame(pts, "series_id long, x long, y long")
+    out = sorted(
+        (r.x, r.y) for r in lttb_downsample(df, k=10).collect()
+    )
+    assert len(out) == 10
+    assert out[0] == (0, 10) and out[-1] == (99, 10)  # endpoints kept
+    assert (57, 500) in out                            # the spike kept
+
+
+def test_lttb_short_series_pass_through_and_validation(spark):
+    from osm_pbf_spark.operators.temporal import lttb_downsample
+
+    df = spark.createDataFrame(
+        [(1, i, i * 3) for i in range(5)], "series_id long, x long, y long"
+    )
+    assert lttb_downsample(df, k=8).count() == 5
+    with pytest.raises(ValueError, match="k must be"):
+        lttb_downsample(df, k=2)
+
+
+def test_lttb_partition_invariant(spark):
+    from osm_pbf_spark.operators.temporal import lttb_downsample
+
+    pts = [
+        (s, i, ((i * 7919 + s * 13) % 400) - 200)
+        for s in range(4) for i in range(200)
+    ]
+    df = spark.createDataFrame(pts, "series_id long, x long, y long")
+    a = sorted(map(tuple, lttb_downsample(df.repartition(1), k=15).collect()))
+    b = sorted(map(tuple, lttb_downsample(df.repartition(17), k=15).collect()))
+    assert a == b and len(a) == 4 * 15
