@@ -3538,6 +3538,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_lttb"] = q_lttb
 
+    def q_basins(spark, sf):  # watershed/basin labeling COMPOSED query:
+        # D8 flow direction -> self-looped pointer graph -> POINTER
+        # DOUBLING terminal labels (10 rounds cover 2^10 steps, O(log)
+        # shuffles where naive following is O(path)); oracle follows
+        # pointers with DuckDB's OWN recursion — independent at both
+        # stages
+        from osm_pbf_spark.operators.graph import terminal_labels
+        from osm_pbf_spark.operators.tiling import _D8_OFFS, flow_direction
+
+        k = F.col("o_orderkey")
+        grid = load(spark, sf, "orders").filter(k < 1024).select(
+            (k % 32).alias("x"),
+            ((k - k % 32) / 32 % 32).cast("bigint").alias("y"),
+            ((k * 7919) % 1000).alias("z"),
+        )
+        fd = flow_direction(grid)
+        offs = F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for _, dx, dy in _D8_OFFS
+            ]
+        )
+        o = F.element_at(offs, (F.col("flow_dir") + 1).cast("int"))
+        ptr = fd.select(
+            (F.col("x") * 1024 + F.col("y")).alias("node"),
+            F.when(
+                F.col("flow_dir") == -1, F.col("x") * 1024 + F.col("y")
+            )
+            .otherwise(
+                (F.col("x") + o["dx"]) * 1024 + (F.col("y") + o["dy"])
+            )
+            .alias("next"),
+        )
+        return terminal_labels(ptr, rounds=10)
+
+    q["q_basins"] = q_basins
+
     return q
 
 
@@ -8419,6 +8456,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr
         """,
         "q_lttb": _ora_lttb(),
+        # pointer FOLLOWING via DuckDB's own recursion (vs the engine's
+        # pointer DOUBLING) over an independently recomputed D8 field
+        "q_basins": """
+            WITH RECURSIVE g AS (
+              SELECT o_orderkey % 32 AS x,
+                     (o_orderkey // 32) % 32 AS y,
+                     (o_orderkey * 7919) % 1000 AS z
+              FROM orders WHERE o_orderkey < 1024),
+            offs(dir, dx, dy) AS (VALUES (0, 1, 0), (1, 1, -1), (2, 0, -1),
+                                         (3, -1, -1), (4, -1, 0), (5, -1, 1),
+                                         (6, 0, 1), (7, 1, 1)),
+            cand AS (SELECT c.x, c.y, o.dir, o.dx, o.dy, c.z - n.z AS drop
+                     FROM g c JOIN offs o ON TRUE
+                     JOIN g n ON n.x = c.x + o.dx AND n.y = c.y + o.dy
+                     WHERE c.z > n.z),
+            best AS (SELECT x, y, dx, dy FROM (
+                       SELECT cand.*, row_number() OVER (
+                           PARTITION BY x, y
+                           ORDER BY drop DESC, dir ASC) AS rn
+                       FROM cand)
+                     WHERE rn = 1),
+            ptr AS (SELECT g.x * 1024 + g.y AS node,
+                           CASE WHEN b.dx IS NULL THEN g.x * 1024 + g.y
+                                ELSE (g.x + b.dx) * 1024 + (g.y + b.dy)
+                           END AS next
+                    FROM g LEFT JOIN best b ON b.x = g.x AND b.y = g.y),
+            rec AS (
+              SELECT node, next AS cur FROM ptr
+              UNION
+              SELECT rec.node, p.next FROM rec JOIN ptr p ON p.node = rec.cur)
+            SELECT rec.node, rec.cur AS root
+            FROM rec JOIN ptr t ON t.node = rec.cur
+            WHERE t.next = rec.cur
+        """,
         # 8-offset VALUES join + window rank — independent formulation
         # of the engine's scatter + max(struct) argmax
         "q_flow_dir": """

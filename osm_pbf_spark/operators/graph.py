@@ -732,3 +732,79 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def terminal_labels(
+    ptr: DataFrame,
+    rounds: int = 16,
+    node_col: str = "node",
+    next_col: str = "next",
+    check_converged: bool = True,
+) -> DataFrame:
+    """Terminal (root) labels of a CLOSED functional graph — every node
+    has exactly one outgoing pointer and terminals point to THEMSELVES
+    — by POINTER DOUBLING: each round replaces next(x) with
+    next(next(x)), so after r rounds every pointer has jumped 2^r
+    steps; once it lands on a self-loop it stays. ceil(log2(longest
+    path)) rounds suffice — the technique that makes path-following
+    O(log n) shuffles instead of O(n) (Wyllie's list ranking; the same
+    trick behind parallel union-find path halving). The canonical use
+    here: hydrology basin labeling (follow D8 flow to each cell's pit
+    — see q_basins), but any parent-pointer forest works (org
+    hierarchies, redirect chains, symlink trees).
+
+    Contract: the graph must be CLOSED (every ``next`` value appears
+    as a ``node``) — flow_direction with pits kept self-looped yields
+    exactly that; an unresolved pointer silently drops its node from
+    an inner join, so closure is the caller's invariant. With
+    ``check_converged`` (default), any node whose final label is NOT a
+    terminal — i.e. ``rounds`` was too small for the longest path —
+    raises loudly via a zero-row union branch on the output (the
+    frequent_items guard pattern: a WHERE on a side path would be
+    removed by AQE empty-relation propagation when it matters least).
+
+    Plan: ``rounds`` self-equi-joins, each one keyed shuffle,
+    lazily localCheckpoint-ed (the CC/LPA lineage convention); zero
+    driver actions. Returns ``(node, root)``.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    p = ptr.select(
+        F.col(node_col).alias("node"), F.col(next_col).alias("next")
+    )
+    base = p
+    for _ in range(rounds):
+        p = (
+            p.alias("a")
+            .join(p.alias("b"), F.col("a.next") == F.col("b.node"))
+            .select(F.col("a.node").alias("node"), F.col("b.next").alias("next"))
+            .localCheckpoint(eager=False)
+        )
+    out = p.select("node", F.col("next").alias("root"))
+    if not check_converged:
+        return out
+    # root must be a terminal: join the FINAL labels back onto the
+    # ORIGINAL pointers; root whose own pointer moves = not converged
+    bad = (
+        out.join(
+            base.select(
+                F.col("node").alias("root"), F.col("next").alias("_rn")
+            ),
+            "root",
+        )
+        .where(F.col("_rn") != F.col("root"))
+        .limit(1)
+        .select(
+            F.raise_error(
+                F.concat(
+                    F.lit("terminal_labels: node "),
+                    F.col("node").cast("string"),
+                    F.lit(" did not reach a terminal in "
+                          f"{rounds} rounds (2^{rounds} steps); "
+                          "raise rounds"),
+                )
+            ).cast(out.schema["node"].dataType).alias("node"),
+            F.lit(None).cast(out.schema["root"].dataType).alias("root"),
+        )
+    )
+    return out.unionByName(bad)

@@ -630,3 +630,41 @@ def test_lttb_partition_invariant(spark):
     a = sorted(map(tuple, lttb_downsample(df.repartition(1), k=15).collect()))
     b = sorted(map(tuple, lttb_downsample(df.repartition(17), k=15).collect()))
     assert a == b and len(a) == 4 * 15
+
+
+# ------------------------------------------------------ pointer doubling
+
+def test_terminal_labels_chains_and_trees(spark):
+    from osm_pbf_spark.operators.graph import terminal_labels
+
+    # two chains into terminals 0 and 100, one deep chain of length 9
+    ptr = (
+        [(i, i - 1) for i in range(1, 10)] + [(0, 0)]
+        + [(101, 100), (102, 100), (103, 101), (100, 100)]
+    )
+    df = spark.createDataFrame(ptr, "node long, next long")
+    got = {r.node: r.root for r in terminal_labels(df, rounds=4).collect()}
+    assert all(got[i] == 0 for i in range(10))
+    assert got[100] == 100 and got[103] == 100 and got[102] == 100
+
+
+def test_terminal_labels_convergence_guard(spark):
+    from osm_pbf_spark.operators.graph import terminal_labels
+
+    # chain of length 9 cannot converge in 2 rounds (2^2 = 4 steps)
+    ptr = [(i, i - 1) for i in range(1, 10)] + [(0, 0)]
+    df = spark.createDataFrame(ptr, "node long, next long")
+    with pytest.raises(Exception, match="did not reach a terminal"):
+        terminal_labels(df, rounds=2).collect()
+    # and the same call with check off returns partial labels quietly
+    assert terminal_labels(df, rounds=2, check_converged=False).count() == 10
+
+
+def test_terminal_labels_log_rounds(spark):
+    from osm_pbf_spark.operators.graph import terminal_labels
+
+    # length-1000 chain converges in ceil(log2(1000)) = 10 rounds
+    ptr = [(i, i - 1) for i in range(1, 1001)] + [(0, 0)]
+    df = spark.createDataFrame(ptr, "node long, next long")
+    got = terminal_labels(df, rounds=10)
+    assert got.where(F.col("root") != 0).count() == 0
