@@ -3575,6 +3575,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_basins"] = q_basins
 
+    def q_table_diff(spark, sf):  # row-level drift report between two
+        # table versions: one full-outer key join, null-safe compares,
+        # output |drift|-sized; oracle = FULL OUTER JOIN replay
+        from osm_pbf_spark.operators.checksum import table_diff
+
+        k = F.col("o_orderkey")
+        base = load(spark, sf, "orders").filter(k < 6000).select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+            "o_orderstatus",
+        )
+        left = base.filter(k % 13 != 0)
+        right = base.filter(k % 11 != 0).withColumn(
+            "price_c",
+            F.when(k % 7 == 0, F.col("price_c") + 1).otherwise(F.col("price_c")),
+        )
+        return table_diff(left, right, ["o_orderkey"])
+
+    q["q_table_diff"] = q_table_diff
+
     return q
 
 
@@ -8456,6 +8476,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr
         """,
         "q_lttb": _ora_lttb(),
+        # FULL OUTER JOIN replay with IS DISTINCT FROM compares
+        "q_table_diff": """
+            WITH base AS (
+              SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+                     o_orderstatus
+              FROM orders WHERE o_orderkey < 6000),
+            l AS (SELECT * FROM base WHERE o_orderkey % 13 <> 0),
+            r AS (SELECT o_orderkey,
+                         CASE WHEN o_orderkey % 7 = 0 THEN price_c + 1
+                              ELSE price_c END AS price_c,
+                         o_orderstatus
+                  FROM base WHERE o_orderkey % 11 <> 0)
+            SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+                   CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                        WHEN r.o_orderkey IS NULL THEN 'removed'
+                        WHEN l.price_c IS DISTINCT FROM r.price_c
+                             OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+                        THEN 'changed' END AS diff_status
+            FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+            WHERE (l.o_orderkey IS NULL OR r.o_orderkey IS NULL
+                   OR l.price_c IS DISTINCT FROM r.price_c
+                   OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus)
+        """,
         # pointer FOLLOWING via DuckDB's own recursion (vs the engine's
         # pointer DOUBLING) over an independently recomputed D8 field
         "q_basins": """

@@ -112,3 +112,59 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.select(
         F.explode(F.array(*[F.col(f"_p_{c}") for c in cols])).alias("p")
     ).select("p.*")
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two keyed tables — the drill-down companion
+    to ``table_fingerprint``: the fingerprint says WHETHER a 100-TB
+    copy/migration drifted, this says WHICH rows. Returns one row per
+    differing key with ``diff_status`` in {'added', 'removed',
+    'changed'} ('added' = present only on the RIGHT/new side);
+    identical rows produce nothing, so the output is |drift|-sized,
+    not table-sized.
+
+    ``compare_cols`` (default: all shared non-key columns) are
+    compared NULL-SAFELY (NULL == NULL is unchanged — eqNullSafe, the
+    SCD2 IS DISTINCT FROM convention); keys must be unique per side
+    (a duplicate key makes 'changed' ill-defined — enforce upstream
+    with check_constraints' unique rule).
+
+    Plan: ONE full-outer sort-merge join on the key columns (both
+    sides shuffle-partitioned the same way) + a native projection;
+    no Python, output pruned to drift rows before anything moves
+    further.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if compare_cols is None:
+        shared = [c for c in left.columns if c in set(right.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    l = left.select(
+        *[F.col(c).alias(c) for c in key_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in compare_cols],
+        F.lit(True).alias("_l_present"),
+    )
+    r = right.select(
+        *[F.col(c).alias(c) for c in key_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in compare_cols],
+        F.lit(True).alias("_r_present"),
+    )
+    j = l.join(r, key_cols, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}"))
+    status = (
+        F.when(F.col("_l_present").isNull(), F.lit("added"))
+        .when(F.col("_r_present").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("diff_status", status)
+        .where(F.col("diff_status").isNotNull())
+        .select(*key_cols, "diff_status")
+    )

@@ -668,3 +668,34 @@ def test_terminal_labels_log_rounds(spark):
     df = spark.createDataFrame(ptr, "node long, next long")
     got = terminal_labels(df, rounds=10)
     assert got.where(F.col("root") != 0).count() == 0
+
+
+# -------------------------------------------------------------- table diff
+
+def test_table_diff_statuses_and_nullsafe(spark):
+    from osm_pbf_spark.operators.checksum import table_diff
+
+    l = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v long",
+    )
+    r = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "X", 30), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    got = {row.k: row.diff_status for row in table_diff(l, r, ["k"]).collect()}
+    # 1 identical (absent), 2 identical incl. NULL==NULL, 3 changed,
+    # 4 removed, 5 added
+    assert got == {3: "changed", 4: "removed", 5: "added"}
+
+
+def test_table_diff_subset_compare_and_plan(spark):
+    from osm_pbf_spark.operators.checksum import table_diff
+
+    l = spark.createDataFrame([(1, "a", 10)], "k long, s string, v long")
+    r = spark.createDataFrame([(1, "a", 99)], "k long, s string, v long")
+    assert table_diff(l, r, ["k"], compare_cols=["s"]).count() == 0
+    assert table_diff(l, r, ["k"]).collect()[0].diff_status == "changed"
+    assert _no_python(_plan(table_diff(l, r, ["k"])))
+    with pytest.raises(ValueError, match="key_cols"):
+        table_diff(l, r, [])
