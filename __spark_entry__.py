@@ -3595,6 +3595,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_table_diff"] = q_table_diff
 
+    def q_zipf(spark, sf):  # COMPOSED corpus-health query: token counts
+        # -> frequency rank -> micro-nat ln-ln coordinates -> ols_fit
+        # slope (a healthy natural corpus fits slope ~ -1; synthetic or
+        # template-spammed shards drift) — counts, window, and the
+        # exact-integer OLS all reused from existing operators
+        from osm_pbf_spark.operators.stats import ols_fit
+
+        d = load(spark, sf, "documents")
+        toks = d.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+            ).alias("tok")
+        )
+        counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        pts = counts.select(
+            F.round(F.log(F.row_number().over(w).cast("double")) * F.lit(1e6))
+            .cast("bigint")
+            .alias("lnrank_u"),
+            F.round(F.log(F.col("cnt").cast("double")) * F.lit(1e6))
+            .cast("bigint")
+            .alias("lncnt_u"),
+        )
+        out = ols_fit(pts, "lnrank_u", "lncnt_u")
+        return out.select(
+            "n", F.round(F.col("slope"), 6).alias("zipf_slope"),
+            F.round(F.col("intercept") / F.lit(1e6), 6).alias("ln_c"),
+        )
+
+    q["q_zipf"] = q_zipf
+
     return q
 
 
@@ -8476,6 +8507,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr
         """,
         "q_lttb": _ora_lttb(),
+        # verbatim replay of the composed chain: counts -> rank ->
+        # micro-nat ln-ln -> the exact-integer OLS moments
+        "q_zipf": """
+            WITH tokr AS (SELECT unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+            tok AS (SELECT tok FROM tokr WHERE tok <> ''),
+            c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+            pts AS (SELECT
+              CAST(round(ln(CAST(row_number() OVER (
+                  ORDER BY cnt DESC, tok ASC) AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS x,
+              CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+              FROM c),
+            m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * x) AS sxx, sum(x * y) AS sxy
+                  FROM pts)
+            SELECT n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+                   round(((CAST(sy AS DOUBLE)
+                           - (CAST(n * sxy - sx * sy AS DOUBLE)
+                              / CAST(n * sxx - sx * sx AS DOUBLE))
+                             * CAST(sx AS DOUBLE))
+                          / CAST(n AS DOUBLE)) / 1000000.0, 6) AS ln_c
+            FROM m
+        """,
         # FULL OUTER JOIN replay with IS DISTINCT FROM compares
         "q_table_diff": """
             WITH base AS (
