@@ -3626,6 +3626,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_zipf"] = q_zipf
 
+    def q_concurrency(spark, sf):  # peak concurrent sessions per key:
+        # +1/-1 scatter, ONE window shuffle, earliest-peak tie-break;
+        # oracle = verbatim running-sum window replay
+        from osm_pbf_spark.operators.temporal import _epoch_micros, max_concurrency
+
+        e = load(spark, sf, "events")
+        iv = e.select(
+            (F.col("user_id") % 10).alias("key"),
+            _epoch_micros(F.col("ts")).alias("start_us"),
+            (
+                _epoch_micros(F.col("ts"))
+                + (F.col("event_id") % 50 + 1) * F.lit(60_000_000)
+            ).alias("end_us"),
+        )
+        return max_concurrency(iv)
+
+    q["q_concurrency"] = q_concurrency
+
     return q
 
 
@@ -8507,6 +8525,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr
         """,
         "q_lttb": _ora_lttb(),
+        # verbatim +1/-1 running-sum window replay with the same
+        # (t, delta) order and earliest-peak argmax
+        "q_concurrency": """
+            WITH iv AS (
+              SELECT user_id % 10 AS key,
+                     epoch_us(ts) AS s,
+                     epoch_us(ts) + (event_id % 50 + 1) * 60000000 AS e
+              FROM events),
+            d AS (SELECT key, s AS t, 1 AS dd FROM iv
+                  UNION ALL
+                  SELECT key, e AS t, -1 AS dd FROM iv),
+            run AS (SELECT key, t,
+                           sum(dd) OVER (PARTITION BY key ORDER BY t, dd
+                                         ROWS UNBOUNDED PRECEDING) AS r
+                    FROM d)
+            SELECT key, r AS max_concurrent, t AS peak_us FROM (
+              SELECT key, r, t, row_number() OVER (
+                  PARTITION BY key ORDER BY r DESC, t ASC) AS rn
+              FROM run)
+            WHERE rn = 1
+        """,
         # verbatim replay of the composed chain: counts -> rank ->
         # micro-nat ln-ln -> the exact-integer OLS moments
         "q_zipf": """

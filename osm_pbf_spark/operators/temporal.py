@@ -33,6 +33,7 @@ __all__ = [
     "twap",
     "scd2_build",
     "fill_forward",
+    "max_concurrency",
 ]
 
 
@@ -633,3 +634,75 @@ def lttb_downsample(
         [base.schema[key_col], base.schema[x_col], base.schema[y_col]]
     )
     return base.groupBy(key_col).applyInPandas(dsample, out_schema)
+
+
+def max_concurrency(
+    intervals: DataFrame,
+    key_col: str = "key",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Peak concurrent intervals per key — the capacity-planning
+    staple (max simultaneous sessions / connections / jobs): scatter
+    each HALF-OPEN [start, end) interval into (+1 at start, -1 at
+    end) deltas, running-sum per key in (time, delta) order — the -1
+    sorts first at equal timestamps, so back-to-back intervals never
+    double-count — and keep the maximum with the EARLIEST time it is
+    reached (deterministic).
+
+    Returns ``(key, max_concurrent:bigint, peak_us:bigint)``; empty
+    and end<=start intervals are rejected loudly (a silent negative-
+    length interval corrupts the running sum with no error anywhere
+    downstream).
+
+    Plan: one 2x Generate scatter, ONE window shuffle (the running
+    sum and the argmin share the key partition), one aggregate. All
+    native; events per key bound the window sort, the usual
+    sessionize-class skew posture.
+    """
+    from pyspark.sql import Window
+
+    s, e = F.col(start_col).cast("bigint"), F.col(end_col).cast("bigint")
+    base = intervals.select(
+        F.col(key_col).alias("_k"), s.alias("_s"), e.alias("_e")
+    ).where(
+        F.when(F.col("_s") < F.col("_e"), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("max_concurrency: interval with start >= end ("),
+                    F.col("_s").cast("string"), F.lit(", "),
+                    F.col("_e").cast("string"), F.lit(")"),
+                )
+            )
+        )
+    )
+    deltas = base.select(
+        "_k",
+        F.explode(
+            F.array(
+                F.struct(F.col("_s").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("_e").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("_x"),
+    ).select("_k", F.col("_x.t").alias("_t"), F.col("_x.d").alias("_d"))
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = deltas.select(
+        "_k", "_t", F.sum("_d").over(w).alias("_run")
+    )
+    return (
+        run.groupBy("_k")
+        .agg(
+            F.max(
+                F.struct(F.col("_run").alias("c"), (-F.col("_t")).alias("negt"))
+            ).alias("_b")
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_b.c").alias("max_concurrent"),
+            (-F.col("_b.negt")).alias("peak_us"),
+        )
+    )

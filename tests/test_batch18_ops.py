@@ -699,3 +699,38 @@ def test_table_diff_subset_compare_and_plan(spark):
     assert _no_python(_plan(table_diff(l, r, ["k"])))
     with pytest.raises(ValueError, match="key_cols"):
         table_diff(l, r, [])
+
+
+# ------------------------------------------------------------ concurrency
+
+def test_max_concurrency_brute_and_halfopen(spark):
+    from osm_pbf_spark.operators.temporal import max_concurrency
+
+    iv = [
+        (1, 0, 10), (1, 5, 15), (1, 9, 12), (1, 20, 25),
+        (2, 0, 10), (2, 10, 20),  # back-to-back: never concurrent
+        (3, 3, 4),
+    ]
+    df = spark.createDataFrame(iv, "key long, start_us long, end_us long")
+    got = {
+        r.key: (r.max_concurrent, r.peak_us)
+        for r in max_concurrency(df).collect()
+    }
+    # brute sweep
+    for k in (1, 2, 3):
+        best, peak = 0, None
+        times = sorted({t for kk, s, e in iv if kk == k for t in (s, e)})
+        for t in times:
+            c = sum(1 for kk, s, e in iv if kk == k and s <= t < e)
+            if c > best:
+                best, peak = c, t
+        assert got[k] == (best, peak), k
+    assert got[2][0] == 1  # half-open: [0,10) and [10,20) don't overlap
+
+
+def test_max_concurrency_rejects_bad_interval(spark):
+    from osm_pbf_spark.operators.temporal import max_concurrency
+
+    df = spark.createDataFrame([(1, 5, 5)], "key long, start_us long, end_us long")
+    with pytest.raises(Exception, match="start >= end"):
+        max_concurrency(df).collect()
