@@ -3644,6 +3644,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_concurrency"] = q_concurrency
 
+    def q_split(spark, sf):  # deterministic train/val/test assignment:
+        # seeded md5 interval tiling of [0, 2^40) with exact integer
+        # thresholds — stable under corpus growth, leakage-safe on
+        # duplicate keys; oracle replays the hash + CASE chain
+        from osm_pbf_spark.operators.packing import split_assign
+
+        d = load(spark, sf, "documents").select("doc_id")
+        return split_assign(d, "doc_id", {"train": 8, "val": 1, "test": 1})
+
+    q["q_split"] = q_split
+
     return q
 
 
@@ -8525,6 +8536,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr
         """,
         "q_lttb": _ora_lttb(),
+        # same seeded-md5 hash + exact integer interval thresholds
+        "q_split": f"""
+            SELECT doc_id,
+                   CASE WHEN {_hex40_bigint_sql(
+                       "md5('0:' || CAST(doc_id AS VARCHAR))"
+                   )} < {((1 << 40) * 8) // 10} THEN 'train'
+                        WHEN {_hex40_bigint_sql(
+                       "md5('0:' || CAST(doc_id AS VARCHAR))"
+                   )} < {((1 << 40) * 9) // 10} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
         # verbatim +1/-1 running-sum window replay with the same
         # (t, delta) order and earliest-peak argmax
         "q_concurrency": """

@@ -578,3 +578,60 @@ def rendezvous_assign(
         ).otherwise(acc),
     )
     return df.withColumn(out_col, best["s"])
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, int],
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — the ML-pipeline
+    cousin of ``stratified_sample``: each key's 40-bit md5 hash (seeded
+    — different seeds give independent splits) falls into one of the
+    half-open weight intervals tiling [0, 2^40), so the assignment is
+    reproducible across engines, partitionings and reruns, STABLE
+    under corpus growth (a key's split never changes when other rows
+    appear), and exactly proportional in expectation.
+
+    ``weights`` maps split name -> INTEGER weight (e.g. {"train": 8,
+    "val": 1, "test": 1}); integer thresholds keep the interval edges
+    exact — the boundary t_i = floor(2^40 * cum_i / total) is the same
+    bigint everywhere.
+
+    Duplicate keys (e.g. multiple rows of one document) land in the
+    SAME split by construction — the leakage-safe grouping a row-level
+    rand() split gets wrong.
+
+    Plan: pure native projection (md5 + a CASE chain over |splits|
+    thresholds), zero shuffle, zero Python.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    names = list(weights)
+    ws = [weights[n] for n in names]
+    if any((not isinstance(w, int)) or w <= 0 for w in ws):
+        raise ValueError(f"weights must be positive ints, got {weights}")
+    total = sum(ws)
+    space = 1 << 40
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cum = 0
+    expr = None
+    for name, w in zip(names, ws):
+        cum += w
+        hi = (space * cum) // total
+        cond = h < F.lit(hi)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.withColumn("split", expr)

@@ -734,3 +734,44 @@ def test_max_concurrency_rejects_bad_interval(spark):
     df = spark.createDataFrame([(1, 5, 5)], "key long, start_us long, end_us long")
     with pytest.raises(Exception, match="start >= end"):
         max_concurrency(df).collect()
+
+
+# ----------------------------------------------------------------- splits
+
+def test_split_assign_stable_proportional_leakage_safe(spark):
+    from osm_pbf_spark.operators.packing import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    w = {"train": 8, "val": 1, "test": 1}
+    a = {r.k: r.split for r in split_assign(df, "k", w).collect()}
+    # proportions near 80/10/10
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 1450 < c["train"] < 1750 and 120 < c["val"] < 280
+    # growth-stable: the first 500 keys keep their split in a bigger corpus
+    small = {
+        r.k: r.split
+        for r in split_assign(
+            spark.createDataFrame([(i,) for i in range(500)], "k long"), "k", w
+        ).collect()
+    }
+    assert all(a[k] == small[k] for k in small)
+    # duplicate keys land together (leakage-safe)
+    dup = spark.createDataFrame([(7,), (7,), (7,)], "k long")
+    assert len({r.split for r in split_assign(dup, "k", w).collect()}) == 1
+    # a different seed reshuffles
+    b = {r.k: r.split for r in split_assign(df, "k", w, seed=1).collect()}
+    assert any(a[k] != b[k] for k in a)
+
+
+def test_split_assign_validation_and_plan(spark):
+    from osm_pbf_spark.operators.packing import split_assign
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="positive ints"):
+        split_assign(df, "k", {"a": 0})
+    with pytest.raises(ValueError, match="non-empty"):
+        split_assign(df, "k", {})
+    p = _plan(split_assign(df, "k", {"a": 1, "b": 1}))
+    assert _no_python(p) and "Exchange" not in p
