@@ -654,8 +654,17 @@ def frequent_items(
     vals = df.select(F.col(col).cast("string").alias("item")).where(
         F.col("item").isNotNull()
     )
+    # MG runs over NATIVE 64-bit hashes, not the item strings: the
+    # Arrow stage then ships 8 bytes/row to Python instead of the
+    # payload (measured ~4x on string items — on one box the stage is
+    # memory-bandwidth-bound, on a cluster it's less IPC either way).
+    # A hash collision merges two items' counts, which only RAISES the
+    # merged weight — the candidate set stays a superset and the exact
+    # per-ITEM recount below is what's returned, so collisions cost a
+    # false candidate, never a wrong answer.
+    hashed = vals.select(F.xxhash64("item").alias("h"))
 
-    out_schema = "item string, w long"
+    out_schema = "h long, w long"
 
     def mg_batches(batches):
         for b in batches:
@@ -663,29 +672,34 @@ def frequent_items(
             n = len(arr)
             if n == 0:
                 continue
-            items, counts = np.unique(
-                np.asarray(arr.to_pandas(), dtype=object), return_counts=True
+            hs, counts = np.unique(
+                arr.to_numpy(zero_copy_only=False), return_counts=True
             )
-            if len(items) > k:
+            if len(hs) > k:
                 t = np.partition(counts, len(counts) - (k + 1))[
                     len(counts) - (k + 1)
                 ]
                 keep = counts > t
-                items, counts = items[keep], counts[keep] - t
+                hs, counts = hs[keep], counts[keep] - t
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(list(items) + [None], type=pa.string()),
+                    pa.concat_arrays(
+                        [
+                            pa.array(hs, type=pa.int64()),
+                            pa.array([None], type=pa.int64()),
+                        ]
+                    ),
                     pa.array(
-                        list(counts.astype("int64")) + [int(n)],
+                        list(counts.astype(np.int64)) + [int(n)],
                         type=pa.int64(),
                     ),
                 ],
-                names=["item", "w"],
+                names=["h", "w"],
             )
 
-    partials = vals.mapInArrow(mg_batches, out_schema)
+    partials = hashed.mapInArrow(mg_batches, out_schema)
     agg = partials.groupBy(
-        F.col("item").isNull().alias("_is_n"), "item"
+        F.col("h").isNull().alias("_is_n"), "h"
     ).agg(F.sum("w").alias("w"))
     # ceil(N/(k+1)) as exact integer arithmetic
     loss_bound = F.floor(
@@ -704,10 +718,11 @@ def frequent_items(
         agg.where(~F.col("_is_n"))
         .crossJoin(F.broadcast(n_total))
         .where(F.col("w") + F.col("_lb") >= mc)
-        .select("item", mc.alias("_mc"))
+        .select("h", mc.alias("_mc"))
     )
     result = (
-        vals.join(F.broadcast(cand), "item")
+        vals.withColumn("h", F.xxhash64("item"))
+        .join(F.broadcast(cand), "h")
         .groupBy("item", "_mc")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= F.col("_mc"))

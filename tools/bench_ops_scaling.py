@@ -317,6 +317,51 @@ def leg_map_match(spark, n: int) -> int:
     return out.count()
 
 
+def leg_hex_kring(spark, n: int) -> int:
+    from osm_pbf_spark.functions.hexgrid import hex_kring_counts
+
+    pts = _points(spark, n)
+    out = hex_kring_counts(pts, size=0.03125)
+    return out.count()
+
+
+def leg_frequent_items(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.sketch import frequent_items
+
+    # zipf-ish: 60% of rows in 200 hot items, tail unique
+    items = spark.range(n).select(
+        F.when(F.col("id") % 5 < 3, F.col("id") % 200)
+        .otherwise(F.col("id"))
+        .cast("string")
+        .alias("item")
+    )
+    out = frequent_items(items, "item", k=1024, min_count=max(2, n // 2000))
+    return out.count()
+
+
+def leg_basins(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.graph import terminal_labels
+
+    # deterministic functional forest: xxhash-derived parents strictly
+    # decrease, so paths terminate at node 0 (self-loop)
+    ptr = spark.range(n).select(
+        F.col("id").alias("node"),
+        F.when(F.col("id") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.pmod(F.xxhash64(F.col("id")), F.col("id")).cast("bigint")
+        )
+        .alias("next"),
+    )
+    # random parent < id halves the magnitude per hop in expectation:
+    # depth ~ log2(n); rounds=6 covers 2^6 = 64 jumped steps
+    out = terminal_labels(ptr, rounds=6)
+    return out.where(F.col("root") == 0).count()
+
+
 LEGS = {
     "distance_join": leg_distance_join,
     "bbox_join": leg_bbox_join,
@@ -334,6 +379,9 @@ LEGS = {
     "pq_scan": leg_pq_scan,
     "hist_quantiles": leg_hist_quantiles,
     "seg_intersect": leg_seg_intersect,
+    "hex_kring": leg_hex_kring,
+    "frequent_items": leg_frequent_items,
+    "basins": leg_basins,
 }
 
 # per-leg size multiplier on N_POINTS: every timed region must DWARF
@@ -364,6 +412,10 @@ LEG_SCALE = {
     # ~50 candidate segs x 50-point Viterbi per track: heavy per-row
     # work, 900k points is already ~1 min at 8 cores
     "map_match": 0.3,
+    "hex_kring": 12.0,
+    "frequent_items": 10.0,
+    # 6 pointer-doubling joins: rows x rounds shuffle volume
+    "basins": 3.0,
 }
 
 
