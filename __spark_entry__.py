@@ -3655,6 +3655,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_split"] = q_split
 
+    def q_markov(spark, sf):  # first-order event-transition model per
+        # user stream (session path mining): lag pairs -> exact counts
+        # -> one-division probabilities; the bigram_lm shape on event
+        # sequences instead of tokens
+        e = load(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = (
+            e.select(
+                "user_id", "ts", "event_id",
+                F.col("event_type").alias("a"),
+                F.lead("event_type").over(w).alias("b"),
+            )
+            .where(F.col("b").isNotNull())
+        )
+        c_ab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+        c_a = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+        return c_ab.join(c_a, "a").select(
+            "a", "b", "c_ab", "c_a",
+            (F.col("c_ab").cast("double") / F.col("c_a").cast("double"))
+            .alias("p"),
+        )
+
+    q["q_markov"] = q_markov
+
+    def q_winsorized(spark, sf):  # winsorized (clamped) mean per group:
+        # exact_quantiles p05/p95 broadcast back, native clamp, exact
+        # bigint sums, ONE final division — the outlier-robust KPI
+        from osm_pbf_spark.operators.stats import exact_quantiles
+
+        li = load(spark, sf, "lineitem").select(
+            "l_returnflag",
+            F.floor("l_extendedprice").cast("bigint").alias("v"),
+        )
+        qs = exact_quantiles(
+            li, "v", ["l_returnflag"], qs=[(1, 20), (19, 20)],
+            labels=["p05", "p95"],
+        )
+        clamped = li.join(F.broadcast(qs), "l_returnflag").select(
+            "l_returnflag",
+            F.least(F.greatest(F.col("v"), F.col("p05")), F.col("p95"))
+            .alias("w"),
+        )
+        return clamped.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").alias("sum_w"),
+        ).select(
+            "l_returnflag", "n", "sum_w",
+            (F.col("sum_w").cast("double") / F.col("n").cast("double"))
+            .alias("winsorized_mean"),
+        )
+
+    q["q_winsorized"] = q_winsorized
+
     return q
 
 
@@ -8536,6 +8589,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr
         """,
         "q_lttb": _ora_lttb(),
+        # verbatim lead-window pair counts + one division
+        "q_markov": """
+            WITH p AS (
+              SELECT event_type AS a,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS b
+              FROM events),
+            pp AS (SELECT a, b FROM p WHERE b IS NOT NULL),
+            cab AS (SELECT a, b, count(*) AS c_ab FROM pp GROUP BY 1, 2),
+            ca AS (SELECT a, count(*) AS c_a FROM pp GROUP BY 1)
+            SELECT cab.a, cab.b, cab.c_ab, ca.c_a,
+                   CAST(cab.c_ab AS DOUBLE) / CAST(ca.c_a AS DOUBLE) AS p
+            FROM cab JOIN ca ON ca.a = cab.a
+        """,
+        # the same integer type-1 quantile rule + clamp + exact sums
+        "q_winsorized": """
+            WITH li AS (SELECT l_returnflag,
+                               CAST(floor(l_extendedprice) AS BIGINT) AS v
+                        FROM lineitem),
+            per AS (SELECT l_returnflag, v, count(*) AS c
+                    FROM li GROUP BY 1, 2),
+            cum AS (SELECT l_returnflag, v,
+                           sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                                        ROWS UNBOUNDED PRECEDING) AS cum,
+                           sum(c) OVER (PARTITION BY l_returnflag) AS n
+                    FROM per),
+            qs AS (SELECT l_returnflag,
+                          min(CASE WHEN cum * 20 >= 1 * n THEN v END) AS p05,
+                          min(CASE WHEN cum * 20 >= 19 * n THEN v END) AS p95
+                   FROM cum GROUP BY l_returnflag)
+            SELECT li.l_returnflag, count(*) AS n,
+                   sum(least(greatest(li.v, qs.p05), qs.p95)) AS sum_w,
+                   CAST(sum(least(greatest(li.v, qs.p05), qs.p95)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS winsorized_mean
+            FROM li JOIN qs ON qs.l_returnflag = li.l_returnflag
+            GROUP BY li.l_returnflag
+        """,
         # same seeded-md5 hash + exact integer interval thresholds
         "q_split": f"""
             SELECT doc_id,
