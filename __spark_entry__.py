@@ -3708,6 +3708,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_winsorized"] = q_winsorized
 
+    def q_pbf_roundtrip(spark, sf):  # decode -> DISTRIBUTED re-encode
+        # (sink/pbf_writer: range layout + per-task scalar encode) ->
+        # re-decode; per-kind content aggregates must equal the pure-
+        # Python spec decode of the ORIGINAL file — write+read is the
+        # identity on every entity column
+        import tempfile
+
+        from osm_pbf_spark.sink.pbf_writer import write_pbf_files
+        from osm_pbf_spark.sources import pbf_source as src
+
+        ents, hdr = src.read_pbf(spark, _fixture_pbf("mixed"))
+        out = os.path.join(
+            tempfile.gettempdir(), "osm_pbf_spark_driverfx", "roundtrip"
+        )
+        man = write_pbf_files(ents, out, n_files=2, header=hdr)
+        ents2, _ = src.read_pbf(spark, [m["path"] for m in man])
+        return ents2.groupBy("kind").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("id_sum"),
+            F.sum(
+                F.coalesce(
+                    F.floor(F.col("lat") * F.lit(1e7) + F.lit(0.5)).cast("bigint"),
+                    F.lit(0).cast("bigint"),
+                )
+            ).alias("lat_e7_sum"),
+            F.sum(F.size(F.coalesce(F.col("tags"), F.expr("map()"))))
+            .alias("n_tags"),
+            F.sum(
+                F.coalesce(
+                    F.aggregate(
+                        F.coalesce(F.col("refs"), F.expr("array()")),
+                        F.lit(0).cast("bigint"),
+                        lambda a, x: a + x,
+                    ),
+                    F.lit(0).cast("bigint"),
+                )
+            ).alias("ref_sum"),
+            F.sum(F.size(F.coalesce(F.col("members"), F.expr(
+                "CAST(array() AS array<struct<role:string,ref:bigint,"
+                "type:string>>)"
+            )))).alias("n_members"),
+        )
+
+    q["q_pbf_roundtrip"] = q_pbf_roundtrip
+
     return q
 
 
@@ -5853,6 +5898,41 @@ def _ora_frechet() -> str:
                 rows.append((a, b, f2))
     return _values_sql(
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("f2", "BIGINT")], rows
+    )
+
+
+def _ora_pbf_roundtrip() -> str:
+    """Per-kind content aggregates of the ORIGINAL mixed fixture from
+    the pure-Python spec decoder — the write+read path must be the
+    identity, so the re-decoded aggregates equal these VALUES."""
+    import math
+
+    d = _fixture_decoded("mixed")
+    ns, ws, rs = d["nodes"], d["ways"], d["relations"]
+    rows = [
+        (
+            "node", len(ns), sum(n["id"] for n in ns),
+            sum(int(math.floor(n["lat"] * 1e7 + 0.5)) for n in ns),
+            sum(len(n["tags"]) for n in ns), 0, 0,
+        ),
+        (
+            "way", len(ws), sum(w["id"] for w in ws), 0,
+            sum(len(w["tags"]) for w in ws),
+            sum(sum(w["refs"]) for w in ws), 0,
+        ),
+        (
+            "relation", len(rs), sum(r["id"] for r in rs), 0,
+            sum(len(r["tags"]) for r in rs), 0,
+            sum(len(r["members"]) for r in rs),
+        ),
+    ]
+    return _values_sql(
+        [
+            ("kind", "VARCHAR"), ("n", "BIGINT"), ("id_sum", "BIGINT"),
+            ("lat_e7_sum", "BIGINT"), ("n_tags", "BIGINT"),
+            ("ref_sum", "BIGINT"), ("n_members", "BIGINT"),
+        ],
+        rows,
     )
 
 
@@ -8589,6 +8669,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT hq, hr, count(*) AS n FROM hex GROUP BY hq, hr
         """,
         "q_lttb": _ora_lttb(),
+        "q_pbf_roundtrip": _ora_pbf_roundtrip(),
         # verbatim lead-window pair counts + one division
         "q_markov": """
             WITH p AS (
