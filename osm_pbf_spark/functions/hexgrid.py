@@ -162,30 +162,49 @@ def hex_counts(
     )
 
 
+def hex_disk_offsets(k: int) -> list[tuple[int, int]]:
+    """Axial offsets of the radius-``k`` hex disk (3k(k+1)+1 cells):
+    all (dq, dr) with hex distance (|dq| + |dr| + |dq + dr|) / 2 <= k,
+    in deterministic (dq, dr) order."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return [
+        (dq, dr)
+        for dq in range(-k, k + 1)
+        for dr in range(-k, k + 1)
+        if (abs(dq) + abs(dr) + abs(dq + dr)) // 2 <= k
+    ]
+
+
 def hex_kring_counts(
     pts: DataFrame,
     size: float = 0.25,
     lat_col: str = "lat",
     lon_col: str = "lon",
+    k: int = 1,
 ) -> DataFrame:
-    """Isotropic ring-1 density smoothing on the hex lattice: count
-    points per hex, scatter each hex's count to itself + its 6 axial
-    neighbors, re-aggregate. Returns ``(hq, hr, n_ring)`` for every
-    hex whose 7-cell window holds at least one point.
+    """Isotropic radius-``k`` density smoothing on the hex lattice:
+    count points per hex, scatter each hex's count to every cell of
+    its k-disk (3k(k+1)+1 cells — 7 at k=1), re-aggregate. Returns
+    ``(hq, hr, n_ring)`` for every hex whose k-disk holds at least one
+    point.
 
     The hex twin of tiling.grid_smooth, with the kernel the square
-    grid cannot give you: all 6 neighbors are exactly one hex-width
-    away (a 3x3 box over-weights its sqrt(2)-distant diagonals).
+    grid cannot give you: every ring-1 neighbor is exactly one
+    hex-width away (a 3x3 box over-weights its sqrt(2)-distant
+    diagonals), and the k-disk stays round where a (2k+1)^2 box grows
+    corners.
 
     Scale: the first aggregate collapses points to occupied hexes
-    BEFORE the 7x scatter, so the Generate is 7x |occupied hexes|, not
-    7x |points|; two narrow shuffles, all whole-stage codegen.
+    BEFORE the scatter, so the Generate is |disk| x |occupied hexes|,
+    not |disk| x |points|; two narrow shuffles, all whole-stage
+    codegen.
     """
     counts = hex_counts(pts, size, lat_col, lon_col)
     window = F.array(
         *[
             F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
-            for dq, dr in [(0, 0)] + AXIAL_NEIGHBORS
+            for dq, dr in hex_disk_offsets(k)
         ]
     )
     return (

@@ -775,3 +775,16 @@ def test_split_assign_validation_and_plan(spark):
         split_assign(df, "k", {})
     p = _plan(split_assign(df, "k", {"a": 1, "b": 1}))
     assert _no_python(p) and "Exchange" not in p
+
+
+def test_hex_kring_radius_k(spark):
+    from osm_pbf_spark.functions.hexgrid import hex_disk_offsets, hex_kring_counts
+
+    assert len(hex_disk_offsets(1)) == 7
+    assert len(hex_disk_offsets(2)) == 19
+    assert len(hex_disk_offsets(3)) == 37
+    with pytest.raises(ValueError, match="k must be"):
+        hex_disk_offsets(0)
+    df = spark.createDataFrame([(10.0, 20.0)], "lat double, lon double")
+    rows = hex_kring_counts(df, size=0.25, k=2).collect()
+    assert len(rows) == 19 and all(r.n_ring == 1 for r in rows)
