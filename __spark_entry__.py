@@ -3753,6 +3753,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_pbf_roundtrip"] = q_pbf_roundtrip
 
+    def q_snapshot_drift(spark, sf):  # COMPOSED data-ops query: did
+        # today's append drift from yesterday's? C12 read_incremental
+        # carves the two append windows out of the sink (frozen
+        # manifests — no rescan), P39 ks_test compares their metric
+        # distributions; window B is deliberately shifted
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.operators.stats import ks_test
+        from osm_pbf_spark.plans.ingest import ingest_pbf
+
+        path = _fixture_pbf("sink")
+        root = os.path.join(
+            tempfile.gettempdir(), "osm_pbf_spark_driver_sink_drift"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        sink = ingest_pbf(spark, path, root, cell_level=12, blobs_per_split=1)
+        s1 = sink.current_snapshot()
+        base = sink.read(spark)
+        day_a = base.where("pmod(cell, 4) IN (1, 3)").withColumn(
+            "doc_id", F.concat(F.lit("dayA/"), F.col("doc_id"))
+        )
+        sink.write_split(day_a, "day-a", lineage={"op": "append"})
+        s2 = sink.commit_snapshot({"pipeline": "day-a"})
+        day_b = (
+            base.where("pmod(cell, 4) IN (0, 2)")
+            .withColumn("doc_id", F.concat(F.lit("dayB/"), F.col("doc_id")))
+            .withColumn("cell", F.col("cell") + F.lit(7))  # the drift
+        )
+        sink.write_split(day_b, "day-b", lineage={"op": "append"})
+        s3 = sink.commit_snapshot({"pipeline": "day-b"})
+        a = sink.read_incremental(
+            spark, s1["snapshot_id"], s2["snapshot_id"]
+        ).select(F.pmod(F.col("cell"), F.lit(64)).alias("v"), F.lit("a").alias("side"))
+        b = sink.read_incremental(
+            spark, s2["snapshot_id"], s3["snapshot_id"]
+        ).select(F.pmod(F.col("cell"), F.lit(64)).alias("v"), F.lit("b").alias("side"))
+        return ks_test(a.unionByName(b), "v", "side")
+
+    q["q_snapshot_drift"] = q_snapshot_drift
+
     return q
 
 
@@ -5898,6 +5939,37 @@ def _ora_frechet() -> str:
                 rows.append((a, b, f2))
     return _values_sql(
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("f2", "BIGINT")], rows
+    )
+
+
+def _ora_snapshot_drift() -> str:
+    """Independent scalar replay of q_snapshot_drift: recompute the
+    two append windows from the pure-Python spec pipeline (the
+    _ora_sink_incremental cell derivation), then the exact-integer KS
+    spec with plain loops — one float division at the end."""
+    from tests import oracle_render
+
+    d = _fixture_decoded("sink")
+    docs = oracle_render.render_file(d)
+    coords = {f"node/{n['id']}": (n["lat"], n["lon"]) for n in d["nodes"]}
+
+    def cell_of(doc):
+        ll = coords.get(doc["doc_id"])
+        return _cell_scalar(ll[0], ll[1], 12) if ll else -1
+
+    cells = [cell_of(doc) for doc in docs]
+    va = sorted(c % 64 for c in cells if c % 4 in (1, 3))
+    vb = sorted((c + 7) % 64 for c in cells if c % 4 in (0, 2))
+    na, nb = len(va), len(vb)
+    best = 0
+    for v in sorted(set(va) | set(vb)):
+        ca = sum(1 for x in va if x <= v)
+        cb = sum(1 for x in vb if x <= v)
+        best = max(best, abs(ca * nb - cb * na))
+    ks = float(best) / float(na * nb)
+    return _values_sql(
+        [("n_a", "BIGINT"), ("n_b", "BIGINT"), ("ks_d", "DOUBLE")],
+        [(na, nb, ks)],
     )
 
 
@@ -8670,6 +8742,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_lttb": _ora_lttb(),
         "q_pbf_roundtrip": _ora_pbf_roundtrip(),
+        "q_snapshot_drift": _ora_snapshot_drift(),
         # verbatim lead-window pair counts + one division
         "q_markov": """
             WITH p AS (
