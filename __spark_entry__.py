@@ -3794,6 +3794,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_snapshot_drift"] = q_snapshot_drift
 
+    def q_assemble_spans(spark, sf):  # CONSTRUCT the input_hint table:
+        # flat (doc, seq, kind, text, media_ref) pieces -> interleaved
+        # span arrays with spec offsets, one Exchange; returned
+        # exploded flat so the oracle is a verbatim window replay
+        from osm_pbf_spark.operators.docrender import assemble_spans
+
+        e = load(spark, sf, "events").filter(F.col("event_id") < 2000)
+        is_media = F.col("event_id") % 3 == 0
+        pieces = e.select(
+            (F.col("event_id") % 40).alias("doc_id"),
+            F.col("event_id").alias("seq"),
+            F.when(is_media, F.lit("media")).otherwise(F.lit("text"))
+            .alias("kind"),
+            F.when(
+                is_media, F.lit("")
+            ).otherwise(
+                F.concat(F.col("event_type"), F.lit("-"),
+                         (F.col("event_id") % 7).cast("string"))
+            ).alias("text"),
+            F.when(
+                is_media, F.concat(F.lit("m"), F.col("event_id").cast("string"))
+            ).alias("media_ref"),
+        )
+        docs = assemble_spans(pieces)
+        return docs.select(
+            "doc_id", F.posexplode("spans").alias("idx", "s")
+        ).select(
+            "doc_id", "idx", F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+
+    q["q_assemble_spans"] = q_assemble_spans
+
     return q
 
 
@@ -8743,6 +8778,29 @@ def oracle_sql() -> dict[str, str]:
         "q_lttb": _ora_lttb(),
         "q_pbf_roundtrip": _ora_pbf_roundtrip(),
         "q_snapshot_drift": _ora_snapshot_drift(),
+        # verbatim window replay of the offset spec + row_number idx
+        "q_assemble_spans": """
+            WITH p AS (
+              SELECT event_id % 40 AS doc_id, event_id AS seq,
+                     CASE WHEN event_id % 3 = 0 THEN 'media'
+                          ELSE 'text' END AS kind,
+                     CASE WHEN event_id % 3 = 0 THEN ''
+                          ELSE event_type || '-'
+                               || CAST(event_id % 7 AS VARCHAR) END AS text,
+                     CASE WHEN event_id % 3 = 0
+                          THEN 'm' || CAST(event_id AS VARCHAR) END AS media_ref
+              FROM events WHERE event_id < 2000)
+            SELECT doc_id,
+                   CAST(row_number() OVER w - 1 AS INTEGER) AS idx,
+                   kind, text, coalesce(media_ref, '') AS media_ref,
+                   CAST(coalesce(sum(CASE WHEN length(text) > 0
+                                          THEN length(text) + 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS INTEGER) AS offset
+            FROM p
+            WINDOW w AS (PARTITION BY doc_id ORDER BY seq)
+        """,
         # verbatim lead-window pair counts + one division
         "q_markov": """
             WITH p AS (

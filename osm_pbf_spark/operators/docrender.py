@@ -375,3 +375,80 @@ def validate_spans(docs: DataFrame) -> DataFrame:
             lambda s: (F.length(s["text"]) == 0) | (s["media_ref"] == F.lit("")),
         ).alias("width_ok"),
     )
+
+
+def assemble_spans(
+    pieces: DataFrame,
+    doc_col: str = "doc_id",
+    seq_col: str = "seq",
+    kind_col: str = "kind",
+    text_col: str = "text",
+    media_col: str = "media_ref",
+) -> DataFrame:
+    """CONSTRUCT the interleaved-span table from flat pieces — the
+    inverse of ``validate_spans`` and the input_hint schema's builder:
+    per document, order pieces by ``seq`` and emit
+    ``spans: array<struct<kind, text, media_ref, offset>>`` with the
+    spec offsets (offset_k = running sum over PRIOR spans of
+    len(text)+1 for text-bearing spans, 0 for zero-width ones), so
+    ``validate_spans(assemble_spans(x))`` is all-green by
+    construction (pinned by test).
+
+    A piece carrying BOTH text and a media_ref violates the width
+    invariant and raises loudly (guard in a WHERE); media/geometry
+    pieces must have empty/NULL text. NULL text and NULL media_ref
+    normalize to '' — the table convention (validate_spans' width
+    check compares media_ref to '', never IS NULL).
+
+    Plan: ONE window (the running offset) + ONE same-key aggregate —
+    the groupBy reuses the window's hash partitioning, so the whole
+    op is a single Exchange (plan-pinned); span order inside the
+    array is restored with sort_array over (seq, span) structs, never
+    by collect_list's arrival order.
+    """
+    from pyspark.sql import Window
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    med = F.col(media_col)
+    guarded = pieces.where(
+        F.when(
+            ~((F.length(txt) > 0) & F.coalesce(F.length(med) > 0, F.lit(False))),
+            F.lit(True),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("assemble_spans: piece with BOTH text and "
+                          "media_ref (doc "),
+                    F.col(doc_col).cast("string"),
+                    F.lit(", seq "),
+                    F.col(seq_col).cast("string"),
+                    F.lit(")"),
+                )
+            )
+        )
+    )
+    w = (
+        Window.partitionBy(doc_col)
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.when(F.length(txt) > 0, F.length(txt) + 1).otherwise(F.lit(0))
+    rows = guarded.select(
+        F.col(doc_col).alias("doc_id"),
+        F.struct(
+            F.col(seq_col).alias("seq"),
+            F.struct(
+                F.col(kind_col).alias("kind"),
+                txt.alias("text"),
+                F.coalesce(med, F.lit("")).alias("media_ref"),
+                F.coalesce(F.sum(contrib).over(w), F.lit(0))
+                .cast("int")
+                .alias("offset"),
+            ).alias("s"),
+        ).alias("_ss"),
+    )
+    return rows.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list("_ss")), lambda x: x["s"]
+        ).alias("spans")
+    )

@@ -788,3 +788,51 @@ def test_hex_kring_radius_k(spark):
     df = spark.createDataFrame([(10.0, 20.0)], "lat double, lon double")
     rows = hex_kring_counts(df, size=0.25, k=2).collect()
     assert len(rows) == 19 and all(r.n_ring == 1 for r in rows)
+
+
+# ------------------------------------------------------------- assemble
+
+def test_assemble_spans_validates_and_single_exchange(spark):
+    from osm_pbf_spark.operators.docrender import assemble_spans, validate_spans
+
+    pieces = [
+        (1, 10, "text", "hello", None),
+        (1, 20, "media", "", "m1"),
+        (1, 30, "text", "world", None),
+        (2, 5, "media", "", "m2"),
+        (2, 6, "text", "x", None),
+    ]
+    df = spark.createDataFrame(
+        pieces, "doc_id long, seq long, kind string, text string, media_ref string"
+    )
+    docs = assemble_spans(df)
+    # validate_spans(assemble_spans(x)) is all-green by construction
+    v = validate_spans(docs).collect()
+    assert all(r.offsets_ok and r.width_ok for r in v)
+    got = {r.doc_id: [tuple(s) for s in r.spans] for r in docs.collect()}
+    assert got[1] == [
+        ("text", "hello", "", 0),
+        ("media", "", "m1", 6),
+        ("text", "world", "", 6),
+    ]
+    assert got[2] == [("media", "", "m2", 0), ("text", "x", "", 0)]
+    # window + agg share the key: exactly ONE Exchange NODE. An
+    # executed AdaptiveSparkPlan prints Final AND Initial plans — cut
+    # at the Initial marker or every node double-counts.
+    final = _plan(docs).split("== Initial Plan ==")[0]
+    n_exchange_nodes = sum(
+        1 for ln in final.splitlines()
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln
+    )
+    assert n_exchange_nodes == 1
+
+
+def test_assemble_spans_rejects_text_plus_media(spark):
+    from osm_pbf_spark.operators.docrender import assemble_spans
+
+    df = spark.createDataFrame(
+        [(1, 1, "text", "oops", "m9")],
+        "doc_id long, seq long, kind string, text string, media_ref string",
+    )
+    with pytest.raises(Exception, match="BOTH text and"):
+        assemble_spans(df).collect()
