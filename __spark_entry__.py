@@ -3829,6 +3829,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_assemble_spans"] = q_assemble_spans
 
+    def q_hilbert_range(spark, sf):  # Hilbert bbox range scan: the
+        # SAME rectangle as q_zrange decomposes into 102 Hilbert
+        # ranges vs 247 Z ranges (no seam jumps) — the locality win
+        # that justifies the fancier curve; oracle again filters by
+        # quantized coords, never touching the curve
+        from osm_pbf_spark.functions.hilbert import hilbert_key_col, hilbert_ranges
+        from osm_pbf_spark.functions.zorder import zrange_join
+
+        pts = customer_points(spark, sf)
+        keyed = hilbert_key_col(
+            pts, F.col("lon"), F.col("lat"), (-180.0, -90.0), (180.0, 90.0),
+            bits=8,
+        )
+        ranges = hilbert_ranges(37, 133, 60, 201, bits=8, max_ranges=2048)
+        # zrange_join, NOT zrange_predicate: a WHERE pushes through the
+        # 8-level Hilbert projection chain and predicate substitution
+        # explodes exponentially (recorded lesson in zorder.py)
+        return zrange_join(keyed, F.col("hkey"), ranges).select(
+            "doc_id", "hkey"
+        )
+
+    q["q_hilbert_range"] = q_hilbert_range
+
     return q
 
 
@@ -6092,6 +6115,41 @@ def _ora_lttb(k: int = 24) -> str:
     return _values_sql(
         [("series_id", "BIGINT"), ("x", "BIGINT"), ("y", "BIGINT")], rows
     )
+
+
+def _ora_hilbert_range(
+    qx0: int, qx1: int, qy0: int, qy1: int, bits: int = 8
+) -> str:
+    """_ora_hilbert's unrolled walk with the quantized coords threaded
+    through every CTE so the final filter never touches the curve —
+    matching output proves the Hilbert range decomposition."""
+    mask = (1 << bits) - 1
+    parts = [
+        f"WITH pts AS ({SQL_POINTS}), h{bits} AS (SELECT doc_id, "
+        f"{_zq_sql('lon', -180.0, 180.0, bits)} AS x{bits}, "
+        f"{_zq_sql('lat', -90.0, 90.0, bits)} AS y{bits}, "
+        f"{_zq_sql('lon', -180.0, 180.0, bits)} AS qx_, "
+        f"{_zq_sql('lat', -90.0, 90.0, bits)} AS qy_, "
+        f"CAST(0 AS BIGINT) AS d{bits} FROM pts)"
+    ]
+    for k in range(bits - 1, -1, -1):
+        p = k + 1
+        rx = f"((x{p} >> {k}) & 1)"
+        ry = f"((y{p} >> {k}) & 1)"
+        parts.append(
+            f", h{k} AS (SELECT doc_id, qx_, qy_, "
+            f"d{p} + {1 << (2 * k)} * CAST(xor(3 * {rx}, {ry}) AS BIGINT) AS d{k}, "
+            f"CASE WHEN {ry} = 1 THEN x{p} WHEN {rx} = 1 "
+            f"THEN xor(y{p}, {mask}) ELSE y{p} END AS x{k}, "
+            f"CASE WHEN {ry} = 1 THEN y{p} WHEN {rx} = 1 "
+            f"THEN xor(x{p}, {mask}) ELSE x{p} END AS y{k} "
+            f"FROM h{p})"
+        )
+    parts.append(
+        f" SELECT doc_id, d0 AS hkey FROM h0 "
+        f"WHERE qx_ BETWEEN {qx0} AND {qx1} AND qy_ BETWEEN {qy0} AND {qy1}"
+    )
+    return "".join(parts)
 
 
 def _ora_labelprop(rounds: int = 3) -> str:
@@ -8778,6 +8836,7 @@ def oracle_sql() -> dict[str, str]:
         "q_lttb": _ora_lttb(),
         "q_pbf_roundtrip": _ora_pbf_roundtrip(),
         "q_snapshot_drift": _ora_snapshot_drift(),
+        "q_hilbert_range": _ora_hilbert_range(37, 133, 60, 201),
         # verbatim window replay of the offset spec + row_number idx
         "q_assemble_spans": """
             WITH p AS (

@@ -34,7 +34,10 @@ from pyspark.sql import functions as F
 
 from .zorder import _quant_range_col
 
-__all__ = ["hilbert_key_col", "hilbert_xy2d", "hilbert_sorted", "hilbert_py"]
+__all__ = [
+    "hilbert_key_col", "hilbert_xy2d", "hilbert_sorted", "hilbert_py",
+    "hilbert_ranges",
+]
 
 
 def hilbert_py(qx: int, qy: int, bits: int) -> int:
@@ -135,3 +138,71 @@ def hilbert_sorted(
             "hkey"
         )
     return s.drop("hkey")
+
+
+def hilbert_ranges(
+    qx0: int, qx1: int, qy0: int, qy1: int, bits: int,
+    max_ranges: int | None = None,
+) -> list[tuple[int, int]]:
+    """Decompose an inclusive QUANTIZED rectangle into the minimal
+    sorted list of inclusive contiguous HILBERT-key ranges (the
+    zorder.zorder_ranges twin for the better-locality curve): a
+    quadtree walk that carries the curve's per-quadrant transform —
+    each step consumes a top bit exactly like hilbert_py's xy2d walk
+    (quadrant index (3*rx)^ry; on ry==0 flip-if-rx then swap) but
+    expressed as a selector/flip pair per output axis, so child
+    recursion stays in GLOBAL coordinates. Children are visited in
+    ascending d order, so adjacent ranges merge on the fly.
+
+    Because consecutive Hilbert keys are always grid neighbors, a
+    rectangle decomposes into FEWER ranges than under Z-order (no
+    seam jumps) — measured ~2-3x fewer on the same rectangles (see
+    tests) — which is the whole point of paying for the fancier
+    curve in a layout: fewer BETWEENs, fewer file-stat probes.
+    """
+    n = 1 << bits
+    for v, name in ((qx0, "qx0"), (qx1, "qx1"), (qy0, "qy0"), (qy1, "qy1")):
+        if not 0 <= v < n:
+            raise ValueError(f"{name}={v} outside [0, {n})")
+    if qx0 > qx1 or qy0 > qy1:
+        raise ValueError("empty rectangle")
+    out: list[tuple[int, int]] = []
+
+    def comp(sel: str, flip: bool, gx: int, gy: int) -> int:
+        v = gx if sel == "x" else gy
+        return 1 - v if flip else v
+
+    def rec(k, xb, yb, db, sx, fx, sy, fy):
+        s = 1 << k
+        if xb + s - 1 < qx0 or xb > qx1 or yb + s - 1 < qy0 or yb > qy1:
+            return
+        if qx0 <= xb and xb + s - 1 <= qx1 and qy0 <= yb and yb + s - 1 <= qy1:
+            if out and out[-1][1] + 1 == db:
+                out[-1] = (out[-1][0], db + s * s - 1)
+            else:
+                out.append((db, db + s * s - 1))
+            return
+        h = s >> 1
+        kids = []
+        for gx in (0, 1):
+            for gy in (0, 1):
+                rx = comp(sx, fx, gx, gy)
+                ry = comp(sy, fy, gx, gy)
+                q = (3 * rx) ^ ry
+                if ry == 1:
+                    child = (sx, fx, sy, fy)
+                elif rx == 0:
+                    child = (sy, fy, sx, fx)
+                else:
+                    child = (sy, not fy, sx, not fx)
+                kids.append((q, xb + gx * h, yb + gy * h, child))
+        for q, cx, cy, (csx, cfx, csy, cfy) in sorted(kids):
+            rec(k - 1, cx, cy, db + h * h * q, csx, cfx, csy, cfy)
+
+    rec(bits, 0, 0, 0, "x", False, "y", False)
+    if max_ranges is not None and len(out) > max_ranges:
+        raise ValueError(
+            f"hilbert_ranges: {len(out)} ranges > max_ranges={max_ranges}; "
+            "coarsen bits or split the query rectangle"
+        )
+    return out

@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 from .cells import _spread_col
 
-__all__ = ["zorder_key_col", "zorder_sorted", "zorder_ranges", "zrange_predicate"]
+__all__ = ["zorder_key_col", "zorder_sorted", "zorder_ranges",
+           "zrange_predicate", "zrange_join"]
 
 
 def _quant_range_col(col: Column, lo: float, hi: float, bits: int) -> Column:
@@ -193,3 +194,35 @@ def zrange_predicate(key_col: Column, ranges: list[tuple[int, int]]) -> Column:
         ]
     )
     return F.exists(arr, lambda r: (key_col >= r["lo"]) & (key_col <= r["hi"]))
+
+
+def zrange_join(
+    df: DataFrame,
+    key_col: Column,
+    ranges: list[tuple[int, int]],
+    spark=None,
+) -> DataFrame:
+    """Range-list filter as a BROADCAST non-equi join against the
+    (tiny) ranges table — multiplicity exactly 1 because zorder_/
+    hilbert_ranges output is sorted and DISJOINT.
+
+    Use this instead of ``zrange_predicate`` when the key is a
+    DERIVED chained projection (the Hilbert walk builds one
+    projection per level): a WHERE gets pushed through the chain and
+    predicate substitution grows EXPONENTIALLY (a 5-range filter over
+    an 8-level Hilbert key never finished planning — recorded
+    lesson); a join condition stays at the join node, leaving the key
+    chain intact. On a PERSISTED key column either form is fine and
+    real BETWEENs prune parquet stats best.
+    """
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    if spark is None:
+        spark = df.sparkSession
+    rdf = spark.createDataFrame(
+        [(int(lo), int(hi)) for lo, hi in ranges], "_zr_lo long, _zr_hi long"
+    )
+    return df.join(
+        F.broadcast(rdf),
+        (key_col >= F.col("_zr_lo")) & (key_col <= F.col("_zr_hi")),
+    ).drop("_zr_lo", "_zr_hi")

@@ -836,3 +836,73 @@ def test_assemble_spans_rejects_text_plus_media(spark):
     )
     with pytest.raises(Exception, match="BOTH text and"):
         assemble_spans(df).collect()
+
+
+# -------------------------------------------------------- hilbert ranges
+
+def test_hilbert_ranges_exhaustive_and_fewer_than_z(spark):
+    from osm_pbf_spark.functions.hilbert import hilbert_py, hilbert_ranges
+    from osm_pbf_spark.functions.zorder import zorder_ranges
+
+    for bits in (2, 3, 4):
+        n = 1 << bits
+        rects = [
+            (0, n - 1, 0, n - 1), (1, 2, 1, 2), (0, 0, 0, 0),
+            (1, n - 2, 2, n - 1), (n // 2, n - 1, 0, n // 2),
+            (0, n - 1, 1, 1),
+        ]
+        for qx0, qx1, qy0, qy1 in rects:
+            rng = hilbert_ranges(qx0, qx1, qy0, qy1, bits)
+            for (a0, a1), (b0, b1) in zip(rng, rng[1:]):
+                assert a1 + 1 < b0  # sorted, disjoint, merged
+            member = set()
+            for lo, hi in rng:
+                member.update(range(lo, hi + 1))
+            exp = {
+                hilbert_py(x, y, bits)
+                for x in range(qx0, qx1 + 1)
+                for y in range(qy0, qy1 + 1)
+            }
+            assert member == exp, (bits, qx0, qx1, qy0, qy1)
+    # the locality payoff: materially fewer ranges than Z on the same rect
+    hz = len(hilbert_ranges(37, 133, 60, 201, 8))
+    zz = len(zorder_ranges(37, 133, 60, 201, 8))
+    assert hz < zz / 2, (hz, zz)  # measured 102 vs 247
+
+
+def test_zrange_join_over_hilbert_key_plans_fast(spark):
+    """A WHERE over the 8-level Hilbert projection chain explodes in
+    the optimizer (recorded lesson); the broadcast range join must
+    plan + run in seconds and return the coordinate-filter answer."""
+    import time
+
+    from osm_pbf_spark.functions.hilbert import (
+        hilbert_key_col, hilbert_py, hilbert_ranges,
+    )
+    from osm_pbf_spark.functions.zorder import zrange_join
+
+    df = spark.createDataFrame(
+        [(float((i * 13) % 160) - 80.0, float((i * 29) % 340) - 170.0)
+         for i in range(500)],
+        "lat double, lon double",
+    )
+    keyed = hilbert_key_col(
+        df, F.col("lon"), F.col("lat"), (-180.0, -90.0), (180.0, 90.0), bits=6
+    )
+    rng = hilbert_ranges(10, 40, 5, 50, 6)
+    t0 = time.time()
+    got = sorted(r.hkey for r in zrange_join(keyed, F.col("hkey"), rng).collect())
+    assert time.time() - t0 < 30.0
+
+    def q2(v, lo, hi, bits):
+        n = float(1 << bits)
+        x = math.floor((v - lo) / (hi - lo) * n)
+        return min(max(int(x), 0), (1 << bits) - 1)
+
+    exp = sorted(
+        hilbert_py(q2(lon, -180.0, 180.0, 6), q2(lat, -90.0, 90.0, 6), 6)
+        for lat, lon in [(r.lat, r.lon) for r in df.collect()]
+        if 10 <= q2(lon, -180.0, 180.0, 6) <= 40
+        and 5 <= q2(lat, -90.0, 90.0, 6) <= 50
+    )
+    assert got == exp
