@@ -60,3 +60,59 @@ def test_spark_submit_pyfiles(tmp_path):
     assert summary["pyramid_rows"] > 0
     # the sink committed a snapshot + per-split manifests
     assert os.path.exists(os.path.join(table, "_manifests"))
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="spark-submit not on box")
+def test_spark_submit_export_job(tmp_path):
+    sys.path.insert(0, REPO)
+    from tests.gen_documents import synth_pbf
+    from tools.package_pyfiles import build
+
+    pbf = synth_pbf(str(tmp_path / "mini.pbf"), n_nodes=2_000, nodes_per_blob=500)
+    zip_path = build(str(tmp_path / "osm_pbf_spark.zip"))
+    out = str(tmp_path / "extract")
+
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable, PYSPARK_DRIVER_PYTHON=sys.executable)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "export_job.py"),
+            "--pbf", pbf,
+            "--out", out,
+            "--bbox=-45,-120,45,120",
+            "--n-files", "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=str(tmp_path),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = next(
+        json.loads(line) for line in proc.stdout.splitlines()
+        if line.startswith('{"job": "export"')
+    )
+    # the bbox clips some but not all nodes
+    assert 0 < summary["n_nodes"] < 2_000
+    assert summary["n_files"] >= 1
+    files = sorted(os.listdir(out))
+    assert all(f.endswith(".osm.pbf") for f in files)
+
+    # the exported extract reads back with exactly the clipped count
+    from osm_pbf_spark.session import get_spark
+    from osm_pbf_spark.sources import pbf_source as src
+
+    spark = get_spark(master="local[4]")
+    ents, hdr = src.read_pbf(spark, [os.path.join(out, f) for f in files])
+    assert ents.where("kind = 'node'").count() == summary["n_nodes"]
+    # decode multiplies nano-degrees by the inexact double 1e-9 -> the
+    # header bbox round-trips to within 1 ulp, not bit-exactly
+    for k, v in {"left": -120.0, "right": 120.0,
+                 "top": 45.0, "bottom": -45.0}.items():
+        assert abs(hdr["bbox"][k] - v) < 1e-9, (k, hdr["bbox"][k])
