@@ -3852,6 +3852,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_hilbert_range"] = q_hilbert_range
 
+    def q_frequent_grouped(spark, sf):  # per-group exact heavy hitters
+        # (top tokens per language): MG within group segments per Arrow
+        # batch + exact recount; oracle = plain per-group GROUP BY
+        # HAVING — fully independent
+        from osm_pbf_spark.operators.sketch import frequent_items_grouped
+
+        d = load(spark, sf, "documents")
+        toks = d.select(
+            "lang",
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+            ).alias("tok"),
+        )
+        return frequent_items_grouped(toks, "lang", "tok", k=128, min_count=120)
+
+    q["q_frequent_grouped"] = q_frequent_grouped
+
     return q
 
 
@@ -9179,6 +9196,14 @@ def oracle_sql() -> dict[str, str]:
                        || query_part AS url_norm,
                    regexp_extract(host_l, '([^.]+\.[^.]+)$', 1) AS domain
             FROM n
+        """,
+        # plain per-group GROUP BY + HAVING — independent of MG
+        "q_frequent_grouped": """
+            WITH tokr AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+            tok AS (SELECT * FROM tokr WHERE tok <> '')
+            SELECT lang, tok, count(*) AS n
+            FROM tok GROUP BY lang, tok HAVING count(*) >= 120
         """,
         # plain GROUP BY + HAVING — independent of the MG sketch path
         "q_frequent_items": """

@@ -906,3 +906,37 @@ def test_zrange_join_over_hilbert_key_plans_fast(spark):
         and 5 <= q2(lat, -90.0, 90.0, 6) <= 50
     )
     assert got == exp
+
+
+# ---------------------------------------------------- grouped heavy hitters
+
+def test_frequent_items_grouped_exact_and_invariant(spark):
+    from osm_pbf_spark.operators.sketch import frequent_items_grouped
+
+    rows = []
+    for g in ("ga", "gb", "gc"):
+        rows += [(g, f"{g}hot{i % 4}") for i in range(200)]
+        rows += [(g, f"{g}tail{i}") for i in range(80)]
+    exp = {}
+    for g, v in rows:
+        exp[(g, v)] = exp.get((g, v), 0) + 1
+    want = {kv: n for kv, n in exp.items() if n >= 30}
+    for nparts in (1, 9):
+        df = spark.createDataFrame(rows, "g string, item string").repartition(nparts)
+        got = {
+            (r.g, r.item): r.n
+            for r in frequent_items_grouped(
+                df, "g", "item", k=32, min_count=30
+            ).collect()
+        }
+        assert got == want, nparts
+
+
+def test_frequent_items_grouped_per_group_guard(spark):
+    from osm_pbf_spark.operators.sketch import frequent_items_grouped
+
+    # group 'big' has 600 rows -> bound ceil(600/5)=120 > min_count 50
+    rows = [("big", "x%d" % i) for i in range(600)] + [("ok", "y")] * 20
+    df = spark.createDataFrame(rows, "g string, item string")
+    with pytest.raises(Exception, match="for group big"):
+        frequent_items_grouped(df, "g", "item", k=4, min_count=50).collect()
