@@ -3869,6 +3869,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_frequent_grouped"] = q_frequent_grouped
 
+    def q_slope_aspect(spark, sf):  # Horn 3x3 slope/aspect terrain raster:
+        # scatter + coefficient-weighted sums + count==8 interior guard;
+        # integer gradient numerators, D8 steepest-descent aspect.
+        # Oracle = 8-coefficient VALUES join + HAVING count = 8.
+        from osm_pbf_spark.operators.tiling import slope_aspect
+
+        k = F.col("o_orderkey")
+        grid = load(spark, sf, "orders").filter(k < 1024).select(
+            (k % 32).alias("x"),
+            ((k - k % 32) / 32 % 32).cast("bigint").alias("y"),
+            ((k * 7919) % 1000).alias("z"),
+        )
+        return slope_aspect(grid)
+
+    q["q_slope_aspect"] = q_slope_aspect
+
+    def q_dedup_canonical(spark, sf):  # survivor set after transitive
+        # near-dup closure: one row per group, min-id canonical + size
+        from osm_pbf_spark.operators.graph import dedup_canonical
+
+        d = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        recrawl = d.withColumn("doc_id", F.col("doc_id") + 1000000)
+        docs = d.unionByName(recrawl)
+        pairs = minhash_lsh_pairs(docs, threshold=0.5)
+        return dedup_canonical(near_dup_groups(docs, pairs))
+
+    q["q_dedup_canonical"] = q_dedup_canonical
+
+    def q_dsir(spark, sf):  # DSIR hashed-ngram importance weights
+        # (target = the doc_id%7 slice, raw = doc_id<400): micro-nat
+        # quantized log-ratios, bucket-bounded count tables. Oracle =
+        # full DuckDB replay (md5 nibble-shift bucket + same lr chain).
+        from osm_pbf_spark.operators.packing import dsir_weights
+
+        d = load(spark, sf, "documents")
+        target = d.filter((F.col("doc_id") % 7) == 0)
+        raw = d.filter(F.col("doc_id") < 400)
+        return dsir_weights(raw, target, n_buckets=512)
+
+    q["q_dsir"] = q_dsir
+
+    def q_mmr(spark, sf):  # MMR diversified top-k reranking per query
+        # group over int64-quantized embeddings; all-integer score spec
+        # (micro-cosine penalty), ties to smallest doc_id. Oracle =
+        # mmr_topk_py pure-Python scalar replay (map_match convention).
+        from osm_pbf_spark.operators.ann import mmr_topk
+
+        e = load(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+        cands = e.select(
+            (F.col("vec_id") % 8).alias("q_id"),
+            F.col("vec_id").alias("doc_id"),
+            ((F.col("vec_id") * 37) % 1000 + 500).alias("rel"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(256.0) + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("vec"),
+        )
+        return mmr_topk(cands, k=5, lam_num=7, lam_den=10)
+
+    q["q_mmr"] = q_mmr
+
     return q
 
 
@@ -5148,6 +5211,55 @@ def _ora_dedup_groups() -> str:
                CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS group_id
         FROM unioned d LEFT JOIN comp c ON c.node = d.doc_id
     """
+
+
+def _ora_dedup_canonical() -> str:
+    """Survivor-set wrap of _ora_dedup_groups: min-id + count per
+    closure group (the recursive-CTE closure stays the independent
+    half; the canonical pick is a plain GROUP BY on top)."""
+    return f"""
+        SELECT min(doc_id) AS doc_id, group_id,
+               CAST(count(*) AS BIGINT) AS group_size
+        FROM ({_ora_dedup_groups()}) g
+        GROUP BY group_id
+    """
+
+
+def _ora_mmr() -> str:
+    """Pure-Python scalar replay of the MMR spec (mmr_topk_py: brute
+    loops, no numpy — independent plumbing from the engine's vectorized
+    applyInPandas kernel, same integer score spec; the map_match_py
+    oracle convention)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.ann import mmr_topk_py
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    groups: dict[int, list] = {}
+    for vid, v in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()):
+        if vid >= 200:
+            continue
+        qv = [math.floor(float(x) * 256.0 + 0.5) for x in v]
+        rel = (vid * 37) % 1000 + 500
+        groups.setdefault(vid % 8, []).append((vid, rel, qv))
+    rows = []
+    for qid, rws in groups.items():
+        for rank, did, num in mmr_topk_py(rws, 5, 7, 10):
+            rows.append((qid, rank, did, num))
+    return _values_sql(
+        [
+            ("q_id", "BIGINT"),
+            ("rank", "INTEGER"),
+            ("doc_id", "BIGINT"),
+            ("mmr_num", "BIGINT"),
+        ],
+        rows,
+    )
 
 
 def _ora_simhash_pairs() -> str:
@@ -9298,4 +9410,90 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt, offs
             GROUP BY 1, 2
         """,
+        # Horn gradient replay: 8-coefficient VALUES join, HAVING
+        # count = 8 interior guard, same integer sqrt/aspect spec —
+        # independent formulation of the engine's scatter aggregate
+        "q_slope_aspect": """
+            WITH g AS (
+              SELECT o_orderkey % 32 AS x,
+                     (o_orderkey // 32) % 32 AS y,
+                     (o_orderkey * 7919) % 1000 AS z
+              FROM orders WHERE o_orderkey < 1024),
+            offs(dx, dy, cgx, cgy) AS (VALUES
+                (1, 0, 2, 0), (1, 1, 1, 1), (1, -1, 1, -1),
+                (-1, 0, -2, 0), (-1, 1, -1, 1), (-1, -1, -1, -1),
+                (0, 1, 0, 2), (0, -1, 0, -2)),
+            grad AS (
+              SELECT c.x, c.y,
+                     sum(o.cgx * n.z) AS gx, sum(o.cgy * n.z) AS gy
+              FROM g c JOIN offs o ON TRUE
+              JOIN g n ON n.x = c.x + o.dx AND n.y = c.y + o.dy
+              GROUP BY c.x, c.y HAVING count(*) = 8)
+            SELECT g.x, g.y, g.z, gr.gx, gr.gy,
+                   CAST(floor(sqrt(CAST(gr.gx * gr.gx + gr.gy * gr.gy
+                                        AS DOUBLE)) + 0.5) AS BIGINT)
+                       AS slope_q,
+                   CAST(CASE
+                     WHEN gr.gx = 0 AND gr.gy = 0 THEN -1
+                     WHEN abs(gr.gx) > abs(gr.gy) THEN
+                       CASE WHEN -gr.gx > 0 THEN 0 ELSE 4 END
+                     WHEN abs(gr.gy) > abs(gr.gx) THEN
+                       CASE WHEN -gr.gy > 0 THEN 6 ELSE 2 END
+                     WHEN -gr.gx > 0 AND -gr.gy > 0 THEN 7
+                     WHEN -gr.gx > 0 AND -gr.gy < 0 THEN 1
+                     WHEN -gr.gx < 0 AND -gr.gy < 0 THEN 3
+                     ELSE 5 END AS INTEGER) AS aspect8
+            FROM g JOIN grad gr ON gr.x = g.x AND gr.y = g.y
+        """,
+        "q_dedup_canonical": _ora_dedup_canonical(),
+        # full DuckDB replay: md5 nibble-shift bucket hash, add-one
+        # smoothed bucket distributions, micro-nat HALF-UP-away-from-
+        # zero quantization, same two-division weight chain
+        "q_dsir": f"""
+            WITH tgt AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id % 7 = 0),
+            raw AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+            tfl AS (SELECT list_filter(string_split(text, ' '),
+                                       t -> t <> '') AS toks FROM tgt),
+            rfl AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '),
+                                       t -> t <> '') AS toks FROM raw),
+            tfe AS (SELECT {_hexn_bigint_sql("md5(f)", 1, 8)} % 512 AS bucket
+                    FROM (SELECT unnest(
+                            list_transform(toks, t -> '1|' || t)
+                            || [('2|' || toks[i] || ' ' || toks[i + 1])
+                                for i in generate_series(1, len(toks) - 1)]
+                          ) AS f FROM tfl)),
+            rfe AS (SELECT doc_id,
+                           {_hexn_bigint_sql("md5(f)", 1, 8)} % 512 AS bucket
+                    FROM (SELECT doc_id, unnest(
+                            list_transform(toks, t -> '1|' || t)
+                            || [('2|' || toks[i] || ' ' || toks[i + 1])
+                                for i in generate_series(1, len(toks) - 1)]
+                          ) AS f FROM rfl)),
+            tcnt AS (SELECT bucket, count(*) AS t_cnt FROM tfe GROUP BY bucket),
+            pcnt AS (SELECT bucket, count(*) AS p_cnt FROM rfe GROUP BY bucket),
+            tt AS (SELECT count(*) AS t FROM tfe),
+            pp AS (SELECT count(*) AS p FROM rfe),
+            lrq AS (SELECT r.doc_id,
+                           ln(CAST(coalesce(tc.t_cnt, 0) + 1 AS DOUBLE)
+                              / CAST(tt.t + 512 AS DOUBLE))
+                           - ln(CAST(pc.p_cnt + 1 AS DOUBLE)
+                                / CAST(pp.p + 512 AS DOUBLE)) AS lr
+                    FROM rfe r
+                    JOIN pcnt pc ON pc.bucket = r.bucket
+                    LEFT JOIN tcnt tc ON tc.bucket = r.bucket, tt, pp),
+            sc AS (SELECT doc_id, count(*) AS n_feats,
+                          sum(CASE WHEN lr >= 0
+                              THEN CAST(floor(lr * 1e6 + 0.5) AS BIGINT)
+                              ELSE -CAST(floor(-lr * 1e6 + 0.5) AS BIGINT)
+                              END) AS sq
+                   FROM lrq GROUP BY doc_id)
+            SELECT raw.doc_id,
+                   CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+                   CAST(sc.sq AS DOUBLE) / 1e6 / CAST(sc.n_feats AS DOUBLE)
+                       AS dsir_weight
+            FROM raw LEFT JOIN sc ON sc.doc_id = raw.doc_id
+        """,
+        "q_mmr": _ora_mmr(),
     }

@@ -857,3 +857,142 @@ def pca_encode(
         return pd.Series(list(out))
 
     return vectors.select(F.col(id_col), _proj_udf(F.col(vec_col)).alias("pvec"))
+
+
+# ---------------- MMR diversified top-k ----------------
+
+
+def _mmr_cos_q_py(a, na2: int, b, nb2: int) -> int:
+    """Pure-Python replay of the quantized-cosine spec: micro-cosine
+    units, ``floor(dot*1e6 / (sqrt(na2)*sqrt(nb2)) + 0.5)`` as ONE
+    fixed IEEE chain (dot/na2/nb2 are exact int64); 0 when either
+    vector is all-zero. floor(x+0.5) rounds half-up toward +inf —
+    a deterministic spec choice shared with the numpy kernel."""
+    import math
+
+    if na2 == 0 or nb2 == 0:
+        return 0
+    dot = 0
+    for x, y in zip(a, b):
+        dot += x * y
+    return math.floor(float(dot) * 1e6 / (math.sqrt(float(na2)) * math.sqrt(float(nb2))) + 0.5)
+
+
+def mmr_topk_py(rows, k: int, lam_num: int, lam_den: int):
+    """Pure-Python scalar replay of the ``mmr_topk`` spec for ONE query
+    group — the independent oracle (brute loops, no numpy). ``rows`` is
+    ``[(doc_id, rel, vec)]``; returns ``[(rank, doc_id, mmr_num)]``."""
+    cands = sorted(rows, key=lambda r: r[0])
+    n = len(cands)
+    norms2 = [sum(int(x) * int(x) for x in v) for (_, _, v) in cands]
+    pen = [0] * n
+    picked = [False] * n
+    out = []
+    for rank in range(1, min(k, n) + 1):
+        best_i, best_score = None, None
+        for i in range(n):
+            if picked[i]:
+                continue
+            score = lam_num * int(cands[i][1]) - (lam_den - lam_num) * pen[i]
+            if best_score is None or score > best_score:
+                best_i, best_score = i, score
+        out.append((rank, cands[best_i][0], best_score))
+        picked[best_i] = True
+        sv, sn2 = cands[best_i][2], norms2[best_i]
+        for i in range(n):
+            if not picked[i]:
+                c = _mmr_cos_q_py(cands[i][2], norms2[i], sv, sn2)
+                if c > pen[i]:
+                    pen[i] = c
+    return out
+
+
+def mmr_topk(
+    cands: DataFrame,
+    k: int,
+    lam_num: int,
+    lam_den: int,
+    q_col: str = "q_id",
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998) per query group — the retrieval/RAG reranking step
+    that keeps a result page (or a training-example selection) from
+    filling up with near-duplicates of the top hit.
+
+    Greedy MMR under an ALL-INTEGER score spec (gate-hashable where
+    float MMR's argmax ties are ulp-unstable):
+
+        score(c) = lam_num * rel(c)
+                   - (lam_den - lam_num) * max_{s in selected} cos_q(c, s)
+
+    with ``cos_q`` the micro-cosine quantization (``_mmr_cos_q_py``;
+    int64, 0 for zero vectors, penalty floor 0 so anti-similar vectors
+    earn no bonus). ``rel`` is the caller's int64 relevance (quantized
+    upstream — comparable to micro-cosine units times lam weights by
+    the caller's choice of lam_num/lam_den). Rank-1 pick is the pure
+    relevance argmax; every tie breaks to the smallest ``doc_id``
+    (first argmax over the id-sorted group) => fully deterministic.
+
+    Vectors are int64-quantized (rp_reduce / pq upstream); caller
+    contract: dot products fit int64.
+
+    Returns ``(q_id, rank:int, doc_id, mmr_num:bigint)`` — ``mmr_num``
+    is the integer score at pick time (rank-1 rows carry
+    ``lam_num*rel``).
+
+    Plan shape (100-TB posture): ONE FlatMapGroupsInPandas keyed by
+    q_col — the documented sequential-per-group case (the greedy pick
+    depends on the kept set, like debounce/stay_points); parallelism is
+    across queries (millions), per-group cost O(k * n * dim) vectorized
+    in numpy. Candidate generation upstream (cosine_topk_lsh / pq_topk)
+    bounds n per group.
+    """
+    out_schema = f"{q_col} long, rank int, {id_col} long, mmr_num long"
+    lnum, lden = int(lam_num), int(lam_den)
+    kk = int(k)
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        rel = pdf[rel_col].to_numpy(dtype=np.int64)
+        V = np.asarray(pdf[vec_col].tolist(), dtype=np.int64)
+        n = len(ids)
+        norms2 = (V * V).sum(axis=1, dtype=np.int64)
+        sq = np.sqrt(norms2.astype(np.float64))
+        pen = np.zeros(n, dtype=np.int64)
+        alive = np.ones(n, dtype=bool)
+        ranks, out_ids, nums = [], [], []
+        for r in range(1, min(kk, n) + 1):
+            score = lnum * rel - (lden - lnum) * pen
+            masked = np.where(alive, score, np.iinfo(np.int64).min)
+            i = int(np.argmax(masked))  # first max = smallest doc_id
+            ranks.append(r)
+            out_ids.append(int(ids[i]))
+            nums.append(int(score[i]))
+            alive[i] = False
+            if alive.any():
+                dot = V @ V[i]
+                den = sq * float(sq[i])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c = np.floor(dot.astype(np.float64) * 1e6 / den + 0.5)
+                c = np.where(
+                    (norms2 == 0) | (norms2[i] == 0), 0.0, c
+                ).astype(np.int64)
+                pen = np.where(alive, np.maximum(pen, c), pen)
+        return pd.DataFrame(
+            {
+                q_col: np.full(len(ranks), pdf[q_col].iloc[0], dtype=np.int64),
+                "rank": np.array(ranks, dtype=np.int32),
+                id_col: np.array(out_ids, dtype=np.int64),
+                "mmr_num": np.array(nums, dtype=np.int64),
+            }
+        )
+
+    return (
+        cands.select(q_col, id_col, rel_col, vec_col)
+        .groupBy(q_col)
+        .applyInPandas(_mmr, out_schema)
+    )

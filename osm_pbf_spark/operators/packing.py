@@ -43,6 +43,7 @@ __all__ = [
     "stratified_sample",
     "group_sample",
     "md5_uniform_hex",
+    "dsir_weights",
 ]
 
 
@@ -635,3 +636,130 @@ def split_assign(
             else expr.when(cond, F.lit(name))
         )
     return df.withColumn("split", expr)
+
+
+# ---------------- DSIR importance weights ----------------
+
+
+def _dsir_bucket_py(feat: str, n_buckets: int) -> int:
+    """Pure-Python replay of the native DSIR feature-bucket hash:
+    first 8 hex chars of md5(feat) as an integer, mod n_buckets —
+    byte-identical to Spark's conv(substring(md5(f),1,8),16,10) and to
+    the DuckDB nibble-shift replay (the md5_uniform_hex discipline)."""
+    import hashlib
+
+    return int(hashlib.md5(feat.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def _dsir_feats(text_col) -> "F.Column":
+    """Hashed-n-gram feature strings: unigrams tagged ``1|tok`` and
+    adjacent bigrams tagged ``2|a b`` over whitespace tokens (empty
+    tokens dropped). Tags keep a unigram from colliding with a bigram
+    whose space-joined text happens to match."""
+    toks = F.filter(F.split(text_col, " "), lambda t: t != "")
+    uni = F.transform(toks, lambda t: F.concat(F.lit("1|"), t))
+    # size<2 guard: sequence(1, size-1) DESCENDS for size<2 (the
+    # bigram_pmi lesson) and element_at(, 0) throws under ANSI
+    big = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.lit("2|"),
+                F.element_at(toks, i),
+                F.lit(" "),
+                F.element_at(toks, i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(uni, big)
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW
+    document by how much more likely its hashed-n-gram features are
+    under the TARGET corpus than under the raw corpus itself — the
+    standard "select web data that looks like the quality corpus"
+    pretraining filter. Downstream, Gumbel-top-k / weighted_sample on
+    ``dsir_weight`` performs the actual resampling.
+
+    Feature space: unigrams + adjacent bigrams hashed into
+    ``n_buckets`` buckets (md5-prefix mod — engine-replayable, see
+    ``_dsir_bucket_py``). Both corpus distributions are add-one
+    smoothed over the bucket space; each feature occurrence scores
+
+        lr = ln((t_cnt+1)/(T+B)) - ln((p_cnt+1)/(P+B))
+
+    where t/p count the bucket in target/raw, T/P are total feature
+    occurrences and B = n_buckets.
+
+    Exactness posture (bigram_lm_score discipline): each lr is
+    quantized to MICRO-NATS with the explicit HALF-UP-away-from-zero
+    rule ``sign(lr) * floor(|lr|*1e6 + 0.5)`` (never round(): Spark
+    HALF_UP vs DuckDB HALF_EVEN), bigint-SUMmed per doc (order-free,
+    exact), then ``dsir_weight = sum_q / 1e6 / n_feats`` as one fixed
+    two-division IEEE chain. The one ulp-risky op is ln(); micro-nat
+    rounding absorbs ~1-ulp engine drift outside a measure-zero band.
+
+    Returns ``(doc_id, n_feats:bigint, dsir_weight:double)``; docs
+    with no features get ``(0, NULL)``.
+
+    Plan shape (100-TB posture): two corpus-level hash aggregates
+    bounded by ``n_buckets`` rows (map-side combinable — every task
+    ships <= B rows regardless of corpus size), the raw feature stream
+    joined against the two <=B-row count tables (AQE broadcasts them),
+    one per-doc aggregate. No Python stages, no skew (buckets are
+    md5-uniform), no driver actions.
+    """
+    B = int(n_buckets)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_feat")), 1, 8), 16, 10).cast("bigint")
+        % F.lit(B)
+    ).alias("bucket")
+
+    tfe = target.select(F.explode(_dsir_feats(F.col(text_col))).alias("_feat")).select(bucket)
+    rfe = raw.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_dsir_feats(F.col(text_col))).alias("_feat"),
+    ).select("doc_id", bucket)
+
+    tcnt = tfe.groupBy("bucket").agg(F.count(F.lit(1)).alias("t_cnt"))
+    pcnt = rfe.groupBy("bucket").agg(F.count(F.lit(1)).alias("p_cnt"))
+    tot_t = tfe.agg(F.count(F.lit(1)).alias("T"))
+    tot_p = rfe.agg(F.count(F.lit(1)).alias("P"))
+
+    lr = F.log(
+        (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1).cast("double")
+        / (F.col("T") + B).cast("double")
+    ) - F.log((F.col("p_cnt") + 1).cast("double") / (F.col("P") + B).cast("double"))
+    q = (
+        F.when(lr >= 0, F.floor(lr * 1e6 + F.lit(0.5)))
+        .otherwise(-F.floor(-lr * 1e6 + F.lit(0.5)))
+        .cast("bigint")
+    )
+    scored = (
+        rfe.join(pcnt, "bucket")
+        .join(tcnt, "bucket", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_p))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum(q).alias("_sum_q"))
+    )
+    return (
+        raw.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+            (F.col("_sum_q").cast("double") / F.lit(1e6) / F.col("n_feats").cast("double")).alias(
+                "dsir_weight"
+            ),
+        )
+    )

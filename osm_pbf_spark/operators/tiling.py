@@ -671,3 +671,108 @@ def flow_direction(
         F.coalesce(F.col("_fd"), F.lit(-1)).cast("int").alias("flow_dir"),
         F.coalesce(F.col("_drop"), F.lit(0).cast("bigint")).alias("drop"),
     )
+
+
+# Horn-method gradient coefficients: the neighbor at relative offset
+# (dx, dy) from a center contributes (cgx*z, cgy*z) to the center's
+# (gx, gy) numerators. +x east, +y north; gx = eastward rise, gy =
+# northward rise, both scaled by 8*cellsize (never divided — exact).
+_HORN_COEFS: list[tuple[int, int, int, int]] = [
+    # (dx, dy, cgx, cgy)
+    (1, 0, 2, 0), (1, 1, 1, 1), (1, -1, 1, -1),
+    (-1, 0, -2, 0), (-1, 1, -1, 1), (-1, -1, -1, -1),
+    (0, 1, 0, 2), (0, -1, 0, -2),
+]
+
+
+def slope_aspect(
+    cells: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    z_col: str = "z",
+) -> DataFrame:
+    """Horn (1981) 3x3 slope/aspect over an integer elevation raster —
+    the terrain-analysis twin of ``flow_direction`` (slope maps,
+    hillshade inputs, terrain-ruggedness features).
+
+    Integer-exact variant (module-wide contract, caller quantizes z):
+
+    - ``gx``/``gy`` are Horn's gradient NUMERATORS (scaled by
+      8*cellsize, never divided): exact int64 sums of +-1/+-2 weighted
+      neighbor elevations.
+    - ``slope_q = floor(sqrt(gx^2 + gy^2) + 0.5)`` — the integer
+      gradient magnitude under the points_along_lines sqrt idiom (one
+      correctly-rounded IEEE sqrt of an exact int64; HALF-UP). Exact
+      cross-engine while gx^2+gy^2 < 2^53, i.e. |z| < ~2^24 — the
+      caller's quantization contract.
+    - ``aspect8`` is the D8 direction code (tiling._D8_OFFS codes:
+      E=0, SE=1, .., NE=7) of the steepest-DESCENT vector (-gx, -gy)
+      under the MAX-metric 8-sector rule: |vx|>|vy| -> E/W,
+      |vy|>|vx| -> N/S, |vx|=|vy| -> the diagonal; -1 when gx=gy=0
+      (flat). Sign/abs comparisons only — exact and engine-replayable,
+      where the conventional atan2 sectorization (tan 22.5 boundaries)
+      is irrational. Documented variant choice, same spirit as
+      flow_direction's unweighted-diagonal D8.
+
+    Only cells with ALL 8 neighbors present are emitted (raster
+    interior — Horn is undefined on edges; the count==8 guard makes
+    the window explicit rather than zero-filling silently).
+
+    Returns ``(x, y, z, gx, gy, slope_q, aspect8)``.
+
+    Plan: the flow_direction scatter shape — one native Generate
+    (8x|cells|), ONE hash aggregate summing coefficient-weighted z
+    (map-side combinable), one equi-join back to the cells. All
+    whole-stage codegen, two narrow shuffles, no Python.
+    """
+    c = cells.select(
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+        F.col(z_col).cast("bigint").alias("z"),
+    )
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                F.lit(cgx).alias("cgx"), F.lit(cgy).alias("cgy"),
+            )
+            for dx, dy, cgx, cgy in _HORN_COEFS
+        ]
+    )
+    # the cell at (x, y) is the (dx, dy)-neighbor of center (x-dx, y-dy)
+    contrib = c.withColumn("_o", F.explode(offs)).select(
+        (F.col("x") - F.col("_o.dx")).alias("x"),
+        (F.col("y") - F.col("_o.dy")).alias("y"),
+        (F.col("_o.cgx") * F.col("z")).alias("_cx"),
+        (F.col("_o.cgy") * F.col("z")).alias("_cy"),
+    )
+    grad = (
+        contrib.groupBy("x", "y")
+        .agg(
+            F.sum("_cx").alias("gx"),
+            F.sum("_cy").alias("gy"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") == F.lit(8))
+        .drop("_n")
+    )
+    vx, vy = -F.col("gx"), -F.col("gy")
+    avx, avy = F.abs(vx), F.abs(vy)
+    aspect = (
+        F.when((F.col("gx") == 0) & (F.col("gy") == 0), F.lit(-1))
+        .when(avx > avy, F.when(vx > 0, F.lit(0)).otherwise(F.lit(4)))
+        .when(avy > avx, F.when(vy > 0, F.lit(6)).otherwise(F.lit(2)))
+        # |vx| == |vy|, both nonzero -> diagonal
+        .when((vx > 0) & (vy > 0), F.lit(7))
+        .when((vx > 0) & (vy < 0), F.lit(1))
+        .when((vx < 0) & (vy < 0), F.lit(3))
+        .otherwise(F.lit(5))
+    )
+    return c.join(grad, ["x", "y"]).select(
+        "x", "y", "z", "gx", "gy",
+        F.floor(
+            F.sqrt((F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy")).cast("double"))
+            + F.lit(0.5)
+        ).cast("bigint").alias("slope_q"),
+        aspect.cast("int").alias("aspect8"),
+    )
