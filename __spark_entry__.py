@@ -3932,6 +3932,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_mmr"] = q_mmr
 
+    def q_link_predict(spark, sf):  # common-neighbor / Jaccard link
+        # prediction (missing-edge recommendation) over the md5 graph;
+        # all-integer except the final division. Oracle = NOT EXISTS
+        # neighbor-pair formulation.
+        from osm_pbf_spark.operators.graph import link_predict
+
+        return link_predict(_md5_graph(spark, sf), min_common=2)
+
+    q["q_link_predict"] = q_link_predict
+
+    def q_ewma(spark, sf):  # per-key integer-recurrence EWMA smoothing
+        # (alpha=3/10, scale 1e6): the sequential-per-group applyInPandas
+        # class. Oracle = DuckDB WITH RECURSIVE evaluating the identical
+        # recurrence — the engine's own recursion, independent plumbing.
+        from osm_pbf_spark.operators.temporal import ewma
+
+        e = load(spark, sf, "events").filter(
+            (F.col("event_id") < 2000) & (F.col("value") >= 0)
+        )
+        s = e.select(
+            (F.col("user_id") % 16).alias("key"),
+            F.col("event_id").alias("seq"),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("val"),
+        )
+        return ewma(s, alpha_num=3, alpha_den=10)
+
+    q["q_ewma"] = q_ewma
+
+    def q_pii_scan(spark, sf):  # syntactic PII scan+mask (email/phone/
+        # IPv4) over synthesized customer contact text + plain document
+        # text; pure native regexp projection, zero shuffle. Oracle runs
+        # the same engine-portable patterns on DuckDB's RE2 — two regex
+        # ENGINES must agree (url_normalize posture).
+        from osm_pbf_spark.operators.text import pii_scan
+
+        c = load(spark, sf, "customer")
+        contact = c.select(
+            F.col("c_custkey").alias("doc_id"),
+            F.expr(
+                "concat(c_name, ' mail u', CAST(c_custkey AS STRING), '@ex',"
+                " CAST(c_custkey % 7 AS STRING), '.com',"
+                " CASE WHEN c_custkey % 3 = 0 THEN ' call none'"
+                " ELSE concat(' call +1-555-',"
+                "   lpad(CAST(c_custkey % 10000 AS STRING), 4, '0')) END,"
+                " ' ip 10.', CAST(c_custkey % 256 AS STRING), '.0.',"
+                " CAST(c_custkey % 100 AS STRING), ' ok')"
+            ).alias("text"),
+        )
+        plain = (
+            load(spark, sf, "documents")
+            .filter(F.col("doc_id") < 300)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+        return pii_scan(contact.unionByName(plain))
+
+    q["q_pii_scan"] = q_pii_scan
+
     return q
 
 
@@ -5223,6 +5282,57 @@ def _ora_dedup_canonical() -> str:
         FROM ({_ora_dedup_groups()}) g
         GROUP BY group_id
     """
+
+
+def _ora_pii_scan() -> str:
+    """q_pii_scan oracle: the SAME engine-portable patterns evaluated by
+    DuckDB's RE2 (Spark runs Java regex — two independent regex engines
+    must agree on every span). The pattern list is imported from the
+    operator so the two sides can never drift."""
+    from osm_pbf_spark.operators.text import _PII_PATTERNS
+
+    src = """
+        src AS (
+          SELECT c_custkey AS doc_id,
+                 c_name || ' mail u' || CAST(c_custkey AS VARCHAR)
+                 || '@ex' || CAST(c_custkey % 7 AS VARCHAR) || '.com'
+                 || CASE WHEN c_custkey % 3 = 0 THEN ' call none'
+                    ELSE ' call +1-555-'
+                         || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                    END
+                 || ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR)
+                 || '.0.' || CAST(c_custkey % 100 AS VARCHAR) || ' ok'
+                     AS text
+          FROM customer
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 300)
+    """
+    ctes = [src]
+    prev_txt, prev_cte = "text", "src"
+    carried: list[str] = []
+    for i, (name, pat, tag) in enumerate(_PII_PATTERNS):
+        lit = pat.replace("'", "''")
+        nxt = f"m{i}"
+        out_txt = "masked" if i == len(_PII_PATTERNS) - 1 else f"t{i}"
+        cols = ", ".join(["doc_id"] + carried)
+        ctes.append(
+            f"""{nxt} AS (
+              SELECT {cols},
+                     CAST(len(regexp_extract_all({prev_txt}, '{lit}'))
+                          AS BIGINT) AS n_{name},
+                     regexp_replace({prev_txt}, '{lit}', '{tag}', 'g')
+                         AS {out_txt}
+              FROM {prev_cte})"""
+        )
+        carried.append(f"n_{name}")
+        prev_txt, prev_cte = out_txt, nxt
+    total = " + ".join(carried)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {', '.join(carried)}, {total} AS n_pii, masked"
+        + f"\nFROM {prev_cte}"
+    )
 
 
 def _ora_mmr() -> str:
@@ -9496,4 +9606,55 @@ def oracle_sql() -> dict[str, str]:
             FROM raw LEFT JOIN sc ON sc.doc_id = raw.doc_id
         """,
         "q_mmr": _ora_mmr(),
+        # NOT-EXISTS neighbor-pair formulation vs the engine's
+        # anti-join wedge plan; one IEEE division of exact ints
+        "q_link_predict": f"""
+            WITH {_MD5_GRAPH_SQL},
+            und AS (SELECT DISTINCT least(src, dst) AS u,
+                           greatest(src, dst) AS v
+                    FROM ed WHERE src <> dst),
+            nb AS (SELECT u AS c, v AS n FROM und
+                   UNION ALL SELECT v AS c, u AS n FROM und),
+            deg AS (SELECT c AS node, count(*) AS degree FROM nb GROUP BY c),
+            pairs AS (SELECT l.n AS u, r.n AS v, count(*) AS n_common
+                      FROM nb l JOIN nb r ON r.c = l.c AND l.n < r.n
+                      GROUP BY 1, 2
+                      HAVING count(*) >= 2),
+            cand AS (SELECT p.* FROM pairs p
+                     WHERE NOT EXISTS (SELECT 1 FROM und e
+                                       WHERE e.u = p.u AND e.v = p.v))
+            SELECT c.u, c.v, c.n_common,
+                   du.degree AS deg_u, dv.degree AS deg_v,
+                   CAST(c.n_common AS DOUBLE)
+                   / CAST(du.degree + dv.degree - c.n_common AS DOUBLE)
+                       AS jaccard
+            FROM cand c
+            JOIN deg du ON du.node = c.u
+            JOIN deg dv ON dv.node = c.v
+        """,
+        # DuckDB's own recursion evaluates the identical integer
+        # recurrence (nonnegative operands: // == truncating DIV)
+        "q_ewma": """
+            WITH RECURSIVE s AS (
+              SELECT user_id % 16 AS key, event_id AS seq,
+                     CAST(floor(value * CAST(100 AS DOUBLE) + 0.5)
+                          AS BIGINT) AS val
+              FROM events WHERE event_id < 2000 AND value >= 0),
+            r AS (SELECT key, seq, val,
+                         row_number() OVER (PARTITION BY key
+                                            ORDER BY seq) AS rn
+                  FROM s),
+            ew AS (
+              SELECT key, seq, val, rn,
+                     val * 1000000 AS ewma_q
+              FROM r WHERE rn = 1
+              UNION ALL
+              SELECT r.key, r.seq, r.val, r.rn,
+                     (3 * r.val * 1000000 + 7 * ew.ewma_q) // 10
+              FROM ew JOIN r ON r.key = ew.key AND r.rn = ew.rn + 1)
+            SELECT key, seq, val, ewma_q,
+                   CAST(ewma_q AS DOUBLE) / CAST(1000000 AS DOUBLE) AS ewma
+            FROM ew
+        """,
+        "q_pii_scan": _ora_pii_scan(),
     }

@@ -706,3 +706,75 @@ def max_concurrency(
             (-F.col("_b.negt")).alias("peak_us"),
         )
     )
+
+
+def ewma(
+    series: DataFrame,
+    alpha_num: int,
+    alpha_den: int,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    val_col: str = "val",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key — the smoothing
+    pass behind rate dashboards, anomaly baselines and trend features.
+
+    INTEGER recurrence spec (gate-hashable where float EWMA's
+    associativity-free product chain drifts by partitioning):
+
+        y_1 = x_1 * scale
+        y_i = (alpha_num * x_i * scale + (alpha_den - alpha_num) * y_{i-1})
+              DIV alpha_den          (integer division)
+
+    with alpha = alpha_num/alpha_den in (0, 1]. Spec contract: values
+    are NON-NEGATIVE int64 (so DIV's floor-vs-truncate ambiguity never
+    arises — Spark DIV truncates toward zero, Python // floors; on
+    nonnegative operands they are the same function, enforced here) and
+    ``seq`` is unique per key (the total order). The quantization error
+    vs float EWMA is < 1/scale per step.
+
+    Returns the input columns plus ``ewma_q`` (int64, scaled) and
+    ``ewma`` (double, ONE division by scale).
+
+    Plan: one keyed shuffle into applyInPandas — the documented
+    sequential-per-group case (a linear recurrence with per-step
+    integer floor has no window/closed form; same class as debounce /
+    stay_points). Parallel across keys; per-key cost O(n). Oracle =
+    a DuckDB WITH RECURSIVE chain evaluating the identical recurrence
+    (the engine's own recursion — independent plumbing).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not (0 < alpha_num <= alpha_den):
+        raise ValueError(f"need 0 < alpha_num <= alpha_den, got {alpha_num}/{alpha_den}")
+    num, den, sc = int(alpha_num), int(alpha_den), int(scale)
+    schema = f"{key_col} long, {seq_col} long, {val_col} long, ewma_q long, ewma double"
+
+    def _ew(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq_col, kind="mergesort")
+        x = pdf[val_col].to_numpy(dtype=np.int64)
+        if len(x) and x.min() < 0:
+            raise ValueError("ewma spec requires non-negative values")
+        y = 0
+        out = []
+        for i, xi in enumerate(x):
+            xi = int(xi)
+            y = xi * sc if i == 0 else (num * xi * sc + (den - num) * y) // den
+            out.append(y)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(dtype=np.int64),
+                seq_col: pdf[seq_col].to_numpy(dtype=np.int64),
+                val_col: x,
+                "ewma_q": np.array(out, dtype=np.int64),
+                "ewma": np.array(out, dtype=np.float64) / float(sc),
+            }
+        )
+
+    return (
+        series.select(key_col, seq_col, val_col)
+        .groupBy(key_col)
+        .applyInPandas(_ew, schema)
+    )

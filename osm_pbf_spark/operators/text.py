@@ -1070,3 +1070,62 @@ def nb_classify(
             "n_toks",
         )
     )
+
+
+# PII patterns: the ENGINE-PORTABLE regex subset (url_parse posture —
+# no lookaround, no backrefs, no \b/\d shorthands), so Spark's Java
+# regex and DuckDB's RE2 match the identical leftmost-non-overlapping
+# spans. Masking applies IN LIST ORDER on the progressively-masked
+# string (email first: an IP-looking mail host is the email's problem,
+# not a second finding).
+_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("phone", "[+][0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,9}", "<PHONE>"),
+    ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+]
+
+
+def pii_scan(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Syntactic PII scan + mask over plain text — the crawl-pipeline
+    compliance pass (emails / phone numbers / IPv4 addresses) every
+    public web-corpus recipe runs before training. SYNTACTIC by
+    design: `10.0.0.1`-shaped version strings count as IPs — the spec
+    is the regex, auditable and engine-replayable, not a model.
+
+    Per class: ``n_<class>`` = number of leftmost-non-overlapping
+    matches (counted on the string as masked by the PRIOR classes, in
+    ``_PII_PATTERNS`` order, so one span is never double-reported);
+    ``masked`` = the text with every match replaced by its tag.
+
+    Returns ``(doc_id, n_email, n_phone, n_ipv4, n_pii, masked)``.
+
+    Plan: pure native projection (regexp_extract_all + chained
+    regexp_replace), map-only, zero shuffles, whole-stage codegen. The
+    oracle runs the same patterns on DuckDB's RE2 — two independent
+    regex ENGINES must agree (the url_normalize posture).
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, tag in _PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, tag)
+    total = None
+    for name, _, _ in _PII_PATTERNS:
+        t = F.col(f"n_{name}")
+        total = t if total is None else total + t
+    return docs.select(F.col(id_col).alias("doc_id"), *counts, cur.alias("masked")).select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        total.cast("bigint").alias("n_pii"),
+        "masked",
+    )
