@@ -3991,6 +3991,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_pii_scan"] = q_pii_scan
 
+    # ---- Structured Streaming surface (availableNow drains — the
+    # batch-parity discipline makes these gate-comparable) ----
+
+    def q_stream_window(spark, sf):  # streaming windowed agg: 15-min
+        # event-time tumbling counts + exact int64 value sums, complete
+        # mode == batch groupBy(window) bit-for-bit
+        from osm_pbf_spark.streaming import (
+            run_available_now,
+            stream_parquet,
+            windowed_counts,
+        )
+
+        sdf = stream_parquet(spark, f"{sf}/events.parquet")
+        return run_available_now(
+            windowed_counts(sdf, "ts", ["event_type"], "15 minutes", val_col="value")
+        )
+
+    q["q_stream_window"] = q_stream_window
+
+    def q_stream_tiles(spark, sf):  # streaming spatial rollup: hourly
+        # per-grid-cell counts over event-derived points (the live-tile
+        # dashboard shape: window x equirect cell)
+        from osm_pbf_spark.streaming import (
+            run_available_now,
+            stream_parquet,
+            windowed_counts,
+        )
+
+        sdf = stream_parquet(spark, f"{sf}/events.parquet")
+        pts = sdf.select(
+            "ts",
+            F.floor(
+                (F.col("event_id") * 73 % 3600).cast("double") / F.lit(10.0)
+                - F.lit(180.0)
+            )
+            .cast("bigint")
+            .alias("cell_x"),
+            F.floor(
+                (F.col("event_id") * 37 % 1700).cast("double") / F.lit(10.0)
+                - F.lit(85.0)
+            )
+            .cast("bigint")
+            .alias("cell_y"),
+        )
+        return run_available_now(
+            windowed_counts(pts, "ts", ["cell_x", "cell_y"], "1 hour")
+        )
+
+    q["q_stream_tiles"] = q_stream_tiles
+
+    def q_stream_dedup(spark, sf):  # stateful streaming first-seen
+        # dedup (incremental crawl shape); single-batch emission ==
+        # batch GROUP BY fp -> (min id, count)
+        from osm_pbf_spark.streaming import (
+            run_available_now,
+            stream_dedup,
+            stream_parquet,
+        )
+
+        sdf = stream_parquet(spark, f"{sf}/documents.parquet")
+        a = sdf.select(F.md5("text").alias("fp"), F.col("doc_id"))
+        b = sdf.select(
+            F.md5("text").alias("fp"), (F.col("doc_id") + 1000000).alias("doc_id")
+        )
+        return run_available_now(
+            stream_dedup(a.unionByName(b), "fp", "doc_id"), output_mode="append"
+        )
+
+    q["q_stream_dedup"] = q_stream_dedup
+
     return q
 
 
@@ -9657,4 +9727,39 @@ def oracle_sql() -> dict[str, str]:
             FROM ew
         """,
         "q_pii_scan": _ora_pii_scan(),
+        # streaming complete-mode window agg == plain batch GROUP BY
+        # over epoch-aligned buckets (the batch-parity contract)
+        "q_stream_window": """
+            SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+                   time_bucket(INTERVAL '15 minutes', ts)
+                       + INTERVAL '15 minutes' AS window_end,
+                   event_type, count(*) AS n,
+                   CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE) + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_q
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "q_stream_tiles": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   time_bucket(INTERVAL '1 hour', ts)
+                       + INTERVAL '1 hour' AS window_end,
+                   CAST(floor(CAST((event_id * 73) % 3600 AS DOUBLE)
+                              / CAST(10 AS DOUBLE)
+                              - CAST(180 AS DOUBLE)) AS BIGINT) AS cell_x,
+                   CAST(floor(CAST((event_id * 37) % 1700 AS DOUBLE)
+                              / CAST(10 AS DOUBLE)
+                              - CAST(85 AS DOUBLE)) AS BIGINT) AS cell_y,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2, 3, 4
+        """,
+        # single availableNow batch: stateful first-seen emission ==
+        # the exact-dedup GROUP BY (cross-batch suppression is pinned
+        # by the maxFilesPerTrigger=1 pytest)
+        "q_stream_dedup": """
+            WITH u AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000, text FROM documents)
+            SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM u GROUP BY md5(text)
+        """,
     }

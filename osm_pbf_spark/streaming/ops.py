@@ -1,0 +1,179 @@
+"""Streaming operators: source, windowed aggregation, stateful dedup.
+
+Every op returns a STREAMING DataFrame (``df.isStreaming``) built from
+the same pyspark.sql expressions as its batch twin, so Catalyst plans
+the micro-batch increments; ``run_available_now`` is the local drain
+used by tests and the driver gate.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_parquet(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source parquet stream over ``path`` (a file, directory, or
+    glob). Streaming file sources require an explicit schema; when
+    ``schema`` is None it is taken from a one-off batch read of the
+    same path (driver-side footer read, no data scan).
+
+    ``max_files_per_trigger`` bounds micro-batch size — the knob that
+    turns one availableNow drain into a deterministic multi-batch run
+    (used by the cross-batch tests).
+    """
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    # The streaming file source requires a DIRECTORY (its basePath);
+    # batch sources accept bare files. Shim a local single-file path
+    # (the testdata layout) through a symlink dir so the same call
+    # works on both — an object-store prefix is already a directory.
+    import os
+
+    if os.path.isfile(path):
+        d = os.path.join(
+            "/tmp",
+            "stream_src_" + uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(path)).hex,
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(path))
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(path), link)
+        path = d
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return r.parquet(path)
+
+
+def windowed_counts(
+    sdf: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    window: str,
+    watermark: str | None = None,
+    val_col: str | None = None,
+    val_scale: int = 100,
+) -> DataFrame:
+    """Event-time tumbling-window counts per key — the canonical
+    streaming aggregation. Returns ``(window_start, window_end,
+    *key_cols, n[, sum_q])`` where ``sum_q`` is the int64 sum of
+    ``floor(val * val_scale + 0.5)`` (exact, order-free — a double sum
+    would be partitioning-dependent).
+
+    BATCH PARITY: in complete output mode the result equals the batch
+    ``groupBy(window(ts), keys)`` over all input seen so far, bit for
+    bit; the watermark (if set) only bounds state in append/update
+    modes. Plan: partial agg in each micro-batch + state-store merge —
+    the streaming twin of a hash aggregate, keyed state sharded by the
+    shuffle partitioning.
+    """
+    w = F.window(F.col(ts_col), window)
+    if watermark is not None:
+        sdf = sdf.withWatermark(ts_col, watermark)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if val_col is not None:
+        aggs.append(
+            F.sum(
+                F.floor(F.col(val_col) * F.lit(float(val_scale)) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("sum_q")
+        )
+    out = sdf.groupBy(w, *[F.col(c) for c in key_cols]).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *key_cols,
+        "n",
+        *(["sum_q"] if val_col is not None else []),
+    )
+
+
+def stream_dedup(
+    sdf: DataFrame,
+    fp_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Stateful first-seen exact dedup: one output row per fingerprint
+    in the FIRST micro-batch where it appears, carrying the minimum id
+    and the within-batch copy count; later batches bump nothing and
+    emit nothing for already-seen fingerprints.
+
+    Emission spec (deterministic — no timeout dependence):
+      - fp unseen in state, appears in batch -> emit
+        ``(fp, keep_id = min id in batch, n_copies = batch count)``
+        and record fp in state.
+      - fp already in state -> emit nothing.
+
+    Over a SINGLE batch this equals the batch exact-dedup
+    ``GROUP BY fp -> (min(id), count(*))`` — the driver-gate oracle;
+    cross-batch suppression is pinned by a maxFilesPerTrigger=1 test.
+
+    Plan: groupBy(fp).applyInPandasWithState — state is sharded by the
+    fingerprint shuffle, one boolean-sized entry per distinct fp, the
+    exact state layout a 10^12-document incremental crawl dedup needs
+    (state grows with DISTINCT content, not with input).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{fp_col} string, keep_id long, n_copies long"
+    state_schema = "seen boolean"
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            # already emitted in an earlier batch: swallow
+            for _ in pdfs:
+                pass
+            return
+        keep, n = None, 0
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf[id_col].min())
+                keep = m if keep is None else min(keep, m)
+                n += len(pdf)
+        state.update((True,))
+        yield pd.DataFrame({fp_col: [key[0]], "keep_id": [keep], "n_copies": [n]})
+
+    return (
+        sdf.select(fp_col, F.col(id_col).cast("long").alias(id_col))
+        .groupBy(fp_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def run_available_now(
+    sdf: DataFrame,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drain a streaming DataFrame with trigger(availableNow=True) into
+    a memory sink and return the sink as a BATCH DataFrame — the local
+    gate harness (a cluster deployment would writeStream to the sink
+    table instead; the plan is identical).
+
+    The memory-sink temp view outlives the (stopped) query, so the
+    returned DataFrame supports repeated actions like any batch result.
+    """
+    name = "mem_" + uuid.uuid4().hex
+    w = sdf.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination()
+    q.stop()
+    return sdf.sparkSession.table(name)
