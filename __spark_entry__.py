@@ -4061,6 +4061,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_stream_dedup"] = q_stream_dedup
 
+    def q_random_walks(spark, sf):  # deterministic DeepWalk corpus:
+        # md5-seeded sorted-neighbor-index walks, long form. Oracle =
+        # DuckDB WITH RECURSIVE re-walking the identical spec with its
+        # own recursion + list indexing.
+        from osm_pbf_spark.operators.graph import random_walks
+
+        return random_walks(_md5_graph(spark, sf), n_steps=4, walks_per_node=2)
+
+    q["q_random_walks"] = q_random_walks
+
+    def q_walk_pairs(spark, sf):  # skip-gram (center, context) pairs
+        # within a 2-step window over the same walks — the embedding
+        # trainer's co-occurrence table
+        from osm_pbf_spark.operators.graph import random_walks, walk_pairs
+
+        return walk_pairs(
+            random_walks(_md5_graph(spark, sf), n_steps=4, walks_per_node=2),
+            window=2,
+        )
+
+    q["q_walk_pairs"] = q_walk_pairs
+
     return q
 
 
@@ -5351,6 +5373,39 @@ def _ora_dedup_canonical() -> str:
                CAST(count(*) AS BIGINT) AS group_size
         FROM ({_ora_dedup_groups()}) g
         GROUP BY group_id
+    """
+
+
+def _ora_walk_sql() -> str:
+    """Shared recursive-walk CTE chain for q_random_walks /
+    q_walk_pairs: DuckDB's own recursion + list indexing re-walks the
+    md5 sorted-neighbor-index spec (n_steps=4, walks_per_node=2,
+    seed 'w') over the md5 graph."""
+    h = _hexn_bigint_sql(
+        "md5('w:' || CAST(w.start AS VARCHAR) || ':'"
+        " || CAST(w.rep AS VARCHAR) || ':'"
+        " || CAST(w.step AS VARCHAR) || ':'"
+        " || CAST(w.node AS VARCHAR))",
+        1,
+        10,
+    )
+    return f"""
+        WITH RECURSIVE {_MD5_GRAPH_SQL},
+        e AS (SELECT DISTINCT src AS a, dst AS b FROM ed WHERE src <> dst),
+        adj AS (SELECT a AS node, list_sort(list(b)) AS nbrs,
+                       count(*) AS deg
+                FROM e GROUP BY a),
+        nodes AS (SELECT DISTINCT node FROM
+                    (SELECT a AS node FROM e
+                     UNION ALL SELECT b AS node FROM e)),
+        walk AS (
+          SELECT n.node AS start, r.rep, 0 AS step, n.node AS node
+          FROM nodes n CROSS JOIN (VALUES (0), (1)) r(rep)
+          UNION ALL
+          SELECT w.start, w.rep, w.step + 1,
+                 a.nbrs[CAST({h} % a.deg AS BIGINT) + 1]
+          FROM walk w JOIN adj a ON a.node = w.node
+          WHERE w.step < 4)
     """
 
 
@@ -9761,5 +9816,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fp, min(doc_id) AS keep_id,
                    count(*) AS n_copies
             FROM u GROUP BY md5(text)
+        """,
+        # the engine chains n_steps lazy joins; DuckDB RE-WALKS the
+        # identical md5-index spec with its own recursion
+        "q_random_walks": _ora_walk_sql() + "\nSELECT start, rep, step, node FROM walk",
+        "q_walk_pairs": _ora_walk_sql()
+        + """
+            SELECT wa.node AS center, wb.node AS context,
+                   count(*) AS n_pairs
+            FROM walk wa JOIN walk wb
+              ON wb.start = wa.start AND wb.rep = wa.rep
+             AND wa.step <> wb.step AND abs(wa.step - wb.step) <= 2
+            GROUP BY 1, 2
         """,
     }

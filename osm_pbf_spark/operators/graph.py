@@ -54,6 +54,8 @@ __all__ = [
     "near_dup_groups",
     "link_predict",
     "dedup_canonical",
+    "random_walks",
+    "walk_pairs",
 ]
 
 
@@ -876,4 +878,128 @@ def link_predict(
             F.col("n_common").cast("double")
             / (F.col("deg_u") + F.col("deg_v") - F.col("n_common")).cast("double")
         ).alias("jaccard"),
+    )
+
+
+def _md5_mod(parts: list, mod: "F.Column") -> "F.Column":
+    """Deterministic uniform draw in [0, mod): conv of the first 10 hex
+    chars of md5(':'-joined parts) — 2^40 keyspace, engine-replayable
+    (DuckDB rebuilds it with nibble shifts)."""
+    h = F.md5(F.concat_ws(":", *[p.cast("string") for p in parts]))
+    return F.conv(F.substring(h, 1, 10), 16, 10).cast("bigint") % mod
+
+
+def random_walks(
+    edges: DataFrame,
+    n_steps: int,
+    walks_per_node: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+    seed: str = "w",
+) -> DataFrame:
+    """Deterministic hash-seeded random walks — the DeepWalk / node2vec
+    TRAINING-DATA generator: ``walks_per_node`` walks of ``n_steps``
+    steps from every node, emitted LONG form ``(start, rep, step,
+    node)`` (step 0 = the start; a walk reaching a sink node simply
+    stops — no padding rows).
+
+    Determinism spec (replayable in any engine — no RNG state): the
+    step leaving ``cur`` at step ``t`` of walk ``(start, rep)`` picks
+    sorted-neighbor index ``md5_40(seed:start:rep:t:cur) % deg(cur)``.
+    Adjacency = DISTINCT non-loop edges as given (directed), neighbor
+    lists sorted ascending; ``max_degree`` keeps only the SMALLEST
+    ``max_degree`` neighbors of a hub (deterministic truncation — the
+    documented hub knob, same recall-change contract as the LSH caps).
+
+    Plan (100-TB posture): one adjacency aggregate (collect_list is
+    bounded by max_degree when set — unbounded hubs are the caller's
+    contract otherwise), then ``n_steps`` chained equi-joins of the
+    frontier against adjacency — the standard distributed DeepWalk
+    shape (each round shuffles the frontier on cur; no driver action,
+    one lazy plan). ``n_steps`` is expected small (<= ~20); beyond
+    that, checkpoint between rounds.
+
+    Oracle strategy: DuckDB ``WITH RECURSIVE`` re-walks the identical
+    spec with its own recursion + list indexing (q_random_walks).
+    """
+    if n_steps < 0:
+        raise ValueError(f"n_steps must be >= 0, got {n_steps}")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = e.groupBy(F.col("a").alias("node")).agg(
+        F.sort_array(F.collect_list("b")).alias("nbrs")
+    )
+    if max_degree is not None:
+        adj = adj.select("node", F.slice("nbrs", 1, int(max_degree)).alias("nbrs"))
+    adj = adj.select("node", "nbrs", F.size("nbrs").cast("bigint").alias("deg"))
+
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    reps = F.explode(
+        F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1))
+    ).alias("rep")
+    state = nodes.select(
+        F.col("node").alias("start"), reps, F.lit(0).cast("int").alias("step"),
+        F.col("node").alias("node"),
+    )
+    out = state
+    for _ in range(int(n_steps)):
+        nxt = state.join(adj, "node").select(
+            "start",
+            "rep",
+            (F.col("step") + F.lit(1)).cast("int").alias("step"),
+            F.element_at(
+                "nbrs",
+                (
+                    _md5_mod(
+                        [F.lit(seed), F.col("start"), F.col("rep"),
+                         F.col("step"), F.col("node")],
+                        F.col("deg"),
+                    )
+                    + F.lit(1)
+                ).cast("int"),
+            ).alias("node"),
+        )
+        out = out.unionByName(nxt)
+        state = nxt
+    return out
+
+
+def walk_pairs(
+    walks: DataFrame,
+    window: int,
+) -> DataFrame:
+    """Skip-gram (center, context) pair extraction from random_walks
+    output — the co-occurrence table a node-embedding trainer consumes:
+    every ordered pair of walk positions within ``window`` steps,
+    aggregated to ``(center, context, n_pairs)``.
+
+    One self-join per walk key on a BETWEEN step band (theta-join on
+    the tiny walk length, equi on the walk id) + one hash agg.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    a = walks.select(
+        F.col("start").alias("s"), F.col("rep").alias("r"),
+        F.col("step").alias("i"), F.col("node").alias("center"),
+    )
+    b = walks.select(
+        F.col("start").alias("s"), F.col("rep").alias("r"),
+        F.col("step").alias("j"), F.col("node").alias("context"),
+    )
+    return (
+        a.join(b, ["s", "r"])
+        .where(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= int(window))
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
