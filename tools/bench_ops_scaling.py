@@ -464,10 +464,15 @@ LEG_SCALE = {
     "frequent_items": 10.0,
     # 6 pointer-doubling joins: rows x rounds shuffle volume
     "basins": 3.0,
-    # adjacency agg + 4 frontier joins: edges x rounds shuffle volume
-    "random_walks": 2.0,
-    # stream drain: scan + micro-batch partial agg + state-store merge
-    "stream_window": 20.0,
+    # adjacency agg + 4 frontier joins: edges x rounds shuffle volume.
+    # 6M edges measured ANTI-scaling (eff 0.138 — 600k-row frontier
+    # shuffles are pure scheduling overhead at 32 cores); the joins
+    # need ~60M edges / 6M nodes before the operator dominates
+    "random_walks": 20.0,
+    # stream drain: scan + micro-batch partial agg + state-store
+    # merge. 60M rows drained in ~3 s (micro-batch setup is a ~1-2 s
+    # fixed cost); needs ~600M rows to dwarf it
+    "stream_window": 200.0,
 }
 
 
