@@ -9,7 +9,7 @@ testdata, and MinHash dedup.
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      BENCH_N_NODES (default 2_000_000 * sf -> 200k at sf0.1),
-     BENCH_REPS (default 2) — each timed leg is best-of-N (the host
+     BENCH_REPS (default 3) — each timed leg is best-of-N (the host
      shows intermittent co-tenant contention bursts),
      BENCH_SCALING=1 to also run the N-vs-4N-parallelism study
      (local[8] vs local[32]) and include `scaling` in the output.
@@ -51,7 +51,7 @@ BENCH_POLYGONS = [
 def run_bench(master: str, sf_dir: str, n_nodes: int, table_root: str) -> dict[str, float]:
     spark = get_spark("bench", master=master)
     times: dict[str, float] = {}
-    # best-of-N per leg (default 2): this sandbox host shows
+    # best-of-N per leg (default 3): this sandbox host shows
     # intermittent multi-x contention bursts (co-tenant steal/memory
     # bandwidth — measured 170 s vs 22 s for the identical binary an
     # hour apart, with the bandwidth-bound kNN/minhash legs degrading
@@ -59,7 +59,7 @@ def run_bench(master: str, sf_dir: str, n_nodes: int, table_root: str) -> dict[s
     # engine, not the neighbor; `setup` re-creates per-rep preconditions
     # untimed (e.g. q_ingest must start from an empty table or the
     # resume path would skip all work on rep 2).
-    reps = max(int(os.environ.get("BENCH_REPS", "2")), 1)
+    reps = max(int(os.environ.get("BENCH_REPS", "3")), 1)
 
     def timed(name, fn, setup=None):
         best = None
