@@ -4083,6 +4083,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_walk_pairs"] = q_walk_pairs
 
+    def q_rrf(spark, sf):  # reciprocal-rank fusion of two retrieval
+        # systems (lexical-ish + hash-scored) under the exact-integer
+        # contribution spec; verbatim window+DIV SQL oracle
+        from osm_pbf_spark.operators.ann import rrf_fuse
+
+        o = load(spark, sf, "orders").filter(F.col("o_orderkey") < 4000)
+        a = o.select(
+            F.lit("a").alias("system"),
+            (F.col("o_orderkey") % 16).alias("q_id"),
+            F.col("o_orderkey").alias("doc_id"),
+            F.col("o_totalprice").alias("score"),
+        )
+        b = o.filter(F.col("o_orderkey") % 3 != 0).select(
+            F.lit("b").alias("system"),
+            (F.col("o_orderkey") % 16).alias("q_id"),
+            F.col("o_orderkey").alias("doc_id"),
+            ((F.col("o_orderkey") * 7919) % 1000).cast("double").alias("score"),
+        )
+        return rrf_fuse(a.unionByName(b), k=60, top_k=10)
+
+    q["q_rrf"] = q_rrf
+
     return q
 
 
@@ -9816,6 +9838,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fp, min(doc_id) AS keep_id,
                    count(*) AS n_copies
             FROM u GROUP BY md5(text)
+        """,
+        # verbatim window + integer-DIV replay of the exact-integer
+        # RRF contribution spec (2^40 DIV (k + dense_rank))
+        "q_rrf": """
+            WITH rl AS (
+              SELECT 'a' AS system, o_orderkey % 16 AS q_id,
+                     o_orderkey AS doc_id, o_totalprice AS score
+              FROM orders WHERE o_orderkey < 4000
+              UNION ALL
+              SELECT 'b', o_orderkey % 16, o_orderkey,
+                     CAST((o_orderkey * 7919) % 1000 AS DOUBLE)
+              FROM orders WHERE o_orderkey < 4000 AND o_orderkey % 3 <> 0),
+            rk AS (SELECT q_id, doc_id,
+                          dense_rank() OVER (PARTITION BY system, q_id
+                                             ORDER BY score DESC,
+                                                      doc_id ASC) AS rnk
+                   FROM rl),
+            ag AS (SELECT q_id, doc_id,
+                          count(*) AS n_systems,
+                          CAST(sum(1099511627776 // (60 + rnk))
+                               AS BIGINT) AS rrf_q
+                   FROM rk GROUP BY q_id, doc_id),
+            fr AS (SELECT q_id, doc_id, n_systems, rrf_q,
+                          CAST(rrf_q AS DOUBLE)
+                          / CAST(1099511627776 AS DOUBLE) AS rrf,
+                          row_number() OVER (PARTITION BY q_id
+                                             ORDER BY rrf_q DESC,
+                                                      doc_id ASC)
+                              AS fused_rank
+                   FROM ag)
+            SELECT q_id, doc_id, n_systems, rrf_q, rrf, fused_rank
+            FROM fr WHERE fused_rank <= 10
         """,
         # the engine chains n_steps lazy joins; DuckDB RE-WALKS the
         # identical md5-index spec with its own recursion

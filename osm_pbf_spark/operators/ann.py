@@ -996,3 +996,70 @@ def mmr_topk(
         .groupBy(q_col)
         .applyInPandas(_mmr, out_schema)
     )
+
+
+def rrf_fuse(
+    ranklists: DataFrame,
+    k: int = 60,
+    system_col: str = "system",
+    q_col: str = "q_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    top_k: int | None = None,
+    scale_bits: int = 40,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard way
+    to merge heterogeneous retrieval lists (BM25 lexical + ANN vector +
+    anything else) into one ranking without score calibration:
+
+        rrf(d) = sum over systems s retrieving d of 1 / (k + rank_s(d))
+
+    INTEGER contribution spec (a float sum over systems/partitions is
+    order-dependent; this is gate-hashable): each system contributes
+    ``2^scale_bits DIV (k + rank)`` exactly, ranks are dense ranks by
+    ``(score DESC, doc ASC)`` within (system, query) — fully
+    deterministic under score ties — and ``rrf`` is ONE final division
+    of the exact int64 sum by 2^scale_bits.
+
+    Returns ``(q_id, doc_id, n_systems, rrf_q, rrf)`` plus ``fused_rank``
+    when ``top_k`` is set (rows ranked > top_k dropped; ties broken by
+    doc id ascending).
+
+    Plan: one (system, q) window rank + one (q, doc) hash agg (+ one
+    (q) window for top_k) — ranking windows partition by query, so a
+    million queries parallelize; no collect, no Python.
+    """
+    w = Window.partitionBy(system_col, q_col).orderBy(
+        F.col(score_col).desc(), F.col(doc_col).asc()
+    )
+    ranked = ranklists.select(
+        F.col(q_col).alias("q_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.dense_rank().over(w).cast("bigint").alias("rnk"),
+    )
+    # integer DIV (never a float division + floor: the double quotient
+    # can land one ulp under the exact value and floor off by one)
+    scored = ranked.select(
+        "q_id",
+        "doc_id",
+        F.expr(f"{1 << int(scale_bits)}L DIV ({int(k)}L + rnk)").alias("c_q"),
+    )
+    out = scored.groupBy("q_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_systems"),
+        F.sum("c_q").alias("rrf_q"),
+    )
+    out = out.select(
+        "q_id",
+        "doc_id",
+        "n_systems",
+        "rrf_q",
+        (F.col("rrf_q").cast("double") / F.lit(float(1 << scale_bits))).alias("rrf"),
+    )
+    if top_k is not None:
+        wq = Window.partitionBy("q_id").orderBy(
+            F.col("rrf_q").desc(), F.col("doc_id").asc()
+        )
+        out = out.withColumn("fused_rank", F.row_number().over(wq)).where(
+            F.col("fused_rank") <= int(top_k)
+        )
+    return out

@@ -100,3 +100,56 @@ def test_walk_pairs_matches_brute(spark):
         for r in walk_pairs(random_walks(df, 4, 2), window=2).collect()
     }
     assert got == exp
+
+
+# ------------------------------------------------------------------ rrf_fuse
+
+def test_rrf_fuse_matches_scalar_replay(spark):
+    from osm_pbf_spark.operators.ann import rrf_fuse
+
+    rows = []
+    for s, mod in (("a", 7), ("b", 11), ("c", 13)):
+        for q in range(3):
+            for d in range(1, 30):
+                if (d + q) % (4 if s == "c" else 2) == 0:
+                    continue  # partial system coverage
+                rows.append((s, q, d, float((d * mod + q) % 17)))  # heavy ties
+    df = spark.createDataFrame(rows, "system string, q_id long, doc_id long, score double")
+
+    K, SC = 60, 1 << 40
+    by_sys: dict[tuple, list] = {}
+    for s, q, d, sc in rows:
+        by_sys.setdefault((s, q), []).append((d, sc))
+    exp: dict[tuple, list] = {}
+    for (s, q), items in by_sys.items():
+        # dense rank over (score desc, doc asc): doc in the order key
+        # means no true ties, so dense_rank == position
+        items.sort(key=lambda x: (-x[1], x[0]))
+        for i, (d, _) in enumerate(items):
+            exp.setdefault((q, d), []).append(SC // (K + i + 1))
+    want = {
+        qd: (len(cs), sum(cs), sum(cs) / SC) for qd, cs in exp.items()
+    }
+    got = {
+        (r.q_id, r.doc_id): (r.n_systems, r.rrf_q, r.rrf)
+        for r in rrf_fuse(df, k=K).collect()
+    }
+    assert got == want
+
+
+def test_rrf_fuse_top_k_and_native(spark):
+    from osm_pbf_spark.operators.ann import rrf_fuse
+
+    rows = [("a", 0, d, float(d)) for d in range(1, 50)]
+    rows += [("b", 0, d, float(50 - d)) for d in range(1, 50)]
+    df = spark.createDataFrame(rows, "system string, q_id long, doc_id long, score double")
+    out = rrf_fuse(df, k=10, top_k=5)
+    got = out.collect()
+    assert len(got) == 5
+    assert sorted(r.fused_rank for r in got) == [1, 2, 3, 4, 5]
+    # opposite-ordered systems: extremes rank best (1/(k+1) + 1/(k+49)
+    # beats the flat middle 1/(k+25)*2)
+    top_docs = {r.doc_id for r in got if r.fused_rank <= 2}
+    assert top_docs == {1, 49}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "EvalPython" not in plan
