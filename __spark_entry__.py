@@ -4105,6 +4105,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_rrf"] = q_rrf
 
+    def q_stream_ingest(spark, sf):  # streaming -> sink lifecycle:
+        # foreachBatch micro-batches land as atomic idempotent split
+        # commits in the Iceberg-shaped sink, then the COMMITTED table
+        # is read back and aggregated. Oracle = plain GROUP BY over the
+        # source (exactly-once: every row lands exactly once).
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.sink.iceberg_like import IcebergLikeSink
+        from osm_pbf_spark.streaming import stream_ingest, stream_parquet
+
+        root = os.path.join(tempfile.gettempdir(), "osm_pbf_spark_driver_stream")
+        shutil.rmtree(root, ignore_errors=True)
+        sink = IcebergLikeSink(os.path.join(root, "t"), stats_col="doc_id")
+        sdf = stream_parquet(spark, f"{sf}/documents.parquet")
+        q_ = stream_ingest(sdf, sink, os.path.join(root, "ckpt"))
+        q_.awaitTermination()
+        docs = sink.read(spark)
+        return docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+
+    q["q_stream_ingest"] = q_stream_ingest
+
     return q
 
 
@@ -9838,6 +9864,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fp, min(doc_id) AS keep_id,
                    count(*) AS n_copies
             FROM u GROUP BY md5(text)
+        """,
+        # exactly-once streamed ingestion == the source itself
+        "q_stream_ingest": """
+            SELECT lang, count(*) AS n_docs, min(doc_id) AS first_doc,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_total
+            FROM documents GROUP BY lang
         """,
         # verbatim window + integer-DIV replay of the exact-integer
         # RRF contribution spec (2^40 DIV (k + dense_rank))

@@ -23,6 +23,7 @@ driver except the memory-sink drain used by the local gate.
 
 from .ops import (
     run_available_now,
+    stream_ingest,
     stream_dedup,
     stream_parquet,
     windowed_counts,
@@ -30,6 +31,7 @@ from .ops import (
 
 __all__ = [
     "stream_parquet",
+    "stream_ingest",
     "windowed_counts",
     "stream_dedup",
     "run_available_now",

@@ -177,3 +177,48 @@ def run_available_now(
     q.awaitTermination()
     q.stop()
     return sdf.sparkSession.table(name)
+
+
+def stream_ingest(
+    sdf: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    split_prefix: str = "stream",
+    available_now: bool = True,
+):
+    """Continuous ingestion into the Iceberg-shaped sink: each
+    micro-batch appends as split ``{prefix}-{batch_id:08d}`` through
+    ``IcebergLikeSink.write_split``'s atomic per-split manifest commit.
+
+    EXACTLY-ONCE end-to-end from two at-least-once halves: Spark's
+    streaming checkpoint replays a failed batch with the SAME batch id,
+    and the sink's split commit is idempotent by split id (an
+    already-committed split is skipped wholesale) — the standard
+    foreachBatch + idempotent-sink construction, here landing in the
+    engine's own table format so committed_files/read/stats pruning,
+    compaction, deletes and incremental scans all apply to streamed
+    data. Splits are zero-padded by batch id, so read_incremental
+    windows align with arrival order.
+
+    Returns the started StreamingQuery; with ``available_now`` (the
+    drain/backfill mode) the caller typically ``awaitTermination()``s.
+    A long-running deployment passes ``available_now=False`` and its
+    own trigger via ``.trigger`` before ``start`` — this helper keeps
+    the default simple.
+    """
+
+    def _write(bdf: DataFrame, bid: int) -> None:
+        sink.write_split(
+            bdf,
+            f"{split_prefix}-{bid:08d}",
+            lineage={"stream_batch": int(bid), "mode": "stream_ingest"},
+        )
+
+    w = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
