@@ -116,3 +116,61 @@ def test_spark_submit_export_job(tmp_path):
     for k, v in {"left": -120.0, "right": 120.0,
                  "top": 45.0, "bottom": -45.0}.items():
         assert abs(hdr["bbox"][k] - v) < 1e-9, (k, hdr["bbox"][k])
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="spark-submit not on box")
+def test_spark_submit_stream_ingest_job(tmp_path):
+    """Drain-mode streaming ingestion via spark-submit --py-files: two
+    runs against the same checkpoint; the second must pick up ONLY the
+    file added in between (exactly-once across restarts)."""
+    sys.path.insert(0, REPO)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tools.package_pyfiles import build
+
+    zip_path = build(str(tmp_path / "osm_pbf_spark.zip"))
+    src = tmp_path / "landing"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, lo, hi, mtime):
+        f = str(src / name)
+        pq.write_table(
+            pa.table({"doc_id": list(range(lo, hi)), "v": [i % 9 for i in range(lo, hi)]}),
+            f,
+        )
+        os.utime(f, (mtime, mtime))
+
+    def run():
+        env = dict(os.environ, PYSPARK_PYTHON=sys.executable, PYSPARK_DRIVER_PYTHON=sys.executable)
+        env.pop("PYTHONPATH", None)
+        proc = subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[4]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--py-files", zip_path,
+                os.path.join(REPO, "jobs", "stream_ingest_job.py"),
+                "--src", str(src),
+                "--table", table,
+                "--checkpoint", ckpt,
+                "--stats-col", "doc_id",
+            ],
+            capture_output=True, text=True, timeout=420, cwd=str(tmp_path), env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        return next(
+            json.loads(line) for line in proc.stdout.splitlines()
+            if line.startswith('{"job": "stream_ingest"')
+        )
+
+    land("a.parquet", 0, 500, 1_700_000_000)
+    s1 = run()
+    assert s1["table_rows"] == 500 and s1["splits_committed"] == 1
+
+    land("b.parquet", 500, 800, 1_700_000_100)
+    s2 = run()
+    assert s2["table_rows"] == 800 and s2["splits_committed"] == 2
