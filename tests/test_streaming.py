@@ -122,3 +122,73 @@ def test_stream_dedup_cross_batch_suppression(spark, tmp_path):
         ).collect()
     }
     assert got == {"A": (10, 2), "B": (20, 1), "C": (30, 2)}
+
+
+def test_watermark_append_drops_late_rows(spark, tmp_path):
+    """Append mode + watermark, the actual Spark contract (probed, not
+    assumed): a late row arriving while its window is STILL IN STATE
+    merges (the watermark is an eviction bound, not an eager input
+    filter), a window emits exactly once when the end-of-batch
+    watermark passes its end, and a straggler arriving AFTER that
+    finalization is dropped (numRowsDroppedByWatermark) — never a
+    duplicate window row. Three mtime-ordered single-file batches make
+    the sequence deterministic."""
+    import datetime as dt
+    import os
+
+    from osm_pbf_spark.streaming import stream_parquet, windowed_counts
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def land(name, rows, mtime):
+        d = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, "ts timestamp, k string").coalesce(1).write.parquet(d)
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        os.rename(os.path.join(d, f), os.path.join(src, name + ".parquet"))
+        os.utime(os.path.join(src, name + ".parquet"), (mtime, mtime))
+
+    # batch 0: 3 rows in the 00:00-00:10 window + a 02:00 row that
+    # will advance the watermark to 01:50 at batch end
+    land(
+        "a",
+        [(base + dt.timedelta(minutes=m), "x") for m in (1, 2, 3)]
+        + [(base + dt.timedelta(hours=2), "x")],
+        1_700_000_000,
+    )
+    # batch 1: one live-window row; at ITS end the 00:00 window
+    # (end 00:10 < wm 01:50) finalizes: emitted with n=3, evicted
+    land("b", [(base + dt.timedelta(hours=2, minutes=1), "x")], 1_700_000_100)
+    # batch 2: a straggler for the finalized window + a live row; the
+    # straggler must be DROPPED (would otherwise re-emit n=1)
+    land(
+        "c",
+        [
+            (base + dt.timedelta(minutes=4), "x"),
+            (base + dt.timedelta(hours=2, minutes=2), "x"),
+        ],
+        1_700_000_200,
+    )
+
+    sdf = stream_parquet(spark, src, max_files_per_trigger=1)
+    out = windowed_counts(sdf, "ts", ["k"], "10 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_pin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("wm_pin").collect()
+    # exactly ONE emission of the finalized window, with the pre-
+    # finalization count; the straggler neither merged nor re-emitted
+    assert [(r.window_start, r.k, r.n) for r in rows] == [(base, "x", 3)]
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
