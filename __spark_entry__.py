@@ -4131,6 +4131,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_stream_ingest"] = q_stream_ingest
 
+    def q_stream_pip(spark, sf):  # STREAMING point-in-polygon: the
+        # batch pip_join plan applied unchanged to a streaming point
+        # source (broadcast cover stream-static join + full-cell JVM
+        # bypass + stateless mapInPandas refine — no point-side
+        # actions, so the same operator serves both). Oracle = the
+        # batch q_pip_join half-plane oracle verbatim.
+        from osm_pbf_spark.operators.spatial_join import pip_join
+        from osm_pbf_spark.sources.tables import derived_lat, derived_lon
+        from osm_pbf_spark.streaming import run_available_now, stream_parquet
+
+        sdf = stream_parquet(spark, f"{sf}/customer.parquet")
+        pts = sdf.select(
+            F.col("c_custkey").alias("doc_id"),
+            derived_lat("c_custkey").alias("lat"),
+            derived_lon("c_custkey").alias("lon"),
+        )
+        joined = pip_join(spark, pts, PIP_POLYGONS, level=8).select(
+            "doc_id", "poly_id"
+        )
+        return run_available_now(joined, output_mode="append")
+
+    q["q_stream_pip"] = q_stream_pip
+
     return q
 
 
@@ -6743,6 +6766,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pip_join": f"{pts} {SQL_PIP}",
         "q_pip_shuffle": f"{pts} {SQL_PIP}",
         "q_pip_rings": f"{pts} {SQL_PIP}",
+        "q_stream_pip": f"{pts} {SQL_PIP}",
         "q_knn": f"""
             {pts}
             SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dist2 FROM (

@@ -192,3 +192,38 @@ def test_watermark_append_drops_late_rows(spark, tmp_path):
         if p["stateOperators"]
     )
     assert dropped == 1
+
+
+def test_streaming_pip_equals_batch_pip(spark, tmp_path):
+    """The batch pip_join plan applied to a STREAMING point source
+    (stream-static broadcast join + stateless mapInPandas refine) must
+    produce exactly the batch result on the same points."""
+    import numpy as np
+
+    from osm_pbf_spark.operators.spatial_join import Polygon, pip_join
+    from osm_pbf_spark.streaming import run_available_now, stream_parquet
+
+    polys = [
+        Polygon("rect", [np.array([[-5.0, -5.0], [-5.0, 5.0], [5.0, 5.0], [5.0, -5.0]])]),
+        Polygon("tri", [np.array([[0.0, 10.0], [8.0, 18.0], [-8.0, 18.0]])]),
+    ]
+    src = str(tmp_path / "pts")
+    pts = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 7919, F.lit(3000)).cast("double") / 100.0 - 15.0).alias("lat"),
+        (F.pmod(F.col("id") * 104729, F.lit(6000)).cast("double") / 100.0 - 30.0).alias("lon"),
+    )
+    pts.write.parquet(src)
+
+    batch = sorted(
+        map(tuple, pip_join(spark, spark.read.parquet(src), polys, level=8)
+            .select("doc_id", "poly_id").collect())
+    )
+    spts = stream_parquet(spark, src)
+    stream = sorted(
+        map(tuple, run_available_now(
+            pip_join(spark, spts, polys, level=8).select("doc_id", "poly_id"),
+            output_mode="append",
+        ).collect())
+    )
+    assert stream == batch and len(batch) > 0
