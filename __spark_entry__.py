@@ -4154,6 +4154,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_stream_pip"] = q_stream_pip
 
+    def q_rasterize(spark, sf):  # vector->raster EXACT fill: cells of
+        # a 0.5-degree grid whose centers lie inside each polygon —
+        # the inverse of contour_segments. Oracle: per-polygon
+        # generate_series grid + the half-plane test on the same
+        # dyadic-exact center chain.
+        from osm_pbf_spark.operators.tiling import rasterize_polygons
+
+        return rasterize_polygons(spark, PIP_POLYGONS, res=0.5)
+
+    q["q_rasterize"] = q_rasterize
+
     return q
 
 
@@ -5445,6 +5456,41 @@ def _ora_dedup_canonical() -> str:
         FROM ({_ora_dedup_groups()}) g
         GROUP BY group_id
     """
+
+
+def _ora_rasterize() -> str:
+    """q_rasterize oracle: per-polygon bbox grid via generate_series,
+    centers on the identical dyadic-exact IEEE chain, inside test =
+    the half-plane SQL (convex gate polygons; no center lies on an
+    edge — the polygon coords carry micro-degree offsets)."""
+    import math
+
+    res, lat0, lon0 = 0.5, -90.0, -180.0
+    lat_c = (
+        "(CAST(gy AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST(0.5 AS DOUBLE)"
+        " + CAST(-90 AS DOUBLE)"
+    )
+    lon_c = (
+        "(CAST(gx AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST(0.5 AS DOUBLE)"
+        " + CAST(-180 AS DOUBLE)"
+    )
+    parts = []
+    for p in PIP_POLYGONS:
+        outer = p.rings[0]
+        la, lo = outer[:, 0], outer[:, 1]
+        gy0 = math.floor((float(la.min()) - lat0) / res)
+        gy1 = math.floor((float(la.max()) - lat0) / res)
+        gx0 = math.floor((float(lo.min()) - lon0) / res)
+        gx1 = math.floor((float(lo.max()) - lon0) / res)
+        parts.append(
+            f"""SELECT poly_id, gx, gy FROM (
+              SELECT '{p.poly_id}' AS poly_id, gx, gy,
+                     {lat_c} AS lat, {lon_c} AS lon
+              FROM generate_series({gx0}, {gx1}) g1(gx),
+                   generate_series({gy0}, {gy1}) g2(gy))
+            WHERE {_halfplane_sql(_poly_cw(p.rings[0]))}"""
+        )
+    return " UNION ALL ".join(parts)
 
 
 def _ora_walk_sql() -> str:
@@ -6767,6 +6813,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pip_shuffle": f"{pts} {SQL_PIP}",
         "q_pip_rings": f"{pts} {SQL_PIP}",
         "q_stream_pip": f"{pts} {SQL_PIP}",
+        "q_rasterize": _ora_rasterize(),
         "q_knn": f"""
             {pts}
             SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dist2 FROM (

@@ -95,3 +95,58 @@ def test_grid_smooth_matches_numpy(spark):
             if s > 0:
                 want[(x, y)] = int(s)
     assert got == want
+
+
+def test_rasterize_polygons_matches_center_pip_and_handles_holes(spark):
+    import numpy as np
+
+    from osm_pbf_spark.operators.spatial_join import Polygon, pip_join
+    from osm_pbf_spark.operators.tiling import rasterize_polygons
+
+    donut = Polygon(
+        "donut",
+        [
+            np.array([[0.1, 0.1], [0.1, 20.1], [20.1, 20.1], [20.1, 0.1]]),
+            np.array([[5.1, 5.1], [5.1, 12.1], [12.1, 12.1], [12.1, 5.1]]),  # hole
+        ],
+    )
+    tri = Polygon("tri", [np.array([[-10.2, -30.2], [-2.2, -10.2], [-18.2, -8.2]])])
+    res = 0.5
+    out = rasterize_polygons(spark, [donut, tri], res=res)
+    got = {(r.poly_id, r.gx, r.gy) for r in out.collect()}
+    assert got  # non-empty
+
+    # documented contract: identical to a PIP join of the center points
+    centers = spark.createDataFrame(
+        sorted({(gx, gy) for _, gx, gy in got} | {
+            (gx, gy) for gx in range(296, 342) for gy in range(158, 222)
+        }),
+        "gx long, gy long",
+    ).selectExpr(
+        "gx", "gy",
+        "(CAST(gy AS DOUBLE) + 0.5D) * 0.5D + -90.0D AS lat",
+        "(CAST(gx AS DOUBLE) + 0.5D) * 0.5D + -180.0D AS lon",
+    )
+    exp = {
+        (r.poly_id, r.gx, r.gy)
+        for r in pip_join(spark, centers, [donut, tri], level=8).collect()
+    }
+    assert got == exp
+
+    # hole actually excluded: a center well inside the hole is absent
+    # (hole spans lat/lon 5.1..12.1 -> center (8.25, 8.25) = gx 376, gy 196)
+    assert ("donut", 376, 196) not in got
+    # and the ring between outer and hole is present: (2.25, 2.25)
+    assert ("donut", 364, 184) in got
+
+
+def test_rasterize_rejects_non_dyadic_res(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from osm_pbf_spark.operators.spatial_join import Polygon
+    from osm_pbf_spark.operators.tiling import rasterize_polygons
+
+    p = Polygon("p", [np.array([[0.0, 0.0], [0.0, 1.0], [1.0, 1.0]])])
+    with _pytest.raises(ValueError, match="power of two"):
+        rasterize_polygons(spark, [p], res=0.3)
