@@ -202,9 +202,10 @@ def stream_ingest(
 
     Returns the started StreamingQuery; with ``available_now`` (the
     drain/backfill mode) the caller typically ``awaitTermination()``s.
-    A long-running deployment passes ``available_now=False`` and its
-    own trigger via ``.trigger`` before ``start`` — this helper keeps
-    the default simple.
+    ``available_now=False`` starts with Spark's default
+    as-fast-as-possible micro-batch trigger for a long-lived tailer;
+    a custom cadence (e.g. processingTime) is a few lines of
+    writeStream — jobs/stream_ingest_job.py --follow shows it.
     """
 
     def _write(bdf: DataFrame, bid: int) -> None:
