@@ -4105,6 +4105,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_rrf"] = q_rrf
 
+    def q_acf(spark, sf):  # per-type autocorrelation at lags 1..5 over
+        # the exact-integer pearson spec; DuckDB re-derives the lagged
+        # pairs with an independent self-join (vs the engine's
+        # single-Window lag plan)
+        from osm_pbf_spark.operators.temporal import acf
+
+        ev = load(spark, sf, "events").select(
+            F.col("event_type").alias("key"),
+            F.col("ts").alias("seq"),
+            F.col("event_id").alias("tb"),
+            F.col("value").alias("val"),
+        )
+        return acf(ev, max_lag=5, tiebreak_col="tb", scale=100)
+
+    q["q_acf"] = q_acf
+
+    def q_voronoi(spark, sf):  # nearest-site assignment (Voronoi
+        # labeling): broadcast-brute argmin over the stations dim,
+        # min-struct tie-break; oracle = row_number argmin cross join
+        from osm_pbf_spark.operators.distance import voronoi_assign
+
+        return voronoi_assign(
+            customer_points(spark, sf), supplier_stations(spark, sf)
+        )
+
+    q["q_voronoi"] = q_voronoi
+
+    def q_feature_hash(spark, sf):  # hashing-trick vectorizer: signed
+        # md5 feature buckets, exact int64 weights; verbatim SQL replay
+        from osm_pbf_spark.operators.text import feature_hash
+
+        docs = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        return feature_hash(docs, dim=256)
+
+    q["q_feature_hash"] = q_feature_hash
+
+    def q_stream_session(spark, sf):  # streaming SESSION windows via
+        # F.session_window state-store merging; complete-mode drain ==
+        # batch gaps-and-islands sessionization (strictly-greater gap
+        # starts a new session; end = last ts + gap)
+        from osm_pbf_spark.streaming import run_available_now, stream_parquet
+        from osm_pbf_spark.streaming import stream_sessionize
+
+        sdf = stream_parquet(spark, f"{sf}/events.parquet")
+        return run_available_now(
+            stream_sessionize(sdf, "ts", ["user_id"], "6 hours")
+        )
+
+    q["q_stream_session"] = q_stream_session
+
+    def q_stream_join(spark, sf):  # event-time stream-stream inner
+        # join (click -> purchase attribution within 6 hours); an
+        # availableNow drain over closed input == the plain batch join
+        from osm_pbf_spark.streaming import (
+            run_available_now,
+            stream_parquet,
+            stream_stream_join,
+        )
+
+        # watermarks need instant TIMESTAMPs; parquet loads NTZ, so the
+        # NTZ-wall-time-is-UTC convention (_epoch_micros) converts in,
+        # and the output carries tz-independent epoch micros
+        inst = lambda c: F.to_utc_timestamp(F.col(c), "UTC")  # noqa: E731
+        clicks = stream_parquet(spark, f"{sf}/events.parquet").filter(
+            F.col("event_type") == "click"
+        ).select("user_id", inst("ts").alias("click_ts"),
+                 F.col("event_id").alias("click_id"))
+        buys = stream_parquet(spark, f"{sf}/events.parquet").filter(
+            F.col("event_type") == "purchase"
+        ).select("user_id", inst("ts").alias("buy_ts"),
+                 F.col("event_id").alias("buy_id"),
+                 F.col("value").alias("buy_value"))
+        j = stream_stream_join(
+            clicks, buys, on=["user_id"], left_ts="click_ts",
+            right_ts="buy_ts", upper="6 hours", watermark="12 hours",
+        )
+        out = run_available_now(j, output_mode="append")
+        return out.select(
+            "user_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("buy_ts").alias("buy_us"),
+            "click_id", "buy_id",
+            F.floor(F.col("buy_value") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("buy_q"),
+        )
+
+    q["q_stream_join"] = q_stream_join
+
     def q_stream_ingest(spark, sf):  # streaming -> sink lifecycle:
         # foreachBatch micro-batches land as atomic idempotent split
         # commits in the Iceberg-shaped sink, then the COMMITTED table
@@ -9976,6 +10065,102 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the engine chains n_steps lazy joins; DuckDB RE-WALKS the
         # identical md5-index spec with its own recursion
+        # independent algorithm: the engine derives lagged pairs with
+        # one Window node; DuckDB re-derives them with a seq self-join.
+        # The final r is the fixed cast/mul/sqrt/div IEEE chain.
+        "q_acf": """
+            WITH s AS (
+              SELECT event_type AS key,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS seq,
+                     CAST(floor(value * CAST(100 AS DOUBLE) + 0.5)
+                          AS BIGINT) AS q
+              FROM events),
+            l AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5)) t(lag)),
+            p AS (SELECT a.key, l.lag, a.q AS x, b.q AS y
+                  FROM s a JOIN l ON true
+                  JOIN s b ON b.key = a.key AND b.seq = a.seq + l.lag),
+            g AS (SELECT key, lag, count(*) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(y * y) AS BIGINT) AS syy
+                  FROM p GROUP BY 1, 2)
+            SELECT key, CAST(lag AS INT) AS lag, n,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS d1,
+                   CAST(n * syy - sy * sy AS BIGINT) AS d2,
+                   CASE WHEN n * sxx - sx * sx > 0
+                         AND n * syy - sy * sy > 0
+                        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE))
+                        ELSE NULL END AS r
+            FROM g
+        """,
+        "q_voronoi": f"""
+            WITH pts AS ({SQL_POINTS}), st AS ({SQL_STATIONS}),
+            r AS (SELECT doc_id AS point_id, station_id AS site_id,
+                         (lat - s_lat) * (lat - s_lat)
+                       + (lon - s_lon) * (lon - s_lon) AS d2,
+                         row_number() OVER (
+                             PARTITION BY doc_id
+                             ORDER BY (lat - s_lat) * (lat - s_lat)
+                                    + (lon - s_lon) * (lon - s_lon),
+                                      station_id) AS rk
+                  FROM pts, st)
+            SELECT point_id, site_id, d2 FROM r WHERE rk = 1
+        """,
+        # verbatim replay of the signed-md5 hashing-trick spec
+        "q_feature_hash": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        t -> t <> '')) AS term
+              FROM documents WHERE doc_id < 200),
+            h AS (SELECT doc_id, md5(term) AS hh FROM toks),
+            f AS (SELECT doc_id,
+                         CAST({_hex40_bigint_sql('hh')} % 256 AS INT) AS idx,
+                         1 - 2 * (CAST(strpos('0123456789abcdef',
+                                              substr(hh, 11, 1)) - 1
+                                       AS BIGINT) % 2) AS s
+                  FROM h)
+            SELECT doc_id, idx, CAST(sum(s) AS BIGINT) AS weight
+            FROM f GROUP BY 1, 2
+        """,
+        # batch gaps-and-islands == streaming session_window merge
+        # (strictly-greater gap splits; end = last ts + gap)
+        "q_stream_session": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                             > 21600000000
+                          THEN 1 ELSE 0 END AS nw
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts,
+                         SUM(nw) OVER (PARTITION BY user_id
+                                       ORDER BY ts) AS g
+                  FROM o)
+            SELECT MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 6 HOUR AS session_end,
+                   user_id, COUNT(*) AS n_events
+            FROM s GROUP BY user_id, g
+        """,
+        # the stream-stream drain over closed input IS the batch join
+        "q_stream_join": """
+            SELECT a.user_id,
+                   epoch_us(a.ts) AS click_us, epoch_us(b.ts) AS buy_us,
+                   a.event_id AS click_id, b.event_id AS buy_id,
+                   CAST(floor(b.value * CAST(100 AS DOUBLE) + 0.5)
+                        AS BIGINT) AS buy_q
+            FROM events a JOIN events b
+              ON b.user_id = a.user_id
+             AND a.event_type = 'click' AND b.event_type = 'purchase'
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+        """,
         "q_random_walks": _ora_walk_sql() + "\nSELECT start, rep, step, node FROM walk",
         "q_walk_pairs": _ora_walk_sql()
         + """

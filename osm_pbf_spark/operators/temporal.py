@@ -778,3 +778,96 @@ def ewma(
         .groupBy(key_col)
         .applyInPandas(_ew, schema)
     )
+
+
+def acf(
+    series: DataFrame,
+    max_lag: int,
+    key_col: str = "key",
+    order_col: str = "seq",
+    val_col: str = "val",
+    tiebreak_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Sample autocorrelation function per key at lags 1..max_lag —
+    the seasonality/periodicity probe behind time-series feature
+    pipelines (lag picking for forecasting, duplicate-telemetry
+    detection, sensor health).
+
+    EXACT-INTEGER discipline (the stats.py pearson pattern applied to
+    lagged pairs): values quantize to ``q = floor(val * scale + 0.5)``
+    int64; for each lag h the pairs are (q_t, q_{t+h}) over the per-key
+    order; all six pair sums (n, Sx, Sy, Sxy, Sxx, Syy) are exact int64
+    aggregates, the Pearson numerator/denominator terms
+
+        num = n*Sxy - Sx*Sy,  d1 = n*Sxx - Sx^2,  d2 = n*Syy - Sy^2
+
+    are exact int64, and the ONLY floating-point is the final fixed
+    chain ``r = num / sqrt(double(d1) * double(d2))`` — cast, multiply,
+    sqrt, divide, each correctly rounded, so every engine that
+    implements IEEE-754 produces the same bits. Overflow contract:
+    |q| < 2^19 and per-key n < 2^24 keep every product below 2^62.
+
+    Plan: ONE keyed shuffle total. The per-key sequence is a
+    row_number window (order_col, tiebreak_col); each of the max_lag
+    lagged values rides the SAME window spec (Catalyst evaluates all
+    lags in one Window node over one sort), the (lag, x, y) triples
+    explode map-side, and the groupBy(key, lag) partial-aggregates
+    before the exchange — no self-join, no second shuffle on a
+    different key. max_lag rows out per key. For mega-keys whose sort
+    exceeds one task, assign seq with the two-pass prefix-sum rank
+    discipline (layout.str_partition) first and pass it as order_col.
+
+    r is NULL where a constant series makes d1*d2 zero (undefined).
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    from pyspark.sql import Window
+
+    order = [F.col(order_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    qv = F.floor(F.col(val_col) * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+    base = series.select(F.col(key_col).alias("key"), *order, qv.alias("qy"))
+    # every lag over the one window spec -> a single Window node; the
+    # Generate must live in a SEPARATE select (Catalyst rejects window
+    # expressions inside a generator's input)
+    lagged = base.select(
+        "key",
+        F.col("qy").alias("y"),
+        *[F.lag("qy", h).over(w).alias(f"_l{h}") for h in range(1, max_lag + 1)],
+    )
+    pairs = lagged.select(
+        "key",
+        F.posexplode(
+            F.array(*[F.col(f"_l{h}") for h in range(1, max_lag + 1)])
+        ).alias("lag0", "x"),
+        "y",
+    ).select(
+        "key",
+        (F.col("lag0") + 1).cast("int").alias("lag"),
+        "x",
+        "y",
+    ).filter(F.col("x").isNotNull())
+    agg = pairs.groupBy("key", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "key",
+        "lag",
+        "n",
+        num.alias("num"),
+        d1.alias("d1"),
+        d2.alias("d2"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            num.cast("double") / F.sqrt(d1.cast("double") * d2.cast("double")),
+        ).alias("r"),
+    )

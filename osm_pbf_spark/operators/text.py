@@ -1129,3 +1129,48 @@ def pii_scan(
         total.cast("bigint").alias("n_pii"),
         "masked",
     )
+
+
+def feature_hash(
+    docs: DataFrame,
+    dim: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger et al. 2009; sklearn's
+    HashingVectorizer): map each whitespace token to a feature index
+    ``idx = md5_40(token) % dim`` with a signed contribution
+    ``+1 / -1`` drawn from md5 nibble 11, and sum contributions per
+    (doc, idx) — the fixed-width, vocabulary-free featurization every
+    streaming/distributed text-ML pipeline starts from (no global
+    dictionary to build or ship; collisions cancel in expectation via
+    the sign bit).
+
+    Engine-portable spec: md5 is the repo's cross-engine hash; the
+    40-bit hex prefix -> bigint is the same conv(substr(h,1,10),16,10)
+    the sampling/ranking ops use, and weights are exact int64 sums of
+    +/-1 — no floats anywhere, so the gate hashes every row.
+
+    Returns ``(doc_id, idx:int, weight:bigint)``; rows where signed
+    collisions cancel to 0 are KEPT (the count is part of the spec).
+
+    Plan: split + explode + md5 are one codegen map stage; the only
+    shuffle is the (doc, idx) partial-agg groupBy. Output <= tokens,
+    typically ~min(tokens, dim) rows per doc.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    tok = F.explode(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    ).alias("term")
+    h = F.md5(F.col("term"))
+    idx = F.pmod(F.conv(F.substring(h, 1, 10), 16, 10).cast("bigint"), F.lit(dim))
+    sign = F.lit(1) - F.lit(2) * F.pmod(
+        F.conv(F.substring(h, 11, 1), 16, 10).cast("bigint"), F.lit(2)
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), tok)
+        .select("doc_id", idx.cast("int").alias("idx"), sign.alias("_s"))
+        .groupBy("doc_id", "idx")
+        .agg(F.sum("_s").cast("bigint").alias("weight"))
+    )

@@ -26,6 +26,8 @@ from .ops import (
     stream_ingest,
     stream_dedup,
     stream_parquet,
+    stream_sessionize,
+    stream_stream_join,
     windowed_counts,
 )
 
@@ -34,5 +36,7 @@ __all__ = [
     "stream_ingest",
     "windowed_counts",
     "stream_dedup",
+    "stream_sessionize",
+    "stream_stream_join",
     "run_available_now",
 ]

@@ -223,3 +223,94 @@ def stream_ingest(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_sessionize(
+    sdf: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Event-time SESSION windows per key — the streaming twin of
+    temporal.sessionize, built on ``F.session_window`` so the state
+    store does the cross-micro-batch session merging (a session that
+    spans two batches is ONE output row).
+
+    Gap semantics (probed, pinned by test): an event exactly ``gap``
+    after the previous one still MERGES — a new session starts only
+    when the inter-event gap is STRICTLY greater than ``gap``; the
+    emitted window is [min ts, max ts + gap).
+
+    Returns ``(session_start, session_end, *key_cols, n_events)``.
+
+    BATCH PARITY: in complete output mode the result equals the batch
+    gaps-and-islands sessionization (LAG > gap starts an island) over
+    all input seen so far — the driver-gate oracle. The watermark (if
+    set) only bounds state in append/update modes, where a session
+    finalizes once the watermark passes session_end.
+
+    Plan: one shuffle on the key columns; each micro-batch's partial
+    sessions merge with adjacent state-store sessions keyed by the
+    same partitioning — state is per LIVE session, not per event.
+    """
+    if watermark is not None:
+        sdf = sdf.withWatermark(ts_col, watermark)
+    out = sdf.groupBy(
+        F.session_window(F.col(ts_col), gap), *[F.col(c) for c in key_cols]
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *key_cols,
+        "n_events",
+    )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    upper: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time stream-stream INNER join: pair left/right rows with
+    equal ``on`` keys where ``right_ts`` lands in
+    ``[left_ts, left_ts + upper]`` — the attribution join (click ->
+    purchase, request -> response, ping -> pong) that batch engines
+    run over closed days and a streaming engine must answer
+    continuously.
+
+    Both sides get a watermark; with the time-range condition that
+    bounds each side's join state to the watermark delay + ``upper``
+    window (Spark evicts older state), so state is O(arrival rate x
+    horizon), not O(stream length).
+
+    BATCH PARITY: every pair whose two events are both on time (within
+    the watermark) is emitted exactly once, so an availableNow drain
+    over a closed input equals the plain batch join — the driver-gate
+    oracle IS the batch join SQL.
+
+    Plan: both sides shuffle on the ``on`` keys into the symmetric
+    stateful join operator; the time bound is evaluated post-match.
+    """
+    lt = left.withWatermark(left_ts, watermark)
+    rt = right.withWatermark(right_ts, watermark)
+    cond = None
+    for c in on:
+        e = lt[c] == rt[c]
+        cond = e if cond is None else (cond & e)
+    cond = cond & (rt[right_ts] >= lt[left_ts]) & (
+        rt[right_ts] <= F.expr(f"{left_ts} + INTERVAL {upper}")
+    )
+    j = lt.join(rt, cond, "inner")
+    # project unambiguous columns: keys from the left, both timestamps
+    keep = [lt[c].alias(c) for c in on]
+    others = [
+        col
+        for col in j.columns
+        if col not in set(on) and col not in (left_ts, right_ts)
+    ]
+    return j.select(*keep, lt[left_ts].alias(left_ts), rt[right_ts].alias(right_ts), *others)
