@@ -4141,6 +4141,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_feature_hash"] = q_feature_hash
 
+    def q_kde(spark, sf):  # heatmap raster: separable binomial kernel
+        # (exact integer weights C(4, 2+d) ⊗ C(4, 2+d)) over cell counts
+        from osm_pbf_spark.operators.tiling import kde_grid
+
+        return kde_grid(customer_points(spark, sf), level=7, k=2)
+
+    q["q_kde"] = q_kde
+
+    def q_ccf(spark, sf):  # cross-correlation (lead/lag detection)
+        # between the value series and a derived second signal per
+        # type; DuckDB re-derives every lagged pair with a self-join
+        from osm_pbf_spark.operators.temporal import ccf
+
+        ev = load(spark, sf, "events").select(
+            F.col("event_type").alias("key"),
+            F.col("ts").alias("seq"),
+            F.col("event_id").alias("tb"),
+            F.col("value").alias("x"),
+            F.pmod(F.col("event_id") * 37, F.lit(101)).cast("double").alias("y"),
+        )
+        return ccf(ev, max_lag=3, tiebreak_col="tb", scale=100)
+
+    q["q_ccf"] = q_ccf
+
+    def q_roc_auc(spark, sf):  # exact rank-sum ROC-AUC per event type
+        # (doubled average ranks -> exact int64 u2, ONE final division)
+        from osm_pbf_spark.operators.stats import roc_auc
+
+        ev = load(spark, sf, "events").select(
+            "event_type",
+            (F.pmod(F.col("event_id"), F.lit(3)) == 0).cast("int").alias("label"),
+            F.floor(F.col("value") * F.lit(5.0)).cast("bigint").alias("score"),
+        )
+        return roc_auc(ev, "label", "score", group_cols=["event_type"])
+
+    q["q_roc_auc"] = q_roc_auc
+
+    def q_rake(spark, sf):  # RAKE keyword extraction: stopword-free
+        # phrase runs scored by corpus-global deg/freq (quantized DIV)
+        from osm_pbf_spark.operators.text import rake_keywords
+
+        docs = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
+        return rake_keywords(docs, top_k=3)
+
+    q["q_rake"] = q_rake
+
     def q_stream_session(spark, sf):  # streaming SESSION windows via
         # F.session_window state-store merging; complete-mode drain ==
         # batch gaps-and-islands sessionization (strictly-greater gap
@@ -6323,6 +6369,12 @@ def _ora_chunk_spans() -> str:
                CAST(sum(len(text)) AS BIGINT) AS chars
         FROM s GROUP BY doc_id, chunk_idx
     """
+
+
+# RAKE stopword list imported from the operator (oracle cannot drift)
+from osm_pbf_spark.operators.text import RAKE_STOPWORDS as _RAKE_SW  # noqa: E402
+
+_RAKE_SW_SQL = ", ".join(f"'{s}'" for s in _RAKE_SW)
 
 
 def _hex40_bigint_sql(hexpr: str) -> str:
@@ -10128,6 +10180,149 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT doc_id, idx, CAST(sum(s) AS BIGINT) AS weight
             FROM f GROUP BY 1, 2
+        """,
+        # two separable 1-D binomial passes replayed as plain double
+        # aggregates (weights C(4, 2+d) = 1,4,6,4,1)
+        "q_kde": f"""
+            WITH pts AS ({SQL_POINTS}),
+            q AS (
+                SELECT least(greatest(CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                             / CAST(360.0 AS DOUBLE) * CAST(128.0 AS DOUBLE)) AS BIGINT),
+                             0), 127) AS x,
+                       least(greatest(CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                             / CAST(180.0 AS DOUBLE) * CAST(128.0 AS DOUBLE)) AS BIGINT),
+                             0), 127) AS y
+                FROM pts),
+            counts AS (SELECT x, y, count(*) AS w FROM q GROUP BY x, y),
+            k(d, c) AS (VALUES (-2,1),(-1,4),(0,6),(1,4),(2,1)),
+            p1 AS (SELECT counts.x + k.d AS x, counts.y AS y,
+                          CAST(sum(counts.w * k.c) AS BIGINT) AS w
+                   FROM counts, k
+                   WHERE counts.x + k.d BETWEEN 0 AND 127
+                   GROUP BY 1, 2),
+            p2 AS (SELECT p1.x AS x, p1.y + k.d AS y,
+                          CAST(sum(p1.w * k.c) AS BIGINT) AS w
+                   FROM p1, k
+                   WHERE p1.y + k.d BETWEEN 0 AND 127
+                   GROUP BY 1, 2)
+            SELECT x, y, w FROM p2
+        """,
+        # independent algorithm: the engine shifts y with one Window
+        # node; DuckDB re-derives each (x_t, y_(t+h)) pair with a seq
+        # self-join over lags -3..3
+        "q_ccf": """
+            WITH s AS (
+              SELECT event_type AS key,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS seq,
+                     CAST(floor(value * CAST(100 AS DOUBLE) + 0.5)
+                          AS BIGINT) AS qx,
+                     CAST(floor(CAST((event_id * 37) % 101 AS DOUBLE)
+                                * CAST(100 AS DOUBLE) + 0.5)
+                          AS BIGINT) AS qy
+              FROM events),
+            l AS (SELECT * FROM (VALUES (-3),(-2),(-1),(0),(1),(2),(3)) t(lag)),
+            p AS (SELECT a.key, l.lag, a.qx AS x, b.qy AS y
+                  FROM s a JOIN l ON true
+                  JOIN s b ON b.key = a.key AND b.seq = a.seq + l.lag),
+            g AS (SELECT key, lag, count(*) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(y * y) AS BIGINT) AS syy
+                  FROM p GROUP BY 1, 2)
+            SELECT key, CAST(lag AS INT) AS lag, n,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS d1,
+                   CAST(n * syy - sy * sy AS BIGINT) AS d2,
+                   CASE WHEN n * sxx - sx * sx > 0
+                         AND n * syy - sy * sy > 0
+                        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE))
+                        ELSE NULL END AS r
+            FROM g
+        """,
+        # independent formulation: per-ROW doubled average ranks
+        # (2*rank + ties - 1) vs the engine's distinct-value cumsum
+        "q_roc_auc": """
+            WITH s AS (
+              SELECT event_type,
+                     CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS lab,
+                     CAST(floor(value * CAST(5 AS DOUBLE)) AS BIGINT) AS sc
+              FROM events),
+            r AS (SELECT event_type, lab,
+                         2 * rank() OVER (PARTITION BY event_type ORDER BY sc)
+                         + count(*) OVER (PARTITION BY event_type, sc) - 1 AS dr
+                  FROM s),
+            a AS (SELECT event_type,
+                         CAST(sum(lab) AS BIGINT) AS n_pos,
+                         CAST(count(*) - sum(lab) AS BIGINT) AS n_neg,
+                         CAST(sum(CASE WHEN lab = 1 THEN dr ELSE 0 END)
+                              AS BIGINT) AS r2p
+                  FROM r GROUP BY event_type)
+            SELECT event_type, n_pos, n_neg,
+                   CAST(r2p - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE)
+                             / CAST(2 * n_pos * n_neg AS DOUBLE)
+                        ELSE NULL END AS auc
+            FROM a
+        """,
+        # full RAKE replay: stopword islands -> phrases -> corpus
+        # deg/freq (integer DIV) -> phrase sums -> per-doc top-3;
+        # stopword list imported from the operator so the sides
+        # cannot drift
+        "q_rake": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t <> '') AS toks
+              FROM documents WHERE doc_id < 300),
+            tk AS (
+              SELECT doc_id, u.pos AS pos, u.term AS term,
+                     CASE WHEN u.term IN ({_RAKE_SW_SQL})
+                          THEN 1 ELSE 0 END AS st
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(toks) + 1),
+                               i -> struct_pack(pos := i, term := toks[i])))
+                               AS u
+                    FROM d)),
+            runs AS (
+              SELECT doc_id, pos, term, st,
+                     sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+              FROM tk),
+            ph AS (
+              SELECT doc_id, run,
+                     string_agg(term, ' ' ORDER BY pos) AS phrase,
+                     count(*) AS n_words
+              FROM runs WHERE st = 0 GROUP BY doc_id, run),
+            occ AS (
+              SELECT doc_id, phrase, n_words,
+                     unnest(string_split(phrase, ' ')) AS term
+              FROM ph),
+            ws AS (
+              SELECT term,
+                     CAST(sum(n_words) AS BIGINT) * 1000000
+                         // CAST(count(*) AS BIGINT) AS wsq
+              FROM occ GROUP BY term),
+            sc AS (
+              SELECT o.doc_id, o.phrase, o.n_words,
+                     CAST(sum(w.wsq) AS BIGINT) AS psum,
+                     CAST(count(*) AS BIGINT) AS occn
+              FROM occ o JOIN ws w ON w.term = o.term
+              GROUP BY o.doc_id, o.phrase, o.n_words),
+            fin AS (
+              SELECT doc_id, phrase, CAST(n_words AS INT) AS n_words,
+                     (psum * n_words) // occn AS score_q,
+                     row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY (psum * n_words) // occn DESC, phrase)
+                         AS rank
+              FROM sc)
+            SELECT doc_id, phrase, n_words, score_q, CAST(rank AS INT) AS rank
+            FROM fin WHERE rank <= 3
         """,
         # batch gaps-and-islands == streaming session_window merge
         # (strictly-greater gap splits; end = last ts + gap)

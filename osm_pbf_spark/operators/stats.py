@@ -38,6 +38,7 @@ __all__ = [
     "mann_whitney_u",
     "robust_zscore",
     "cusum_changepoints",
+    "roc_auc",
 ]
 
 
@@ -570,3 +571,89 @@ def exact_quantiles(
         for (num, den), lbl in zip(qs, labels)
     ]
     return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def roc_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact ROC-AUC per group — the standard evaluation of any binary
+    scorer the engine trains or applies (nb_classify quality labels,
+    near-dup thresholds, retrieval rankers): the probability a random
+    positive outranks a random negative, ties counted half.
+
+    Exactness discipline (the mann_whitney_u doubled-rank machine):
+    ranking ascending by score with average ranks for ties,
+
+        R2_pos = sum over distinct scores of n_pos(v) * (2*cum_before(v) + cnt(v) + 1)
+        U2     = R2_pos - n_pos*(n_pos + 1)          (= 2*U, exact int64)
+        AUC    = U2 / (2 * n_pos * n_neg)            (ONE IEEE division)
+
+    so ``u2`` is exact int64 under ANY partitioning and ``auc`` is one
+    correctly-rounded division — gate-hashable. Scores compare as
+    stored (no quantization: only their ORDER matters, and equal
+    doubles are equal in every engine). ``label_col`` must be 0/1.
+    AUC is NULL when a group lacks positives or negatives.
+
+    Plan: one distinct-(group, score) hash aggregate (the shuffle
+    carries distinct scores, not rows — map-side combinable), one
+    per-group cumulative window over distinct scores, one final group
+    aggregate. At 100 TB the window cost is |distinct scores| per
+    group; quantized model scores keep that bounded.
+
+    Returns ``(group..., n_pos, n_neg, u2, auc)``.
+    """
+    g = list(group_cols or [])
+    lab = F.col(label_col).cast("bigint")
+    # domain guard in a WHERE (a pruned projection never fires)
+    df = df.where(
+        F.when(lab.isin(0, 1), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"roc_auc: {label_col} must be 0/1, got "),
+                    F.col(label_col).cast("string"),
+                )
+            )
+        )
+    )
+    per = df.groupBy(*g, F.col(score_col).alias("_v")).agg(
+        F.sum(lab).alias("_np"),
+        F.sum(F.lit(1) - lab).alias("_nn"),
+    )
+    w = (
+        Window.partitionBy(*(g if g else [F.lit(0)]))
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cnt = F.col("_np") + F.col("_nn")
+    cum = per.select(
+        *g,
+        "_np",
+        "_nn",
+        cnt.alias("_cnt"),
+        (F.sum(cnt).over(w) - cnt).alias("_before"),
+    )
+    keys = g if g else [F.lit(0).alias("_all")]
+    agg = cum.groupBy(*keys).agg(
+        F.sum("_np").alias("n_pos"),
+        F.sum("_nn").alias("n_neg"),
+        F.sum(
+            F.col("_np") * (F.lit(2) * F.col("_before") + F.col("_cnt") + F.lit(1))
+        ).alias("_r2p"),
+    )
+    if not g:
+        agg = agg.drop("_all")
+    u2 = (F.col("_r2p") - F.col("n_pos") * (F.col("n_pos") + F.lit(1))).cast("bigint")
+    return agg.select(
+        *g,
+        "n_pos",
+        "n_neg",
+        u2.alias("u2"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            u2.cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double"),
+        ).alias("auc"),
+    )

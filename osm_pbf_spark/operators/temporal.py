@@ -871,3 +871,90 @@ def acf(
             num.cast("double") / F.sqrt(d1.cast("double") * d2.cast("double")),
         ).alias("r"),
     )
+
+
+def ccf(
+    series: DataFrame,
+    max_lag: int,
+    key_col: str = "key",
+    order_col: str = "seq",
+    x_col: str = "x",
+    y_col: str = "y",
+    tiebreak_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Sample cross-correlation between two aligned series per key at
+    lags -max_lag..max_lag — the lead/lag detector (does x move before
+    y?) behind causal feature screening, sensor alignment and
+    upstream/downstream telemetry attribution. Lag h pairs
+    ``(x_t, y_{t+h})``: a peak at POSITIVE h means x LEADS y by h.
+
+    Same EXACT-INTEGER discipline as :func:`acf` (which is
+    ``ccf(x=x, y=x)`` restricted to h >= 1): both values quantize to
+    int64, the six pair sums are exact, num/d1/d2 are exact int64, and
+    the only floating-point is the final fixed cast/mul/sqrt/div chain
+    — r is gate-hashable. r is NULL where either side is constant over
+    the overlap. Overflow contract: |q| < 2^19, per-key n < 2^24.
+
+    Plan: ONE keyed shuffle — each of the 2*max_lag+1 shifted y values
+    rides the same window spec (one Window node, one per-key sort; a
+    negative shift is lag(-h) = lead), the (lag, x, y) triples explode
+    map-side and partial-aggregate before the exchange. No self-join.
+    """
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    from pyspark.sql import Window
+
+    order = [F.col(order_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    qx = F.floor(F.col(x_col) * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+    qy = F.floor(F.col(y_col) * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+    base = series.select(
+        F.col(key_col).alias("key"), *order, qx.alias("qx"), qy.alias("qy")
+    )
+    lags = list(range(-max_lag, max_lag + 1))
+    shifted = base.select(
+        "key",
+        F.col("qx").alias("x"),
+        # y_{t+h} = lead(qy, h) = lag(qy, -h); all on ONE window spec
+        *[F.lag("qy", -h).over(w).alias(f"_s{h + max_lag}") for h in lags],
+    )
+    pairs = (
+        shifted.select(
+            "key",
+            F.posexplode(
+                F.array(*[F.col(f"_s{h + max_lag}") for h in lags])
+            ).alias("lag0", "y"),
+            "x",
+        )
+        .select(
+            "key",
+            (F.col("lag0") - max_lag).cast("int").alias("lag"),
+            "x",
+            "y",
+        )
+        .filter(F.col("y").isNotNull())
+    )
+    agg = pairs.groupBy("key", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "key",
+        "lag",
+        "n",
+        num.alias("num"),
+        d1.alias("d1"),
+        d2.alias("d2"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            num.cast("double") / F.sqrt(d1.cast("double") * d2.cast("double")),
+        ).alias("r"),
+    )

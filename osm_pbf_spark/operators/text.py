@@ -1174,3 +1174,113 @@ def feature_hash(
         .groupBy("doc_id", "idx")
         .agg(F.sum("_s").cast("bigint").alias("weight"))
     )
+
+
+RAKE_STOPWORDS = (
+    "a", "an", "and", "are", "at", "be", "by", "for", "in", "is", "it",
+    "of", "on", "or", "that", "the", "this", "to", "with",
+)
+
+
+def rake_keywords(
+    docs: DataFrame,
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word w gets corpus-wide
+    ``freq(w)`` = occurrences in candidates and ``deg(w)`` = sum of
+    the lengths of the phrases it occurs in (self included); a
+    phrase's score sums its words' ``deg/freq`` ratios — long,
+    co-occurring multi-word phrases outrank bare frequent words. The
+    unsupervised keyword/tag extractor of corpus-exploration and
+    weak-labeling pipelines.
+
+    EXACT-INTEGER spec: freq and deg are exact int64 counts; the word
+    ratio is quantized as ``score_q(w) = (deg * 10^6) DIV freq``
+    (nonnegative operands — Spark's truncating DIV == DuckDB's // ==
+    Python floor) and a phrase's ``score_q`` is the int64 sum over its
+    words WITH multiplicity — deterministic under any partitioning,
+    gate-hashable. Ties rank (score_q DESC, phrase ASC).
+
+    Tokenization: lowercase, whitespace split (the repo's portable
+    tokenizer); repeated phrase occurrences count into freq/deg but
+    the output lists each distinct (doc, phrase) once.
+
+    Returns ``(doc_id, phrase, n_words, score_q, rank)`` — top_k
+    phrases per doc.
+
+    Plan: one doc-keyed Window pair (island ids + phrase assembly ride
+    the same per-doc sort), one corpus word aggregate (shuffle carries
+    distinct-ish words), one word-score equi-join back, one phrase
+    aggregate, one per-doc top-k ranking window (WindowGroupLimit
+    pushes the k cut before the final sort). Word stats are corpus-
+    GLOBAL — the signal that makes RAKE work at 100 TB is exactly the
+    shared aggregate, and its shuffle is bounded by |vocab| x
+    partitions after map-side combine.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from pyspark.sql import Window
+
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+        ).alias("pos", "term"),
+    ).withColumn("_stop", F.array_contains(sw, F.col("term")))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        toks.withColumn("run", F.sum(F.col("_stop").cast("int")).over(w))
+        .where(~F.col("_stop"))
+        .select("doc_id", "run", "pos", "term")
+    )
+    phrases = runs.groupBy("doc_id", "run").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "term"))),
+            lambda s: s["term"],
+        ).alias("words")
+    )
+    occurrences = phrases.select(
+        "doc_id",
+        F.array_join("words", " ").alias("phrase"),
+        F.size("words").alias("n_words"),
+        F.explode("words").alias("term"),
+    )
+    word_scores = occurrences.groupBy("term").agg(
+        F.sum("n_words").alias("_deg"), F.count(F.lit(1)).alias("_freq")
+    ).select(
+        "term", F.expr("(_deg * 1000000L) DIV _freq").alias("_ws")
+    )
+    scored = (
+        occurrences.join(word_scores, "term")
+        .groupBy("doc_id", "phrase", "n_words")
+        .agg(
+            F.sum("_ws").alias("_psum"),
+            F.count(F.lit(1)).alias("_occ"),
+        )
+        # _psum counted every occurrence of the phrase (k identical
+        # word multisets -> k * S), so one phrase score is exactly
+        # S = _psum * n_words DIV _occ with zero remainder
+        .select(
+            "doc_id",
+            "phrase",
+            "n_words",
+            F.expr("(_psum * n_words) DIV _occ").alias("score_q"),
+        )
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q").desc(), F.col("phrase").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "phrase", "n_words", "score_q", "rank")
+    )
