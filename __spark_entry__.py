@@ -4187,6 +4187,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_rake"] = q_rake
 
+    def q_seasonal(spark, sf):  # classical additive decomposition,
+        # period 7; DuckDB re-derives the centered window with an
+        # offset self-join instead of the engine's single Window node
+        from osm_pbf_spark.operators.temporal import seasonal_decompose
+
+        ev = load(spark, sf, "events").select(
+            F.col("event_type").alias("key"),
+            F.col("ts").alias("seq"),
+            F.col("event_id").alias("tb"),
+            F.col("value").alias("val"),
+        )
+        return seasonal_decompose(ev, period=7, tiebreak_col="tb", scale=100)
+
+    q["q_seasonal"] = q_seasonal
+
+    def q_ripley(spark, sf):  # Ripley's K at dyadic radii over the
+        # synthetic 120x360-degree extent; oracle = brute all-pairs
+        from osm_pbf_spark.operators.spatialstats import ripley_k
+
+        pts = customer_points(spark, sf).where(F.col("doc_id") < 1000)
+        return ripley_k(pts, radii=[0.5, 1.0, 2.0], area=43200.0)
+
+    q["q_ripley"] = q_ripley
+
+    def q_ngram_spans(spark, sf):  # exact substring-level dedup (Lee
+        # et al. 2022): repeated 8-token windows -> non-first
+        # occurrences merged to maximal spans; the unioned doc copies
+        # guarantee corpus-level repetition to detect
+        from osm_pbf_spark.operators.dedup import repeated_ngram_spans
+
+        d = (
+            load(spark, sf, "documents")
+            .filter(F.col("doc_id") < 400)
+            .select("doc_id", "text")
+        )
+        dup = d.select((F.col("doc_id") + F.lit(100000)).alias("doc_id"), "text")
+        return repeated_ngram_spans(d.unionAll(dup), k=8)
+
+    q["q_ngram_spans"] = q_ngram_spans
+
     def q_stream_session(spark, sf):  # streaming SESSION windows via
         # F.session_window state-store merging; complete-mode drain ==
         # batch gaps-and-islands sessionization (strictly-greater gap
@@ -10323,6 +10363,108 @@ def oracle_sql() -> dict[str, str]:
               FROM sc)
             SELECT doc_id, phrase, n_words, score_q, CAST(rank AS INT) AS rank
             FROM fin WHERE rank <= 3
+        """,
+        # independent algorithm: the engine's centered window + ends
+        # ride one Window node; DuckDB re-derives the window sum with
+        # an offset self-join (period 7 odd -> h=3, denominator 14)
+        "q_seasonal": """
+            WITH s AS (
+              SELECT event_type AS key,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id) - 1
+                          AS BIGINT) AS seq,
+                     CAST(floor(value * CAST(100 AS DOUBLE) + 0.5)
+                          AS BIGINT) AS q
+              FROM events),
+            off AS (SELECT * FROM (VALUES (-3),(-2),(-1),(0),(1),(2),(3)) t(o)),
+            win AS (
+              SELECT a.key, a.seq, a.q,
+                     count(*) AS cnt, CAST(sum(b.q) AS BIGINT) AS s
+              FROM s a JOIN off ON true
+              JOIN s b ON b.key = a.key AND b.seq = a.seq + off.o
+              GROUP BY a.key, a.seq, a.q),
+            r AS (
+              SELECT key, seq, seq % 7 AS phase, q,
+                     CASE WHEN cnt = 7 THEN CAST(2 * s AS BIGINT) END AS trend2p,
+                     CASE WHEN cnt = 7 THEN CAST(14 * q - 2 * s AS BIGINT) END
+                         AS detr2p
+              FROM win),
+            se AS (SELECT key, phase,
+                          CAST(sum(detr2p) AS BIGINT) AS s_num,
+                          count(detr2p) AS s_cnt
+                   FROM r GROUP BY 1, 2)
+            SELECT r.key, r.seq, r.phase, r.q, r.trend2p, se.s_num, se.s_cnt,
+                   CAST(r.trend2p AS DOUBLE) / CAST(14 AS DOUBLE) AS trend,
+                   CAST(se.s_num AS DOUBLE) / CAST(se.s_cnt * 14 AS DOUBLE)
+                       AS seasonal,
+                   (CAST(r.q AS DOUBLE)
+                    - CAST(r.trend2p AS DOUBLE) / CAST(14 AS DOUBLE))
+                   - CAST(se.s_num AS DOUBLE) / CAST(se.s_cnt * 14 AS DOUBLE)
+                       AS residual
+            FROM r JOIN se ON se.key = r.key AND se.phase = r.phase
+        """,
+        # brute all-pairs replay of the cell-cover join
+        "q_ripley": f"""
+            WITH pts AS (SELECT * FROM ({SQL_POINTS}) WHERE doc_id < 1000),
+            p2 AS (SELECT (a.lat - b.lat) * (a.lat - b.lat)
+                        + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+                   FROM pts a JOIN pts b ON a.doc_id < b.doc_id),
+            rr AS (SELECT * FROM (VALUES (CAST('0.5' AS DOUBLE)),
+                                         (CAST('1.0' AS DOUBLE)),
+                                         (CAST('2.0' AS DOUBLE))) t(r)),
+            n AS (SELECT count(*) AS n FROM pts),
+            c AS (SELECT rr.r,
+                         CAST(coalesce(sum(CASE WHEN p2.d2 <= rr.r * rr.r
+                                                THEN 1 END), 0) AS BIGINT)
+                             AS n_pairs
+                  FROM rr LEFT JOIN p2 ON true GROUP BY rr.r)
+            SELECT c.r, c.n_pairs, n.n,
+                   CASE WHEN n.n > 1
+                        THEN CAST(c.n_pairs AS DOUBLE) * CAST(2 AS DOUBLE)
+                             * CAST(43200 AS DOUBLE)
+                             / CAST(n.n * (n.n - 1) AS DOUBLE)
+                   END AS k_hat
+            FROM c, n
+        """,
+        # full replay: positional 8-token windows -> md5 fingerprints
+        # -> window-ranked keeper (independent of the engine's
+        # min(struct) aggregate) -> island merge
+        "q_ngram_spans": """
+            WITH src AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 400
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id < 400),
+            d AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '), t -> t <> '')
+                             AS toks
+                  FROM src),
+            w AS (SELECT doc_id, u.pos AS pos, u.fp AS fp
+                  FROM (SELECT doc_id,
+                               unnest(list_transform(range(1, len(toks) - 6),
+                                   i -> struct_pack(
+                                       pos := CAST(i - 1 AS BIGINT),
+                                       fp := md5(array_to_string(
+                                           list_slice(toks, i, i + 7), ' ')))))
+                                   AS u
+                        FROM d WHERE len(toks) >= 8)),
+            rk AS (SELECT doc_id, pos,
+                          row_number() OVER (PARTITION BY fp
+                                             ORDER BY doc_id, pos) AS rn,
+                          count(*) OVER (PARTITION BY fp) AS n
+                   FROM w),
+            dups AS (SELECT doc_id, pos FROM rk WHERE n > 1 AND rn > 1),
+            fl AS (SELECT doc_id, pos,
+                          CASE WHEN lag(pos) OVER w1 IS NULL
+                               OR pos > lag(pos) OVER w1 + 8
+                               THEN 1 ELSE 0 END AS nw
+                   FROM dups
+                   WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)),
+            isl AS (SELECT doc_id, pos,
+                           sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                    FROM fl)
+            SELECT doc_id, min(pos) AS start, max(pos) + 8 AS "end",
+                   count(*) AS n_windows
+            FROM isl GROUP BY doc_id, g
         """,
         # batch gaps-and-islands == streaming session_window merge
         # (strictly-greater gap splits; end = last ts + gap)

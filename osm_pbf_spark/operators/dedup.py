@@ -773,3 +773,104 @@ def set_similarity_join(
     return pairs.where(
         F.lit(den) * F.col("n_inter") >= F.lit(num) * F.col("n_union")
     ).select("id_a", "id_b", "n_inter", "n_union")
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find every k-token
+    window whose exact text occurs MORE THAN ONCE in the corpus
+    (within or across documents), keep the globally first occurrence,
+    and return the NON-FIRST occurrences merged into maximal token
+    spans — the table a pipeline feeds to span redaction
+    (docrender.redact_spans) to cut boilerplate, licenses and repeated
+    headers that document-level dedup never sees.
+
+    Spec (deterministic, engine-replayable):
+      - tokens = whitespace split; window i (0-based) covers tokens
+        [i, i+k); its fingerprint is ``md5`` of the space-joined
+        window text — exact equality, no hash-collision semantics to
+        model (128-bit).
+      - keeper per fingerprint = MIN (doc_id, pos) lexicographically;
+        every other occurrence of a >1-occurrence fingerprint is
+        duplicated.
+      - duplicated windows merge per doc when they overlap or touch
+        (next_pos <= prev_pos + k): output spans are maximal
+        ``[start, end)`` token ranges.
+
+    Returns ``(doc_id, start, end, n_windows)`` — ``end`` exclusive,
+    ``n_windows`` = duplicated windows merged into the span.
+
+    Plan: per-doc window fingerprints are ONE native
+    transform/explode Generate (no Python, O(k) chars hashed per
+    token); one fingerprint-keyed shuffle computes (keeper, count) by
+    partial-aggregated min(struct)/count; a second keyed join flags
+    non-keepers; span merging is one per-doc sort window. Shuffle
+    rows = windows (= tokens), all slim (fp, doc, pos) — the 100-TB
+    cost is one tokens-sized shuffle, the same scale class as the
+    MinHash band shuffle.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    nwin = F.size("_toks") - F.lit(k - 1)
+    wins = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .where(nwin >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), nwin),
+                    lambda i: F.struct(
+                        (i - 1).cast("bigint").alias("pos"),
+                        F.md5(
+                            F.array_join(F.slice(F.col("_toks"), i, k), " ")
+                        ).alias("fp"),
+                    ),
+                )
+            ).alias("_w"),
+        )
+        .select("doc_id", F.col("_w.pos").alias("pos"), F.col("_w.fp").alias("fp"))
+    )
+    stats = wins.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_keep"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    dups = (
+        wins.join(stats, "fp")
+        .where(
+            (F.col("_n") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("_keep.doc_id"))
+                & (F.col("pos") == F.col("_keep.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dups.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + F.lit(k)),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("doc_id", "_island").agg(
+        F.min("pos").alias("start"),
+        (F.max("pos") + F.lit(k)).alias("end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select("doc_id", "start", "end", "n_windows")

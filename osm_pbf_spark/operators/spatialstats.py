@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grid_cell_counts", "morans_i", "getis_ord_gi", "zonal_stats"]
+__all__ = ["grid_cell_counts", "morans_i", "getis_ord_gi", "zonal_stats", "ripley_k"]
 
 
 def grid_cell_counts(
@@ -249,4 +249,86 @@ def zonal_stats(
             (F.col("sum_v").cast("double") / F.col("n_pts").cast("double"))
             .alias("mean_v"),
         )
+    )
+
+
+def ripley_k(
+    pts: DataFrame,
+    radii: list[float],
+    area: float,
+    metric: str = "euclid2_deg",
+    level: int | None = None,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Ripley's K point-pattern statistic at each radius — the
+    clustered-vs-random-vs-dispersed probe ACROSS scales (Moran's I
+    answers it for one neighborhood; K sweeps the neighborhood size):
+    K(r) = area * E[pairs within r] / (n*(n-1)/2 pairs), compared
+    against the pi*r^2 of complete spatial randomness.
+
+    Naive (no edge-correction) estimator, documented:
+
+        K_hat(r) = area * 2 * n_pairs(r) / (n * (n - 1))
+
+    ``n_pairs(r)`` (exact int64: distance predicates compare the same
+    fixed-IEEE d2 both engines compute) counts unordered pairs with
+    distance <= r — radii in squared-degree metric are degrees, in
+    haversine meters. ``k_hat`` is one fixed mul/div chain on exact
+    ints, gate-hashable; dyadic radii keep the thresholds
+    engine-exact.
+
+    Plan: ONE 3x3-cell cover self-join at the level covering
+    max(radii) (the distance_join kernel — never all-pairs), then a
+    single aggregate computes every radius bucket in one pass
+    (per-radius conditional sums, map-side combinable) and a stack
+    unpivots to one row per radius. At 100 TB the join output is the
+    r_max neighborhood pair count — pick radii, and therefore r_max,
+    for the density you mean to probe.
+    """
+    if not radii:
+        raise ValueError("radii must be non-empty")
+    rs = sorted(float(r) for r in radii)
+    if rs[0] <= 0:
+        raise ValueError(f"radii must be positive, got {rs[0]}")
+    from .distance import distance_join
+
+    pairs = distance_join(
+        pts,
+        pts,
+        radius=rs[-1],
+        metric=metric,
+        level=level,
+        left_id=id_col,
+        right_id=id_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+    ).where(F.col("id_a") < F.col("id_b"))
+    thr = [r if metric == "haversine" else r * r for r in rs]
+    counted = pairs.agg(
+        *[
+            F.sum((F.col("dist") <= F.lit(float(t))).cast("bigint")).alias(f"_c{i}")
+            for i, t in enumerate(thr)
+        ]
+    )
+    n_tot = pts.agg(F.count(F.lit(1)).alias("n"))
+    j = counted.crossJoin(F.broadcast(n_tot))
+    stack = ", ".join(
+        f"CAST('{r!r}' AS DOUBLE), coalesce(_c{i}, 0L)" for i, r in enumerate(rs)
+    )
+    out = j.select(
+        "n", F.expr(f"stack({len(rs)}, {stack}) AS (r, n_pairs)")
+    )
+    k_hat = (
+        F.col("n_pairs").cast("double")
+        * F.lit(2.0)
+        * F.lit(float(area))
+        / (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+    )
+    return out.select(
+        "r",
+        "n_pairs",
+        "n",
+        F.when(F.col("n") > 1, k_hat).alias("k_hat"),
     )

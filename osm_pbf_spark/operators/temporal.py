@@ -958,3 +958,106 @@ def ccf(
             num.cast("double") / F.sqrt(d1.cast("double") * d2.cast("double")),
         ).alias("r"),
     )
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    period: int,
+    key_col: str = "key",
+    order_col: str = "seq",
+    val_col: str = "val",
+    tiebreak_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Classical additive decomposition per key: value = trend +
+    seasonal + residual — the first pass of any seasonality analysis
+    (deseasonalized KPIs, holiday-effect isolation, forecast
+    baselining).
+
+    EXACT-INTEGER spec (all in quantized units q = floor(val*scale +
+    0.5); divide by ``scale`` outside if real units are wanted):
+
+      - trend is the centered moving average over one period: for odd
+        p a plain p-window, for even p the standard half-weighted
+        (2p)-denominator window (ends weight 1, interior weight 2).
+        The integer numerator ``trend2p`` (denominator 2p in BOTH
+        cases — odd windows carry weight 2 throughout) is exact int64;
+        NULL where the window is incomplete (first/last h rows).
+      - detrended numerator ``detr2p = 2p*q - trend2p`` — exact int64.
+      - seasonal index per (key, phase = position mod p): the mean of
+        detr2p kept as the exact pair ``(s_num, s_cnt)``.
+      - the ONLY floats are three fixed chains on exact ints:
+        ``trend = double(trend2p)/double(2p)``,
+        ``seasonal = double(s_num)/double(s_cnt*2p)``,
+        ``residual = (double(q) - trend) - seasonal`` — every op
+        correctly rounded in a pinned order, so the doubles are
+        gate-hashable.
+
+    Position is assigned internally (row_number over order_col,
+    tiebreak_col, 0-based) so phases are gap-free regardless of the
+    order column's values.
+
+    Returns ``(key, seq, phase, q, trend2p, s_num, s_cnt, trend,
+    seasonal, residual)``.
+
+    Plan: ONE keyed shuffle — the ranged window, the lag/lead ends and
+    the row_number all ride one per-key sort; the phase aggregate is a
+    p-bounded partial agg and joins back broadcast-small. For
+    mega-keys assign positions with the two-pass prefix-sum rank
+    discipline first.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    from pyspark.sql import Window
+
+    p = int(period)
+    h = p // 2
+    even = p % 2 == 0
+    order = [F.col(order_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    wo = Window.partitionBy(key_col).orderBy(*order)
+    wr = wo.rowsBetween(-h, h)
+    qv = F.floor(F.col(val_col) * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+    base = series.select(
+        F.col(key_col).alias("key"), *order, qv.alias("q")
+    ).select(
+        "key",
+        (F.row_number().over(wo) - F.lit(1)).cast("bigint").alias("seq"),
+        "q",
+        F.sum("q").over(wr).alias("_s"),
+        F.count(F.lit(1)).over(wr).alias("_cnt"),
+        F.lag("q", h).over(wo).alias("_lo"),
+        F.lag("q", -h).over(wo).alias("_hi"),
+    )
+    full = F.col("_cnt") == F.lit(2 * h + 1)
+    if even:
+        trend2p = F.when(full, F.lit(2) * F.col("_s") - F.col("_lo") - F.col("_hi"))
+    else:
+        trend2p = F.when(full, F.lit(2) * F.col("_s"))
+    rows = base.select(
+        "key",
+        "seq",
+        F.pmod(F.col("seq"), F.lit(p)).alias("phase"),
+        "q",
+        trend2p.alias("trend2p"),
+    ).withColumn("detr2p", F.lit(2 * p) * F.col("q") - F.col("trend2p"))
+    seas = rows.groupBy("key", "phase").agg(
+        F.sum("detr2p").alias("s_num"),
+        F.count("detr2p").alias("s_cnt"),
+    )
+    out = rows.join(seas, ["key", "phase"])
+    trend = F.col("trend2p").cast("double") / F.lit(float(2 * p))
+    seasonal = F.col("s_num").cast("double") / (
+        F.col("s_cnt") * F.lit(2 * p)
+    ).cast("double")
+    return out.select(
+        "key",
+        "seq",
+        "phase",
+        "q",
+        "trend2p",
+        "s_num",
+        "s_cnt",
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        ((F.col("q").cast("double") - trend) - seasonal).alias("residual"),
+    )
