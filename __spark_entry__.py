@@ -4227,6 +4227,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ngram_spans"] = q_ngram_spans
 
+    def q_isotonic(spark, sf):  # PAVA calibration curve per type;
+        # oracle = independent MINIMAX-formula replay with Fractions
+        from osm_pbf_spark.operators.stats import isotonic_fit
+
+        ev = load(spark, sf, "events").select(
+            "event_type",
+            F.floor(F.col("value") * F.lit(2.0)).cast("bigint").alias("x"),
+            (F.pmod(F.col("event_id"), F.lit(3)) == 0).cast("int").alias("label"),
+        )
+        return isotonic_fit(ev, "x", "label", group_cols=["event_type"])
+
+    q["q_isotonic"] = q_isotonic
+
+    def q_fs_link(spark, sf):  # Fellegi-Sunter record linkage over
+        # nation-blocked customer pairs; weights are int literals from
+        # fs_weights (oracle imports the same helper)
+        from osm_pbf_spark.operators.fuzzy import fs_link
+
+        cust = load(spark, sf, "customer").select(
+            F.col("c_custkey").alias("cid"),
+            "c_nationkey",
+            F.col("c_mktsegment").alias("seg"),
+            (F.floor(F.col("c_acctbal")).cast("bigint") % F.lit(100)).alias("ab"),
+        )
+        left = cust.where(F.col("cid") < 500)
+        right = cust.where((F.col("cid") >= 500) & (F.col("cid") < 1000))
+        return fs_link(
+            left.withColumnRenamed("cid", "id_a"),
+            right.withColumnRenamed("cid", "id_b"),
+            block_on=["c_nationkey"],
+            m_u={"seg": (0.9, 0.2), "ab": (0.95, 0.05)},
+        )
+
+    q["q_fs_link"] = q_fs_link
+
+    def q_sniff(spark, sf):  # magic-byte media triage over synthetic
+        # binary payloads (type chosen by doc_id % 8; the sniffer must
+        # invert the synthesis — the oracle derives types from doc_id)
+        from osm_pbf_spark.operators.multimodal import sniff_media_type
+
+        magics = [
+            "89504E470D0A1A0A0011",  # png
+            "FFD8FFE000104A464946",  # jpeg
+            "4749463839610A0B0C0D",  # gif
+            "255044462D312E340A25",  # pdf
+            "52494646AABBCCDD57415645",  # wav (RIFF....WAVE)
+            "0000001866747970697336",  # mp4 (....ftyp...)
+            "1F8B08000000000000FF",  # gzip
+            "00112233445566778899",  # unknown
+        ]
+        sel = None
+        for i, m in enumerate(magics):
+            c = F.pmod(F.col("doc_id"), F.lit(8)) == i
+            sel = F.when(c, F.lit(m)) if sel is None else sel.when(c, F.lit(m))
+        docs = load(spark, sf, "documents").select(
+            "doc_id", F.to_binary(sel, F.lit("hex")).alias("payload")
+        )
+        return sniff_media_type(docs).select("doc_id", "media_type")
+
+    q["q_sniff"] = q_sniff
+
     def q_stream_session(spark, sf):  # streaming SESSION windows via
         # F.session_window state-store merging; complete-mode drain ==
         # batch gaps-and-islands sessionization (strictly-greater gap
@@ -4376,6 +4437,82 @@ def _sql_lit(v) -> str:
         return str(int(v))
     s = str(v).replace("'", "''")
     return f"'{s}'"
+
+
+def _ora_isotonic() -> str:
+    """Independent isotonic replay via the MINIMAX formula
+    fitted(i) = max_{j<=i} min_{k>=j} mean(y[j..k]) with exact
+    Fractions — a different algorithm from the engine's PAVA stack;
+    blocks are reconstructed as maximal equal-fitted runs (the engine
+    merges equal-mean neighbors, so its blocks ARE the level sets)."""
+    import math
+    from fractions import Fraction
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+    per: dict[str, dict[int, list[int]]] = {}
+    for eid, et, v in zip(
+        t.column("event_id").to_pylist(),
+        t.column("event_type").to_pylist(),
+        t.column("value").to_pylist(),
+    ):
+        x = int(math.floor(float(v) * 2.0))
+        lab = 1 if eid % 3 == 0 else 0
+        d = per.setdefault(et, {}).setdefault(x, [0, 0])
+        d[0] += 1
+        d[1] += lab
+    rows = []
+    for et in per:
+        xs = sorted(per[et])
+        ns = [per[et][x][0] for x in xs]
+        sys_ = [per[et][x][1] for x in xs]
+        m = len(xs)
+        # prefix sums for O(1) range means
+        cn = [0] * (m + 1)
+        cs = [0] * (m + 1)
+        for i in range(m):
+            cn[i + 1] = cn[i] + ns[i]
+            cs[i + 1] = cs[i] + sys_[i]
+        fitted = []
+        for i in range(m):
+            best = None
+            for j in range(i + 1):
+                worst = None
+                for kk in range(i, m):
+                    mean = Fraction(cs[kk + 1] - cs[j], cn[kk + 1] - cn[j])
+                    if worst is None or mean < worst:
+                        worst = mean
+                if best is None or worst > best:
+                    best = worst
+            fitted.append(best)
+        # maximal equal-fitted runs -> block sums
+        i = 0
+        while i < m:
+            j = i
+            while j + 1 < m and fitted[j + 1] == fitted[i]:
+                j += 1
+            ps = cs[j + 1] - cs[i]
+            pc = cn[j + 1] - cn[i]
+            for kk in range(i, j + 1):
+                rows.append(
+                    (et, xs[kk], ns[kk], ps, pc, float(ps) / float(pc))
+                )
+            i = j + 1
+    return _values_sql(
+        [
+            ("event_type", "VARCHAR"),
+            ("x", "BIGINT"),
+            ("n", "BIGINT"),
+            ("pool_sum", "BIGINT"),
+            ("pool_cnt", "BIGINT"),
+            ("fitted", "DOUBLE"),
+        ],
+        rows,
+    )
 
 
 def _values_sql(cols: list[tuple[str, str]], rows: list[tuple]) -> str:
@@ -6415,6 +6552,11 @@ def _ora_chunk_spans() -> str:
 from osm_pbf_spark.operators.text import RAKE_STOPWORDS as _RAKE_SW  # noqa: E402
 
 _RAKE_SW_SQL = ", ".join(f"'{s}'" for s in _RAKE_SW)
+
+# Fellegi-Sunter micro-nat weights from the operator's own quantizer
+from osm_pbf_spark.operators.fuzzy import fs_weights as _fs_weights  # noqa: E402
+
+_FS_W = _fs_weights({"seg": (0.9, 0.2), "ab": (0.95, 0.05)})
 
 
 def _hex40_bigint_sql(hexpr: str) -> str:
@@ -10465,6 +10607,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(pos) AS start, max(pos) + 8 AS "end",
                    count(*) AS n_windows
             FROM isl GROUP BY doc_id, g
+        """,
+        "q_isotonic": _ora_isotonic(),
+        # verbatim CASE replay with the SAME integer weights
+        # (fs_weights imported from the operator — cannot drift)
+        "q_fs_link": f"""
+            WITH l AS (SELECT c_custkey AS id_a, c_nationkey,
+                              c_mktsegment AS seg,
+                              CAST(floor(c_acctbal) AS BIGINT) % 100 AS ab
+                       FROM customer WHERE c_custkey < 500),
+            r AS (SELECT c_custkey AS id_b, c_nationkey,
+                         c_mktsegment AS seg,
+                         CAST(floor(c_acctbal) AS BIGINT) % 100 AS ab
+                  FROM customer
+                  WHERE c_custkey >= 500 AND c_custkey < 1000)
+            SELECT l.id_a, r.id_b,
+                   CAST((CASE WHEN l.seg IS NOT NULL AND r.seg IS NOT NULL
+                              AND l.seg = r.seg THEN 1 ELSE 0 END)
+                      + (CASE WHEN l.ab IS NOT NULL AND r.ab IS NOT NULL
+                              AND l.ab = r.ab THEN 1 ELSE 0 END) AS INT)
+                       AS n_agree,
+                   CAST((CASE WHEN l.seg IS NOT NULL AND r.seg IS NOT NULL
+                              AND l.seg <> r.seg THEN 1 ELSE 0 END)
+                      + (CASE WHEN l.ab IS NOT NULL AND r.ab IS NOT NULL
+                              AND l.ab <> r.ab THEN 1 ELSE 0 END) AS INT)
+                       AS n_disagree,
+                   CAST((CASE WHEN l.seg IS NULL OR r.seg IS NULL THEN 0
+                              WHEN l.seg = r.seg THEN {_FS_W["seg"][0]}
+                              ELSE {_FS_W["seg"][1]} END)
+                      + (CASE WHEN l.ab IS NULL OR r.ab IS NULL THEN 0
+                              WHEN l.ab = r.ab THEN {_FS_W["ab"][0]}
+                              ELSE {_FS_W["ab"][1]} END) AS BIGINT)
+                       AS score_micro
+            FROM l JOIN r ON r.c_nationkey = l.c_nationkey
+        """,
+        # semantic-level independence: the sniffer must INVERT the
+        # doc_id%8 synthesis; the oracle never touches bytes
+        "q_sniff": """
+            SELECT doc_id,
+                   CASE doc_id % 8
+                        WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        WHEN 2 THEN 'gif' WHEN 3 THEN 'pdf'
+                        WHEN 4 THEN 'wav' WHEN 5 THEN 'mp4'
+                        WHEN 6 THEN 'gzip' ELSE 'unknown' END AS media_type
+            FROM documents
         """,
         # batch gaps-and-islands == streaming session_window merge
         # (strictly-greater gap splits; end = last ts + gap)

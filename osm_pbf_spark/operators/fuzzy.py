@@ -134,3 +134,99 @@ def phonetic_join(
         .where(F.levenshtein(F.col(left_col), F.col(right_col)) <= max_edit)
         .drop("_sdx")
     )
+
+
+def fs_weights(m_u: dict[str, tuple[float, float]]) -> dict[str, tuple[int, int]]:
+    """Fellegi–Sunter field weights in micro-nats (driver-side floats
+    -> INT literals, so engine arithmetic is pure int64): agreement
+    weight ln(m/u), disagreement weight ln((1-m)/(1-u)), each
+    quantized HALF-UP-away-from-zero (the dsir rule — never round():
+    Spark HALF_UP vs DuckDB HALF_EVEN). Shared by the operator and the
+    gate oracle so the two sides cannot drift."""
+    import math
+
+    out = {}
+    for f, (m, u) in m_u.items():
+        if not (0.0 < m < 1.0 and 0.0 < u < 1.0):
+            raise ValueError(f"field {f!r}: m and u must be in (0, 1)")
+
+        def q(x: float) -> int:
+            return int(math.floor(abs(x) * 1e6 + 0.5)) * (1 if x >= 0 else -1)
+
+        out[f] = (q(math.log(m / u)), q(math.log((1.0 - m) / (1.0 - u))))
+    return out
+
+
+def fs_link(
+    left: DataFrame,
+    right: DataFrame,
+    block_on: list[str],
+    m_u: dict[str, tuple[float, float]],
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over blocked
+    candidate pairs — the classical entity-resolution scorer (census /
+    customer-dedup lineage) that turns per-field agreement into an
+    additive log-likelihood-ratio match score.
+
+    Per comparison field f with match/unmatch agreement probabilities
+    (m_f, u_f), a candidate pair contributes the AGREEMENT weight
+    ln(m/u) when both sides are non-null and equal, the DISAGREEMENT
+    weight ln((1-m)/(1-u)) when both non-null and unequal, and 0 when
+    either side is null (missing is uninformative — the standard
+    convention). Weights are quantized to micro-nat INT LITERALS at
+    plan time (:func:`fs_weights`), so the engine-side score is an
+    exact int64 sum — deterministic, gate-hashable; the caller
+    thresholds ``score_micro`` downstream.
+
+    Returns ``(id_a, id_b, n_agree, n_disagree, score_micro)`` — one
+    row per blocked candidate pair.
+
+    Plan: ONE equi-join on the blocking key (never all-pairs — pick
+    blocks the way every linkage pipeline does: phonetic_join /
+    fuzzy_join blocking keys compose here) + a map-side CASE sum per
+    field, whole-stage codegen, no Python, no extra shuffle beyond the
+    join's. Hot blocks are the caller's contract, exactly as in the
+    LSH family.
+    """
+    if not block_on:
+        raise ValueError("block_on must be non-empty")
+    fields = list(m_u)
+    if not fields:
+        raise ValueError("m_u must name at least one comparison field")
+    w = fs_weights(m_u)
+    lt = left.select(
+        F.col(left_id).alias("id_a"),
+        *[F.col(c).alias(f"_bk{i}") for i, c in enumerate(block_on)],
+        *[F.col(f).alias(f"_la{i}") for i, f in enumerate(fields)],
+    )
+    rt = right.select(
+        F.col(right_id).alias("id_b"),
+        *[F.col(c).alias(f"_bk{i}") for i, c in enumerate(block_on)],
+        *[F.col(f).alias(f"_ra{i}") for i, f in enumerate(fields)],
+    )
+    j = lt.join(rt, [f"_bk{i}" for i in range(len(block_on))])
+    agree_terms, dis_terms, score_terms = [], [], []
+    for i, f in enumerate(fields):
+        a, b = F.col(f"_la{i}"), F.col(f"_ra{i}")
+        both = a.isNotNull() & b.isNotNull()
+        wa, wd = w[f]
+        agree_terms.append(F.when(both & (a == b), 1).otherwise(0))
+        dis_terms.append(F.when(both & (a != b), 1).otherwise(0))
+        score_terms.append(
+            F.when(both & (a == b), F.lit(wa))
+            .when(both, F.lit(wd))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+    n_agree = sum(agree_terms[1:], agree_terms[0])
+    n_dis = sum(dis_terms[1:], dis_terms[0])
+    score = sum(score_terms[1:], score_terms[0])
+    return j.select(
+        "id_a",
+        "id_b",
+        n_agree.cast("int").alias("n_agree"),
+        n_dis.cast("int").alias("n_disagree"),
+        score.alias("score_micro"),
+    )

@@ -313,3 +313,58 @@ def image_patch_plan(media: DataFrame, patch: int = 16) -> DataFrame:
         (F.col("py") * F.lit(int(patch))).alias("y0"),
         (F.col("px") * F.lit(int(patch))).alias("x0"),
     )
+
+
+# magic-byte signatures (hex prefix -> type); longest match wins.
+# Public file signatures: PNG/JPEG/GIF/PDF/ZIP/RIFF-WAV/RIFF-WEBP/
+# MP4(ftyp at offset 4)/GZIP.
+MEDIA_MAGIC: list[tuple[str, str]] = [
+    ("89504E470D0A1A0A", "png"),
+    ("FFD8FF", "jpeg"),
+    ("474946383761", "gif"),
+    ("474946383961", "gif"),
+    ("25504446", "pdf"),
+    ("504B0304", "zip"),
+    ("1F8B", "gzip"),
+]
+
+
+def sniff_media_type(
+    media: DataFrame,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Magic-byte file-type detection over an opaque binary column —
+    the triage every multimodal crawl runs before routing blobs to
+    decoders (mislabeled extensions are the norm in web data; the
+    bytes don't lie). Pure metadata-free sniffing: the hex prefix of
+    the payload is matched against the public signature table
+    (PNG/JPEG/GIF/PDF/ZIP/GZIP, plus the RIFF and ftyp CONTAINER
+    forms, which need an inner tag at a fixed offset).
+
+    Deterministic spec: longest-prefix match over MEDIA_MAGIC, then
+    the two container rules — RIFF....WAVE -> wav, RIFF....WEBP ->
+    webp, bytes 5-8 == 'ftyp' -> mp4 — else 'unknown'. NULL or empty
+    payloads -> 'unknown'.
+
+    Returns the input plus ``media_type:string``.
+
+    Plan: ONE native projection (hex + substring + CASE chain),
+    map-only, zero shuffle, whole-stage codegen — at 100 TB this runs
+    at scan speed, reading only the first 16 bytes' worth of each
+    blob column value.
+    """
+    hx = F.upper(F.hex(F.substring(F.col(payload_col), 1, 16)))
+    expr = None
+    for sig, name in MEDIA_MAGIC:
+        cond = F.substring(hx, 1, len(sig)) == F.lit(sig)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    riff = F.substring(hx, 1, 8) == F.lit("52494646")
+    expr = expr.when(riff & (F.substring(hx, 17, 8) == F.lit("57415645")), F.lit("wav"))
+    expr = expr.when(riff & (F.substring(hx, 17, 8) == F.lit("57454250")), F.lit("webp"))
+    expr = expr.when(F.substring(hx, 9, 8) == F.lit("66747970"), F.lit("mp4"))
+    return media.withColumn(
+        "media_type",
+        F.when(F.col(payload_col).isNull(), F.lit("unknown")).otherwise(
+            F.coalesce(expr, F.lit("unknown"))
+        ),
+    )

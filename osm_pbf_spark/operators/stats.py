@@ -39,6 +39,7 @@ __all__ = [
     "robust_zscore",
     "cusum_changepoints",
     "roc_auc",
+    "isotonic_fit",
 ]
 
 
@@ -657,3 +658,80 @@ def roc_auc(
             / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double"),
         ).alias("auc"),
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Isotonic regression per group via PAVA (pool-adjacent-violators)
+    — the standard score-calibration curve (pairs with :func:`roc_auc`:
+    AUC says the ranking is good, isotonic turns raw scores into
+    monotone probabilities), also the shape-constrained trend fit.
+
+    EXACT-RATIONAL discipline: ``y_col`` must be integer-valued (0/1
+    labels or pre-quantized); per distinct x the (sum_y, cnt) pair is
+    an exact int64 aggregate, and PAVA pools are merged by CROSS-
+    MULTIPLIED comparison (``sum_i * cnt_j >= sum_j * cnt_i``) — no
+    float enters a pooling decision, so the blocks are deterministic
+    under any partitioning; ``fitted`` is ONE final IEEE division per
+    block, gate-hashable. Pooling uses the classical stack algorithm,
+    merging while the previous block mean is >= the current: equal-
+    mean neighbors merge too, so blocks are the MAXIMAL level sets of
+    the (unique) L2 isotonic solution — reconstructible from fitted
+    values alone, which is what the independent minimax-formula gate
+    oracle does.
+
+    Returns one row per distinct x: ``(group..., x, n, pool_sum,
+    pool_cnt, fitted)`` where pool_sum/pool_cnt describe the block the
+    x fell into (equal for every x of one block) and ``n`` is the x's
+    own count.
+
+    Plan: one distinct-(group, x) hash aggregate (shuffle carries
+    distinct x values — quantized model scores keep it bounded), then
+    ONE applyInPandas per group (PAVA is inherently sequential in x —
+    the debounce class; parallel across groups, and the stack pass is
+    O(|distinct x|)).
+    """
+    import pandas as pd
+
+    g = list(group_cols or [])
+    yc = F.col(y_col).cast("bigint")
+    per = df.groupBy(*g, F.col(x_col).alias("x")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(yc).alias("_sy")
+    )
+    xf = df.schema[x_col].dataType.simpleString()
+    gf = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in g
+    )
+    schema = (gf + ", " if gf else "") + (
+        f"x {xf}, n bigint, pool_sum bigint, pool_cnt bigint, fitted double"
+    )
+
+    def _pava(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("x", kind="mergesort").reset_index(drop=True)
+        sums, cnts, sizes = [], [], []  # block stack
+        for sy, n in zip(pdf["_sy"].astype(object), pdf["n"].astype(object)):
+            cs, cc, sz = int(sy), int(n), 1
+            # merge while previous block mean >= current block mean
+            while sums and sums[-1] * cc >= cs * cnts[-1]:
+                cs += sums.pop()
+                cc += cnts.pop()
+                sz += sizes.pop()
+            sums.append(cs)
+            cnts.append(cc)
+            sizes.append(sz)
+        ps, pc = [], []
+        for s, c, z in zip(sums, cnts, sizes):
+            ps.extend([s] * z)
+            pc.extend([c] * z)
+        out = pdf[[*g, "x", "n"]].copy()
+        out["pool_sum"] = ps
+        out["pool_cnt"] = pc
+        out["fitted"] = [float(s) / float(c) for s, c in zip(ps, pc)]
+        return out
+
+    keyed = per.groupBy(*(g if g else [F.lit(0).alias("_all")]))
+    return keyed.applyInPandas(_pava, schema)
