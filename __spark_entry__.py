@@ -4288,6 +4288,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sniff"] = q_sniff
 
+    def q_concentration(spark, sf):  # Gini + HHI of order value per
+        # priority class (tie-invariant exact rank sums)
+        from osm_pbf_spark.operators.stats import concentration
+
+        o = load(spark, sf, "orders").select(
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice")).cast("bigint").alias("v"),
+        )
+        return concentration(o, "v", group_cols=["o_orderpriority"])
+
+    q["q_concentration"] = q_concentration
+
+    def q_modularity(spark, sf):  # Newman modularity of a node%5
+        # labeling over the md5 graph — exact q_num, one division
+        from osm_pbf_spark.operators.graph import modularity
+
+        e = _md5_graph(spark, sf)
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        labels = nodes.select("node", F.pmod(F.col("node"), F.lit(5)).alias("label"))
+        return modularity(e, labels)
+
+    q["q_modularity"] = q_modularity
+
+    def q_benford(spark, sf):  # Benford leading-digit conformance of
+        # order totals: 9-bounded agg + fixed 9-term chi2 chain
+        from osm_pbf_spark.operators.dq import benford_deviation
+
+        o = load(spark, sf, "orders").select(
+            F.floor(F.col("o_totalprice")).cast("bigint").alias("v")
+        )
+        return benford_deviation(o, "v")
+
+    q["q_benford"] = q_benford
+
+    def q_cluster_hulls(spark, sf):  # dbscan -> per-cluster convex
+        # hull composition; oracle replays BOTH stages independently
+        # (brute-force Python DBSCAN + Jarvis-march hull)
+        from osm_pbf_spark.operators.clustering import cluster_hulls
+
+        pts = customer_points(spark, sf).where(F.col("doc_id") < 1200)
+        return cluster_hulls(
+            pts, eps=8.0, min_pts=5, id_col="doc_id", x_col="lat", y_col="lon"
+        )
+
+    q["q_cluster_hulls"] = q_cluster_hulls
+
     def q_stream_session(spark, sf):  # streaming SESSION windows via
         # F.session_window state-store merging; complete-mode drain ==
         # batch gaps-and-islands sessionization (strictly-greater gap
@@ -4510,6 +4560,108 @@ def _ora_isotonic() -> str:
             ("pool_sum", "BIGINT"),
             ("pool_cnt", "BIGINT"),
             ("fitted", "DOUBLE"),
+        ],
+        rows,
+    )
+
+
+def _ora_benford_sql() -> str:
+    """Verbatim replay of the Benford spec with the operator's own
+    micro-probability literals and the same fixed 9-term chi2 chain
+    (dev squared in DOUBLE, exactly as the engine does)."""
+    from osm_pbf_spark.operators.dq import benford_probs_micro
+
+    probs = benford_probs_micro()
+    nd = ", ".join(
+        f"CAST(sum(CASE WHEN d = {d} THEN 1 ELSE 0 END) AS BIGINT) AS n{d}"
+        for d in range(1, 10)
+    )
+    terms = "\n                 + ".join(
+        f"(CAST(CAST(n{d} * 1000000 - n * {probs[d - 1]} AS BIGINT) AS DOUBLE)"
+        f" * CAST(CAST(n{d} * 1000000 - n * {probs[d - 1]} AS BIGINT) AS DOUBLE))"
+        f" / CAST(n * {probs[d - 1]} * 1000000 AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    cols = ", ".join(f"n{d}" for d in range(1, 10))
+    return f"""
+        WITH s AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS x
+                   FROM orders),
+        d0 AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS INT) AS d
+               FROM s),
+        a AS (SELECT count(*) AS n, {nd} FROM d0)
+        SELECT n, {cols},
+               CASE WHEN n > 0 THEN {terms} END AS chi2
+        FROM a
+    """
+
+
+def _ora_cluster_hulls() -> str:
+    """Independent replay of BOTH composed stages: brute-force all-
+    pairs Python DBSCAN (vs the engine's 3x3 grid join + distributed
+    CC) + the Jarvis-march hull oracle (vs the monotone chain)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.hull import hull_py
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "customer.parquet"), columns=["c_custkey"]
+    )
+    ids = sorted(k for k in t.column("c_custkey").to_pylist() if k < 1200)
+    pts = {
+        k: (
+            -60.0 + ((k * 7919) % 120000) / 1000.0,
+            -150.0 + ((k * 104729) % 300000) / 1000.0,
+        )
+        for k in ids
+    }
+    eps2, min_pts = 8.0 * 8.0, 5
+    nbrs: dict[int, list[int]] = {i: [] for i in ids}
+    for a, i in enumerate(ids):
+        xi, yi = pts[i]
+        for j in ids[a:]:
+            xj, yj = pts[j]
+            dx, dy = xi - xj, yi - yj
+            if dx * dx + dy * dy <= eps2:
+                nbrs[i].append(j)
+                if i != j:
+                    nbrs[j].append(i)
+    cores = {i for i in ids if len(nbrs[i]) >= min_pts}
+    cluster: dict[int, int] = {}
+    for c in sorted(cores):  # first visit of a component IS its min id
+        if c in cluster:
+            continue
+        cluster[c] = c
+        stack = [c]
+        while stack:
+            u = stack.pop()
+            for v in nbrs[u]:
+                if v in cores and v not in cluster:
+                    cluster[v] = c
+                    stack.append(v)
+    for i in ids:
+        if i in cores:
+            continue
+        cands = [cluster[v] for v in nbrs[i] if v != i and v in cores]
+        if cands:
+            cluster[i] = min(cands)
+    groups: dict[int, set] = {}
+    for i, cl in cluster.items():
+        lat, lon = pts[i]
+        ix = math.floor(lat * 1000.0 + 0.5)
+        iy = math.floor(lon * 1000.0 + 0.5)
+        groups.setdefault(cl, set()).add((ix, iy))
+    rows = []
+    for cl in sorted(groups):
+        for pos, (ix, iy) in enumerate(hull_py(sorted(groups[cl]))):
+            rows.append((cl, pos, ix, iy))
+    return _values_sql(
+        [
+            ("cluster", "BIGINT"),
+            ("hull_pos", "INTEGER"),
+            ("ix", "BIGINT"),
+            ("iy", "BIGINT"),
         ],
         rows,
     )
@@ -10609,6 +10761,60 @@ def oracle_sql() -> dict[str, str]:
             FROM isl GROUP BY doc_id, g
         """,
         "q_isotonic": _ora_isotonic(),
+        "q_cluster_hulls": _ora_cluster_hulls(),
+        # verbatim rank-sum replay (sum(i*x) is tie-invariant)
+        "q_concentration": """
+            WITH s AS (SELECT o_orderpriority,
+                              CAST(floor(o_totalprice) AS BIGINT) AS x
+                       FROM orders),
+            r AS (SELECT o_orderpriority, x,
+                         row_number() OVER (PARTITION BY o_orderpriority
+                                            ORDER BY x) AS i
+                  FROM s),
+            a AS (SELECT o_orderpriority, count(*) AS n,
+                         CAST(sum(x) AS BIGINT) AS total,
+                         CAST(sum(x * x) AS BIGINT) AS sumsq,
+                         CAST(sum(i * x) AS BIGINT) AS ix
+                  FROM r GROUP BY 1)
+            SELECT o_orderpriority, n, total, sumsq,
+                   CAST(2 * ix - (n + 1) * total AS BIGINT) AS gini_num,
+                   CASE WHEN total > 0 AND n > 1
+                        THEN CAST(2 * ix - (n + 1) * total AS DOUBLE)
+                             / CAST(n * total AS DOUBLE) END AS gini,
+                   CASE WHEN total > 0
+                        THEN CAST(sumsq AS DOUBLE)
+                             / CAST(total * total AS DOUBLE) END AS hhi
+            FROM a
+        """,
+        # exact q_num = 4*m*intra - sum_c d_c^2 over the md5 graph
+        # with the node%5 labeling
+        "q_modularity": f"""
+            WITH {_MD5_GRAPH_SQL},
+            e0 AS (SELECT src AS a, dst AS b FROM ed WHERE src <> dst),
+            und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                    FROM e0),
+            tot AS (SELECT count(*) AS m,
+                           CAST(coalesce(sum(CASE WHEN u % 5 = v % 5
+                                                  THEN 1 END), 0) AS BIGINT)
+                               AS intra
+                    FROM und),
+            ends AS (SELECT u AS node, u % 5 AS lbl FROM und
+                     UNION ALL SELECT v, v % 5 FROM und),
+            dc AS (SELECT lbl, count(*) AS d FROM ends GROUP BY lbl),
+            s2 AS (SELECT CAST(sum(d * d) AS BIGINT) AS sum_dc2 FROM dc)
+            SELECT CAST(tot.m AS BIGINT) AS m, tot.intra,
+                   CAST(4 * tot.m * tot.intra - coalesce(s2.sum_dc2, 0)
+                        AS BIGINT) AS q_num,
+                   CASE WHEN tot.m > 0
+                        THEN CAST(4 * tot.m * tot.intra
+                                  - coalesce(s2.sum_dc2, 0) AS DOUBLE)
+                             / CAST(4 * tot.m * tot.m AS DOUBLE)
+                   END AS modularity
+            FROM tot, s2
+        """,
+        # 9-term fixed chi2 chain with the SAME micro-probability
+        # literals (benford_probs_micro imported from the operator)
+        "q_benford": _ora_benford_sql(),
         # verbatim CASE replay with the SAME integer weights
         # (fs_weights imported from the operator — cannot drift)
         "q_fs_link": f"""

@@ -154,3 +154,55 @@ def dbscan(
             F.coalesce(F.col("is_core"), F.lit(False)).alias("is_core"),
         )
     )
+
+
+def cluster_hulls(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    scale: float = 1000.0,
+    cc_rounds: int | None = None,
+) -> DataFrame:
+    """DBSCAN clusters rendered as CCW convex-hull polygons — the
+    map-layer composition (cluster the points, draw each cluster's
+    footprint) every density-analysis dashboard ships: dbscan ->
+    drop noise -> per-cluster convex hull on the integer grid.
+
+    Pure composition of two gate-verified operators (dbscan's exact-d2
+    grid join; convex_hull's integer monotone chain) — semantics and
+    determinism are inherited, and the composed pipeline is itself
+    oracle-gated (q_cluster_hulls verifies BOTH stages independently:
+    a brute-force Python DBSCAN replay + the Jarvis-march hull
+    oracle).
+
+    Returns ``(cluster, hull_pos, ix, iy)`` — CCW vertices per
+    non-noise cluster, ``ix = floor(x*scale + 0.5)`` etc.
+
+    Plan: the dbscan subplan (3x3 grid join + CC rounds) feeds one
+    keyed join back onto the points and convex_hull's per-group
+    applyInPandas; the labels join is the only added shuffle.
+    """
+    lab = dbscan(
+        points, eps, min_pts, id_col=id_col, x_col=x_col, y_col=y_col,
+        cc_rounds=cc_rounds,
+    ).where(F.col("cluster") >= 0)
+    from .hull import convex_hull
+
+    pts = points.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+    )
+    j = pts.join(lab.select("id", "cluster"), "id")
+    return convex_hull(
+        j.select(F.col("cluster").alias("group_id"), "_x", "_y"),
+        group_col="group_id",
+        lat_col="_y",
+        lon_col="_x",
+        scale=scale,
+    ).select(
+        F.col("group_id").alias("cluster"), "hull_pos", "ix", "iy"
+    )

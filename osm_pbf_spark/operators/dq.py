@@ -105,3 +105,82 @@ def check_constraints(
     if not parts:
         raise ValueError("no constraints given")
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def benford_probs_micro() -> list[int]:
+    """Benford leading-digit probabilities log10(1 + 1/d), d = 1..9,
+    quantized HALF-UP to micro units — INT literals shared by the
+    operator and the gate oracle (the fs_weights convention)."""
+    import math
+
+    return [
+        int(math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5))
+        for d in range(1, 10)
+    ]
+
+
+def benford_deviation(
+    df: DataFrame,
+    val_col: str,
+) -> DataFrame:
+    """Benford's-law conformance of a POSITIVE INTEGER column — the
+    classic forensic DQ probe (fabricated or truncated numeric fields
+    break the log-uniform leading-digit law that organic magnitudes
+    follow).
+
+    Spec: leading digit = first character of the decimal string (the
+    column must be a positive integral value — guarded in a WHERE;
+    string extraction avoids the log10 ulp trap at exact powers of
+    ten). Expected micro-probabilities are the INT literals of
+    :func:`benford_probs_micro`. Output is ONE row:
+
+        (n, n1..n9, chi2)
+
+    where n_d are exact int64 counts and chi2 is the Pearson statistic
+    sum_d (n_d*10^6 - n*e_d)^2 / (n*e_d*10^6) evaluated as NINE fixed-
+    order terms on exact integer numerators — a deterministic IEEE
+    chain, gate-hashable (a windowed float sum over digit rows would
+    be partition-order-dependent; the pivot to one row pins the
+    order).
+
+    Plan: one map-side CASE projection + one 9-bounded hash aggregate
+    pivoted into a single row — one tiny shuffle, pure codegen.
+    """
+    xc = F.col(val_col).cast("bigint")
+    df = df.where(
+        F.when(xc > 0, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"benford_deviation: {val_col} must be > 0, got "),
+                    F.col(val_col).cast("string"),
+                )
+            )
+        )
+    )
+    digit = F.substring(xc.cast("string"), 1, 1).cast("int")
+    agg = df.select(digit.alias("_d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("_d") == d).cast("bigint")).alias(f"n{d}")
+            for d in range(1, 10)
+        ],
+    )
+    probs = benford_probs_micro()
+    terms = []
+    for d in range(1, 10):
+        e = F.lit(probs[d - 1])
+        dev = (F.col(f"n{d}") * F.lit(1_000_000) - F.col("n") * e).cast("bigint")
+        # square in DOUBLE: dev itself is exact int64 (n up to ~9e12),
+        # but dev^2 would overflow bigint under ANSI at n ~ 3e3 already
+        dd = dev.cast("double")
+        terms.append(
+            (dd * dd) / (F.col("n") * e * F.lit(1_000_000)).cast("double")
+        )
+    chi2 = terms[0]
+    for t in terms[1:]:
+        chi2 = chi2 + t
+    return agg.select(
+        "n",
+        *[f"n{d}" for d in range(1, 10)],
+        F.when(F.col("n") > 0, chi2).alias("chi2"),
+    )

@@ -1003,3 +1003,111 @@ def walk_pairs(
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity Q of a community labeling — the standard
+    quality score for what :func:`label_propagation` (or any
+    clustering of the graph) produced:
+
+        Q = intra/m - sum_c (d_c / 2m)^2
+
+    over the symmetrized simple graph (self-loops dropped, duplicate
+    edges collapsed — the convention every op in this module uses),
+    where m = #undirected edges, intra = #edges inside one community,
+    d_c = sum of degrees in community c.
+
+    EXACT-INTEGER spec: clear denominators —
+
+        q_num = 4*m*intra - sum_c d_c^2,   Q = q_num / (4*m^2)
+
+    q_num is an exact int64 (|q_num| <= 4m^2; keep m under ~10^9) and
+    Q is ONE IEEE division — gate-hashable. Nodes missing from
+    ``labels`` raise loudly via an anti-join guard riding the output
+    union (AQE-safe: the guard is an aggregate branch, not a pruned
+    projection).
+
+    Returns one row ``(m, intra, q_num, modularity)``.
+
+    Plan: one dedup aggregate for the undirected edge set, two keyed
+    joins onto labels, one degree aggregate + one label aggregate,
+    all native — the link_predict scale class.
+    """
+    e = edges.select(
+        F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
+    ).where(F.col("a") != F.col("b"))
+    und = (
+        e.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        ).distinct()
+    )
+    lab = labels.select(
+        F.col(node_col).cast("bigint").alias("_n"), F.col(label_col).alias("_l")
+    )
+    ju = und.join(lab.withColumnRenamed("_n", "u"), "u", "left").withColumnRenamed(
+        "_l", "_lu"
+    )
+    jv = ju.join(
+        lab.withColumnRenamed("_n", "v").withColumnRenamed("_l", "_lv"), "v", "left"
+    )
+    # missing-label guard: one always-present aggregate row that
+    # raises when any endpoint had no label, zero rows when sound
+    miss = jv.agg(
+        F.sum(
+            (F.col("_lu").isNull() | F.col("_lv").isNull()).cast("bigint")
+        ).alias("_miss")
+    ).where(
+        F.when(
+            F.coalesce(F.col("_miss"), F.lit(0)) > 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("modularity: "),
+                    F.col("_miss").cast("string"),
+                    F.lit(" edges have unlabeled endpoints"),
+                )
+            ),
+        ).otherwise(F.lit(False))
+    )
+    tot = jv.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.coalesce(
+            F.sum((F.col("_lu") == F.col("_lv")).cast("bigint")), F.lit(0)
+        ).alias("intra"),
+    )
+    deg = (
+        jv.select(F.col("u").alias("node"), F.col("_lu").alias("lbl"))
+        .unionAll(jv.select(F.col("v").alias("node"), F.col("_lv").alias("lbl")))
+        .groupBy("node", "lbl")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .groupBy("lbl")
+        .agg(F.sum("_d").alias("_dc"))
+        .agg(F.sum(F.col("_dc") * F.col("_dc")).alias("sum_dc2"))
+    )
+    j = tot.crossJoin(deg)
+    q_num = (
+        F.lit(4) * F.col("m") * F.col("intra") - F.coalesce("sum_dc2", F.lit(0))
+    ).cast("bigint")
+    out = j.select(
+        "m",
+        "intra",
+        q_num.alias("q_num"),
+        F.when(
+            F.col("m") > 0,
+            q_num.cast("double")
+            / (F.lit(4) * F.col("m") * F.col("m")).cast("double"),
+        ).alias("modularity"),
+    )
+    guard = miss.select(
+        F.lit(None).cast("bigint").alias("m"),
+        F.lit(None).cast("bigint").alias("intra"),
+        F.lit(None).cast("bigint").alias("q_num"),
+        F.lit(None).cast("double").alias("modularity"),
+    )
+    return out.unionByName(guard)

@@ -735,3 +735,80 @@ def isotonic_fit(
 
     keyed = per.groupBy(*(g if g else [F.lit(0).alias("_all")]))
     return keyed.applyInPandas(_pava, schema)
+
+
+def concentration(
+    df: DataFrame,
+    val_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gini coefficient + Herfindahl–Hirschman index per group — the
+    two standard concentration measures a corpus pipeline runs on its
+    domain/source/language distribution (is the crawl dominated by a
+    few hosts? is the token budget spread or spiked?).
+
+    EXACT-INTEGER spec over a NONNEGATIVE integer ``val_col`` (guarded
+    in a WHERE — negative values make Gini ill-defined):
+
+        gini_num = 2*sum(i * x_(i)) - (n+1)*S     (i = ascending rank)
+        gini     = gini_num / (n*S)               (ONE IEEE division)
+        hhi      = sum(x^2) / S^2                 (ONE division of
+                                                   exact ints)
+
+    Rank ties resolve arbitrarily but sum(i*x) is TIE-INVARIANT (equal
+    x values swap ranks without changing the sum), so the output is
+    deterministic under any partitioning. hhi is the sum of squared
+    shares in [1/n, 1]; gini in [0, 1-1/n].
+
+    Returns ``(group..., n, total, sumsq, gini_num, gini, hhi)``; gini
+    NULL when S = 0 or n < 2, hhi NULL when S = 0.
+
+    Plan: one per-group ranking window + one hash aggregate — two
+    narrow keyed shuffles, pure codegen. The window sorts full groups;
+    for billion-row groups pre-aggregate equal values first (ranks of
+    collapsed (value, count) runs can be reconstructed — not offered
+    here; profile first).
+    """
+    g = list(group_cols or [])
+    xc = F.col(val_col).cast("bigint")
+    df = df.where(
+        F.when(xc >= 0, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"concentration: {val_col} must be >= 0, got "),
+                    F.col(val_col).cast("string"),
+                )
+            )
+        )
+    )
+    part = [F.col(c) for c in g] if g else [F.lit(0)]
+    w = Window.partitionBy(*part).orderBy(xc)
+    ranked = df.select(*g, xc.alias("_x"), F.row_number().over(w).alias("_i"))
+    keys = g if g else [F.lit(0).alias("_all")]
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("total"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sumsq"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_ix"),
+    )
+    if not g:
+        agg = agg.drop("_all")
+    gini_num = (
+        F.lit(2) * F.col("_ix") - (F.col("n") + F.lit(1)) * F.col("total")
+    ).cast("bigint")
+    return agg.select(
+        *g,
+        "n",
+        "total",
+        "sumsq",
+        gini_num.alias("gini_num"),
+        F.when(
+            (F.col("total") > 0) & (F.col("n") > 1),
+            gini_num.cast("double") / (F.col("n") * F.col("total")).cast("double"),
+        ).alias("gini"),
+        F.when(
+            F.col("total") > 0,
+            F.col("sumsq").cast("double")
+            / (F.col("total") * F.col("total")).cast("double"),
+        ).alias("hhi"),
+    )

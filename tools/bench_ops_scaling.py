@@ -408,6 +408,60 @@ def leg_stream_window(spark, n: int) -> int:
     return out.count()
 
 
+def leg_kde(spark, n: int) -> int:
+    from osm_pbf_spark.operators.tiling import kde_grid
+
+    return kde_grid(_points(spark, n), level=11, k=3).count()
+
+
+def _leg_docs(spark, n: int, dup_groups: bool):
+    """Deterministic synthetic corpus: 40-token docs; with dup_groups
+    every 4 consecutive ids share one text (cross-doc repetition)."""
+    from pyspark.sql import functions as F
+
+    base = (F.col("id") - F.pmod(F.col("id"), F.lit(4))) if dup_groups else F.col("id")
+    tok = lambda j: F.concat(  # noqa: E731
+        F.lit("t"), F.pmod(base * F.lit(31) + j * F.lit(11), F.lit(2000))
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(40)), tok), " "
+        ).alias("text"),
+    )
+
+
+def leg_ngram_spans(spark, n: int) -> int:
+    from osm_pbf_spark.operators.dedup import repeated_ngram_spans
+
+    return repeated_ngram_spans(_leg_docs(spark, n, True), k=8).count()
+
+
+def leg_rake(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.text import rake_keywords
+
+    docs = _leg_docs(spark, n, False).select(
+        "doc_id",
+        F.regexp_replace("text", "t7([0-9]) ", "the ").alias("text"),
+    )
+    return rake_keywords(docs, top_k=3).count()
+
+
+def leg_acf(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.temporal import acf
+
+    series = spark.range(n).select(
+        F.pmod(F.col("id"), F.lit(1024)).alias("key"),
+        F.col("id").alias("seq"),
+        F.pmod(F.col("id") * F.lit(37), F.lit(101)).cast("double").alias("val"),
+    )
+    return acf(series, max_lag=5).count()
+
+
 LEGS = {
     "distance_join": leg_distance_join,
     "bbox_join": leg_bbox_join,
@@ -430,6 +484,10 @@ LEGS = {
     "basins": leg_basins,
     "random_walks": leg_random_walks,
     "stream_window": leg_stream_window,
+    "kde": leg_kde,
+    "ngram_spans": leg_ngram_spans,
+    "rake": leg_rake,
+    "acf": leg_acf,
 }
 
 # per-leg size multiplier on N_POINTS: every timed region must DWARF
@@ -473,6 +531,14 @@ LEG_SCALE = {
     # merge. 60M rows drained in ~3 s (micro-batch setup is a ~1-2 s
     # fixed cost); needs ~600M rows to dwarf it
     "stream_window": 200.0,
+    # two 1-D scatter passes over occupied cells at level 11
+    "kde": 12.0,
+    # 33 8-token windows/doc -> a ~33n-row fp shuffle + islands window
+    "ngram_spans": 1.0,
+    # islands window + corpus vocab agg + term join + phrase agg
+    "rake": 1.0,
+    # one keyed window sort + 5-lag explode + partial agg
+    "acf": 10.0,
 }
 
 
