@@ -4338,6 +4338,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_cluster_hulls"] = q_cluster_hulls
 
+    def q_containment(spark, sf):  # asymmetric set-containment join
+        # (quote/subset detection): synthesized 15-token prefix docs
+        # must be found inside their source docs; brute SQL oracle
+        from osm_pbf_spark.operators.dedup import containment_join
+
+        d = (
+            load(spark, sf, "documents")
+            .filter(F.col("doc_id") < 100)
+            .select("doc_id", "text")
+        )
+        short = d.select(
+            (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 15), " "
+            ).alias("text"),
+        )
+        return containment_join(d.unionAll(short), threshold=(10, 10))
+
+    q["q_containment"] = q_containment
+
+    def q_kanon(spark, sf):  # k-anonymity audit: (user, type) classes
+        # smaller than k are re-identifiable
+        from osm_pbf_spark.operators.dq import k_anonymity
+
+        ev = load(spark, sf, "events").select("user_id", "event_type")
+        return k_anonymity(ev, ["user_id", "event_type"], k=5)
+
+    q["q_kanon"] = q_kanon
+
+    def q_chaikin(spark, sf):  # two corner-cutting passes over exact
+        # integer polylines (units of 4^2); scalar-replay VALUES oracle
+        from osm_pbf_spark.operators.simplify import chaikin_smooth
+
+        pts = customer_points(spark, sf).where(F.col("doc_id") < 2000)
+        verts = pts.select(
+            F.pmod(F.col("doc_id"), F.lit(20)).alias("line_id"),
+            F.col("doc_id").alias("pos"),
+            F.floor(F.col("lat") * F.lit(100.0) + F.lit(0.5)).cast("bigint").alias("ix"),
+            F.floor(F.col("lon") * F.lit(100.0) + F.lit(0.5)).cast("bigint").alias("iy"),
+        )
+        return chaikin_smooth(verts, iters=2)
+
+    q["q_chaikin"] = q_chaikin
+
+    def q_ohlc(spark, sf):  # OHLC bars per type: one hash agg,
+        # min/max-struct open/close; oracle = row_number argmin/argmax
+        from osm_pbf_spark.operators.temporal import ohlc_resample
+
+        ev = load(spark, sf, "events").select(
+            F.col("event_type").alias("key"),
+            "ts",
+            F.col("event_id").alias("tb"),
+            F.col("value").alias("val"),
+        )
+        return ohlc_resample(ev, "6 hours", tiebreak_col="tb", scale=100)
+
+    q["q_ohlc"] = q_ohlc
+
+    def q_raster_coarsen(spark, sf):  # raster pyramid: 1-degree cell
+        # counts coarsened 4x per axis by bit shift (negative-safe)
+        from osm_pbf_spark.operators.spatialstats import grid_cell_counts
+        from osm_pbf_spark.operators.tiling import raster_coarsen
+
+        cells = grid_cell_counts(customer_points(spark, sf), 1.0)
+        return raster_coarsen(cells, shift=2, x_col="cx", y_col="cy", val_col="x")
+
+    q["q_raster_coarsen"] = q_raster_coarsen
+
+    def q_mix(spark, sf):  # deterministic weighted source interleave
+        # (stride scheduling, exact integer mix_t)
+        from osm_pbf_spark.operators.packing import mix_sources
+
+        d = load(spark, sf, "documents").select("doc_id", "lang")
+        return mix_sources(
+            d, "lang", "doc_id",
+            weights={"en": 5, "de": 1, "zh": 2, "fr": 1, "es": 3},
+        )
+
+    q["q_mix"] = q_mix
+
     def q_stream_session(spark, sf):  # streaming SESSION windows via
         # F.session_window state-store merging; complete-mode drain ==
         # batch gaps-and-islands sessionization (strictly-greater gap
@@ -4560,6 +4640,53 @@ def _ora_isotonic() -> str:
             ("pool_sum", "BIGINT"),
             ("pool_cnt", "BIGINT"),
             ("fitted", "DOUBLE"),
+        ],
+        rows,
+    )
+
+
+def _ora_chaikin() -> str:
+    """Pure-Python scalar replay of two Chaikin passes (plain loops —
+    independent plumbing from the engine's window/Generate plan, same
+    exact-integer spec)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "customer.parquet"), columns=["c_custkey"]
+    )
+    lines: dict[int, list[tuple[int, int, int]]] = {}
+    for k in t.column("c_custkey").to_pylist():
+        if k >= 2000:
+            continue
+        lat = -60.0 + ((k * 7919) % 120000) / 1000.0
+        lon = -150.0 + ((k * 104729) % 300000) / 1000.0
+        ix = math.floor(lat * 100.0 + 0.5)
+        iy = math.floor(lon * 100.0 + 0.5)
+        lines.setdefault(k % 20, []).append((k, ix, iy))
+    rows = []
+    for lid in sorted(lines):
+        pts = [(x, y) for _, x, y in sorted(lines[lid])]
+        for _ in range(2):
+            if len(pts) == 1:
+                pts = [(pts[0][0] * 4, pts[0][1] * 4)]
+                continue
+            out = [(pts[0][0] * 4, pts[0][1] * 4)]
+            for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+                out.append((3 * x1 + x2, 3 * y1 + y2))
+                out.append((x1 + 3 * x2, y1 + 3 * y2))
+            out.append((pts[-1][0] * 4, pts[-1][1] * 4))
+            pts = out
+        for pos, (x, y) in enumerate(pts):
+            rows.append((lid, pos, x, y, 2))
+    return _values_sql(
+        [
+            ("line_id", "BIGINT"),
+            ("pos", "BIGINT"),
+            ("ix", "BIGINT"),
+            ("iy", "BIGINT"),
+            ("scale_pow4", "INTEGER"),
         ],
         rows,
     )
@@ -10762,6 +10889,100 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_isotonic": _ora_isotonic(),
         "q_cluster_hulls": _ora_cluster_hulls(),
+        "q_chaikin": _ora_chaikin(),
+        # brute all-pairs containment (independent of prefix filtering)
+        "q_containment": """
+            WITH src AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100
+              UNION ALL
+              SELECT doc_id + 200000,
+                     array_to_string(list_slice(
+                         string_split(text, ' '), 1, 15), ' ')
+              FROM documents WHERE doc_id < 100),
+            t0 AS (SELECT doc_id,
+                          unnest(list_distinct(list_filter(
+                              string_split(text, ' '), t -> t <> ''))) AS tok
+                   FROM src),
+            sz AS (SELECT doc_id, count(*) AS n FROM t0 GROUP BY 1),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             count(*) AS n_inter
+                      FROM t0 a JOIN t0 b
+                        ON b.tok = a.tok AND a.doc_id <> b.doc_id
+                      GROUP BY 1, 2)
+            SELECT i.id_a, i.id_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+                   CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.id_a
+            JOIN sz sb ON sb.doc_id = i.id_b
+            WHERE 10 * i.n_inter >= 10 * sa.n
+        """,
+        "q_kanon": """
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY user_id, event_type HAVING count(*) < 5
+        """,
+        # independent open/close: row_number argmin/argmax vs the
+        # engine's min/max-struct aggregates
+        "q_ohlc": """
+            WITH s AS (
+              SELECT event_type AS key,
+                     time_bucket(INTERVAL '6 hours', ts) AS b,
+                     ts, event_id,
+                     CAST(floor(value * CAST(100 AS DOUBLE) + 0.5)
+                          AS BIGINT) AS q
+              FROM events),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY key, b
+                                            ORDER BY ts, event_id) AS rna,
+                         row_number() OVER (PARTITION BY key, b
+                                            ORDER BY ts DESC,
+                                                     event_id DESC) AS rnd
+                  FROM s)
+            SELECT key, b AS bucket_start,
+                   CAST(max(CASE WHEN rna = 1 THEN q END) AS BIGINT) AS open,
+                   max(q) AS high, min(q) AS low,
+                   CAST(max(CASE WHEN rnd = 1 THEN q END) AS BIGINT) AS close,
+                   count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q
+            FROM r GROUP BY key, b
+        """,
+        # FLOOR-division replay of the bit-shift parent. LESSON:
+        # DuckDB integer // TRUNCATES toward zero (-5 // 4 = -1) while
+        # Spark shiftright is arithmetic (= floor, -5 >> 2 = -2) — on
+        # signed grids the oracle must floor explicitly
+        "q_raster_coarsen": f"""
+            WITH pts AS ({SQL_POINTS}),
+            c AS (SELECT CAST(floor(lat / CAST(1.0 AS DOUBLE)) AS BIGINT) AS cx,
+                         CAST(floor(lon / CAST(1.0 AS DOUBLE)) AS BIGINT) AS cy,
+                         count(*) AS x
+                  FROM pts GROUP BY 1, 2)
+            SELECT CAST(floor(cx / CAST(4 AS DOUBLE)) AS BIGINT) AS cx,
+                   CAST(floor(cy / CAST(4 AS DOUBLE)) AS BIGINT) AS cy,
+                   CAST(sum(x) AS BIGINT) AS x
+            FROM c GROUP BY 1, 2
+        """,
+        # verbatim stride-scheduling replay (same md5 rank spec and
+        # integer DIV stride; weights inline)
+        "q_mix": """
+            WITH w AS (SELECT doc_id, lang,
+                              CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 1
+                                        WHEN 'zh' THEN 2 WHEN 'fr' THEN 1
+                                        WHEN 'es' THEN 3 END AS wt
+                       FROM documents),
+            r AS (SELECT doc_id, lang, wt,
+                         row_number() OVER (
+                             PARTITION BY lang
+                             ORDER BY substr(md5('0:' || lang || ':'
+                                             || CAST(doc_id AS VARCHAR)),
+                                             1, 8),
+                                      doc_id) AS i
+                  FROM w),
+            t AS (SELECT doc_id, lang, CAST(i AS BIGINT) AS i,
+                         CAST((i * 1048576) // wt AS BIGINT) AS mix_t
+                  FROM r)
+            SELECT doc_id, lang, i, mix_t,
+                   CAST(row_number() OVER (ORDER BY mix_t, lang, i) - 1
+                        AS BIGINT) AS mix_pos
+            FROM t
+        """,
         # verbatim rank-sum replay (sum(i*x) is tie-invariant)
         "q_concentration": """
             WITH s AS (SELECT o_orderpriority,

@@ -807,12 +807,13 @@ def repeated_ngram_spans(
 
     Plan: per-doc window fingerprints are ONE native
     transform/explode Generate (no Python, O(k) chars hashed per
-    token); one fingerprint-keyed shuffle computes (keeper, count) by
-    partial-aggregated min(struct)/count; a second keyed join flags
-    non-keepers; span merging is one per-doc sort window. Shuffle
-    rows = windows (= tokens), all slim (fp, doc, pos) — the 100-TB
-    cost is one tokens-sized shuffle, the same scale class as the
-    MinHash band shuffle.
+    token); keeper + occurrence count ride ONE fp-partitioned window
+    pair (row_number + count on the same sort — measured 1.5x faster
+    than the agg + join-back formulation, which shuffled the windows
+    table twice more); span merging is one per-doc sort window.
+    Shuffle rows = windows (= tokens), slim (fp, doc, pos) — the
+    100-TB cost is one tokens-sized shuffle + one doc-keyed shuffle
+    of only the duplicated windows, the MinHash band scale class.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -837,19 +838,19 @@ def repeated_ngram_spans(
         )
         .select("doc_id", F.col("_w.pos").alias("pos"), F.col("_w.fp").alias("fp"))
     )
-    stats = wins.groupBy("fp").agg(
-        F.min(F.struct("doc_id", "pos")).alias("_keep"),
-        F.count(F.lit(1)).alias("_n"),
-    )
+    wf = Window.partitionBy("fp").orderBy("doc_id", "pos")
     dups = (
-        wins.join(stats, "fp")
-        .where(
-            (F.col("_n") > 1)
-            & ~(
-                (F.col("doc_id") == F.col("_keep.doc_id"))
-                & (F.col("pos") == F.col("_keep.pos"))
-            )
+        wins.select(
+            "doc_id",
+            "pos",
+            F.row_number().over(wf).alias("_rn"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy("fp").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("_n"),
         )
+        .where((F.col("_n") > 1) & (F.col("_rn") > 1))
         .select("doc_id", "pos")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -874,3 +875,113 @@ def repeated_ngram_spans(
         (F.max("pos") + F.lit(k)).alias("end"),
         F.count(F.lit(1)).alias("n_windows"),
     ).select("doc_id", "start", "end", "n_windows")
+
+
+def containment_join(
+    docs: DataFrame,
+    threshold: tuple[int, int] = (8, 10),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_token: int | None = None,
+) -> DataFrame:
+    """EXACT token-set CONTAINMENT self-join: all ORDERED pairs
+    (id_a != id_b) with ``|A ∩ B| >= tau * |A|`` — the asymmetric
+    sibling of :func:`set_similarity_join` and the right tool for
+    quote/subset detection (a short doc whose tokens live inside a
+    long one has tiny Jaccard but containment ~1 — symmetric measures
+    never find it).
+
+    ``threshold`` is the exact fraction (num, den); acceptance is the
+    pure-int64 test ``den * inter >= num * na``.
+
+    Plan (the SSJoin prefix discipline, asymmetric form):
+      1-2. distinct (id, token) + global df; per-doc arrays in (df,
+         token) rarity order — shared with the Jaccard join;
+      3. the A side emits only its prefix of ``n - ceil(tau*n) + 1``
+         rarest tokens (if |A∩B| >= ceil(tau*na), at least one common
+         token sits in A's prefix — the one-sided prefix lemma: fewer
+         than that many prefix tokens missing from B is impossible
+         when the suffix alone is shorter than ceil(tau*na)); the B
+         side must emit ALL its tokens (containment ignores |B|, so B
+         gets no prefix) — the candidate cost is A-prefix x B-postings
+         on shared tokens, capped by ``max_token`` on the B postings
+         (documented recall contract, the LSH-cap semantics);
+      4. token equi-join (id_a != id_b) + the necessary-size
+         prefilter ``den * nb >= num * na`` (inter <= min(na, nb));
+      5. verify with the exact native ``array_intersect`` on the two
+         sorted arrays.
+
+    Returns ``(id_a, id_b, n_inter, na, nb)`` — exact ints; id_a is
+    the CONTAINED side.
+    """
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError(f"threshold must be a fraction in (0, 1], got {num}/{den}")
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    df_t = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        toks.join(df_t, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks"),
+        )
+        .withColumn("n", F.size("toks"))
+    )
+    plen = (
+        F.col("n")
+        - F.floor((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den))
+        + 1
+    )
+    a = ordered.select(
+        F.col("id").alias("id_a"),
+        F.col("n").alias("na"),
+        F.explode(F.slice("toks", 1, plen.cast("int"))).alias("tok"),
+    )
+    b = ordered.select(
+        F.col("id").alias("id_b"),
+        F.col("n").alias("nb"),
+        F.explode("toks").alias("tok"),
+    )
+    b = _cap_hot_buckets(b, "tok", max_token)
+    cand = (
+        a.join(b, "tok")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.lit(den) * F.col("nb") >= F.lit(num) * F.col("na"))
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.first("na").alias("na"), F.first("nb").alias("nb"))
+    )
+    arrs = ordered.select("id", "toks")
+    pairs = (
+        cand.join(
+            arrs.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")),
+            "id_b",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("ta", "tb")).cast("bigint")
+        )
+    )
+    return pairs.where(
+        F.lit(den) * F.col("n_inter") >= F.lit(num) * F.col("na")
+    ).select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+    )

@@ -184,3 +184,35 @@ def benford_deviation(
         *[f"n{d}" for d in range(1, 10)],
         F.when(F.col("n") > 0, chi2).alias("chi2"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier column set — the
+    standard re-identification check before releasing or training on
+    user-adjacent tables: every combination of ``qi_cols`` values
+    shared by FEWER than k rows is a violating equivalence class
+    (those rows are re-identifiable to within < k candidates).
+
+    Returns the violating classes ``(qi..., n)`` — empty means the
+    table IS k-anonymous at this k; the rows themselves are the
+    suppression/generalization candidates a privacy pass feeds on.
+    NULL is a value like any other (a NULL-ZIP group of 2 is just as
+    identifying), which is exactly what groupBy gives.
+
+    Plan: ONE hash aggregate on the quasi-identifier key + the
+    count filter — map-side combinable, one narrow shuffle; at 100 TB
+    this is the exact_dedup scale class.
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") < k)
+    )

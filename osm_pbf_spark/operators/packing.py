@@ -763,3 +763,95 @@ def dsir_weights(
             ),
         )
     )
+
+
+MIX_PREC = 1 << 20  # stride precision: i * MIX_PREC must stay < 2^63
+
+
+def mix_sources(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weights: dict,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted source interleaving — the training-data
+    MIXING order (Pile/Dolma-style): stream rows so that every prefix
+    of the output holds the sources in ~the given ratios, reproducibly
+    across engines, partitionings and reruns (a shuffled union gives
+    the ratio only in expectation and never the same order twice).
+
+    Stride-scheduling spec, all exact integers:
+      - within each source, rows get rank ``i`` (1-based) in seeded
+        md5 hash order (``md5(seed:group:id)`` 8-hex prefix, id
+        tie-break — the group_sample convention, so the within-source
+        order is itself a reproducible shuffle);
+      - row i of source g is scheduled at virtual time
+        ``mix_t = (i * 2^20) DIV w_g`` (nonnegative operands: Spark
+        DIV == floor) — larger weight = smaller stride = denser;
+      - the mix order is (mix_t, group, i); ``mix_pos`` materializes
+        it as a global 0-based row_number.
+
+    Every prefix of length L carries ~L*w_g/W rows of source g (off by
+    at most one stride + the 2^-20 quantization). Rows whose group is
+    missing from ``weights`` RAISE (WHERE guard). ``i`` up to 2^42
+    fits the stride product.
+
+    Returns the input columns plus ``(i, mix_t, mix_pos)``.
+
+    Plan: one per-group ranking window + one global ranking window
+    over the slim key triple. The global window is the str_partition
+    class — at 100 TB assign mix_pos with the two-pass prefix-sum
+    rank discipline over mix_t range buckets instead, and ORDER BY
+    (mix_t, group, i) stays the streaming-friendly form.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for g, w in weights.items():
+        if int(w) < 1:
+            raise ValueError(f"weight for {g!r} must be >= 1, got {w}")
+    from pyspark.sql import Window
+
+    wexpr = None
+    for g, w in weights.items():
+        c = F.col(group_col) == F.lit(g)
+        wexpr = F.when(c, F.lit(int(w))) if wexpr is None else wexpr.when(c, F.lit(int(w)))
+    df = df.where(
+        F.when(wexpr.isNotNull(), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("mix_sources: no weight for group "),
+                    F.col(group_col).cast("string"),
+                )
+            )
+        )
+    )
+    hk = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(seed)),
+                F.col(group_col).cast("string"),
+                F.col(id_col).cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    wg = Window.partitionBy(group_col).orderBy(hk, F.col(id_col))
+    ranked = df.select(
+        *df.columns,
+        F.row_number().over(wg).cast("bigint").alias("i"),
+        wexpr.alias("_w"),
+    ).withColumn(
+        "mix_t", F.expr(f"(i * {MIX_PREC}L) DIV _w")
+    )
+    wglob = Window.partitionBy(F.lit(0)).orderBy(
+        "mix_t", F.col(group_col), "i"
+    )
+    return ranked.select(
+        *df.columns,
+        "i",
+        "mix_t",
+        (F.row_number().over(wglob) - 1).cast("bigint").alias("mix_pos"),
+    )

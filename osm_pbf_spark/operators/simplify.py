@@ -103,3 +103,130 @@ def simplify_lines(
         F.col("_s.n_in").alias("n_in"),
         F.col("_s.n_out").alias("n_out"),
     )
+
+
+def chaikin_smooth(
+    vertices: DataFrame,
+    iters: int = 1,
+    line_col: str = "line_id",
+    pos_col: str = "pos",
+    x_col: str = "ix",
+    y_col: str = "iy",
+) -> DataFrame:
+    """Chaikin corner-cutting smoothing of open polylines — the map-
+    generalization counterpart of Douglas-Peucker (DP removes points;
+    Chaikin rounds corners for rendering). Each iteration replaces
+    every segment (P, Q) by the quarter points 3/4·P + 1/4·Q and
+    1/4·P + 3/4·Q, keeping the two endpoints (open-polyline
+    convention), converging toward a quadratic B-spline.
+
+    EXACT-INTEGER spec: input coordinates are integers (quantize with
+    the hull/measures grid convention first); every iteration
+    multiplies the coordinate UNIT by 4 — the quarter points are
+    ``3*P + Q`` and ``P + 3*Q`` in the finer unit, endpoints scale by
+    4 — so after ``iters`` rounds coordinates are exact int64 in
+    units of ``4^iters`` (returned as ``scale_pow4``), with NO
+    rounding anywhere: bit-identical in any engine, gate-hashable.
+    ``iters <= 6`` keeps 4^6 * |coord| in range for grid coords.
+
+    Returns ``(line_id, pos, ix, iy, scale_pow4)`` — each pass maps an
+    n-vertex line to 2n vertices (P0, Q0, R0, Q1, R1, ..., P_{n-1}),
+    pos renumbered from 0; single-vertex lines pass through scaled.
+
+    Plan: per iteration ONE per-line window pair (lead + row_number
+    share the line sort) and a 2-point Generate — no Python, no
+    driver loop state; ``iters`` is plan depth, not driver actions.
+    """
+    if not 1 <= iters <= 6:
+        raise ValueError(f"iters must be in [1, 6], got {iters}")
+    from pyspark.sql import Window
+
+    cur = vertices.select(
+        F.col(line_col).alias("line_id"),
+        F.col(pos_col).cast("bigint").alias("pos"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+    for _ in range(iters):
+        w = Window.partitionBy("line_id").orderBy("pos")
+        seg = cur.select(
+            "line_id",
+            "pos",
+            "x",
+            "y",
+            F.lead("x").over(w).alias("x2"),
+            F.lead("y").over(w).alias("y2"),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("line_id")).alias("_n"),
+        )
+        # interior quarter points from each segment + scaled endpoints
+        pts = seg.select(
+            "line_id",
+            F.explode(
+                F.when(
+                    (F.col("_rn") == 1) & F.col("x2").isNotNull(),
+                    # first vertex: endpoint + its segment's Q/R
+                    F.array(
+                        F.struct(
+                            F.col("pos").alias("op"),
+                            F.lit(0).alias("sub"),
+                            (F.col("x") * 4).alias("nx"),
+                            (F.col("y") * 4).alias("ny"),
+                        ),
+                        F.struct(
+                            F.col("pos").alias("op"),
+                            F.lit(1).alias("sub"),
+                            (F.col("x") * 3 + F.col("x2")).alias("nx"),
+                            (F.col("y") * 3 + F.col("y2")).alias("ny"),
+                        ),
+                        F.struct(
+                            F.col("pos").alias("op"),
+                            F.lit(2).alias("sub"),
+                            (F.col("x") + F.col("x2") * 3).alias("nx"),
+                            (F.col("y") + F.col("y2") * 3).alias("ny"),
+                        ),
+                    ),
+                )
+                .when(
+                    F.col("x2").isNotNull(),  # interior segment: Q and R
+                    F.array(
+                        F.struct(
+                            F.col("pos").alias("op"),
+                            F.lit(1).alias("sub"),
+                            (F.col("x") * 3 + F.col("x2")).alias("nx"),
+                            (F.col("y") * 3 + F.col("y2")).alias("ny"),
+                        ),
+                        F.struct(
+                            F.col("pos").alias("op"),
+                            F.lit(2).alias("sub"),
+                            (F.col("x") + F.col("x2") * 3).alias("nx"),
+                            (F.col("y") + F.col("y2") * 3).alias("ny"),
+                        ),
+                    ),
+                )
+                .otherwise(  # last vertex: endpoint only
+                    F.array(
+                        F.struct(
+                            F.col("pos").alias("op"),
+                            F.lit(0).alias("sub"),
+                            (F.col("x") * 4).alias("nx"),
+                            (F.col("y") * 4).alias("ny"),
+                        )
+                    )
+                )
+            ).alias("_p"),
+        )
+        w2 = Window.partitionBy("line_id").orderBy(F.col("_p.op"), F.col("_p.sub"))
+        cur = pts.select(
+            "line_id",
+            (F.row_number().over(w2) - 1).cast("bigint").alias("pos"),
+            F.col("_p.nx").alias("x"),
+            F.col("_p.ny").alias("y"),
+        )
+    return cur.select(
+        "line_id",
+        "pos",
+        F.col("x").alias("ix"),
+        F.col("y").alias("iy"),
+        F.lit(iters).alias("scale_pow4"),
+    )

@@ -1061,3 +1061,60 @@ def seasonal_decompose(
         seasonal.alias("seasonal"),
         ((F.col("q").cast("double") - trend) - seasonal).alias("residual"),
     )
+
+
+def ohlc_resample(
+    events: DataFrame,
+    bucket: str,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    val_col: str = "val",
+    tiebreak_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """OHLC (open/high/low/close) bar resampling per key — the
+    canonical telemetry/market downsample: one row per (key, time
+    bucket) carrying the first, max, min and last quantized value plus
+    the row count and exact value sum.
+
+    EXACT-INTEGER spec: values quantize to ``q = floor(val*scale +
+    0.5)`` int64; open/close are min/max over ``struct(ts[, tiebreak],
+    q)`` (the idempotent argmin/argmax aggregate — deterministic when
+    (ts, tiebreak) is unique per key, which the caller owes exactly as
+    in asof_join), high/low plain min/max, ``sum_q`` the order-free
+    exact sum. No floats anywhere — every column gate-hashable.
+
+    ``bucket`` is a duration string for ``F.window`` (e.g. '1 hour').
+
+    Returns ``(key, bucket_start, open, high, low, close, n, sum_q)``.
+
+    Plan: ONE hash aggregate on (key, window) — min/max/sum all
+    partial-aggregate map-side, one narrow shuffle; the streaming twin
+    is the same expression under windowed_counts' state-store merge.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    qv = F.floor(F.col(val_col) * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+    tagged = events.select(
+        F.col(key_col).alias("key"),
+        F.window(F.col(ts_col), bucket).alias("_w"),
+        F.struct(*order, qv.alias("q")).alias("_o"),
+        qv.alias("q"),
+    )
+    agg = tagged.groupBy("key", "_w").agg(
+        F.min("_o").alias("_first"),
+        F.max("_o").alias("_last"),
+        F.max("q").alias("high"),
+        F.min("q").alias("low"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sum_q"),
+    )
+    return agg.select(
+        "key",
+        F.col("_w.start").alias("bucket_start"),
+        F.col("_first.q").alias("open"),
+        "high",
+        "low",
+        F.col("_last.q").alias("close"),
+        "n",
+        "sum_q",
+    )

@@ -934,3 +934,47 @@ def kde_grid(
         )
 
     return _pass(_pass(cells, "x"), "y")
+
+
+def raster_coarsen(
+    cells: DataFrame,
+    shift: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    val_col: str = "w",
+    agg: str = "sum",
+) -> DataFrame:
+    """Raster pyramid aggregation: coarsen a grid raster by ``2^shift``
+    per axis — every (2^shift x 2^shift) block of cells collapses to
+    one parent cell — the map-algebra step behind overview levels,
+    zoom pyramids and multi-resolution rollups (the raster twin of
+    tile_pyramid_rollup's point path).
+
+    Parent coords are integer BIT SHIFTS of child coords (exact — the
+    same parent-derivation the multi-level cell explode uses), so
+    engines agree trivially. ``agg`` picks the block statistic:
+    'sum' (counts/masses — exact int64), 'min' / 'max' (elevation
+    pyramids — exact), 'count' (occupancy).
+
+    Returns ``(<x_col>, <y_col>, <val_col>)`` at the coarse
+    resolution (input column names preserved; val_col must differ
+    from the coordinate names).
+
+    Plan: one map-side shift projection + ONE partial-aggregated hash
+    agg — output bounded by the coarse grid, shuffle carries at most
+    |parent cells| rows per task. Chain calls for a full pyramid; each
+    level costs one bounded shuffle over the previous level's cells.
+    """
+    if shift < 1:
+        raise ValueError(f"shift must be >= 1, got {shift}")
+    fns = {"sum": F.sum, "min": F.min, "max": F.max, "count": lambda c: F.count(F.lit(1))}
+    if agg not in fns:
+        raise ValueError(f"agg must be one of {sorted(fns)}, got {agg!r}")
+    if val_col in (x_col, y_col):
+        raise ValueError("val_col must differ from the coordinate columns")
+    parent = cells.select(
+        F.shiftright(F.col(x_col).cast("bigint"), shift).alias(x_col),
+        F.shiftright(F.col(y_col).cast("bigint"), shift).alias(y_col),
+        F.col(val_col).alias("_v"),
+    )
+    return parent.groupBy(x_col, y_col).agg(fns[agg](F.col("_v")).alias(val_col))

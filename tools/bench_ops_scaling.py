@@ -411,7 +411,7 @@ def leg_stream_window(spark, n: int) -> int:
 def leg_kde(spark, n: int) -> int:
     from osm_pbf_spark.operators.tiling import kde_grid
 
-    return kde_grid(_points(spark, n), level=11, k=3).count()
+    return kde_grid(_points(spark, n), level=13, k=5).count()
 
 
 def _leg_docs(spark, n: int, dup_groups: bool):
@@ -531,14 +531,19 @@ LEG_SCALE = {
     # merge. 60M rows drained in ~3 s (micro-batch setup is a ~1-2 s
     # fixed cost); needs ~600M rows to dwarf it
     "stream_window": 200.0,
-    # two 1-D scatter passes over occupied cells at level 11
-    "kde": 12.0,
-    # 33 8-token windows/doc -> a ~33n-row fp shuffle + islands window
-    "ngram_spans": 1.0,
+    # two 1-D scatter passes over occupied cells; level-11/36M-point
+    # first sizing measured 3 s walls BOTH sides (pure overhead) —
+    # level 13 k=5 makes the scatter the cost
+    "kde": 40.0,
+    # 33 8-token windows/doc -> a ~33n-row fp window + islands window;
+    # 3M docs measured 112 s@8 (bandwidth-bound) — 0.9M keeps the legs
+    # in budget at the same plan shape
+    "ngram_spans": 0.3,
     # islands window + corpus vocab agg + term join + phrase agg
-    "rake": 1.0,
-    # one keyed window sort + 5-lag explode + partial agg
-    "acf": 10.0,
+    "rake": 0.5,
+    # one keyed window sort + 5-lag explode + partial agg; 30M rows
+    # measured 2 s@32 (overhead) -> 300M
+    "acf": 100.0,
 }
 
 
