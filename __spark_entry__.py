@@ -4418,6 +4418,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_mix"] = q_mix
 
+    def q_kaplan_meier(spark, sf):  # KM survival per type: duration
+        # floor(value), 25% censored; ppm-quantized survival
+        from osm_pbf_spark.operators.temporal import kaplan_meier
+
+        ev = load(spark, sf, "events").select(
+            "event_type",
+            F.floor(F.col("value")).cast("bigint").alias("dur"),
+            (F.pmod(F.col("event_id"), F.lit(4)) != 0).cast("int").alias("ev"),
+        )
+        return kaplan_meier(ev, "dur", "ev", group_cols=["event_type"])
+
+    q["q_kaplan_meier"] = q_kaplan_meier
+
+    def q_prop_test(spark, sf):  # two-proportion z: click vs view
+        # conversion (success = event_id % 3 == 0), exact chain
+        from osm_pbf_spark.operators.stats import prop_test
+
+        ev = load(spark, sf, "events").where(
+            F.col("event_type").isin("click", "view")
+        ).select(
+            "event_type",
+            (F.pmod(F.col("event_id"), F.lit(3)) == 0).cast("int").alias("succ"),
+        )
+        return prop_test(ev, "event_type", "succ", sides=("click", "view"))
+
+    q["q_prop_test"] = q_prop_test
+
+    def q_sample_points(spark, sf):  # deterministic seeded points in
+        # polygons (bbox md5 draws + even-odd keep, first k by draw
+        # order); scalar-replay VALUES oracle with an independent
+        # scalar ray-cast
+        from osm_pbf_spark.operators.spatial_join import (
+            sample_points_in_polygons,
+        )
+
+        import numpy as _np
+
+        donut = Polygon(
+            "donut",
+            [
+                _np.array(
+                    [[50.0, 50.0], [50.0, 70.0], [70.0, 70.0], [70.0, 50.0]]
+                ),
+                _np.array(
+                    [[58.0, 58.0], [58.0, 62.0], [62.0, 62.0], [62.0, 58.0]]
+                ),
+            ],
+        )
+        rows = []
+        for p in (RECT, TRI, donut):
+            for ri, ring in enumerate(p.rings):
+                rows.append(
+                    (
+                        p.poly_id,
+                        ri,
+                        [
+                            {"lat": float(a), "lon": float(b)}
+                            for a, b in ring.tolist()
+                        ],
+                    )
+                )
+        rings = spark.createDataFrame(
+            rows,
+            "poly_id string, ring_idx int, "
+            "pts array<struct<lat:double,lon:double>>",
+        )
+        return sample_points_in_polygons(rings, k=25, seed=7)
+
+    q["q_sample_points"] = q_sample_points
+
     def q_stream_session(spark, sf):  # streaming SESSION windows via
         # F.session_window state-store merging; complete-mode drain ==
         # batch gaps-and-islands sessionization (strictly-greater gap
@@ -4687,6 +4757,69 @@ def _ora_chaikin() -> str:
             ("ix", "BIGINT"),
             ("iy", "BIGINT"),
             ("scale_pow4", "INTEGER"),
+        ],
+        rows,
+    )
+
+
+def _ora_sample_points() -> str:
+    """Scalar replay of the seeded in-polygon sampling spec: same md5
+    bbox draws + an INDEPENDENT plain-loop even-odd ray cast (scalar,
+    not the numpy kernel), first k inside by draw order."""
+    import hashlib
+
+    polys = {
+        "rect": [[(10.0005, -20.0005), (10.0005, 10.0005), (30.0005, 10.0005), (30.0005, -20.0005)]],
+        "tri": [[(-30.0001517, -100.0003711), (-5.0007013, -60.0001291), (-45.0002903, -50.0009617)]],
+        "donut": [
+            [(50.0, 50.0), (50.0, 70.0), (70.0, 70.0), (70.0, 50.0)],
+            [(58.0, 58.0), (58.0, 62.0), (62.0, 62.0), (62.0, 58.0)],
+        ],
+    }
+    k, seed, m = 25, 7, 25 * 8
+    two40 = float(1 << 40)
+
+    def in_ring(y, x, ring):
+        inside = False
+        j = len(ring) - 1
+        for i in range(len(ring)):
+            yi, xi = ring[i]
+            yj, xj = ring[j]
+            if (yi > y) != (yj > y):
+                xint = (xj - xi) * (y - yi) / (yj - yi) + xi
+                if x < xint:
+                    inside = not inside
+            j = i
+        return inside
+
+    rows = []
+    for pid, rings in polys.items():
+        lat0 = min(p[0] for r in rings for p in r)
+        lat1 = max(p[0] for r in rings for p in r)
+        lon0 = min(p[1] for r in rings for p in r)
+        lon1 = max(p[1] for r in rings for p in r)
+        rank = 0
+        for j in range(1, m + 1):
+            hu = int(hashlib.md5(f"{seed}:{pid}:{j}:u".encode()).hexdigest()[:10], 16)
+            hv = int(hashlib.md5(f"{seed}:{pid}:{j}:v".encode()).hexdigest()[:10], 16)
+            lat = lat0 + (float(hu) / two40) * (lat1 - lat0)
+            lon = lon0 + (float(hv) / two40) * (lon1 - lon0)
+            inside = False
+            for r in rings:
+                if in_ring(lat, lon, r):
+                    inside = not inside
+            if inside:
+                rank += 1
+                rows.append((pid, rank, j, lat, lon))
+                if rank == k:
+                    break
+    return _values_sql(
+        [
+            ("poly_id", "VARCHAR"),
+            ("rank", "INTEGER"),
+            ("j", "BIGINT"),
+            ("lat", "DOUBLE"),
+            ("lon", "DOUBLE"),
         ],
         rows,
     )
@@ -10961,6 +11094,82 @@ def oracle_sql() -> dict[str, str]:
         """,
         # verbatim stride-scheduling replay (same md5 rank spec and
         # integer DIV stride; weights inline)
+        "q_sample_points": _ora_sample_points(),
+        # verbatim KM replay: after-window risk set, micro-nat ln
+        # quantization, cumulative sum, ppm-quantized exp
+        "q_kaplan_meier": """
+            WITH s AS (
+              SELECT event_type,
+                     CAST(floor(value) AS BIGINT) AS t,
+                     CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END AS ev
+              FROM events),
+            per AS (SELECT event_type, t,
+                           CAST(sum(ev) AS BIGINT) AS d,
+                           CAST(sum(1 - ev) AS BIGINT) AS c
+                    FROM s GROUP BY 1, 2),
+            r AS (SELECT event_type, t, d, c,
+                         CAST(sum(d + c) OVER (
+                             PARTITION BY event_type ORDER BY t
+                             ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING) AS BIGINT)
+                             AS n_risk
+                  FROM per),
+            q AS (SELECT event_type, t, d, c, n_risk,
+                         CASE WHEN d = n_risk THEN NULL
+                              WHEN d = 0 THEN 0
+                              ELSE -CAST(floor(-ln(CAST(n_risk - d AS DOUBLE)
+                                                   / CAST(n_risk AS DOUBLE))
+                                                * 1000000.0 + 0.5) AS BIGINT)
+                         END AS qv,
+                         CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dd
+                  FROM r),
+            cum AS (SELECT event_type, t, n_risk, d, c,
+                           CAST(sum(qv) OVER w AS BIGINT) AS log_micro,
+                           max(dd) OVER w AS dead
+                    FROM q
+                    WINDOW w AS (PARTITION BY event_type ORDER BY t
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW))
+            SELECT event_type, t, n_risk, d, c,
+                   CASE WHEN dead = 1 THEN NULL ELSE log_micro END
+                       AS log_micro,
+                   CASE WHEN dead = 1 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor(exp(CAST(log_micro AS DOUBLE)
+                                            / CAST(1000000 AS DOUBLE))
+                                        * CAST(1000000 AS DOUBLE) + 0.5)
+                                  AS BIGINT)
+                   END AS survival_ppm
+            FROM cum
+        """,
+        # exact two-proportion chain replay
+        "q_prop_test": """
+            WITH s AS (
+              SELECT event_type,
+                     CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS succ
+              FROM events WHERE event_type IN ('click', 'view')),
+            a AS (SELECT
+                    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_a,
+                    CAST(sum(CASE WHEN event_type = 'click' THEN succ
+                             ELSE 0 END) AS BIGINT) AS s_a,
+                    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_b,
+                    CAST(sum(CASE WHEN event_type = 'view' THEN succ
+                             ELSE 0 END) AS BIGINT) AS s_b
+                  FROM s)
+            SELECT n_a, s_a, n_b, s_b,
+                   CAST(s_a * n_b - s_b * n_a AS BIGINT) AS diff_num,
+                   CASE WHEN n_a > 0 AND n_b > 0
+                         AND (s_a + s_b) * (n_a + n_b - s_a - s_b)
+                             * n_a * n_b > 0
+                        THEN CAST(s_a * n_b - s_b * n_a AS DOUBLE)
+                             * sqrt(CAST(n_a + n_b AS DOUBLE))
+                             / sqrt(CAST((s_a + s_b)
+                                         * (n_a + n_b - s_a - s_b)
+                                         * n_a * n_b AS DOUBLE))
+                   END AS z
+            FROM a
+        """,
         "q_mix": """
             WITH w AS (SELECT doc_id, lang,
                               CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 1

@@ -486,3 +486,121 @@ def pip_join_rings(
         .applyInPandas(_refine, out_schema)
     )
     return full_part.unionByName(refined)
+
+
+def sample_points_in_polygons(
+    rings_df: DataFrame,
+    k: int,
+    seed: int = 0,
+    oversample: int = 8,
+) -> DataFrame:
+    """Deterministic spatial sampling: up to ``k`` seeded pseudo-
+    uniform points INSIDE each polygon — synthetic sensor placement,
+    per-zone Monte-Carlo rollups, training-label point generation.
+    Replayable in any engine/partitioning (rand() gives a different
+    sample every run and engine).
+
+    Input is the pip_join_rings ring shape ``(poly_id, ring_idx,
+    pts array<struct<lat,lon>>)``; holes flip containment (even-odd,
+    the shared point_in_polygon kernel).
+
+    Spec: candidate j (1-based, up to ``k * oversample``) maps two
+    40-bit md5 draws into the polygon's bbox —
+
+        u = md5_40(seed:poly:j:u) / 2^40     (exact: 2^-40 is dyadic)
+        lat = lat_min + u * (lat_max - lat_min)   (fixed IEEE chain)
+
+    — candidates are tested inside-ness in j order and the FIRST k
+    inside are kept (``rank`` = 1..k by j). Thin polygons may yield
+    fewer than k (acceptance = area/bbox; size ``oversample``
+    accordingly — documented, not silent: n per polygon is the
+    caller's signal).
+
+    Returns ``(poly_id, rank, j, lat, lon)``.
+
+    Plan: one per-polygon ring aggregate (bbox + ring payload), a
+    native sequence-explode Generate of the candidates, one poly-keyed
+    join, ONE applyInPandas per polygon (vectorized crossing-number
+    over the candidate batch + j-order head) — the pip refine class;
+    polygons parallelize, no driver collect, no cap.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if oversample < 1:
+        raise ValueError(f"oversample must be >= 1, got {oversample}")
+    import pandas as pd
+
+    from ..functions.geometry import point_in_polygon
+
+    m = int(k) * int(oversample)
+    polys = rings_df.groupBy("poly_id").agg(
+        F.collect_list(F.struct("ring_idx", "pts")).alias("_rings"),
+        F.min(F.expr("array_min(transform(pts, p -> p.lat))")).alias("_lat0"),
+        F.max(F.expr("array_max(transform(pts, p -> p.lat))")).alias("_lat1"),
+        F.min(F.expr("array_min(transform(pts, p -> p.lon))")).alias("_lon0"),
+        F.max(F.expr("array_max(transform(pts, p -> p.lon))")).alias("_lon1"),
+    )
+    h40 = lambda tag: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(seed)),
+                        F.col("poly_id").cast("string"),
+                        F.col("j").cast("string"),
+                        F.lit(tag),
+                    )
+                ),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    two40 = float(1 << 40)
+    cand = polys.select(
+        "poly_id",
+        "_rings",
+        F.explode(F.sequence(F.lit(1), F.lit(m))).alias("j"),
+        "_lat0",
+        "_lat1",
+        "_lon0",
+        "_lon1",
+    ).select(
+        "poly_id",
+        "_rings",
+        "j",
+        (
+            F.col("_lat0")
+            + (h40("u").cast("double") / F.lit(two40))
+            * (F.col("_lat1") - F.col("_lat0"))
+        ).alias("lat"),
+        (
+            F.col("_lon0")
+            + (h40("v").cast("double") / F.lit(two40))
+            * (F.col("_lon1") - F.col("_lon0"))
+        ).alias("lon"),
+    )
+
+    def _refine(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        out = []
+        for pid, grp in pdf.groupby("poly_id", sort=False):
+            rings = [
+                np.array([[p["lat"], p["lon"]] for p in r["pts"]])
+                for r in sorted(grp.iloc[0]["_rings"], key=lambda r: r["ring_idx"])
+            ]
+            g = grp.sort_values("j")
+            keep = point_in_polygon(
+                g["lat"].to_numpy(), g["lon"].to_numpy(), rings
+            )
+            sel = g[keep].head(k)
+            for rank, (_, row) in enumerate(sel.iterrows(), start=1):
+                out.append((pid, rank, int(row["j"]), row["lat"], row["lon"]))
+        return pd.DataFrame(
+            out, columns=["poly_id", "rank", "j", "lat", "lon"]
+        )
+
+    schema = "poly_id string, rank int, j long, lat double, lon double"
+    return cand.groupBy("poly_id").applyInPandas(_refine, schema)

@@ -812,3 +812,80 @@ def concentration(
             / (F.col("total") * F.col("total")).cast("double"),
         ).alias("hhi"),
     )
+
+
+def prop_test(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    sides: tuple = ("a", "b"),
+) -> DataFrame:
+    """Two-proportion z-test — the A/B experimentation primitive (did
+    variant b convert better than a?): pooled-variance z on the
+    success rates of two groups.
+
+    EXACT-INTEGER discipline: counts (n_a, s_a, n_b, s_b) are exact;
+    clear denominators —
+
+        num   = s_a*n_b - s_b*n_a                 (exact int64)
+        s     = s_a + s_b,  n = n_a + n_b
+        var_n = s*(n - s)*n_a*n_b                 (exact int64)
+        z     = double(num) * sqrt(double(n)) / sqrt(double(var_n))
+
+    derived from z = (p_a - p_b)/sqrt(p(1-p)(1/n_a + 1/n_b)) =
+    num*sqrt(n)/sqrt(s(n-s)n_a n_b): every float op is one of four
+    correctly-rounded steps on exact ints — gate-hashable.
+    ``success_col`` must be 0/1 (WHERE guard); diff_num = num (with
+    denominator n_a*n_b) stays exact. Overflow: s(n-s)n_a n_b ~ n^4/16
+    needs n under ~55k — PRE-AGGREGATE per shard first and pass counts
+    through ``prop_test_counts`` for big experiments.
+
+    Returns one row: (n_a, s_a, n_b, s_b, diff_num, z) — z NULL when
+    either group is empty or the pooled rate is 0 or 1.
+
+    Plan: one 2-row hash aggregate pivot — one tiny shuffle.
+    """
+    sa, sb = sides
+    ev = F.col(success_col).cast("bigint")
+    df = df.where(
+        F.when(ev.isin(0, 1), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"prop_test: {success_col} must be 0/1, got "),
+                    F.col(success_col).cast("string"),
+                )
+            )
+        )
+    )
+    agg = df.agg(
+        F.sum((F.col(group_col) == sa).cast("bigint")).alias("n_a"),
+        F.sum(F.when(F.col(group_col) == sa, ev).otherwise(0)).alias("s_a"),
+        F.sum((F.col(group_col) == sb).cast("bigint")).alias("n_b"),
+        F.sum(F.when(F.col(group_col) == sb, ev).otherwise(0)).alias("s_b"),
+    )
+    return prop_test_counts(agg)
+
+
+def prop_test_counts(agg: DataFrame) -> DataFrame:
+    """The z computation over a pre-aggregated (n_a, s_a, n_b, s_b)
+    row — the scale path: aggregate counts however the experiment is
+    sharded, then run the exact chain here."""
+    num = (F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")).cast("bigint")
+    s = F.col("s_a") + F.col("s_b")
+    n = F.col("n_a") + F.col("n_b")
+    var_n = (s * (n - s) * F.col("n_a") * F.col("n_b")).cast("bigint")
+    z = (
+        num.cast("double")
+        * F.sqrt(n.cast("double"))
+        / F.sqrt(var_n.cast("double"))
+    )
+    return agg.select(
+        "n_a",
+        "s_a",
+        "n_b",
+        "s_b",
+        num.alias("diff_num"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var_n > 0), z
+        ).alias("z"),
+    )

@@ -1118,3 +1118,123 @@ def ohlc_resample(
         "n",
         "sum_q",
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kaplan–Meier survival curve per group — THE nonparametric
+    time-to-event estimator (churn, hardware failure, time-to-
+    conversion) under right censoring: at each distinct event time t,
+
+        S(t) = prod_{t_i <= t} (1 - d_i / n_i)
+
+    with d_i = events at t_i and n_i = subjects still at risk
+    (duration >= t_i; censored rows leave the risk set without
+    counting as events).
+
+    EXACTNESS discipline (the bigram_lm micro-nat posture): d_i and
+    n_i are exact int64 (risk set via a cumulative window over
+    distinct durations — no per-row scan), each factor contributes
+    ``q(ln((n_i - d_i)/n_i))`` micro-nats under the HALF-UP-away-from-
+    zero rule, and the survival log is the exact int64 CUMULATIVE SUM
+    ``log_micro`` (order-pinned by the time window — partitioning-
+    independent); survival is reported PPM-QUANTIZED —
+    ``survival_ppm = floor(exp(log_micro/1e6) * 1e6 + 0.5)`` — because
+    exp() is only ~1-ulp accurate across engines (not correctly
+    rounded like +,*,/,sqrt); ppm rounding absorbs that drift outside
+    a measure-zero band, keeping the column gate-hashable. When a
+    group's last time has d = n (everyone dies), survival_ppm is
+    exactly 0 and log_micro NULL. ``event_col`` must be 0/1 (WHERE
+    guard).
+
+    Returns one row per (group, distinct duration with d > 0 or
+    censoring): ``(group..., t, n_risk, d, c, log_micro,
+    survival_ppm)`` where c = censored at t.
+
+    Plan: one distinct-(group, t) hash aggregate + one per-group
+    cumulative window (distinct times, not rows) — the ks_test scale
+    class.
+    """
+    g = list(group_cols or [])
+    ev = F.col(event_col).cast("bigint")
+    df = df.where(
+        F.when(ev.isin(0, 1), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"kaplan_meier: {event_col} must be 0/1, got "),
+                    F.col(event_col).cast("string"),
+                )
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    per = df.groupBy(*g, F.col(duration_col).alias("t")).agg(
+        F.sum(ev).alias("d"),
+        F.sum(F.lit(1) - ev).alias("c"),
+    )
+    part = [F.col(c) for c in g] if g else [F.lit(0)]
+    w_after = (
+        Window.partitionBy(*part)
+        .orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_cum = (
+        Window.partitionBy(*part)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cnt = F.col("d") + F.col("c")
+    risk = per.select(
+        *g, "t", "d", "c", F.sum(cnt).over(w_after).alias("n_risk")
+    )
+    ln_term = F.log(
+        (F.col("n_risk") - F.col("d")).cast("double")
+        / F.col("n_risk").cast("double")
+    )
+    q = (
+        F.when(F.col("d") == 0, F.lit(0))
+        .when(
+            ln_term >= 0, F.floor(ln_term * 1e6 + F.lit(0.5))
+        )  # ln <= 0 always here; kept for spec symmetry
+        .otherwise(-F.floor(-ln_term * 1e6 + F.lit(0.5)))
+        .cast("bigint")
+    )
+    # d == n_risk => factor 0 => survival exactly 0 from here on
+    dead = F.col("d") == F.col("n_risk")
+    out = risk.select(
+        *g,
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        F.when(dead, F.lit(None)).otherwise(q).alias("_q"),
+    ).select(
+        *g,
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        F.sum("_q").over(w_cum).alias("log_micro"),
+        F.max(dead.cast("int")).over(w_cum).alias("_dead"),
+    )
+    return out.select(
+        *g,
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        F.when(F.col("_dead") == 1, F.lit(None)).otherwise(
+            F.col("log_micro")
+        ).alias("log_micro"),
+        F.when(F.col("_dead") == 1, F.lit(0).cast("bigint")).otherwise(
+            F.floor(
+                F.exp(F.col("log_micro").cast("double") / F.lit(1e6)) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("bigint")
+        ).alias("survival_ppm"),
+    )
