@@ -4488,6 +4488,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sample_points"] = q_sample_points
 
+    def q_logreg(spark, sf):  # deterministic distributed logistic
+        # regression (5 GD iterations, exact int gradients); oracle =
+        # full scalar replay of the identical spec
+        from osm_pbf_spark.operators.stats import logreg_train
+
+        ev = load(spark, sf, "events").select(
+            F.lit(1).alias("one"),
+            F.pmod(F.floor(F.col("value")).cast("bigint"), F.lit(8)).alias("xv"),
+            F.pmod(F.col("user_id"), F.lit(5)).alias("xu"),
+            (F.pmod(F.col("event_id"), F.lit(3)) == 0).cast("int").alias("y"),
+        )
+        return logreg_train(ev, ["one", "xv", "xu"], "y", iters=5, lr=(1, 50))
+
+    q["q_logreg"] = q_logreg
+
+    def q_ldiv(spark, sf):  # l-diversity audit: (user, type) classes
+        # whose value distribution is near-homogeneous
+        from osm_pbf_spark.operators.dq import l_diversity
+
+        ev = load(spark, sf, "events").select(
+            "user_id", "event_type",
+            F.floor(F.col("value")).cast("bigint").alias("sv"),
+        )
+        return l_diversity(ev, ["user_id", "event_type"], "sv", l=10)
+
+    q["q_ldiv"] = q_ldiv
+
     def q_stream_session(spark, sf):  # streaming SESSION windows via
         # F.session_window state-store merging; complete-mode drain ==
         # batch gaps-and-islands sessionization (strictly-greater gap
@@ -4759,6 +4786,60 @@ def _ora_chaikin() -> str:
             ("scale_pow4", "INTEGER"),
         ],
         rows,
+    )
+
+
+def _ora_logreg() -> str:
+    """Scalar replay of the exact-integer GD spec: int dots, the one
+    fixed z/p chain, HALF-UP s_q, int gradient sums, python floor-div
+    updates — identical arithmetic, independent plumbing."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"),
+        columns=["event_id", "user_id", "value"],
+    )
+    rows = [
+        (
+            1,
+            int(math.floor(float(v))) % 8,
+            int(u % 5),
+            1 if e % 3 == 0 else 0,
+        )
+        for e, u, v in zip(
+            t.column("event_id").to_pylist(),
+            t.column("user_id").to_pylist(),
+            t.column("value").to_pylist(),
+        )
+    ]
+    w = [0, 0, 0]
+    n = len(rows)
+    for _ in range(5):
+        G = [0, 0, 0]
+        for x0, x1, x2, y in rows:
+            dot = w[0] * x0 + w[1] * x1 + w[2] * x2
+            z = float(dot) / 1e6
+            try:
+                ez = math.exp(-z)
+            except OverflowError:  # IEEE exp overflows to +inf
+                ez = float("inf")
+            p = 1.0 / (1.0 + ez)
+            diff = (p - float(y)) * 1e6
+            s_q = (
+                int(math.floor(diff + 0.5))
+                if diff >= 0
+                else -int(math.floor(-diff + 0.5))
+            )
+            G[0] += s_q * x0
+            G[1] += s_q * x1
+            G[2] += s_q * x2
+        for j in range(3):
+            w[j] = w[j] - (1 * G[j]) // (50 * n)
+    return _values_sql(
+        [("feature", "VARCHAR"), ("w_micro", "BIGINT")],
+        [("one", w[0]), ("xv", w[1]), ("xu", w[2])],
     )
 
 
@@ -11095,6 +11176,14 @@ def oracle_sql() -> dict[str, str]:
         # verbatim stride-scheduling replay (same md5 rank spec and
         # integer DIV stride; weights inline)
         "q_sample_points": _ora_sample_points(),
+        "q_logreg": _ora_logreg(),
+        "q_ldiv": """
+            SELECT user_id, event_type, count(*) AS n,
+                   count(DISTINCT CAST(floor(value) AS BIGINT))
+                       AS n_distinct
+            FROM events GROUP BY user_id, event_type
+            HAVING count(DISTINCT CAST(floor(value) AS BIGINT)) < 10
+        """,
         # verbatim KM replay: after-window risk set, micro-nat ln
         # quantization, cumulative sum, ppm-quantized exp
         "q_kaplan_meier": """

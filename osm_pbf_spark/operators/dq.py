@@ -216,3 +216,35 @@ def k_anonymity(
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") < k)
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """l-diversity audit — :func:`k_anonymity`'s stronger sibling: an
+    equivalence class can be large yet still leak if every member
+    shares the SAME sensitive value (homogeneity attack). Flags
+    quasi-identifier classes whose sensitive attribute takes FEWER
+    than ``l`` distinct values.
+
+    Returns violating classes ``(qi..., n, n_distinct)``.
+
+    Plan: ONE hash aggregate with a count-distinct (Spark expands it
+    to a two-phase exact distinct agg — still map-side partial on the
+    (qi, sensitive) key), one narrow shuffle.
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    return (
+        df.groupBy(*qi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(sensitive_col).alias("n_distinct"),
+        )
+        .where(F.col("n_distinct") < l)
+    )

@@ -889,3 +889,123 @@ def prop_test_counts(agg: DataFrame) -> DataFrame:
             (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var_n > 0), z
         ).alias("z"),
     )
+
+
+def logreg_train(
+    df: DataFrame,
+    x_cols: list[str],
+    label_col: str,
+    iters: int = 20,
+    lr: tuple = (1, 10),
+    w0_micro: list[int] | None = None,
+) -> DataFrame:
+    """Deterministic distributed logistic regression (batch gradient
+    descent) — the in-engine binary trainer beside nb_classify (NB is
+    the generative baseline; this is the discriminative one every
+    quality-filter pipeline eventually reaches for). Features must be
+    INTEGER-valued (quantize first — the repo convention); label 0/1
+    (WHERE guard); an intercept is the caller's constant-1 column.
+
+    EXACT-INTEGER spec (replayable to the bit):
+      - weights live as micro-unit int64 ``w_micro``;
+      - per row: ``dot = sum_j w_micro_j * x_j`` is EXACT int64;
+        ``z = double(dot)/1e6``; ``p = 1/(1 + exp(-z))`` (exp is the
+        single ~1-ulp op — immediately absorbed by the next step);
+        ``s_q = HALF-UP((p - y) * 1e6)`` exact int64;
+      - gradient components ``G_j = sum_rows s_q * x_j`` are exact
+        int64 sums — partitioning-independent (a float gradient sum is
+        not);
+      - driver update ``w_j -= (lr_num * G_j) // (lr_den * n)`` with
+        PYTHON FLOOR division — part of the spec, replayed verbatim by
+        the oracle.
+
+    ``iters`` driver-side aggregate jobs (one narrow map-side-combined
+    shuffle each, d+1 int64 columns) — the kmeans-training shape: the
+    only driver traffic is d+1 integers per iteration, independent of
+    data size.
+
+    Returns ``(feature, w_micro)`` — one row per x_col, in order.
+
+    Overflow: |w_micro * x| summed over d must stay < 2^62 — rescale
+    features (|x| < 2^20 with d <= 16 is safe for |w| < 2^35).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    lr_num, lr_den = int(lr[0]), int(lr[1])
+    if lr_num < 1 or lr_den < 1:
+        raise ValueError(f"lr must be a positive fraction, got {lr}")
+    d = len(x_cols)
+    if d < 1:
+        raise ValueError("x_cols must be non-empty")
+    yc = F.col(label_col).cast("bigint")
+    df = df.where(
+        F.when(yc.isin(0, 1), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"logreg_train: {label_col} must be 0/1, got "),
+                    F.col(label_col).cast("string"),
+                )
+            )
+        )
+    )
+    slim = df.select(
+        *[F.col(c).cast("bigint").alias(f"_x{j}") for j, c in enumerate(x_cols)],
+        yc.alias("_y"),
+    )
+    slim = slim.persist()
+    try:
+        w = list(w0_micro) if w0_micro is not None else [0] * d
+        if len(w) != d:
+            raise ValueError("w0_micro length must match x_cols")
+        for _ in range(iters):
+            dot = F.lit(0).cast("bigint")
+            for j in range(d):
+                dot = dot + F.lit(int(w[j])) * F.col(f"_x{j}")
+            z = dot.cast("double") / F.lit(1e6)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            diff = (p - F.col("_y").cast("double")) * F.lit(1e6)
+            s_q = (
+                F.when(diff >= 0, F.floor(diff + F.lit(0.5)))
+                .otherwise(-F.floor(-diff + F.lit(0.5)))
+                .cast("bigint")
+            )
+            row = slim.select(
+                s_q.alias("_s"), *[F.col(f"_x{j}") for j in range(d)]
+            ).agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.col("_s") * F.col(f"_x{j}")).alias(f"_g{j}")
+                    for j in range(d)
+                ],
+            ).collect()[0]
+            n = row["_n"]
+            if n == 0:
+                raise ValueError("logreg_train: empty input")
+            for j in range(d):
+                w[j] = w[j] - (lr_num * row[f"_g{j}"]) // (lr_den * n)
+    finally:
+        slim.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(x_cols[j], int(w[j])) for j in range(d)],
+        "feature string, w_micro long",
+    )
+
+
+def logreg_predict(
+    df: DataFrame,
+    x_cols: list[str],
+    w_micro: list[int],
+) -> DataFrame:
+    """Map-only scoring with a trained micro-unit weight vector:
+    adds ``dot`` (exact int64), and ``score_ppm = HALF-UP(p * 1e6)``
+    (quantized — exp is the one ~1-ulp op). Zero shuffle."""
+    if len(w_micro) != len(x_cols):
+        raise ValueError("w_micro length must match x_cols")
+    dot = F.lit(0).cast("bigint")
+    for j, c in enumerate(x_cols):
+        dot = dot + F.lit(int(w_micro[j])) * F.col(c).cast("bigint")
+    z = dot.cast("double") / F.lit(1e6)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    ppm = F.floor(p * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    return df.select(*df.columns, dot.alias("dot"), ppm.alias("score_ppm"))
