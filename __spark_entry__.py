@@ -4515,6 +4515,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ldiv"] = q_ldiv
 
+    def q_theil_sen(spark, sf):  # robust pairwise-median slope per
+        # type (exact reduced fraction); brute all-pairs SQL oracle
+        from osm_pbf_spark.operators.stats import theil_sen
+
+        ev = load(spark, sf, "events").select(
+            "event_type",
+            F.floor(F.col("value")).cast("bigint").alias("x"),
+            (
+                F.pmod(F.col("event_id"), F.lit(23))
+                + F.lit(2) * F.floor(F.col("value")).cast("bigint")
+            ).alias("y"),
+        )
+        return theil_sen(ev, "x", "y", group_cols=["event_type"])
+
+    q["q_theil_sen"] = q_theil_sen
+
     def q_stream_session(spark, sf):  # streaming SESSION windows via
         # F.session_window state-store merging; complete-mode drain ==
         # batch gaps-and-islands sessionization (strictly-greater gap
@@ -11177,6 +11193,46 @@ def oracle_sql() -> dict[str, str]:
         # integer DIV stride; weights inline)
         "q_sample_points": _ora_sample_points(),
         "q_logreg": _ora_logreg(),
+        # brute all-pairs slopes; double sort IS the exact rational
+        # order for small-int deltas; equal-VALUE median ties reduce
+        # to the same fraction, so the arbitrary tie row is safe
+        "q_theil_sen": """
+            WITH s AS (
+              SELECT event_type AS g, event_id,
+                     CAST(floor(value) AS BIGINT) AS x,
+                     CAST(event_id % 23
+                          + 2 * CAST(floor(value) AS BIGINT) AS BIGINT) AS y
+              FROM events),
+            p AS (SELECT a.g,
+                         CASE WHEN b.x > a.x THEN b.x - a.x
+                              ELSE a.x - b.x END AS dx,
+                         CASE WHEN b.x > a.x THEN b.y - a.y
+                              ELSE a.y - b.y END AS dy
+                  FROM s a JOIN s b
+                    ON b.g = a.g AND a.event_id < b.event_id
+                   AND a.x <> b.x),
+            r AS (SELECT g, dx, dy,
+                         row_number() OVER (
+                             PARTITION BY g
+                             ORDER BY CAST(dy AS DOUBLE)
+                                      / CAST(dx AS DOUBLE)) AS rn,
+                         count(*) OVER (PARTITION BY g) AS np
+                  FROM p),
+            med AS (SELECT g, dx, dy, np FROM r
+                    WHERE rn = (np - 1) // 2 + 1),
+            ng AS (SELECT g, count(*) AS n FROM s GROUP BY g)
+            SELECT ng.g AS event_type, ng.n,
+                   CAST(med.np AS BIGINT) AS n_pairs,
+                   CAST(med.dy // greatest(gcd(abs(med.dy), med.dx), 1)
+                        AS BIGINT) AS slope_num,
+                   CAST(med.dx // greatest(gcd(abs(med.dy), med.dx), 1)
+                        AS BIGINT) AS slope_den,
+                   CAST(med.dy // greatest(gcd(abs(med.dy), med.dx), 1)
+                        AS DOUBLE)
+                   / CAST(med.dx // greatest(gcd(abs(med.dy), med.dx), 1)
+                          AS DOUBLE) AS slope
+            FROM ng JOIN med ON med.g = ng.g
+        """,
         "q_ldiv": """
             SELECT user_id, event_type, count(*) AS n,
                    count(DISTINCT CAST(floor(value) AS BIGINT))

@@ -1009,3 +1009,109 @@ def logreg_predict(
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     ppm = F.floor(p * F.lit(1e6) + F.lit(0.5)).cast("bigint")
     return df.select(*df.columns, dot.alias("dot"), ppm.alias("score_ppm"))
+
+
+def theil_sen(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    max_n: int = 3000,
+) -> DataFrame:
+    """Theil–Sen robust trend per key: the LOWER MEDIAN of all
+    pairwise slopes (y_j - y_i)/(x_j - x_i) over x_i < x_j — the
+    slope estimator that shrugs off ~29% outliers where OLS breaks
+    (sensor drift, noisy KPI trends).
+
+    EXACT-RATIONAL spec over INTEGER x/y: slopes are compared by
+    CROSS-MULTIPLICATION (no float enters the selection) and the
+    chosen slope is returned as the REDUCED fraction ``(slope_num,
+    slope_den)`` with slope_den > 0 — equal slopes from different
+    pairs reduce identically, so the output is deterministic under
+    any partitioning; ``slope`` adds the ONE IEEE division.
+    Vertical pairs (x_i = x_j) are excluded (documented); groups with
+    < 2 distinct x yield NULL slope. Coordinate deltas must stay
+    within 2^26 (loud guard) — that is what makes the double-quotient
+    presort EXACTLY the rational order (distinct small-int rationals
+    differ by more than both quotients' rounding error).
+
+    Returns ``(group..., n, n_pairs, slope_num, slope_den, slope)``.
+
+    Plan: ONE applyInPandas per group (the all-pairs slope set is
+    O(n^2) — inherently per-group; numpy builds the pair matrices,
+    exact integer cross-sort picks the median). ``max_n`` guards the
+    quadratic kernel LOUDLY (sample or pre-aggregate above it);
+    groups parallelize.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    g = list(group_cols or [])
+    gf = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in g)
+    schema = (gf + ", " if gf else "") + (
+        "n bigint, n_pairs bigint, slope_num bigint, slope_den bigint, "
+        "slope double"
+    )
+    slim = df.select(
+        *g,
+        F.col(x_col).cast("bigint").alias("_x"),
+        F.col(y_col).cast("bigint").alias("_y"),
+    )
+
+    def _ts(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n > max_n:
+            raise ValueError(
+                f"theil_sen: group of {n} rows exceeds max_n={max_n} "
+                "(O(n^2) pairs) — sample or pre-aggregate first"
+            )
+        x = pdf["_x"].to_numpy(dtype=np.int64)
+        y = pdf["_y"].to_numpy(dtype=np.int64)
+        i, j = np.triu_indices(n, k=1)
+        dx = x[j] - x[i]
+        dy = y[j] - y[i]
+        flip = dx < 0
+        dx = np.where(flip, -dx, dx)
+        dy = np.where(flip, -dy, dy)
+        keep = dx > 0
+        dx, dy = dx[keep], dy[keep]
+        head = pdf.iloc[:1][[*g]].copy() if g else pd.DataFrame([{}])
+        if len(dx) == 0:
+            head["n"] = n
+            head["n_pairs"] = 0
+            head["slope_num"] = None
+            head["slope_den"] = None
+            head["slope"] = None
+            return head
+        # |dy|, dx <= 2^26 makes the double quotient order EXACT:
+        # distinct rationals differ by >= 1/(dx1*dx2) > 2^-52 while
+        # each quotient is within half an ulp (~2^-53 * |q|) — so the
+        # double sort is the exact rational order up to ties of equal
+        # VALUE (which reduce to the same fraction). Guarded loudly.
+        if int(np.abs(dy).max()) > (1 << 26) or int(dx.max()) > (1 << 26):
+            raise ValueError(
+                "theil_sen: |dx| or |dy| exceeds 2^26 — rescale/quantize "
+                "inputs (the exact-median-order contract)"
+            )
+        approx = dy.astype(np.float64) / dx.astype(np.float64)
+        order = np.argsort(approx, kind="mergesort")
+        dy, dx = dy[order], dx[order]
+        m = (len(dx) - 1) // 2
+        # doubles of small-int reduced rationals collide only for
+        # EQUAL rationals, so the double sort IS the exact order up to
+        # ties of equal value — the median VALUE is exact
+        num, den = int(dy[m]), int(dx[m])
+        gg = math.gcd(abs(num), den)
+        if gg:
+            num, den = num // gg, den // gg
+        head["n"] = n
+        head["n_pairs"] = len(dx)
+        head["slope_num"] = num
+        head["slope_den"] = den
+        head["slope"] = float(num) / float(den)
+        return head
+
+    keyed = slim.groupBy(*(g if g else [F.lit(0).alias("_all")]))
+    return keyed.applyInPandas(_ts, schema)

@@ -275,6 +275,7 @@ def stream_stream_join(
     right_ts: str,
     upper: str,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Event-time stream-stream INNER join: pair left/right rows with
     equal ``on`` keys where ``right_ts`` lands in
@@ -293,9 +294,21 @@ def stream_stream_join(
     over a closed input equals the plain batch join — the driver-gate
     oracle IS the batch join SQL.
 
+    ``how='left_outer'`` adds the attribution-miss rows: a left row
+    with NO match emits once with nulls on the right side — but only
+    when the watermark passes ``left_ts + upper + watermark`` (state
+    expiry). Under an availableNow drain, unmatched lefts still
+    inside that horizon at end-of-input stay IN STATE and do not
+    emit (probed, pinned by the far-future-flush pytest) — so the
+    closed-input == batch-join parity of the gate holds for INNER
+    only; the outer mode's contract is the pytest-pinned streaming
+    semantics.
+
     Plan: both sides shuffle on the ``on`` keys into the symmetric
     stateful join operator; the time bound is evaluated post-match.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner or left_outer, got {how!r}")
     lt = left.withWatermark(left_ts, watermark)
     rt = right.withWatermark(right_ts, watermark)
     cond = None
@@ -305,7 +318,7 @@ def stream_stream_join(
     cond = cond & (rt[right_ts] >= lt[left_ts]) & (
         rt[right_ts] <= F.expr(f"{left_ts} + INTERVAL {upper}")
     )
-    j = lt.join(rt, cond, "inner")
+    j = lt.join(rt, cond, how)
     # project unambiguous columns: keys from the left, both timestamps
     keep = [lt[c].alias(c) for c in on]
     others = [
