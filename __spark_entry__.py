@@ -4531,6 +4531,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_theil_sen"] = q_theil_sen
 
+    def q_line_dissolve(spark, sf):  # merge degree-2 chains of a
+        # synthetic road network (long chain + junction spurs + a
+        # pure ring); oracle = recursive-CTE closure labeling
+        from osm_pbf_spark.operators.graph import line_dissolve
+
+        chain = spark.range(199).select(
+            F.col("id").alias("edge_id"),
+            F.col("id").alias("a"),
+            (F.col("id") + 1).alias("b"),
+        )
+        spurs = spark.range(8).select(
+            (F.lit(500) + F.col("id") * 25).alias("edge_id"),
+            (F.col("id") * 25).alias("a"),
+            (F.lit(3000) + F.col("id") * 25).alias("b"),
+        )
+        ring = spark.range(10).select(
+            (F.lit(800) + F.col("id")).alias("edge_id"),
+            (F.lit(2000) + F.col("id")).alias("a"),
+            (F.lit(2000) + F.pmod(F.col("id") + 1, F.lit(10))).alias("b"),
+        )
+        return line_dissolve(
+            chain.unionAll(spurs).unionAll(ring), cc_rounds=6
+        )
+
+    q["q_line_dissolve"] = q_line_dissolve
+
     def q_stream_session(spark, sf):  # streaming SESSION windows via
         # F.session_window state-store merging; complete-mode drain ==
         # batch gaps-and-islands sessionization (strictly-greater gap
@@ -11193,6 +11219,40 @@ def oracle_sql() -> dict[str, str]:
         # integer DIV stride; weights inline)
         "q_sample_points": _ora_sample_points(),
         "q_logreg": _ora_logreg(),
+        # DuckDB's OWN recursion re-derives the chain labels: closure
+        # over the degree-2 edge links, label = min reachable edge id
+        "q_line_dissolve": """
+            WITH RECURSIVE ids AS (SELECT range AS i FROM range(199)),
+            chain AS (SELECT i AS eid, i AS a, i + 1 AS b FROM ids),
+            sp AS (SELECT 500 + j * 25 AS eid, j * 25 AS a,
+                          3000 + j * 25 AS b
+                   FROM (SELECT range AS j FROM range(8))),
+            ring AS (SELECT 800 + k AS eid, 2000 + k AS a,
+                            2000 + (k + 1) % 10 AS b
+                     FROM (SELECT range AS k FROM range(10))),
+            e AS (SELECT * FROM chain UNION ALL SELECT * FROM sp
+                  UNION ALL SELECT * FROM ring),
+            inc AS (SELECT a AS node, eid FROM e
+                    UNION ALL SELECT b, eid FROM e),
+            d2 AS (SELECT min(eid) AS u, max(eid) AS v
+                   FROM inc GROUP BY node
+                   HAVING count(*) = 2 AND min(eid) <> max(eid)),
+            sym AS (SELECT u, v FROM d2 UNION ALL SELECT v, u FROM d2),
+            cl(a, b) AS (
+                SELECT u, v FROM sym
+                UNION
+                SELECT cl.a, s.v FROM cl JOIN sym s ON s.u = cl.b),
+            lab AS (SELECT e.eid,
+                           least(e.eid, coalesce(min(cl.b), e.eid))
+                               AS chain_id
+                    FROM e LEFT JOIN cl ON cl.a = e.eid
+                    GROUP BY e.eid),
+            sz AS (SELECT chain_id, count(*) AS n_edges
+                   FROM lab GROUP BY chain_id)
+            SELECT lab.eid AS edge_id, lab.chain_id,
+                   CAST(sz.n_edges AS BIGINT) AS n_edges
+            FROM lab JOIN sz ON sz.chain_id = lab.chain_id
+        """,
         # brute all-pairs slopes; double sort IS the exact rational
         # order for small-int deltas; equal-VALUE median ties reduce
         # to the same fraction, so the arbitrary tie row is safe

@@ -1111,3 +1111,65 @@ def modularity(
         F.lit(None).cast("double").alias("modularity"),
     )
     return out.unionByName(guard)
+
+
+def line_dissolve(
+    edges: DataFrame,
+    edge_id: str = "edge_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    cc_rounds: int | None = None,
+) -> DataFrame:
+    """Merge degree-2 chains of a line network — the cartographic
+    dissolve (and the road-network simplification every router
+    preprocesses with): consecutive segments that meet at a node
+    touching EXACTLY two segments belong to one chain; junctions
+    (degree != 2) break chains. A pure ring (every node degree 2)
+    dissolves into one closed chain.
+
+    Returns ``(edge_id, chain_id, n_edges)`` — one row per input
+    edge; ``chain_id`` = MIN edge_id in the chain (deterministic),
+    ``n_edges`` the chain size. Self-loop edges (a = b) are their own
+    single-edge chains and never link (documented).
+
+    Plan: incidence explode (2 rows/edge) -> degree agg -> per-
+    degree-2-node pairing of its two incident edges (a 2-bounded
+    collect per node — never a join explosion) -> connected
+    components over the EDGE-link graph (the pointer-doubling CC
+    already in this module; pass ``cc_rounds`` = known diameter bound
+    to stay action-free) -> one labels join back + one chain-size
+    agg. Everything is keyed shuffles of edge-sized slim rows.
+    """
+    e = edges.select(
+        F.col(edge_id).cast("bigint").alias("eid"),
+        F.col(a_col).cast("bigint").alias("na"),
+        F.col(b_col).cast("bigint").alias("nb"),
+    )
+    plain = e.where(F.col("na") != F.col("nb"))
+    inc = plain.select(F.col("na").alias("node"), "eid").unionAll(
+        plain.select(F.col("nb").alias("node"), "eid")
+    )
+    deg2 = (
+        inc.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_d"), F.collect_list("eid").alias("_es"))
+        .where(F.col("_d") == 2)
+        # the two incident edges of a degree-2 node link; a node seeing
+        # the SAME edge twice cannot occur (self-loops excluded above)
+        .select(
+            F.array_min("_es").alias("u"), F.array_max("_es").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+    )
+    comp = connected_components(deg2, src="u", dst="v", rounds=cc_rounds)
+    labeled = (
+        e.select("eid")
+        .join(comp, e["eid"] == comp["node"], "left")
+        .select(
+            "eid",
+            F.coalesce(F.col("component"), F.col("eid")).alias("chain_id"),
+        )
+    )
+    sizes = labeled.groupBy("chain_id").agg(F.count(F.lit(1)).alias("n_edges"))
+    return labeled.join(sizes, "chain_id").select(
+        F.col("eid").alias(edge_id), "chain_id", "n_edges"
+    )
