@@ -4557,6 +4557,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_line_dissolve"] = q_line_dissolve
 
+    def q_kappa(spark, sf):  # Cohen's kappa: event_type vs a 70%-
+        # agreeing synthetic second rater; cleared-denominator exact
+        from osm_pbf_spark.operators.stats import cohens_kappa
+
+        ev = load(spark, sf, "events").select(
+            F.col("event_type").alias("ra"),
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(10)) < 7, F.col("event_type")
+            )
+            .otherwise(
+                F.concat(F.lit("x"), F.pmod(F.col("event_id"), F.lit(3)))
+            )
+            .alias("rb"),
+        )
+        return cohens_kappa(ev, "ra", "rb")
+
+    q["q_kappa"] = q_kappa
+
+    def q_areal(spark, sf):  # areal interpolation between two
+        # incompatible zone systems over the exact dyadic raster
+        import numpy as _np
+
+        from osm_pbf_spark.operators.overlay import areal_interpolate
+
+        def rect(pid, la0, la1, lo0, lo1):
+            return Polygon(
+                pid,
+                [_np.array([[la0, lo0], [la0, lo1], [la1, lo1], [la1, lo0]])],
+            )
+
+        src = [rect("s1", 0.0, 10.0, 0.0, 10.0), rect("s2", 0.0, 10.0, 10.0, 20.0)]
+        tgt = [
+            rect("ta", 0.0, 10.0, 5.0, 15.0),
+            rect("tb", 0.0, 5.0, 0.0, 5.0),
+            rect("tc", 40.0, 45.0, 40.0, 45.0),
+        ]
+        values = spark.createDataFrame(
+            [("s1", 1000), ("s2", 500)], "poly_id string, value long"
+        )
+        return areal_interpolate(spark, src, tgt, values, res=0.5)
+
+    q["q_areal"] = q_areal
+
     def q_stream_session(spark, sf):  # streaming SESSION windows via
         # F.session_window state-store merging; complete-mode drain ==
         # batch gaps-and-islands sessionization (strictly-greater gap
@@ -4882,6 +4925,59 @@ def _ora_logreg() -> str:
     return _values_sql(
         [("feature", "VARCHAR"), ("w_micro", "BIGINT")],
         [("one", w[0]), ("xv", w[1]), ("xu", w[2])],
+    )
+
+
+def _ora_areal() -> str:
+    """Independent replay of the areal transfer: axis-aligned zones
+    let the inside test be plain interval comparisons (vs the engine's
+    crossing-number kernel); same dyadic centers, counts, and DIV
+    quantization."""
+    res, lat0, lon0 = 0.5, -90.0, -180.0
+    src = {"s1": (0.0, 10.0, 0.0, 10.0, 1000), "s2": (0.0, 10.0, 10.0, 20.0, 500)}
+    tgt = {
+        "ta": (0.0, 10.0, 5.0, 15.0),
+        "tb": (0.0, 5.0, 0.0, 5.0),
+        "tc": (40.0, 45.0, 40.0, 45.0),
+    }
+
+    def cells(la0, la1, lo0, lo1):
+        import math
+
+        out = set()
+        gy0 = math.floor((la0 - lat0) / res)
+        gy1 = math.floor((la1 - lat0) / res)
+        gx0 = math.floor((lo0 - lon0) / res)
+        gx1 = math.floor((lo1 - lon0) / res)
+        for gy in range(gy0, gy1 + 1):
+            cy = lat0 + (gy + 0.5) * res
+            if not (la0 < cy < la1):
+                continue
+            for gx in range(gx0, gx1 + 1):
+                cx = lon0 + (gx + 0.5) * res
+                if lo0 < cx < lo1:
+                    out.add((gx, gy))
+        return out
+
+    sc = {k: cells(*v[:4]) for k, v in src.items()}
+    tc = {k: cells(*v) for k, v in tgt.items()}
+    rows = []
+    for t in sorted(tgt):
+        est, n_src = 0, 0
+        for s in sorted(src):
+            ov = len(sc[s] & tc[t])
+            if ov:
+                n_src += 1
+                est += (src[s][4] * ov * 1_000_000) // len(sc[s])
+        rows.append((t, len(tc[t]), est, n_src))
+    return _values_sql(
+        [
+            ("tgt_id", "VARCHAR"),
+            ("n_cells", "BIGINT"),
+            ("est_micro", "BIGINT"),
+            ("n_src", "BIGINT"),
+        ],
+        rows,
     )
 
 
@@ -11219,6 +11315,34 @@ def oracle_sql() -> dict[str, str]:
         # integer DIV stride; weights inline)
         "q_sample_points": _ora_sample_points(),
         "q_logreg": _ora_logreg(),
+        "q_areal": _ora_areal(),
+        # verbatim cleared-denominator kappa replay
+        "q_kappa": """
+            WITH s AS (
+              SELECT event_type AS ra,
+                     CASE WHEN event_id % 10 < 7 THEN event_type
+                          ELSE 'x' || CAST(event_id % 3 AS VARCHAR)
+                     END AS rb
+              FROM events),
+            tot AS (SELECT count(*) AS n,
+                           CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END)
+                                AS BIGINT) AS agree
+                    FROM s),
+            ma AS (SELECT ra, count(*) AS ca FROM s GROUP BY ra),
+            mb AS (SELECT rb, count(*) AS cb FROM s GROUP BY rb),
+            pe AS (SELECT CAST(coalesce(sum(ma.ca * mb.cb), 0) AS BIGINT)
+                       AS pe_num
+                   FROM ma JOIN mb ON mb.rb = ma.ra)
+            SELECT tot.n, tot.agree, pe.pe_num,
+                   CAST(tot.n * tot.agree - pe.pe_num AS BIGINT)
+                       AS kappa_num,
+                   CAST(tot.n * tot.n - pe.pe_num AS BIGINT) AS kappa_den,
+                   CASE WHEN tot.n * tot.n - pe.pe_num <> 0
+                        THEN CAST(tot.n * tot.agree - pe.pe_num AS DOUBLE)
+                             / CAST(tot.n * tot.n - pe.pe_num AS DOUBLE)
+                   END AS kappa
+            FROM tot, pe
+        """,
         # DuckDB's OWN recursion re-derives the chain labels: closure
         # over the degree-2 edge links, label = min reachable edge id
         "q_line_dissolve": """

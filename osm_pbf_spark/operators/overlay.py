@@ -234,3 +234,93 @@ def dissolve_groups(
             F.coalesce("component", F.col(poly_id)).alias("group_id"),
         )
     )
+
+
+def areal_interpolate(
+    spark,
+    src_polys,
+    tgt_polys,
+    values: DataFrame,
+    res: float,
+    value_col: str = "value",
+    id_col: str = "poly_id",
+) -> DataFrame:
+    """Areal interpolation — transfer a count-like value between two
+    INCOMPATIBLE polygon zone systems (census tracts -> grid cells,
+    districts -> catchments): each source zone's value is reallocated
+    to targets proportionally to overlap area, the standard
+    area-weighting method (Goodchild & Lam 1980).
+
+    Overlap areas are measured on the EXACT dyadic raster
+    (rasterize_polygons center-fill at ``res``), so every weight is a
+    ratio of exact int64 cell counts. Per-source contributions are
+    micro-quantized — ``(value * n_overlap * 10^6) DIV n_src_cells``
+    (nonnegative: Spark DIV == floor) — making the per-target sum an
+    exact, order-free int64; total quantization error is under
+    n_sources/10^6 of a value unit. Values must be nonnegative
+    integers (WHERE guard). Sources are assumed to tile space without
+    overlap (double-allocation otherwise — caller contract, as is
+    target overlap).
+
+    Returns ``(tgt_id, n_cells, est_micro, n_src)`` — every target
+    zone appears; zero-overlap targets carry est_micro 0.
+
+    Plan: two rasterize Generates (map-only), ONE (gx, gy) equi-join
+    of the two cell sets, two bounded aggregates, one broadcast-sized
+    values join — the cell join is the only data-sized shuffle, and
+    its volume is the raster resolution the caller chose.
+    """
+    from .tiling import rasterize_polygons
+
+    vv = F.col(value_col).cast("bigint")
+    values = values.where(
+        F.when(vv >= 0, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"areal_interpolate: {value_col} must be >= 0, got "),
+                    F.col(value_col).cast("string"),
+                )
+            )
+        )
+    ).select(F.col(id_col).alias("src_id"), vv.alias("_v"))
+    src_cells = rasterize_polygons(spark, src_polys, res).select(
+        F.col("poly_id").alias("src_id"), "gx", "gy"
+    )
+    tgt_cells = rasterize_polygons(spark, tgt_polys, res).select(
+        F.col("poly_id").alias("tgt_id"), "gx", "gy"
+    )
+    src_tot = src_cells.groupBy("src_id").agg(
+        F.count(F.lit(1)).alias("_n_src_cells")
+    )
+    overlap = (
+        src_cells.join(tgt_cells, ["gx", "gy"])
+        .groupBy("src_id", "tgt_id")
+        .agg(F.count(F.lit(1)).alias("_n_overlap"))
+    )
+    contrib = (
+        overlap.join(src_tot, "src_id")
+        .join(values, "src_id")
+        .select(
+            "tgt_id",
+            F.expr(
+                "(_v * _n_overlap * 1000000L) DIV _n_src_cells"
+            ).alias("_c"),
+        )
+    )
+    est = contrib.groupBy("tgt_id").agg(
+        F.sum("_c").alias("est_micro"), F.count(F.lit(1)).alias("n_src")
+    )
+    tgt_n = tgt_cells.groupBy("tgt_id").agg(F.count(F.lit(1)).alias("n_cells"))
+    all_t = spark.createDataFrame(
+        [(p.poly_id,) for p in tgt_polys], "tgt_id string"
+    )
+    return (
+        all_t.join(tgt_n, "tgt_id", "left")
+        .join(est, "tgt_id", "left")
+        .select(
+            "tgt_id",
+            F.coalesce("n_cells", F.lit(0)).cast("bigint").alias("n_cells"),
+            F.coalesce("est_micro", F.lit(0)).cast("bigint").alias("est_micro"),
+            F.coalesce("n_src", F.lit(0)).cast("bigint").alias("n_src"),
+        )
+    )

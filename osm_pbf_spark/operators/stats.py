@@ -1115,3 +1115,60 @@ def theil_sen(
 
     keyed = slim.groupBy(*(g if g else [F.lit(0).alias("_all")]))
     return keyed.applyInPandas(_ts, schema)
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two raters
+    over the same items (human annotators, an annotator vs an
+    LLM-judge, two model versions): kappa = (p_o - p_e)/(1 - p_e).
+
+    EXACT-INTEGER spec with cleared denominators: over n paired
+    labels, ``agree`` = matching rows, ``pe_num = sum_k a_k * b_k``
+    (a_k, b_k = per-label marginal counts), and
+
+        kappa_num = n*agree - pe_num,   kappa_den = n*n - pe_num,
+        kappa     = kappa_num / kappa_den      (ONE IEEE division)
+
+    — both numerators exact int64 (n under ~3e9), NULL kappa when
+    kappa_den = 0 (both raters constant and identical — agreement is
+    degenerate, the standard convention).
+
+    Returns one row ``(n, agree, pe_num, kappa_num, kappa_den,
+    kappa)``.
+
+    Plan: one label-pair hash aggregate (bounded by |labels|^2), one
+    per-rater marginal aggregate each, a 3-way tiny cross join — all
+    map-side combinable, label-bounded shuffles.
+    """
+    pairs = df.select(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    )
+    tot = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum((F.col("_a") == F.col("_b")).cast("bigint")), F.lit(0)
+        ).alias("agree"),
+    )
+    ma = pairs.groupBy("_a").agg(F.count(F.lit(1)).alias("_ca"))
+    mb = pairs.groupBy("_b").agg(F.count(F.lit(1)).alias("_cb"))
+    pe = (
+        ma.join(mb, ma["_a"] == mb["_b"])
+        .agg(F.coalesce(F.sum(F.col("_ca") * F.col("_cb")), F.lit(0)).alias("pe_num"))
+    )
+    j = tot.crossJoin(pe)
+    knum = (F.col("n") * F.col("agree") - F.col("pe_num")).cast("bigint")
+    kden = (F.col("n") * F.col("n") - F.col("pe_num")).cast("bigint")
+    return j.select(
+        "n",
+        "agree",
+        "pe_num",
+        knum.alias("kappa_num"),
+        kden.alias("kappa_den"),
+        F.when(kden != 0, knum.cast("double") / kden.cast("double")).alias(
+            "kappa"
+        ),
+    )
