@@ -4713,6 +4713,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_rasterize"] = q_rasterize
 
+    def q_rank_metrics(spark, sf):  # retrieval eval: per-query
+        # nDCG@10 / MRR / P@10 / recall@10 — the log2 discount is a
+        # shared Python-computed integer literal table (2^20 units),
+        # so DCG/IDCG are exact int64 sums; every metric is ONE
+        # division of exact ints. Oracle replays the same literals.
+        from osm_pbf_spark.operators.evals import rank_metrics
+
+        ev = load(spark, sf, "events").select(
+            "event_type",
+            "event_id",
+            F.pmod(F.col("event_id") * F.lit(104729), F.lit(100000)).alias(
+                "score"
+            ),
+            F.when(F.pmod(F.col("event_id"), F.lit(7)) == 0, F.lit(2))
+            .when(F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("rel"),
+        )
+        return rank_metrics(
+            ev, "event_type", "event_id", "rel", "score", k=10
+        )
+
+    q["q_rank_metrics"] = q_rank_metrics
+
+    def q_confusion(spark, sf):  # per-class confusion + P/R/F1 of a
+        # 70%-agreeing synthetic classifier (same rater spec as
+        # q_kappa, different output surface: per-class exact counts
+        # and single-division metrics)
+        from osm_pbf_spark.operators.evals import confusion_metrics
+
+        ev = load(spark, sf, "events").select(
+            F.col("event_type").alias("label"),
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(10)) < 7, F.col("event_type")
+            )
+            .otherwise(
+                F.concat(F.lit("x"), F.pmod(F.col("event_id"), F.lit(3)))
+            )
+            .alias("pred"),
+        )
+        return confusion_metrics(ev, "label", "pred")
+
+    q["q_confusion"] = q_confusion
+
+    def q_ece(spark, sf):  # expected calibration error over
+        # integer-ppm confidence scores: per-bin exact int64 gaps +
+        # integer-ppm ECE (a broadcast 1-row cross join, not a
+        # global window)
+        from osm_pbf_spark.operators.evals import ece_calibration
+
+        ev = load(spark, sf, "events").select(
+            F.pmod(F.col("event_id") * F.lit(104729), F.lit(1000001)).alias(
+                "score_ppm"
+            ),
+            F.when(
+                F.pmod(F.col("event_id") * F.lit(7919), F.lit(1000000))
+                < F.pmod(F.col("event_id") * F.lit(104729), F.lit(1000001)),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("y"),
+        )
+        return ece_calibration(ev, "score_ppm", "y", n_bins=10)
+
+    q["q_ece"] = q_ece
+
     return q
 
 
@@ -7650,6 +7716,56 @@ def _ora_hex_cte(size: float = 0.25) -> str:
                                  ELSE (0.0 - fx) - fy END
                             AS BIGINT) AS hr
                 FROM hx3)"""
+
+
+def _ora_rank_metrics() -> str:
+    """nDCG@10/MRR/P@10 replay with the operator's own integer
+    discount literals (ndcg_discounts(10) — the spec IS the table)."""
+    from osm_pbf_spark.operators.evals import ndcg_discounts
+
+    discs = ", ".join(str(d) for d in ndcg_discounts(10))
+    return f"""
+        WITH s AS (
+          SELECT event_type AS query, event_id AS item,
+                 (event_id * 104729) % 100000 AS score,
+                 CASE WHEN event_id % 7 = 0 THEN 2
+                      WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+          FROM events),
+        r AS (SELECT *,
+                     row_number() OVER (PARTITION BY query
+                                        ORDER BY score DESC, item ASC)
+                         AS rnk,
+                     row_number() OVER (PARTITION BY query
+                                        ORDER BY rel DESC, item ASC)
+                         AS irnk
+              FROM s),
+        g AS (SELECT query, count(*) AS n,
+                     CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_rel,
+                     CAST(sum(CASE WHEN rel > 0 AND rnk <= 10
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_rel_at_k,
+                     CAST(sum(CASE WHEN rnk <= 10
+                                   THEN rel * list_extract([{discs}], rnk)
+                                   ELSE 0 END) AS BIGINT) AS dcg_u,
+                     CAST(sum(CASE WHEN irnk <= 10
+                                   THEN rel * list_extract([{discs}], irnk)
+                                   ELSE 0 END) AS BIGINT) AS idcg_u,
+                     min(CASE WHEN rel > 0 THEN rnk END) AS first_rel_rank
+              FROM r GROUP BY query)
+        SELECT query, n, n_rel, n_rel_at_k, dcg_u, idcg_u,
+               CASE WHEN idcg_u > 0
+                    THEN CAST(dcg_u AS DOUBLE) / CAST(idcg_u AS DOUBLE)
+               END AS ndcg,
+               first_rel_rank,
+               CAST(1.0 AS DOUBLE) / CAST(first_rel_rank AS DOUBLE) AS rr,
+               CAST(n_rel_at_k AS DOUBLE) / CAST(10 AS DOUBLE) AS p_at_k,
+               CASE WHEN n_rel > 0
+                    THEN CAST(n_rel_at_k AS DOUBLE)
+                         / CAST(n_rel AS DOUBLE)
+               END AS recall_at_k
+        FROM g
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11658,5 +11774,71 @@ def oracle_sql() -> dict[str, str]:
               ON wb.start = wa.start AND wb.rep = wa.rep
              AND wa.step <> wb.step AND abs(wa.step - wb.step) <= 2
             GROUP BY 1, 2
+        """,
+        # same Python-computed integer discount literals as the
+        # operator (ndcg_discounts(10)); DCG/IDCG exact int64, each
+        # metric ONE division of exact ints
+        "q_rank_metrics": _ora_rank_metrics(),
+        "q_confusion": """
+            WITH s AS (
+              SELECT event_type AS label,
+                     CASE WHEN event_id % 10 < 7 THEN event_type
+                          ELSE 'x' || CAST(event_id % 3 AS VARCHAR)
+                     END AS pred
+              FROM events),
+            t AS (SELECT label AS cls, count(*) AS n_true
+                  FROM s GROUP BY 1),
+            p AS (SELECT pred AS cls, count(*) AS n_pred
+                  FROM s GROUP BY 1),
+            tp AS (SELECT label AS cls, count(*) AS tp
+                   FROM s WHERE label = pred GROUP BY 1),
+            u AS (SELECT coalesce(t.cls, p.cls) AS cls,
+                         coalesce(t.n_true, 0) AS n_true,
+                         coalesce(p.n_pred, 0) AS n_pred
+                  FROM t FULL OUTER JOIN p ON p.cls = t.cls),
+            j AS (SELECT u.cls, u.n_true, u.n_pred,
+                         coalesce(tp.tp, 0) AS tp
+                  FROM u LEFT JOIN tp ON tp.cls = u.cls)
+            SELECT cls, CAST(n_true AS BIGINT) AS n_true,
+                   CAST(n_pred AS BIGINT) AS n_pred,
+                   CAST(tp AS BIGINT) AS tp,
+                   CAST(n_pred - tp AS BIGINT) AS fp,
+                   CAST(n_true - tp AS BIGINT) AS fn,
+                   CASE WHEN n_pred > 0
+                        THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+                   END AS precision,
+                   CASE WHEN n_true > 0
+                        THEN CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)
+                   END AS recall,
+                   CASE WHEN n_true + n_pred > 0
+                        THEN CAST(2 * tp AS DOUBLE)
+                             / CAST(n_true + n_pred AS DOUBLE)
+                   END AS f1
+            FROM j
+        """,
+        # integer-ppm calibration bins; DuckDB sum() widens to
+        # HUGEINT — the final DIV is cast back to BIGINT
+        "q_ece": """
+            WITH s AS (
+              SELECT (event_id * 104729) % 1000001 AS sc,
+                     CASE WHEN (event_id * 7919) % 1000000
+                               < (event_id * 104729) % 1000001
+                          THEN 1 ELSE 0 END AS y
+              FROM events),
+            b AS (SELECT CASE WHEN (sc * 10) // 1000000 > 9 THEN 9
+                              ELSE (sc * 10) // 1000000 END AS bin,
+                         count(*) AS n,
+                         CAST(sum(y) AS BIGINT) AS n_pos,
+                         CAST(sum(sc) AS BIGINT) AS sum_score_ppm
+                  FROM s GROUP BY 1),
+            g AS (SELECT bin, n, n_pos, sum_score_ppm,
+                         abs(sum_score_ppm - n_pos * 1000000) AS gap_u
+                  FROM b),
+            t AS (SELECT CAST(sum(gap_u) // sum(n) AS BIGINT) AS ece_ppm
+                  FROM g)
+            SELECT CAST(g.bin AS BIGINT) AS bin, g.n, g.n_pos,
+                   g.sum_score_ppm, CAST(g.gap_u AS BIGINT) AS gap_u,
+                   t.ece_ppm
+            FROM g, t
         """,
     }
