@@ -4779,6 +4779,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ece"] = q_ece
 
+    def q_kruskal(spark, sf):  # Kruskal–Wallis H across event types:
+        # doubled-rank sums exact int64; the k group terms fold via an
+        # order-pinned running window, never a shuffle-order double sum
+        from osm_pbf_spark.operators.stats import kruskal_wallis
+
+        ev = load(spark, sf, "events").select(
+            "event_type",
+            F.floor(F.col("value") * F.lit(10.0)).cast("bigint").alias("v"),
+        )
+        return kruskal_wallis(ev, "v", "event_type")
+
+    q["q_kruskal"] = q_kruskal
+
+    def q_welch(spark, sf):  # Welch's t + Cohen's d between even/odd
+        # event ids — every statistic ONE fixed IEEE chain on exact
+        # int64 moments (x bounded so n·Σx² stays under 2^63 at sf1)
+        from osm_pbf_spark.operators.stats import welch_ttest
+
+        ev = load(spark, sf, "events").select(
+            F.floor(F.col("value") * F.lit(10.0)).cast("bigint").alias("x"),
+            F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("side"),
+        )
+        return welch_ttest(ev, "x", "side")
+
+    q["q_welch"] = q_welch
+
+    def q_cramers(spark, sf):  # r×c chi-square independence +
+        # Cramér's V (event_type vs a synthetic 5-way class);
+        # per-cell micro-quantized terms, order-free int64 sum
+        from osm_pbf_spark.operators.stats import cramers_v
+
+        ev = load(spark, sf, "events").select(
+            "event_type",
+            F.concat(F.lit("x"), F.pmod(F.col("event_id"), F.lit(5))).alias(
+                "b"
+            ),
+        )
+        return cramers_v(ev, "event_type", "b")
+
+    q["q_cramers"] = q_cramers
+
+    def q_mutinfo(spark, sf):  # categorical mutual information in
+        # micro-nats (kaplan_meier ln posture: per-cell fixed chain,
+        # micro HALF-UP-away-from-zero quantization, int64 sum)
+        from osm_pbf_spark.operators.stats import mutual_information
+
+        ev = load(spark, sf, "events").select(
+            "event_type",
+            F.concat(F.lit("x"), F.pmod(F.col("event_id"), F.lit(4))).alias(
+                "b"
+            ),
+        )
+        return mutual_information(ev, "event_type", "b")
+
+    q["q_mutinfo"] = q_mutinfo
+
     return q
 
 
@@ -11815,6 +11873,173 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(n_true + n_pred AS DOUBLE)
                    END AS f1
             FROM j
+        """,
+        # verbatim doubled-rank replay; the group-term fold is the
+        # same order-pinned running window in both engines
+        "q_kruskal": """
+            WITH s AS (SELECT event_type AS g,
+                              CAST(floor(value * CAST(10 AS DOUBLE))
+                                   AS BIGINT) AS v
+                       FROM events),
+            gv AS (SELECT g, v, count(*) AS ngv FROM s GROUP BY 1, 2),
+            pv AS (SELECT v, CAST(sum(ngv) AS BIGINT) AS cnt
+                   FROM gv GROUP BY 1),
+            rk AS (SELECT v, cnt,
+                          CAST(sum(cnt) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - cnt AS BIGINT) AS bfr
+                   FROM pv),
+            pg AS (SELECT g,
+                          CAST(sum(ngv * (2 * rk.bfr + rk.cnt + 1))
+                               AS BIGINT) AS r2,
+                          CAST(sum(ngv) AS BIGINT) AS ng
+                   FROM gv JOIN rk USING (v) GROUP BY g),
+            fold AS (SELECT g,
+                            CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+                                / CAST(4 * ng AS DOUBLE) AS term
+                     FROM pg),
+            run AS (SELECT sum(term) OVER (ORDER BY g
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sacc,
+                           row_number() OVER (ORDER BY g) AS rn,
+                           count(*) OVER () AS k
+                    FROM fold),
+            lastrow AS (SELECT sacc, k FROM run WHERE rn = k),
+            tot AS (SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT)
+                           AS ties_t,
+                           CAST(sum(cnt) AS BIGINT) AS n
+                    FROM pv)
+            SELECT n, k, ties_t,
+                   (sacc * 12.0) / CAST(n * (n + 1) AS DOUBLE)
+                       - CAST(3 * (n + 1) AS DOUBLE) AS h,
+                   CASE WHEN 1.0 - CAST(ties_t AS DOUBLE)
+                                   / CAST(n * n * n - n AS DOUBLE) <> 0
+                        THEN ((sacc * 12.0) / CAST(n * (n + 1) AS DOUBLE)
+                              - CAST(3 * (n + 1) AS DOUBLE))
+                             / (1.0 - CAST(ties_t AS DOUBLE)
+                                      / CAST(n * n * n - n AS DOUBLE))
+                   END AS h_tie
+            FROM lastrow, tot
+        """,
+        # verbatim fixed-chain replay on exact int64 moments
+        "q_welch": """
+            WITH s AS (SELECT CAST(floor(value * CAST(10 AS DOUBLE))
+                                   AS BIGINT) AS x,
+                              CASE WHEN event_id % 2 = 0 THEN 'a'
+                                   ELSE 'b' END AS side
+                       FROM events),
+            m AS (SELECT
+                    CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS na,
+                    CAST(sum(CASE WHEN side = 'a' THEN x ELSE 0 END)
+                         AS BIGINT) AS sxa,
+                    CAST(sum(CASE WHEN side = 'a' THEN x * x ELSE 0 END)
+                         AS BIGINT) AS sxxa,
+                    CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS nb,
+                    CAST(sum(CASE WHEN side = 'b' THEN x ELSE 0 END)
+                         AS BIGINT) AS sxb,
+                    CAST(sum(CASE WHEN side = 'b' THEN x * x ELSE 0 END)
+                         AS BIGINT) AS sxxb
+                  FROM s),
+            c AS (SELECT na, nb, sxa, sxb,
+                         CAST(na * sxxa - sxa * sxa AS BIGINT) AS va,
+                         CAST(nb * sxxb - sxb * sxb AS BIGINT) AS vb
+                  FROM m),
+            d AS (SELECT na, nb,
+                         CAST(va AS DOUBLE)
+                             / CAST(na * na * (na - 1) AS DOUBLE) AS a,
+                         CAST(vb AS DOUBLE)
+                             / CAST(nb * nb * (nb - 1) AS DOUBLE) AS b,
+                         CAST(sxa * nb - sxb * na AS DOUBLE)
+                             / CAST(na * nb AS DOUBLE) AS md,
+                         CAST(va AS DOUBLE) / CAST(na AS DOUBLE) AS van,
+                         CAST(vb AS DOUBLE) / CAST(nb AS DOUBLE) AS vbn
+                  FROM c)
+            SELECT na AS n_a, nb AS n_b,
+                   CASE WHEN na >= 2 AND nb >= 2 THEN md END AS mean_diff,
+                   CASE WHEN na >= 2 AND nb >= 2
+                        THEN md / sqrt(a + b) END AS t,
+                   CASE WHEN na >= 2 AND nb >= 2
+                        THEN ((a + b) * (a + b))
+                             / ((a * a) / CAST(na - 1 AS DOUBLE)
+                                + (b * b) / CAST(nb - 1 AS DOUBLE))
+                   END AS df_welch,
+                   CASE WHEN na >= 2 AND nb >= 2 AND na + nb > 2
+                        THEN md / sqrt((van + vbn)
+                                       / CAST(na + nb - 2 AS DOUBLE))
+                   END AS cohens_d
+            FROM d
+        """,
+        # r×c chi2 with the chi2_test micro-quantization, + Cramér's V
+        "q_cramers": """
+            WITH s AS (SELECT event_type AS a,
+                              'x' || CAST(event_id % 5 AS VARCHAR) AS b
+                       FROM events),
+            cells AS (SELECT a, b, count(*) AS o FROM s GROUP BY 1, 2),
+            rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS r
+                   FROM cells GROUP BY 1),
+            cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS c
+                   FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                           CAST(count(DISTINCT a) AS BIGINT) AS ra,
+                           CAST(count(DISTINCT b) AS BIGINT) AS cb
+                    FROM cells),
+            j AS (SELECT coalesce(cells.o, 0) AS o, rm.r, cm.c,
+                         tot.n, tot.ra, tot.cb
+                  FROM rm CROSS JOIN cm
+                  LEFT JOIN cells ON cells.a = rm.a AND cells.b = cm.b,
+                  tot),
+            tq AS (SELECT n, ra, cb,
+                          CAST(floor(
+                              (CAST(o * n - r * c AS DOUBLE)
+                               * CAST(o * n - r * c AS DOUBLE)
+                               / CAST(n * r * c AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT) AS q
+                   FROM j),
+            agg AS (SELECT n, ra AS r_card, cb AS c_card,
+                           CAST(sum(q) AS BIGINT) AS chi2q
+                    FROM tq GROUP BY 1, 2, 3)
+            SELECT n, r_card, c_card,
+                   CAST(chi2q AS DOUBLE) / 1000000.0 AS chi2,
+                   CASE WHEN least(r_card - 1, c_card - 1) > 0
+                        THEN sqrt((CAST(chi2q AS DOUBLE) / 1000000.0)
+                                  / CAST(n * least(r_card - 1, c_card - 1)
+                                         AS DOUBLE))
+                   END AS v
+            FROM agg
+        """,
+        # micro-nat MI replay (sign-aware HALF-UP quantization)
+        "q_mutinfo": """
+            WITH s AS (SELECT event_type AS a,
+                              'x' || CAST(event_id % 4 AS VARCHAR) AS b
+                       FROM events),
+            cells AS (SELECT a, b, count(*) AS o FROM s GROUP BY 1, 2),
+            rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS r
+                   FROM cells GROUP BY 1),
+            cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS c
+                   FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+            j AS (SELECT cells.o, rm.r, cm.c, tot.n
+                  FROM cells JOIN rm USING (a) JOIN cm USING (b), tot),
+            t AS (SELECT n,
+                         CAST(o AS DOUBLE)
+                             * ln(CAST(n * o AS DOUBLE)
+                                  / CAST(r * c AS DOUBLE)) AS tv
+                  FROM j),
+            tq AS (SELECT n,
+                          CASE WHEN tv >= 0
+                               THEN CAST(floor(tv * 1000000.0 + 0.5)
+                                         AS BIGINT)
+                               ELSE -CAST(floor(-tv * 1000000.0 + 0.5)
+                                          AS BIGINT)
+                          END AS q
+                   FROM t)
+            SELECT n, count(*) AS n_cells,
+                   CAST(sum(q) AS BIGINT) AS mi_micro_rows,
+                   CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / 1000000.0
+                       / CAST(n AS DOUBLE) AS mi_nats
+            FROM tq GROUP BY n
         """,
         # integer-ppm calibration bins; DuckDB sum() widens to
         # HUGEINT — the final DIV is cast back to BIGINT

@@ -40,6 +40,10 @@ __all__ = [
     "cusum_changepoints",
     "roc_auc",
     "isotonic_fit",
+    "kruskal_wallis",
+    "welch_ttest",
+    "cramers_v",
+    "mutual_information",
 ]
 
 
@@ -1171,4 +1175,277 @@ def cohens_kappa(
         F.when(kden != 0, knum.cast("double") / kden.cast("double")).alias(
             "kappa"
         ),
+    )
+
+
+def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Kruskal–Wallis H test — the k-group generalization of
+    :func:`mann_whitney_u` (did the quality-score distribution differ
+    across sources/shards?).
+
+        H = 12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1),
+        H_tie = H / (1 − ΣT/(n³−n)),   T = Σ_ties t³−t
+
+    Exactness: per-group DOUBLED rank sums R2_g are exact int64 (the
+    mann_whitney tie-average trick: a value at sorted positions lo..hi
+    contributes (lo+hi)/2 each). R2_g² can exceed int64, so each
+    group's term R2_g²/(4·n_g) is a FIXED per-group double chain, and
+    the k terms are summed by a RUNNING window over groups ordered by
+    the group key (order-pinned left fold — the module-header running-
+    sum convention), never a shuffle-order double Σ. H and H_tie are
+    then one fixed chain each — gate-hashable.
+
+    Overflow: n³ under 2^63 ⇒ n under ~2×10⁶ rows (pre-bin beyond).
+    Plan: one (group, value) aggregate, one distinct-value global
+    window (ks_test class — distinct values, not rows), one k-row
+    group window, broadcast totals. Returns one row
+    (n, k, ties_t, h, h_tie).
+    """
+    v = F.col(value_col)
+    gv = df.groupBy(F.col(group_col).alias("_g"), v.alias("_v")).agg(
+        F.count(F.lit(1)).alias("_ngv")
+    )
+    per_v = gv.groupBy("_v").agg(F.sum("_ngv").alias("_cnt"))
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_v.select(
+        "_v",
+        "_cnt",
+        (F.sum("_cnt").over(w) - F.col("_cnt")).alias("_before"),
+    )
+    joined = gv.join(ranked, "_v")
+    per_g = joined.groupBy("_g").agg(
+        F.sum(
+            F.col("_ngv")
+            * (F.lit(2) * F.col("_before") + F.col("_cnt") + F.lit(1))
+        ).alias("_r2"),
+        F.sum("_ngv").alias("_ng"),
+    )
+    term = (F.col("_r2").cast("double") * F.col("_r2").cast("double")) / (
+        F.lit(4) * F.col("_ng")
+    ).cast("double")
+    wg = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wk = Window.partitionBy(F.lit(0))
+    folded = per_g.select(
+        F.sum(term).over(wg).alias("_s"),
+        F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("_g")).alias(
+            "_rn"
+        ),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    ).where(F.col("_rn") == F.col("k"))
+    ties = per_v.agg(
+        F.sum(
+            F.col("_cnt") * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")
+        ).alias("ties_t"),
+        F.sum("_cnt").alias("n"),
+    )
+    j = folded.crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    h = (F.col("_s") * F.lit(12.0)) / (n * (n + F.lit(1))).cast("double") - (
+        F.lit(3) * (n + F.lit(1))
+    ).cast("double")
+    denom = F.lit(1.0) - F.col("ties_t").cast("double") / (
+        n * n * n - n
+    ).cast("double")
+    return j.select(
+        "n",
+        "k",
+        "ties_t",
+        h.alias("h"),
+        F.when(denom != 0.0, h / denom).alias("h_tie"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    sides: tuple[str, str] = ("a", "b"),
+) -> DataFrame:
+    """Welch's unequal-variance t test + Cohen's d over an INTEGER
+    value column — the parametric companion of :func:`mann_whitney_u`.
+
+    From exact int64 moments (n, Σx, Σx² per side):
+
+        v_num  = n·Σx² − (Σx)²                 (exact int64)
+        s²/n   = v_num / (n²·(n−1))            (one division)
+        t      = (Σx_a·n_b − Σx_b·n_a)/(n_a·n_b) / sqrt(A + B)
+        ν      = (A+B)² / (A²/(n_a−1) + B²/(n_b−1))   (Welch–Satterthwaite)
+        d      = mean_diff / sqrt(((v_a/n_a) + (v_b/n_b)) / (n_a+n_b−2))
+
+    with A = s_a²/n_a, B = s_b²/n_b — every statistic is ONE fixed
+    chain of correctly-rounded IEEE ops on exact integers
+    (gate-hashable). Overflow: n·Σx² under 2^63 (floor/rescale inputs).
+
+    Plan: a single map-side-combinable 1-row aggregate. Returns
+    (n_a, n_b, mean_diff, t, df_welch, cohens_d) — NULLs when a side
+    has fewer than 2 rows.
+    """
+    sa, sb = sides
+    x = F.col(value_col).cast("bigint")
+    isa = (F.col(side_col) == sa).cast("bigint")
+    isb = (F.col(side_col) == sb).cast("bigint")
+    m = df.agg(
+        F.sum(isa).alias("na"),
+        F.sum(isa * x).alias("sxa"),
+        F.sum(isa * x * x).alias("sxxa"),
+        F.sum(isb).alias("nb"),
+        F.sum(isb * x).alias("sxb"),
+        F.sum(isb * x * x).alias("sxxb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    va = (na * F.col("sxxa") - F.col("sxa") * F.col("sxa")).cast("bigint")
+    vb = (nb * F.col("sxxb") - F.col("sxb") * F.col("sxb")).cast("bigint")
+    a = va.cast("double") / (na * na * (na - F.lit(1))).cast("double")
+    b = vb.cast("double") / (nb * nb * (nb - F.lit(1))).cast("double")
+    mean_diff = (F.col("sxa") * nb - F.col("sxb") * na).cast("double") / (
+        na * nb
+    ).cast("double")
+    t = mean_diff / F.sqrt(a + b)
+    dfw = ((a + b) * (a + b)) / (
+        (a * a) / (na - F.lit(1)).cast("double")
+        + (b * b) / (nb - F.lit(1)).cast("double")
+    )
+    # pooled variance for Cohen's d: ((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2)
+    # with (n_a−1)s_a² = v_num_a/n_a
+    sp2 = (
+        va.cast("double") / na.cast("double")
+        + vb.cast("double") / nb.cast("double")
+    ) / (na + nb - F.lit(2)).cast("double")
+    ok = (na >= 2) & (nb >= 2)
+    return m.select(
+        "na",
+        "nb",
+        F.when(ok, mean_diff).alias("mean_diff"),
+        F.when(ok, t).alias("t"),
+        F.when(ok, dfw).alias("df_welch"),
+        F.when(ok & (na + nb > 2), mean_diff / F.sqrt(sp2)).alias(
+            "cohens_d"
+        ),
+    ).withColumnsRenamed({"na": "n_a", "nb": "n_b"})
+
+
+def _contingency(
+    df: DataFrame, a_col: str, b_col: str, full_grid: bool = False
+) -> DataFrame:
+    """(_a, _b, _o, _r, _c, _n, _ra, _cb): contingency cells with row/
+    column margins and totals. Margins are broadcast — categorical
+    columns are bounded-cardinality by contract (the CMS keyspace
+    posture); the cell aggregate itself is map-side combinable.
+
+    ``full_grid=True`` returns every (row-margin × col-margin) cell
+    with _o = 0 where unobserved — REQUIRED for chi-square (a zero
+    cell still contributes (r·c)²/(n·r·c) = r·c/n); MI keeps observed
+    cells only (0·ln 0 = 0 by convention)."""
+    cells = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    rm = cells.groupBy("_a").agg(F.sum("_o").alias("_r"))
+    cm = cells.groupBy("_b").agg(F.sum("_o").alias("_c"))
+    tot = cells.agg(
+        F.sum("_o").alias("_n"),
+        F.count_distinct(F.col("_a")).alias("_ra"),
+        F.count_distinct(F.col("_b")).alias("_cb"),
+    )
+    if full_grid:
+        grid = rm.crossJoin(F.broadcast(cm))
+        base = grid.join(F.broadcast(cells), ["_a", "_b"], "left").select(
+            "_a", "_b", F.coalesce("_o", F.lit(0)).alias("_o"), "_r", "_c"
+        )
+        return base.crossJoin(F.broadcast(tot))
+    return (
+        cells.join(F.broadcast(rm), "_a")
+        .join(F.broadcast(cm), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Chi-square independence test + Cramér's V effect size over a
+    general r×c contingency table (are language and source
+    independent?). Generalizes :func:`chi2_test`'s 2-column
+    homogeneity form.
+
+        chi2 = Σ_ij (o_ij·N − r_i·c_j)² / (N·r_i·c_j)
+        V    = sqrt(chi2 / (N·min(r−1, c−1)))
+
+    Exactness (the chi2_test discipline): o·N − r·c and N·r·c exact
+    int64 (N³ under 2^63 ⇒ N under ~2M rows), each cell's term
+    MICRO-quantized HALF-UP before the order-free int64 sum; V is one
+    more fixed sqrt/divide chain. Unobserved (a,b) cells are
+    materialized from the margin grid — they contribute r·c/n each.
+    Returns one row (n, r_card, c_card, chi2, v).
+    """
+    j = _contingency(df, a_col, b_col, full_grid=True)
+    num = (F.col("_o") * F.col("_n") - F.col("_r") * F.col("_c")).cast(
+        "bigint"
+    )
+    den = (F.col("_n") * F.col("_r") * F.col("_c")).cast("bigint")
+    t = (num.cast("double") * num.cast("double")) / den.cast("double")
+    tq = F.floor(t * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+    agg = j.groupBy(
+        F.col("_n").alias("n"),
+        F.col("_ra").alias("r_card"),
+        F.col("_cb").alias("c_card"),
+    ).agg(F.sum(tq).alias("_chi2q"))
+    chi2 = F.col("_chi2q").cast("double") / F.lit(1_000_000.0)
+    m = F.least(F.col("r_card") - 1, F.col("c_card") - 1).cast("bigint")
+    return agg.select(
+        "n",
+        "r_card",
+        "c_card",
+        chi2.alias("chi2"),
+        F.when(m > 0, F.sqrt(chi2 / (F.col("n") * m).cast("double"))).alias(
+            "v"
+        ),
+    )
+
+
+def mutual_information(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns —
+    the feature-relevance / redundancy screen beside
+    :func:`cramers_v` (V measures departure from independence; MI
+    measures shared information).
+
+        MI = Σ_ij (n_ij/N) · ln(N·n_ij / (r_i·c_j))
+
+    Exactness (the kaplan_meier ln posture): each cell's term
+    ``n_ij · ln((N·n_ij)/(r_i·c_j))`` is a fixed chain — exact-int64
+    division then one ln (~1-ulp across engines) — quantized to MICRO
+    units HALF-UP-away-from-zero (terms can be negative) before the
+    order-free int64 sum; the micro grid absorbs the ln drift outside
+    a measure-zero band. Returns one row
+    (n, n_cells, mi_micro_rows, mi_nats) with
+    ``mi_nats = mi_micro_rows / (10^6 · N)``.
+    """
+    j = _contingency(df, a_col, b_col)
+    arg = (F.col("_n") * F.col("_o")).cast("double") / (
+        F.col("_r") * F.col("_c")
+    ).cast("double")
+    t = F.col("_o").cast("double") * F.log(arg)
+    tq = F.when(
+        t >= 0, F.floor(t * F.lit(1_000_000.0) + F.lit(0.5))
+    ).otherwise(-F.floor(-t * F.lit(1_000_000.0) + F.lit(0.5))).cast(
+        "bigint"
+    )
+    agg = j.groupBy(F.col("_n").alias("n")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(tq).alias("mi_micro_rows"),
+    )
+    return agg.select(
+        "n",
+        "n_cells",
+        "mi_micro_rows",
+        (
+            F.col("mi_micro_rows").cast("double")
+            / F.lit(1_000_000.0)
+            / F.col("n").cast("double")
+        ).alias("mi_nats"),
     )
