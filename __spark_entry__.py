@@ -4837,6 +4837,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_mutinfo"] = q_mutinfo
 
+    def q_span_corrupt(spark, sf):  # T5-style span-corruption pairs:
+        # md5-seeded window masking (no RNG), sentinel ordinals via a
+        # running count — full DuckDB replay incl. the assembled
+        # input/target strings
+        from osm_pbf_spark.operators.text import span_corruption
+
+        d = load(spark, sf, "documents").select(
+            "doc_id",
+            F.slice(F.split(F.col("text"), " "), 1, 24).alias("toks"),
+        )
+        out = span_corruption(
+            d, "doc_id", "toks", seed=7, span_len=3, noise_ppm=300_000
+        )
+        return out.select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            "n_masked",
+            "input_text",
+            "target_text",
+        )
+
+    q["q_span_corrupt"] = q_span_corrupt
+
+    def q_stump(spark, sf):  # depth-1 decision tree: best Gini split
+        # threshold on an integer feature vs a label planted at x>200
+        from osm_pbf_spark.operators.stats import decision_stump
+
+        ev = load(spark, sf, "events").select(
+            F.floor(F.col("value")).cast("bigint").alias("x"),
+            F.when(
+                F.floor(F.col("value")) > 200,
+                (F.pmod(F.col("event_id"), F.lit(10)) < 8).cast("bigint"),
+            )
+            .otherwise(
+                (F.pmod(F.col("event_id"), F.lit(10)) < 2).cast("bigint")
+            )
+            .alias("y"),
+        )
+        return decision_stump(ev, "x", "y")
+
+    q["q_stump"] = q_stump
+
+    def q_psi(spark, sf):  # population stability index between an
+        # expected and a 1.2x-drifted actual distribution; add-one
+        # smoothing over the FULL bin spine, micro-quantized terms
+        from osm_pbf_spark.operators.stats import psi_drift
+
+        ev = load(spark, sf, "events").select(
+            F.floor(
+                F.when(
+                    F.pmod(F.col("event_id"), F.lit(2)) == 0,
+                    F.col("value"),
+                ).otherwise(F.col("value") * F.lit(1.2))
+            )
+            .cast("bigint")
+            .alias("v"),
+            F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("side"),
+        )
+        return psi_drift(ev, "v", "side", lo=0, hi=600, n_bins=12)
+
+    q["q_psi"] = q_psi
+
     return q
 
 
@@ -7823,6 +7888,60 @@ def _ora_rank_metrics() -> str:
                          / CAST(n_rel AS DOUBLE)
                END AS recall_at_k
         FROM g
+    """
+
+
+def _ora_span_corrupt() -> str:
+    """Full replay of the md5-window masking + sentinel assembly;
+    DuckDB zips parallel unnests for (tok, pos)."""
+    h = _hex40_bigint_sql(
+        "md5('7:' || CAST(doc_id AS VARCHAR) || ':' || CAST(w AS VARCHAR))"
+    )
+    return f"""
+        WITH d AS (SELECT doc_id,
+                          list_slice(str_split(text, ' '), 1, 24) AS toks
+                   FROM documents),
+        t AS (SELECT doc_id, unnest(toks) AS tok,
+                     unnest(range(len(toks))) AS pos
+              FROM d),
+        m0 AS (SELECT doc_id, pos, tok, pos // 3 AS w FROM t),
+        m1 AS (SELECT doc_id, pos, tok,
+                      ({h} % 1000000) < 300000 AS m,
+                      pos % 3 = 0 AS isf
+               FROM m0),
+        k1 AS (SELECT *,
+                      sum(CASE WHEN m AND isf THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - 1 AS k
+               FROM m1),
+        inp AS (SELECT doc_id, pos * 2 AS key,
+                       CASE WHEN NOT m THEN tok
+                            ELSE '<extra_id_' || CAST(k AS VARCHAR) || '>'
+                       END AS v
+                FROM k1 WHERE (NOT m) OR isf),
+        tgt AS (SELECT doc_id, pos * 2 - 1 AS key,
+                       '<extra_id_' || CAST(k AS VARCHAR) || '>' AS v
+                FROM k1 WHERE m AND isf
+                UNION ALL
+                SELECT doc_id, pos * 2, tok FROM k1 WHERE m),
+        agg_i AS (SELECT doc_id, string_agg(v, ' ' ORDER BY key)
+                         AS input_text
+                  FROM inp GROUP BY doc_id),
+        agg_t AS (SELECT doc_id, string_agg(v, ' ' ORDER BY key)
+                         AS target_text
+                  FROM tgt GROUP BY doc_id),
+        cnt AS (SELECT doc_id, count(*) AS n_tokens,
+                       CAST(sum(CASE WHEN m AND isf THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_spans,
+                       CAST(sum(CASE WHEN m THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_masked
+                FROM k1 GROUP BY doc_id)
+        SELECT cnt.doc_id, n_tokens, n_spans, n_masked,
+               coalesce(agg_i.input_text, '') AS input_text,
+               coalesce(agg_t.target_text, '') AS target_text
+        FROM cnt LEFT JOIN agg_i USING (doc_id)
+                 LEFT JOIN agg_t USING (doc_id)
     """
 
 
@@ -11873,6 +11992,92 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(n_true + n_pred AS DOUBLE)
                    END AS f1
             FROM j
+        """,
+        "q_span_corrupt": _ora_span_corrupt(),
+        # cumulative-window Gini replay; argmax = ORDER BY score
+        # DESC, v ASC (the operator's max(struct(score,-v)) tie rule)
+        "q_stump": """
+            WITH s AS (SELECT CAST(floor(value) AS BIGINT) AS x,
+                              CASE WHEN floor(value) > 200
+                                   THEN CASE WHEN event_id % 10 < 8
+                                             THEN 1 ELSE 0 END
+                                   ELSE CASE WHEN event_id % 10 < 2
+                                             THEN 1 ELSE 0 END
+                              END AS y
+                       FROM events),
+            pv AS (SELECT x AS v, CAST(sum(y) AS BIGINT) AS pos,
+                          count(*) AS n
+                   FROM s GROUP BY 1),
+            cum AS (SELECT v,
+                           CAST(sum(n) OVER wv AS BIGINT) AS nl,
+                           CAST(sum(pos) OVER wv AS BIGINT) AS pl
+                    FROM pv
+                    WINDOW wv AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW)),
+            tot AS (SELECT count(*) AS tn, CAST(sum(y) AS BIGINT) AS tp
+                    FROM s),
+            cand AS (SELECT v, nl, pl, tn, tp,
+                            tn - nl AS nr, tp - pl AS pr
+                     FROM cum, tot WHERE nl < tn),
+            sc AS (SELECT v, nl, nr, pl, pr, tn,
+                          CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE)
+                              / CAST(nl AS DOUBLE)
+                          + CAST(pr * pr + (nr - pr) * (nr - pr) AS DOUBLE)
+                              / CAST(nr AS DOUBLE) AS score
+                   FROM cand)
+            SELECT v AS threshold, score,
+                   (CAST(tn AS DOUBLE) - score) / CAST(tn AS DOUBLE)
+                       AS wgini,
+                   nl AS n_left, nr AS n_right,
+                   pl AS pos_left, pr AS pos_right,
+                   CAST(CASE WHEN 2 * pl >= nl THEN 1 ELSE 0 END
+                        AS INTEGER) AS pred_left,
+                   CAST(CASE WHEN 2 * pr >= nr THEN 1 ELSE 0 END
+                        AS INTEGER) AS pred_right
+            FROM sc ORDER BY score DESC, v ASC LIMIT 1
+        """,
+        # add-one-smoothed PSI over the full 12-bin spine
+        "q_psi": """
+            WITH s AS (SELECT CASE WHEN event_id % 2 = 0
+                                   THEN CAST(floor(value) AS BIGINT)
+                                   ELSE CAST(floor(value
+                                        * CAST(1.2 AS DOUBLE)) AS BIGINT)
+                              END AS v,
+                              CASE WHEN event_id % 2 = 0 THEN 'a'
+                                   ELSE 'b' END AS side
+                       FROM events),
+            b AS (SELECT least(greatest((v * 12) // 600, 0), 11) AS bin,
+                         sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END)
+                             AS ca,
+                         sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END)
+                             AS cb
+                  FROM s GROUP BY 1),
+            spine AS (SELECT range AS bin FROM range(12)),
+            fullb AS (SELECT spine.bin, coalesce(b.ca, 0) AS ca,
+                             coalesce(b.cb, 0) AS cb
+                      FROM spine LEFT JOIN b USING (bin)),
+            tot AS (SELECT CAST(sum(CASE WHEN side = 'a' THEN 1
+                                         ELSE 0 END) AS BIGINT) AS n_a,
+                           CAST(sum(CASE WHEN side = 'b' THEN 1
+                                         ELSE 0 END) AS BIGINT) AS n_b
+                    FROM s),
+            t AS (SELECT n_a, n_b,
+                         CAST((ca + 1) * (n_b + 12)
+                              - (cb + 1) * (n_a + 12) AS DOUBLE)
+                             / CAST((n_a + 12) * (n_b + 12) AS DOUBLE)
+                         * ln(CAST((ca + 1) * (n_b + 12) AS DOUBLE)
+                              / CAST((cb + 1) * (n_a + 12) AS DOUBLE))
+                             AS tv
+                  FROM fullb, tot),
+            q AS (SELECT n_a, n_b,
+                         CAST(floor(tv * 1000000.0 + 0.5) AS BIGINT)
+                             AS tq
+                  FROM t)
+            SELECT n_a, n_b, 12 AS n_bins,
+                   CAST(sum(tq) AS BIGINT) AS psi_micro,
+                   CAST(CAST(sum(tq) AS BIGINT) AS DOUBLE) / 1000000.0
+                       AS psi
+            FROM q GROUP BY n_a, n_b
         """,
         # verbatim doubled-rank replay; the group-term fold is the
         # same order-pinned running window in both engines

@@ -44,6 +44,8 @@ __all__ = [
     "welch_ttest",
     "cramers_v",
     "mutual_information",
+    "decision_stump",
+    "psi_drift",
 ]
 
 
@@ -1448,4 +1450,167 @@ def mutual_information(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             / F.lit(1_000_000.0)
             / F.col("n").cast("double")
         ).alias("mi_nats"),
+    )
+
+
+def decision_stump(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Best single-feature binary split by Gini impurity — the
+    depth-1 decision tree (the classic quality-filter baseline: one
+    interpretable threshold on an integer feature vs a 0/1 label).
+
+    Minimizing weighted Gini ``n_L·g_L + n_R·g_R`` is equivalent to
+    MAXIMIZING ``score = (p_L²+q_L²)/n_L + (p_R²+q_R²)/n_R`` (p/q =
+    positive/negative counts — all exact int64 from one cumulative
+    window over DISTINCT feature values). Each candidate's score is a
+    fixed per-row double chain; the argmax breaks score ties by the
+    SMALLEST threshold via max(struct(score, -v)) — deterministic
+    cross-engine. Candidate t splits x <= t / x > t; the max value is
+    not a candidate (empty right side).
+
+    Overflow: p² under 2^63 ⇒ n under ~3×10⁹ rows. Plan: ks_test
+    class — one distinct-value aggregate, one cumulative window,
+    broadcast totals, one max. Returns one row (threshold, score,
+    wgini, n_left, n_right, pos_left, pos_right, pred_left,
+    pred_right).
+    """
+    y = F.col(y_col).cast("bigint")
+    df = df.where(
+        F.when(y.isin(0, 1), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"decision_stump: {y_col} must be 0/1, got "),
+                    y.cast("string"),
+                )
+            )
+        )
+    )
+    pv = df.groupBy(F.col(x_col).alias("_v")).agg(
+        F.sum(y).alias("_pos"), F.count(F.lit(1)).alias("_n")
+    )
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pv.select(
+        "_v",
+        F.sum("_n").over(w).alias("_nl"),
+        F.sum("_pos").over(w).alias("_pl"),
+    )
+    tot = df.agg(
+        F.count(F.lit(1)).alias("_tn"), F.sum(y).alias("_tp")
+    )
+    cand = cum.crossJoin(F.broadcast(tot)).where(F.col("_nl") < F.col("_tn"))
+    pl, nl = F.col("_pl"), F.col("_nl")
+    ql = nl - pl
+    nr = F.col("_tn") - nl
+    pr = F.col("_tp") - pl
+    qr = nr - pr
+    score = (pl * pl + ql * ql).cast("double") / nl.cast("double") + (
+        pr * pr + qr * qr
+    ).cast("double") / nr.cast("double")
+    best = cand.select(
+        F.struct(
+            score.alias("s"),
+            (-F.col("_v")).alias("negv"),
+            F.col("_v").alias("v"),
+            nl.alias("nl"),
+            nr.alias("nr"),
+            pl.alias("pl"),
+            pr.alias("pr"),
+            F.col("_tn").alias("tn"),
+        ).alias("_c")
+    ).agg(F.max("_c").alias("_b"))
+    b = F.col("_b")
+    return best.select(
+        b["v"].alias("threshold"),
+        b["s"].alias("score"),
+        ((b["tn"].cast("double") - b["s"]) / b["tn"].cast("double")).alias(
+            "wgini"
+        ),
+        b["nl"].alias("n_left"),
+        b["nr"].alias("n_right"),
+        b["pl"].alias("pos_left"),
+        b["pr"].alias("pos_right"),
+        (F.lit(2) * b["pl"] >= b["nl"]).cast("int").alias("pred_left"),
+        (F.lit(2) * b["pr"] >= b["nr"]).cast("int").alias("pred_right"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    sides: tuple[str, str] = ("a", "b"),
+    lo: int = 0,
+    hi: int = 1000,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population stability index between two sides over fixed-range
+    integer bins — THE standard ML-monitoring drift score beside
+    :func:`ks_test` (numeric CDF gap) and :func:`chi2_test`
+    (categorical):
+
+        PSI = Σ_bins (p_a − p_b) · ln(p_a / p_b)
+
+    with ADD-ONE smoothing (the bigram_lm posture): ``c' = c+1,
+    n' = n+n_bins`` — zero bins are defined and EVERY bin contributes
+    (the bin spine is materialized from spark.range, not from
+    observed data). Bin = ``(v−lo)·n_bins DIV (hi−lo)`` clamped to
+    [0, n_bins) — all-integer, out-of-range values land in the edge
+    bins.
+
+    Exactness (kaplan_meier ln posture): per bin,
+    ``d = (c_a'·n_b' − c_b'·n_a')/(n_a'·n_b')`` and
+    ``l = ln((c_a'·n_b')/(c_b'·n_a'))`` are fixed chains on exact
+    int64; ``d·l >= 0`` is micro-quantized HALF-UP then int64-summed
+    (order-free). Returns one row (n_a, n_b, n_bins, psi_micro, psi).
+
+    Plan: one n_bins-bounded aggregate + an n_bins-row spine join —
+    nothing scales with rows except the map-side partials.
+    """
+    sa, sb = sides
+    binc = F.least(
+        F.greatest(
+            F.expr(f"(({value_col} - {lo}) * {n_bins}) DIV ({hi} - {lo})"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    ).cast("bigint")
+    per = df.groupBy(binc.alias("_bin")).agg(
+        F.sum((F.col(side_col) == sa).cast("bigint")).alias("_ca"),
+        F.sum((F.col(side_col) == sb).cast("bigint")).alias("_cb"),
+    )
+    spine = df.sparkSession.range(n_bins).select(
+        F.col("id").alias("_bin")
+    )
+    full = spine.join(F.broadcast(per), "_bin", "left").select(
+        "_bin",
+        F.coalesce("_ca", F.lit(0)).alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).alias("_cb"),
+    )
+    tot = df.agg(
+        F.sum((F.col(side_col) == sa).cast("bigint")).alias("n_a"),
+        F.sum((F.col(side_col) == sb).cast("bigint")).alias("n_b"),
+    )
+    j = full.crossJoin(F.broadcast(tot))
+    ca1 = F.col("_ca") + 1
+    cb1 = F.col("_cb") + 1
+    na1 = F.col("n_a") + n_bins
+    nb1 = F.col("n_b") + n_bins
+    d = (ca1 * nb1 - cb1 * na1).cast("double") / (na1 * nb1).cast("double")
+    ln = F.log((ca1 * nb1).cast("double") / (cb1 * na1).cast("double"))
+    t = d * ln
+    tq = F.floor(t * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+    out = j.groupBy("n_a", "n_b").agg(F.sum(tq).alias("psi_micro"))
+    return out.select(
+        "n_a",
+        "n_b",
+        F.lit(n_bins).alias("n_bins"),
+        "psi_micro",
+        (F.col("psi_micro").cast("double") / F.lit(1_000_000.0)).alias(
+            "psi"
+        ),
     )

@@ -9,7 +9,7 @@ equivalent used as its DuckDB oracle. A rolling-hash fingerprint
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # small, deterministic stopword marker sets per language — the lang-id
@@ -1283,4 +1283,120 @@ def rake_keywords(
         scored.withColumn("rank", F.row_number().over(rk))
         .where(F.col("rank") <= top_k)
         .select("doc_id", "phrase", "n_words", "score_q", "rank")
+    )
+
+
+def span_corruption(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    seed: int = 1,
+    span_len: int = 3,
+    noise_ppm: int = 150_000,
+) -> "DataFrame":
+    """T5-style span-corruption training pairs from a token-array
+    column: contiguous ``span_len``-token windows are masked with
+    probability ``noise_ppm``/10^6; each masked window is replaced by
+    ONE ``<extra_id_k>`` sentinel in the encoder input, and the target
+    is the sentinel-delimited concatenation of the masked spans.
+
+    Deterministic spec (engine-replayable, no RNG): window ``w = pos
+    DIV span_len`` is masked iff ``md5_40(seed:doc:w) % 10^6 <
+    noise_ppm`` (the stratified_sample md5-threshold posture); sentinel
+    ordinal k = number of masked windows at or before w, minus 1 —
+    computed as a running count of masked-window FIRST rows, so no
+    (doc,w)-level join is needed.
+
+    Returns ``(doc_id, n_tokens, n_spans, n_masked, inputs:
+    array<string>, targets: array<string>, input_text, target_text)``.
+
+    Plan: posexplode → one per-doc window (running count) → one
+    groupBy(doc) with ``array_sort(collect_list(struct(...)))`` +
+    native transform/filter/flatten assembly (the way-assembly
+    regroup discipline — collect_list alone is NOT order-stable).
+    ONE shuffle on doc_id; no Python.
+    """
+    t = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(F.col(tokens_col)).alias("_pos", "_tok"),
+    )
+    w_id = F.expr(f"_pos DIV {span_len}")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"),
+                    F.col("_doc").cast("string"),
+                    F.lit(":"),
+                    w_id.cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    t = t.select(
+        "_doc",
+        "_pos",
+        "_tok",
+        (F.pmod(h, F.lit(1_000_000)) < noise_ppm).alias("_m"),
+        (F.pmod(F.col("_pos"), F.lit(span_len)) == 0).alias("_isf"),
+    )
+    wcum = (
+        Window.partitionBy("_doc")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn(
+        "_k",
+        F.sum((F.col("_m") & F.col("_isf")).cast("bigint")).over(wcum)
+        - F.lit(1),
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("_pos", "_tok", "_m", "_isf", "_k"))
+    )
+    per = t.groupBy(F.col("_doc").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((F.col("_m") & F.col("_isf")).cast("bigint")).alias("n_spans"),
+        F.sum(F.col("_m").cast("bigint")).alias("n_masked"),
+        arr.alias("_arr"),
+    )
+    inputs = F.filter(
+        F.transform(
+            F.col("_arr"),
+            lambda x: F.when(~x["_m"], x["_tok"]).when(
+                x["_isf"],
+                F.concat(F.lit("<extra_id_"), x["_k"], F.lit(">")),
+            ),
+        ),
+        lambda v: v.isNotNull(),
+    )
+    targets = F.flatten(
+        F.transform(
+            F.col("_arr"),
+            lambda x: F.when(
+                x["_m"] & x["_isf"],
+                F.array(
+                    F.concat(F.lit("<extra_id_"), x["_k"], F.lit(">")),
+                    x["_tok"],
+                ),
+            )
+            .when(x["_m"], F.array(x["_tok"]))
+            .otherwise(F.array().cast("array<string>")),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_tokens",
+        "n_spans",
+        "n_masked",
+        inputs.alias("inputs"),
+        targets.alias("targets"),
+    ).withColumns(
+        {
+            "input_text": F.array_join(F.col("inputs"), " "),
+            "target_text": F.array_join(F.col("targets"), " "),
+        }
     )
