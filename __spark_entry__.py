@@ -4902,6 +4902,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_psi"] = q_psi
 
+    def q_bipartite(spark, sf):  # doc-doc co-occurrence by projecting
+        # the doc-BIGRAM bipartite graph (unigram vocab is too small
+        # to discriminate); right-degree cap 10 kills hub bigrams
+        # BEFORE the quadratic self-join (the LSH hot-bucket
+        # discipline) and genuinely binds on this corpus (max deg 17)
+        from osm_pbf_spark.operators.graph import bipartite_project
+
+        t = load(spark, sf, "documents").select(
+            "doc_id",
+            F.posexplode(
+                F.slice(F.split(F.col("text"), " "), 1, 13)
+            ).alias("pos", "tok"),
+        )
+        wd = Window.partitionBy("doc_id").orderBy("pos")
+        bg = t.select(
+            "doc_id",
+            F.concat(
+                F.col("tok"), F.lit(" "), F.lead("tok").over(wd)
+            ).alias("bigram"),
+        ).where(F.col("bigram").isNotNull())
+        return bipartite_project(
+            bg, "doc_id", "bigram", min_weight=2, max_right_degree=10
+        )
+
+    q["q_bipartite"] = q_bipartite
+
+    def q_textrank(spark, sf):  # corpus keywords = integer-quantized
+        # PageRank over the token-adjacency (window-2) graph; oracle
+        # unrolls the same fixed-round integer recurrence in DuckDB
+        from osm_pbf_spark.operators.text import textrank_keywords
+
+        return textrank_keywords(
+            load(spark, sf, "documents"),
+            max_tokens=16,
+            iterations=4,
+            top_k=25,
+            scale=10**9,
+        )
+
+    q["q_textrank"] = q_textrank
+
+    def q_holt(spark, sf):  # Holt linear-trend smoothing: integer
+        # double recurrence (level+trend) with TRUNCATING division;
+        # DuckDB WITH RECURSIVE evaluates the identical recurrence
+        from osm_pbf_spark.operators.temporal import holt_linear
+
+        ev = (
+            load(spark, sf, "events")
+            .where((F.col("event_id") < 2000) & (F.col("value") >= 0))
+            .select(
+                F.pmod(F.col("user_id"), F.lit(16)).alias("key"),
+                F.col("event_id").alias("seq"),
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                .cast("bigint")
+                .alias("val"),
+            )
+        )
+        return holt_linear(ev, 3, 10, 2, 10)
+
+    q["q_holt"] = q_holt
+
     return q
 
 
@@ -7943,6 +8004,46 @@ def _ora_span_corrupt() -> str:
         FROM cnt LEFT JOIN agg_i USING (doc_id)
                  LEFT JOIN agg_t USING (doc_id)
     """
+
+
+def _ora_textrank(
+    iters: int = 4, scale: int = 10**9, num: int = 85, den: int = 100
+) -> str:
+    """Unrolled integer-PageRank chain (the _ora_pagerank pattern)
+    over the token-adjacency graph built in SQL."""
+    base = (scale * (den - num)) // den
+    ctes = [
+        "d AS (SELECT doc_id, list_slice(str_split(text, ' '), 1, 16)"
+        " AS toks FROM documents)",
+        "t AS (SELECT doc_id, unnest(toks) AS tok,"
+        " unnest(range(len(toks))) AS pos FROM d)",
+        "p AS (SELECT a.tok AS a, b.tok AS b FROM t a JOIN t b"
+        " ON b.doc_id = a.doc_id AND b.pos = a.pos + 1"
+        " AND a.tok <> b.tok)",
+        "e AS (SELECT DISTINCT src, dst FROM ("
+        "SELECT a AS src, b AS dst FROM p"
+        " UNION ALL SELECT b, a FROM p))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(r.rank // o.outdeg) AS s"
+            f" FROM e JOIN r{i - 1} r ON e.src = r.node"
+            f" JOIN od o ON o.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node,"
+            f" CAST({base} + ({num} * COALESCE(c.s, 0)) // {den}"
+            f" AS BIGINT) AS rank"
+            f" FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS token, rank FROM r{iters}"
+        + "\nORDER BY rank DESC, token ASC LIMIT 25"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11994,6 +12095,59 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "q_span_corrupt": _ora_span_corrupt(),
+        # degree-capped bigram bipartite projection replay
+        "q_bipartite": """
+            WITH d AS (SELECT doc_id,
+                              list_slice(str_split(text, ' '), 1, 13)
+                                  AS toks
+                       FROM documents),
+            t AS (SELECT doc_id, unnest(toks) AS tok,
+                         unnest(range(len(toks))) AS pos
+                  FROM d),
+            bg AS (SELECT a.doc_id AS l, a.tok || ' ' || b.tok AS r
+                   FROM t a JOIN t b
+                     ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+            e0 AS (SELECT DISTINCT l, r FROM bg),
+            deg AS (SELECT r, count(*) AS dg FROM e0 GROUP BY r),
+            e AS (SELECT e0.l, e0.r FROM e0 JOIN deg USING (r)
+                  WHERE deg.dg <= 10),
+            p AS (SELECT a.l AS left_a, b.l AS left_b,
+                         count(*) AS weight
+                  FROM e a JOIN e b ON b.r = a.r AND a.l < b.l
+                  GROUP BY 1, 2)
+            SELECT left_a, left_b, CAST(weight AS BIGINT) AS weight
+            FROM p WHERE weight >= 2
+        """,
+        "q_textrank": _ora_textrank(),
+        # identical truncating-division double recurrence; DuckDB //
+        # truncates toward zero exactly like the spec's tdiv
+        "q_holt": """
+            WITH RECURSIVE s AS (
+              SELECT user_id % 16 AS key, event_id AS seq,
+                     CAST(floor(value * CAST(100 AS DOUBLE) + 0.5)
+                          AS BIGINT) AS val
+              FROM events WHERE event_id < 2000 AND value >= 0),
+            r AS (SELECT key, seq, val,
+                         row_number() OVER (PARTITION BY key
+                                            ORDER BY seq) AS rn
+                  FROM s),
+            ho AS (
+              SELECT key, seq, val, rn,
+                     val * 1000000 AS l, CAST(0 AS BIGINT) AS b
+              FROM r WHERE rn = 1
+              UNION ALL
+              SELECT r.key, r.seq, r.val, r.rn,
+                     (3 * r.val * 1000000 + 7 * (ho.l + ho.b)) // 10,
+                     (2 * ((3 * r.val * 1000000 + 7 * (ho.l + ho.b))
+                           // 10 - ho.l) + 8 * ho.b) // 10
+              FROM ho JOIN r ON r.key = ho.key AND r.rn = ho.rn + 1)
+            SELECT key, seq, val,
+                   l AS level_q, b AS trend_q,
+                   CAST(l + b AS BIGINT) AS forecast_q,
+                   CAST(l AS DOUBLE) / CAST(1000000 AS DOUBLE) AS level,
+                   CAST(b AS DOUBLE) / CAST(1000000 AS DOUBLE) AS trend
+            FROM ho
+        """,
         # cumulative-window Gini replay; argmax = ORDER BY score
         # DESC, v ASC (the operator's max(struct(score,-v)) tie rule)
         "q_stump": """

@@ -1173,3 +1173,38 @@ def line_dissolve(
     return labeled.join(sizes, "chain_id").select(
         F.col("eid").alias(edge_id), "chain_id", "n_edges"
     )
+
+
+def bipartite_project(
+    df: DataFrame,
+    left_col: str,
+    right_col: str,
+    min_weight: int = 1,
+    max_right_degree: int | None = None,
+) -> DataFrame:
+    """Project a bipartite (left, right) edge set onto the LEFT side:
+    ``(left_a, left_b, weight)`` with weight = number of shared right
+    neighbors (doc–token → doc–doc co-occurrence, user–item →
+    user–user affinity). Pairs are emitted once (left_a < left_b).
+
+    100-TB posture (the minhash_lsh hot-bucket discipline): the
+    self-join on the right key is quadratic in a key's degree, so
+    ``max_right_degree`` DROPS right nodes above the cap before the
+    join (stopword/hub removal — a documented recall knob, exactly
+    reproduced by the oracle, not a silent truncation). Plan: distinct
+    → degree semi-join → one keyed self-join → one pair aggregate.
+    """
+    e = df.select(
+        F.col(left_col).alias("_l"), F.col(right_col).alias("_r")
+    ).distinct()
+    if max_right_degree is not None:
+        deg = e.groupBy("_r").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.where(F.col("_d") <= max_right_degree).select("_r")
+        e = e.join(keep, "_r", "left_semi")
+    a = e.select(F.col("_r").alias("_k"), F.col("_l").alias("left_a"))
+    b = e.select(F.col("_r").alias("_k"), F.col("_l").alias("left_b"))
+    pairs = a.join(b, "_k").where(F.col("left_a") < F.col("left_b"))
+    out = pairs.groupBy("left_a", "left_b").agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+    return out.where(F.col("weight") >= min_weight)

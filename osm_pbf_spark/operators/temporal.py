@@ -1238,3 +1238,93 @@ def kaplan_meier(
             ).cast("bigint")
         ).alias("survival_ppm"),
     )
+
+
+def holt_linear(
+    series: DataFrame,
+    alpha_num: int,
+    alpha_den: int,
+    beta_num: int,
+    beta_den: int,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    val_col: str = "val",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key — the
+    trend-aware sibling of :func:`ewma` (level + slope, one-step
+    forecast = level + trend).
+
+    INTEGER recurrence spec, TRUNCATING division (tdiv = toward zero —
+    the trend term goes negative, where Python ``//`` floors but
+    DuckDB ``//`` truncates; the spec pins truncation and the Python
+    kernel implements it explicitly):
+
+        l_1 = x_1·scale,  b_1 = 0
+        l_i = tdiv(αn·x_i·scale + (αd−αn)·(l_{i−1}+b_{i−1}), αd)
+        b_i = tdiv(βn·(l_i − l_{i−1}) + (βd−βn)·b_{i−1}, βd)
+
+    Values must be NON-NEGATIVE int64 and ``seq`` unique per key.
+    Returns input columns + ``level_q, trend_q, forecast_q`` (int64,
+    scaled; forecast_q = level_q + trend_q) and ``level, trend``
+    (doubles, ONE division each).
+
+    Plan: one keyed shuffle into applyInPandas (the ewma/debounce
+    sequential-recurrence class; parallel across keys). Oracle = a
+    DuckDB WITH RECURSIVE chain of the identical recurrence.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not (0 < alpha_num <= alpha_den) or not (0 < beta_num <= beta_den):
+        raise ValueError("need 0 < num <= den for alpha and beta")
+    an, ad = int(alpha_num), int(alpha_den)
+    bn, bd = int(beta_num), int(beta_den)
+    sc = int(scale)
+
+    def _tdiv(a: int, d: int) -> int:
+        return -((-a) // d) if a < 0 else a // d
+
+    schema = (
+        f"{key_col} long, {seq_col} long, {val_col} long, "
+        "level_q long, trend_q long, forecast_q long, "
+        "level double, trend double"
+    )
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq_col, kind="mergesort")
+        x = pdf[val_col].to_numpy(dtype=np.int64)
+        if len(x) and x.min() < 0:
+            raise ValueError("holt_linear spec requires non-negative values")
+        ls, bs = [], []
+        l_prev = b_prev = 0
+        for i, xi in enumerate(x):
+            xi = int(xi)
+            if i == 0:
+                l_cur, b_cur = xi * sc, 0
+            else:
+                l_cur = _tdiv(an * xi * sc + (ad - an) * (l_prev + b_prev), ad)
+                b_cur = _tdiv(bn * (l_cur - l_prev) + (bd - bn) * b_prev, bd)
+            ls.append(l_cur)
+            bs.append(b_cur)
+            l_prev, b_prev = l_cur, b_cur
+        larr = np.array(ls, dtype=np.int64)
+        barr = np.array(bs, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(dtype=np.int64),
+                seq_col: pdf[seq_col].to_numpy(dtype=np.int64),
+                val_col: x,
+                "level_q": larr,
+                "trend_q": barr,
+                "forecast_q": larr + barr,
+                "level": larr.astype(np.float64) / float(sc),
+                "trend": barr.astype(np.float64) / float(sc),
+            }
+        )
+
+    return (
+        series.select(key_col, seq_col, val_col)
+        .groupBy(key_col)
+        .applyInPandas(_holt, schema)
+    )

@@ -1400,3 +1400,49 @@ def span_corruption(
             "target_text": F.array_join(F.col("targets"), " "),
         }
     )
+
+
+def textrank_keywords(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 16,
+    iterations: int = 4,
+    top_k: int = 25,
+    scale: int = 10**9,
+) -> "DataFrame":
+    """TextRank keyword extraction (Mihalcea & Tarau) — corpus-level
+    keywords as the PageRank of the token-adjacency graph: adjacent
+    tokens (window 2) are undirected edges; rank via the repo's
+    INTEGER-quantized :func:`osm_pbf_spark.operators.graph.pagerank`
+    (gate-hashable — float PR sums doubles in shuffle order). Returns
+    the global ``top_k`` rows ``(token, rank)``, ties broken by token
+    ascending.
+
+    Plan: split/slice → one per-doc window (lead) for adjacency →
+    distinct symmetric edges → the pagerank fixed-round loop (two
+    shuffles per round, no driver actions) → a vocab-sized top-k sort.
+    """
+    from osm_pbf_spark.operators.graph import pagerank
+
+    t = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(
+            F.slice(F.split(F.col(text_col), " "), 1, max_tokens)
+        ).alias("_pos", "_tok"),
+    )
+    w = Window.partitionBy("_doc").orderBy("_pos")
+    adj = t.select(
+        F.col("_tok").alias("_a"), F.lead("_tok").over(w).alias("_b")
+    ).where(F.col("_b").isNotNull() & (F.col("_a") != F.col("_b")))
+    e = (
+        adj.select(F.col("_a").alias("src"), F.col("_b").alias("dst"))
+        .union(adj.select(F.col("_b").alias("src"), F.col("_a").alias("dst")))
+        .distinct()
+    )
+    ranks = pagerank(e, iterations=iterations, scale=scale)
+    return (
+        ranks.select(F.col("node").alias("token"), "rank")
+        .orderBy(F.col("rank").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
