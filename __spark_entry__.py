@@ -4963,6 +4963,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_holt"] = q_holt
 
+    def q_kendall(spark, sf):  # Kendall tau-b per event type: exact
+        # concordance counts via the brute pairwise verifier (theil_sen
+        # posture); pair categories are invariant to the row-id order
+        # among exactly-tied rows, so both engines' row_number agree
+        from osm_pbf_spark.operators.stats import kendall_tau
+
+        ev = (
+            load(spark, sf, "events")
+            .where(F.col("event_id") < 4000)
+            .select(
+                "event_type",
+                F.floor(F.col("value")).cast("bigint").alias("x"),
+                (
+                    F.pmod(F.col("event_id"), F.lit(23))
+                    + F.lit(2) * F.floor(F.col("value")).cast("bigint")
+                ).alias("y"),
+            )
+        )
+        return kendall_tau(ev, "x", "y", group_cols=["event_type"])
+
+    q["q_kendall"] = q_kendall
+
+    def q_binseg(spark, sf):  # best mean-shift changepoint per type:
+        # a +3000 step planted at event_id > 5000; exact prefix sums,
+        # decision_stump argmax discipline
+        from osm_pbf_spark.operators.stats import binseg_split
+
+        ev = load(spark, sf, "events").select(
+            "event_type",
+            F.col("event_id").alias("seq"),
+            (
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+                + F.when(F.col("event_id") > 5000, F.lit(3000)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("x"),
+        )
+        return binseg_split(ev, "seq", "x", group_cols=["event_type"])
+
+    q["q_binseg"] = q_binseg
+
+    def q_hull_diameter(spark, sf):  # farthest hull-vertex pair per
+        # group (exact int d2 on the hull grid); oracle = Jarvis-march
+        # hull VALUES + the pairwise max computed in SQL
+        from osm_pbf_spark.operators.hull import convex_hull, hull_diameter
+
+        pts = customer_points(spark, sf).where(F.col("doc_id") <= 2000)
+        grouped = pts.select(
+            F.pmod(F.col("doc_id"), F.lit(8)).alias("group_id"),
+            "lat",
+            "lon",
+        )
+        return hull_diameter(convex_hull(grouped))
+
+    q["q_hull_diameter"] = q_hull_diameter
+
     return q
 
 
@@ -8044,6 +8102,56 @@ def _ora_textrank(
         + f"\nSELECT node AS token, rank FROM r{iters}"
         + "\nORDER BY rank DESC, token ASC LIMIT 25"
     )
+
+
+def _ora_hull_diameter() -> str:
+    """Jarvis-march hull replay (the q_convex_hull oracle's rows) with
+    the pairwise diameter computed IN SQL over the VALUES."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.hull import hull_py
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "customer.parquet"), columns=["c_custkey"]
+    )
+    keys = sorted(int(k) for k in t.column("c_custkey").to_pylist() if int(k) <= 2000)
+    groups: dict[int, set] = {}
+    for k in keys:
+        lat = -60.0 + ((k * 7919) % 120000) / 1000.0
+        lon = -150.0 + ((k * 104729) % 300000) / 1000.0
+        groups.setdefault(k % 8, set()).add(
+            (math.floor(lon * 1000.0 + 0.5), math.floor(lat * 1000.0 + 0.5))
+        )
+    rows = []
+    for g in sorted(groups):
+        for pos, (ix, iy) in enumerate(hull_py(sorted(groups[g]))):
+            rows.append((g, pos, ix, iy))
+    hull_vals = _values_sql(
+        [("group_id", "BIGINT"), ("hull_pos", "INTEGER"),
+         ("ix", "BIGINT"), ("iy", "BIGINT")],
+        rows,
+    )
+    return f"""
+        WITH hull AS ({hull_vals}),
+        p AS (SELECT a.group_id,
+                     a.ix AS x1, a.iy AS y1, b.ix AS x2, b.iy AS y2,
+                     (b.ix - a.ix) * (b.ix - a.ix)
+                     + (b.iy - a.iy) * (b.iy - a.iy) AS d2
+              FROM hull a JOIN hull b
+                ON b.group_id = a.group_id AND a.hull_pos < b.hull_pos),
+        r AS (SELECT *, row_number() OVER (PARTITION BY group_id
+                        ORDER BY d2 DESC, x1 ASC, y1 ASC,
+                                 x2 ASC, y2 ASC) AS rn
+              FROM p),
+        n AS (SELECT group_id, count(*) AS n_hull FROM hull GROUP BY 1)
+        SELECT n.group_id, n.n_hull,
+               CAST(coalesce(r.d2, 0) AS BIGINT) AS d2_max,
+               sqrt(CAST(coalesce(r.d2, 0) AS DOUBLE)) AS diam_grid,
+               r.x1, r.y1, r.x2, r.y2
+        FROM n LEFT JOIN r ON r.group_id = n.group_id AND r.rn = 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12119,6 +12227,88 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE weight >= 2
         """,
         "q_textrank": _ora_textrank(),
+        # brute pairwise tau-b replay (categories invariant to the
+        # rid order among exact ties)
+        "q_kendall": """
+            WITH s AS (SELECT event_type AS g,
+                              CAST(floor(value) AS BIGINT) AS x,
+                              CAST(event_id % 23
+                                   + 2 * CAST(floor(value) AS BIGINT)
+                                   AS BIGINT) AS y
+                       FROM events WHERE event_id < 4000),
+            r AS (SELECT g, x, y,
+                         row_number() OVER (PARTITION BY g
+                                            ORDER BY x, y) AS rid
+                  FROM s),
+            p AS (SELECT a.g, b.x - a.x AS dx, b.y - a.y AS dy
+                  FROM r a JOIN r b ON b.g = a.g AND a.rid < b.rid),
+            agg AS (SELECT g,
+                       CAST(sum(CASE WHEN (dx > 0 AND dy > 0)
+                                       OR (dx < 0 AND dy < 0)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                       CAST(sum(CASE WHEN (dx > 0 AND dy < 0)
+                                       OR (dx < 0 AND dy > 0)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+                       CAST(sum(CASE WHEN dx = 0 AND dy <> 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                       CAST(sum(CASE WHEN dx <> 0 AND dy = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+                       CAST(sum(CASE WHEN dx = 0 AND dy = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS txy
+                    FROM p GROUP BY g),
+            ns AS (SELECT g, count(*) AS n FROM s GROUP BY g)
+            SELECT ns.g AS event_type, ns.n, agg.nc, agg.nd,
+                   CAST((ns.n * (ns.n - 1)) // 2 AS BIGINT) AS n0,
+                   CAST(agg.tx + agg.txy AS BIGINT) AS n1,
+                   CAST(agg.ty + agg.txy AS BIGINT) AS n2,
+                   CASE WHEN (ns.n * (ns.n - 1)) // 2 > agg.tx + agg.txy
+                         AND (ns.n * (ns.n - 1)) // 2 > agg.ty + agg.txy
+                        THEN CAST(agg.nc - agg.nd AS DOUBLE)
+                             / (sqrt(CAST((ns.n * (ns.n - 1)) // 2
+                                          - agg.tx - agg.txy AS DOUBLE))
+                                * sqrt(CAST((ns.n * (ns.n - 1)) // 2
+                                            - agg.ty - agg.txy AS DOUBLE)))
+                   END AS tau_b
+            FROM ns JOIN agg ON agg.g = ns.g
+        """,
+        # prefix-sum SSE-split replay; argmax = score DESC, seq ASC
+        "q_binseg": """
+            WITH s AS (SELECT event_type AS g, event_id AS seq,
+                              CAST(floor(value * CAST(100 AS DOUBLE)
+                                         + 0.5) AS BIGINT)
+                              + CASE WHEN event_id > 5000 THEN 3000
+                                     ELSE 0 END AS x
+                       FROM events),
+            cum AS (SELECT g, seq,
+                           CAST(sum(x) OVER (PARTITION BY g ORDER BY seq
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS sl,
+                           row_number() OVER (PARTITION BY g
+                                              ORDER BY seq) AS nl,
+                           CAST(sum(x) OVER (PARTITION BY g) AS BIGINT)
+                               AS st,
+                           count(*) OVER (PARTITION BY g) AS nt
+                    FROM s),
+            sc AS (SELECT g, seq, nl, nt - nl AS nr, sl, st - sl AS sr,
+                          st, nt,
+                          CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+                              / CAST(nl AS DOUBLE)
+                          + CAST(st - sl AS DOUBLE)
+                            * CAST(st - sl AS DOUBLE)
+                              / CAST(nt - nl AS DOUBLE) AS score
+                   FROM cum WHERE nl < nt),
+            r AS (SELECT *, row_number() OVER (PARTITION BY g
+                            ORDER BY score DESC, seq ASC) AS rn
+                  FROM sc)
+            SELECT g AS event_type, seq AS split_seq,
+                   nl AS n_left, nr AS n_right,
+                   CAST(sl AS BIGINT) AS sum_left,
+                   CAST(sr AS BIGINT) AS sum_right, score,
+                   score - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                           / CAST(nt AS DOUBLE) AS gain
+            FROM r WHERE rn = 1
+        """,
+        "q_hull_diameter": _ora_hull_diameter(),
         # identical truncating-division double recurrence; DuckDB //
         # truncates toward zero exactly like the spec's tdiv
         "q_holt": """

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["convex_hull", "hull_py"]
+__all__ = ["convex_hull", "hull_py", "hull_diameter"]
 
 OUT_SCHEMA = T.StructType(
     [
@@ -137,3 +137,63 @@ def hull_py(points: list[tuple[int, int]]) -> list[tuple[int, int]]:
         hull.append(cand)
         cur = cand
     return hull
+
+
+def hull_diameter(hull: DataFrame) -> DataFrame:
+    """Per-group diameter of a convex hull (the farthest point pair —
+    site-spread / coverage-extent metric) from :func:`convex_hull`'s
+    output rows ``(group_id, hull_pos, ix, iy)``.
+
+    The diameter of a point set equals the max pairwise distance over
+    its HULL vertices, so the quadratic pair scan here is over O(h)
+    hull rows, not the raw points (rotating calipers is O(h) but a
+    joined h² over tiny h is simpler and exactly replayable). d² is
+    exact int64 on the hull's integer grid; the achieving pair is
+    deterministic — ties broken by smallest (x1, y1, x2, y2) with the
+    pair oriented by hull_pos. Groups with a single hull vertex return
+    d2_max = 0 and NULL coordinates.
+
+    Returns (group_id, n_hull, d2_max, diam_grid, x1, y1, x2, y2).
+    Plan: one tiny keyed self-join + one ranking window per group.
+    """
+    from pyspark.sql import Window
+
+    a = hull.select(
+        "group_id",
+        F.col("hull_pos").alias("_pa"),
+        F.col("ix").alias("x1"),
+        F.col("iy").alias("y1"),
+    )
+    b = hull.select(
+        "group_id",
+        F.col("hull_pos").alias("_pb"),
+        F.col("ix").alias("x2"),
+        F.col("iy").alias("y2"),
+    )
+    p = a.join(b, "group_id").where(F.col("_pa") < F.col("_pb"))
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    p = p.select(
+        "group_id", "x1", "y1", "x2", "y2", (dx * dx + dy * dy).alias("d2")
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("d2").desc(),
+        F.col("x1").asc(),
+        F.col("y1").asc(),
+        F.col("x2").asc(),
+        F.col("y2").asc(),
+    )
+    top = p.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    n = hull.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_hull"))
+    out = n.join(top.drop("_rn"), "group_id", "left")
+    d2 = F.coalesce("d2", F.lit(0)).alias("d2_max")
+    return out.select(
+        "group_id",
+        "n_hull",
+        d2,
+        F.sqrt(F.coalesce("d2", F.lit(0)).cast("double")).alias("diam_grid"),
+        "x1",
+        "y1",
+        "x2",
+        "y2",
+    )

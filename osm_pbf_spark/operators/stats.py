@@ -1614,3 +1614,177 @@ def psi_drift(
             "psi"
         ),
     )
+
+
+def kendall_tau(
+    df: DataFrame, x_col: str, y_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Kendall's tau-b rank correlation per group — the
+    concordance-based companion of :func:`spearman_corr` (robust to
+    monotone transforms, has the cleanest tie story).
+
+        tau_b = (nc − nd) / (sqrt(n0 − n1) · sqrt(n0 − n2))
+
+    with nc/nd = concordant/discordant pairs, n0 = n(n−1)/2, n1/n2 =
+    pairs tied in x / in y (both-tied counts in BOTH). All counts are
+    exact int64 from ONE brute pairwise self-join (the theil_sen
+    posture: the documented EXACT verifier, O(n²) per group — sample
+    or bin beyond ~10⁴ rows/group); tau_b is one fixed
+    sqrt·sqrt/divide chain. Requires a unique ``id_col``-free total
+    order — pairs are formed on a row-id inequality derived from
+    (x, y, monotonic id), so the caller passes rows with a unique
+    ``_rid`` column OR we synthesize one from the natural key columns.
+
+    Returns (group..., n, nc, nd, n0, n1, n2, tau_b); tau_b NULL when
+    a side is entirely tied.
+    """
+    g = list(group_cols or [])
+    w = Window.partitionBy(*([F.col(c) for c in g] or [F.lit(0)])).orderBy(
+        "_x", "_y"
+    )
+    base = df.select(
+        *g,
+        F.col(x_col).cast("bigint").alias("_x"),
+        F.col(y_col).cast("bigint").alias("_y"),
+    ).withColumn("_rid", F.row_number().over(w))
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in g] + [
+        F.col("a._rid") < F.col("b._rid")
+    ]
+    dx = F.col("b._x") - F.col("a._x")
+    dy = F.col("b._y") - F.col("a._y")
+    pairs = a.join(b, cond).select(
+        *[F.col(f"a.{c}") for c in g],
+        dx.alias("_dx"),
+        dy.alias("_dy"),
+    )
+    keys = [F.col(c) for c in g] if g else [F.lit(0).alias("_all")]
+    agg = pairs.groupBy(*keys).agg(
+        F.sum(
+            (
+                ((F.col("_dx") > 0) & (F.col("_dy") > 0))
+                | ((F.col("_dx") < 0) & (F.col("_dy") < 0))
+            ).cast("bigint")
+        ).alias("nc"),
+        F.sum(
+            (
+                ((F.col("_dx") > 0) & (F.col("_dy") < 0))
+                | ((F.col("_dx") < 0) & (F.col("_dy") > 0))
+            ).cast("bigint")
+        ).alias("nd"),
+        F.sum(((F.col("_dx") == 0) & (F.col("_dy") != 0)).cast("bigint")).alias("_tx"),
+        F.sum(((F.col("_dx") != 0) & (F.col("_dy") == 0)).cast("bigint")).alias("_ty"),
+        F.sum(((F.col("_dx") == 0) & (F.col("_dy") == 0)).cast("bigint")).alias("_txy"),
+    )
+    if not g:
+        agg = agg.drop("_all")
+    nkeys = [F.col(c) for c in g] if g else [F.lit(0).alias("_all")]
+    ns = base.groupBy(*nkeys).agg(F.count(F.lit(1)).alias("n"))
+    if not g:
+        ns = ns.drop("_all")
+        j = agg.crossJoin(F.broadcast(ns))
+    else:
+        j = agg.join(ns, g)
+    n0 = (F.col("n") * (F.col("n") - 1)).cast("bigint") / F.lit(2)
+    n0 = F.floor(n0).cast("bigint")
+    n1 = (F.col("_tx") + F.col("_txy")).cast("bigint")
+    n2 = (F.col("_ty") + F.col("_txy")).cast("bigint")
+    den = F.sqrt((n0 - n1).cast("double")) * F.sqrt((n0 - n2).cast("double"))
+    return j.select(
+        *g,
+        "n",
+        "nc",
+        "nd",
+        n0.alias("n0"),
+        n1.alias("n1"),
+        n2.alias("n2"),
+        F.when(
+            (n0 > n1) & (n0 > n2),
+            (F.col("nc") - F.col("nd")).cast("double") / den,
+        ).alias("tau_b"),
+    )
+
+
+def binseg_split(
+    df: DataFrame,
+    seq_col: str,
+    val_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Best single changepoint per series by SSE reduction (binary
+    segmentation, depth 1) — the mean-shift detector beside
+    :func:`cusum_changepoints` (CUSUM flags drift online; binseg finds
+    THE split retrospectively).
+
+    Minimizing SSE_left + SSE_right is equivalent to MAXIMIZING
+    ``score = S_L²/n_L + S_R²/n_R`` (S = exact int64 prefix sums from
+    one cumulative window over the seq order; squares taken in double
+    — the decision_stump discipline). Ties broken by the SMALLEST
+    split seq via max(struct(score, -seq)). ``gain = score − S²/n``
+    (the between-segments sum of squares — 0 when the series is
+    flat). ``seq`` must be unique per group.
+
+    Plan: one per-group cumulative window + one max aggregate — the
+    cusum scale class. Returns one row per group: (group...,
+    split_seq, n_left, n_right, sum_left, sum_right, score, gain) —
+    the split is AFTER split_seq.
+    """
+    g = list(group_cols or [])
+    part = [F.col(c) for c in g] if g else [F.lit(0)]
+    x = F.col(val_col).cast("bigint")
+    w = (
+        Window.partitionBy(*part)
+        .orderBy("_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*part)
+    cum = df.select(*g, F.col(seq_col).alias("_seq"), x.alias("_x")).select(
+        *g,
+        "_seq",
+        F.sum("_x").over(w).alias("_sl"),
+        F.row_number()
+        .over(Window.partitionBy(*part).orderBy("_seq"))
+        .alias("_nl"),
+        F.sum("_x").over(wall).alias("_st"),
+        F.count(F.lit(1)).over(wall).alias("_nt"),
+    )
+    cand = cum.where(F.col("_nl") < F.col("_nt"))
+    sl, nl = F.col("_sl"), F.col("_nl")
+    sr = F.col("_st") - sl
+    nr = F.col("_nt") - nl
+    score = (sl.cast("double") * sl.cast("double")) / nl.cast("double") + (
+        sr.cast("double") * sr.cast("double")
+    ) / nr.cast("double")
+    best = cand.select(
+        *g,
+        F.struct(
+            score.alias("s"),
+            (-F.col("_seq")).alias("negseq"),
+            F.col("_seq").alias("seq"),
+            nl.alias("nl"),
+            nr.alias("nr"),
+            sl.alias("sl"),
+            sr.alias("sr"),
+            F.col("_st").alias("st"),
+            F.col("_nt").alias("nt"),
+        ).alias("_c"),
+    )
+    keys = [F.col(c) for c in g] if g else [F.lit(0).alias("_all")]
+    agg = best.groupBy(*keys).agg(F.max("_c").alias("_b"))
+    if not g:
+        agg = agg.drop("_all")
+    b = F.col("_b")
+    base_score = (b["st"].cast("double") * b["st"].cast("double")) / b[
+        "nt"
+    ].cast("double")
+    return agg.select(
+        *g,
+        b["seq"].alias("split_seq"),
+        b["nl"].alias("n_left"),
+        b["nr"].alias("n_right"),
+        b["sl"].alias("sum_left"),
+        b["sr"].alias("sum_right"),
+        b["s"].alias("score"),
+        (b["s"] - base_score).alias("gain"),
+    )
