@@ -5021,6 +5021,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_hull_diameter"] = q_hull_diameter
 
+    def q_moments(spark, sf):  # central moments + skew/kurtosis per
+        # type from EXACT int64 power sums (x bounded so n*max(x)^4
+        # stays under 2^53 through sf1) + fixed double chains
+        from osm_pbf_spark.operators.stats import moments_profile
+
+        ev = load(spark, sf, "events").select(
+            "event_type",
+            F.floor(F.col("value") / F.lit(2.0)).cast("bigint").alias("v"),
+        )
+        return moments_profile(ev, "v", group_cols=["event_type"])
+
+    q["q_moments"] = q_moments
+
+    def q_jsd(spark, sf):  # Jensen-Shannon drift between even/odd
+        # event ids over a 5-way class; add-one smoothing, micro-nat
+        # quantized half-terms, exact integer halving
+        from osm_pbf_spark.operators.stats import jsd_divergence
+
+        ev = load(spark, sf, "events").select(
+            F.concat(
+                F.lit("x"), F.pmod(F.col("event_id") * 13, F.lit(5))
+            ).alias("cat"),
+            F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("side"),
+        )
+        return jsd_divergence(ev, "cat", "side")
+
+    q["q_jsd"] = q_jsd
+
+    def q_ap(spark, sf):  # per-query Average Precision over the
+        # q_rank_metrics ranking spec; contributions fold via the
+        # order-pinned running sum along the ranking
+        from osm_pbf_spark.operators.evals import average_precision
+
+        ev = load(spark, sf, "events").select(
+            "event_type",
+            "event_id",
+            F.pmod(F.col("event_id") * F.lit(104729), F.lit(100000)).alias(
+                "score"
+            ),
+            F.when(F.pmod(F.col("event_id"), F.lit(7)) == 0, F.lit(2))
+            .when(F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("rel"),
+        )
+        return average_precision(ev, "event_type", "event_id", "rel", "score")
+
+    q["q_ap"] = q_ap
+
     return q
 
 
@@ -12309,6 +12359,132 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1
         """,
         "q_hull_diameter": _ora_hull_diameter(),
+        # exact int64 power sums; central moments via the SAME fixed
+        # left-associative double chains (no window sums anywhere —
+        # DuckDB's segment-tree windowed sum orders doubles
+        # differently from Spark's sequential fold)
+        "q_moments": """
+            WITH s AS (SELECT event_type AS g,
+                              CAST(floor(value / CAST(2 AS DOUBLE))
+                                   AS BIGINT) AS v
+                       FROM events),
+            agg AS (SELECT g, count(*) AS n,
+                           CAST(sum(v) AS BIGINT) AS s1,
+                           CAST(sum(v * v) AS BIGINT) AS s2,
+                           CAST(sum(v * v * v) AS BIGINT) AS s3,
+                           CAST(sum(v * v * v * v) AS BIGINT) AS s4
+                    FROM s GROUP BY g),
+            m AS (SELECT g, n,
+                         CAST(s1 AS DOUBLE) AS s1d,
+                         CAST(s2 AS DOUBLE) AS s2d,
+                         CAST(s3 AS DOUBLE) AS s3d,
+                         CAST(s4 AS DOUBLE) AS s4d,
+                         CAST(n AS DOUBLE) AS nd,
+                         CAST(n * s2 - s1 * s1 AS BIGINT) AS a_int
+                  FROM agg),
+            mm AS (SELECT g, n, nd, s1d,
+                          CAST(a_int AS DOUBLE) / (nd * nd) AS m2,
+                          (nd * nd * s3d - 3.0 * nd * s1d * s2d
+                           + 2.0 * s1d * s1d * s1d)
+                              / (nd * nd * nd) AS m3,
+                          (nd * nd * nd * s4d
+                           - 4.0 * nd * nd * s1d * s3d
+                           + 6.0 * nd * s1d * s1d * s2d
+                           - 3.0 * s1d * s1d * s1d * s1d)
+                              / (nd * nd * nd * nd) AS m4
+                   FROM m)
+            SELECT g AS event_type, n, s1d / nd AS mean, m2, m3, m4,
+                   CASE WHEN m2 > 0 THEN m3 / (sqrt(m2) * m2)
+                   END AS skewness,
+                   CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0
+                   END AS kurtosis_ex
+            FROM mm
+        """,
+        # micro-nat JSD replay; // truncates in both engines
+        "q_jsd": """
+            WITH s AS (SELECT 'x' || CAST((event_id * 13) % 5 AS VARCHAR)
+                               AS cat,
+                              CASE WHEN event_id % 2 = 0 THEN 'a'
+                                   ELSE 'b' END AS side
+                       FROM events),
+            per AS (SELECT cat,
+                           CAST(sum(CASE WHEN side = 'a' THEN 1
+                                         ELSE 0 END) AS BIGINT) AS ca,
+                           CAST(sum(CASE WHEN side = 'b' THEN 1
+                                         ELSE 0 END) AS BIGINT) AS cb
+                    FROM s GROUP BY cat),
+            tot AS (SELECT CAST(sum(CASE WHEN side = 'a' THEN 1
+                                         ELSE 0 END) AS BIGINT) AS n_a,
+                           CAST(sum(CASE WHEN side = 'b' THEN 1
+                                         ELSE 0 END) AS BIGINT) AS n_b,
+                           CAST(count(DISTINCT cat) AS BIGINT) AS n_cats
+                    FROM s),
+            j AS (SELECT per.ca + 1 AS ca1, per.cb + 1 AS cb1,
+                         tot.n_a + tot.n_cats AS na1,
+                         tot.n_b + tot.n_cats AS nb1,
+                         tot.n_a, tot.n_b, tot.n_cats
+                  FROM per, tot),
+            t AS (SELECT n_a, n_b, n_cats,
+                         (CAST(ca1 AS DOUBLE) / CAST(na1 AS DOUBLE))
+                         * ln(CAST(2 * (ca1 * nb1) AS DOUBLE)
+                              / CAST(ca1 * nb1 + cb1 * na1 AS DOUBLE))
+                             AS ta,
+                         (CAST(cb1 AS DOUBLE) / CAST(nb1 AS DOUBLE))
+                         * ln(CAST(2 * (cb1 * na1) AS DOUBLE)
+                              / CAST(ca1 * nb1 + cb1 * na1 AS DOUBLE))
+                             AS tb
+                  FROM j),
+            q AS (SELECT n_a, n_b, n_cats,
+                         (CASE WHEN ta >= 0
+                               THEN CAST(floor(ta * 1000000.0 + 0.5)
+                                         AS BIGINT)
+                               ELSE -CAST(floor(-ta * 1000000.0 + 0.5)
+                                          AS BIGINT) END)
+                         + (CASE WHEN tb >= 0
+                                 THEN CAST(floor(tb * 1000000.0 + 0.5)
+                                           AS BIGINT)
+                                 ELSE -CAST(floor(-tb * 1000000.0 + 0.5)
+                                            AS BIGINT) END) AS tq
+                  FROM t)
+            SELECT n_a, n_b, n_cats,
+                   CAST(CAST(sum(tq) AS BIGINT) // 2 AS BIGINT)
+                       AS jsd_micro,
+                   CAST(CAST(CAST(sum(tq) AS BIGINT) // 2 AS BIGINT)
+                        AS DOUBLE) / 1000000.0 AS jsd
+            FROM q GROUP BY n_a, n_b, n_cats
+        """,
+        # order-pinned AP fold along the q_rank_metrics ranking
+        "q_ap": """
+            WITH s AS (
+              SELECT event_type AS query, event_id AS item,
+                     (event_id * 104729) % 100000 AS score,
+                     CASE WHEN event_id % 7 = 0 THEN 1
+                          WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+              FROM events),
+            r AS (SELECT query, rel,
+                         row_number() OVER (PARTITION BY query
+                                            ORDER BY score DESC,
+                                                     item ASC) AS rnk
+                  FROM s),
+            c AS (SELECT query, rel, rnk,
+                         CAST(sum(rel) OVER (PARTITION BY query
+                              ORDER BY rnk ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS BIGINT)
+                             AS cumrel
+                  FROM r),
+            f AS (SELECT query, count(*) AS n,
+                         CAST(sum(rel) AS BIGINT) AS n_rel,
+                         CAST(sum(CASE WHEN rel > 0
+                                  THEN (cumrel * 1099511627776) // rnk
+                                  ELSE 0 END) AS BIGINT) AS ap_u
+                  FROM c GROUP BY query)
+            SELECT query, n, n_rel, ap_u,
+                   CASE WHEN n_rel > 0
+                        THEN CAST(ap_u AS DOUBLE)
+                             / (CAST(n_rel AS DOUBLE)
+                                * 1099511627776.0) END AS ap
+            FROM f
+        """,
         # identical truncating-division double recurrence; DuckDB //
         # truncates toward zero exactly like the spec's tdiv
         "q_holt": """

@@ -38,6 +38,7 @@ __all__ = [
     "rank_metrics",
     "confusion_metrics",
     "ece_calibration",
+    "average_precision",
 ]
 
 DISC_SCALE = 1 << 20  # discount fixed-point unit
@@ -238,3 +239,74 @@ def ece_calibration(
         F.sum("gap_u").alias("_g"), F.sum("n").alias("_n")
     ).select(F.expr("_g DIV _n").alias("ece_ppm"))
     return per.crossJoin(F.broadcast(tot))
+
+
+def average_precision(
+    df: DataFrame,
+    query_col: str,
+    item_col: str,
+    rel_col: str,
+    score_col: str,
+    k: int | None = None,
+) -> DataFrame:
+    """Per-query Average Precision under a QUANTIZED-contribution
+    spec (the rrf_fuse discipline): with the same deterministic
+    ranking as :func:`rank_metrics` (score DESC, item ASC),
+
+        ap = ( Σ_{ranks r with rel>0} (cumrel_r · 2^40) DIV r )
+             / (n_rel · 2^40)
+
+    Each contribution is an EXACT int64 (floor of P@r in 2^40 units —
+    a double running sum of raw P@r values is summation-ORDER-
+    dependent and DuckDB's windowed sum uses a segment tree, so its
+    last ulp differs from Spark's sequential fold; integer sums have
+    no order). The quantization understates true AP by < ranks/2^40.
+    ``k`` truncates the ranking (AP@k, still normalized by the FULL
+    n_rel — the TREC convention). Overflow: n_per_query under ~8×10⁶
+    rows (cumrel·2^40 < 2^63).
+
+    Returns (query, n, n_rel, ap_u, ap); ap NULL when the query has
+    no relevant items. Plan: one shuffle on the query key, one
+    ranking window + one cumulative window over it, one aggregate.
+    """
+    rel = (F.col(rel_col).cast("bigint") > 0).cast("bigint")
+    w_rank = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(item_col).asc()
+    )
+    ranked = df.select(
+        F.col(query_col).alias("query"),
+        rel.alias("_rel"),
+        F.row_number().over(w_rank).alias("_rank"),
+    )
+    w_cum = (
+        Window.partitionBy("query")
+        .orderBy("_rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ranked.select(
+        "query",
+        "_rel",
+        "_rank",
+        F.sum("_rel").over(w_cum).alias("_cumrel"),
+    )
+    in_k = F.lit(True) if k is None else (F.col("_rank") <= k)
+    contrib = F.when(
+        (F.col("_rel") > 0) & in_k,
+        F.expr("(_cumrel * 1099511627776) DIV _rank"),
+    ).otherwise(F.lit(0))
+    per = cum.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_rel").alias("n_rel"),
+        F.sum(contrib).cast("bigint").alias("ap_u"),
+    )
+    return per.select(
+        "query",
+        "n",
+        "n_rel",
+        "ap_u",
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("ap_u").cast("double")
+            / (F.col("n_rel").cast("double") * F.lit(1099511627776.0)),
+        ).alias("ap"),
+    )

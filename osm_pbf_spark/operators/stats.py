@@ -1788,3 +1788,143 @@ def binseg_split(
         b["s"].alias("score"),
         (b["s"] - base_score).alias("gain"),
     )
+
+
+def moments_profile(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Central moments m2/m3/m4 + skewness and excess kurtosis per
+    group — the distribution-shape profiler beside
+    :func:`profile_table` (is the quality-score column symmetric?
+    heavy-tailed?).
+
+    Exactness: raw power sums Σx..Σx⁴ are EXACT int64 (bound: keep
+    n·max(x)⁴ under 2^53 — floor/rescale inputs beyond; the double
+    conversion of each sum is then exact), and every central moment is
+    ONE fixed left-associative chain of correctly-rounded IEEE ops on
+    those exact sums:
+
+        m2 = (n·Σx² − S²) / n²                       (numerator int64)
+        m3 = (n²Σx³ − 3nSΣx² + 2S³) / n³             (chain in double)
+        m4 = (n³Σx⁴ − 4n²SΣx³ + 6nS²Σx² − 3S⁴) / n⁴  (chain in double)
+
+    skew = m3/(sqrt(m2)·m2), kurtosis_ex = m4/(m2·m2) − 3. NOTE the
+    earlier draft folded per-value double terms through a running
+    window — DuckDB evaluates cumulative window sums with a segment
+    tree, so the summation ORDER differs from Spark's and the last
+    ulp drifts; raw integer sums have no order at all.
+
+    Plan: ONE map-side-combinable aggregate per group — nothing else.
+    Returns (group..., n, mean, m2, m3, m4, skewness, kurtosis_ex);
+    shape stats NULL when m2 = 0.
+    """
+    g = list(group_cols or [])
+    x = F.col(value_col).cast("bigint")
+    keys = [F.col(c) for c in g] if g else [F.lit(0).alias("_all")]
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_s1"),
+        F.sum(x * x).alias("_s2"),
+        F.sum(x * x * x).alias("_s3"),
+        F.sum(x * x * x * x).alias("_s4"),
+    )
+    if not g:
+        agg = agg.drop("_all")
+    nd = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    s3 = F.col("_s3").cast("double")
+    s4 = F.col("_s4").cast("double")
+    a_int = (F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")).cast(
+        "bigint"
+    )
+    m2 = a_int.cast("double") / (nd * nd)
+    b = nd * nd * s3 - F.lit(3.0) * nd * s1 * s2 + F.lit(2.0) * s1 * s1 * s1
+    m3 = b / (nd * nd * nd)
+    c = (
+        nd * nd * nd * s4
+        - F.lit(4.0) * nd * nd * s1 * s3
+        + F.lit(6.0) * nd * s1 * s1 * s2
+        - F.lit(3.0) * s1 * s1 * s1 * s1
+    )
+    m4 = c / (nd * nd * nd * nd)
+    return agg.select(
+        *g,
+        F.col("_n").alias("n"),
+        (s1 / nd).alias("mean"),
+        m2.alias("m2"),
+        m3.alias("m3"),
+        m4.alias("m4"),
+        F.when(m2 > 0, m3 / (F.sqrt(m2) * m2)).alias("skewness"),
+        F.when(m2 > 0, m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis_ex"),
+    )
+
+
+def jsd_divergence(
+    df: DataFrame,
+    cat_col: str,
+    side_col: str,
+    sides: tuple[str, str] = ("a", "b"),
+) -> DataFrame:
+    """Jensen–Shannon divergence (nats) between two sides over a
+    categorical column — the SYMMETRIC, bounded (≤ ln 2) drift score
+    beside :func:`psi_drift` (PSI blows up on vanishing bins; JSD
+    saturates).
+
+        JSD = ½·Σ p_a·ln(p_a/m) + ½·Σ p_b·ln(p_b/m),
+        m = (p_a + p_b)/2
+
+    ADD-ONE smoothing per side (c' = c+1 over the union category set,
+    n' = n+K — the psi_drift posture) keeps every term defined. Per
+    category the two half-terms are fixed chains on exact int64 —
+    ``p_a/m = 2·c_a'·n_b' / (c_a'·n_b' + c_b'·n_a')`` — quantized to
+    MICRO-nats HALF-UP-away-from-zero and int64-summed (order-free).
+    Returns one row (n_a, n_b, n_cats, jsd_micro, jsd).
+
+    Plan: one category aggregate + broadcast totals (chi2_test class).
+    """
+    sa, sb = sides
+    per = df.groupBy(F.col(cat_col).alias("_c")).agg(
+        F.sum((F.col(side_col) == sa).cast("bigint")).alias("_ca"),
+        F.sum((F.col(side_col) == sb).cast("bigint")).alias("_cb"),
+    )
+    tot = df.agg(
+        F.sum((F.col(side_col) == sa).cast("bigint")).alias("n_a"),
+        F.sum((F.col(side_col) == sb).cast("bigint")).alias("n_b"),
+        F.count_distinct(F.col(cat_col)).alias("n_cats"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    ca1 = F.col("_ca") + 1
+    cb1 = F.col("_cb") + 1
+    na1 = F.col("n_a") + F.col("n_cats")
+    nb1 = F.col("n_b") + F.col("n_cats")
+    cross_a = ca1 * nb1
+    cross_b = cb1 * na1
+    mden = (cross_a + cross_b).cast("double")
+    ta = (ca1.cast("double") / na1.cast("double")) * F.log(
+        (F.lit(2) * cross_a).cast("double") / mden
+    )
+    tb = (cb1.cast("double") / nb1.cast("double")) * F.log(
+        (F.lit(2) * cross_b).cast("double") / mden
+    )
+
+    def _q(t):
+        return (
+            F.when(t >= 0, F.floor(t * F.lit(1_000_000.0) + F.lit(0.5)))
+            .otherwise(-F.floor(-t * F.lit(1_000_000.0) + F.lit(0.5)))
+            .cast("bigint")
+        )
+
+    agg = j.groupBy("n_a", "n_b", "n_cats").agg(
+        F.sum(_q(ta) + _q(tb)).alias("_s2")
+    )
+    # the ½ factor: exact integer halving of the micro-nat sum
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_cats",
+        F.expr("_s2 DIV 2").alias("jsd_micro"),
+        (
+            F.expr("_s2 DIV 2").cast("double") / F.lit(1_000_000.0)
+        ).alias("jsd"),
+    )
