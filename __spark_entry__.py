@@ -5071,6 +5071,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ap"] = q_ap
 
+    def q_ktruss(spark, sf):  # 4-truss of a triangle-rich synthetic
+        # graph: fixed-round support peeling (kcore convention), final
+        # support recomputed on the surviving subgraph
+        from osm_pbf_spark.operators.graph import k_truss
+
+        ev = (
+            load(spark, sf, "events")
+            .where(F.col("event_id") < 600)
+            .select(
+                F.pmod(F.col("event_id"), F.lit(60)).alias("u"),
+                F.pmod(F.col("event_id") * 7 + 1, F.lit(60)).alias("v"),
+                F.pmod(F.col("event_id") * 13 + 2, F.lit(60)).alias("w"),
+            )
+        )
+        edges = (
+            ev.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+            .union(ev.select(F.col("v").alias("src"), F.col("w").alias("dst")))
+            .union(ev.select(F.col("u").alias("src"), F.col("w").alias("dst")))
+        )
+        return k_truss(edges, 4, rounds=3)
+
+    q["q_ktruss"] = q_ktruss
+
+    def q_hits(spark, sf):  # integer-quantized HITS hub/authority on
+        # the q_pagerank synthetic digraph; pure-int max normalization
+        from osm_pbf_spark.operators.graph import hits_scores
+
+        ev = (
+            load(spark, sf, "events")
+            .where(F.col("event_id") < 900)
+            .select(
+                F.pmod(F.col("event_id"), F.lit(180)).alias("src"),
+                F.pmod(F.col("event_id") * 31 + 7, F.lit(180)).alias("dst"),
+            )
+        )
+        return hits_scores(ev, iterations=4)
+
+    q["q_hits"] = q_hits
+
     return q
 
 
@@ -8151,6 +8190,93 @@ def _ora_textrank(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node AS token, rank FROM r{iters}"
         + "\nORDER BY rank DESC, token ASC LIMIT 25"
+    )
+
+
+def _ora_ktruss(k: int = 4, rounds: int = 3) -> str:
+    """Unrolled support-peeling chain (the _ora_pagerank pattern):
+    per round a wedge-closing triple join recomputes edge support."""
+    ctes = [
+        "ids AS (SELECT event_id FROM events WHERE event_id < 600)",
+        "tri0 AS (SELECT event_id % 60 AS u, (event_id * 7 + 1) % 60 AS v,"
+        " (event_id * 13 + 2) % 60 AS w FROM ids)",
+        "raw AS (SELECT u AS a, v AS b FROM tri0"
+        " UNION ALL SELECT v, w FROM tri0"
+        " UNION ALL SELECT u, w FROM tri0)",
+        "e0 AS (SELECT DISTINCT a, b FROM ("
+        "SELECT a, b FROM raw WHERE a <> b"
+        " UNION ALL SELECT b, a FROM raw WHERE a <> b))",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"s{i} AS (SELECT e1.a, e1.b, count(*) AS sup"
+            f" FROM e{i} e1 JOIN e{i} e2 ON e2.a = e1.a AND e2.b <> e1.b"
+            f" JOIN e{i} e3 ON e3.a = e1.b AND e3.b = e2.b"
+            f" GROUP BY e1.a, e1.b)"
+        )
+        ctes.append(
+            f"e{i + 1} AS (SELECT a, b FROM s{i} WHERE sup >= {k - 2})"
+        )
+    ctes.append(
+        f"sf AS (SELECT e1.a, e1.b, count(*) AS sup"
+        f" FROM e{rounds} e1 JOIN e{rounds} e2"
+        f" ON e2.a = e1.a AND e2.b <> e1.b"
+        f" JOIN e{rounds} e3 ON e3.a = e1.b AND e3.b = e2.b"
+        f" GROUP BY e1.a, e1.b)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT a, b, CAST(sup AS BIGINT) AS support FROM sf WHERE a < b"
+    )
+
+
+def _ora_hits(iters: int = 4, scale: int = 10**12) -> str:
+    """Unrolled integer-HITS chain: h from a_{t-1}, THEN a from h_t
+    (the spec's pinned update order); pure-int max normalization."""
+    ctes = [
+        "e AS (SELECT DISTINCT event_id % 180 AS src,"
+        " (event_id * 31 + 7) % 180 AS dst FROM events"
+        " WHERE event_id < 900"
+        " AND event_id % 180 <> (event_id * 31 + 7) % 180)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"a0 AS (SELECT node, CAST({scale} AS BIGINT) AS val FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"hraw{i} AS (SELECT e.src AS node,"
+            f" CAST(sum(a.val) AS BIGINT) AS raw"
+            f" FROM e JOIN a{i - 1} a ON a.node = e.dst GROUP BY e.src)"
+        )
+        ctes.append(
+            f"hq{i} AS (SELECT greatest(CAST(max(raw) // {scale}"
+            f" AS BIGINT), 1) AS q FROM hraw{i})"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT n.node,"
+            f" CAST(coalesce(r.raw, 0) // hq.q AS BIGINT) AS val"
+            f" FROM nodes n LEFT JOIN hraw{i} r ON r.node = n.node,"
+            f" hq{i} hq)"
+        )
+        ctes.append(
+            f"araw{i} AS (SELECT e.dst AS node,"
+            f" CAST(sum(h.val) AS BIGINT) AS raw"
+            f" FROM e JOIN h{i} h ON h.node = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"aq{i} AS (SELECT greatest(CAST(max(raw) // {scale}"
+            f" AS BIGINT), 1) AS q FROM araw{i})"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT n.node,"
+            f" CAST(coalesce(r.raw, 0) // aq.q AS BIGINT) AS val"
+            f" FROM nodes n LEFT JOIN araw{i} r ON r.node = n.node,"
+            f" aq{i} aq)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT h.node, h.val AS hub, a.val AS auth
+        FROM h{iters} h JOIN a{iters} a ON a.node = h.node"""
     )
 
 
@@ -12359,6 +12485,8 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1
         """,
         "q_hull_diameter": _ora_hull_diameter(),
+        "q_ktruss": _ora_ktruss(),
+        "q_hits": _ora_hits(),
         # exact int64 power sums; central moments via the SAME fixed
         # left-associative double chains (no window sums anywhere —
         # DuckDB's segment-tree windowed sum orders doubles

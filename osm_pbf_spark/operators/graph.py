@@ -1208,3 +1208,148 @@ def bipartite_project(
         F.count(F.lit(1)).alias("weight")
     )
     return out.where(F.col("weight") >= min_weight)
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-truss by synchronous support peeling — the triangle-density
+    community core beside :func:`kcore` (every kept edge must sit in
+    ≥ k−2 triangles of the kept subgraph; trusses are cohesive where
+    cores can be star-shaped).
+
+    Per round: triangle support per DIRECTED edge of the symmetric
+    set via a wedge join (e(a,c) ⋈ e(b,c) closing e(a,b)), then drop
+    edges with support < k−2 — both directions drop together because
+    support is symmetric. Fixed ``rounds`` with ZERO driver actions
+    (kcore convention: the oracle replays the identical round count,
+    so the gate matches even pre-fixpoint). Edges in no triangle
+    vanish in round 1 (they have no support row — k ≥ 3 makes that
+    the correct fate).
+
+    Returns the surviving edges ``(a, b, support)`` with a < b and
+    support measured in the FINAL subgraph. Plan per round: one
+    self-join pair + one hash aggregate, lazily checkpointed.
+    Triangle enumeration is the cost — at 100 TB, pre-filter to the
+    (k−1)-core first (a cheap upper bound that shrinks the join).
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3 for k-truss, got {k}")
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def support(e: DataFrame) -> DataFrame:
+        wedge = e.join(
+            e.select(F.col("a"), F.col("b").alias("c")), "a"
+        ).where(F.col("c") != F.col("b"))
+        closed = wedge.join(
+            e.select(F.col("a").alias("b"), F.col("b").alias("c")),
+            ["b", "c"],
+        )
+        return closed.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+
+    e = und
+    for _ in range(rounds):
+        e = (
+            support(e)
+            .where(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    return support(e).where(F.col("a") < F.col("b"))
+
+
+def hits_scores(
+    edges: DataFrame,
+    iterations: int = 4,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """INTEGER-QUANTIZED HITS (Kleinberg): hub/authority scores over
+    the directed edge set — the bipartite-flavored companion of
+    :func:`pagerank` (a page is a good hub if it points at good
+    authorities, and vice versa).
+
+    Update order pinned by the spec: per round, ``h~ = Σ a_{t−1}``
+    over out-neighbors, then ``a~ = Σ h_t`` over in-neighbors (a is
+    computed from the ALREADY-UPDATED h). MAX-normalization in pure
+    integers: ``q = greatest(max(raw) DIV scale, 1)`` then
+    ``v = raw DIV q`` — the naive ``raw·scale DIV max`` overflows
+    int64 (raw ≤ maxdeg·scale). Every step is int64 with truncating
+    DIV, so any engine reproduces the exact bits (float HITS
+    normalizes by an order-dependent double norm). Dangling nodes
+    keep score 0 on the starved side.
+
+    Overflow bound: maxdeg·scale under 2^63 ⇒ max degree ≤ ~9×10⁶ at
+    scale 10^12 (lower scale for hub-ier graphs). Plan per round: two
+    equi-join + aggregate passes and two broadcast 1-row max joins —
+    no driver actions; lazily checkpointed. Returns
+    ``(node, hub, auth)``.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = nodes.select("node", F.lit(int(scale)).cast("long").alias("val"))
+    h = a
+
+    def _norm(raw: DataFrame) -> DataFrame:
+        q = raw.agg(
+            F.greatest(
+                F.expr(f"max(raw) DIV {int(scale)}"), F.lit(1).cast("long")
+            ).alias("_q")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(q))
+            .select(
+                "node",
+                F.expr("coalesce(raw, 0L) DIV _q").alias("val"),
+            )
+        )
+
+    for _ in range(iterations):
+        hraw = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("val").alias("raw"))
+        )
+        h = _norm(hraw).localCheckpoint(eager=False)
+        araw = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("val").alias("raw"))
+        )
+        a = _norm(araw).localCheckpoint(eager=False)
+    return (
+        h.withColumnRenamed("val", "hub")
+        .join(a.withColumnRenamed("val", "auth"), "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0)).alias("hub"),
+            F.coalesce("auth", F.lit(0)).alias("auth"),
+        )
+    )
