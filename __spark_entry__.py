@@ -5110,6 +5110,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_hits"] = q_hits
 
+    def q_ransac(spark, sf):  # RNG-free RANSAC line fit: a planted
+        # slope-3 line with ±3 noise and 20% gross outliers; md5-drawn
+        # candidate pairs, exact-int inlier test, full SQL replay
+        from osm_pbf_spark.operators.stats import ransac_line
+
+        ev = load(spark, sf, "events").select(
+            F.pmod(F.col("event_id"), F.lit(1000)).alias("x"),
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(5)) == 0,
+                F.pmod(F.col("event_id") * F.lit(104729), F.lit(4000)),
+            )
+            .otherwise(
+                F.lit(3) * F.pmod(F.col("event_id"), F.lit(1000))
+                + F.lit(17)
+                + F.pmod(F.col("event_id"), F.lit(7))
+                - F.lit(3)
+            )
+            .alias("y"),
+        )
+        return ransac_line(ev, "x", "y", n_candidates=32, tol=5)
+
+    q["q_ransac"] = q_ransac
+
     return q
 
 
@@ -8278,6 +8301,49 @@ def _ora_hits(iters: int = 4, scale: int = 10**12) -> str:
         SELECT h.node, h.val AS hub, a.val AS auth
         FROM h{iters} h JOIN a{iters} a ON a.node = h.node"""
     )
+
+
+def _ora_ransac() -> str:
+    """Full replay of the md5-candidate RANSAC spec; the k-th row of
+    the (x, y) sort has a deterministic VALUE even when duplicate
+    points make row identity ambiguous."""
+    ha = _hex40_bigint_sql("md5('r:' || CAST(cand_id AS VARCHAR) || ':a')")
+    hb = _hex40_bigint_sql("md5('r:' || CAST(cand_id AS VARCHAR) || ':b')")
+    return f"""
+        WITH s AS (SELECT event_id % 1000 AS x,
+                          CASE WHEN event_id % 5 = 0
+                               THEN (event_id * 104729) % 4000
+                               ELSE 3 * (event_id % 1000) + 17
+                                    + event_id % 7 - 3 END AS y
+                   FROM events),
+        r AS (SELECT x, y, row_number() OVER (ORDER BY x, y) AS rid
+              FROM s),
+        nn AS (SELECT count(*) AS n FROM s),
+        c AS (SELECT range AS cand_id FROM range(32)),
+        cd AS (SELECT cand_id,
+                      ({ha} % nn.n) + 1 AS i1,
+                      ({hb} % nn.n) + 1 AS i2
+               FROM c, nn),
+        cd2 AS (SELECT * FROM cd WHERE i1 <> i2),
+        ln AS (SELECT cand_id, a.x AS x1, a.y AS y1,
+                      b.x AS x2, b.y AS y2,
+                      b.x - a.x AS dx, b.y - a.y AS dy
+               FROM cd2 JOIN r a ON a.rid = cd2.i1
+                        JOIN r b ON b.rid = cd2.i2
+               WHERE b.x <> a.x),
+        inl AS (SELECT ln.cand_id, ln.x1, ln.y1, ln.x2, ln.y2,
+                       ln.dx, ln.dy, count(*) AS ni
+                FROM s, ln
+                WHERE abs(ln.dy * (s.x - ln.x1)
+                          - ln.dx * (s.y - ln.y1)) <= 5 * abs(ln.dx)
+                GROUP BY 1, 2, 3, 4, 5, 6, 7),
+        best AS (SELECT * FROM inl ORDER BY ni DESC, cand_id ASC LIMIT 1)
+        SELECT cand_id, CAST(ni AS BIGINT) AS n_inliers, x1, y1, x2, y2,
+               CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS slope,
+               CAST(y1 * dx - dy * x1 AS DOUBLE) / CAST(dx AS DOUBLE)
+                   AS intercept
+        FROM best
+    """
 
 
 def _ora_hull_diameter() -> str:
@@ -12487,6 +12553,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hull_diameter": _ora_hull_diameter(),
         "q_ktruss": _ora_ktruss(),
         "q_hits": _ora_hits(),
+        "q_ransac": _ora_ransac(),
         # exact int64 power sums; central moments via the SAME fixed
         # left-associative double chains (no window sums anywhere —
         # DuckDB's segment-tree windowed sum orders doubles

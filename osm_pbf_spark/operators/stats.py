@@ -1928,3 +1928,134 @@ def jsd_divergence(
             F.expr("_s2 DIV 2").cast("double") / F.lit(1_000_000.0)
         ).alias("jsd"),
     )
+
+
+def ransac_line(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_candidates: int = 32,
+    tol: int = 5,
+) -> DataFrame:
+    """Deterministic RANSAC line fit over integer points — the
+    outlier-immune alternative to :func:`ols_fit` when the data is
+    mostly-line + contamination (:func:`theil_sen` is exact but
+    O(n²); RANSAC is linear with a fixed candidate budget).
+
+    NO RNG: candidate c ∈ [0, K) samples the rows ranked
+    ``md5_40('r:c:a') % n + 1`` and ``... 'r:c:b' ... `` in the
+    (x, y) row_number order (the stratified_sample md5 posture —
+    both engines reproduce the draw). Degenerate candidates
+    (same row, or Δx = 0) are dropped. A point is an inlier of
+    candidate (p1, p2) iff
+
+        |dy·(x − x1) − dx·(y − y1)| <= tol·|dx|      (all exact int64)
+
+    i.e. vertical distance <= tol. Winner = max inliers, ties to the
+    smallest candidate id. slope/intercept are one division each on
+    the exact winner ints.
+
+    Plan: one ranking window + two rid equi-joins (K rows) + one
+    broadcast candidates × rows scan (K·n, K fixed) + one max — the
+    scan dominates and is embarrassingly parallel. Overflow: |dy·x|
+    under 2^63.
+
+    Returns one row: (cand_id, n_inliers, x1, y1, x2, y2, slope,
+    intercept).
+    """
+    if n_candidates < 1:
+        raise ValueError("n_candidates must be >= 1")
+    spark = df.sparkSession
+    pts = df.select(
+        F.col(x_col).cast("bigint").alias("_x"),
+        F.col(y_col).cast("bigint").alias("_y"),
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("_x", "_y")
+    ranked = pts.withColumn("_rid", F.row_number().over(w))
+    nrow = pts.agg(F.count(F.lit(1)).alias("_n"))
+
+    def _h(tag: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("r:"), F.col("id").cast("string"), F.lit(f":{tag}")
+                    )
+                ),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    cands = (
+        spark.range(n_candidates)
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            F.col("id").alias("cand_id"),
+            (F.pmod(_h("a"), F.col("_n")) + 1).alias("_i1"),
+            (F.pmod(_h("b"), F.col("_n")) + 1).alias("_i2"),
+        )
+        .where(F.col("_i1") != F.col("_i2"))
+    )
+    p1 = ranked.select(
+        F.col("_rid").alias("_i1"),
+        F.col("_x").alias("x1"),
+        F.col("_y").alias("y1"),
+    )
+    p2 = ranked.select(
+        F.col("_rid").alias("_i2"),
+        F.col("_x").alias("x2"),
+        F.col("_y").alias("y2"),
+    )
+    lines = (
+        cands.join(p1, "_i1")
+        .join(p2, "_i2")
+        .where(F.col("x2") != F.col("x1"))
+        .select(
+            "cand_id",
+            "x1",
+            "y1",
+            "x2",
+            "y2",
+            (F.col("x2") - F.col("x1")).alias("_dx"),
+            (F.col("y2") - F.col("y1")).alias("_dy"),
+        )
+    )
+    joined = pts.crossJoin(F.broadcast(lines))
+    resid = F.abs(
+        F.col("_dy") * (F.col("_x") - F.col("x1"))
+        - F.col("_dx") * (F.col("_y") - F.col("y1"))
+    )
+    inl = joined.where(resid <= F.lit(int(tol)) * F.abs(F.col("_dx")))
+    per = inl.groupBy(
+        "cand_id", "x1", "y1", "x2", "y2", "_dx", "_dy"
+    ).agg(F.count(F.lit(1)).alias("n_inliers"))
+    best = per.select(
+        F.struct(
+            F.col("n_inliers").alias("ni"),
+            (-F.col("cand_id")).alias("negc"),
+            F.col("cand_id").alias("cand_id"),
+            F.col("x1").alias("x1"),
+            F.col("y1").alias("y1"),
+            F.col("x2").alias("x2"),
+            F.col("y2").alias("y2"),
+            F.col("_dx").alias("dx"),
+            F.col("_dy").alias("dy"),
+        ).alias("_c")
+    ).agg(F.max("_c").alias("_b"))
+    b = F.col("_b")
+    return best.select(
+        b["cand_id"].alias("cand_id"),
+        b["ni"].alias("n_inliers"),
+        b["x1"].alias("x1"),
+        b["y1"].alias("y1"),
+        b["x2"].alias("x2"),
+        b["y2"].alias("y2"),
+        (b["dy"].cast("double") / b["dx"].cast("double")).alias("slope"),
+        (
+            (b["y1"] * b["dx"] - b["dy"] * b["x1"]).cast("double")
+            / b["dx"].cast("double")
+        ).alias("intercept"),
+    )

@@ -1,0 +1,78 @@
+"""Batch-44: ransac_line."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+
+def _h40(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:10], 16)
+
+
+def _scalar_ransac(pts, k, tol):
+    n = len(pts)
+    ranked = sorted(pts)
+    best = None
+    for c in range(k):
+        i1 = _h40(f"r:{c}:a") % n
+        i2 = _h40(f"r:{c}:b") % n
+        if i1 == i2:
+            continue
+        x1, y1 = ranked[i1]
+        x2, y2 = ranked[i2]
+        if x1 == x2:
+            continue
+        dx, dy = x2 - x1, y2 - y1
+        ni = sum(
+            1 for x, y in pts if abs(dy * (x - x1) - dx * (y - y1)) <= tol * abs(dx)
+        )
+        key = (ni, -c)
+        if best is None or key > best[0]:
+            best = (key, c, x1, y1, x2, y2, dx, dy, ni)
+    return best
+
+
+def test_ransac_scalar_replay(spark):
+    from osm_pbf_spark.operators.stats import ransac_line
+
+    pts = []
+    for i in range(300):
+        x = (i * 13) % 200
+        if i % 4 == 0:
+            pts.append((x, (i * 7919) % 900))  # gross outliers
+        else:
+            pts.append((x, 5 * x - 40 + (i % 5) - 2))  # planted line
+    df = spark.createDataFrame(pts, "x long, y long")
+    r = ransac_line(df, "x", "y", n_candidates=24, tol=4).collect()[0]
+    _, c, x1, y1, x2, y2, dx, dy, ni = _scalar_ransac(pts, 24, 4)
+    assert (r.cand_id, r.n_inliers) == (c, ni)
+    assert (r.x1, r.y1, r.x2, r.y2) == (x1, y1, x2, y2)
+    assert r.slope == float(dy) / float(dx)
+    assert r.intercept == float(y1 * dx - dy * x1) / float(dx)
+
+
+def test_ransac_recovers_planted_line(spark):
+    from osm_pbf_spark.operators.stats import ransac_line
+
+    # 75% of points on y = 5x - 40 (±2), 25% noise: with 24 seeded
+    # candidates the odds that none picks two inliers are ~(1-.56)^24;
+    # the fixed md5 draw makes the outcome reproducible, and this
+    # pins that it lands on the line
+    pts = [
+        (x, 5 * x - 40 + (x % 5) - 2) if x % 4 != 0 else (x, (x * 7919) % 900)
+        for x in range(400)
+    ]
+    df = spark.createDataFrame(pts, "x long, y long")
+    r = ransac_line(df, "x", "y", n_candidates=24, tol=4).collect()[0]
+    assert abs(r.slope - 5.0) < 0.2
+    assert r.n_inliers >= 250
+
+
+def test_ransac_rejects_bad_k(spark):
+    from osm_pbf_spark.operators.stats import ransac_line
+
+    df = spark.createDataFrame([(1, 1), (2, 2)], "x long, y long")
+    with pytest.raises(ValueError, match="n_candidates"):
+        ransac_line(df, "x", "y", n_candidates=0)

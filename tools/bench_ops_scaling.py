@@ -462,6 +462,57 @@ def leg_acf(spark, n: int) -> int:
     return acf(series, max_lag=5).count()
 
 
+def leg_rank_metrics(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.evals import rank_metrics
+
+    df = spark.range(n).select(
+        F.pmod(F.col("id"), F.lit(4096)).alias("q"),
+        F.col("id").alias("item"),
+        F.pmod(F.col("id") * F.lit(37), F.lit(100001)).alias("score"),
+        F.when(F.pmod(F.col("id"), F.lit(7)) == 0, F.lit(2))
+        .when(F.pmod(F.col("id"), F.lit(3)) == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("rel"),
+    )
+    out = rank_metrics(df, "q", "item", "rel", "score", k=10)
+    # count() alone lets Catalyst prune the window columns (measured
+    # 1.2B rows in 2.6 s = spark.range + distinct); summing dcg/idcg
+    # forces BOTH ranking windows
+    row = out.agg(
+        F.sum("dcg_u").alias("a"), F.sum("idcg_u").alias("b")
+    ).collect()[0]
+    return int(row.a or 0) + int(row.b or 0)
+
+
+def leg_span_corrupt(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.text import span_corruption
+
+    docs = _leg_docs(spark, n, False).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    out = span_corruption(docs, "doc_id", "toks", seed=3, noise_ppm=200_000)
+    return out.select(F.sum("n_masked")).collect()[0][0] or 0
+
+
+def leg_hits(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.graph import hits_scores
+
+    m = max(n // 8, 64)
+    edges = spark.range(n).select(
+        F.pmod(F.col("id"), F.lit(m)).alias("src"),
+        F.pmod(
+            F.xxhash64(F.col("id") * F.lit(2654435761)), F.lit(m)
+        ).alias("dst"),
+    )
+    return hits_scores(edges, iterations=3).count()
+
+
 LEGS = {
     "distance_join": leg_distance_join,
     "bbox_join": leg_bbox_join,
@@ -488,6 +539,9 @@ LEGS = {
     "ngram_spans": leg_ngram_spans,
     "rake": leg_rake,
     "acf": leg_acf,
+    "rank_metrics": leg_rank_metrics,
+    "span_corrupt": leg_span_corrupt,
+    "hits": leg_hits,
 }
 
 # per-leg size multiplier on N_POINTS: every timed region must DWARF
@@ -544,6 +598,12 @@ LEG_SCALE = {
     # one keyed window sort + 5-lag explode + partial agg; 30M rows
     # measured 2 s@32 (overhead) -> 300M
     "acf": 100.0,
+    # two window sorts over the query key + rollup
+    "rank_metrics": 20.0,
+    # posexplode -> per-doc window -> regroup: ~40 rows/doc
+    "span_corrupt": 0.7,
+    # 3 rounds x 2 (join + agg + norm) passes over the edge set
+    "hits": 10.0,
 }
 
 
