@@ -5133,6 +5133,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ransac"] = q_ransac
 
+    def q_er(spark, sf):  # end-to-end entity resolution: blocked
+        # Fellegi-Sunter scoring -> 1-nat threshold -> CC grouping ->
+        # canonical survivors. Oracle replays BOTH stages (same
+        # micro-nat literals via fs_weights; DuckDB's own recursion
+        # for the closure)
+        from osm_pbf_spark.operators.fuzzy import fs_link
+        from osm_pbf_spark.operators.graph import (
+            dedup_canonical,
+            near_dup_groups,
+        )
+
+        rec = load(spark, sf, "customer").select(
+            F.col("c_custkey").alias("rid"),
+            F.expr("c_custkey DIV 3").alias("e"),
+        )
+        rec = rec.select(
+            "rid",
+            F.pmod(F.col("e"), F.lit(250)).alias("bk"),
+            F.when(
+                F.pmod(F.col("rid"), F.lit(5)) == 0,
+                F.concat(F.lit("x"), F.col("rid")),
+            )
+            .otherwise(
+                F.concat(F.lit("n"), F.pmod(F.col("e") * 7, F.lit(997)))
+            )
+            .alias("f1"),
+            F.when(
+                F.pmod(F.col("rid"), F.lit(7)) == 0,
+                F.concat(F.lit("y"), F.col("rid")),
+            )
+            .otherwise(
+                F.concat(F.lit("p"), F.pmod(F.col("e") * 13, F.lit(499)))
+            )
+            .alias("f2"),
+        )
+        mu = {"f1": (0.9, 0.05), "f2": (0.9, 0.05)}
+        pairs = fs_link(
+            rec, rec, ["bk"], mu, left_id="rid", right_id="rid"
+        ).where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("score_micro") >= 1_000_000)
+        )
+        groups = near_dup_groups(
+            rec.select(F.col("rid").alias("doc_id")), pairs, rounds=4
+        )
+        return dedup_canonical(groups)
+
+    q["q_er"] = q_er
+
     return q
 
 
@@ -8301,6 +8350,53 @@ def _ora_hits(iters: int = 4, scale: int = 10**12) -> str:
         SELECT h.node, h.val AS hub, a.val AS auth
         FROM h{iters} h JOIN a{iters} a ON a.node = h.node"""
     )
+
+
+def _ora_er() -> str:
+    """Two-stage independent replay: FS scores from the SAME
+    fs_weights micro-nat literals, then DuckDB's own recursive closure
+    labels the match components (the line_dissolve pattern)."""
+    from osm_pbf_spark.operators.fuzzy import fs_weights
+
+    w = fs_weights({"f1": (0.9, 0.05), "f2": (0.9, 0.05)})
+    (wa1, wd1), (wa2, wd2) = w["f1"], w["f2"]
+    return f"""
+        WITH RECURSIVE rec AS (SELECT c_custkey AS rid,
+                                      c_custkey // 3 AS e
+                               FROM customer),
+        r2 AS (SELECT rid, e % 250 AS bk,
+                      CASE WHEN rid % 5 = 0
+                           THEN 'x' || CAST(rid AS VARCHAR)
+                           ELSE 'n' || CAST((e * 7) % 997 AS VARCHAR)
+                      END AS f1,
+                      CASE WHEN rid % 7 = 0
+                           THEN 'y' || CAST(rid AS VARCHAR)
+                           ELSE 'p' || CAST((e * 13) % 499 AS VARCHAR)
+                      END AS f2
+               FROM rec),
+        p AS (SELECT a.rid AS ia, b.rid AS ib,
+                     (CASE WHEN a.f1 = b.f1 THEN {wa1} ELSE {wd1} END
+                      + CASE WHEN a.f2 = b.f2 THEN {wa2} ELSE {wd2} END)
+                         AS score
+              FROM r2 a JOIN r2 b ON b.bk = a.bk AND a.rid < b.rid),
+        me AS (SELECT ia, ib FROM p WHERE score >= 1000000),
+        sym AS (SELECT ia AS u, ib AS v FROM me
+                UNION ALL SELECT ib, ia FROM me),
+        cl(a, b) AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT cl.a, s.v FROM cl JOIN sym s ON s.u = cl.b),
+        lab AS (SELECT r2.rid,
+                       least(r2.rid, coalesce(min(cl.b), r2.rid))
+                           AS group_id
+                FROM r2 LEFT JOIN cl ON cl.a = r2.rid
+                GROUP BY r2.rid),
+        gs AS (SELECT group_id, min(rid) AS doc_id,
+                      count(*) AS group_size
+               FROM lab GROUP BY group_id)
+        SELECT doc_id, group_id, CAST(group_size AS BIGINT) AS group_size
+        FROM gs
+    """
 
 
 def _ora_ransac() -> str:
@@ -12554,6 +12650,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ktruss": _ora_ktruss(),
         "q_hits": _ora_hits(),
         "q_ransac": _ora_ransac(),
+        "q_er": _ora_er(),
         # exact int64 power sums; central moments via the SAME fixed
         # left-associative double chains (no window sums anywhere —
         # DuckDB's segment-tree windowed sum orders doubles

@@ -76,3 +76,39 @@ def test_ransac_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, 1), (2, 2)], "x long, y long")
     with pytest.raises(ValueError, match="n_candidates"):
         ransac_line(df, "x", "y", n_candidates=0)
+
+
+# --------------------------------------------------- ER pipeline (q_er)
+
+
+def test_er_pipeline_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.fuzzy import fs_link
+    from osm_pbf_spark.operators.graph import dedup_canonical, near_dup_groups
+
+    # entity 0: records 1,2 clean (merge); entity 1: record 4 has a
+    # corrupted f1 (agree+disagree = 0.64 nats < 1 nat -> NO merge);
+    # entity 2: records in the same block as entity 0 (no field
+    # agreement -> no merge)
+    rows = [
+        (1, 0, "n0", "p0"),
+        (2, 0, "n0", "p0"),
+        (3, 0, "n1", "p1"),
+        (4, 0, "xx", "p1"),
+        (5, 0, "n2", "p2"),
+    ]
+    rec = spark.createDataFrame(rows, "rid long, bk long, f1 string, f2 string")
+    mu = {"f1": (0.9, 0.05), "f2": (0.9, 0.05)}
+    pairs = fs_link(rec, rec, ["bk"], mu, left_id="rid", right_id="rid").where(
+        (F.col("id_a") < F.col("id_b")) & (F.col("score_micro") >= 1_000_000)
+    )
+    groups = near_dup_groups(
+        rec.select(F.col("rid").alias("doc_id")), pairs, rounds=4
+    )
+    out = {r.doc_id: r.group_id for r in groups.collect()}
+    assert out[1] == out[2] == 1       # clean duplicates merge
+    assert out[4] != out[3]            # one corrupted field: below 1 nat
+    assert out[5] == 5                 # no partner at all
+    canon = {r.group_id: r.group_size for r in dedup_canonical(groups).collect()}
+    assert canon[1] == 2 and canon[3] == 1
