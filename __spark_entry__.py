@@ -5182,6 +5182,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_er"] = q_er
 
+    def q_stream_ewma(spark, sf):  # STATEFUL streaming EWMA: the
+        # batch integer recurrence carried across micro-batches in
+        # applyInPandasWithState; the availableNow drain is
+        # bit-identical to batch ewma, so the oracle is the SAME
+        # WITH RECURSIVE chain as q_ewma (batch-parity contract)
+        from osm_pbf_spark.streaming import (
+            run_available_now,
+            stream_ewma,
+            stream_parquet,
+        )
+
+        sdf = stream_parquet(spark, f"{sf}/events.parquet")
+        s = sdf.where(
+            (F.col("event_id") < 2000) & (F.col("value") >= 0)
+        ).select(
+            F.pmod(F.col("user_id"), F.lit(16)).alias("key"),
+            F.col("event_id").alias("seq"),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("val"),
+        )
+        return run_available_now(
+            stream_ewma(s, 3, 10), output_mode="append"
+        )
+
+    q["q_stream_ewma"] = q_stream_ewma
+
     return q
 
 
@@ -8494,7 +8521,7 @@ def _ora_hull_diameter() -> str:
 
 def oracle_sql() -> dict[str, str]:
     pts = f"WITH pts AS ({SQL_POINTS})"
-    return {
+    d = {
         "q01_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -13084,3 +13111,6 @@ def oracle_sql() -> dict[str, str]:
             FROM g, t
         """,
     }
+    # batch-parity: the streaming drain equals batch ewma bit-for-bit
+    d["q_stream_ewma"] = d["q_ewma"]
+    return d

@@ -25,6 +25,7 @@ from .ops import (
     run_available_now,
     stream_ingest,
     stream_dedup,
+    stream_ewma,
     stream_parquet,
     stream_sessionize,
     stream_stream_join,
@@ -36,6 +37,7 @@ __all__ = [
     "stream_ingest",
     "windowed_counts",
     "stream_dedup",
+    "stream_ewma",
     "stream_sessionize",
     "stream_stream_join",
     "run_available_now",

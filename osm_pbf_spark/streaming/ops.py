@@ -327,3 +327,92 @@ def stream_stream_join(
         if col not in set(on) and col not in (left_ts, right_ts)
     ]
     return j.select(*keep, lt[left_ts].alias(left_ts), rt[right_ts].alias(right_ts), *others)
+
+
+def stream_ewma(
+    sdf: DataFrame,
+    alpha_num: int,
+    alpha_den: int,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    val_col: str = "val",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Stateful per-key streaming EWMA — the incremental twin of
+    :func:`osm_pbf_spark.operators.temporal.ewma`, carrying the SAME
+    integer recurrence across micro-batches so a drained stream is
+    bit-identical to the batch operator (the batch-parity discipline
+    that makes streaming queries gate-comparable):
+
+        y_1 = x_1·scale
+        y_i = (αn·x_i·scale + (αd−αn)·y_{i−1}) DIV αd
+
+    State per key = (last_seq, last_y, started) — O(1) per DISTINCT
+    key, the layout an always-on metric smoother needs. Rows within a
+    batch are sorted by ``seq``; a batch whose first seq is <= the
+    state's last_seq is OUT OF ORDER across batches and raises loudly
+    (parity would silently break otherwise — the source must deliver
+    seq-monotone files, e.g. mtime-ordered landing files).
+
+    Emits every input row with ``ewma_q``/``ewma`` (append mode).
+    Values must be non-negative int64 (the batch spec's DIV contract).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not (0 < alpha_num <= alpha_den):
+        raise ValueError(
+            f"need 0 < alpha_num <= alpha_den, got {alpha_num}/{alpha_den}"
+        )
+    num, den, sc = int(alpha_num), int(alpha_den), int(scale)
+    out_schema = (
+        f"{key_col} long, {seq_col} long, {val_col} long, "
+        "ewma_q long, ewma double"
+    )
+    state_schema = "last_seq long, last_y long, started boolean"
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values(seq_col, kind="mergesort")
+        x = pdf[val_col].to_numpy(dtype=np.int64)
+        if len(x) and x.min() < 0:
+            raise ValueError("stream_ewma spec requires non-negative values")
+        seqs = pdf[seq_col].to_numpy(dtype=np.int64)
+        if state.exists:
+            last_seq, y, started = state.get
+        else:
+            last_seq, y, started = 0, 0, False
+        if started and int(seqs[0]) <= last_seq:
+            raise ValueError(
+                f"stream_ewma: key {key[0]!r} batch starts at seq "
+                f"{int(seqs[0])} <= state last_seq {last_seq} — "
+                "out-of-order input breaks batch parity"
+            )
+        out = []
+        for xi in x:
+            xi = int(xi)
+            y = xi * sc if not started else (num * xi * sc + (den - num) * y) // den
+            started = True
+            out.append(y)
+        state.update((int(seqs[-1]), int(y), True))
+        yield pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(dtype=np.int64),
+                seq_col: seqs,
+                val_col: x,
+                "ewma_q": np.array(out, dtype=np.int64),
+                "ewma": np.array(out, dtype=np.float64) / float(sc),
+            }
+        )
+
+    return (
+        sdf.select(key_col, seq_col, val_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
