@@ -5133,16 +5133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ransac"] = q_ransac
 
-    def q_er(spark, sf):  # end-to-end entity resolution: blocked
-        # Fellegi-Sunter scoring -> 1-nat threshold -> CC grouping ->
-        # canonical survivors. Oracle replays BOTH stages (same
-        # micro-nat literals via fs_weights; DuckDB's own recursion
-        # for the closure)
+    def _er_groups(spark, sf):
+        # shared ER pipeline: blocked FS scoring -> 1-nat threshold ->
+        # CC grouping. Returns (rid-level groups df, records df).
         from osm_pbf_spark.operators.fuzzy import fs_link
-        from osm_pbf_spark.operators.graph import (
-            dedup_canonical,
-            near_dup_groups,
-        )
+        from osm_pbf_spark.operators.graph import near_dup_groups
 
         rec = load(spark, sf, "customer").select(
             F.col("c_custkey").alias("rid"),
@@ -5178,9 +5173,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         groups = near_dup_groups(
             rec.select(F.col("rid").alias("doc_id")), pairs, rounds=4
         )
+        return groups, rec
+
+    def q_er(spark, sf):  # end-to-end entity resolution: blocked
+        # Fellegi-Sunter scoring -> 1-nat threshold -> CC grouping ->
+        # canonical survivors. Oracle replays BOTH stages (same
+        # micro-nat literals via fs_weights; DuckDB's own recursion
+        # for the closure)
+        from osm_pbf_spark.operators.graph import dedup_canonical
+
+        groups, _ = _er_groups(spark, sf)
         return dedup_canonical(groups)
 
     q["q_er"] = q_er
+
+    def q_cluster_eval(spark, sf):  # clustering quality of the ER
+        # pipeline vs the PLANTED entity (rid DIV 3): pairwise
+        # P/R/F1 exact, ARI one fixed chain; oracle replays the ER
+        # closure AND the metric arithmetic
+        from osm_pbf_spark.operators.clustering import cluster_pair_metrics
+
+        groups, _ = _er_groups(spark, sf)
+        lab = groups.select(
+            F.col("doc_id"),
+            F.col("group_id").alias("pred"),
+            F.expr("doc_id DIV 3").alias("truth"),
+        )
+        return cluster_pair_metrics(lab, "pred", "truth")
+
+    q["q_cluster_eval"] = q_cluster_eval
 
     def q_stream_ewma(spark, sf):  # STATEFUL streaming EWMA: the
         # batch integer recurrence carried across micro-batches in
@@ -8379,10 +8400,10 @@ def _ora_hits(iters: int = 4, scale: int = 10**12) -> str:
     )
 
 
-def _ora_er() -> str:
-    """Two-stage independent replay: FS scores from the SAME
-    fs_weights micro-nat literals, then DuckDB's own recursive closure
-    labels the match components (the line_dissolve pattern)."""
+def _er_ctes() -> str:
+    """Shared ER replay CTE chain (through ``lab`` = rid -> group_id):
+    FS scores from the SAME fs_weights micro-nat literals, then
+    DuckDB's own recursive closure labels the match components."""
     from osm_pbf_spark.operators.fuzzy import fs_weights
 
     w = fs_weights({"f1": (0.9, 0.05), "f2": (0.9, 0.05)})
@@ -8417,13 +8438,78 @@ def _ora_er() -> str:
                        least(r2.rid, coalesce(min(cl.b), r2.rid))
                            AS group_id
                 FROM r2 LEFT JOIN cl ON cl.a = r2.rid
-                GROUP BY r2.rid),
+                GROUP BY r2.rid)"""
+
+
+def _ora_er() -> str:
+    return (
+        _er_ctes()
+        + """,
         gs AS (SELECT group_id, min(rid) AS doc_id,
                       count(*) AS group_size
                FROM lab GROUP BY group_id)
         SELECT doc_id, group_id, CAST(group_size AS BIGINT) AS group_size
         FROM gs
     """
+    )
+
+
+def _ora_cluster_eval() -> str:
+    """ER closure replay + the pairwise-metric arithmetic in SQL
+    (C(x,2) via integer //, ARI via the same fixed double chain)."""
+    return (
+        _er_ctes()
+        + """,
+        lt AS (SELECT rid, group_id AS pred, rid // 3 AS truth FROM lab),
+        cells AS (SELECT pred, truth, count(*) AS nij
+                  FROM lt GROUP BY 1, 2),
+        agg AS (SELECT CAST(sum((nij * (nij - 1)) // 2) AS BIGINT)
+                           AS both_pairs,
+                       CAST(sum(nij) AS BIGINT) AS n,
+                       CAST(count(DISTINCT pred) AS BIGINT)
+                           AS n_pred_clusters,
+                       CAST(count(DISTINCT truth) AS BIGINT)
+                           AS n_true_classes
+                FROM cells),
+        pp AS (SELECT CAST(sum((ng * (ng - 1)) // 2) AS BIGINT)
+                          AS pred_pairs
+               FROM (SELECT CAST(sum(nij) AS BIGINT) AS ng
+                     FROM cells GROUP BY pred)),
+        tp AS (SELECT CAST(sum((ne * (ne - 1)) // 2) AS BIGINT)
+                          AS true_pairs
+               FROM (SELECT CAST(sum(nij) AS BIGINT) AS ne
+                     FROM cells GROUP BY truth)),
+        j AS (SELECT agg.*, pp.pred_pairs, tp.true_pairs FROM agg, pp, tp)
+        SELECT n, n_pred_clusters, n_true_classes,
+               both_pairs, pred_pairs, true_pairs,
+               CASE WHEN pred_pairs > 0
+                    THEN CAST(both_pairs AS DOUBLE)
+                         / CAST(pred_pairs AS DOUBLE) END AS precision,
+               CASE WHEN true_pairs > 0
+                    THEN CAST(both_pairs AS DOUBLE)
+                         / CAST(true_pairs AS DOUBLE) END AS recall,
+               CASE WHEN pred_pairs + true_pairs > 0
+                    THEN (2.0 * CAST(both_pairs AS DOUBLE))
+                         / (CAST(pred_pairs AS DOUBLE)
+                            + CAST(true_pairs AS DOUBLE)) END AS f1,
+               CASE WHEN (CAST(pred_pairs AS DOUBLE)
+                          + CAST(true_pairs AS DOUBLE)) / 2.0
+                         - CAST(pred_pairs AS DOUBLE)
+                           * CAST(true_pairs AS DOUBLE)
+                           / CAST((n * (n - 1)) // 2 AS DOUBLE) <> 0
+                    THEN (CAST(both_pairs AS DOUBLE)
+                          - CAST(pred_pairs AS DOUBLE)
+                            * CAST(true_pairs AS DOUBLE)
+                            / CAST((n * (n - 1)) // 2 AS DOUBLE))
+                         / ((CAST(pred_pairs AS DOUBLE)
+                             + CAST(true_pairs AS DOUBLE)) / 2.0
+                            - CAST(pred_pairs AS DOUBLE)
+                              * CAST(true_pairs AS DOUBLE)
+                              / CAST((n * (n - 1)) // 2 AS DOUBLE))
+               END AS ari
+        FROM j
+    """
+    )
 
 
 def _ora_ransac() -> str:
@@ -12678,6 +12764,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hits": _ora_hits(),
         "q_ransac": _ora_ransac(),
         "q_er": _ora_er(),
+        "q_cluster_eval": _ora_cluster_eval(),
         # exact int64 power sums; central moments via the SAME fixed
         # left-associative double chains (no window sums anywhere —
         # DuckDB's segment-tree windowed sum orders doubles

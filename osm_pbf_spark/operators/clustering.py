@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dbscan"]
+__all__ = ["dbscan", "cluster_hulls", "cluster_pair_metrics"]
 
 _BIAS = 1 << 24  # grid coords valid in (-2^24, 2^24) — |x|/eps bound
 _SHIFT = 26
@@ -205,4 +205,74 @@ def cluster_hulls(
         scale=scale,
     ).select(
         F.col("group_id").alias("cluster"), "hull_pos", "ix", "iy"
+    )
+
+
+def cluster_pair_metrics(
+    df: DataFrame, pred_col: str, true_col: str
+) -> DataFrame:
+    """Pairwise clustering quality vs ground truth — the evaluation
+    for ANY grouping operator (near_dup_groups, dbscan, label
+    propagation, entity resolution): over all C(n,2) record pairs,
+
+        precision = both / pred_pairs,  recall = both / true_pairs
+        ARI = (both − E) / ((pred_pairs + true_pairs)/2 − E),
+        E = pred_pairs · true_pairs / C(n, 2)
+
+    where both/pred_pairs/true_pairs are Σ C(size, 2) over the
+    contingency cells / predicted clusters / true classes — all EXACT
+    int64 (C(x,2) = x·(x−1) DIV 2; bound: cluster sizes under ~4×10⁹).
+    P/R/F1 are one division each; ARI is one fixed double chain on
+    the exact counts (the moments_profile discipline — clearing ARI's
+    denominators overflows int64).
+
+    Plan: one (pred, true) cell aggregate + two margin aggregates —
+    all map-side combinable; nothing scales beyond |clusters|.
+    Returns one row (n, n_pred_clusters, n_true_classes, both_pairs,
+    pred_pairs, true_pairs, precision, recall, f1, ari).
+    """
+
+    def c2(col):
+        return F.expr(f"({col} * ({col} - 1)) DIV 2")
+
+    cells = df.groupBy(
+        F.col(pred_col).alias("_p"), F.col(true_col).alias("_t")
+    ).agg(F.count(F.lit(1)).alias("_nij"))
+    both = cells.agg(
+        F.sum(c2("_nij")).alias("both_pairs"),
+        F.sum("_nij").alias("n"),
+        F.count_distinct(F.col("_p")).alias("n_pred_clusters"),
+        F.count_distinct(F.col("_t")).alias("n_true_classes"),
+    )
+    pp = (
+        cells.groupBy("_p")
+        .agg(F.sum("_nij").alias("_ng"))
+        .agg(F.sum(c2("_ng")).alias("pred_pairs"))
+    )
+    tp = (
+        cells.groupBy("_t")
+        .agg(F.sum("_nij").alias("_ne"))
+        .agg(F.sum(c2("_ne")).alias("true_pairs"))
+    )
+    j = both.crossJoin(F.broadcast(pp)).crossJoin(F.broadcast(tp))
+    bd = F.col("both_pairs").cast("double")
+    pd_ = F.col("pred_pairs").cast("double")
+    td = F.col("true_pairs").cast("double")
+    cn = F.expr("(n * (n - 1)) DIV 2").cast("double")
+    expect = pd_ * td / cn
+    ari_den = (pd_ + td) / F.lit(2.0) - expect
+    return j.select(
+        "n",
+        "n_pred_clusters",
+        "n_true_classes",
+        "both_pairs",
+        "pred_pairs",
+        "true_pairs",
+        F.when(F.col("pred_pairs") > 0, bd / pd_).alias("precision"),
+        F.when(F.col("true_pairs") > 0, bd / td).alias("recall"),
+        F.when(
+            F.col("pred_pairs") + F.col("true_pairs") > 0,
+            (F.lit(2.0) * bd) / (pd_ + td),
+        ).alias("f1"),
+        F.when(ari_den != 0.0, (bd - expect) / ari_den).alias("ari"),
     )

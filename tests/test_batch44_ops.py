@@ -112,3 +112,47 @@ def test_er_pipeline_semantics(spark):
     assert out[5] == 5                 # no partner at all
     canon = {r.group_id: r.group_size for r in dedup_canonical(groups).collect()}
     assert canon[1] == 2 and canon[3] == 1
+
+
+# ------------------------------------------------- cluster_pair_metrics
+
+
+def test_cluster_pair_metrics_scalar(spark):
+    from osm_pbf_spark.operators.clustering import cluster_pair_metrics
+
+    # truth: {1,2,3}, {4,5}, {6}; pred splits the first, merges the rest
+    rows = [(1, "a", "x"), (2, "a", "x"), (3, "b", "x"),
+            (4, "c", "y"), (5, "c", "y"), (6, "c", "z")]
+    df = spark.createDataFrame(rows, "id long, pred string, truth string")
+    r = cluster_pair_metrics(df, "pred", "truth").collect()[0]
+    # cells: (a,x)=2 (b,x)=1 (c,y)=2 (c,z)=1
+    both = 1 + 0 + 1 + 0
+    pred_pairs = 1 + 0 + 3       # a:2, b:1, c:3
+    true_pairs = 3 + 1 + 0       # x:3, y:2, z:1
+    assert (r.n, r.n_pred_clusters, r.n_true_classes) == (6, 3, 3)
+    assert (r.both_pairs, r.pred_pairs, r.true_pairs) == (
+        both, pred_pairs, true_pairs
+    )
+    assert r.precision == both / pred_pairs
+    assert r.recall == both / true_pairs
+    assert r.f1 == 2 * both / (pred_pairs + true_pairs)
+    cn = 15.0
+    expect = pred_pairs * true_pairs / cn
+    assert r.ari == (both - expect) / ((pred_pairs + true_pairs) / 2.0 - expect)
+
+
+def test_cluster_pair_metrics_perfect_and_degenerate(spark):
+    from osm_pbf_spark.operators.clustering import cluster_pair_metrics
+
+    perfect = spark.createDataFrame(
+        [(i, i // 3, i // 3) for i in range(30)], "id long, pred long, truth long"
+    )
+    r = cluster_pair_metrics(perfect, "pred", "truth").collect()[0]
+    assert r.precision == 1.0 and r.recall == 1.0 and r.f1 == 1.0
+    assert abs(r.ari - 1.0) < 1e-12
+    # all-singletons prediction: no pred pairs -> precision NULL
+    sing = spark.createDataFrame(
+        [(i, i, i // 3) for i in range(12)], "id long, pred long, truth long"
+    )
+    rs = cluster_pair_metrics(sing, "pred", "truth").collect()[0]
+    assert rs.precision is None and rs.recall == 0.0
