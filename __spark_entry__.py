@@ -5230,6 +5230,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_stream_ewma"] = q_stream_ewma
 
+    def q_conformal(spark, sf):  # split-conformal threshold at
+        # alpha = 1/10 over integer nonconformity scores: exact
+        # ceil-DIV rank + exact order statistic
+        from osm_pbf_spark.operators.stats import conformal_threshold
+
+        ev = load(spark, sf, "events").select(
+            F.pmod(F.col("event_id") * F.lit(7919), F.lit(100000)).alias(
+                "score"
+            )
+        )
+        return conformal_threshold(ev, "score", 1, 10)
+
+    q["q_conformal"] = q_conformal
+
+    def q_target_enc(spark, sf):  # smoothed target encoding of
+        # event_type vs an integer target; cleared-denominator exact,
+        # one division
+        from osm_pbf_spark.operators.stats import target_encode
+
+        ev = load(spark, sf, "events").select(
+            "event_type",
+            F.floor(F.col("value")).cast("bigint").alias("y"),
+        )
+        return target_encode(ev, "event_type", "y", k=50)
+
+    q["q_target_enc"] = q_target_enc
+
     return q
 
 
@@ -12765,6 +12792,41 @@ def oracle_sql() -> dict[str, str]:
         "q_ransac": _ora_ransac(),
         "q_er": _ora_er(),
         "q_cluster_eval": _ora_cluster_eval(),
+        # exact ceil-DIV rank + order statistic replay
+        "q_conformal": """
+            WITH s AS (SELECT (event_id * 7919) % 100000 AS v
+                       FROM events),
+            pv AS (SELECT v, count(*) AS c FROM s GROUP BY v),
+            cum AS (SELECT v,
+                           CAST(sum(c) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cm
+                    FROM pv),
+            tot AS (SELECT count(*) AS n,
+                           ((count(*) + 1) * 9 + 9) // 10 AS rank_r
+                    FROM s),
+            th AS (SELECT min(v) AS threshold
+                   FROM cum, tot WHERE cum.cm >= tot.rank_r)
+            SELECT tot.n, CAST(tot.rank_r AS BIGINT) AS rank_r,
+                   th.threshold,
+                   CAST(0.9 AS DOUBLE) AS coverage_target
+            FROM tot, th
+        """,
+        # cleared-denominator smoothed target mean
+        "q_target_enc": """
+            WITH s AS (SELECT event_type AS cat,
+                              CAST(floor(value) AS BIGINT) AS y
+                       FROM events),
+            per AS (SELECT cat, count(*) AS n_c,
+                           CAST(sum(y) AS BIGINT) AS sum_y
+                    FROM s GROUP BY cat),
+            tot AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS sy
+                    FROM s)
+            SELECT per.cat, per.n_c, per.sum_y,
+                   CAST(per.sum_y * tot.n + 50 * tot.sy AS DOUBLE)
+                       / CAST(tot.n * (per.n_c + 50) AS DOUBLE) AS enc
+            FROM per, tot
+        """,
         # exact int64 power sums; central moments via the SAME fixed
         # left-associative double chains (no window sums anywhere —
         # DuckDB's segment-tree windowed sum orders doubles

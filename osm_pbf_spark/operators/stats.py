@@ -2059,3 +2059,87 @@ def ransac_line(
             / b["dx"].cast("double")
         ).alias("intercept"),
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    alpha_num: int,
+    alpha_den: int,
+) -> DataFrame:
+    """Split-conformal prediction threshold over INTEGER nonconformity
+    scores: the ⌈(n+1)·(1−α)⌉-th smallest calibration score — new
+    examples whose score is <= threshold get coverage >= 1−α
+    (distribution-free, the modern ML uncertainty primitive).
+
+        r = ceil((n+1)·(αd−αn) / αd)   (exact integer ceil-DIV)
+        threshold = r-th order statistic (exact, type-1)
+
+    r > n (tiny calibration sets / tiny α) yields a NULL threshold —
+    the honest "predict everything" answer — with the rank still
+    reported. Plan: the exact_quantiles shape — one distinct-value
+    aggregate + one cumulative window over DISTINCT values + one min.
+    Returns one row (n, rank_r, threshold, coverage_target).
+    """
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError("need 0 < alpha_num < alpha_den")
+    an, ad = int(alpha_num), int(alpha_den)
+    s = F.col(score_col).cast("bigint")
+    pv = df.groupBy(s.alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pv.select("_v", F.sum("_c").over(w).alias("_cum"))
+    tot = df.agg(F.count(F.lit(1)).alias("n"))
+    r = F.expr(f"((n + 1) * {ad - an} + {ad} - 1) DIV {ad}")
+    j = cum.crossJoin(F.broadcast(tot.select("n", r.alias("rank_r"))))
+    hit = j.where(F.col("_cum") >= F.col("rank_r"))
+    th = hit.groupBy("n", "rank_r").agg(F.min("_v").alias("threshold"))
+    base = tot.select(
+        "n",
+        r.alias("rank_r"),
+        F.lit(float(ad - an) / float(ad)).alias("coverage_target"),
+    )
+    return base.join(th.select("n", "threshold"), "n", "left").select(
+        "n", "rank_r", "threshold", "coverage_target"
+    )
+
+
+def target_encode(
+    df: DataFrame, cat_col: str, y_col: str, k: int = 20
+) -> DataFrame:
+    """Smoothed target encoding of a categorical column — the classic
+    high-cardinality feature transform (category → shrunk mean
+    target), with the empirical-Bayes prior weight ``k``:
+
+        enc_c = (Σy_c + k·μ) / (n_c + k)
+              = (Σy_c·n + k·Σy) / (n·(n_c + k))     (cleared)
+
+    The numerator/denominator are exact int64 (bound: Σy_c·n under
+    2^63 — floor/rescale y beyond) and enc is ONE division —
+    gate-hashable. Rare categories shrink toward the global mean;
+    k = 0 is the raw per-category mean.
+
+    Plan: one category aggregate + a broadcast 1-row global — nothing
+    scales beyond |categories|. Returns (cat, n_c, sum_y, enc).
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    y = F.col(y_col).cast("bigint")
+    per = df.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("n_c"), F.sum(y).alias("sum_y")
+    )
+    tot = df.agg(F.count(F.lit(1)).alias("_n"), F.sum(y).alias("_sy"))
+    j = per.crossJoin(F.broadcast(tot))
+    num = (F.col("sum_y") * F.col("_n") + F.lit(int(k)) * F.col("_sy")).cast(
+        "bigint"
+    )
+    den = (F.col("_n") * (F.col("n_c") + F.lit(int(k)))).cast("bigint")
+    return j.select(
+        "cat",
+        "n_c",
+        "sum_y",
+        (num.cast("double") / den.cast("double")).alias("enc"),
+    )
