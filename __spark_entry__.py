@@ -5257,6 +5257,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_target_enc"] = q_target_enc
 
+    def q_clip_polygons(spark, sf):  # vector-tile polygon cut: the
+        # fixture polygons Sutherland-Hodgman-clipped to every z6 tile
+        # they touch, MVT-4096 quantized; oracle = independent scalar
+        # replay -> VALUES
+        from osm_pbf_spark.operators.tiling import clip_polygons_to_tiles
+
+        return clip_polygons_to_tiles(spark, PIP_POLYGONS, zoom=6).select(
+            "poly_id",
+            "ring_idx",
+            "tile_z",
+            "tile_x",
+            "tile_y",
+            "n_pts",
+            F.col("qx").cast("array<bigint>").alias("qx"),
+            F.col("qy").cast("array<bigint>").alias("qy"),
+        )
+
+    q["q_clip_polygons"] = q_clip_polygons
+
     return q
 
 
@@ -8537,6 +8556,54 @@ def _ora_cluster_eval() -> str:
         FROM j
     """
     )
+
+
+def _ora_clip_polygons() -> str:
+    """Scalar Sutherland-Hodgman replay (tests/oracle_geo.py) over the
+    same bbox tile candidates -> VALUES; list literals inline."""
+    import math
+
+    from tests.oracle_geo import clip_ring_to_tile
+
+    zoom = 6
+    n = float(1 << zoom)
+    nmax = (1 << zoom) - 1
+    rows = []
+    for p in PIP_POLYGONS:
+        for ri, ring in enumerate(p.rings):
+            lat = [float(v) for v in ring[:, 0]]
+            lon = [float(v) for v in ring[:, 1]]
+            sx = [(v + 180.0) / 360.0 * n for v in lon]
+            sy = [(90.0 - v) / 180.0 * n for v in lat]
+            x0 = max(int(math.floor(min(sx))), 0)
+            x1 = min(int(math.floor(max(sx))), nmax)
+            y0 = max(int(math.floor(min(sy))), 0)
+            y1 = min(int(math.floor(max(sy))), nmax)
+            for tx in range(x0, x1 + 1):
+                for ty in range(y0, y1 + 1):
+                    q = clip_ring_to_tile(
+                        list(zip(lat, lon)), zoom, tx, ty
+                    )
+                    if q is None:
+                        continue
+                    qx = "[" + ", ".join(str(a) for a, _ in q) + "]"
+                    qy = "[" + ", ".join(str(b) for _, b in q) + "]"
+                    rows.append(
+                        f"('{p.poly_id}', {ri}, {zoom}, {tx}, {ty}, "
+                        f"{len(q)}, {qx}, {qy})"
+                    )
+    vals = ", ".join(rows)
+    return f"""
+        SELECT CAST(c0 AS VARCHAR) AS poly_id,
+               CAST(c1 AS INTEGER) AS ring_idx,
+               CAST(c2 AS INTEGER) AS tile_z,
+               CAST(c3 AS BIGINT) AS tile_x,
+               CAST(c4 AS BIGINT) AS tile_y,
+               CAST(c5 AS INTEGER) AS n_pts,
+               CAST(c6 AS BIGINT[]) AS qx,
+               CAST(c7 AS BIGINT[]) AS qy
+        FROM (VALUES {vals}) AS t(c0, c1, c2, c3, c4, c5, c6, c7)
+    """
 
 
 def _ora_ransac() -> str:
@@ -12790,6 +12857,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ktruss": _ora_ktruss(),
         "q_hits": _ora_hits(),
         "q_ransac": _ora_ransac(),
+        "q_clip_polygons": _ora_clip_polygons(),
         "q_er": _ora_er(),
         "q_cluster_eval": _ora_cluster_eval(),
         # exact ceil-DIV rank + order statistic replay

@@ -87,3 +87,72 @@ def point_to_tile_mercator(lat: float, lon: float, z: int) -> tuple[int, int]:
     lr = math.radians(latc)
     y = int(math.floor((1.0 - math.log(math.tan(lr) + 1.0 / math.cos(lr)) / math.pi) / 2.0 * n))
     return min(max(x, 0), (1 << z) - 1), min(max(y, 0), (1 << z) - 1)
+
+
+def clip_ring_to_tile(
+    ring_latlon: list[tuple[float, float]],
+    zoom: int,
+    tx: int,
+    ty: int,
+    extent: int = 4096,
+) -> list[tuple[int, int]] | None:
+    """SCALAR Sutherland-Hodgman replay of clip_polygons_to_tiles for
+    one (ring, tile): same spec (closed half-planes, one fixed IEEE
+    intersection chain, HALF-UP extent quantization, consecutive-dup
+    collapse incl. wraparound, <3 vertices -> None), independent
+    scalar formulation (the engine clips with numpy masks)."""
+    n = float(1 << zoom)
+    pts = []
+    for lat, lon in ring_latlon:
+        sx = (lon + 180.0) / 360.0 * n
+        sy = (90.0 - lat) / 180.0 * n
+        pts.append((sx, sy))
+
+    def clip(poly, axis, e, keep_ge):
+        out = []
+        m = len(poly)
+        for i in range(m):
+            px, py = poly[i - 1]
+            qx, qy = poly[i]
+            pc = px if axis == 0 else py
+            qc = qx if axis == 0 else qy
+            pin = (pc >= e) if keep_ge else (pc <= e)
+            qin = (qc >= e) if keep_ge else (qc <= e)
+            if pin != qin:
+                t = (e - pc) / (qc - pc)
+                ix = px + t * (qx - px)
+                iy = py + t * (qy - py)
+                if axis == 0:
+                    ix = e
+                else:
+                    iy = e
+                out.append((ix, iy))
+            if qin:
+                out.append((qx, qy))
+        return out
+
+    for axis, e, ge in [
+        (0, float(tx), True),
+        (0, float(tx) + 1.0, False),
+        (1, float(ty), True),
+        (1, float(ty) + 1.0, False),
+    ]:
+        pts = clip(pts, axis, e, ge)
+        if not pts:
+            return None
+    if len(pts) < 3:
+        return None
+    q = [
+        (
+            int(math.floor((x - float(tx)) * extent + 0.5)),
+            int(math.floor((y - float(ty)) * extent + 0.5)),
+        )
+        for x, y in pts
+    ]
+    dedup = [q[0]]
+    for v in q[1:]:
+        if v != dedup[-1]:
+            dedup.append(v)
+    if len(dedup) > 1 and dedup[0] == dedup[-1]:
+        dedup = dedup[:-1]
+    return dedup if len(dedup) >= 3 else None
