@@ -5276,6 +5276,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_clip_polygons"] = q_clip_polygons
 
+    def q_sink_rollback(spark, sf):  # C-family: append + equality
+        # delete, then rollback_to the ingest snapshot — the pruned
+        # per-cell aggregate must equal the PURE-ingest spec oracle
+        # (reused verbatim from q_sink_roundtrip), proving the
+        # rollback restored the exact manifest state
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.plans.ingest import ingest_pbf
+
+        path = _fixture_pbf("sink")
+        root = os.path.join(
+            tempfile.gettempdir(), "osm_pbf_spark_driver_sink_rb"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        sink = ingest_pbf(spark, path, root, cell_level=12, blobs_per_split=1)
+        s1 = sink.current_snapshot()
+        base = sink.read(spark)
+        junk = base.where("pmod(cell, 4) = 1").withColumn(
+            "doc_id", F.concat(F.lit("junk/"), F.col("doc_id"))
+        )
+        sink.write_split(junk, "junk-1", lineage={"op": "append"})
+        sink.commit_snapshot({"pipeline": "junk"})
+        sink.delete_keys(
+            base.where("pmod(cell, 4) = 2").select("doc_id"),
+            ["doc_id"],
+            "del-1",
+        )
+        sink.commit_snapshot({"pipeline": "delete"})
+        rb = sink.rollback_to(s1["snapshot_id"])
+        assert rb["properties"]["rollback_of"] == s1["snapshot_id"]
+        lo, hi = SINK_PRUNE_RANGE
+        docs = sink.read(spark, stats_range=(lo, hi)).filter(
+            F.col("cell").between(lo, hi)
+        )
+        return docs.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum(F.size("spans")).alias("spans_total"),
+            F.sum(
+                F.length(F.element_at("spans", -1)["media_ref"])
+            ).alias("media_len_total"),
+        )
+
+    q["q_sink_rollback"] = q_sink_rollback
+
     return q
 
 
@@ -9234,6 +9280,8 @@ def oracle_sql() -> dict[str, str]:
         "q_pbf_raw": _ora_pbf_raw(),
         "q_pbf_header": _ora_pbf_header(),
         "q_sink_roundtrip": _ora_sink_roundtrip(),
+        # rollback restores the PURE-ingest state: same oracle
+        "q_sink_rollback": _ora_sink_roundtrip(),
         "q_sink_compact": _ora_sink_compact(),
         "q_sink_incremental": _ora_sink_incremental(),
         "q_sink_delete": _ora_sink_delete(),

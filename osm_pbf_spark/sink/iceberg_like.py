@@ -1272,6 +1272,51 @@ class IcebergLikeSink:
             fail_before_commit=fail_before_commit,
         )
 
+    def rollback_to(self, snapshot_id) -> dict:
+        """Roll the table back to a retained snapshot (Iceberg
+        ``rollback_to_snapshot`` parity) — and make the rollback
+        DURABLE against future commits, which this sink derives from
+        the split-manifest set, not the snapshot pointer: split
+        manifests committed AFTER the target (later appends, deletes,
+        compaction rewrites) are moved into a ``_rollback/`` attic
+        (never deleted — their data files stay on disk and every
+        retained snapshot still time-travels through its own manifest
+        list), then a NEW snapshot is committed from the restored
+        manifest set, carrying ``rollback_of`` in its properties.
+
+        Accepts a snapshot id or a 1-based sequence number (the
+        read_snapshot convention). Raises ``KeyError`` for an unknown
+        or expired snapshot. Returns the new snapshot dict — its live
+        split set equals the target's exactly.
+        """
+        target = None
+        for snap in self.snapshots():
+            if snapshot_id in (snap.get("snapshot_id"), snap.get("sequence_number")):
+                target = snap
+        if target is None:
+            raise KeyError(
+                f"rollback_to: snapshot {snapshot_id!r} not in retained history"
+            )
+        known = set(target.get("splits", [])) | set(
+            target.get("replaced_splits", [])
+        )
+        attic = os.path.join(self.root, "_rollback", uuid.uuid4().hex)
+        moved = []
+        for sid in sorted(self.completed_splits()):
+            if sid not in known:
+                os.makedirs(attic, exist_ok=True)
+                os.replace(
+                    self._manifest_path(sid),
+                    os.path.join(attic, f"split-{sid}.json"),
+                )
+                moved.append(sid)
+        return self.commit_snapshot(
+            properties={
+                "rollback_of": target["snapshot_id"],
+                "atticed_splits": moved,
+            }
+        )
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Expire old snapshots and vacuum data files ONLY they still
         reference.
