@@ -5322,6 +5322,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sink_rollback"] = q_sink_rollback
 
+    def q_assortativity(spark, sf):  # Newman degree assortativity =
+        # exact-moment Pearson over symmetric endpoint degrees
+        from osm_pbf_spark.operators.graph import assortativity
+
+        base = load(spark, sf, "events").where(F.col("event_id") < 900)
+        ring = base.select(
+            F.pmod(F.col("event_id"), F.lit(180)).alias("src"),
+            F.pmod(F.col("event_id") * 31 + 7, F.lit(180)).alias("dst"),
+        )
+        hub = base.where(F.col("event_id") < 90).select(
+            F.pmod(F.col("event_id"), F.lit(180)).alias("src"),
+            F.lit(7).cast("bigint").alias("dst"),
+        )
+        return assortativity(ring.unionAll(hub))
+
+    q["q_assortativity"] = q_assortativity
+
+    def q_closeness(spark, sf):  # sampled harmonic centrality over
+        # the q_od_matrix graph: exact 2^40 DIV d contributions (the
+        # rrf posture), 6 seeded landmark origins
+        from osm_pbf_spark.operators.graph import harmonic_closeness
+
+        ev = load(spark, sf, "events").filter(F.col("event_id") < 400)
+        edges = ev.select(
+            (F.col("event_id") % 120).alias("src"),
+            ((F.col("event_id") * 13 + 7) % 120).alias("dst"),
+            (F.col("event_id") % 19 + 1).alias("w"),
+        )
+        srcs = spark.createDataFrame(
+            [(0,), (3,), (7,), (11,), (19,), (23,)], "node long"
+        )
+        return harmonic_closeness(edges, srcs, max_rounds=12)
+
+    q["q_closeness"] = q_closeness
+
+    def q_anomaly(spark, sf):  # composed anomaly detector: seasonal
+        # decomposition -> quantized residual -> median/MAD flags at
+        # 8 MADs; +5000 spikes planted every 977 ids. Oracle replays
+        # BOTH stages (offset-self-join decomposition + distinct-value
+        # median windows)
+        from osm_pbf_spark.operators.stats import robust_zscore
+        from osm_pbf_spark.operators.temporal import seasonal_decompose
+
+        ev = load(spark, sf, "events").select(
+            F.col("event_type").alias("key"),
+            F.col("ts").alias("seq"),
+            F.col("event_id").alias("tb"),
+            (
+                F.col("value")
+                + F.when(
+                    F.pmod(F.col("event_id"), F.lit(977)) == 0,
+                    F.lit(5000.0),
+                ).otherwise(F.lit(0.0))
+            ).alias("val"),
+        )
+        dec = seasonal_decompose(ev, period=7, tiebreak_col="tb", scale=100)
+        rq = dec.where(F.col("residual").isNotNull()).select(
+            "key",
+            "seq",
+            F.floor(F.col("residual") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("rq"),
+        )
+        return robust_zscore(
+            rq, "rq", ["key"], min_dev_mads=8, carry_cols=["seq"]
+        )
+
+    q["q_anomaly"] = q_anomaly
+
     return q
 
 
@@ -9282,6 +9351,137 @@ def oracle_sql() -> dict[str, str]:
         "q_sink_roundtrip": _ora_sink_roundtrip(),
         # rollback restores the PURE-ingest state: same oracle
         "q_sink_rollback": _ora_sink_roundtrip(),
+        # symmetric-degree Pearson replay (exact moment chain)
+        "q_assortativity": """
+            WITH raw AS (SELECT event_id % 180 AS a,
+                                (event_id * 31 + 7) % 180 AS b
+                         FROM events WHERE event_id < 900
+                         UNION ALL
+                         SELECT event_id % 180, 7
+                         FROM events WHERE event_id < 90),
+            e0 AS (SELECT a, b FROM raw WHERE a <> b),
+            sym AS (SELECT DISTINCT a, b FROM
+                    (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)),
+            deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+            j AS (SELECT da.d AS x, db.d AS y
+                  FROM sym JOIN deg da ON da.a = sym.a
+                           JOIN deg db ON db.a = sym.b),
+            m AS (SELECT count(*) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(y * y) AS BIGINT) AS syy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy
+                  FROM j)
+            SELECT n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+            FROM m
+        """,
+        # od-matrix recursion + exact 2^40 DIV d harmonic fold
+        "q_closeness": """
+            WITH RECURSIVE e AS (
+                SELECT event_id % 120 AS src,
+                       (event_id * 13 + 7) % 120 AS dst,
+                       event_id % 19 + 1 AS w
+                FROM events WHERE event_id < 400),
+            sym0 AS (SELECT src AS u, dst AS v, w FROM e WHERE src <> dst
+                     UNION ALL SELECT dst, src, w FROM e WHERE src <> dst),
+            sym AS (SELECT u, v, min(w) AS w FROM sym0 GROUP BY u, v),
+            srcs(origin) AS (VALUES (0), (3), (7), (11), (19), (23)),
+            walk(origin, node, d, hops) AS (
+                SELECT origin, origin, CAST(0 AS BIGINT), 0 FROM srcs
+                UNION
+                SELECT w.origin, s.v, w.d + s.w, w.hops + 1
+                FROM walk w JOIN sym s ON s.u = w.node WHERE w.hops < 12),
+            dmin AS (SELECT origin, node, min(d) AS dist
+                     FROM walk GROUP BY 1, 2),
+            pos AS (SELECT node, dist FROM dmin WHERE dist > 0)
+            SELECT CAST(node AS BIGINT) AS node, count(*) AS n_reached,
+                   CAST(sum(1099511627776 // dist) AS BIGINT) AS harm_u,
+                   CAST(CAST(sum(1099511627776 // dist) AS BIGINT)
+                        AS DOUBLE) / 1099511627776.0 AS harm
+            FROM pos GROUP BY node
+        """,
+        # two-stage replay: spiked q_seasonal chain -> quantized
+        # residual -> distinct-value lower-median / MAD windows
+        "q_anomaly": """
+            WITH s AS (
+              SELECT event_type AS key,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id) - 1
+                          AS BIGINT) AS seq,
+                     CAST(floor((value
+                                 + CASE WHEN event_id % 977 = 0
+                                        THEN CAST(5000 AS DOUBLE)
+                                        ELSE CAST(0 AS DOUBLE) END)
+                                * CAST(100 AS DOUBLE) + 0.5)
+                          AS BIGINT) AS q
+              FROM events),
+            off AS (SELECT * FROM (VALUES (-3),(-2),(-1),(0),(1),(2),(3))
+                    t(o)),
+            win AS (SELECT a.key, a.seq, a.q,
+                           count(*) AS cnt,
+                           CAST(sum(b.q) AS BIGINT) AS sm
+                    FROM s a JOIN off ON true
+                    JOIN s b ON b.key = a.key AND b.seq = a.seq + off.o
+                    GROUP BY a.key, a.seq, a.q),
+            r AS (SELECT key, seq, seq % 7 AS phase, q,
+                         CASE WHEN cnt = 7
+                              THEN CAST(2 * sm AS BIGINT) END AS trend2p,
+                         CASE WHEN cnt = 7
+                              THEN CAST(14 * q - 2 * sm AS BIGINT) END
+                             AS detr2p
+                  FROM win),
+            se AS (SELECT key, phase,
+                          CAST(sum(detr2p) AS BIGINT) AS s_num,
+                          count(detr2p) AS s_cnt
+                   FROM r GROUP BY 1, 2),
+            resid AS (SELECT r.key, r.seq,
+                             (CAST(r.q AS DOUBLE)
+                              - CAST(r.trend2p AS DOUBLE)
+                                / CAST(14 AS DOUBLE))
+                             - CAST(se.s_num AS DOUBLE)
+                               / CAST(se.s_cnt * 14 AS DOUBLE) AS residual
+                      FROM r JOIN se ON se.key = r.key
+                                    AND se.phase = r.phase
+                      WHERE r.trend2p IS NOT NULL),
+            rq AS (SELECT key, seq,
+                          CAST(floor(residual * CAST(100 AS DOUBLE) + 0.5)
+                               AS BIGINT) AS x
+                   FROM resid),
+            pv AS (SELECT key, x AS v, count(*) AS c
+                   FROM rq GROUP BY 1, 2),
+            cum AS (SELECT key, v,
+                           CAST(sum(c) OVER (PARTITION BY key ORDER BY v)
+                                AS BIGINT) AS cm,
+                           CAST(sum(c) OVER (PARTITION BY key)
+                                AS BIGINT) AS nn
+                    FROM pv),
+            med AS (SELECT key, min(v) AS med FROM cum
+                    WHERE cm >= (nn + 1) // 2 GROUP BY key),
+            dev AS (SELECT rq.key, rq.seq, rq.x, med.med,
+                           abs(rq.x - med.med) AS ad
+                    FROM rq JOIN med USING (key)),
+            pv2 AS (SELECT key, ad AS v, count(*) AS c
+                    FROM dev GROUP BY 1, 2),
+            cum2 AS (SELECT key, v,
+                            CAST(sum(c) OVER (PARTITION BY key ORDER BY v)
+                                 AS BIGINT) AS cm,
+                            CAST(sum(c) OVER (PARTITION BY key)
+                                 AS BIGINT) AS nn
+                     FROM pv2),
+            mad AS (SELECT key, min(v) AS mad FROM cum2
+                    WHERE cm >= (nn + 1) // 2 GROUP BY key)
+            SELECT dev.key, dev.seq, dev.x, dev.med, mad.mad,
+                   CASE WHEN mad.mad > 0
+                        THEN CAST(dev.x - dev.med AS DOUBLE)
+                             / CAST(mad.mad AS DOUBLE) END AS robust_z
+            FROM dev JOIN mad USING (key)
+            WHERE CAST(dev.ad AS DOUBLE)
+                  >= CAST(8 AS DOUBLE) * CAST(mad.mad AS DOUBLE)
+        """,
         "q_sink_compact": _ora_sink_compact(),
         "q_sink_incremental": _ora_sink_incremental(),
         "q_sink_delete": _ora_sink_delete(),

@@ -1353,3 +1353,83 @@ def hits_scores(
             F.coalesce("auth", F.lit(0)).alias("auth"),
         )
     )
+
+
+def assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity of the undirected simple graph — Pearson
+    correlation of the endpoint degrees over the symmetric edge list
+    (Newman's r: do hubs attach to hubs?). Composes the exact-moment
+    :func:`osm_pbf_spark.operators.stats.pearson_corr` machinery, so
+    the coefficient is one fixed chain on exact int64 sums.
+
+    Plan: one degree aggregate + two broadcast joins onto the edge
+    list + one 1-row moment aggregate. Returns (n, corr) — n counts
+    DIRECTED endpoint pairs (2·|edges|).
+    """
+    from osm_pbf_spark.operators.stats import pearson_corr
+
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    sym = e0.union(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
+    j = (
+        sym.join(F.broadcast(deg), "a")
+        .withColumnRenamed("_d", "da")
+        .join(
+            F.broadcast(deg.withColumnRenamed("a", "b")).withColumnRenamed(
+                "_d", "db"
+            ),
+            "b",
+        )
+    )
+    return pearson_corr(j, "da", "db")
+
+
+def harmonic_closeness(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Sampled harmonic centrality: per NODE, ``Σ_origins 1/d(o, n)``
+    over a seeded origin set — the landmark approximation that scales
+    where exact all-pairs closeness cannot. Composes
+    :func:`sssp_matrix`; contributions are the EXACT integers
+    ``2^40 DIV d`` (the rrf_fuse posture — float 1/d sums are
+    shuffle-order-dependent), so ``harm_u`` is gate-hashable and
+    ``harm = harm_u / 2^40`` is one division.
+
+    Returns (node, n_reached, harm_u, harm) — n_reached counts
+    origins at finite nonzero distance; the origin's own 0-distance
+    row contributes nothing.
+    """
+    d = sssp_matrix(
+        edges,
+        sources,
+        src=src,
+        dst=dst,
+        weight=weight,
+        node=node,
+        max_rounds=max_rounds,
+    )
+    pos = d.where(F.col("dist") > 0)
+    agg = pos.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum(F.expr("1099511627776 DIV dist")).alias("harm_u"),
+    )
+    return agg.select(
+        "node",
+        "n_reached",
+        "harm_u",
+        (F.col("harm_u").cast("double") / F.lit(1099511627776.0)).alias(
+            "harm"
+        ),
+    )

@@ -82,8 +82,10 @@ def pearson_corr(
     g = list(group_cols or [])
     m = _moments(df, x_col, y_col, g)
     num, vx, vy = _num_varx_vary()
-    corr = num.cast("double") / (
-        F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+    corr = F.when(  # degenerate (constant) column -> NULL, not an
+        (vx > 0) & (vy > 0),  # ANSI divide-by-zero error
+        num.cast("double")
+        / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
     )
     return m.select(*g, F.col("_n").alias("n"), corr.alias("corr"))
 
@@ -338,6 +340,7 @@ def robust_zscore(
     value_col: str,
     group_cols: list[str],
     min_dev_mads: float | None = None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Median/MAD robust z-score per row — the outlier/quality filter
     that survives heavy tails where mean/stddev z-scores (``zscore``)
@@ -362,14 +365,22 @@ def robust_zscore(
     aggregate + a per-group window over DISTINCT values) + two broadcast
     joins of the tiny per-group stats back onto the rows. No Python.
     """
+    carry = list(carry_cols or [])  # row-identity passthrough columns
     xc = F.col(value_col).cast("bigint")
-    base = df.select(*group_cols, xc.alias("_x"))
-    med = _lower_median(base, group_cols, "_x", "_med")
+    base = df.select(*group_cols, *carry, xc.alias("_x"))
+    med = _lower_median(
+        base.select(*group_cols, "_x"), group_cols, "_x", "_med"
+    )
     with_med = base.join(F.broadcast(med), group_cols)
     dev = with_med.select(
-        *group_cols, "_x", F.abs(F.col("_x") - F.col("_med")).alias("_dev")
+        *group_cols,
+        *carry,
+        "_x",
+        F.abs(F.col("_x") - F.col("_med")).alias("_dev"),
     )
-    mad = _lower_median(dev, group_cols, "_dev", "_mad")
+    mad = _lower_median(
+        dev.select(*group_cols, "_dev"), group_cols, "_dev", "_mad"
+    )
     out = dev.join(F.broadcast(med), group_cols).join(F.broadcast(mad), group_cols)
     if min_dev_mads is not None:
         out = out.where(
@@ -382,6 +393,7 @@ def robust_zscore(
     )
     return out.select(
         *group_cols,
+        *carry,
         F.col("_x").alias("x"),
         F.col("_med").alias("med"),
         F.col("_mad").alias("mad"),
