@@ -5391,6 +5391,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_anomaly"] = q_anomaly
 
+    def q_c4_pipeline(spark, sf):  # the composed training-data
+        # cleaning pipeline: quality >= 0.55 AND lang 'en' -> exact
+        # first-occurrence dedup -> per-source attrition report.
+        # Oracle replays every stage (quality/lang marker arithmetic +
+        # the dedup keeper window) in SQL.
+        from osm_pbf_spark.operators.text import lang_id, quality_score
+
+        base = load(spark, sf, "documents").select(
+            "doc_id", "source", "text"
+        )
+        # planted exact copies so the dedup stage genuinely binds
+        d = base.unionAll(
+            base.where(F.col("doc_id") < 60).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                "source",
+                "text",
+            )
+        )
+        scored = d.select(
+            "doc_id",
+            "source",
+            "text",
+            quality_score(F.col("text")).alias("_q"),
+            lang_id(F.col("text")).alias("_lp"),
+        )
+        filt = scored.where(
+            (F.col("_q") >= F.lit(0.55)) & (F.col("_lp") == "en")
+        )
+        keeper = filt.groupBy(F.md5("text").alias("_fp")).agg(
+            F.min("doc_id").alias("_keep")
+        )
+        kept = filt.withColumn("_fp", F.md5("text")).join(
+            keeper, "_fp"
+        ).where(F.col("doc_id") == F.col("_keep"))
+        n_in = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_in"))
+        n_f = filt.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_filtered")
+        )
+        n_k = kept.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("first_kept"),
+        )
+        return (
+            n_in.join(n_f, "source", "left")
+            .join(n_k, "source", "left")
+            .select(
+                "source",
+                "n_in",
+                F.coalesce("n_filtered", F.lit(0)).alias("n_filtered"),
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                "first_kept",
+            )
+        )
+
+    q["q_c4_pipeline"] = q_c4_pipeline
+
     return q
 
 
@@ -9351,6 +9407,62 @@ def oracle_sql() -> dict[str, str]:
         "q_sink_roundtrip": _ora_sink_roundtrip(),
         # rollback restores the PURE-ingest state: same oracle
         "q_sink_rollback": _ora_sink_roundtrip(),
+        # full-stage replay: quality/lang marker arithmetic + the
+        # first-occurrence dedup window + per-source rollup
+        "q_c4_pipeline": """
+            WITH src AS (SELECT doc_id, source, text FROM documents
+                         UNION ALL
+                         SELECT doc_id + 100000, source, text
+                         FROM documents WHERE doc_id < 60),
+            scored AS (
+              SELECT doc_id, source, text,
+                0.4 * least(1.0, len(text) / 500.0)
+              + 0.3 * least(1.0,
+                    ((len(text) - len(replace(text, ' the ', ''))) / 5
+                   + (len(text) - len(replace(text, ' and ', ''))) / 5
+                   + (len(text) - len(replace(text, ' of ', ''))) / 4)
+                    * 10.0 / len(string_split(text, ' ')))
+              + 0.3 * (1.0 - least(1.0,
+                    ((len(text) - len(replace(text, '.', '')))
+                   + (len(text) - len(replace(text, ',', '')))
+                   + (len(text) - len(replace(text, '!', '')))
+                   + (len(text) - len(replace(text, '?', '')))) * 5.0
+                    / len(string_split(text, ' ')))) AS q,
+                (len(text) - len(replace(text, ' the ', ''))) / 5
+              + (len(text) - len(replace(text, ' and ', ''))) / 5
+              + (len(text) - len(replace(text, ' of ', ''))) / 4 AS s_en,
+                (len(text) - len(replace(text, ' le ', ''))) / 4
+              + (len(text) - len(replace(text, ' la ', ''))) / 4
+              + (len(text) - len(replace(text, ' et ', ''))) / 4 AS s_fr,
+                (len(text) - len(replace(text, ' der ', ''))) / 5
+              + (len(text) - len(replace(text, ' die ', ''))) / 5
+              + (len(text) - len(replace(text, ' und ', ''))) / 5 AS s_de,
+                (len(text) - len(replace(text, ' el ', ''))) / 4
+              + (len(text) - len(replace(text, ' los ', ''))) / 5
+              + (len(text) - len(replace(text, ' y ', ''))) / 3 AS s_es
+              FROM src),
+            filt AS (SELECT doc_id, source, text FROM scored
+                     WHERE q >= 0.55
+                       AND s_en >= s_fr AND s_en >= s_de
+                       AND s_en >= s_es),
+            keep AS (SELECT doc_id, source,
+                            row_number() OVER (PARTITION BY md5(text)
+                                               ORDER BY doc_id) AS rn
+                     FROM filt),
+            kept AS (SELECT source, count(*) AS n_kept,
+                            min(doc_id) AS first_kept
+                     FROM keep WHERE rn = 1 GROUP BY source),
+            nin AS (SELECT source, count(*) AS n_in
+                    FROM src GROUP BY source),
+            nf AS (SELECT source, count(*) AS n_filtered
+                   FROM filt GROUP BY source)
+            SELECT nin.source, nin.n_in,
+                   CAST(coalesce(nf.n_filtered, 0) AS BIGINT) AS n_filtered,
+                   CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+                   kept.first_kept
+            FROM nin LEFT JOIN nf ON nf.source = nin.source
+                     LEFT JOIN kept ON kept.source = nin.source
+        """,
         # symmetric-degree Pearson replay (exact moment chain)
         "q_assortativity": """
             WITH raw AS (SELECT event_id % 180 AS a,

@@ -86,3 +86,42 @@ def test_anomaly_composition_flags_planted_spike(spark):
     assert any(r.seq == 40 for r in flags)  # the spike is caught
     big = [r for r in flags if r.seq == 40][0]
     assert big.robust_z is not None and math.fabs(big.robust_z) > 8
+
+
+def test_c4_pipeline_stage_semantics(spark):
+    """The composed cleaning pipeline: low-quality OUT, non-English
+    OUT, exact copies collapse to the smallest id."""
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.text import lang_id, quality_score
+
+    good = (
+        "this is the best of the band and the crowd sang of the day "
+        "and the night of the year the end of the show and the tour"
+    )
+    rows = [
+        (1, "a", good),
+        (2, "a", good),                      # exact copy -> deduped
+        (3, "a", "x! y? z, w. !!!! ???? ,,,, ...."),  # punct-heavy
+        (4, "b", "le chat et la maison et le chien et la mer"),  # fr
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "text",
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lp"),
+    )
+    filt = scored.where((F.col("q") >= 0.55) & (F.col("lp") == "en"))
+    ids = {r.doc_id for r in filt.collect()}
+    assert ids == {1, 2}  # fr and punct-heavy dropped
+    keeper = filt.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep")
+    )
+    kept = (
+        filt.withColumn("fp", F.md5("text"))
+        .join(keeper, "fp")
+        .where(F.col("doc_id") == F.col("keep"))
+    )
+    assert {r.doc_id for r in kept.collect()} == {1}
