@@ -5447,6 +5447,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_c4_pipeline"] = q_c4_pipeline
 
+    def q_sequences(spark, sf):  # frequent contiguous 3-step episodes
+        # across per-user event streams; exact episode counts
+        from osm_pbf_spark.operators.temporal import frequent_sequences
+
+        ev = load(spark, sf, "events").select(
+            "user_id", "event_id", "event_type"
+        )
+        return frequent_sequences(
+            ev, "user_id", "event_id", "event_type", k=3, min_support=5
+        )
+
+    q["q_sequences"] = q_sequences
+
+    def q_sprt(spark, sf):  # Wald SPRT per event type: micro-nat LLR
+        # literals (sprt_llr_micro shared with the oracle), exact int
+        # running sum, first bound crossing = the decision point
+        from osm_pbf_spark.operators.stats import sprt_decision
+
+        ev = load(spark, sf, "events").select(
+            F.col("event_type").alias("exp"),
+            F.col("event_id").alias("seq"),
+            (
+                F.pmod(F.col("event_id") * F.lit(7919), F.lit(100))
+                < F.lit(45) + F.pmod(F.length("event_type"), F.lit(20))
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        return sprt_decision(
+            ev, "exp", "seq", "y", (1, 2), (11, 20), 2944439, -2944439
+        )
+
+    q["q_sprt"] = q_sprt
+
     return q
 
 
@@ -8727,6 +8761,49 @@ def _ora_cluster_eval() -> str:
         FROM j
     """
     )
+
+
+def _ora_sprt() -> str:
+    """SPRT replay with the operator's own micro-nat LLR literals."""
+    from osm_pbf_spark.operators.stats import sprt_llr_micro
+
+    wa, wd = sprt_llr_micro(1, 2, 11, 20)
+    return f"""
+        WITH s AS (SELECT event_type AS exp, event_id AS seq,
+                          CASE WHEN (event_id * 7919) % 100
+                                    < 45 + (length(event_type) % 20)
+                               THEN 1 ELSE 0 END AS y
+                   FROM events),
+        cum AS (SELECT exp, seq,
+                       CAST(sum(CASE WHEN y = 1 THEN {wa}
+                                     ELSE {wd} END)
+                            OVER (PARTITION BY exp ORDER BY seq
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS llr,
+                       row_number() OVER (PARTITION BY exp
+                                          ORDER BY seq) AS n
+                FROM s),
+        m AS (SELECT exp, seq, llr, n,
+                     CASE WHEN llr >= 2944439 THEN 1
+                          WHEN llr <= -2944439 THEN 2 END AS c
+              FROM cum),
+        firstx AS (SELECT exp, min(seq) AS fseq FROM m
+                   WHERE c IS NOT NULL GROUP BY exp),
+        fx AS (SELECT m.exp, m.n, m.llr, m.c
+               FROM m JOIN firstx ON firstx.exp = m.exp
+                                 AND m.seq = firstx.fseq),
+        lastx AS (SELECT exp, max(seq) AS lseq FROM m GROUP BY exp),
+        lx AS (SELECT m.exp, m.n, m.llr
+               FROM m JOIN lastx ON lastx.exp = m.exp
+                                AND m.seq = lastx.lseq)
+        SELECT lx.exp,
+               CASE WHEN fx.c IS NULL THEN 'continue'
+                    WHEN fx.c = 1 THEN 'accept_h1'
+                    ELSE 'accept_h0' END AS decision,
+               CAST(coalesce(fx.n, lx.n) AS BIGINT) AS n_obs,
+               CAST(coalesce(fx.llr, lx.llr) AS BIGINT) AS llr_micro
+        FROM lx LEFT JOIN fx ON fx.exp = lx.exp
+    """
 
 
 def _ora_clip_polygons() -> str:
@@ -13218,6 +13295,20 @@ def oracle_sql() -> dict[str, str]:
         "q_hits": _ora_hits(),
         "q_ransac": _ora_ransac(),
         "q_clip_polygons": _ora_clip_polygons(),
+        "q_sprt": _ora_sprt(),
+        # 3-step episode window replay
+        "q_sequences": """
+            WITH w AS (SELECT user_id, event_type AS a,
+                              lead(event_type, 1) OVER wk AS b,
+                              lead(event_type, 2) OVER wk AS c
+                       FROM events
+                       WINDOW wk AS (PARTITION BY user_id
+                                     ORDER BY event_id)),
+            ep AS (SELECT a || '>' || b || '>' || c AS episode
+                   FROM w WHERE c IS NOT NULL)
+            SELECT episode, count(*) AS support
+            FROM ep GROUP BY episode HAVING count(*) >= 5
+        """,
         "q_er": _ora_er(),
         "q_cluster_eval": _ora_cluster_eval(),
         # exact ceil-DIV rank + order statistic replay

@@ -2155,3 +2155,101 @@ def target_encode(
         "sum_y",
         (num.cast("double") / den.cast("double")).alias("enc"),
     )
+
+
+def sprt_llr_micro(
+    p0_num: int, p0_den: int, p1_num: int, p1_den: int
+) -> tuple[int, int]:
+    """Per-observation SPRT log-likelihood-ratio contributions in
+    micro-nats (success, failure), quantized HALF-UP-away-from-zero at
+    plan time (the fs_weights posture — shared by operator and
+    oracle so they cannot drift)."""
+    import math
+
+    if not (0 < p0_num < p0_den and 0 < p1_num < p1_den):
+        raise ValueError("need 0 < p < 1 for both hypotheses")
+
+    def q(x: float) -> int:
+        return int(math.floor(abs(x) * 1e6 + 0.5)) * (1 if x >= 0 else -1)
+
+    p0 = p0_num / p0_den
+    p1 = p1_num / p1_den
+    return q(math.log(p1 / p0)), q(math.log((1.0 - p1) / (1.0 - p0)))
+
+
+def sprt_decision(
+    df: DataFrame,
+    exp_col: str,
+    seq_col: str,
+    y_col: str,
+    p0: tuple[int, int],
+    p1: tuple[int, int],
+    upper_micro: int,
+    lower_micro: int,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per experiment — the
+    always-valid A/B stopping rule: walk the observations in order,
+    accumulate the Bernoulli log-likelihood ratio, stop at the FIRST
+    crossing of either bound.
+
+    Exactness: contributions are the :func:`sprt_llr_micro` INT
+    literals, the cumulative LLR is an exact int64 running sum over
+    the (unique-per-experiment) seq order, and the first crossing is
+    min(seq) among crossers — all integer, gate-hashable. decision ∈
+    {'accept_h1' (llr >= upper), 'accept_h0' (llr <= lower),
+    'continue'} with n_obs and llr_micro AT the decision point (the
+    final row for 'continue').
+
+    Plan: one keyed window (cumulative sum) + one min-struct
+    aggregate per experiment. Returns (exp, decision, n_obs,
+    llr_micro).
+    """
+    wa, wd = sprt_llr_micro(*p0, *p1)
+    y = F.col(y_col).cast("bigint")
+    df = df.where(
+        F.when(y.isin(0, 1), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"sprt_decision: {y_col} must be 0/1, got "),
+                    y.cast("string"),
+                )
+            )
+        )
+    )
+    contrib = F.when(y == 1, F.lit(wa)).otherwise(F.lit(wd)).cast("bigint")
+    w = (
+        Window.partitionBy(exp_col)
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy(exp_col).orderBy(seq_col)
+    cum = df.select(
+        F.col(exp_col).alias("exp"),
+        F.col(seq_col).alias("_seq"),
+        F.sum(contrib).over(w).alias("_llr"),
+        F.row_number().over(wr).alias("_n"),
+    )
+    crossed = F.when(F.col("_llr") >= upper_micro, F.lit(1)).when(
+        F.col("_llr") <= lower_micro, F.lit(2)
+    )
+    marked = cum.withColumn("_c", crossed)
+    first = marked.where(F.col("_c").isNotNull()).groupBy("exp").agg(
+        F.min(F.struct("_seq", "_n", "_llr", "_c")).alias("_f")
+    )
+    last = marked.groupBy("exp").agg(
+        F.max(F.struct("_seq", "_n", "_llr")).alias("_l")
+    )
+    j = last.join(first, "exp", "left")
+    dec = (
+        F.when(F.col("_f").isNull(), F.lit("continue"))
+        .when(F.col("_f")["_c"] == 1, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+    )
+    return j.select(
+        "exp",
+        dec.alias("decision"),
+        F.coalesce(F.col("_f")["_n"], F.col("_l")["_n"]).alias("n_obs"),
+        F.coalesce(F.col("_f")["_llr"], F.col("_l")["_llr"]).alias(
+            "llr_micro"
+        ),
+    )

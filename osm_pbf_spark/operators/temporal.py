@@ -1328,3 +1328,41 @@ def holt_linear(
         .groupBy(key_col)
         .applyInPandas(_holt, schema)
     )
+
+
+def frequent_sequences(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    item_col: str,
+    k: int = 3,
+    min_support: int = 2,
+    sep: str = ">",
+) -> DataFrame:
+    """Frequent CONTIGUOUS k-item episodes across ordered per-key
+    event streams (the clickstream-mining staple: which 3-step paths
+    recur?): every length-k window of each key's item sequence is a
+    candidate; support = number of windows showing it (a key
+    repeating a pattern counts each occurrence — the episode-count
+    convention; dedup per key upstream if set semantics are wanted).
+
+    Ordering must be total per key (order_col unique per key); items
+    join with ``sep`` into the portable episode string. Exact counts,
+    no floats anywhere.
+
+    Plan: one per-key window with k−1 lead() columns (ONE shuffle +
+    sort), then a map-side-combinable episode aggregate. Returns
+    (episode, support) with support >= min_support.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    cols = [F.col(item_col).cast("string")] + [
+        F.lead(F.col(item_col).cast("string"), i).over(w)
+        for i in range(1, k)
+    ]
+    ep = F.concat_ws(sep, *cols)
+    full = cols[k - 1].isNotNull()  # window complete
+    rows = df.select(ep.alias("episode"), full.alias("_ok")).where("_ok")
+    out = rows.groupBy("episode").agg(F.count(F.lit(1)).alias("support"))
+    return out.where(F.col("support") >= min_support)

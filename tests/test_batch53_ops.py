@@ -1,0 +1,83 @@
+"""Batch-53: frequent_sequences, sprt_decision."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def test_frequent_sequences_scalar(spark):
+    from osm_pbf_spark.operators.temporal import frequent_sequences
+
+    streams = {
+        1: ["a", "b", "c", "a", "b", "c"],
+        2: ["a", "b", "c", "x"],
+        3: ["b", "c", "a"],
+    }
+    rows = [
+        (k, i, it) for k, its in streams.items() for i, it in enumerate(its)
+    ]
+    df = spark.createDataFrame(rows, "key long, seq long, item string")
+    got = {
+        r.episode: r.support
+        for r in frequent_sequences(df, "key", "seq", "item", k=3,
+                                    min_support=1).collect()
+    }
+    want: dict = {}
+    for its in streams.values():
+        for i in range(len(its) - 2):
+            ep = ">".join(its[i : i + 3])
+            want[ep] = want.get(ep, 0) + 1
+    assert got == want
+    assert got["a>b>c"] == 3  # repeats inside key 1 count twice
+    sup2 = frequent_sequences(
+        df, "key", "seq", "item", k=3, min_support=3
+    ).collect()
+    assert {(r.episode, r.support) for r in sup2} == {("a>b>c", 3)}
+
+
+def test_frequent_sequences_rejects_k1(spark):
+    from osm_pbf_spark.operators.temporal import frequent_sequences
+
+    df = spark.createDataFrame([(1, 1, "a")], "key long, seq long, item string")
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        frequent_sequences(df, "key", "seq", "item", k=1)
+
+
+def test_sprt_llr_literals():
+    from osm_pbf_spark.operators.stats import sprt_llr_micro
+
+    wa, wd = sprt_llr_micro(1, 2, 11, 20)
+    assert wa == int(math.floor(math.log(0.55 / 0.5) * 1e6 + 0.5))
+    assert wd == -int(math.floor(-math.log(0.45 / 0.5) * 1e6 + 0.5))
+    assert wa > 0 > wd
+
+
+def test_sprt_decisions_scalar(spark):
+    from osm_pbf_spark.operators.stats import sprt_decision, sprt_llr_micro
+
+    wa, wd = sprt_llr_micro(1, 2, 11, 20)
+    up, lo = 5 * wa, 4 * wd  # tight bounds so tiny streams decide
+    rows = (
+        [("win", i, 1) for i in range(10)]           # all successes
+        + [("lose", i, 0) for i in range(10)]        # all failures
+        + [("mix", i, i % 2) for i in range(6)]      # oscillates
+    )
+    df = spark.createDataFrame(rows, "exp string, seq long, y long")
+    got = {r.exp: r for r in
+           sprt_decision(df, "exp", "seq", "y", (1, 2), (11, 20),
+                         up, lo).collect()}
+    assert got["win"].decision == "accept_h1" and got["win"].n_obs == 5
+    assert got["win"].llr_micro == 5 * wa
+    assert got["lose"].decision == "accept_h0" and got["lose"].n_obs == 4
+    assert got["mix"].decision == "continue" and got["mix"].n_obs == 6
+    assert got["mix"].llr_micro == 3 * wa + 3 * wd
+
+
+def test_sprt_rejects_bad_outcome(spark):
+    from osm_pbf_spark.operators.stats import sprt_decision
+
+    df = spark.createDataFrame([("e", 1, 2)], "exp string, seq long, y long")
+    with pytest.raises(Exception, match="sprt_decision"):
+        sprt_decision(df, "exp", "seq", "y", (1, 2), (11, 20), 10, -10).collect()
