@@ -5481,6 +5481,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sprt"] = q_sprt
 
+    def q_osm_diff(spark, sf):  # osmChange replication-diff apply
+        # over the decoded fixture nodes: derived modify/delete/create
+        # changes + a conflicting higher-version delete; latest
+        # version wins, delete beats modify on ties
+        from osm_pbf_spark.plans.diff import apply_diff
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("multiblob"))
+        n = src.nodes(entities).select("id", "lat", "lon")
+        mod = n.where(F.pmod("id", F.lit(5)) == 0).select(
+            "id",
+            (F.col("lat") + F.lit(1.0)).alias("lat"),
+            "lon",
+            F.lit(2).alias("version"),
+            F.lit("modify").alias("action"),
+        )
+        dele = n.where(F.pmod("id", F.lit(5)) == 1).select(
+            "id",
+            "lat",
+            "lon",
+            F.lit(2).alias("version"),
+            F.lit("delete").alias("action"),
+        )
+        crea = n.where(F.pmod("id", F.lit(5)) == 2).select(
+            (F.col("id") + F.lit(10_000_000)).alias("id"),
+            "lat",
+            (F.col("lon") + F.lit(0.5)).alias("lon"),
+            F.lit(2).alias("version"),
+            F.lit("create").alias("action"),
+        )
+        late_del = n.where(F.pmod("id", F.lit(10)) == 0).select(
+            "id",
+            "lat",
+            "lon",
+            F.lit(3).alias("version"),
+            F.lit("delete").alias("action"),
+        )
+        changes = mod.unionByName(dele).unionByName(crea).unionByName(
+            late_del
+        )
+        return apply_diff(n, changes)
+
+    q["q_osm_diff"] = q_osm_diff
+
     return q
 
 
@@ -8761,6 +8805,38 @@ def _ora_cluster_eval() -> str:
         FROM j
     """
     )
+
+
+def _ora_osm_diff() -> str:
+    """Spec-decoded node VALUES + SQL replay of the derived osmChange
+    set and the (version DESC, delete>modify>create) resolution."""
+    d = _fixture_decoded("multiblob")
+    rows = [(n["id"], n["lat"], n["lon"]) for n in d["nodes"]]
+    vals = _values_sql(
+        [("id", "BIGINT"), ("lat", "DOUBLE"), ("lon", "DOUBLE")], rows
+    )
+    return f"""
+        WITH nodes AS ({vals}),
+        ch AS (
+          SELECT id, lat + 1.0 AS lat, lon, 2 AS version, 1 AS ar
+          FROM nodes WHERE id % 5 = 0
+          UNION ALL
+          SELECT id, lat, lon, 2, 2 FROM nodes WHERE id % 5 = 1
+          UNION ALL
+          SELECT id + 10000000, lat, lon + 0.5, 2, 0
+          FROM nodes WHERE id % 5 = 2
+          UNION ALL
+          SELECT id, lat, lon, 3, 2 FROM nodes WHERE id % 10 = 0),
+        r AS (SELECT *, row_number() OVER (PARTITION BY id
+                         ORDER BY version DESC, ar DESC) AS rn
+              FROM ch),
+        latest AS (SELECT * FROM r WHERE rn = 1),
+        surv AS (SELECT n.id, n.lat, n.lon FROM nodes n
+                 LEFT JOIN latest l ON l.id = n.id WHERE l.id IS NULL),
+        ups AS (SELECT id, lat, lon FROM latest WHERE ar <> 2)
+        SELECT id, lat, lon FROM surv
+        UNION ALL SELECT id, lat, lon FROM ups
+    """
 
 
 def _ora_sprt() -> str:
@@ -13296,6 +13372,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ransac": _ora_ransac(),
         "q_clip_polygons": _ora_clip_polygons(),
         "q_sprt": _ora_sprt(),
+        "q_osm_diff": _ora_osm_diff(),
         # 3-step episode window replay
         "q_sequences": """
             WITH w AS (SELECT user_id, event_type AS a,
