@@ -5525,6 +5525,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_osm_diff"] = q_osm_diff
 
+    def q_regression_metrics(spark, sf):  # MAE/RMSE/R2 of a biased
+        # integer predictor; exact int64 sums, fixed chains
+        from osm_pbf_spark.operators.evals import regression_metrics
+
+        ev = load(spark, sf, "events").select(
+            F.floor(F.col("value")).cast("bigint").alias("y"),
+            (
+                F.floor(F.col("value")).cast("bigint")
+                + F.pmod(F.col("event_id"), F.lit(21))
+                - F.lit(10)
+            ).alias("yhat"),
+        )
+        return regression_metrics(ev, "y", "yhat")
+
+    q["q_regression_metrics"] = q_regression_metrics
+
+    def q_lift(spark, sf):  # decile gains/lift of the q_rank_metrics
+        # score against its planted labels; SQL-standard ntile split
+        from osm_pbf_spark.operators.evals import lift_table
+
+        ev = load(spark, sf, "events").select(
+            "event_id",
+            F.pmod(F.col("event_id") * F.lit(104729), F.lit(100000)).alias(
+                "score"
+            ),
+            F.when(F.pmod(F.col("event_id"), F.lit(7)) == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("rel"),
+        )
+        return lift_table(ev, "score", "rel", "event_id", n_buckets=10)
+
+    q["q_lift"] = q_lift
+
     return q
 
 
@@ -13373,6 +13406,57 @@ def oracle_sql() -> dict[str, str]:
         "q_clip_polygons": _ora_clip_polygons(),
         "q_sprt": _ora_sprt(),
         "q_osm_diff": _ora_osm_diff(),
+        # exact-moment regression metric replay
+        "q_regression_metrics": """
+            WITH s AS (SELECT CAST(floor(value) AS BIGINT) AS y,
+                              CAST(floor(value) AS BIGINT)
+                              + event_id % 21 - 10 AS yhat
+                       FROM events),
+            m AS (SELECT count(*) AS n,
+                         CAST(sum(abs(y - yhat)) AS BIGINT) AS sae,
+                         CAST(sum((y - yhat) * (y - yhat)) AS BIGINT)
+                             AS sse,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(y * y) AS BIGINT) AS syy
+                  FROM s)
+            SELECT n, sae, sse,
+                   CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) AS mae,
+                   sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse,
+                   CASE WHEN n * syy - sy * sy > 0
+                        THEN 1.0 - CAST(n * sse AS DOUBLE)
+                                   / CAST(n * syy - sy * sy AS DOUBLE)
+                   END AS r2
+            FROM m
+        """,
+        # SQL-standard ntile over the same total order
+        "q_lift": """
+            WITH s AS (SELECT event_id,
+                              (event_id * 104729) % 100000 AS score,
+                              CASE WHEN event_id % 7 = 0 THEN 1
+                                   ELSE 0 END AS y
+                       FROM events),
+            b AS (SELECT y, ntile(10) OVER (ORDER BY score DESC,
+                                            event_id ASC) AS bucket
+                  FROM s),
+            per AS (SELECT bucket, count(*) AS n,
+                           CAST(sum(y) AS BIGINT) AS n_pos
+                    FROM b GROUP BY bucket),
+            cum AS (SELECT bucket, n, n_pos,
+                           CAST(sum(n_pos) OVER (ORDER BY bucket
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum_pos,
+                           CAST(sum(n_pos) OVER () AS BIGINT) AS tp,
+                           CAST(sum(n) OVER () AS BIGINT) AS tn
+                    FROM per)
+            SELECT bucket, n, n_pos, cum_pos,
+                   CASE WHEN tp > 0
+                        THEN CAST(cum_pos AS DOUBLE)
+                             / CAST(tp AS DOUBLE) END AS gain,
+                   CASE WHEN tp > 0
+                        THEN CAST(n_pos * tn AS DOUBLE)
+                             / CAST(n * tp AS DOUBLE) END AS lift
+            FROM cum
+        """,
         # 3-step episode window replay
         "q_sequences": """
             WITH w AS (SELECT user_id, event_type AS a,

@@ -39,6 +39,8 @@ __all__ = [
     "confusion_metrics",
     "ece_calibration",
     "average_precision",
+    "regression_metrics",
+    "lift_table",
 ]
 
 DISC_SCALE = 1 << 20  # discount fixed-point unit
@@ -309,4 +311,110 @@ def average_precision(
             F.col("ap_u").cast("double")
             / (F.col("n_rel").cast("double") * F.lit(1099511627776.0)),
         ).alias("ap"),
+    )
+
+
+def regression_metrics(
+    df: DataFrame, y_col: str, yhat_col: str
+) -> DataFrame:
+    """Regression quality over INTEGER targets/predictions: one row
+    ``(n, sae, sse, mae, rmse, r2)``.
+
+        mae  = Σ|e| / n                    (exact int64 numerator)
+        rmse = sqrt(Σe² / n)
+        r2   = 1 − n·Σe² / (n·Σy² − (Σy)²)  (cleared denominators)
+
+    Every statistic is ONE fixed chain on exact int64 sums (the
+    welch_ttest discipline). Overflow: n·Σe² under 2^63 — floor or
+    rescale beyond. r2 is NULL for a constant target (zero variance).
+    Plan: a single map-side-combinable aggregate.
+    """
+    y = F.col(y_col).cast("bigint")
+    yh = F.col(yhat_col).cast("bigint")
+    e = y - yh
+    m = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(e)).alias("sae"),
+        F.sum(e * e).alias("sse"),
+        F.sum(y).alias("_sy"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("n")
+    ss_tot = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("bigint")
+    return m.select(
+        "n",
+        "sae",
+        "sse",
+        (F.col("sae").cast("double") / n.cast("double")).alias("mae"),
+        F.sqrt(F.col("sse").cast("double") / n.cast("double")).alias("rmse"),
+        F.when(
+            ss_tot > 0,
+            F.lit(1.0)
+            - (n * F.col("sse")).cast("double") / ss_tot.cast("double"),
+        ).alias("r2"),
+    )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    item_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Decile gains/lift analysis of a ranking score vs a 0/1 label —
+    the campaign-targeting standard (how much of the response does the
+    top decile capture?). Rows rank by (score DESC, item ASC) — the
+    rank_metrics total order — and split into ``n_buckets`` ntile
+    buckets; per bucket:
+
+        (bucket, n, n_pos, cum_pos, gain = cum_pos/total_pos,
+         lift = (n_pos·N) / (n·total_pos))
+
+    gain and lift are single divisions of exact int64 counts; the
+    cumulative fold is an integer running sum over the bucket order.
+    ntile's split (equal buckets, earlier buckets take the remainder)
+    is deterministic given the total order — both engines implement
+    the same SQL-standard rule. Plan: one global ranking window (use
+    per-stratum grouping upstream at extreme scale) + an
+    n_buckets-row rollup.
+    """
+    y = (F.col(label_col).cast("bigint") > 0).cast("bigint")
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col(score_col).desc(), F.col(item_col).asc()
+    )
+    b = df.select(
+        y.alias("_y"), F.ntile(n_buckets).over(w).alias("bucket")
+    )
+    per = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("n_pos")
+    )
+    wcum = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(F.lit(0))
+    cum = per.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(wcum).alias("cum_pos"),
+        F.sum("n_pos").over(wall).alias("_tp"),
+        F.sum("n").over(wall).alias("_tn"),
+    )
+    return cum.select(
+        "bucket",
+        "n",
+        "n_pos",
+        "cum_pos",
+        F.when(
+            F.col("_tp") > 0,
+            F.col("cum_pos").cast("double") / F.col("_tp").cast("double"),
+        ).alias("gain"),
+        F.when(
+            F.col("_tp") > 0,
+            (F.col("n_pos") * F.col("_tn")).cast("double")
+            / (F.col("n") * F.col("_tp")).cast("double"),
+        ).alias("lift"),
     )

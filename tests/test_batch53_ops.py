@@ -81,3 +81,62 @@ def test_sprt_rejects_bad_outcome(spark):
     df = spark.createDataFrame([("e", 1, 2)], "exp string, seq long, y long")
     with pytest.raises(Exception, match="sprt_decision"):
         sprt_decision(df, "exp", "seq", "y", (1, 2), (11, 20), 10, -10).collect()
+
+
+# -------------------------------------------------- regression_metrics
+
+
+def test_regression_metrics_scalar(spark):
+    import math
+
+    from osm_pbf_spark.operators.evals import regression_metrics
+
+    pairs = [((i * 7) % 50, (i * 7) % 50 + (i % 9) - 4) for i in range(200)]
+    df = spark.createDataFrame(pairs, "y long, yhat long")
+    r = regression_metrics(df, "y", "yhat").collect()[0]
+    n = len(pairs)
+    sae = sum(abs(y - yh) for y, yh in pairs)
+    sse = sum((y - yh) ** 2 for y, yh in pairs)
+    sy = sum(y for y, _ in pairs)
+    syy = sum(y * y for y, _ in pairs)
+    assert (r.n, r.sae, r.sse) == (n, sae, sse)
+    assert r.mae == sae / n and r.rmse == math.sqrt(sse / n)
+    assert r.r2 == 1.0 - (n * sse) / (n * syy - sy * sy)
+    assert 0.9 < r.r2 <= 1.0  # predictor is close
+
+
+def test_regression_metrics_perfect_and_constant(spark):
+    from osm_pbf_spark.operators.evals import regression_metrics
+
+    perfect = spark.createDataFrame([(i, i) for i in range(20)], "y long, yhat long")
+    r = regression_metrics(perfect, "y", "yhat").collect()[0]
+    assert r.mae == 0.0 and r.rmse == 0.0 and r.r2 == 1.0
+    const = spark.createDataFrame([(5, 4)] * 10, "y long, yhat long")
+    assert regression_metrics(const, "y", "yhat").collect()[0].r2 is None
+
+
+# ------------------------------------------------------------ lift_table
+
+
+def test_lift_table_scalar(spark):
+    from osm_pbf_spark.operators.evals import lift_table
+
+    # 100 items; positives concentrated in the top scores
+    rows = [(i, 1000 - i, 1 if i < 25 and i % 2 == 0 else 0)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "item long, score long, y long")
+    got = sorted(lift_table(df, "score", "y", "item", n_buckets=10).collect(),
+                 key=lambda r: r.bucket)
+    assert [r.n for r in got] == [10] * 10
+    total_pos = sum(y for _, _, y in rows)
+    ranked = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum = 0
+    for bi, r in enumerate(got):
+        chunk = ranked[bi * 10 : (bi + 1) * 10]
+        n_pos = sum(y for _, _, y in chunk)
+        cum += n_pos
+        assert r.n_pos == n_pos and r.cum_pos == cum
+        assert r.gain == cum / total_pos
+        assert r.lift == (n_pos * 100) / (10 * total_pos)
+    # top deciles dominate: lift[0] well above 1, tail at 0
+    assert got[0].lift > 3.0 and got[-1].n_pos == 0
