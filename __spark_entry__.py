@@ -5558,6 +5558,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_lift"] = q_lift
 
+    def q_taginfo(spark, sf):  # taginfo-style tag-key statistics over
+        # ALL decoded entity kinds of the mixed fixture (nodes + ways
+        # + relations in one block battery); oracle aggregates the
+        # spec-decoded tag rows in SQL
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("mixed"))
+        t = entities.select(
+            "kind",
+            F.explode(
+                F.coalesce(F.col("tags"), F.expr("map()"))
+            ).alias("key", "val"),
+        )
+        return t.groupBy("key").agg(
+            F.sum((F.col("kind") == "node").cast("bigint")).alias("n_nodes"),
+            F.sum((F.col("kind") == "way").cast("bigint")).alias("n_ways"),
+            F.sum((F.col("kind") == "relation").cast("bigint")).alias(
+                "n_rels"
+            ),
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_distinct("val").alias("n_values"),
+            F.min("val").alias("first_value"),
+        )
+
+    q["q_taginfo"] = q_taginfo
+
+    def q_bootstrap(spark, sf):  # RNG-free percentile bootstrap CI of
+        # the mean (200 md5-seeded replicas, exact int sums, exact
+        # order-statistic endpoints)
+        from osm_pbf_spark.operators.stats import bootstrap_ci
+
+        ev = (
+            load(spark, sf, "events")
+            .where(F.col("event_id") < 2000)
+            .select(F.floor(F.col("value")).cast("bigint").alias("v"))
+        )
+        return bootstrap_ci(ev, "v", n_replicas=200, alpha_num=5,
+                            alpha_den=100)
+
+    q["q_bootstrap"] = q_bootstrap
+
     return q
 
 
@@ -8869,6 +8910,76 @@ def _ora_osm_diff() -> str:
         ups AS (SELECT id, lat, lon FROM latest WHERE ar <> 2)
         SELECT id, lat, lon FROM surv
         UNION ALL SELECT id, lat, lon FROM ups
+    """
+
+
+def _ora_taginfo() -> str:
+    """Spec-decoded tag rows -> VALUES; the key statistics aggregate
+    runs in SQL."""
+    d = _fixture_decoded("mixed")
+    rows = []
+    for kind, ents in [
+        ("node", d["nodes"]),
+        ("way", d.get("ways", [])),
+        ("relation", d.get("relations", [])),
+    ]:
+        for ent in ents:
+            for k, v in ent["tags"].items():
+                rows.append((kind, k, str(v)))
+    vals = _values_sql(
+        [("kind", "VARCHAR"), ("key", "VARCHAR"), ("val", "VARCHAR")], rows
+    )
+    return f"""
+        WITH t AS ({vals})
+        SELECT key,
+               CAST(sum(CASE WHEN kind = 'node' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nodes,
+               CAST(sum(CASE WHEN kind = 'way' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ways,
+               CAST(sum(CASE WHEN kind = 'relation' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rels,
+               count(*) AS n_total,
+               CAST(count(DISTINCT val) AS BIGINT) AS n_values,
+               min(val) AS first_value
+        FROM t GROUP BY key
+    """
+
+
+def _ora_bootstrap() -> str:
+    """Same md5-indexed draws; row ids double as the draw index
+    enumeration (no data-dependent range() needed)."""
+    h = _hex40_bigint_sql(
+        "md5(CAST(bb AS VARCHAR) || ':' || CAST(i AS VARCHAR))"
+    )
+    return f"""
+        WITH s AS (SELECT CAST(floor(value) AS BIGINT) AS v
+                   FROM events WHERE event_id < 2000),
+        r AS (SELECT v, row_number() OVER (ORDER BY v) AS rid FROM s),
+        tot AS (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv
+                FROM s),
+        b AS (SELECT range AS bb FROM range(200)),
+        dr AS (SELECT b.bb AS bb, r2.rid - 1 AS i, tot.n, tot.sv
+               FROM b, r r2, tot),
+        idx AS (SELECT bb, n, sv, ({h} % n) + 1 AS rid FROM dr),
+        m AS (SELECT bb, n, sv, CAST(sum(r.v) AS BIGINT) AS s
+              FROM idx JOIN r ON r.rid = idx.rid GROUP BY 1, 2, 3),
+        pv AS (SELECT n, sv, s AS sum_, count(*) AS c
+               FROM m GROUP BY 1, 2, 3),
+        cum AS (SELECT n, sv, sum_,
+                       CAST(sum(c) OVER (ORDER BY sum_
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cm
+                FROM pv),
+        lo AS (SELECT n, sv, min(sum_) AS lo_sum FROM cum
+               WHERE cm >= 5 GROUP BY 1, 2),
+        hi AS (SELECT n, sv, min(sum_) AS hi_sum FROM cum
+               WHERE cm >= 195 GROUP BY 1, 2)
+        SELECT lo.n, 200 AS n_replicas,
+               CAST(lo.sv AS DOUBLE) / CAST(lo.n AS DOUBLE) AS mean_obs,
+               lo.lo_sum, hi.hi_sum,
+               CAST(lo.lo_sum AS DOUBLE) / CAST(lo.n AS DOUBLE) AS lo_mean,
+               CAST(hi.hi_sum AS DOUBLE) / CAST(lo.n AS DOUBLE) AS hi_mean
+        FROM lo JOIN hi ON hi.n = lo.n AND hi.sv = lo.sv
     """
 
 
@@ -13406,6 +13517,8 @@ def oracle_sql() -> dict[str, str]:
         "q_clip_polygons": _ora_clip_polygons(),
         "q_sprt": _ora_sprt(),
         "q_osm_diff": _ora_osm_diff(),
+        "q_taginfo": _ora_taginfo(),
+        "q_bootstrap": _ora_bootstrap(),
         # exact-moment regression metric replay
         "q_regression_metrics": """
             WITH s AS (SELECT CAST(floor(value) AS BIGINT) AS y,

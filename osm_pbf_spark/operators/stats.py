@@ -2253,3 +2253,100 @@ def sprt_decision(
             "llr_micro"
         ),
     )
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    n_replicas: int = 200,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the MEAN of an
+    integer column — RNG-free: replica b's i-th draw is the row ranked
+    ``md5_40(b:i) % n + 1`` in the value order (the ransac_line seeded
+    index posture; the k-th rank's VALUE is deterministic even with
+    duplicate values). Each replica mean keeps its EXACT int64 sum;
+    the CI endpoints are exact order statistics of the replica sums —
+    the ⌈B·α/2⌉-th and ⌈B·(1−α/2)⌉-th smallest (type-1) — so every
+    output bit is engine-reproducible.
+
+    Returns one row (n, n_replicas, mean_obs, lo_sum, hi_sum,
+    lo_mean, hi_mean). Cost: B·n draw rows through one equi-join —
+    bootstrap the SAMPLE, not the table, beyond ~10⁷·B rows.
+    """
+    if n_replicas < 2:
+        raise ValueError("n_replicas must be >= 2")
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError("need 0 < alpha < 1")
+    spark = df.sparkSession
+    v = F.col(value_col).cast("bigint")
+    w = Window.partitionBy(F.lit(0)).orderBy("_v")
+    ranked = df.select(v.alias("_v")).withColumn(
+        "_rid", F.row_number().over(w)
+    )
+    tot = df.agg(F.count(F.lit(1)).alias("_n"), F.sum(v).alias("_sv"))
+    b_i = (
+        spark.range(n_replicas)
+        .select(F.col("id").alias("_b"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_b",
+            "_n",
+            "_sv",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_i"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("_b").cast("string"),
+                    F.lit(":"),
+                    F.col("_i").cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    draws = b_i.select(
+        "_b", "_n", "_sv", (F.pmod(h, F.col("_n")) + 1).alias("_rid")
+    )
+    means = (
+        draws.join(ranked, "_rid")
+        .groupBy("_b", "_n", "_sv")
+        .agg(F.sum("_v").alias("_s"))
+    )
+    # order statistics of replica sums via a distinct-sum window
+    pv = means.groupBy("_n", "_sv", F.col("_s").alias("_sum")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wc = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_sum")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pv.select("_n", "_sv", "_sum", F.sum("_c").over(wc).alias("_cm"))
+    b_ = int(n_replicas)
+    k_lo = -((-b_ * alpha_num) // (2 * alpha_den))  # ceil(B*a/2)
+    k_hi = -((-b_ * (2 * alpha_den - alpha_num)) // (2 * alpha_den))
+    lo = cum.where(F.col("_cm") >= k_lo).groupBy("_n", "_sv").agg(
+        F.min("_sum").alias("lo_sum")
+    )
+    hi = cum.where(F.col("_cm") >= k_hi).groupBy("_n", "_sv").agg(
+        F.min("_sum").alias("hi_sum")
+    )
+    j = lo.join(hi, ["_n", "_sv"])
+    nd = F.col("_n").cast("double")
+    return j.select(
+        F.col("_n").alias("n"),
+        F.lit(b_).alias("n_replicas"),
+        (F.col("_sv").cast("double") / nd).alias("mean_obs"),
+        "lo_sum",
+        "hi_sum",
+        (F.col("lo_sum").cast("double") / nd).alias("lo_mean"),
+        (F.col("hi_sum").cast("double") / nd).alias("hi_mean"),
+    )

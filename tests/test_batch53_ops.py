@@ -140,3 +140,42 @@ def test_lift_table_scalar(spark):
         assert r.lift == (n_pos * 100) / (10 * total_pos)
     # top deciles dominate: lift[0] well above 1, tail at 0
     assert got[0].lift > 3.0 and got[-1].n_pos == 0
+
+
+# ----------------------------------------------------------- bootstrap_ci
+
+
+def test_bootstrap_scalar_replay(spark):
+    import hashlib
+
+    from osm_pbf_spark.operators.stats import bootstrap_ci
+
+    vals = [(i * 13) % 40 for i in range(120)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = bootstrap_ci(df, "v", n_replicas=50, alpha_num=10,
+                     alpha_den=100).collect()[0]
+    n = len(vals)
+    ranked = sorted(vals)
+    sums = []
+    for b in range(50):
+        s = 0
+        for i in range(n):
+            h = int(hashlib.md5(f"{b}:{i}".encode()).hexdigest()[:10], 16)
+            s += ranked[h % n]
+        sums.append(s)
+    sums.sort()
+    k_lo = -((-50 * 10) // 200)      # ceil(50*0.05) = 3
+    k_hi = -((-50 * 190) // 200)     # ceil(50*0.95) = 48
+    assert (r.n, r.n_replicas) == (n, 50)
+    assert r.lo_sum == sums[k_lo - 1] and r.hi_sum == sums[k_hi - 1]
+    assert r.mean_obs == sum(vals) / n
+    assert r.lo_mean <= r.mean_obs <= r.hi_mean  # CI covers the mean
+    assert r.lo_mean == r.lo_sum / n
+
+
+def test_bootstrap_degenerate_constant(spark):
+    from osm_pbf_spark.operators.stats import bootstrap_ci
+
+    df = spark.createDataFrame([(7,)] * 30, "v long")
+    r = bootstrap_ci(df, "v", n_replicas=20).collect()[0]
+    assert r.lo_mean == r.hi_mean == 7.0
