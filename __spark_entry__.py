@@ -5599,6 +5599,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_bootstrap"] = q_bootstrap
 
+    def q_woe(spark, sf):  # weight-of-evidence + information value
+        # (add-one smoothed, micro-nat quantized) of a 6-way class
+        # against a label planted to vary by category
+        from osm_pbf_spark.operators.stats import woe_iv
+
+        ev = load(spark, sf, "events").select(
+            F.concat(
+                F.lit("c"), F.pmod(F.col("event_id") * 11, F.lit(6))
+            ).alias("cat"),
+            F.when(
+                F.pmod(F.col("event_id") * 7919, F.lit(100))
+                < F.lit(30) + F.lit(8) * F.pmod(F.col("event_id") * 11, F.lit(6)),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("y"),
+        )
+        return woe_iv(ev, "cat", "y")
+
+    q["q_woe"] = q_woe
+
+    def q_multi_split(spark, sf):  # best Gini split across 3 derived
+        # features; the planted x2 boundary must win
+        from osm_pbf_spark.operators.stats import best_split_multi
+
+        ev = load(spark, sf, "events").select(
+            F.pmod(F.col("event_id"), F.lit(50)).alias("x1"),
+            F.floor(F.col("value")).cast("bigint").alias("x2"),
+            F.pmod(F.col("event_id") * 31, F.lit(17)).alias("x3"),
+            F.when(
+                F.floor(F.col("value")) > 200,
+                (F.pmod(F.col("event_id"), F.lit(10)) < 8).cast("bigint"),
+            )
+            .otherwise(
+                (F.pmod(F.col("event_id"), F.lit(10)) < 2).cast("bigint")
+            )
+            .alias("y"),
+        )
+        return best_split_multi(ev, ["x1", "x2", "x3"], "y")
+
+    q["q_multi_split"] = q_multi_split
+
     return q
 
 
@@ -8910,6 +8952,62 @@ def _ora_osm_diff() -> str:
         ups AS (SELECT id, lat, lon FROM latest WHERE ar <> 2)
         SELECT id, lat, lon FROM surv
         UNION ALL SELECT id, lat, lon FROM ups
+    """
+
+
+def _ora_multi_split() -> str:
+    """Per-feature q_stump chain replay, unioned + ranked."""
+    feats = {
+        "x1": "event_id % 50",
+        "x2": "CAST(floor(value) AS BIGINT)",
+        "x3": "(event_id * 31) % 17",
+    }
+    ydef = (
+        "CASE WHEN floor(value) > 200 THEN "
+        "CASE WHEN event_id % 10 < 8 THEN 1 ELSE 0 END "
+        "ELSE CASE WHEN event_id % 10 < 2 THEN 1 ELSE 0 END END"
+    )
+    parts = []
+    for fname, expr in feats.items():
+        parts.append(f"""
+        (WITH s AS (SELECT {expr} AS x, {ydef} AS y FROM events),
+        pv AS (SELECT x AS v, CAST(sum(y) AS BIGINT) AS pos,
+                      count(*) AS n
+               FROM s GROUP BY 1),
+        cum AS (SELECT v, CAST(sum(n) OVER wv AS BIGINT) AS nl,
+                       CAST(sum(pos) OVER wv AS BIGINT) AS pl
+                FROM pv WINDOW wv AS (ORDER BY v ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND CURRENT ROW)),
+        tot AS (SELECT count(*) AS tn, CAST(sum(y) AS BIGINT) AS tp
+                FROM s),
+        cand AS (SELECT v, nl, pl, tn, tp, tn - nl AS nr, tp - pl AS pr
+                 FROM cum, tot WHERE nl < tn),
+        sc AS (SELECT v, nl, nr, pl, pr, tn,
+                      CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE)
+                          / CAST(nl AS DOUBLE)
+                      + CAST(pr * pr + (nr - pr) * (nr - pr) AS DOUBLE)
+                          / CAST(nr AS DOUBLE) AS score
+               FROM cand)
+        SELECT '{fname}' AS feature, v AS threshold, score,
+               (CAST(tn AS DOUBLE) - score) / CAST(tn AS DOUBLE) AS wgini,
+               nl AS n_left, nr AS n_right,
+               pl AS pos_left, pr AS pos_right,
+               CAST(CASE WHEN 2 * pl >= nl THEN 1 ELSE 0 END
+                    AS INTEGER) AS pred_left,
+               CAST(CASE WHEN 2 * pr >= nr THEN 1 ELSE 0 END
+                    AS INTEGER) AS pred_right
+        FROM sc ORDER BY score DESC, v ASC LIMIT 1)""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+        WITH allf AS ({union}),
+        ranked AS (SELECT *, row_number() OVER (ORDER BY score DESC,
+                          feature ASC) AS rank
+                   FROM allf)
+        SELECT feature, threshold, score, wgini, n_left, n_right,
+               pos_left, pos_right, pred_left, pred_right, rank,
+               CAST(CASE WHEN rank = 1 THEN 1 ELSE 0 END AS INTEGER)
+                   AS is_best
+        FROM ranked
     """
 
 
@@ -13518,6 +13616,52 @@ def oracle_sql() -> dict[str, str]:
         "q_sprt": _ora_sprt(),
         "q_osm_diff": _ora_osm_diff(),
         "q_taginfo": _ora_taginfo(),
+        "q_multi_split": _ora_multi_split(),
+        # add-one WoE/IV replay (micro-nat quantized terms)
+        "q_woe": """
+            WITH s AS (SELECT 'c' || CAST((event_id * 11) % 6 AS VARCHAR)
+                               AS cat,
+                              CASE WHEN (event_id * 7919) % 100
+                                   < 30 + 8 * ((event_id * 11) % 6)
+                                   THEN 1 ELSE 0 END AS y
+                       FROM events),
+            per AS (SELECT cat, count(*) AS n,
+                           CAST(sum(y) AS BIGINT) AS n_pos,
+                           CAST(sum(1 - y) AS BIGINT) AS n_neg
+                    FROM s GROUP BY cat),
+            tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+                           CAST(sum(n_neg) AS BIGINT) AS q,
+                           count(*) AS k
+                    FROM per),
+            j AS (SELECT per.cat, per.n, per.n_pos, per.n_neg,
+                         tot.p + tot.k AS p1, tot.q + tot.k AS q1
+                  FROM per, tot),
+            t AS (SELECT cat, n, n_pos, n_neg,
+                         ln(CAST((n_pos + 1) * q1 AS DOUBLE)
+                            / CAST((n_neg + 1) * p1 AS DOUBLE)) AS lnv,
+                         CAST((n_pos + 1) * q1 - (n_neg + 1) * p1
+                              AS DOUBLE)
+                             / CAST(p1 * q1 AS DOUBLE) AS d
+                  FROM j),
+            qq AS (SELECT cat, n, n_pos, n_neg,
+                          CASE WHEN lnv >= 0
+                               THEN CAST(floor(lnv * 1000000.0 + 0.5)
+                                         AS BIGINT)
+                               ELSE -CAST(floor(-lnv * 1000000.0 + 0.5)
+                                          AS BIGINT) END AS woe_micro,
+                          CASE WHEN d * lnv >= 0
+                               THEN CAST(floor(d * lnv * 1000000.0
+                                               + 0.5) AS BIGINT)
+                               ELSE -CAST(floor(-(d * lnv) * 1000000.0
+                                                + 0.5) AS BIGINT)
+                          END AS ivq
+                   FROM t),
+            iv AS (SELECT CAST(sum(ivq) AS BIGINT) AS iv_micro FROM qq)
+            SELECT qq.cat, qq.n, qq.n_pos, qq.n_neg, qq.woe_micro,
+                   CAST(qq.woe_micro AS DOUBLE) / 1000000.0 AS woe,
+                   iv.iv_micro
+            FROM qq, iv
+        """,
         "q_bootstrap": _ora_bootstrap(),
         # exact-moment regression metric replay
         "q_regression_metrics": """

@@ -2350,3 +2350,107 @@ def bootstrap_ci(
         (F.col("lo_sum").cast("double") / nd).alias("lo_mean"),
         (F.col("hi_sum").cast("double") / nd).alias("hi_mean"),
     )
+
+
+def woe_iv(df: DataFrame, cat_col: str, y_col: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value per category —
+    the credit-scoring / feature-screening classic beside
+    :func:`target_encode` (WoE is the log-odds version; IV summarizes
+    a feature's predictive power).
+
+        woe_c = ln( (pos_c'/P') / (neg_c'/N') )
+        iv    = Σ_c (pos_c'/P' − neg_c'/N') · woe_c
+
+    with ADD-ONE smoothing per category (the psi_drift posture:
+    ``pos' = pos+1, P' = P+K``) so zero cells stay defined. Exactness
+    (kaplan_meier ln posture): ``woe_micro = q(ln((pos'·N')/(neg'·P')))``
+    micro-nats HALF-UP-away-from-zero; each category's IV term is the
+    fixed chain ``(pos'·N' − neg'·P')/(P'·N') · ln(...)`` quantized
+    the same way and int64-summed (order-free). The same ``iv_micro``
+    rides every row (broadcast 1-row cross join).
+
+    Returns per category: (cat, n, n_pos, n_neg, woe_micro, woe,
+    iv_micro). Plan: one category aggregate + broadcast totals —
+    chi2_test class. y must be 0/1 (WHERE guard).
+    """
+    y = F.col(y_col).cast("bigint")
+    df = df.where(
+        F.when(y.isin(0, 1), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"woe_iv: {y_col} must be 0/1, got "),
+                    y.cast("string"),
+                )
+            )
+        )
+    )
+    per = df.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("n_pos"),
+        F.sum(F.lit(1) - y).alias("n_neg"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").alias("_p"),
+        F.sum("n_neg").alias("_q"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    pos1 = F.col("n_pos") + 1
+    neg1 = F.col("n_neg") + 1
+    p1 = F.col("_p") + F.col("_k")
+    q1 = F.col("_q") + F.col("_k")
+    ln = F.log((pos1 * q1).cast("double") / (neg1 * p1).cast("double"))
+
+    def _q(t):
+        return (
+            F.when(t >= 0, F.floor(t * F.lit(1_000_000.0) + F.lit(0.5)))
+            .otherwise(-F.floor(-t * F.lit(1_000_000.0) + F.lit(0.5)))
+            .cast("bigint")
+        )
+
+    d = (pos1 * q1 - neg1 * p1).cast("double") / (p1 * q1).cast("double")
+    rows = j.withColumn("_wq", _q(ln)).withColumn("_ivq", _q(d * ln))
+    iv = rows.agg(F.sum("_ivq").alias("iv_micro"))
+    return rows.crossJoin(F.broadcast(iv)).select(
+        "cat",
+        "n",
+        "n_pos",
+        "n_neg",
+        F.col("_wq").alias("woe_micro"),
+        (F.col("_wq").cast("double") / F.lit(1_000_000.0)).alias("woe"),
+        "iv_micro",
+    )
+
+
+def best_split_multi(
+    df: DataFrame, feature_cols: list[str], y_col: str
+) -> DataFrame:
+    """Best Gini split across MULTIPLE integer features — the feature
+    selector a tree root performs: run :func:`decision_stump` per
+    feature (the per-feature plans are independent and run in
+    parallel), return every feature's best split ranked by score, with
+    ``is_best`` marking the winner (ties: lexicographically smallest
+    feature name — deterministic).
+
+    Returns one row per feature: (feature, rank, is_best, threshold,
+    score, wgini, n_left, n_right, pos_left, pos_right, pred_left,
+    pred_right).
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    parts = []
+    for c in feature_cols:
+        parts.append(
+            decision_stump(
+                df.select(F.col(c).alias("_x"), F.col(y_col)), "_x", y_col
+            ).select(F.lit(c).alias("feature"), "*")
+        )
+    allf = parts[0]
+    for p in parts[1:]:
+        allf = allf.unionByName(p)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("score").desc(), F.col("feature").asc()
+    )
+    return allf.withColumn("rank", F.row_number().over(w)).withColumn(
+        "is_best", (F.col("rank") == 1).cast("int")
+    )

@@ -179,3 +179,52 @@ def test_bootstrap_degenerate_constant(spark):
     df = spark.createDataFrame([(7,)] * 30, "v long")
     r = bootstrap_ci(df, "v", n_replicas=20).collect()[0]
     assert r.lo_mean == r.hi_mean == 7.0
+
+
+# ------------------------------------------------------------- woe_iv
+
+
+def test_woe_iv_scalar(spark):
+    import math
+
+    from osm_pbf_spark.operators.stats import woe_iv
+
+    rows = [("a", 1)] * 30 + [("a", 0)] * 10 + [("b", 1)] * 5 + [
+        ("b", 0)
+    ] * 25 + [("z", 1)]  # a category with zero negatives
+    df = spark.createDataFrame(rows, "cat string, y long")
+    got = {r.cat: r for r in woe_iv(df, "cat", "y").collect()}
+    P = sum(y for _, y in rows)
+    Q = sum(1 - y for _, y in rows)
+    K = 3
+    p1, q1 = P + K, Q + K
+    iv = 0
+    for cat in ("a", "b", "z"):
+        pos = sum(y for c, y in rows if c == cat)
+        neg = sum(1 - y for c, y in rows if c == cat)
+        lnv = math.log(((pos + 1) * q1) / ((neg + 1) * p1))
+        wq = int(math.floor(abs(lnv) * 1e6 + 0.5)) * (1 if lnv >= 0 else -1)
+        d = ((pos + 1) * q1 - (neg + 1) * p1) / (p1 * q1)
+        t = d * lnv
+        iv += int(math.floor(abs(t) * 1e6 + 0.5)) * (1 if t >= 0 else -1)
+        r = got[cat]
+        assert (r.n_pos, r.n_neg, r.woe_micro) == (pos, neg, wq)
+    assert all(r.iv_micro == iv for r in got.values())
+    assert got["a"].woe_micro > 0 > got["b"].woe_micro
+    assert iv > 0  # a predictive feature has positive IV
+
+
+def test_best_split_multi_picks_planted_feature(spark):
+    from osm_pbf_spark.operators.stats import best_split_multi
+
+    rows = [
+        (i % 13, 0 if i < 100 else 50, (i * 7) % 5, 0 if i < 100 else 1)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, x3 long, y long")
+    got = {r.feature: r for r in
+           best_split_multi(df, ["x1", "x2", "x3"], "y").collect()}
+    assert got["x2"].is_best == 1 and got["x2"].rank == 1
+    assert got["x2"].wgini == 0.0 and got["x2"].threshold == 0
+    assert got["x1"].is_best == 0 and got["x3"].is_best == 0
+    assert len(got) == 3
