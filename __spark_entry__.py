@@ -5641,6 +5641,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_multi_split"] = q_multi_split
 
+    def q_nelson_aalen(spark, sf):  # Nelson-Aalen cumulative hazard
+        # per type over the q_kaplan_meier fixture (25% censored);
+        # micro-quantized increments, exact int running sum
+        from osm_pbf_spark.operators.temporal import nelson_aalen
+
+        ev = load(spark, sf, "events").select(
+            "event_type",
+            F.floor(F.col("value")).cast("bigint").alias("dur"),
+            (F.pmod(F.col("event_id"), F.lit(4)) != 0).cast("int").alias(
+                "ev"
+            ),
+        )
+        return nelson_aalen(ev, "dur", "ev", group_cols=["event_type"])
+
+    q["q_nelson_aalen"] = q_nelson_aalen
+
     return q
 
 
@@ -13228,6 +13244,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # verbatim KM replay: after-window risk set, micro-nat ln
         # quantization, cumulative sum, ppm-quantized exp
+        # KM's additive sibling: same risk-set chain, division-only
+        # increments (no ln/exp), exact int cumulative hazard
+        "q_nelson_aalen": """
+            WITH s AS (
+              SELECT event_type,
+                     CAST(floor(value) AS BIGINT) AS t,
+                     CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END AS ev
+              FROM events),
+            per AS (SELECT event_type, t,
+                           CAST(sum(ev) AS BIGINT) AS d,
+                           CAST(sum(1 - ev) AS BIGINT) AS c
+                    FROM s GROUP BY 1, 2),
+            r AS (SELECT event_type, t, d, c,
+                         CAST(sum(d + c) OVER (
+                             PARTITION BY event_type ORDER BY t
+                             ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING) AS BIGINT)
+                             AS n_risk
+                  FROM per),
+            q AS (SELECT event_type, t, d, c, n_risk,
+                         CAST(floor(CAST(d AS DOUBLE)
+                                    / CAST(n_risk AS DOUBLE)
+                                    * 1000000.0 + 0.5) AS BIGINT) AS qv
+                  FROM r)
+            SELECT event_type, t, n_risk, d, c,
+                   CAST(sum(qv) OVER (PARTITION BY event_type ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS hazard_micro,
+                   CAST(CAST(sum(qv) OVER (PARTITION BY event_type
+                        ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+                       / 1000000.0 AS hazard
+            FROM q
+        """,
         "q_kaplan_meier": """
             WITH s AS (
               SELECT event_type,

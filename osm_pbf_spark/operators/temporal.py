@@ -1366,3 +1366,75 @@ def frequent_sequences(
     rows = df.select(ep.alias("episode"), full.alias("_ok")).where("_ok")
     out = rows.groupBy("episode").agg(F.count(F.lit(1)).alias("support"))
     return out.where(F.col("support") >= min_support)
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard per group — Kaplan–Meier's
+    additive sibling (H(t) = Σ_{t_i<=t} d_i/n_i; preferred when
+    hazards are compared or modeled):
+
+    Exactness (the kaplan_meier discipline, minus the ln/exp pair —
+    hazard needs only a division): d_i and the risk set n_i are exact
+    int64; each increment ``q(d_i/n_i)`` is micro-quantized HALF-UP
+    (one correctly-rounded division then the floor chain — fully
+    deterministic, no ulp caveat), and the cumulative hazard is the
+    exact int64 running sum over the per-group time order. Censored
+    rows leave the risk set without contributing. event_col must be
+    0/1 (WHERE guard).
+
+    Returns (group..., t, n_risk, d, c, hazard_micro, hazard) with
+    hazard = hazard_micro / 10^6. Plan: identical to kaplan_meier —
+    one distinct-time aggregate + one per-group cumulative window.
+    """
+    g = list(group_cols or [])
+    ev = F.col(event_col).cast("bigint")
+    df = df.where(
+        F.when(ev.isin(0, 1), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"nelson_aalen: {event_col} must be 0/1, got "),
+                    F.col(event_col).cast("string"),
+                )
+            )
+        )
+    )
+    per = df.groupBy(*g, F.col(duration_col).alias("t")).agg(
+        F.sum(ev).alias("d"), F.sum(F.lit(1) - ev).alias("c")
+    )
+    part = [F.col(c) for c in g] if g else [F.lit(0)]
+    w_after = (
+        Window.partitionBy(*part)
+        .orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_cum = (
+        Window.partitionBy(*part)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per.select(
+        *g,
+        "t",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(w_after).alias("n_risk"),
+    )
+    term = F.col("d").cast("double") / F.col("n_risk").cast("double")
+    q = F.floor(term * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+    out = risk.withColumn("_q", q).select(
+        *g,
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        F.sum("_q").over(w_cum).alias("hazard_micro"),
+    )
+    return out.withColumn(
+        "hazard",
+        F.col("hazard_micro").cast("double") / F.lit(1_000_000.0),
+    )

@@ -228,3 +228,39 @@ def test_best_split_multi_picks_planted_feature(spark):
     assert got["x2"].wgini == 0.0 and got["x2"].threshold == 0
     assert got["x1"].is_best == 0 and got["x3"].is_best == 0
     assert len(got) == 3
+
+
+# -------------------------------------------------------- nelson_aalen
+
+
+def test_nelson_aalen_scalar(spark):
+    from osm_pbf_spark.operators.temporal import nelson_aalen
+
+    # durations with events (ev=1) and censoring (ev=0)
+    rows = [(2, 1), (3, 1), (3, 0), (5, 1), (5, 1), (7, 0), (9, 1)]
+    df = spark.createDataFrame(rows, "dur long, ev long")
+    got = sorted(nelson_aalen(df, "dur", "ev").collect(), key=lambda r: r.t)
+    n = len(rows)
+    times = sorted({d for d, _ in rows})
+    cum = 0
+    at_risk = n
+    exp = []
+    for t in times:
+        d = sum(1 for dd, e in rows if dd == t and e == 1)
+        c = sum(1 for dd, e in rows if dd == t and e == 0)
+        cum += int((d / at_risk) * 1e6 + 0.5)
+        exp.append((t, at_risk, d, c, cum))
+        at_risk -= d + c
+    assert [(r.t, r.n_risk, r.d, r.c, r.hazard_micro) for r in got] == exp
+    assert got[-1].hazard == exp[-1][4] / 1e6
+    # hazard is nondecreasing
+    hs = [r.hazard_micro for r in got]
+    assert hs == sorted(hs)
+
+
+def test_nelson_aalen_rejects_bad_event(spark):
+    from osm_pbf_spark.operators.temporal import nelson_aalen
+
+    df = spark.createDataFrame([(1, 2)], "dur long, ev long")
+    with pytest.raises(Exception, match="nelson_aalen"):
+        nelson_aalen(df, "dur", "ev").collect()
