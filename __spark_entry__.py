@@ -5657,6 +5657,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_nelson_aalen"] = q_nelson_aalen
 
+    def q_percent_rank(spark, sf):  # analytic-window surface:
+        # percent_rank + cume_dist over a TOTAL order (value,
+        # event_id) — both are single divisions of exact ranks
+        from pyspark.sql import Window as W
+
+        ev = load(spark, sf, "events").where(F.col("event_id") < 3000)
+        w = W.partitionBy("event_type").orderBy(
+            F.floor(F.col("value")).cast("bigint"), F.col("event_id")
+        )
+        return ev.select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value")).cast("bigint").alias("v"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+
+    q["q_percent_rank"] = q_percent_rank
+
     return q
 
 
@@ -13244,6 +13263,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # verbatim KM replay: after-window risk set, micro-nat ln
         # quantization, cumulative sum, ppm-quantized exp
+        # total-order percent_rank/cume_dist replay
+        "q_percent_rank": """
+            SELECT event_type, event_id,
+                   CAST(floor(value) AS BIGINT) AS v,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd
+            FROM events WHERE event_id < 3000
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY CAST(floor(value) AS BIGINT), event_id)
+        """,
         # KM's additive sibling: same risk-set chain, division-only
         # increments (no ln/exp), exact int cumulative hazard
         "q_nelson_aalen": """
