@@ -5676,6 +5676,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_percent_rank"] = q_percent_rank
 
+    def q_median_survival(spark, sf):  # composed: KM curve -> median
+        # survival time per type = first t with survival_ppm <= 5e5
+        # (NULL when the curve never crosses half)
+        from osm_pbf_spark.operators.temporal import kaplan_meier
+
+        ev = load(spark, sf, "events").select(
+            "event_type",
+            F.floor(F.col("value")).cast("bigint").alias("dur"),
+            (F.pmod(F.col("event_id"), F.lit(4)) != 0).cast("int").alias(
+                "ev"
+            ),
+        )
+        km = kaplan_meier(ev, "dur", "ev", group_cols=["event_type"])
+        crossed = km.where(F.col("survival_ppm") <= 500_000)
+        med = crossed.groupBy("event_type").agg(
+            F.min("t").alias("median_t")
+        )
+        base = km.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_times"),
+            F.min("survival_ppm").alias("final_ppm"),
+        )
+        return base.join(med, "event_type", "left")
+
+    q["q_median_survival"] = q_median_survival
+
     return q
 
 
@@ -13306,6 +13331,62 @@ def oracle_sql() -> dict[str, str]:
                         AND CURRENT ROW) AS BIGINT) AS DOUBLE)
                        / 1000000.0 AS hazard
             FROM q
+        """,
+        "q_median_survival": """
+            WITH km AS (
+            WITH s AS (
+              SELECT event_type,
+                     CAST(floor(value) AS BIGINT) AS t,
+                     CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END AS ev
+              FROM events),
+            per AS (SELECT event_type, t,
+                           CAST(sum(ev) AS BIGINT) AS d,
+                           CAST(sum(1 - ev) AS BIGINT) AS c
+                    FROM s GROUP BY 1, 2),
+            r AS (SELECT event_type, t, d, c,
+                         CAST(sum(d + c) OVER (
+                             PARTITION BY event_type ORDER BY t
+                             ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING) AS BIGINT)
+                             AS n_risk
+                  FROM per),
+            q AS (SELECT event_type, t, d, c, n_risk,
+                         CASE WHEN d = n_risk THEN NULL
+                              WHEN d = 0 THEN 0
+                              ELSE -CAST(floor(-ln(CAST(n_risk - d AS DOUBLE)
+                                                   / CAST(n_risk AS DOUBLE))
+                                                * 1000000.0 + 0.5) AS BIGINT)
+                         END AS qv,
+                         CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dd
+                  FROM r),
+            cum AS (SELECT event_type, t, n_risk, d, c,
+                           CAST(sum(qv) OVER w AS BIGINT) AS log_micro,
+                           max(dd) OVER w AS dead
+                    FROM q
+                    WINDOW w AS (PARTITION BY event_type ORDER BY t
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW))
+            SELECT event_type, t, n_risk, d, c,
+                   CASE WHEN dead = 1 THEN NULL ELSE log_micro END
+                       AS log_micro,
+                   CASE WHEN dead = 1 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor(exp(CAST(log_micro AS DOUBLE)
+                                            / CAST(1000000 AS DOUBLE))
+                                        * CAST(1000000 AS DOUBLE) + 0.5)
+                                  AS BIGINT)
+                   END AS survival_ppm
+            FROM cum
+        ),
+            crossed AS (SELECT event_type, min(t) AS median_t
+                        FROM km WHERE survival_ppm <= 500000
+                        GROUP BY event_type),
+            base AS (SELECT event_type, count(*) AS n_times,
+                            CAST(min(survival_ppm) AS BIGINT) AS final_ppm
+                     FROM km GROUP BY event_type)
+            SELECT base.event_type, base.n_times, base.final_ppm,
+                   crossed.median_t
+            FROM base LEFT JOIN crossed
+                 ON crossed.event_type = base.event_type
         """,
         "q_kaplan_meier": """
             WITH s AS (

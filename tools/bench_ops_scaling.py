@@ -498,6 +498,30 @@ def leg_span_corrupt(spark, n: int) -> int:
     return out.select(F.sum("n_masked")).collect()[0][0] or 0
 
 
+def leg_c4(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.text import lang_id, quality_score
+
+    docs = _leg_docs(spark, n, True)  # dup groups -> dedup binds
+    scored = docs.select(
+        "doc_id",
+        "text",
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lp"),
+    )
+    filt = scored.where(F.col("q") >= 0.2)
+    keeper = filt.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep")
+    )
+    kept = (
+        filt.withColumn("fp", F.md5("text"))
+        .join(keeper, "fp")
+        .where(F.col("doc_id") == F.col("keep"))
+    )
+    return kept.count()
+
+
 def leg_hits(spark, n: int) -> int:
     from pyspark.sql import functions as F
 
@@ -542,6 +566,7 @@ LEGS = {
     "rank_metrics": leg_rank_metrics,
     "span_corrupt": leg_span_corrupt,
     "hits": leg_hits,
+    "c4": leg_c4,
 }
 
 # per-leg size multiplier on N_POINTS: every timed region must DWARF
@@ -604,6 +629,8 @@ LEG_SCALE = {
     "span_corrupt": 0.7,
     # 3 rounds x 2 (join + agg + norm) passes over the edge set
     "hits": 10.0,
+    # quality/lang codegen scan + one md5-keyed dedup shuffle
+    "c4": 4.0,
 }
 
 
