@@ -5701,6 +5701,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_median_survival"] = q_median_survival
 
+    def q_logrank(spark, sf):  # two-group log-rank over the KM
+        # fixture split by even/odd user (side-b durations shifted so
+        # the curves genuinely differ)
+        from osm_pbf_spark.operators.stats import logrank_test
+
+        ev = load(spark, sf, "events").select(
+            F.when(
+                F.pmod(F.col("user_id"), F.lit(2)) == 0,
+                F.floor(F.col("value")).cast("bigint"),
+            )
+            .otherwise(
+                F.floor(F.col("value") / F.lit(2.0)).cast("bigint")
+            )
+            .alias("dur"),
+            (F.pmod(F.col("event_id"), F.lit(4)) != 0).cast("int").alias(
+                "ev"
+            ),
+            F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("side"),
+        )
+        return logrank_test(ev, "dur", "ev", "side")
+
+    q["q_logrank"] = q_logrank
+
+    def q_anova(spark, sf):  # one-way ANOVA F across event types
+        # (micro-quantized SSB/SSW terms, exact int group moments)
+        from osm_pbf_spark.operators.stats import anova_f
+
+        ev = load(spark, sf, "events").select(
+            "event_type",
+            F.floor(F.col("value") / F.lit(2.0)).cast("bigint").alias("v"),
+        )
+        return anova_f(ev, "v", "event_type")
+
+    q["q_anova"] = q_anova
+
     return q
 
 
@@ -13288,6 +13325,117 @@ def oracle_sql() -> dict[str, str]:
         """,
         # verbatim KM replay: after-window risk set, micro-nat ln
         # quantization, cumulative sum, ppm-quantized exp
+        # per-time O-E / V chain replay over the shared suffix window
+        "q_logrank": """
+            WITH s AS (
+              SELECT CASE WHEN user_id % 2 = 0
+                          THEN CAST(floor(value) AS BIGINT)
+                          ELSE CAST(floor(value / CAST(2 AS DOUBLE))
+                                    AS BIGINT) END AS t,
+                     CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END AS ev,
+                     CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END
+                         AS side
+              FROM events),
+            per AS (SELECT t,
+                           CAST(sum(CASE WHEN side = 'a' THEN ev
+                                         ELSE 0 END) AS BIGINT) AS d1,
+                           CAST(sum(CASE WHEN side = 'a' THEN 1 - ev
+                                         ELSE 0 END) AS BIGINT) AS c1,
+                           CAST(sum(CASE WHEN side = 'b' THEN ev
+                                         ELSE 0 END) AS BIGINT) AS d2,
+                           CAST(sum(CASE WHEN side = 'b' THEN 1 - ev
+                                         ELSE 0 END) AS BIGINT) AS c2
+                    FROM s GROUP BY t),
+            r AS (SELECT t, d1, d2,
+                         CAST(sum(d1 + c1) OVER wa AS BIGINT) AS n1,
+                         CAST(sum(d2 + c2) OVER wa AS BIGINT) AS n2
+                  FROM per
+                  WINDOW wa AS (ORDER BY t ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING)),
+            terms AS (SELECT
+                        CAST(d1 + d2 AS BIGINT) AS d,
+                        CAST(n1 + n2 AS BIGINT) AS n, d1, n1, n2
+                      FROM r WHERE d1 + d2 > 0),
+            q AS (SELECT
+                    CASE WHEN CAST(d1 * n - d * n1 AS DOUBLE)
+                              / CAST(n AS DOUBLE) >= 0
+                         THEN CAST(floor(CAST(d1 * n - d * n1 AS DOUBLE)
+                              / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+                              AS BIGINT)
+                         ELSE -CAST(floor(-(CAST(d1 * n - d * n1
+                               AS DOUBLE) / CAST(n AS DOUBLE))
+                               * 1000000.0 + 0.5) AS BIGINT)
+                    END AS oeq,
+                    CASE WHEN n > 1
+                         THEN CAST(floor(CAST(d * n1 * n2 AS DOUBLE)
+                              * CAST(n - d AS DOUBLE)
+                              / CAST(n * n AS DOUBLE)
+                              / CAST(n - 1 AS DOUBLE)
+                              * 1000000.0 + 0.5) AS BIGINT)
+                         ELSE 0 END AS vq
+                  FROM terms),
+            agg AS (SELECT CAST(sum(oeq) AS BIGINT) AS oe_micro,
+                           CAST(sum(vq) AS BIGINT) AS v_micro
+                    FROM q),
+            tot AS (SELECT
+                      CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_a,
+                      CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_b
+                    FROM s)
+            SELECT tot.n_a, tot.n_b, agg.oe_micro, agg.v_micro,
+                   CASE WHEN agg.v_micro > 0
+                        THEN (CAST(agg.oe_micro AS DOUBLE) / 1000000.0)
+                             / sqrt(CAST(agg.v_micro AS DOUBLE)
+                                    / 1000000.0) END AS z,
+                   CASE WHEN agg.v_micro > 0
+                        THEN ((CAST(agg.oe_micro AS DOUBLE) / 1000000.0)
+                              / sqrt(CAST(agg.v_micro AS DOUBLE)
+                                     / 1000000.0))
+                             * ((CAST(agg.oe_micro AS DOUBLE)
+                                 / 1000000.0)
+                                / sqrt(CAST(agg.v_micro AS DOUBLE)
+                                       / 1000000.0)) END AS chi2
+            FROM tot, agg
+        """,
+        # micro-quantized SSB/SSW replay
+        "q_anova": """
+            WITH s AS (SELECT event_type AS g,
+                              CAST(floor(value / CAST(2 AS DOUBLE))
+                                   AS BIGINT) AS v
+                       FROM events),
+            per AS (SELECT g, count(*) AS ng,
+                           CAST(sum(v) AS BIGINT) AS sg,
+                           CAST(sum(v * v) AS BIGINT) AS ssg
+                    FROM s GROUP BY g),
+            tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                           CAST(sum(sg) AS BIGINT) AS sm,
+                           count(*) AS k
+                    FROM per),
+            t AS (SELECT per.ng, tot.n, tot.k,
+                         CAST(per.ng * per.ssg - per.sg * per.sg
+                              AS DOUBLE) / CAST(per.ng AS DOUBLE) AS ssw,
+                         (CAST(per.sg * tot.n - tot.sm * per.ng
+                               AS DOUBLE)
+                          * CAST(per.sg * tot.n - tot.sm * per.ng
+                                 AS DOUBLE))
+                         / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                            * CAST(per.ng AS DOUBLE)) AS ssb
+                  FROM per, tot),
+            agg AS (SELECT n, k,
+                           CAST(sum(CAST(floor(ssb * 1000000.0 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS ssb_micro,
+                           CAST(sum(CAST(floor(ssw * 1000000.0 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS ssw_micro
+                    FROM t GROUP BY n, k)
+            SELECT n, k, ssb_micro, ssw_micro,
+                   CASE WHEN k > 1 AND n > k AND ssw_micro > 0
+                        THEN (CAST(ssb_micro AS DOUBLE)
+                              / CAST(k - 1 AS DOUBLE))
+                             / (CAST(ssw_micro AS DOUBLE)
+                                / CAST(n - k AS DOUBLE)) END AS f
+            FROM agg
+        """,
         # total-order percent_rank/cume_dist replay
         "q_percent_rank": """
             SELECT event_type, event_id,

@@ -2454,3 +2454,167 @@ def best_split_multi(
     return allf.withColumn("rank", F.row_number().over(w)).withColumn(
         "is_best", (F.col("rank") == 1).cast("int")
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    side_col: str,
+    sides: tuple[str, str] = ("a", "b"),
+) -> DataFrame:
+    """Two-group log-rank test — THE Kaplan–Meier companion (did the
+    two survival curves come from the same hazard?):
+
+        z = Σ_t (O1_t − E1_t) / sqrt(Σ_t V_t),  chi2 = z²
+        E1_t = d_t·n1_t/n_t,
+        V_t  = d_t·n1_t·n2_t·(n_t − d_t) / (n_t²·(n_t − 1))
+
+    Exactness (kaplan_meier discipline): per-side event/censor counts
+    and risk sets are exact int64 (one distinct-time aggregate + one
+    suffix window carrying BOTH sides); each time's O−E and V terms
+    are fixed chains on exact ints, micro-quantized (O−E HALF-UP-
+    away-from-zero, V HALF-UP) and int64-summed order-free. Times
+    with n_t <= 1 contribute V = 0. event_col must be 0/1.
+
+    Returns one row (n_a, n_b, oe_micro, v_micro, z, chi2); z NULL
+    when v_micro = 0. Plan: ks_test class.
+    """
+    sa, sb = sides
+    ev = F.col(event_col).cast("bigint")
+    df = df.where(
+        F.when(ev.isin(0, 1), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"logrank_test: {event_col} must be 0/1, got "),
+                    F.col(event_col).cast("string"),
+                )
+            )
+        )
+    )
+    isa = (F.col(side_col) == sa).cast("bigint")
+    isb = (F.col(side_col) == sb).cast("bigint")
+    per = df.groupBy(F.col(duration_col).alias("_t")).agg(
+        F.sum(isa * ev).alias("_d1"),
+        F.sum(isa * (1 - ev)).alias("_c1"),
+        F.sum(isb * ev).alias("_d2"),
+        F.sum(isb * (1 - ev)).alias("_c2"),
+    )
+    w_after = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    r = per.select(
+        "_t",
+        "_d1",
+        "_d2",
+        F.sum(F.col("_d1") + F.col("_c1")).over(w_after).alias("_n1"),
+        F.sum(F.col("_d2") + F.col("_c2")).over(w_after).alias("_n2"),
+    )
+    d = F.col("_d1") + F.col("_d2")
+    n = F.col("_n1") + F.col("_n2")
+    oe = (F.col("_d1") * n - d * F.col("_n1")).cast("double") / n.cast(
+        "double"
+    )
+    v = F.when(
+        n > 1,
+        (d * F.col("_n1") * F.col("_n2")).cast("double")
+        * (n - d).cast("double")
+        / (n * n).cast("double")
+        / (n - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    oe_q = (
+        F.when(oe >= 0, F.floor(oe * F.lit(1_000_000.0) + F.lit(0.5)))
+        .otherwise(-F.floor(-oe * F.lit(1_000_000.0) + F.lit(0.5)))
+        .cast("bigint")
+    )
+    v_q = F.floor(v * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+    agg = r.where(d > 0).agg(
+        F.sum(oe_q).alias("oe_micro"), F.sum(v_q).alias("v_micro")
+    )
+    tot = df.agg(F.sum(isa).alias("n_a"), F.sum(isb).alias("n_b"))
+    j = tot.crossJoin(agg)
+    z = (F.col("oe_micro").cast("double") / F.lit(1_000_000.0)) / F.sqrt(
+        F.col("v_micro").cast("double") / F.lit(1_000_000.0)
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        "oe_micro",
+        "v_micro",
+        F.when(F.col("v_micro") > 0, z).alias("z"),
+        F.when(F.col("v_micro") > 0, z * z).alias("chi2"),
+    )
+
+
+def anova_f(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """One-way ANOVA F over an integer value column — the parametric
+    k-group companion of :func:`kruskal_wallis`:
+
+        F = (SSB/(k−1)) / (SSW/(n−k))
+        SSW_g = (n_g·Σx²_g − (Σx_g)²)/n_g
+        SSB_g = (Σx_g·n − S·n_g)² / (n²·n_g)
+
+    Per-group terms are fixed chains on exact int64 moments,
+    MICRO-quantized HALF-UP (both are >= 0) and int64-summed
+    order-free (the chi2_test discipline — a double Σ over groups is
+    shuffle-order-dependent); F is one more fixed chain (the micro
+    units cancel). Returns one row (n, k, ssb_micro, ssw_micro, f);
+    f NULL when k < 2, n <= k, or SSW = 0. Overflow: keep
+    n·max(x)·Σ|x| under 2^63 (rescale inputs beyond).
+
+    Plan: one group-moment aggregate + broadcast totals.
+    """
+    x = F.col(value_col).cast("bigint")
+    per = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.sum(x).alias("_sg"),
+        F.sum(x * x).alias("_ssg"),
+    )
+    tot = per.agg(
+        F.sum("_ng").alias("_n"),
+        F.sum("_sg").alias("_s"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    ssw = (
+        (F.col("_ng") * F.col("_ssg") - F.col("_sg") * F.col("_sg"))
+        .cast("bigint")
+        .cast("double")
+        / F.col("_ng").cast("double")
+    )
+    a = (F.col("_sg") * F.col("_n") - F.col("_s") * F.col("_ng")).cast(
+        "bigint"
+    )
+    ssb = (a.cast("double") * a.cast("double")) / (
+        F.col("_n").cast("double")
+        * F.col("_n").cast("double")
+        * F.col("_ng").cast("double")
+    )
+
+    def _qq(t):
+        return F.floor(t * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+
+    agg = j.groupBy("_n", "_k").agg(
+        F.sum(_qq(ssb)).alias("ssb_micro"),
+        F.sum(_qq(ssw)).alias("ssw_micro"),
+    )
+    fstat = (
+        F.col("ssb_micro").cast("double") / (F.col("_k") - 1).cast("double")
+    ) / (
+        F.col("ssw_micro").cast("double")
+        / (F.col("_n") - F.col("_k")).cast("double")
+    )
+    return agg.select(
+        F.col("_n").alias("n"),
+        F.col("_k").alias("k"),
+        "ssb_micro",
+        "ssw_micro",
+        F.when(
+            (F.col("_k") > 1)
+            & (F.col("_n") > F.col("_k"))
+            & (F.col("ssw_micro") > 0),
+            fstat,
+        ).alias("f"),
+    )

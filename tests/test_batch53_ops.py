@@ -264,3 +264,81 @@ def test_nelson_aalen_rejects_bad_event(spark):
     df = spark.createDataFrame([(1, 2)], "dur long, ev long")
     with pytest.raises(Exception, match="nelson_aalen"):
         nelson_aalen(df, "dur", "ev").collect()
+
+
+# --------------------------------------------------------- logrank_test
+
+
+def test_logrank_identical_groups_zero(spark):
+    from osm_pbf_spark.operators.stats import logrank_test
+
+    rows = [(d, e, s) for d, e in [(2, 1), (4, 1), (5, 0), (7, 1)]
+            for s in ("a", "b")]
+    df = spark.createDataFrame(rows, "dur long, ev long, side string")
+    r = logrank_test(df, "dur", "ev", "side").collect()[0]
+    assert r.oe_micro == 0 and abs(r.z) < 1e-9
+
+
+def test_logrank_scalar_replay(spark):
+    from osm_pbf_spark.operators.stats import logrank_test
+
+    rows = [(2, 1, "a"), (3, 1, "a"), (9, 0, "a"), (10, 1, "a"),
+            (8, 1, "b"), (12, 1, "b"), (14, 0, "b"), (15, 1, "b")]
+    df = spark.createDataFrame(rows, "dur long, ev long, side string")
+    r = logrank_test(df, "dur", "ev", "side").collect()[0]
+    times = sorted({d for d, e, _ in rows if e == 1})
+    oe = v = 0
+    for t in times:
+        d1 = sum(1 for d, e, s in rows if d == t and e == 1 and s == "a")
+        d2 = sum(1 for d, e, s in rows if d == t and e == 1 and s == "b")
+        n1 = sum(1 for d, _, s in rows if d >= t and s == "a")
+        n2 = sum(1 for d, _, s in rows if d >= t and s == "b")
+        d_, n_ = d1 + d2, n1 + n2
+        if d_ == 0:
+            continue
+        oev = (d1 * n_ - d_ * n1) / n_
+        oe += int(abs(oev) * 1e6 + 0.5) * (1 if oev >= 0 else -1)
+        if n_ > 1:
+            vv = (d_ * n1 * n2) * (n_ - d_) / (n_ * n_) / (n_ - 1)
+            v += int(vv * 1e6 + 0.5)
+    assert (r.oe_micro, r.v_micro) == (oe, v)
+    # group a dies early: O1 - E1 must be positive (excess early events)
+    assert r.oe_micro > 0 and r.z > 0
+
+
+# --------------------------------------------------------------- anova_f
+
+
+def test_anova_scalar_replay(spark):
+    from osm_pbf_spark.operators.stats import anova_f
+
+    groups = {"g1": [1, 2, 3, 4], "g2": [11, 12, 13], "g3": [5, 6, 7, 8, 9]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = anova_f(df, "v", "g").collect()[0]
+    n = len(rows)
+    S = sum(v for _, v in rows)
+    k = len(groups)
+    ssb_m = ssw_m = 0
+    for vs in groups.values():
+        ng, sg, ssg = len(vs), sum(vs), sum(v * v for v in vs)
+        ssw = (ng * ssg - sg * sg) / ng
+        a = sg * n - S * ng
+        ssb = (a * a) / (n * n * ng)
+        ssw_m += int(ssw * 1e6 + 0.5)
+        ssb_m += int(ssb * 1e6 + 0.5)
+    assert (r.n, r.k) == (n, k)
+    assert (r.ssb_micro, r.ssw_micro) == (ssb_m, ssw_m)
+    assert r.f == (ssb_m / (k - 1)) / (ssw_m / (n - k))
+    assert r.f > 10  # g2 is far separated
+
+
+def test_anova_degenerate(spark):
+    from osm_pbf_spark.operators.stats import anova_f
+
+    one = spark.createDataFrame([("g", i) for i in range(5)], "g string, v long")
+    assert anova_f(one, "v", "g").collect()[0].f is None  # k = 1
+    const = spark.createDataFrame(
+        [("a", 3)] * 4 + [("b", 3)] * 4, "g string, v long"
+    )
+    assert anova_f(const, "v", "g").collect()[0].f is None  # SSW = 0
