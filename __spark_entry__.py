@@ -5738,6 +5738,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_anova"] = q_anova
 
+    def q_rfm(spark, sf):  # RFM segmentation: per-user recency /
+        # frequency / monetary quintiles over total orders, segment =
+        # concatenated digits (the marketing-analytics staple)
+        from pyspark.sql import Window as W
+
+        ev = load(spark, sf, "events").groupBy("user_id").agg(
+            F.max(F.unix_micros(F.to_utc_timestamp("ts", "UTC"))).alias(
+                "last_us"
+            ),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("mon"),
+        )
+        wr = W.partitionBy(F.lit(0)).orderBy(
+            F.col("last_us").desc(), F.col("user_id")
+        )
+        wf = W.partitionBy(F.lit(0)).orderBy(
+            F.col("freq").desc(), F.col("user_id")
+        )
+        wm = W.partitionBy(F.lit(0)).orderBy(
+            F.col("mon").desc(), F.col("user_id")
+        )
+        out = ev.select(
+            "user_id",
+            "last_us",
+            "freq",
+            "mon",
+            F.ntile(5).over(wr).alias("r_q"),
+            F.ntile(5).over(wf).alias("f_q"),
+            F.ntile(5).over(wm).alias("m_q"),
+        )
+        return out.withColumn(
+            "segment",
+            F.concat(F.col("r_q"), F.col("f_q"), F.col("m_q")),
+        )
+
+    q["q_rfm"] = q_rfm
+
+    def q_poisson_rate(spark, sf):  # two-sample Poisson rate z:
+        # counts = events, exposure = synthetic device-days per side
+        from osm_pbf_spark.operators.stats import poisson_rate_test
+
+        ev = load(spark, sf, "events").select(
+            F.lit(1).cast("bigint").alias("x"),
+            (F.pmod(F.col("event_id"), F.lit(5)) + 1).alias("t"),
+            F.when(F.pmod(F.col("user_id"), F.lit(3)) == 0, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("side"),
+        )
+        return poisson_rate_test(ev, "x", "t", "side")
+
+    q["q_poisson_rate"] = q_poisson_rate
+
     return q
 
 
@@ -13325,6 +13381,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         # verbatim KM replay: after-window risk set, micro-nat ln
         # quantization, cumulative sum, ppm-quantized exp
+        # quintile ntiles over total orders + digit segment
+        "q_rfm": """
+            WITH agg AS (SELECT user_id,
+                                max(epoch_us(ts)) AS last_us,
+                                count(*) AS freq,
+                                CAST(sum(CAST(floor(value
+                                     * CAST(100 AS DOUBLE) + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS mon
+                         FROM events GROUP BY user_id)
+            SELECT user_id, last_us, freq, mon,
+                   ntile(5) OVER (ORDER BY last_us DESC, user_id) AS r_q,
+                   ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_q,
+                   ntile(5) OVER (ORDER BY mon DESC, user_id) AS m_q,
+                   CAST(ntile(5) OVER (ORDER BY last_us DESC, user_id)
+                        AS VARCHAR)
+                   || CAST(ntile(5) OVER (ORDER BY freq DESC, user_id)
+                           AS VARCHAR)
+                   || CAST(ntile(5) OVER (ORDER BY mon DESC, user_id)
+                           AS VARCHAR) AS segment
+            FROM agg
+        """,
+        # cleared-numerator Wald rate-ratio replay
+        "q_poisson_rate": """
+            WITH s AS (SELECT 1 AS x, event_id % 5 + 1 AS t,
+                              CASE WHEN user_id % 3 = 0 THEN 'a'
+                                   ELSE 'b' END AS side
+                       FROM events),
+            m AS (SELECT
+                    CAST(sum(CASE WHEN side = 'a' THEN x ELSE 0 END)
+                         AS BIGINT) AS x_a,
+                    CAST(sum(CASE WHEN side = 'a' THEN t ELSE 0 END)
+                         AS BIGINT) AS t_a,
+                    CAST(sum(CASE WHEN side = 'b' THEN x ELSE 0 END)
+                         AS BIGINT) AS x_b,
+                    CAST(sum(CASE WHEN side = 'b' THEN t ELSE 0 END)
+                         AS BIGINT) AS t_b
+                  FROM s)
+            SELECT x_a, t_a, x_b, t_b,
+                   CAST(x_a AS DOUBLE) / CAST(t_a AS DOUBLE) AS rate_a,
+                   CAST(x_b AS DOUBLE) / CAST(t_b AS DOUBLE) AS rate_b,
+                   CASE WHEN x_a > 0 AND x_b > 0
+                        THEN (CAST(x_a * t_b - x_b * t_a AS DOUBLE)
+                              / CAST(t_a * t_b AS DOUBLE))
+                             / sqrt(CAST(x_a AS DOUBLE)
+                                    / CAST(t_a * t_a AS DOUBLE)
+                                    + CAST(x_b AS DOUBLE)
+                                      / CAST(t_b * t_b AS DOUBLE))
+                   END AS z
+            FROM m
+        """,
         # per-time O-E / V chain replay over the shared suffix window
         "q_logrank": """
             WITH s AS (

@@ -2618,3 +2618,53 @@ def anova_f(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
             fstat,
         ).alias("f"),
     )
+
+
+def poisson_rate_test(
+    df: DataFrame,
+    count_col: str,
+    exposure_col: str,
+    side_col: str,
+    sides: tuple[str, str] = ("a", "b"),
+) -> DataFrame:
+    """Two-sample Poisson rate test (Wald, unconditional) over integer
+    event counts and integer exposures — the events-per-unit-time
+    companion of :func:`prop_test` (defects/hour, crashes/device-day):
+
+        rate_i = X_i / T_i
+        z = (X1·T2 − X2·T1) / (T1·T2) / sqrt(X1/T1² + X2/T2²)
+
+    Numerator cleared to exact int64; the variance term is a fixed
+    chain of two exact divisions and one add; z is one more
+    divide/sqrt chain — gate-hashable. Returns one row (x_a, t_a,
+    x_b, t_b, rate_a, rate_b, z); z NULL when either count is 0
+    (Wald variance degenerate — use the exact conditional test
+    upstream for tiny counts). Plan: one 1-row aggregate.
+    """
+    sa, sb = sides
+    x = F.col(count_col).cast("bigint")
+    t = F.col(exposure_col).cast("bigint")
+    isa = (F.col(side_col) == sa).cast("bigint")
+    isb = (F.col(side_col) == sb).cast("bigint")
+    m = df.agg(
+        F.sum(isa * x).alias("x_a"),
+        F.sum(isa * t).alias("t_a"),
+        F.sum(isb * x).alias("x_b"),
+        F.sum(isb * t).alias("t_b"),
+    )
+    xa, ta, xb, tb = (F.col(c) for c in ("x_a", "t_a", "x_b", "t_b"))
+    num = (xa * tb - xb * ta).cast("bigint").cast("double") / (
+        ta * tb
+    ).cast("double")
+    var = xa.cast("double") / (ta * ta).cast("double") + xb.cast(
+        "double"
+    ) / (tb * tb).cast("double")
+    return m.select(
+        "x_a",
+        "t_a",
+        "x_b",
+        "t_b",
+        (xa.cast("double") / ta.cast("double")).alias("rate_a"),
+        (xb.cast("double") / tb.cast("double")).alias("rate_b"),
+        F.when((xa > 0) & (xb > 0), num / F.sqrt(var)).alias("z"),
+    )

@@ -342,3 +342,31 @@ def test_anova_degenerate(spark):
         [("a", 3)] * 4 + [("b", 3)] * 4, "g string, v long"
     )
     assert anova_f(const, "v", "g").collect()[0].f is None  # SSW = 0
+
+
+# ---------------------------------------------------- poisson_rate_test
+
+
+def test_poisson_rate_scalar(spark):
+    import math
+
+    from osm_pbf_spark.operators.stats import poisson_rate_test
+
+    # side a: 30 events over 60 units (0.5/u); b: 10 over 50 (0.2/u)
+    rows = [(1, 2, "a")] * 30 + [(1, 5, "b")] * 10
+    df = spark.createDataFrame(rows, "x long, t long, side string")
+    r = poisson_rate_test(df, "x", "t", "side").collect()[0]
+    assert (r.x_a, r.t_a, r.x_b, r.t_b) == (30, 60, 10, 50)
+    assert r.rate_a == 0.5 and r.rate_b == 0.2
+    num = (30 * 50 - 10 * 60) / (60 * 50)
+    var = 30 / 60**2 + 10 / 50**2
+    assert r.z == num / math.sqrt(var)
+    assert r.z > 2  # rates genuinely differ
+
+
+def test_poisson_rate_zero_count_null(spark):
+    from osm_pbf_spark.operators.stats import poisson_rate_test
+
+    rows = [(0, 10, "a"), (5, 10, "b")]
+    df = spark.createDataFrame(rows, "x long, t long, side string")
+    assert poisson_rate_test(df, "x", "t", "side").collect()[0].z is None
