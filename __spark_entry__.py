@@ -5794,6 +5794,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_poisson_rate"] = q_poisson_rate
 
+    def q_rare_collapse(spark, sf):  # rare-category collapse (a
+        # long-tail cat with most levels below min_count) composed
+        # with smoothed target encoding over the collapsed column
+        from osm_pbf_spark.operators.stats import rare_collapse, target_encode
+
+        ev = load(spark, sf, "events").select(
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(2)) == 0,
+                F.concat(
+                    F.lit("big"), F.pmod(F.col("event_id"), F.lit(3))
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("c"), F.pmod(F.col("event_id") * 13, F.lit(400))
+                )
+            )
+            .alias("cat"),
+            F.floor(F.col("value")).cast("bigint").alias("y"),
+        )
+        coll = rare_collapse(ev, "cat", min_count=30)
+        return target_encode(coll, "cat_collapsed", "y", k=20)
+
+    q["q_rare_collapse"] = q_rare_collapse
+
     return q
 
 
@@ -13381,6 +13406,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # verbatim KM replay: after-window risk set, micro-nat ln
         # quantization, cumulative sum, ppm-quantized exp
+        # collapse + smoothed-mean replay (min_count 30, prior 20)
+        "q_rare_collapse": """
+            WITH s AS (SELECT CASE WHEN event_id % 2 = 0
+                                   THEN 'big' || CAST(event_id % 3
+                                                      AS VARCHAR)
+                                   ELSE 'c' || CAST((event_id * 13) % 400
+                                                    AS VARCHAR) END
+                                  AS cat,
+                              CAST(floor(value) AS BIGINT) AS y
+                       FROM events),
+            freq AS (SELECT cat, count(*) AS n FROM s GROUP BY cat),
+            coll AS (SELECT CASE WHEN freq.n >= 30 THEN s.cat
+                                 ELSE '__other__' END AS cat, s.y
+                     FROM s JOIN freq ON freq.cat = s.cat),
+            per AS (SELECT cat, count(*) AS n_c,
+                           CAST(sum(y) AS BIGINT) AS sum_y
+                    FROM coll GROUP BY cat),
+            tot AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS sy
+                    FROM coll)
+            SELECT per.cat, per.n_c, per.sum_y,
+                   CAST(per.sum_y * tot.n + 20 * tot.sy AS DOUBLE)
+                       / CAST(tot.n * (per.n_c + 20) AS DOUBLE) AS enc
+            FROM per, tot
+        """,
         # quintile ntiles over total orders + digit segment
         "q_rfm": """
             WITH agg AS (SELECT user_id,

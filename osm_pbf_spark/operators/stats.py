@@ -2668,3 +2668,42 @@ def poisson_rate_test(
         (xb.cast("double") / tb.cast("double")).alias("rate_b"),
         F.when((xa > 0) & (xb > 0), num / F.sqrt(var)).alias("z"),
     )
+
+
+def rare_collapse(
+    df: DataFrame,
+    cat_col: str,
+    min_count: int,
+    other_label: str = "__other__",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Collapse categories with fewer than ``min_count`` rows into a
+    single ``other_label`` bucket — the standard high-cardinality
+    guard BEFORE :func:`target_encode` / :func:`woe_iv` / one-hot
+    (rare categories otherwise memorize noise and blow up feature
+    widths).
+
+    Deterministic and exact: the frequency table is one aggregate;
+    the collapse is a broadcast semi-map (keep-set join). Returns the
+    input rows with ``out_col`` (default ``{cat}_collapsed``) added.
+    Plan: one aggregate + one broadcast join — the keep set is
+    bounded by the number of FREQUENT categories (≤ n/min_count).
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    out = out_col or f"{cat_col}_collapsed"
+    freq = df.groupBy(F.col(cat_col).alias("_cat")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    keep = freq.where(F.col("_n") >= min_count).select(
+        F.col("_cat"), F.lit(True).alias("_keep")
+    )
+    j = df.join(
+        F.broadcast(keep), df[cat_col] == keep["_cat"], "left"
+    ).drop("_cat")
+    return j.withColumn(
+        out,
+        F.when(F.col("_keep"), F.col(cat_col)).otherwise(
+            F.lit(other_label)
+        ),
+    ).drop("_keep")

@@ -370,3 +370,23 @@ def test_poisson_rate_zero_count_null(spark):
     rows = [(0, 10, "a"), (5, 10, "b")]
     df = spark.createDataFrame(rows, "x long, t long, side string")
     assert poisson_rate_test(df, "x", "t", "side").collect()[0].z is None
+
+
+# ---------------------------------------------------------- rare_collapse
+
+
+def test_rare_collapse_semantics(spark):
+    from osm_pbf_spark.operators.stats import rare_collapse
+
+    rows = [("a",)] * 10 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "cat string")
+    out = rare_collapse(df, "cat", min_count=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault((r.cat, r.cat_collapsed), 0)
+        got[(r.cat, r.cat_collapsed)] += 1
+    assert got == {("a", "a"): 10, ("b", "__other__"): 3,
+                   ("c", "__other__"): 1}
+    # min_count=1 keeps everything
+    kept = rare_collapse(df, "cat", min_count=1).collect()
+    assert all(r.cat == r.cat_collapsed for r in kept)
