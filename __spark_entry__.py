@@ -5819,6 +5819,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_rare_collapse"] = q_rare_collapse
 
+    def q_visvalingam(spark, sf):  # area-based simplification beside
+        # Douglas-Peucker: exact integer doubled-areas, strict
+        # (area, index) removal order; oracle = naive O(n^2) scalar
+        # replay vs the engine's lazy heap
+        from osm_pbf_spark.operators.simplify import visvalingam_simplify
+
+        e = load(spark, sf, "events").where(F.col("event_id") < 4000)
+        pts = e.select(
+            (F.col("event_id") % 40).alias("line_id"),
+            "event_id",
+            (
+                (F.col("event_id") % 40) * F.lit(2.0) - F.lit(40.0)
+                + ((F.col("event_id") * 7919) % 100) * F.lit(0.002)
+                + F.when(
+                    F.col("event_id") % 17 == 0, F.lit(5.0)
+                ).otherwise(F.lit(0.0))
+            ).alias("lat"),
+            (
+                F.lit(-170.0)
+                + (F.col("event_id") - F.col("event_id") % 40)
+                / F.lit(40.0)
+                * F.lit(1.3)
+            ).alias("lon"),
+        )
+        lines = (
+            pts.groupBy("line_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("event_id", "lat", "lon"))
+                ).alias("a")
+            )
+            .select(
+                "line_id",
+                F.transform("a", lambda x: x["lat"]).alias("lats"),
+                F.transform("a", lambda x: x["lon"]).alias("lons"),
+            )
+        )
+        return visvalingam_simplify(lines, min_area2=4000)
+
+    q["q_visvalingam"] = q_visvalingam
+
     return q
 
 
@@ -9186,6 +9227,51 @@ def _ora_multi_split() -> str:
                CAST(CASE WHEN rank = 1 THEN 1 ELSE 0 END AS INTEGER)
                    AS is_best
         FROM ranked
+    """
+
+
+def _ora_visvalingam() -> str:
+    """Naive-scan Visvalingam replay over the same derived lines ->
+    VALUES (the engine kernel is a lazy heap — different algorithm,
+    same (area2, index) removal spec)."""
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.simplify import visvalingam_py
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"), columns=["event_id"]
+    )
+    ids = sorted(
+        int(v) for v in t.column("event_id").to_pylist() if int(v) < 4000
+    )
+    lines: dict[int, list[int]] = {}
+    for e in ids:
+        lines.setdefault(e % 40, []).append(e)
+    rows = []
+    for lid in sorted(lines):
+        eids = sorted(lines[lid])
+        lat = [
+            (e % 40) * 2.0 - 40.0 + ((e * 7919) % 100) * 0.002
+            + (5.0 if e % 17 == 0 else 0.0)
+            for e in eids
+        ]
+        lon = [-170.0 + (e - e % 40) / 40.0 * 1.3 for e in eids]
+        import math
+
+        ix = [int(math.floor(v * 1000.0 + 0.5)) for v in lat]
+        iy = [int(math.floor(v * 1000.0 + 0.5)) for v in lon]
+        keep = visvalingam_py(ix, iy, 4000)
+        qla = "[" + ", ".join(str(ix[i]) for i in keep) + "]"
+        qlo = "[" + ", ".join(str(iy[i]) for i in keep) + "]"
+        rows.append(f"({lid}, {qla}, {qlo}, {len(ix)}, {len(keep)})")
+    vals = ", ".join(rows)
+    return f"""
+        SELECT CAST(c0 AS BIGINT) AS line_id,
+               CAST(c1 AS BIGINT[]) AS qlats,
+               CAST(c2 AS BIGINT[]) AS qlons,
+               CAST(c3 AS INTEGER) AS n_in,
+               CAST(c4 AS INTEGER) AS n_out
+        FROM (VALUES {vals}) AS t(c0, c1, c2, c3, c4)
     """
 
 
@@ -14079,6 +14165,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sprt": _ora_sprt(),
         "q_osm_diff": _ora_osm_diff(),
         "q_taginfo": _ora_taginfo(),
+        "q_visvalingam": _ora_visvalingam(),
         "q_multi_split": _ora_multi_split(),
         # add-one WoE/IV replay (micro-nat quantized terms)
         "q_woe": """

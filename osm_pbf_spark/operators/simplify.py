@@ -230,3 +230,131 @@ def chaikin_smooth(
         F.col("y").alias("iy"),
         F.lit(iters).alias("scale_pow4"),
     )
+
+
+def visvalingam_py(
+    ix: list[int], iy: list[int], min_area2: int
+) -> list[int]:
+    """NAIVE O(n²) scalar replay of the Visvalingam spec (the oracle
+    formulation — the engine kernel uses a lazy heap): repeatedly
+    remove the interior point with the smallest (doubled area, index)
+    while that area is below ``min_area2``. Returns kept indices."""
+    n = len(ix)
+    if n <= 2:
+        return list(range(n))
+    alive = list(range(n))
+
+    def a2(k: int) -> int:
+        p, i, q = alive[k - 1], alive[k], alive[k + 1]
+        return abs(
+            (ix[p] - ix[i]) * (iy[q] - iy[i])
+            - (ix[q] - ix[i]) * (iy[p] - iy[i])
+        )
+
+    while len(alive) > 2:
+        best = None
+        for k in range(1, len(alive) - 1):
+            key = (a2(k), alive[k])
+            if best is None or key < best[0]:
+                best = (key, k)
+        if best[0][0] >= min_area2:
+            break
+        alive.pop(best[1])
+    return alive
+
+
+def visvalingam_simplify(
+    lines: DataFrame,
+    min_area2: int,
+    scale: float = 1000.0,
+    id_col: str = "line_id",
+    lats_col: str = "lats",
+    lons_col: str = "lons",
+) -> DataFrame:
+    """Visvalingam–Whyatt simplification — the area-based alternative
+    to :func:`simplify_lines`' Douglas–Peucker (cartography prefers it
+    for shape retention: points die in order of the triangle area they
+    subtend).
+
+    EXACT-INTEGER spec: coordinates snap to the ``floor(v·scale+0.5)``
+    grid (the convex_hull posture), each interior point's effective
+    area is the DOUBLED triangle area |cross| — exact int64 — and
+    removal order is strictly ascending (area2, point index):
+    remove-smallest repeats while area2 < ``min_area2``. Every
+    engine reproduces the identical kept set; the oracle replays with
+    a naive O(n²) scan (:func:`visvalingam_py`) against the engine's
+    lazy-heap kernel. Endpoints always survive.
+
+    Returns (id_col, qlats:array<bigint>, qlons:array<bigint>, n_in,
+    n_out) in grid units. Plan: one Arrow-batched pandas UDF, map-only.
+    """
+    import heapq
+
+    sc = float(scale)
+    thr = int(min_area2)
+
+    @F.pandas_udf(
+        "qlats array<bigint>, qlons array<bigint>, n_in int, n_out int"
+    )
+    def _vw(lats_s: pd.Series, lons_s: pd.Series) -> pd.DataFrame:
+        out_la, out_lo, n_in, n_out = [], [], [], []
+        for la, lo in zip(lats_s, lons_s):
+            ix = np.floor(np.asarray(la, np.float64) * sc + 0.5).astype(
+                np.int64
+            )
+            iy = np.floor(np.asarray(lo, np.float64) * sc + 0.5).astype(
+                np.int64
+            )
+            n = len(ix)
+            if n <= 2:
+                keep = list(range(n))
+            else:
+                prv = list(range(-1, n - 1))
+                nxt = list(range(1, n + 1))
+                dead = [False] * n
+
+                def area2(i: int) -> int:
+                    p, q = prv[i], nxt[i]
+                    return abs(
+                        int(ix[p] - ix[i]) * int(iy[q] - iy[i])
+                        - int(ix[q] - ix[i]) * int(iy[p] - iy[i])
+                    )
+
+                heap = [(area2(i), i) for i in range(1, n - 1)]
+                heapq.heapify(heap)
+                alive = n
+                while heap:
+                    a, i = heapq.heappop(heap)
+                    if dead[i] or a != area2(i):
+                        continue  # stale entry — lazy invalidation
+                    if a >= thr:
+                        break
+                    dead[i] = True
+                    alive -= 1
+                    p, q = prv[i], nxt[i]
+                    nxt[p], prv[q] = q, p
+                    for j in (p, q):
+                        if 0 < j < n - 1 and not dead[j]:
+                            heapq.heappush(heap, (area2(j), j))
+                keep = [i for i in range(n) if not dead[i]]
+            out_la.append([int(v) for v in ix[keep]])
+            out_lo.append([int(v) for v in iy[keep]])
+            n_in.append(n)
+            n_out.append(len(keep))
+        return pd.DataFrame(
+            {
+                "qlats": out_la,
+                "qlons": out_lo,
+                "n_in": np.asarray(n_in, np.int32),
+                "n_out": np.asarray(n_out, np.int32),
+            }
+        )
+
+    s = _vw(F.col(lats_col), F.col(lons_col))
+    return lines.withColumn("_s", s).select(
+        F.col(id_col),
+        F.col("_s.qlats").alias("qlats"),
+        F.col("_s.qlons").alias("qlons"),
+        F.col("_s.n_in").alias("n_in"),
+        F.col("_s.n_out").alias("n_out"),
+    )

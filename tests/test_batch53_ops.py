@@ -390,3 +390,56 @@ def test_rare_collapse_semantics(spark):
     # min_count=1 keeps everything
     kept = rare_collapse(df, "cat", min_count=1).collect()
     assert all(r.cat == r.cat_collapsed for r in kept)
+
+
+# --------------------------------------------------- visvalingam_simplify
+
+
+def test_visvalingam_engine_matches_naive(spark):
+    from osm_pbf_spark.operators.simplify import (
+        visvalingam_py,
+        visvalingam_simplify,
+    )
+
+    lines = []
+    for lid in range(6):
+        lats = [float(((lid + 1) * i * 37) % 101) / 10.0 for i in range(25)]
+        lons = [float(((lid + 3) * i * 53 + i * i) % 97) / 10.0
+                for i in range(25)]
+        lines.append((lid, lats, lons))
+    df = spark.createDataFrame(
+        lines, "line_id long, lats array<double>, lons array<double>"
+    )
+    got = {r.line_id: r for r in
+           visvalingam_simplify(df, min_area2=500, scale=10.0).collect()}
+    import math
+
+    for lid, lats, lons in lines:
+        ix = [int(math.floor(v * 10.0 + 0.5)) for v in lats]
+        iy = [int(math.floor(v * 10.0 + 0.5)) for v in lons]
+        keep = visvalingam_py(ix, iy, 500)
+        r = got[lid]
+        assert list(r.qlats) == [ix[i] for i in keep]
+        assert list(r.qlons) == [iy[i] for i in keep]
+        assert (r.n_in, r.n_out) == (25, len(keep))
+        # endpoints always survive
+        assert r.qlats[0] == ix[0] and r.qlats[-1] == ix[-1]
+
+
+def test_visvalingam_threshold_monotone(spark):
+    from osm_pbf_spark.operators.simplify import visvalingam_simplify
+
+    lats = [0.0, 0.1, 0.0, 5.0, 0.0, 0.1, 0.0]
+    lons = [float(i) for i in range(7)]
+    df = spark.createDataFrame(
+        [(1, lats, lons)], "line_id long, lats array<double>, lons array<double>"
+    )
+    outs = {
+        t: visvalingam_simplify(df, min_area2=t, scale=10.0)
+        .collect()[0]
+        .n_out
+        for t in (1, 5, 1000, 10**9)
+    }
+    assert outs[1] >= outs[5] >= outs[1000] >= outs[10**9]
+    assert outs[10**9] == 2  # only endpoints at an absurd threshold
+    assert outs[1000] >= 3   # the big spike survives a moderate one
