@@ -5860,6 +5860,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_visvalingam"] = q_visvalingam
 
+    def q_stream_topk(spark, sf):  # streaming top-k: complete-mode
+        # windowed counts drained, then the top-2 event types per
+        # hour window (rank on the BATCH result of the drain — the
+        # batch-parity contract makes the composition oracle-exact)
+        from pyspark.sql import Window as W
+
+        from osm_pbf_spark.streaming import (
+            run_available_now,
+            stream_parquet,
+            windowed_counts,
+        )
+
+        sdf = stream_parquet(spark, f"{sf}/events.parquet")
+        counts = windowed_counts(sdf, "ts", ["event_type"], "1 hour")
+        batch = run_available_now(counts, output_mode="complete")
+        w = W.partitionBy("window_start").orderBy(
+            F.col("n").desc(), F.col("event_type").asc()
+        )
+        return batch.withColumn("rk", F.row_number().over(w)).where(
+            F.col("rk") <= 2
+        )
+
+    q["q_stream_topk"] = q_stream_topk
+
     return q
 
 
@@ -13492,6 +13516,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # verbatim KM replay: after-window risk set, micro-nat ln
         # quantization, cumulative sum, ppm-quantized exp
+        # batch replay of the drained complete-mode counts + rank
+        "q_stream_topk": """
+            WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts)
+                              AS window_start,
+                              time_bucket(INTERVAL '1 hour', ts)
+                                  + INTERVAL '1 hour' AS window_end,
+                              event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2, 3),
+            r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+                             ORDER BY n DESC, event_type ASC) AS rk
+                  FROM c)
+            SELECT window_start, window_end, event_type, n,
+                   CAST(rk AS INTEGER) AS rk
+            FROM r WHERE rk <= 2
+        """,
         # collapse + smoothed-mean replay (min_count 30, prior 20)
         "q_rare_collapse": """
             WITH s AS (SELECT CASE WHEN event_id % 2 = 0
