@@ -259,6 +259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q01_pricing"] = q01_pricing
 
     def q03_top_orders(spark, sf):  # R4 sort-merge join + R11 topk
+        from osm_pbf_spark.operators.temporal import _epoch_micros
+
         c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
         o = load(spark, sf, "orders")
         li = load(spark, sf, "lineitem")
@@ -273,6 +275,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
             .limit(10)
+            # gate projection: epoch-micros BIGINT, never a raw
+            # TIMESTAMP (driver datetime canonicalization is
+            # session-timezone-dependent — VERDICT r3 directive 3)
+            .select(
+                "o_orderkey",
+                _epoch_micros(F.col("o_orderdate")).alias("o_orderdate_us"),
+                "revenue",
+            )
         )
 
     q["q03_top_orders"] = q03_top_orders
@@ -406,9 +416,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_string_fns"] = q_string_fns
 
     def q_date_fns(spark, sf):  # R17
+        from osm_pbf_spark.operators.temporal import _epoch_micros
+
         return (
             load(spark, sf, "orders")
-            .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+            .groupBy(
+                _epoch_micros(F.date_trunc("month", "o_orderdate")).alias("month_us")
+            )
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
                 F.round(F.sum("o_totalprice"), 2).alias("total"),
@@ -796,15 +810,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("value").alias("r_value"),
             F.col("ts").alias("r_ts"),
         )
-        return asof_join(left, right, on="user_id", ts_col="ts")
+        # gate projection: epoch-micros BIGINT, never raw TIMESTAMP
+        # (driver datetime canonicalization is session-tz-dependent)
+        from osm_pbf_spark.operators.temporal import _epoch_micros
+
+        return asof_join(left, right, on="user_id", ts_col="ts").select(
+            "event_id",
+            "user_id",
+            _epoch_micros(F.col("ts")).alias("ts_us"),
+            "value",
+            "r_value",
+            _epoch_micros(F.col("r_ts")).alias("r_ts_us"),
+        )
 
     q["q_asof_join"] = q_asof_join
 
     def q_sessionize(spark, sf):  # 6-hour-gap sessions per user
-        from osm_pbf_spark.operators.temporal import sessionize
+        from osm_pbf_spark.operators.temporal import _epoch_micros, sessionize
 
         e = load(spark, sf, "events")
-        return sessionize(e.select("user_id", "ts"), gap_s=6 * 3600)
+        s = sessionize(e.select("user_id", "ts"), gap_s=6 * 3600)
+        return s.select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            _epoch_micros(F.col("start_ts")).alias("start_us"),
+            _epoch_micros(F.col("end_ts")).alias("end_us"),
+            "duration_s",
+        )
 
     q["q_sessionize"] = q_sessionize
 
@@ -1847,8 +1880,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_funnel(spark, sf):  # sequential-pattern funnel view->click->purchase
         from osm_pbf_spark.operators.temporal import funnel
 
+        from osm_pbf_spark.operators.temporal import _epoch_micros
+
         e = load(spark, sf, "events")
-        return funnel(e, ["view", "click", "purchase"])
+        f = funnel(e, ["view", "click", "purchase"])
+        return f.select(
+            "user_id",
+            _epoch_micros(F.col("ts_1")).alias("ts_1_us"),
+            _epoch_micros(F.col("ts_2")).alias("ts_2_us"),
+            _epoch_micros(F.col("ts_3")).alias("ts_3_us"),
+            "stage",
+        )
 
     q["q_funnel"] = q_funnel
 
@@ -2140,7 +2182,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_retention(spark, sf):  # weekly cohort retention triangle
         from osm_pbf_spark.operators.temporal import retention_cohorts
 
-        return retention_cohorts(load(spark, sf, "events"))
+        r = retention_cohorts(load(spark, sf, "events"))
+        # gate projection: DATE -> days-since-epoch INT (raw DATE
+        # canonicalization in the driver fetch is not pinned)
+        return r.select(
+            F.datediff(F.col("cohort_week"), F.lit("1970-01-01"))
+            .cast("int")
+            .alias("cohort_day"),
+            "week_n",
+            "n_users",
+        )
 
     q["q_retention"] = q_retention
 
@@ -2969,9 +3020,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_scd2(spark, sf):  # SCD2 dimension build from the event log
         from osm_pbf_spark.operators.temporal import scd2_build
 
+        from osm_pbf_spark.operators.temporal import _epoch_micros
+
         ev = load(spark, sf, "events").filter(F.col("user_id") < 200)
-        return scd2_build(
-            ev, "user_id", "ts", ["event_type"], id_col="event_id"
+        s = scd2_build(ev, "user_id", "ts", ["event_type"], id_col="event_id")
+        return s.select(
+            "user_id",
+            "event_type",
+            _epoch_micros(F.col("valid_from")).alias("valid_from_us"),
+            _epoch_micros(F.col("valid_to")).alias("valid_to_us"),
+            "is_current",
         )
 
     q["q_scd2"] = q_scd2
@@ -3379,7 +3437,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("event_id") % 160 - 80 + F.lit(0.5)).alias("lat"),
             ((F.col("event_id") * 7) % 350 - 175 + F.lit(0.25)).alias("lon"),
         )
-        return trajectory_kinematics(fixes, order_cols=("event_id",))
+        from osm_pbf_spark.operators.temporal import _epoch_micros
+
+        k = trajectory_kinematics(fixes, order_cols=("event_id",))
+        return k.select(
+            "track_id",
+            _epoch_micros(F.col("ts")).alias("ts_us"),
+            "dist_m",
+            "dt_us",
+            "speed_mps",
+            "bearing_deg",
+        )
 
     q["q_kinematics"] = q_kinematics
 
@@ -4003,9 +4071,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             windowed_counts,
         )
 
+        from osm_pbf_spark.operators.temporal import _epoch_micros
+
         sdf = stream_parquet(spark, f"{sf}/events.parquet")
-        return run_available_now(
+        out = run_available_now(
             windowed_counts(sdf, "ts", ["event_type"], "15 minutes", val_col="value")
+        )
+        return out.select(
+            _epoch_micros(F.col("window_start")).alias("window_start_us"),
+            _epoch_micros(F.col("window_end")).alias("window_end_us"),
+            "event_type",
+            "n",
+            "sum_q",
         )
 
     q["q_stream_window"] = q_stream_window
@@ -4035,8 +4112,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("bigint")
             .alias("cell_y"),
         )
-        return run_available_now(
+        from osm_pbf_spark.operators.temporal import _epoch_micros
+
+        out = run_available_now(
             windowed_counts(pts, "ts", ["cell_x", "cell_y"], "1 hour")
+        )
+        return out.select(
+            _epoch_micros(F.col("window_start")).alias("window_start_us"),
+            _epoch_micros(F.col("window_end")).alias("window_end_us"),
+            "cell_x",
+            "cell_y",
+            "n",
         )
 
     q["q_stream_tiles"] = q_stream_tiles
@@ -4392,7 +4478,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("event_id").alias("tb"),
             F.col("value").alias("val"),
         )
-        return ohlc_resample(ev, "6 hours", tiebreak_col="tb", scale=100)
+        from osm_pbf_spark.operators.temporal import _epoch_micros
+
+        o = ohlc_resample(ev, "6 hours", tiebreak_col="tb", scale=100)
+        return o.select(
+            "key",
+            _epoch_micros(F.col("bucket_start")).alias("bucket_start_us"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+            "sum_q",
+        )
 
     q["q_ohlc"] = q_ohlc
 
@@ -4607,9 +4705,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from osm_pbf_spark.streaming import run_available_now, stream_parquet
         from osm_pbf_spark.streaming import stream_sessionize
 
+        from osm_pbf_spark.operators.temporal import _epoch_micros
+
         sdf = stream_parquet(spark, f"{sf}/events.parquet")
-        return run_available_now(
+        out = run_available_now(
             stream_sessionize(sdf, "ts", ["user_id"], "6 hours")
+        )
+        return out.select(
+            _epoch_micros(F.col("session_start")).alias("session_start_us"),
+            _epoch_micros(F.col("session_end")).alias("session_end_us"),
+            "user_id",
+            "n_events",
         )
 
     q["q_stream_session"] = q_stream_session
@@ -5875,11 +5981,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sdf = stream_parquet(spark, f"{sf}/events.parquet")
         counts = windowed_counts(sdf, "ts", ["event_type"], "1 hour")
         batch = run_available_now(counts, output_mode="complete")
+        from osm_pbf_spark.operators.temporal import _epoch_micros
+
         w = W.partitionBy("window_start").orderBy(
             F.col("n").desc(), F.col("event_type").asc()
         )
-        return batch.withColumn("rk", F.row_number().over(w)).where(
-            F.col("rk") <= 2
+        return (
+            batch.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 2)
+            .select(
+                _epoch_micros(F.col("window_start")).alias("window_start_us"),
+                _epoch_micros(F.col("window_end")).alias("window_end_us"),
+                "event_type",
+                "n",
+                "rk",
+            )
         )
 
     q["q_stream_topk"] = q_stream_topk
@@ -9568,7 +9684,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
         "q03_top_orders": """
-            SELECT o_orderkey, o_orderdate,
+            SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM customer JOIN orders ON c_custkey = o_custkey
                           JOIN lineitem ON o_orderkey = l_orderkey
@@ -9647,7 +9763,9 @@ def oracle_sql() -> dict[str, str]:
             FROM part
         """,
         "q_date_fns": """
-            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS n_orders,
+            SELECT epoch_us(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP))
+                       AS month_us,
+                   count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS total
             FROM orders GROUP BY 1
         """,
@@ -9922,9 +10040,9 @@ def oracle_sql() -> dict[str, str]:
               FROM hav)
             SELECT line_id, COUNT(*) AS n_segs,
                    CAST(ROUND(SUM(len_mm) / 1000.0) AS BIGINT) AS len_m,
-                   SUM(cross2_u) AS cross2_u,
-                   SUM(mid_lat_u) AS mid_lat_u,
-                   SUM(mid_lon_u) AS mid_lon_u
+                   CAST(SUM(cross2_u) AS BIGINT) AS cross2_u,
+                   CAST(SUM(mid_lat_u) AS BIGINT) AS mid_lat_u,
+                   CAST(SUM(mid_lon_u) AS BIGINT) AS mid_lon_u
             FROM m GROUP BY line_id
         """,
         "q_simplify": _ora_simplify(),
@@ -9935,7 +10053,8 @@ def oracle_sql() -> dict[str, str]:
                        FROM events WHERE event_type = 'click'),
                  r AS (SELECT user_id, ts, value AS r_value, ts AS r_ts
                        FROM events WHERE event_type = 'purchase')
-            SELECT l.event_id, l.user_id, l.ts, l.value, r.r_value, r.r_ts
+            SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+                   r.r_value, epoch_us(r.r_ts) AS r_ts_us
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
@@ -9949,10 +10068,11 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
             s AS (
               SELECT user_id, ts,
-                     SUM(nw) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+                     CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts)
+                          AS BIGINT) AS session_seq
               FROM o)
             SELECT user_id, session_seq, COUNT(*) AS n_events,
-                   MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+                   epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
                    (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_s
             FROM s GROUP BY user_id, session_seq
         """,
@@ -10339,7 +10459,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_json_extract": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS k_sum,
                    min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
                    max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
             FROM events WHERE event_id < 3000 GROUP BY event_type
@@ -10945,10 +11066,10 @@ def oracle_sql() -> dict[str, str]:
                     lag(s_up, 1, 0) OVER (PARTITION BY key ORDER BY ord) AS pu,
                     lag(s_dn, 1, 0) OVER (PARTITION BY key ORDER BY ord) AS pd
                   FROM s)
-            SELECT key, ord, 'up' AS side, s_up AS stat
+            SELECT key, ord, 'up' AS side, CAST(s_up AS BIGINT) AS stat
             FROM f WHERE s_up > 60 AND pu <= 60
             UNION ALL
-            SELECT key, ord, 'down' AS side, s_dn AS stat
+            SELECT key, ord, 'down' AS side, CAST(s_dn AS BIGINT) AS stat
             FROM f WHERE s_dn > 60 AND pd <= 60
         """,
         # independent orientation: the oracle closes i<j<k ID-ordered
@@ -10976,7 +11097,8 @@ def oracle_sql() -> dict[str, str]:
                  p AS (SELECT e.user_id, min(e.ts) AS ts_3 FROM events e
                        JOIN c ON c.user_id = e.user_id AND e.ts >= c.ts_2
                        WHERE e.event_type = 'purchase' GROUP BY e.user_id)
-            SELECT v.user_id, v.ts_1, c.ts_2, p.ts_3,
+            SELECT v.user_id, epoch_us(v.ts_1) AS ts_1_us,
+                   epoch_us(c.ts_2) AS ts_2_us, epoch_us(p.ts_3) AS ts_3_us,
                    CAST(1 + (CASE WHEN c.ts_2 IS NOT NULL THEN 1 ELSE 0 END)
                           + (CASE WHEN p.ts_3 IS NOT NULL THEN 1 ELSE 0 END)
                         AS INTEGER) AS stage
@@ -11444,7 +11566,8 @@ def oracle_sql() -> dict[str, str]:
                         FROM events),
             fi AS (SELECT user_id, min(week) AS cohort_week
                    FROM wk GROUP BY user_id)
-            SELECT f.cohort_week,
+            SELECT CAST(datediff('day', DATE '1970-01-01', f.cohort_week)
+                        AS INT) AS cohort_day,
                    CAST(datediff('day', f.cohort_week, w.week) // 7 AS INT)
                        AS week_n,
                    count(DISTINCT w.user_id) AS n_users
@@ -12020,7 +12143,9 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts, event_id)
                              AS valid_to
                   FROM runs)
-            SELECT user_id, event_type, valid_from, valid_to,
+            SELECT user_id, event_type,
+                   epoch_us(valid_from) AS valid_from_us,
+                   epoch_us(valid_to) AS valid_to_us,
                    valid_to IS NULL AS is_current
             FROM o
         """,
@@ -12418,7 +12543,8 @@ def oracle_sql() -> dict[str, str]:
                           min(CASE WHEN cum * 20 >= 19 * n THEN v END) AS p95
                    FROM cum GROUP BY l_returnflag)
             SELECT li.l_returnflag, count(*) AS n,
-                   sum(least(greatest(li.v, qs.p05), qs.p95)) AS sum_w,
+                   CAST(sum(least(greatest(li.v, qs.p05), qs.p95))
+                        AS BIGINT) AS sum_w,
                    CAST(sum(least(greatest(li.v, qs.p05), qs.p95)) AS DOUBLE)
                        / CAST(count(*) AS DOUBLE) AS winsorized_mean
             FROM li JOIN qs ON qs.l_returnflag = li.l_returnflag
@@ -12451,7 +12577,7 @@ def oracle_sql() -> dict[str, str]:
                            sum(dd) OVER (PARTITION BY key ORDER BY t, dd
                                          ROWS UNBOUNDED PRECEDING) AS r
                     FROM d)
-            SELECT key, r AS max_concurrent, t AS peak_us FROM (
+            SELECT key, CAST(r AS BIGINT) AS max_concurrent, t AS peak_us FROM (
               SELECT key, r, t, row_number() OVER (
                   PARTITION BY key ORDER BY r DESC, t ASC) AS rn
               FROM run)
@@ -12653,7 +12779,8 @@ def oracle_sql() -> dict[str, str]:
                     CROSS JOIN lbl l
                     LEFT JOIN sums su
                       ON su.doc_id = d.doc_id AND su.lang = l.lang)
-            SELECT doc_id, lang AS pred_label, score_q, n_toks
+            SELECT doc_id, lang AS pred_label,
+                   CAST(score_q AS BIGINT) AS score_q, n_toks
             FROM (SELECT tot.*, row_number() OVER (
                       PARTITION BY doc_id
                       ORDER BY score_q DESC, lang ASC) AS rn
@@ -12759,7 +12886,7 @@ def oracle_sql() -> dict[str, str]:
                         * COS(lat * 0.017453292519943295) * COS(dlon))
                   * 57.29577951308232 AS brg
               FROM h)
-            SELECT track_id, ts, dist_m, dt_us,
+            SELECT track_id, epoch_us(ts) AS ts_us, dist_m, dt_us,
                    CASE WHEN dt_us > 0 THEN CAST(dist_m AS DOUBLE)
                         * 1000000.0 / CAST(dt_us AS DOUBLE) END AS speed_mps,
                    CASE WHEN dist_m > 0 THEN
@@ -12790,7 +12917,7 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY z.zone_id)
             SELECT z.zone_id,
                    coalesce(h.n_pts, 0) AS n_pts,
-                   coalesce(h.sum_v, 0) AS sum_v,
+                   CAST(coalesce(h.sum_v, 0) AS BIGINT) AS sum_v,
                    h.min_v, h.max_v,
                    CAST(h.sum_v AS DOUBLE) / CAST(h.n_pts AS DOUBLE) AS mean_v
             FROM zones z LEFT JOIN hit h ON h.zone_id = z.zone_id
@@ -12804,7 +12931,7 @@ def oracle_sql() -> dict[str, str]:
             offs(dq, dr) AS (VALUES (0, 0), (1, 0), (1, -1), (0, -1),
                                     (-1, 0), (-1, 1), (0, 1))
             SELECT cnt.hq + offs.dq AS hq, cnt.hr + offs.dr AS hr,
-                   sum(cnt.n) AS n_ring
+                   CAST(sum(cnt.n) AS BIGINT) AS n_ring
             FROM cnt, offs
             GROUP BY 1, 2
         """,
@@ -12827,7 +12954,8 @@ def oracle_sql() -> dict[str, str]:
               FROM g c JOIN offs o ON TRUE
               JOIN g n ON n.x = c.x + o.dx AND n.y = c.y + o.dy
               GROUP BY c.x, c.y HAVING count(*) = 8)
-            SELECT g.x, g.y, g.z, gr.gx, gr.gy,
+            SELECT g.x, g.y, g.z,
+                   CAST(gr.gx AS BIGINT) AS gx, CAST(gr.gy AS BIGINT) AS gy,
                    CAST(floor(sqrt(CAST(gr.gx * gr.gx + gr.gy * gr.gy
                                         AS DOUBLE)) + 0.5) AS BIGINT)
                        AS slope_q,
@@ -12948,18 +13076,20 @@ def oracle_sql() -> dict[str, str]:
         # streaming complete-mode window agg == plain batch GROUP BY
         # over epoch-aligned buckets (the batch-parity contract)
         "q_stream_window": """
-            SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
-                   time_bucket(INTERVAL '15 minutes', ts)
-                       + INTERVAL '15 minutes' AS window_end,
+            SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts))
+                       AS window_start_us,
+                   epoch_us(time_bucket(INTERVAL '15 minutes', ts)
+                       + INTERVAL '15 minutes') AS window_end_us,
                    event_type, count(*) AS n,
                    CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE) + 0.5)
                                  AS BIGINT)) AS BIGINT) AS sum_q
             FROM events GROUP BY 1, 2, 3
         """,
         "q_stream_tiles": """
-            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-                   time_bucket(INTERVAL '1 hour', ts)
-                       + INTERVAL '1 hour' AS window_end,
+            SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts))
+                       AS window_start_us,
+                   epoch_us(time_bucket(INTERVAL '1 hour', ts)
+                       + INTERVAL '1 hour') AS window_end_us,
                    CAST(floor(CAST((event_id * 73) % 3600 AS DOUBLE)
                               / CAST(10 AS DOUBLE)
                               - CAST(180 AS DOUBLE)) AS BIGINT) AS cell_x,
@@ -13379,7 +13509,7 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY ts DESC,
                                                      event_id DESC) AS rnd
                   FROM s)
-            SELECT key, b AS bucket_start,
+            SELECT key, epoch_us(b) AS bucket_start_us,
                    CAST(max(CASE WHEN rna = 1 THEN q END) AS BIGINT) AS open,
                    max(q) AS high, min(q) AS low,
                    CAST(max(CASE WHEN rnd = 1 THEN q END) AS BIGINT) AS close,
@@ -13527,7 +13657,8 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT *, row_number() OVER (PARTITION BY window_start
                              ORDER BY n DESC, event_type ASC) AS rk
                   FROM c)
-            SELECT window_start, window_end, event_type, n,
+            SELECT epoch_us(window_start) AS window_start_us,
+                   epoch_us(window_end) AS window_end_us, event_type, n,
                    CAST(rk AS INTEGER) AS rk
             FROM r WHERE rk <= 2
         """,
@@ -14022,8 +14153,8 @@ def oracle_sql() -> dict[str, str]:
                          SUM(nw) OVER (PARTITION BY user_id
                                        ORDER BY ts) AS g
                   FROM o)
-            SELECT MIN(ts) AS session_start,
-                   MAX(ts) + INTERVAL 6 HOUR AS session_end,
+            SELECT epoch_us(MIN(ts)) AS session_start_us,
+                   epoch_us(MAX(ts) + INTERVAL 6 HOUR) AS session_end_us,
                    user_id, COUNT(*) AS n_events
             FROM s GROUP BY user_id, g
         """,
