@@ -1877,6 +1877,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sink_evolve"] = q_sink_evolve
 
+    def q_bucketed_join(spark, sf):  # S10 bucketed write/read gate:
+        # both sides bucketed on the join key by the same bucket count
+        # co-locate, so the repeated large-large join plans with ZERO
+        # Exchange — at 100 TB that is the difference between
+        # re-shuffling both sides per query and none. The zero-Exchange
+        # property is ENFORCED here (a silent regression to a shuffling
+        # plan fails the gate loudly, not just the pytest plan pin).
+        import shutil
+
+        root = "/tmp/osm_pbf_spark_q_bucketed"
+        shutil.rmtree(root, ignore_errors=True)
+        c = load(spark, sf, "customer").select(
+            "c_custkey", "c_mktsegment", "c_nationkey"
+        )
+        o = load(spark, sf, "orders").select(
+            "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        for name, df, key in (
+            ("q4bk_cust", c, "c_custkey"),
+            ("q4bk_ord", o, "o_custkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{root}/{name}")
+                .saveAsTable(name)
+            )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("q4bk_cust").join(
+                spark.table("q4bk_ord"),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            if "Exchange" in plan.split("== Initial Plan ==")[0]:
+                raise AssertionError(
+                    "bucketed join regressed to a shuffling plan:\n" + plan
+                )
+            return j.groupBy("c_mktsegment", "o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+                F.countDistinct("c_custkey").alias("n_custs"),
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    q["q_bucketed_join"] = q_bucketed_join
+
     def q_funnel(spark, sf):  # sequential-pattern funnel view->click->purchase
         from osm_pbf_spark.operators.temporal import funnel
 
@@ -11215,6 +11265,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n, count(src_len) AS n_evolved,
                    CAST(sum(src_len) AS BIGINT) AS src_len_sum
             FROM t GROUP BY lang
+        """,
+        # plain join SQL — bucketing must be invisible to the result
+        "q_bucketed_join": """
+            SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total,
+                   count(DISTINCT c_custkey) AS n_custs
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, o_orderstatus
         """,
         "q_quadkey_pyramid": f"""
             WITH pts AS ({SQL_POINTS}),

@@ -259,7 +259,12 @@ def cluster_pair_metrics(
     pd_ = F.col("pred_pairs").cast("double")
     td = F.col("true_pairs").cast("double")
     cn = F.expr("(n * (n - 1)) DIV 2").cast("double")
-    expect = pd_ * td / cn
+    # n <= 1: C(n,2)=0 — the 0/0 division must not run at all (ANSI
+    # raises DIVIDE_BY_ZERO; a bare NaN would leak through != 0.0
+    # since Spark evaluates NaN != 0.0 as TRUE). The cn > 0 branch
+    # makes expect/ari_den NULL there, and NULL-guarded ARI follows
+    # the NULL-on-degenerate convention used everywhere else.
+    expect = F.when(cn > 0, pd_ * td / cn)
     ari_den = (pd_ + td) / F.lit(2.0) - expect
     return j.select(
         "n",
@@ -274,5 +279,8 @@ def cluster_pair_metrics(
             F.col("pred_pairs") + F.col("true_pairs") > 0,
             (F.lit(2.0) * bd) / (pd_ + td),
         ).alias("f1"),
-        F.when(ari_den != 0.0, (bd - expect) / ari_den).alias("ari"),
+        F.when(
+            ari_den.isNotNull() & (ari_den != 0.0),
+            (bd - expect) / ari_den,
+        ).alias("ari"),
     )

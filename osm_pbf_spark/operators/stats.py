@@ -2290,6 +2290,10 @@ def bootstrap_ci(
         spark.range(n_replicas)
         .select(F.col("id").alias("_b"))
         .crossJoin(F.broadcast(tot))
+        # empty input: sequence(0, -1) DESCENDS to [0, -1] and
+        # pmod(h, 0) errors/nulls — short-circuit to a clean empty
+        # result instead (ADVICE r3)
+        .where(F.col("_n") >= 1)
         .select(
             "_b",
             "_n",

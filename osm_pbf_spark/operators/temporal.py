@@ -1348,7 +1348,11 @@ def frequent_sequences(
 
     Ordering must be total per key (order_col unique per key); items
     join with ``sep`` into the portable episode string. Exact counts,
-    no floats anywhere.
+    no floats anywhere. A NULL item anywhere in a window drops that
+    window entirely (every slot must be present — otherwise concat_ws
+    would silently shorten a k-episode to k−1 items and miscount);
+    items containing ``sep`` raise, since the episode string would be
+    ambiguous (pass a sep the item alphabet cannot contain).
 
     Plan: one per-key window with k−1 lead() columns (ONE shuffle +
     sort), then a map-side-combinable episode aggregate. Returns
@@ -1356,13 +1360,33 @@ def frequent_sequences(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    # sep collision guard: an item containing sep would make two
+    # different episodes concat to the same string (ADVICE r3)
+    item_s = F.col(item_col).cast("string")
+    df = df.where(
+        F.when(
+            item_s.isNull() | ~item_s.contains(sep), F.lit(True)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"frequent_sequences: item contains sep {sep!r}: "),
+                    item_s,
+                )
+            )
+        )
+    )
     w = Window.partitionBy(key_col).orderBy(order_col)
     cols = [F.col(item_col).cast("string")] + [
         F.lead(F.col(item_col).cast("string"), i).over(w)
         for i in range(1, k)
     ]
     ep = F.concat_ws(sep, *cols)
-    full = cols[k - 1].isNotNull()  # window complete
+    # EVERY slot must be non-null, not just the last lead: a NULL item
+    # mid-window is dropped by concat_ws, which would count a
+    # shortened (k-1)-episode as a valid k-episode (ADVICE r3)
+    full = cols[0].isNotNull()
+    for c in cols[1:]:
+        full = full & c.isNotNull()
     rows = df.select(ep.alias("episode"), full.alias("_ok")).where("_ok")
     out = rows.groupBy("episode").agg(F.count(F.lit(1)).alias("support"))
     return out.where(F.col("support") >= min_support)

@@ -221,9 +221,18 @@ def encode_header_block(
     return out
 
 
-def frame_blob(blob_type: str, payload: bytes, compress: bool = True) -> bytes:
-    """[len BE][BlobHeader{type, datasize}][Blob{raw|zlib_data, raw_size}]."""
-    if compress:
+def frame_blob(blob_type: str, payload: bytes, compress: bool | str = True) -> bytes:
+    """[len BE][BlobHeader{type, datasize}][Blob{raw|zlib|lzma, raw_size}].
+
+    ``compress`` is True/"zlib" (the common case), False/"raw", or
+    "lzma" (Blob field 4 — spec-optional, exercised by the lzma
+    roundtrip fixture).
+    """
+    if compress == "lzma":
+        import lzma
+
+        blob = field_varint(2, len(payload)) + field_bytes(4, lzma.compress(payload))
+    elif compress and compress != "raw":
         blob = field_varint(2, len(payload)) + field_bytes(3, zlib.compress(payload))
     else:
         blob = field_bytes(1, payload) + field_varint(2, len(payload))
@@ -232,7 +241,7 @@ def frame_blob(blob_type: str, payload: bytes, compress: bool = True) -> bytes:
 
 
 def write_pbf(path: str, data_blocks: list[bytes], header_block: bytes | None = None,
-              compress: bool = True) -> None:
+              compress: bool | str = True) -> None:
     with open(path, "wb") as f:
         f.write(frame_blob("OSMHeader", header_block if header_block is not None
                            else encode_header_block(), compress=compress))

@@ -81,8 +81,12 @@ def read_blob_payload(path_or_file, ref_offset: int, ref_size: int) -> bytes:
         raw = bytes(bf[1][0])
         if 2 in bf and len(raw) != int(bf[2][0]):
             raise ValueError("raw length != raw_size")
-    elif 4 in bf:
-        raise ValueError("lzma_data blobs not supported")
+    elif 4 in bf:  # lzma_data (spec-optional, rare; stdlib decode)
+        import lzma
+
+        raw = lzma.decompress(bytes(bf[4][0]))
+        if 2 in bf and len(raw) != int(bf[2][0]):
+            raise ValueError("inflated size != raw_size")
     else:
         raise ValueError("Blob has no payload field")
     if len(raw) > MAX_BLOB_SIZE:

@@ -10,7 +10,9 @@ osmium apply-changes:
 - per entity id, the change with the HIGHEST version wins; on a
   version tie, delete > modify > create (deterministic — replication
   streams can carry a modify and delete of the same version when
-  squashed);
+  squashed); a still-tied pair (same id/version/action, different
+  payloads) resolves by payload hash — deterministic under any
+  partitioning, never a row_number coin flip;
 - a winning delete removes the entity; a winning create/modify
   replaces it (or inserts it if new);
 - untouched entities pass through unchanged.
@@ -45,6 +47,11 @@ def apply_diff(
     ``version_col`` and ``action_col`` ∈ {create, modify, delete}
     (enforced by a raise_error guard). Returns the updated entity
     table with the entities' columns.
+
+    ``id_col`` identifies ONE entity id space: OSM node/way/relation
+    ids overlap, so apply node, way and relation change sets in
+    separate calls (or pre-compose a (kind, id) key into ``id_col``) —
+    a mixed-kind frame under a bare numeric id would conflate them.
     """
     ecols = entities.columns
     missing = [c for c in ecols + [version_col, action_col]
@@ -66,8 +73,20 @@ def apply_diff(
         .when(act == "modify", F.lit(1))
         .otherwise(F.lit(0))
     )
+    # final tiebreak: same id/version/action but different payloads
+    # (a malformed-but-seen-in-the-wild squash) must pick ONE winner
+    # deterministically — hash of every non-key column, not whichever
+    # row row_number met first in this run's partitioning
+    payload_hash = F.xxhash64(
+        F.to_json(
+            F.struct(
+                *[F.col(c) for c in changes.columns
+                  if c not in (id_col, version_col)]
+            )
+        )
+    )
     w = Window.partitionBy(id_col).orderBy(
-        F.col(version_col).desc(), rank.desc()
+        F.col(version_col).desc(), rank.desc(), payload_hash.asc()
     )
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))

@@ -1300,7 +1300,32 @@ class IcebergLikeSink:
         known = set(target.get("splits", [])) | set(
             target.get("replaced_splits", [])
         )
-        attic = os.path.join(self.root, "_rollback", uuid.uuid4().hex)
+        # roll-FORWARD support: a prior rollback may have atticed
+        # manifests this target still needs — restore them first, and
+        # refuse to commit a partial state if any are unrecoverable
+        # (the docstring's 'live split set equals the target's exactly'
+        # must hold, never silently lose splits).
+        rollback_root = os.path.join(self.root, "_rollback")
+        restored = []
+        for sid in sorted(known):
+            if os.path.exists(self._manifest_path(sid)):
+                continue
+            found = None
+            if os.path.isdir(rollback_root):
+                for sub in sorted(os.listdir(rollback_root)):
+                    cand = os.path.join(rollback_root, sub, f"split-{sid}.json")
+                    if os.path.exists(cand):
+                        found = cand
+                        break
+            if found is None:
+                raise KeyError(
+                    f"rollback_to: split {sid!r} of target snapshot "
+                    f"{target['snapshot_id']!r} has no manifest on disk or "
+                    "in the _rollback attic — refusing a partial rollback"
+                )
+            os.replace(found, self._manifest_path(sid))
+            restored.append(sid)
+        attic = os.path.join(rollback_root, uuid.uuid4().hex)
         moved = []
         for sid in sorted(self.completed_splits()):
             if sid not in known:
@@ -1314,6 +1339,7 @@ class IcebergLikeSink:
             properties={
                 "rollback_of": target["snapshot_id"],
                 "atticed_splits": moved,
+                "restored_splits": restored,
             }
         )
 

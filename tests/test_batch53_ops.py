@@ -443,3 +443,53 @@ def test_visvalingam_threshold_monotone(spark):
     assert outs[1] >= outs[5] >= outs[1000] >= outs[10**9]
     assert outs[10**9] == 2  # only endpoints at an absurd threshold
     assert outs[1000] >= 3   # the big spike survives a moderate one
+
+
+def test_frequent_sequences_null_mid_window_drops(spark):
+    """ADVICE r3: a NULL item anywhere in a window drops that window —
+    a shortened (k-1)-episode must never be counted as a k-episode."""
+    from osm_pbf_spark.operators.temporal import frequent_sequences
+
+    rows = [(1, 0, "a"), (1, 1, None), (1, 2, "c"), (1, 3, "d"), (1, 4, "e")]
+    df = spark.createDataFrame(rows, "key long, seq long, item string")
+    got = {
+        r.episode: r.support
+        for r in frequent_sequences(df, "key", "seq", "item", k=3,
+                                    min_support=1).collect()
+    }
+    # windows (a,NULL,c) and (NULL,c,d) are dropped; only (c,d,e) is full
+    assert got == {"c>d>e": 1}
+    assert "a>c" not in got and "c>d" not in got
+
+
+def test_frequent_sequences_sep_collision_raises(spark):
+    from osm_pbf_spark.operators.temporal import frequent_sequences
+
+    rows = [(1, 0, "a>b"), (1, 1, "c"), (1, 2, "d")]
+    df = spark.createDataFrame(rows, "key long, seq long, item string")
+    with pytest.raises(Exception, match="contains sep"):
+        frequent_sequences(df, "key", "seq", "item", k=2,
+                           min_support=1).collect()
+
+
+def test_bootstrap_empty_input_is_clean_empty(spark):
+    """ADVICE r3: zero input rows must short-circuit (sequence(0,-1)
+    descends and pmod(h,0) errors without the guard)."""
+    from osm_pbf_spark.operators.stats import bootstrap_ci
+
+    df = spark.createDataFrame([], "v long")
+    assert bootstrap_ci(df, "v", n_replicas=8).count() == 0
+
+
+def test_cluster_pair_metrics_n1_ari_is_null(spark):
+    """ADVICE r3: n <= 1 made expect = 0/0 = NaN and NaN != 0.0 is
+    TRUE in Spark — the ARI must come back NULL, not NaN."""
+    import math
+
+    from osm_pbf_spark.operators.clustering import cluster_pair_metrics
+
+    df = spark.createDataFrame([(1, "a", "x")], "id long, pred string, truth string")
+    r = cluster_pair_metrics(df, "pred", "truth").collect()[0]
+    assert r.n == 1
+    assert r.ari is None or not math.isnan(r.ari)
+    assert r.ari is None

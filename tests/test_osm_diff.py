@@ -70,3 +70,18 @@ def test_apply_diff_missing_columns_raise(spark):
     c = spark.createDataFrame([(1, 2, "modify")], "id long, version long, action string")
     with pytest.raises(ValueError, match="missing columns"):
         apply_diff(e, c)
+
+
+def test_apply_diff_payload_tie_is_deterministic(spark):
+    """ADVICE r3: same id/version/action with DIFFERENT payloads must
+    pick one winner by payload hash — identical across runs and across
+    input orderings, never a partitioning coin flip."""
+    ents = [(1, 1.0, 1.0)]
+    ch_a = [
+        (1, 5.0, 5.0, 2, "modify"),
+        (1, 6.0, 6.0, 2, "modify"),
+    ]
+    got1 = _apply(spark, ents, ch_a)
+    got2 = _apply(spark, ents, list(reversed(ch_a)))  # input order flipped
+    assert got1 == got2
+    assert got1[1] in ((5.0, 5.0), (6.0, 6.0))

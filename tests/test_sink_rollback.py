@@ -103,3 +103,47 @@ def test_rollback_across_compaction(spark, tmp_path):
     assert _rows(sink.read(spark)) == want
     # the original (pre-compaction) splits are live again
     assert set(rb["splits"]) == {f"{i:02d}" for i in range(3)}
+
+
+def test_roll_forward_restores_atticed_manifests(spark, tmp_path):
+    """ADVICE r3: rollback to s1, then rollback_to a LATER retained
+    snapshot (roll-forward) — the second rollback must restore the
+    atticed split manifests so the live set equals the target exactly,
+    never silently commit a partial state."""
+    sink = IcebergLikeSink(str(tmp_path / "t"), stats_col="cell")
+    sink.write_split(_docs(spark, 0, 50), "base")
+    s1 = sink.commit_snapshot()
+    sink.write_split(_docs(spark, 50, 90), "later")
+    s2 = sink.commit_snapshot()
+    want_s2 = _rows(sink.read(spark))
+
+    sink.rollback_to(s1["snapshot_id"])
+    assert len(_rows(sink.read(spark))) == 50
+
+    rf = sink.rollback_to(s2["snapshot_id"])  # roll FORWARD
+    assert "later" in rf["splits"]
+    assert "later" in rf["properties"]["restored_splits"]
+    assert _rows(sink.read(spark)) == want_s2
+
+    # and back again: ping-pong keeps both states exact
+    sink.rollback_to(s1["snapshot_id"])
+    assert len(_rows(sink.read(spark))) == 50
+
+
+def test_roll_forward_with_missing_manifest_raises(spark, tmp_path):
+    """If a needed manifest is gone from BOTH the live set and the
+    attic, rollback_to must refuse loudly (KeyError), not commit a
+    snapshot missing splits."""
+    sink = IcebergLikeSink(str(tmp_path / "t"), stats_col="cell")
+    sink.write_split(_docs(spark, 0, 50), "base")
+    s1 = sink.commit_snapshot()
+    sink.write_split(_docs(spark, 50, 90), "later")
+    s2 = sink.commit_snapshot()
+    sink.rollback_to(s1["snapshot_id"])
+    # destroy the atticed manifest out-of-band
+    for root, _, fs in os.walk(str(tmp_path / "t" / "_rollback")):
+        for f in fs:
+            if f == "split-later.json":
+                os.remove(os.path.join(root, f))
+    with pytest.raises(KeyError, match="no manifest"):
+        sink.rollback_to(s2["snapshot_id"])
