@@ -647,19 +647,23 @@ def assemble_way_geometries(ways_df: DataFrame, nodes_df: DataFrame) -> DataFram
         F.col("id").alias("way_id"),
         F.posexplode("refs").alias("pos", "ref"),
     ).select(wp.alias("_wp"), "ref")
+    # r4: the packed _wp rides THROUGH the join and the way_id
+    # exchange (way_id/pos recovered only where consumed: the
+    # partitioning expression pre-exchange, the sort key post) — the
+    # regroup exchange carries (_wp, lat, lon) = 4 UnsafeRow words
+    # instead of the unpacked 5, a measured -20% raw shuffle bytes on
+    # the 10M-vertex probe (BENCH/assembly_shuffle_r4.json). Since
+    # _wp = way_id << 24 | pos, sorting collected (_wp, lat, lon)
+    # structs orders by pos within a way exactly like sorting on pos.
+    way_of = F.shiftrightunsigned("_wp", 24)
     joined = exploded.join(
         nodes_df.select(F.col("id").alias("ref"), "lat", "lon").hint("shuffle_hash"),
         on="ref", how="inner",
-    ).select(
-        F.shiftrightunsigned("_wp", 24).alias("way_id"),
-        F.col("_wp").bitwiseAND(F.lit((1 << 24) - 1)).cast("int").alias("pos"),
-        "lat",
-        "lon",
-    )
+    ).select("_wp", "lat", "lon")
     geom = (
-        joined.repartition(F.col("way_id"))
-        .groupBy("way_id")
-        .agg(F.sort_array(F.collect_list(F.struct("pos", "lat", "lon"))).alias("_p"))
+        joined.repartition(way_of)
+        .groupBy(way_of.alias("way_id"))
+        .agg(F.sort_array(F.collect_list(F.struct("_wp", "lat", "lon"))).alias("_p"))
     )
     return geom.select(
         "way_id",

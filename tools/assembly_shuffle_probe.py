@@ -65,6 +65,42 @@ def assemble_old(ways_df, nodes_df):
     )
 
 
+def assemble_repart_unpacked(ways_df, nodes_df):
+    """The round-3 engine plan (pre-r4): repartition-on-way_id before
+    the aggregate, but the regroup exchange carries UNPACKED
+    (way_id, pos, lat, lon) rows — 5 UnsafeRow words vs the r4
+    engine's 4 (way_id/pos packed back into _wp through the
+    exchange)."""
+    wp = F.shiftleft(F.col("way_id"), 24).bitwiseOR(F.col("pos").cast("long"))
+    exploded = ways_df.select(
+        F.col("id").alias("way_id"), F.posexplode("refs").alias("pos", "ref")
+    ).select(wp.alias("_wp"), "ref")
+    joined = exploded.join(
+        nodes_df.select(F.col("id").alias("ref"), "lat", "lon").hint("shuffle_hash"),
+        on="ref", how="inner",
+    ).select(
+        F.shiftrightunsigned("_wp", 24).alias("way_id"),
+        F.col("_wp").bitwiseAND(F.lit((1 << 24) - 1)).cast("int").alias("pos"),
+        "lat",
+        "lon",
+    )
+    geom = (
+        joined.repartition(F.col("way_id"))
+        .groupBy("way_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "lat", "lon"))).alias("_p"))
+    )
+    return geom.select(
+        "way_id",
+        F.transform(
+            "_p", lambda p: F.struct(p["lat"].alias("lat"), p["lon"].alias("lon"))
+        ).alias("points"),
+        (
+            (F.element_at("_p", 1)["lat"] == F.element_at("_p", -1)["lat"])
+            & (F.element_at("_p", 1)["lon"] == F.element_at("_p", -1)["lon"])
+        ).alias("is_closed"),
+    )
+
+
 def stage_metrics(ui: str) -> dict[int, tuple[int, int]]:
     apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
     app_id = apps[0]["id"]
@@ -94,7 +130,11 @@ def main() -> None:
     )
 
     out = {}
-    variants = [("engine_repart_first", src.assemble_way_geometries), ("direct_groupby", assemble_old)]
+    variants = [
+        ("engine_wp_carry", src.assemble_way_geometries),
+        ("repart_unpacked", assemble_repart_unpacked),
+        ("direct_groupby", assemble_old),
+    ]
     # interleave 2 reps per variant, keep the best (VM steal + cold file
     # cache would otherwise bias whichever runs first)
     for rep in range(2):
