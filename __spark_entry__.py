@@ -6050,6 +6050,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_stream_topk"] = q_stream_topk
 
+    # ---- batch r4-1 ----
+
+    def q_hillshade(spark, sf):  # analytical hillshade: slope_aspect's
+        # exact Horn gradients -> one fixed IEEE shade chain (repr-
+        # literal light constants replayed via strtod in the oracle)
+        from osm_pbf_spark.operators.tiling import hillshade
+
+        k = F.col("o_orderkey")
+        grid = load(spark, sf, "orders").filter(k < 1024).select(
+            (k % 32).alias("x"),
+            ((k - k % 32) / 32 % 32).cast("bigint").alias("y"),
+            ((k * 7919) % 1000).alias("z"),
+        )
+        return hillshade(grid)
+
+    q["q_hillshade"] = q_hillshade
+
+    def q_focal_majority(spark, sf):  # 3x3 categorical mode filter:
+        # scatter + (x,y,class) agg + min-struct argmax, count==9 guard
+        from osm_pbf_spark.operators.tiling import focal_majority
+
+        k = F.col("o_orderkey")
+        grid = load(spark, sf, "orders").filter(k < 1024).select(
+            (k % 32).alias("x"),
+            ((k - k % 32) / 32 % 32).cast("bigint").alias("y"),
+            ((k * 13) % 5).alias("v"),
+        )
+        return focal_majority(grid)
+
+    q["q_focal_majority"] = q_focal_majority
+
+    def q_interval_coverage(spark, sf):  # union-of-intervals sweep:
+        # strict-gap component flag + per-component collapse, all int64
+        from osm_pbf_spark.operators.temporal import (
+            _epoch_micros,
+            interval_coverage,
+        )
+
+        iv = load(spark, sf, "events").select(
+            (F.col("user_id") % 10).alias("key"),
+            _epoch_micros(F.col("ts")).alias("s"),
+            (
+                _epoch_micros(F.col("ts"))
+                + (F.col("event_id") % 5 + 1) * F.lit(3_600_000_000)
+            ).alias("e"),
+        )
+        return interval_coverage(iv, "key", "s", "e")
+
+    q["q_interval_coverage"] = q_interval_coverage
+
+    def q_nearest_event(spark, sf):  # abs-nearest temporal join: one
+        # key shuffle, two stacked windows (backward + forward carry),
+        # tie -> earlier; oracle = brute |l|x|r|-per-key + row_number
+        from osm_pbf_spark.operators.temporal import (
+            _epoch_micros,
+            nearest_event_join,
+        )
+
+        e = load(spark, sf, "events")
+        left = e.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        right = (
+            e.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("rv"))
+        )
+        out = nearest_event_join(left, right, on="user_id")
+        return out.select(
+            "event_id",
+            "user_id",
+            _epoch_micros(F.col("ts")).alias("ts_us"),
+            "value",
+            "rv_r",
+            "nearest_ts_us_r",
+        )
+
+    q["q_nearest_event"] = q_nearest_event
+
+    def q_mcnemar(spark, sf):  # paired-classifier discordance test:
+        # 4-cell hash agg, exact ints, one division
+        from osm_pbf_spark.operators.stats import mcnemar_test
+
+        d = load(spark, sf, "events").select(
+            F.when(F.col("event_id") % 3 == 0, 1).otherwise(0).alias("a"),
+            F.when((F.col("event_id") * 7 + 1) % 5 < 2, 1).otherwise(0).alias("b"),
+        )
+        return mcnemar_test(d, "a", "b")
+
+    q["q_mcnemar"] = q_mcnemar
+
+    def q_trend(spark, sf):  # Cochran-Armitage dose-response trend:
+        # exact int T and V*, one pinned 3-sqrt chain for z
+        from osm_pbf_spark.operators.stats import cochran_armitage
+
+        d = load(spark, sf, "events").select(
+            (F.col("user_id") % 5).alias("w"),
+            F.when(F.col("event_id") % 4 == 0, 1).otherwise(0).alias("d"),
+        )
+        return cochran_armitage(d, "w", "d")
+
+    q["q_trend"] = q_trend
+
+    def q_matching(spark, sf):  # deterministic greedy maximal matching
+        # (locally-minimal md5-priority rounds == sequential greedy);
+        # oracle = pure-Python greedy replay over the same edges
+        from osm_pbf_spark.operators.graph import maximal_matching
+
+        k = F.col("event_id")
+        edges = load(spark, sf, "events").filter(k < 2000).select(
+            ((k * 7) % 200).alias("src"), ((k * 13 + 3) % 200).alias("dst")
+        )
+        return maximal_matching(edges).select("u", "v")
+
+    q["q_matching"] = q_matching
+
+    def q_sph_area(spark, sf):  # geodesic ring area: spherical
+        # shoelace, per-segment 1e-12 rad^2 quantized terms, exact sum
+        from osm_pbf_spark.operators.measures import spherical_ring_area
+
+        nk = F.col("n_nationkey")
+        base = load(spark, sf, "nation").select(
+            nk.alias("line_id"),
+            ((nk * 7) % 120 - 60).cast("double").alias("la"),
+            ((nk * 11) % 300 - 150).cast("double").alias("lo"),
+        )
+        la, lo = F.col("la"), F.col("lo")
+        corners = F.array(
+            F.struct(la.alias("a"), lo.alias("b")),
+            F.struct(la.alias("a"), (lo + 2.0).alias("b")),
+            F.struct((la + 1.0).alias("a"), (lo + 2.0).alias("b")),
+            F.struct((la + 1.0).alias("a"), lo.alias("b")),
+        )
+        segs = base.select(
+            "line_id", F.posexplode(corners).alias("i", "c0"), corners.alias("_cs")
+        ).select(
+            "line_id",
+            F.col("c0.a").alias("lat0"),
+            F.col("c0.b").alias("lon0"),
+            F.element_at("_cs", (F.col("i") + 1) % 4 + 1)["a"].alias("lat1"),
+            F.element_at("_cs", (F.col("i") + 1) % 4 + 1)["b"].alias("lon1"),
+        )
+        return spherical_ring_area(segs)
+
+    q["q_sph_area"] = q_sph_area
+
     return q
 
 
@@ -9717,6 +9863,37 @@ def _ora_hull_diameter() -> str:
                r.x1, r.y1, r.x2, r.y2
         FROM n LEFT JOIN r ON r.group_id = n.group_id AND r.rn = 1
     """
+
+
+def _ora_matching() -> str:
+    """Pure-Python sequential-greedy replay of the maximal-matching
+    spec (graph.maximal_matching docstring: the locally-minimal-rounds
+    fixpoint EQUALS greedy by the (md5_40(u:v), u, v) total order —
+    the oracle runs the greedy directly, independent plumbing)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"), columns=["event_id"]
+    )
+    edges = set()
+    for eid in t.column("event_id").to_pylist():
+        k = int(eid)
+        if k < 2000:
+            a, b = (k * 7) % 200, (k * 13 + 3) % 200
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+
+    def pri(u, v):
+        return (int(hashlib.md5(f"{u}:{v}".encode()).hexdigest()[:10], 16), u, v)
+
+    used, rows = set(), []
+    for u, v in sorted(edges, key=lambda e: pri(*e)):
+        if u not in used and v not in used:
+            used |= {u, v}
+            rows.append((u, v))
+    return _values_sql([("u", "BIGINT"), ("v", "BIGINT")], rows)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -14977,4 +15154,190 @@ def oracle_sql() -> dict[str, str]:
     }
     # batch-parity: the streaming drain equals batch ewma bit-for-bit
     d["q_stream_ewma"] = d["q_ewma"]
+
+    # ---- batch r4-1 ----
+    import math as _math
+
+    _alt, _az = _math.radians(45.0), _math.radians(315.0)
+    _ax = repr(-_math.cos(_alt) * _math.sin(_az))
+    _ay = repr(-_math.cos(_alt) * _math.cos(_az))
+    _az_c = repr(_math.sin(_alt))
+    _r2 = repr(6371008.8 * 6371008.8)
+    # Horn-gradient replay (the q_slope_aspect CTE) + the fixed shade
+    # chain with strtod'd repr literals: ((ax*gx + ay*gy) + az*8),
+    # den = sqrt(gx^2+gy^2+64), shade = floor(255*max(num,0)/den + .5)
+    d["q_hillshade"] = f"""
+        WITH g AS (
+          SELECT o_orderkey % 32 AS x,
+                 (o_orderkey // 32) % 32 AS y,
+                 (o_orderkey * 7919) % 1000 AS z
+          FROM orders WHERE o_orderkey < 1024),
+        offs(dx, dy, cgx, cgy) AS (VALUES
+            (1, 0, 2, 0), (1, 1, 1, 1), (1, -1, 1, -1),
+            (-1, 0, -2, 0), (-1, 1, -1, 1), (-1, -1, -1, -1),
+            (0, 1, 0, 2), (0, -1, 0, -2)),
+        grad AS (
+          SELECT c.x, c.y,
+                 CAST(sum(o.cgx * n.z) AS BIGINT) AS gx,
+                 CAST(sum(o.cgy * n.z) AS BIGINT) AS gy
+          FROM g c JOIN offs o ON TRUE
+          JOIN g n ON n.x = c.x + o.dx AND n.y = c.y + o.dy
+          GROUP BY c.x, c.y HAVING count(*) = 8)
+        SELECT g.x, g.y, g.z, gr.gx, gr.gy,
+               CAST(floor(
+                 CAST(255 AS DOUBLE)
+                 * greatest(
+                     (CAST('{_ax}' AS DOUBLE) * CAST(gr.gx AS DOUBLE)
+                      + CAST('{_ay}' AS DOUBLE) * CAST(gr.gy AS DOUBLE))
+                     + CAST('{_az_c}' AS DOUBLE) * CAST(8 AS DOUBLE),
+                     CAST(0 AS DOUBLE))
+                 / sqrt(CAST(gr.gx * gr.gx + gr.gy * gr.gy + 64 AS DOUBLE))
+                 + 0.5) AS INTEGER) AS shade
+        FROM g JOIN grad gr ON gr.x = g.x AND gr.y = g.y
+    """
+    # independent argmax: row_number over (count DESC, class ASC) vs
+    # the engine's min(struct(-count, class))
+    d["q_focal_majority"] = """
+        WITH g AS (
+          SELECT o_orderkey % 32 AS x,
+                 (o_orderkey // 32) % 32 AS y,
+                 (o_orderkey * 13) % 5 AS v
+          FROM orders WHERE o_orderkey < 1024),
+        offs(dx, dy) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,0),
+                                (0,1), (1,-1), (1,0), (1,1)),
+        votes AS (SELECT c.x, c.y, n.v
+                  FROM g c JOIN offs o ON TRUE
+                  JOIN g n ON n.x = c.x + o.dx AND n.y = c.y + o.dy),
+        cnt AS (SELECT x, y, v, count(*) AS c FROM votes GROUP BY 1, 2, 3),
+        tot AS (SELECT x, y, CAST(sum(c) AS BIGINT) AS t
+                FROM cnt GROUP BY 1, 2),
+        rk AS (SELECT x, y, v, c, row_number() OVER (
+                   PARTITION BY x, y ORDER BY c DESC, v ASC) AS rn
+               FROM cnt)
+        SELECT rk.x, rk.y, rk.v AS v_maj, CAST(rk.c AS BIGINT) AS n_maj
+        FROM rk JOIN tot ON tot.x = rk.x AND tot.y = rk.y
+        WHERE rk.rn = 1 AND tot.t = 9
+    """
+    d["q_interval_coverage"] = """
+        WITH iv AS (
+          SELECT user_id % 10 AS key, epoch_us(ts) AS s,
+                 epoch_us(ts) + (event_id % 5 + 1) * 3600000000 AS e
+          FROM events),
+        o AS (SELECT key, s, e,
+                     max(e) OVER (PARTITION BY key ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pmax
+              FROM iv),
+        f AS (SELECT key, s, e,
+                     CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+                         AS nw
+              FROM o),
+        c AS (SELECT key, s, e,
+                     CAST(SUM(nw) OVER (PARTITION BY key ORDER BY s, e
+                                        ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS cid
+              FROM f),
+        pc AS (SELECT key, cid, min(s) AS cs, max(e) AS ce,
+                      count(*) AS n
+               FROM c GROUP BY 1, 2)
+        SELECT key, CAST(sum(n) AS BIGINT) AS n_intervals,
+               count(*) AS n_components,
+               CAST(sum(ce - cs) AS BIGINT) AS covered
+        FROM pc GROUP BY key
+    """
+    # brute |l|x|r|-per-key + row_number — the shape the engine's
+    # two-window plan replaces
+    d["q_nearest_event"] = """
+        WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'click'),
+        r AS (SELECT user_id, ts, max(value) AS rv FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        cand AS (SELECT l.event_id, r.rv, epoch_us(r.ts) AS rts,
+                        abs(epoch_us(l.ts) - epoch_us(r.ts)) AS dist
+                 FROM l JOIN r ON r.user_id = l.user_id),
+        best AS (SELECT event_id, rv, rts FROM (
+                   SELECT *, row_number() OVER (PARTITION BY event_id
+                       ORDER BY dist, rts) AS rn
+                   FROM cand) WHERE rn = 1)
+        SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+               best.rv AS rv_r, best.rts AS nearest_ts_us_r
+        FROM l LEFT JOIN best ON best.event_id = l.event_id
+    """
+    d["q_mcnemar"] = """
+        WITH s AS (SELECT CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS a,
+                          CASE WHEN (event_id * 7 + 1) % 5 < 2
+                               THEN 1 ELSE 0 END AS b
+                   FROM events),
+        agg AS (SELECT count(*) AS n,
+                       CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_b,
+                       CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_c
+                FROM s)
+        SELECT n, n_b, n_c, n - (n_b + n_c) AS n_concordant,
+               CASE WHEN n_b + n_c > 0 THEN
+                   CAST((n_b - n_c) * (n_b - n_c) AS DOUBLE)
+                   / CAST(n_b + n_c AS DOUBLE) END AS chi2
+        FROM agg
+    """
+    d["q_trend"] = """
+        WITH s AS (SELECT user_id % 5 AS w,
+                          CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END AS d
+                   FROM events),
+        per AS (SELECT w, count(*) AS n, CAST(sum(d) AS BIGINT) AS dd
+                FROM s GROUP BY w),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                       CAST(sum(dd) AS BIGINT) AS r,
+                       count(*) AS n_scores,
+                       CAST(sum(w * dd) AS BIGINT) AS swd,
+                       CAST(sum(w * n) AS BIGINT) AS swn,
+                       CAST(sum(w * w * n) AS BIGINT) AS sw2n
+                FROM per)
+        SELECT n, r AS n_events, n_scores,
+               n * swd - r * swn AS t_num,
+               n * sw2n - swn * swn AS v_star,
+               CASE WHEN r > 0 AND r < n AND n * sw2n - swn * swn > 0 THEN
+                 CAST(n * swd - r * swn AS DOUBLE)
+                 * sqrt(CAST(n AS DOUBLE))
+                 / ((sqrt(CAST(r AS DOUBLE)) * sqrt(CAST(n - r AS DOUBLE)))
+                    * sqrt(CAST(n * sw2n - swn * swn AS DOUBLE)))
+               END AS z
+        FROM tot
+    """
+    d["q_matching"] = _ora_matching()
+    d["q_sph_area"] = """
+        WITH base AS (
+          SELECT n_nationkey AS line_id,
+                 CAST((n_nationkey * 7) % 120 - 60 AS DOUBLE) AS la,
+                 CAST((n_nationkey * 11) % 300 - 150 AS DOUBLE) AS lo
+          FROM nation),
+        segidx(i) AS (VALUES (0), (1), (2), (3)),
+        segs AS (
+          SELECT line_id,
+                 CASE i WHEN 0 THEN la WHEN 1 THEN la
+                        ELSE la + CAST(1 AS DOUBLE) END AS lat0,
+                 CASE i WHEN 0 THEN lo WHEN 3 THEN lo
+                        ELSE lo + CAST(2 AS DOUBLE) END AS lon0,
+                 CASE i WHEN 3 THEN la WHEN 0 THEN la
+                        ELSE la + CAST(1 AS DOUBLE) END AS lat1,
+                 CASE i WHEN 0 THEN lo + CAST(2 AS DOUBLE)
+                        WHEN 1 THEN lo + CAST(2 AS DOUBLE)
+                        ELSE lo END AS lon1
+          FROM base JOIN segidx ON TRUE),
+        per AS (
+          SELECT line_id,
+                 CAST(floor(
+                   ((lon1 - lon0) * 0.017453292519943295)
+                   * ((CAST(2 AS DOUBLE)
+                       + sin(lat0 * 0.017453292519943295))
+                      + sin(lat1 * 0.017453292519943295))
+                   * 1e12 + 0.5) AS BIGINT) AS u
+          FROM segs)
+        SELECT line_id, count(*) AS n_segs,
+               CAST(sum(u) AS BIGINT) AS sph_u,
+               CAST('__R2__' AS DOUBLE)
+               * abs(CAST(CAST(sum(u) AS BIGINT) AS DOUBLE)) / 2e12
+                   AS area_m2
+        FROM per GROUP BY line_id
+    """.replace("__R2__", _r2)
     return d

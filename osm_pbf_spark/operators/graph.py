@@ -56,6 +56,7 @@ __all__ = [
     "dedup_canonical",
     "random_walks",
     "walk_pairs",
+    "maximal_matching",
 ]
 
 
@@ -1433,3 +1434,95 @@ def harmonic_closeness(
             "harm"
         ),
     )
+
+
+def maximal_matching(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Deterministic greedy MAXIMAL matching (r4): a pairwise-disjoint
+    edge set no remaining edge can extend — the distributed
+    pair-selection primitive (dedup merge pairs: each record joins at
+    most one merge this pass; entity-resolution conflict-free apply;
+    Luby-class symmetry breaking).
+
+    Spec (engine-replayable): every normalized edge (u < v, self-loops
+    dropped, distinct) gets the priority tuple
+    ``(md5_40("u:v"), u, v)`` — a TOTAL order, no arrival-order or
+    partitioning dependence. The matching equals sequential greedy by
+    that order (take an edge iff both endpoints are still free); it is
+    computed in locally-minimal rounds — an edge joins the matching
+    when it is the min-priority incident edge of BOTH its endpoints —
+    which reaches the same fixpoint in O(log E) expected rounds
+    (adjacent edges share an endpoint, so per-round winners are
+    conflict-free by the total order).
+
+    Plan per round: one both-direction Generate -> per-vertex min
+    (ONE map-side-combinable agg), two equi-joins back, two left-anti
+    joins to drop matched vertices, then ``localCheckpoint`` (the CC
+    iterative exception: truncate the logical plan each round) + one
+    count as the emptiness fixpoint check. No collect of data rows —
+    driver state is one integer per round.
+
+    Returns matched pairs ``(u, v, round)`` (round = 1-based round the
+    pair entered).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string"))),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    e = e.select("u", "v", pri.alias("_p"))
+    matched_parts = []
+    out = None
+    for rnd in range(1, max_rounds + 1):
+        if e.isEmpty():
+            break
+        ekey = F.struct(F.col("_p"), F.col("u"), F.col("v"))
+        incid = e.select(F.col("u").alias("_x"), ekey.alias("_e")).unionAll(
+            e.select(F.col("v").alias("_x"), ekey.alias("_e"))
+        )
+        vmin = incid.groupBy("_x").agg(F.min("_e").alias("_m"))
+        win = (
+            e.join(vmin.withColumnRenamed("_x", "u"), "u")
+            .where(F.col("_m") == ekey)
+            .drop("_m")
+            .join(vmin.withColumnRenamed("_x", "v"), "v")
+            .where(F.col("_m") == ekey)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        matched_parts.append(win.select("u", "v", F.lit(rnd).alias("round")))
+        mv = win.select(F.col("u").alias("_x")).unionAll(
+            win.select(F.col("v").alias("_x"))
+        )
+        e = (
+            e.join(mv.withColumnRenamed("_x", "u"), "u", "left_anti")
+            .join(mv.withColumnRenamed("_x", "v"), "v", "left_anti")
+            .select("u", "v", "_p")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise ValueError(
+            f"maximal_matching did not converge in {max_rounds} rounds"
+        )
+    if not matched_parts:
+        return e.select("u", "v", F.lit(0).alias("round")).limit(0)
+    out = matched_parts[0]
+    for part in matched_parts[1:]:
+        out = out.unionAll(part)
+    return out

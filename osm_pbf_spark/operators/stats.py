@@ -46,6 +46,8 @@ __all__ = [
     "mutual_information",
     "decision_stump",
     "psi_drift",
+    "mcnemar_test",
+    "cochran_armitage",
 ]
 
 
@@ -2711,3 +2713,140 @@ def rare_collapse(
             F.lit(other_label)
         ),
     ).drop("_keep")
+
+
+def mcnemar_test(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """McNemar's paired-proportion test (r4) — THE A/B eval for two
+    classifiers/models scored on the SAME examples (did model B's
+    per-example wins outnumber model A's, beyond coin-flip noise?).
+    Standard model-eval tooling next to roc_auc / confusion_metrics.
+
+    Exact spec: a_col/b_col are 0/1 correctness indicators
+    (WHERE-guarded raise otherwise). Only the DISCORDANT counts enter:
+    b = #(a=1, b=0), c = #(a=0, b=1). chi2 = (b-c)^2 / (b+c) with
+    continuity correction OFF (documented; the CC variant subtracts 1
+    from |b-c| — callers comparing to statsmodels exact=False,
+    correction=False match this). All counts exact int64; the
+    statistic is ONE division of exact ints — engine-reproducible to
+    the bit. b+c = 0 (no discordant pairs) yields NULL, the
+    degenerate-input convention. n_concordant carried for context.
+
+    Plan: one map-side-combinable hash aggregate (4-cell keyspace per
+    group); nothing scales beyond |groups|.
+
+    Returns (group..., n, n_b, n_c, n_concordant, chi2).
+    """
+    g = list(group_cols or [])
+    a = F.col(a_col).cast("bigint")
+    b = F.col(b_col).cast("bigint")
+    guarded = df.where(
+        F.when(a.isin(0, 1) & b.isin(0, 1), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"mcnemar_test: {a_col}/{b_col} must be 0/1, got "),
+                    a.cast("string"), F.lit("/"), b.cast("string"),
+                )
+            )
+        )
+    )
+    agg = guarded.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((a == 1) & (b == 0), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when((a == 0) & (b == 1), 1).otherwise(0)).alias("n_c"),
+    )
+    diff = F.col("n_b") - F.col("n_c")
+    tot = F.col("n_b") + F.col("n_c")
+    return agg.select(
+        *g,
+        "n",
+        "n_b",
+        "n_c",
+        (F.col("n") - tot).alias("n_concordant"),
+        F.when(
+            tot > 0, (diff * diff).cast("double") / tot.cast("double")
+        ).alias("chi2"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Cochran–Armitage trend test (r4): is event rate MONOTONE in an
+    ordered exposure score? The dose-response / cohort-drift test
+    (e.g. does defect rate trend across ordered build generations,
+    does click rate trend across ranked slots).
+
+    Exact spec: rows are Bernoulli outcomes (event_col 0/1,
+    WHERE-guarded) at integer scores w (score_col, exact int64 —
+    caller assigns the ordered category weights). With per-score
+    event/total counts, N total rows, R total events:
+
+        T   = N * Σ_i w_i d_i  −  R * Σ_i w_i n_i          (exact int)
+        V*  = N * Σ w²n − (Σ w n)²                          (exact int)
+        z   = T / sqrt( R/N * (1−R/N) * N * V* )  — evaluated as the
+        FIXED chain T / sqrt( (R*(N−R)/N ... )): num = T * sqrt(N),
+        den = sqrt(R) * sqrt(N−R) * sqrt(V*) — three correctly-rounded
+        sqrts of exact int64s and two multiplies in a pinned order, so
+        z hashes identically cross-engine (the getis_ord posture).
+
+    Degenerate inputs (R=0, R=N, or V*=0 — constant score) yield NULL.
+    Bounds: exact while N*Σw²n < 2^63 and intermediate products
+    < 2^53 in the double chain — caller keeps scores small (category
+    codes, not raw micros).
+
+    Plan: one per-score hash aggregate (|scores| keyspace) + one
+    1-row reduce; map-side combinable throughout.
+
+    Returns 1 row (n, n_events, n_scores, t_num, v_star, z).
+    """
+    ev = F.col(event_col).cast("bigint")
+    w = F.col(score_col).cast("bigint")
+    guarded = df.where(
+        F.when(ev.isin(0, 1), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"cochran_armitage: {event_col} must be 0/1, got "),
+                    ev.cast("string"),
+                )
+            )
+        )
+    ).select(w.alias("_w"), ev.alias("_d"))
+    per = guarded.groupBy("_w").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_d").alias("_dd")
+    )
+    tot = per.agg(
+        F.sum("_n").alias("n"),
+        F.sum("_dd").alias("n_events"),
+        F.count(F.lit(1)).alias("n_scores"),
+        F.sum(F.col("_w") * F.col("_dd")).alias("_swd"),
+        F.sum(F.col("_w") * F.col("_n")).alias("_swn"),
+        F.sum(F.col("_w") * F.col("_w") * F.col("_n")).alias("_sw2n"),
+    )
+    n = F.col("n")
+    r = F.col("n_events")
+    t_num = n * F.col("_swd") - r * F.col("_swn")
+    v_star = n * F.col("_sw2n") - F.col("_swn") * F.col("_swn")
+    z = (
+        t_num.cast("double")
+        * F.sqrt(n.cast("double"))
+        / (
+            F.sqrt(r.cast("double"))
+            * F.sqrt((n - r).cast("double"))
+            * F.sqrt(v_star.cast("double"))
+        )
+    )
+    return tot.select(
+        "n",
+        "n_events",
+        "n_scores",
+        t_num.alias("t_num"),
+        v_star.alias("v_star"),
+        F.when((r > 0) & (r < n) & (v_star > 0), z).alias("z"),
+    )

@@ -34,6 +34,8 @@ __all__ = [
     "scd2_build",
     "fill_forward",
     "max_concurrency",
+    "interval_coverage",
+    "nearest_event_join",
 ]
 
 
@@ -1462,3 +1464,175 @@ def nelson_aalen(
         "hazard",
         F.col("hazard_micro").cast("double") / F.lit(1_000_000.0),
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key measure of the UNION of half-open integer intervals
+    [start, end) (r4) — the sweep-line coverage primitive behind SLA
+    uptime, sensor-online time, and merged-busy-window accounting
+    (``max_concurrency`` answers "how many at once"; this answers
+    "how long was anything active, with overlaps collapsed").
+
+    Exact spec (all int64, no floats): intervals with end <= start
+    raise (WHERE-guarded — a silent drop would under-report and a
+    negative length would corrupt the sum). Per key, sort by
+    (start, end); an interval STARTS a new component when its start is
+    > the running max of all previous ends (strict: touching intervals
+    [0,5)+[5,9) merge — half-open adjacency). covered_us = sum over
+    components of (component max end - component start);
+    n_components counts them; n_intervals the inputs.
+
+    Plan: ONE key shuffle + sort feeding two stacked windows (running
+    max of lagged end -> component flag -> component id via running
+    sum), then one hash aggregate per component and one per key. No
+    Python; the per-key state is the window sort, exactly the
+    sessionize shape — scales by key cardinality, not interval count.
+
+    Returns ``(key, n_intervals, n_components, covered)``.
+    """
+    s = F.col(start_col).cast("bigint")
+    e = F.col(end_col).cast("bigint")
+    d = df.where(
+        F.when(e > s, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("interval_coverage: end <= start for key "),
+                    F.col(key_col).cast("string"),
+                )
+            )
+        )
+    ).select(F.col(key_col).alias("key"), s.alias("_s"), e.alias("_e"))
+    w = Window.partitionBy("key").orderBy("_s", "_e")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    prev_max_end = F.max("_e").over(w_prev)
+    flagged = d.select(
+        "key",
+        "_s",
+        "_e",
+        F.when(
+            prev_max_end.isNull() | (F.col("_s") > prev_max_end), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    )
+    comp = flagged.select(
+        "key",
+        "_s",
+        "_e",
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("_cid"),
+    )
+    per_comp = comp.groupBy("key", "_cid").agg(
+        F.min("_s").alias("_cs"),
+        F.max("_e").alias("_ce"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return per_comp.groupBy("key").agg(
+        F.sum("_n").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_components"),
+        F.sum(F.col("_ce") - F.col("_cs")).alias("covered"),
+    )
+
+
+def nearest_event_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Absolute-NEAREST temporal join (r4): for every left row, attach
+    the right row (same ``on`` key) minimizing |left ts - right ts| —
+    the sensor-alignment sibling of ``asof_join`` (asof answers "the
+    latest at-or-before"; this answers "the closest in either
+    direction": nearest calibration reading, nearest price print).
+
+    Spec: distances compare on exact epoch-micros int64; an exact
+    distance tie breaks toward the EARLIER right row (the at-or-before
+    candidate). Like asof_join, the right side should be unique per
+    (on, ts) — with duplicates the carried row follows asof's
+    last-in-input-order caveat. Left rows with no key match keep
+    NULLs. Returns the left columns + each right column as
+    ``{col}{suffix}`` + ``nearest_ts_us{suffix}`` (epoch micros of the
+    matched right row).
+
+    Plan: ONE key shuffle feeding two stacked windows over the same
+    union — an ascending pass carrying the latest right at-or-before
+    (asof's shape) and a descending pass carrying the earliest right
+    at-or-after — then a native per-row pick of the closer candidate.
+    No theta join, no per-left-row window over the full right side
+    (that |l|x|r|-per-key shape is the oracle, not the engine).
+    """
+    rc = right_cols or [c for c in right.columns if c not in (on, ts_col)]
+    lcols = left.columns
+    l2 = left.select(
+        *lcols,
+        _epoch_micros(F.col(ts_col)).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in rc],
+    )
+    r2 = right.select(
+        F.col(on),
+        _epoch_micros(F.col(ts_col)).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_rv_{c}") for c in rc],
+    )
+    for c in lcols:
+        if c != on:
+            r2 = r2.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l2.select(*l2.columns).unionByName(r2.select(*l2.columns))
+    rt = F.when(F.col("_side") == 0, F.col("_t"))
+    # right rows sort BEFORE left rows at equal ts in BOTH passes
+    # (side 0 < 1 ascending on _side), so a distance-0 match is seen
+    wb = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.withColumns(
+        {
+            "_bt": F.last(rt, ignorenulls=True).over(wb),
+            "_ft": F.last(rt, ignorenulls=True).over(wf),
+            **{
+                f"_b_{c}": F.last(f"_rv_{c}", ignorenulls=True).over(wb)
+                for c in rc
+            },
+            **{
+                f"_f_{c}": F.last(f"_rv_{c}", ignorenulls=True).over(wf)
+                for c in rc
+            },
+        }
+    ).filter(F.col("_side") == 1)
+    d_b = F.when(F.col("_bt").isNotNull(), F.col("_t") - F.col("_bt"))
+    d_f = F.when(F.col("_ft").isNotNull(), F.col("_ft") - F.col("_t"))
+    use_b = (
+        F.when(d_f.isNull(), F.lit(True))
+        .when(d_b.isNull(), F.lit(False))
+        .otherwise(d_b <= d_f)  # tie -> earlier (backward) row
+    )
+    out = [F.col(c) for c in lcols]
+    for c in rc:
+        out.append(
+            F.when(use_b, F.col(f"_b_{c}"))
+            .otherwise(F.col(f"_f_{c}"))
+            .alias(f"{c}{suffix}")
+        )
+    out.append(
+        F.when(use_b, F.col("_bt"))
+        .otherwise(F.col("_ft"))
+        .alias(f"nearest_ts_us{suffix}")
+    )
+    return carried.select(*out)

@@ -1116,3 +1116,143 @@ def clip_polygons_to_tiles(
         "tile_y long, n_pts int, qx array<int>, qy array<int>"
     )
     return cand.mapInPandas(_kernel, schema)
+
+
+def hillshade(
+    cells: DataFrame,
+    cellsize: int = 1,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    x_col: str = "x",
+    y_col: str = "y",
+    z_col: str = "z",
+) -> DataFrame:
+    """Analytical hillshade over an integer elevation raster (r4) —
+    the GDAL-hillshade / cartographic relief-map operator, composing
+    ``slope_aspect``'s exact Horn gradients (terrain visualization at
+    raster-tile scale: one shade byte per interior cell).
+
+    Spec (gate-exact by the fixed-IEEE-chain discipline): with Horn
+    numerators (gx, gy) (exact int64, scale 8*cellsize) and the unit
+    light vector L for (azimuth clockwise-from-north, altitude) in the
+    module's +x-east/+y-north grid axes, the surface normal is
+    N = (-gx, -gy, 8*cellsize) and
+
+        num = (ax*gx + ay*gy) + az*s8        -- fixed left-assoc chain
+        den = sqrt(gx^2 + gy^2 + s8^2)       -- exact int64 sum < 2^53
+        shade = floor(255 * max(num, 0) / den + 0.5)  in [0, 255]
+
+    where ax = -cos(alt)*sin(az), ay = -cos(alt)*cos(az) (the -gy
+    normal component against a +y-north light), az = sin(alt) are
+    Python-computed double literals (repr round-trip; the oracle
+    replays them via VARCHAR->DOUBLE strtod). int64->double
+    conversions are exact (|gx|,|gy| <= 4*2^24 under slope_aspect's
+    |z| < 2^24 contract), every product/sum/div/sqrt is one correctly
+    rounded IEEE op in a FIXED order, so every output bit is
+    engine-reproducible. Light never negates den: num <= den by
+    Cauchy-Schwarz, so shade <= 255 without clamping.
+
+    Returns ``(x, y, z, gx, gy, shade)`` for interior cells only
+    (slope_aspect's all-8-neighbors guard). Plan: slope_aspect's
+    scatter-agg-join subtree + one codegen projection — no Python, no
+    extra shuffle.
+    """
+    import math
+
+    az_r = math.radians(azimuth_deg)
+    alt_r = math.radians(altitude_deg)
+    ax = -math.cos(alt_r) * math.sin(az_r)
+    ay = -math.cos(alt_r) * math.cos(az_r)
+    azc = math.sin(alt_r)
+    s8 = 8 * int(cellsize)
+    sa = slope_aspect(cells, x_col=x_col, y_col=y_col, z_col=z_col)
+    gx = F.col("gx").cast("double")
+    gy = F.col("gy").cast("double")
+    num = (F.lit(ax) * gx + F.lit(ay) * gy) + F.lit(azc) * F.lit(float(s8))
+    den = F.sqrt(
+        (
+            F.col("gx") * F.col("gx")
+            + F.col("gy") * F.col("gy")
+            + F.lit(s8 * s8)
+        ).cast("double")
+    )
+    return sa.select(
+        "x",
+        "y",
+        "z",
+        "gx",
+        "gy",
+        F.floor(F.lit(255.0) * F.greatest(num, F.lit(0.0)) / den + F.lit(0.5))
+        .cast("int")
+        .alias("shade"),
+    )
+
+
+def focal_majority(
+    cells: DataFrame,
+    radius: int = 1,
+    x_col: str = "x",
+    y_col: str = "y",
+    v_col: str = "v",
+) -> DataFrame:
+    """(2r+1)^2 focal MAJORITY (mode) filter over a categorical raster
+    (r4) — the standard land-cover / classified-raster smoother
+    (speckle removal after per-pixel classification), the categorical
+    sibling of ``grid_smooth``'s additive box filter.
+
+    Exact spec: for each cell with a COMPLETE (2r+1)^2 neighborhood,
+    the output class is the most frequent class among the window's
+    cells; count ties break toward the SMALLEST class value
+    (deterministic, engine-replayable — no hash or arrival order).
+    Border cells (incomplete windows) are dropped, the module's
+    explicit-window convention (slope_aspect, grid_smooth).
+
+    Plan: one native (2r+1)^2-offset Generate scatter, ONE hash
+    aggregate on (x, y, class) (map-side combinable — the keyspace is
+    |cells| x |window classes|), one argmax-by-(count desc, class asc)
+    via min(struct) — all whole-stage codegen, no Python, bounded
+    state. At 100 TB this is the grid_smooth shuffle shape: work
+    linear in cells x window area, never a crossJoin.
+
+    Returns ``(x, y, v_maj, n_maj)``.
+    """
+    r = int(radius)
+    if r < 1:
+        raise ValueError(f"radius must be >= 1, got {r}")
+    side = 2 * r + 1
+    c = cells.select(
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+        F.col(v_col).cast("bigint").alias("v"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-r, r + 1)
+            for dy in range(-r, r + 1)
+        ]
+    )
+    votes = c.withColumn("_o", F.explode(offs)).select(
+        (F.col("x") - F.col("_o.dx")).alias("x"),
+        (F.col("y") - F.col("_o.dy")).alias("y"),
+        "v",
+    )
+    counted = votes.groupBy("x", "y", "v").agg(F.count(F.lit(1)).alias("_c"))
+    # argmax by (count desc, class asc) == min(struct(-count, class));
+    # the window-completeness guard sums the per-class counts back up
+    return (
+        counted.groupBy("x", "y")
+        .agg(
+            F.min(F.struct((-F.col("_c")).alias("_nc"), F.col("v").alias("v"))).alias(
+                "_m"
+            ),
+            F.sum("_c").alias("_tot"),
+        )
+        .where(F.col("_tot") == F.lit(side * side))
+        .select(
+            "x",
+            "y",
+            F.col("_m.v").alias("v_maj"),
+            (-F.col("_m._nc")).cast("bigint").alias("n_maj"),
+        )
+    )
