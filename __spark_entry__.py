@@ -6196,6 +6196,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sph_area"] = q_sph_area
 
+    def q_lcss(spark, sf):  # noise-tolerant trajectory-similarity
+        # join: LCSS DP over the shared cell-cover candidate stage
+        # (the q_frechet track corpus with glitch spikes planted so
+        # the sup metrics and LCSS genuinely diverge)
+        from osm_pbf_spark.operators.distance import lcss_join
+
+        e = load(spark, sf, "events").filter(F.col("event_id") < 240)
+        base = F.col("event_id") - (F.col("event_id") % 4)
+        j = (F.col("event_id") % 4).cast("double")
+        npts = (F.lit(6) + F.col("event_id") % 3).cast("int")
+        lat0 = (base % 80) - 40 + F.lit(0.25) + j * F.lit(0.0625)
+        lon0 = ((base * 7) % 340) - 170 + F.lit(0.5) + j * F.lit(0.0625)
+        tracks = e.select(
+            F.col("event_id").alias("track_id"),
+            F.transform(
+                F.sequence(F.lit(0), npts - 1),
+                lambda i: F.struct(
+                    # every 5th fix is a +2-deg GPS glitch spike
+                    (
+                        lat0
+                        + i.cast("double") * F.lit(0.125)
+                        + F.when(i % 5 == 2, F.lit(2.0)).otherwise(F.lit(0.0))
+                    ).alias("lat"),
+                    (lon0 + (i % 3).cast("double") * F.lit(0.25)).alias("lon"),
+                ),
+            ).alias("pts"),
+        )
+        out = lcss_join(tracks, tracks, radius=0.5, level=8,
+                        min_sim_ppm=500_000)
+        return out.where(F.col("id_a") < F.col("id_b"))
+
+    q["q_lcss"] = q_lcss
+
+    def q_jaro_winkler(spark, sf):  # exact-rational JW ppm name
+        # matching: soundex block join + integer scalar kernel; the
+        # oracle replays the identical integer spec pairwise
+        from osm_pbf_spark.operators.fuzzy import jaro_winkler_join
+
+        p = load(spark, sf, "part").filter(F.col("p_partkey") < 400)
+        names = p.select(
+            F.col("p_partkey").alias("id_l"),
+            F.element_at(F.split(F.col("p_name"), " "), 1).alias("name_l"),
+        )
+        probes = p.filter(F.col("p_partkey") % 3 == 0).select(
+            F.col("p_partkey").alias("id_r"),
+            F.element_at(F.split(F.col("p_name"), " "), 2).alias("name_r"),
+        )
+        out = jaro_winkler_join(
+            names, probes, "name_l", "name_r", min_ppm=800_000
+        )
+        return out.select("id_l", "id_r", "name_l", "name_r", "jw_ppm")
+
+    q["q_jaro_winkler"] = q_jaro_winkler
+
+    def q_cidr(spark, sf):  # longest-prefix-match IP enrichment:
+        # network ranges bucket-exploded on the /16 line, distinct-ip
+        # equi-join + BETWEEN refine + min-struct LPM argmax
+        from osm_pbf_spark.operators.text import cidr_join
+
+        k = F.col("event_id")
+        ips = load(spark, sf, "events").filter(k < 4000).select(
+            F.col("event_id"),
+            F.concat_ws(
+                ".",
+                (k % 4 * 10 + 10).cast("string"),
+                ((k * 7) % 256).cast("string"),
+                ((k * 13) % 256).cast("string"),
+                (k % 251).cast("string"),
+            ).alias("ip"),
+        )
+        nk = F.col("n_nationkey")
+        nets = load(spark, sf, "nation").select(
+            F.concat_ws(
+                ".",
+                (nk % 4 * 10 + 10).cast("string"),
+                ((nk * 37) % 224).cast("string"),
+                F.lit("0"),
+                F.lit("0"),
+            ).alias("base"),
+            # mix of /8 (coarse country) and /11-/15 (finer) prefixes
+            (F.lit(8) + nk % 8).cast("int").alias("masklen"),
+        )
+        return cidr_join(ips, nets)
+
+    q["q_cidr"] = q_cidr
+
+    def q_stream_alert(spark, sf):  # stateful threshold alerting: one
+        # availableNow drain == GROUP BY HAVING count >= k (alert-once
+        # cross-batch suppression pinned by pytest)
+        from osm_pbf_spark.streaming import (
+            run_available_now,
+            stream_parquet,
+            stream_threshold_alert,
+        )
+
+        sdf = stream_parquet(spark, f"{sf}/events.parquet").select(
+            "user_id", "event_type"
+        )
+        return run_available_now(
+            stream_threshold_alert(sdf, ["user_id", "event_type"], k=30),
+            output_mode="append",
+        )
+
+    q["q_stream_alert"] = q_stream_alert
+
     return q
 
 
@@ -9863,6 +9968,98 @@ def _ora_hull_diameter() -> str:
                r.x1, r.y1, r.x2, r.y2
         FROM n LEFT JOIN r ON r.group_id = n.group_id AND r.rn = 1
     """
+
+
+def _ora_lcss() -> str:
+    """Pure-Python replay of q_lcss: brute-force ALL track pairs +
+    the SCALAR LCSS DP (distance.lcss_py — classic three-way
+    recurrence vs the engine's rolling-row prefix-max numpy kernel).
+    Track synthesis mirrors the query's dyadic-literal arithmetic with
+    the planted +2-deg glitch spikes; snapping replays _snap_arr."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.distance import lcss_py
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"), columns=["event_id"]
+    )
+    tracks = {}
+    for eid in t.column("event_id").to_pylist():
+        k = int(eid)
+        if k >= 240:
+            continue
+        base = k - (k % 4)
+        j = float(k % 4)
+        npts = 6 + k % 3
+        lat0 = (base % 80) - 40 + 0.25 + j * 0.0625
+        lon0 = ((base * 7) % 340) - 170 + 0.5 + j * 0.0625
+        pts = []
+        for i in range(npts):
+            lat = lat0 + float(i) * 0.125 + (2.0 if i % 5 == 2 else 0.0)
+            lon = lon0 + float(i % 3) * 0.25
+            pts.append(
+                (math.floor(lon * 1_000_000.0 + 0.5),
+                 math.floor(lat * 1_000_000.0 + 0.5))
+            )
+        tracks[k] = pts
+    r2 = 500_000 ** 2
+    ids = sorted(tracks)
+    rows = []
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            lc = lcss_py(tracks[a], tracks[b], r2)
+            n, m = len(tracks[a]), len(tracks[b])
+            ppm = (1_000_000 * lc) // min(n, m)
+            if ppm >= 500_000:
+                rows.append((a, b, lc, n, m, ppm))
+    return _values_sql(
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("lcss", "BIGINT"),
+         ("n_a", "INTEGER"), ("n_b", "INTEGER"), ("sim_ppm", "BIGINT")],
+        rows,
+    )
+
+
+def _ora_jaro_winkler() -> str:
+    """Pure-Python replay of q_jaro_winkler: the same soundex blocking
+    (_soundex_py is pinned bit-equal to Spark's soundex) + the SAME
+    exact-rational integer JW spec evaluated pairwise in plain loops
+    (fuzzy.jaro_winkler_ppm_py is the shared scalar spec — the engine
+    runs it through a block join + Arrow kernel, the oracle brute
+    loops the blocked pairs)."""
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.fuzzy import jaro_winkler_ppm_py
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "part.parquet"),
+        columns=["p_partkey", "p_name"],
+    )
+    lefts, rights = [], []
+    for pk, name in zip(
+        t.column("p_partkey").to_pylist(), t.column("p_name").to_pylist()
+    ):
+        k = int(pk)
+        if k >= 400:
+            continue
+        words = str(name).split(" ")
+        lefts.append((k, words[0] if words else ""))
+        if k % 3 == 0:
+            rights.append((k, words[1] if len(words) > 1 else ""))
+    rows = []
+    for il, nl in lefts:
+        for ir, nr in rights:
+            if _soundex_py(nl) != _soundex_py(nr):
+                continue
+            ppm = jaro_winkler_ppm_py(nl, nr)
+            if ppm >= 800_000:
+                rows.append((il, ir, nl, nr, ppm))
+    return _values_sql(
+        [("id_l", "BIGINT"), ("id_r", "BIGINT"), ("name_l", "VARCHAR"),
+         ("name_r", "VARCHAR"), ("jw_ppm", "BIGINT")],
+        rows,
+    )
 
 
 def _ora_matching() -> str:
@@ -15305,6 +15502,50 @@ def oracle_sql() -> dict[str, str]:
         FROM tot
     """
     d["q_matching"] = _ora_matching()
+    d["q_lcss"] = _ora_lcss()
+    d["q_jaro_winkler"] = _ora_jaro_winkler()
+    # independent formulation: direct integer address arithmetic +
+    # BETWEEN join + row_number LPM (the engine parses dotted strings,
+    # bucket-explodes the ranges, and argmaxes a min-struct)
+    d["q_cidr"] = """
+        WITH ips AS (
+          SELECT event_id,
+                 CAST(event_id % 4 * 10 + 10 AS VARCHAR) || '.' ||
+                 CAST((event_id * 7) % 256 AS VARCHAR) || '.' ||
+                 CAST((event_id * 13) % 256 AS VARCHAR) || '.' ||
+                 CAST(event_id % 251 AS VARCHAR) AS ip,
+                 (event_id % 4 * 10 + 10) * 16777216
+                 + ((event_id * 7) % 256) * 65536
+                 + ((event_id * 13) % 256) * 256
+                 + event_id % 251 AS ipi
+          FROM events WHERE event_id < 4000),
+        rawnets AS (
+          SELECT (n_nationkey % 4 * 10 + 10) * 16777216
+                 + ((n_nationkey * 37) % 224) * 65536 AS braw,
+                 CAST(8 + n_nationkey % 8 AS INTEGER) AS ml
+          FROM nation),
+        nets AS (
+          SELECT braw - braw % (CAST(1 AS BIGINT) << (32 - ml)) AS lo,
+                 ml
+          FROM rawnets),
+        hit AS (
+          SELECT i.event_id, n.lo, n.ml,
+                 row_number() OVER (PARTITION BY i.event_id
+                     ORDER BY n.ml DESC, n.lo ASC) AS rn
+          FROM ips i JOIN nets n
+            ON i.ipi BETWEEN n.lo
+               AND n.lo + (CAST(1 AS BIGINT) << (32 - n.ml)) - 1)
+        SELECT i.event_id, i.ip,
+               h.lo AS net_base, CAST(h.ml AS INTEGER) AS net_masklen
+        FROM ips i LEFT JOIN (SELECT * FROM hit WHERE rn = 1) h
+          ON h.event_id = i.event_id
+    """
+    # single availableNow drain == the batch HAVING-threshold query
+    d["q_stream_alert"] = """
+        SELECT user_id, event_type, count(*) AS n_events
+        FROM events GROUP BY user_id, event_type
+        HAVING count(*) >= 30
+    """
     d["q_sph_area"] = """
         WITH base AS (
           SELECT n_nationkey AS line_id,

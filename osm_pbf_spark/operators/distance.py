@@ -736,3 +736,113 @@ def voronoi_assign(
         F.col("_b.sid").alias("site_id"),
         F.col("_b.d2").alias("d2"),
     )
+
+
+def lcss_py(a: list, b: list, r2: int) -> int:
+    """Scalar LCSS DP replay (oracle kernel, independent of the numpy
+    rolling-row kernel): longest common subsequence length where
+    points match when snapped d2 <= r2."""
+    n, m = len(a), len(b)
+    prev = [0] * (m + 1)
+    for i in range(1, n + 1):
+        cur = [0] * (m + 1)
+        ax, ay = a[i - 1]
+        for j in range(1, m + 1):
+            bx, by = b[j - 1]
+            dx, dy = ax - bx, ay - by
+            if dx * dx + dy * dy <= r2:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = prev[j] if prev[j] >= cur[j - 1] else cur[j - 1]
+        prev = cur
+    return prev[m]
+
+
+def lcss_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    level: int,
+    min_sim_ppm: int = 1,
+    left_id: str = "track_id",
+    right_id: str = "track_id",
+) -> DataFrame:
+    """Trajectory-similarity join on LCSS (Vlachos et al. 2002) —
+    the NOISE-TOLERANT member of the track-metric family (r4):
+    Hausdorff/Frechet are sup metrics a single GPS glitch dominates;
+    LCSS counts how much of two tracks aligns within ``radius`` and
+    simply skips outlier fixes, so it is the right join for noisy
+    co-movement mining. Returns (id_a, id_b, lcss, n_a, n_b, sim_ppm)
+    for pairs with sim_ppm >= ``min_sim_ppm``, where
+    ``sim_ppm = 10^6 * lcss DIV min(n_a, n_b)`` — exact integers
+    end-to-end (snapped micro-degree grid, d2 <= r2 matching), so
+    every output bit is engine-reproducible.
+
+    Plan: candidates SHARED with hausdorff/frechet via
+    ``_track_candidates`` — sound because sim_ppm >= 1 requires at
+    least ONE matched point pair (d2 <= r2), which forces the
+    expanded snapped bboxes to overlap a common cell; then ONE
+    Arrow-batched mapInPandas DP refine (rolling-row numpy kernel,
+    O(na*nb) per candidate — inherent to exact LCSS).
+
+    Self-join callers filter ``id_a < id_b`` themselves.
+    """
+    if not 1 <= int(min_sim_ppm) <= 1_000_000:
+        raise ValueError(
+            f"min_sim_ppm must be in [1, 1e6], got {min_sim_ppm} "
+            "(0 would emit non-co-located pairs the candidate stage "
+            "soundly prunes)"
+        )
+    cand, r2 = _track_candidates(left, right, radius, level, left_id, right_id)
+
+    import numpy as np
+    import pandas as pd
+
+    min_ppm = int(min_sim_ppm)
+
+    def refine(it):
+        for pdf in it:
+            ids_a, ids_b, ls, nas, nbs, ppms = [], [], [], [], [], []
+            for id_a, xa, ya, id_b, xb, yb in zip(
+                pdf["id_a"], pdf["xs_a"], pdf["ys_a"],
+                pdf["id_b"], pdf["xs_b"], pdf["ys_b"],
+            ):
+                axs = np.asarray(xa, dtype=np.int64)
+                ays = np.asarray(ya, dtype=np.int64)
+                bxs = np.asarray(xb, dtype=np.int64)
+                bys = np.asarray(yb, dtype=np.int64)
+                dx = axs[:, None] - bxs[None, :]
+                dy = ays[:, None] - bys[None, :]
+                match = (dx * dx + dy * dy) <= r2
+                if not match.any():
+                    continue
+                n, m = len(axs), len(bxs)
+                prev = np.zeros(m + 1, dtype=np.int64)
+                for i in range(n):
+                    diag = prev[:-1] + match[i]
+                    # running combine: cur[j] = max(diag[j-1], prev[j],
+                    # cur[j-1]) — the cur[j-1] dependency is a prefix
+                    # max after the elementwise part
+                    cur = np.maximum(diag, prev[1:])
+                    np.maximum.accumulate(cur, out=cur)
+                    prev = np.concatenate(([0], cur))
+                lcss = int(prev[m])
+                ppm = (1_000_000 * lcss) // min(n, m)
+                if ppm >= min_ppm:
+                    ids_a.append(id_a)
+                    ids_b.append(id_b)
+                    ls.append(lcss)
+                    nas.append(n)
+                    nbs.append(m)
+                    ppms.append(ppm)
+            yield pd.DataFrame(
+                {"id_a": ids_a, "id_b": ids_b, "lcss": ls,
+                 "n_a": nas, "n_b": nbs, "sim_ppm": ppms}
+            )
+
+    out_schema = (
+        f"id_a {cand.schema['id_a'].dataType.simpleString()}, "
+        f"id_b {cand.schema['id_b'].dataType.simpleString()}, "
+        "lcss bigint, n_a int, n_b int, sim_ppm bigint"
+    )
+    return cand.mapInPandas(refine, schema=out_schema)

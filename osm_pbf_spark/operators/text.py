@@ -1446,3 +1446,118 @@ def textrank_keywords(
         .orderBy(F.col("rank").desc(), F.col("token").asc())
         .limit(top_k)
     )
+
+
+def ip_to_int(col: "F.Column") -> "F.Column":
+    """Dotted-quad IPv4 string -> uint32-as-bigint, NULL for anything
+    that is not a valid a.b.c.d with octets 0-255 (native split +
+    range-checked casts — no regex backtracking, no Python)."""
+    parts = F.split(col, "[.]")
+    # try_element_at + try_cast: ANSI element_at THROWS on short arrays
+    # ("x.y") and CAST throws on non-numeric octets ("not-an-ip")
+    octs = [
+        F.try_element_at(parts, F.lit(i + 1)).try_cast("bigint")
+        for i in range(4)
+    ]
+    valid = F.size(parts) == 4
+    for o in octs:
+        valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
+    packed = ((octs[0] * 256 + octs[1]) * 256 + octs[2]) * 256 + octs[3]
+    return F.when(valid, packed)
+
+
+def cidr_join(
+    ips: DataFrame,
+    networks: DataFrame,
+    ip_col: str = "ip",
+    cidr_base_col: str = "base",
+    masklen_col: str = "masklen",
+    bucket_bits: int = 16,
+) -> DataFrame:
+    """IP -> network containment join with LONGEST-PREFIX-MATCH (r4):
+    the geo-IP / ASN / allowlist enrichment every log-scale pipeline
+    runs. Each ip row gets the single most-specific network containing
+    it (largest masklen; exact-int tie impossible — equal masklen +
+    containment implies the same network), or NULL columns if none.
+
+    Inputs: ``ips[ip_col]`` dotted-quad strings (invalid ones pass
+    through with NULL network columns, never dropped — they are the
+    rows an audit wants to see); ``networks`` carries dotted-quad
+    ``cidr_base_col`` + integer ``masklen_col`` in [0, 32]. Bases are
+    canonicalized by masking host bits (10.1.2.3/8 == 10.0.0.0/8).
+
+    Scale plan — the interval_join shape on the 32-bit address line:
+    each network explodes to the /``bucket_bits`` buckets its range
+    covers with a native ``sequence`` Generate (a /k network covers
+    max(1, 2^(bucket_bits - k)) buckets; hot default /16 = one row for
+    every network with masklen >= 16), each ip computes its bucket,
+    ONE equi-join on the bucket, exact BETWEEN refine, then a
+    min-struct argmax keeps the longest prefix. No broadcast needed
+    (the network side can be millions of rows), no theta join.
+
+    Returns ips.* + (net_base, net_masklen) as bigint/int (NULL when
+    unmatched).
+    """
+    if not 0 <= int(bucket_bits) <= 32:
+        raise ValueError(f"bucket_bits must be in [0, 32], got {bucket_bits}")
+    shift = 32 - int(bucket_bits)
+    ml = F.col(masklen_col).cast("int")
+    nets = networks.where(
+        F.when((ml >= 0) & (ml <= 32), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("cidr_join: masklen out of [0,32]: "),
+                    ml.cast("string"),
+                )
+            )
+        )
+    )
+    base_i = ip_to_int(F.col(cidr_base_col))
+    # column shift count: F.shiftleft only takes a literal (recorded
+    # lesson) — column shifts go through expr
+    size = F.expr(f"shiftleft(CAST(1 AS BIGINT), 32 - CAST({masklen_col} AS INT))")
+    lo = (base_i - base_i % size).alias("_lo")  # mask host bits
+    nets = nets.select(
+        lo,
+        ml.alias("_ml"),
+    ).where(F.col("_lo").isNotNull())
+    nets = nets.select(
+        "_lo",
+        "_ml",
+        (F.col("_lo") + F.expr("shiftleft(CAST(1 AS BIGINT), 32 - _ml)") - 1).alias("_hi"),
+    )
+    nb = nets.select(
+        "_lo",
+        "_hi",
+        "_ml",
+        F.explode(
+            F.sequence(
+                F.shiftrightunsigned(F.col("_lo"), shift),
+                F.shiftrightunsigned(F.col("_hi"), shift),
+            )
+        ).alias("_bkt"),
+    )
+    ipd = ips.withColumn("_ipi", ip_to_int(F.col(ip_col)))
+    # per-DISTINCT-ip matching (the dedup exact-collapse pattern):
+    # the winning network depends only on the address, so match the
+    # distinct addresses, then ONE left join back — duplicate input
+    # rows cost nothing extra and pass through untouched
+    dips = ipd.select("_ipi").where(F.col("_ipi").isNotNull()).distinct()
+    cand = dips.withColumn(
+        "_bkt", F.shiftrightunsigned(F.col("_ipi"), shift)
+    ).join(nb, "_bkt").where(
+        F.col("_ipi").between(F.col("_lo"), F.col("_hi"))
+    )
+    best = cand.groupBy("_ipi").agg(
+        F.min(
+            F.struct((-F.col("_ml")).alias("_nml"), F.col("_lo").alias("_lo"))
+        ).alias("_m")
+    )
+    return (
+        ipd.join(best, "_ipi", "left")
+        .select(
+            *ips.columns,
+            F.col("_m._lo").alias("net_base"),
+            (-F.col("_m._nml")).cast("int").alias("net_masklen"),
+        )
+    )

@@ -29,6 +29,7 @@ from .ops import (
     stream_parquet,
     stream_sessionize,
     stream_stream_join,
+    stream_threshold_alert,
     windowed_counts,
 )
 
@@ -40,5 +41,6 @@ __all__ = [
     "stream_ewma",
     "stream_sessionize",
     "stream_stream_join",
+    "stream_threshold_alert",
     "run_available_now",
 ]

@@ -416,3 +416,64 @@ def stream_ewma(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def stream_threshold_alert(
+    sdf: DataFrame,
+    key_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Stateful threshold alerting (r4): one alert row per key, emitted
+    in the FIRST micro-batch where the key's CUMULATIVE event count
+    reaches ``k`` — the ops-monitoring staple (k failures for a host,
+    k abuse reports for an account) with exactly-once alert semantics
+    (state remembers both the running count and whether the alert
+    already fired, so replays/late batches never re-alert).
+
+    Emission spec (deterministic, no timeout dependence):
+      - cumulative count (state + batch rows) first reaches >= k ->
+        emit ``(key..., n_events = cumulative count in that batch)``;
+      - key already alerted, or still below k -> emit nothing.
+
+    Over a SINGLE availableNow batch this equals the batch
+    ``GROUP BY key HAVING count(*) >= k`` with n_events = the full
+    count — the driver-gate oracle; cross-batch accumulation and
+    alert-once suppression are pinned by a maxFilesPerTrigger=1 test.
+
+    Plan: groupBy(key).applyInPandasWithState — state is ONE
+    (count, fired) pair per distinct key, sharded by the key shuffle;
+    state grows with key cardinality, never with event volume.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_fields = ", ".join(
+        f"{c} {sdf.schema[c].dataType.simpleString()}" for c in key_cols
+    )
+    out_schema = f"{key_fields}, n_events long"
+    state_schema = "n long, fired boolean"
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        n0, fired = state.get if state.exists else (0, False)
+        n = int(n0)
+        for pdf in pdfs:
+            n += len(pdf)
+        if fired:
+            state.update((n, True))
+            return
+        if n >= k:
+            state.update((n, True))
+            yield pd.DataFrame(
+                {**{c: [v] for c, v in zip(key_cols, key)}, "n_events": [n]}
+            )
+        else:
+            state.update((n, False))
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
