@@ -5478,6 +5478,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sink_rollback"] = q_sink_rollback
 
+    def q_sink_tag(spark, sf):  # C21 named refs: tag the ingest
+        # snapshot, append junk + commit, then read THROUGH the tag —
+        # must equal the pure-ingest spec oracle (reused verbatim),
+        # proving the tag pins the frozen manifest list by name
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.plans.ingest import ingest_pbf
+
+        path = _fixture_pbf("sink")
+        root = os.path.join(
+            tempfile.gettempdir(), "osm_pbf_spark_driver_sink_tag"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        sink = ingest_pbf(spark, path, root, cell_level=12, blobs_per_split=1)
+        sink.tag_snapshot("training-cut")
+        base = sink.read(spark)
+        junk = base.where("pmod(cell, 4) = 1").withColumn(
+            "doc_id", F.concat(F.lit("junk/"), F.col("doc_id"))
+        )
+        sink.write_split(junk, "junk-1", lineage={"op": "append"})
+        sink.commit_snapshot({"pipeline": "junk"})
+        lo, hi = SINK_PRUNE_RANGE
+        docs = sink.read_tag(spark, "training-cut").filter(
+            F.col("cell").between(lo, hi)
+        )
+        return docs.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum(F.size("spans")).alias("spans_total"),
+            F.sum(
+                F.length(F.element_at("spans", -1)["media_ref"])
+            ).alias("media_len_total"),
+        )
+
+    q["q_sink_tag"] = q_sink_tag
+
     def q_assortativity(spark, sf):  # Newman degree assortativity =
         # exact-moment Pearson over symmetric endpoint degrees
         from osm_pbf_spark.operators.graph import assortativity
@@ -6300,6 +6337,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q_stream_alert"] = q_stream_alert
+
+    def q_kmeans_fit(spark, sf):  # FULL distributed Lloyd: exact-int
+        # quantized loop (init = k smallest ids, floor-div centroids,
+        # tie -> smallest cluster) — bit-equal to the scalar replay
+        from osm_pbf_spark.operators.ann import kmeans_fit
+
+        e = load(spark, sf, "embeddings")
+        return kmeans_fit(e, n_clusters=8, n_iters=4)
+
+    q["q_kmeans_fit"] = q_kmeans_fit
+
+    def q_buffer(spark, sf):  # COMPOSED vector buffer: point raster ->
+        # integer-disk dilate (G38) -> marching-squares outline (G34)
+        # — the raster-space buffer polygonization, each stage already
+        # oracle-gated solo; the composition's oracle replays both
+        from osm_pbf_spark.functions.cells import _quant_col
+        from osm_pbf_spark.operators.tiling import contour_segments, grid_dilate
+
+        pts = customer_points(spark, sf)
+        grid = pts.select(
+            _quant_col(F.col("lon"), 180.0, 360.0, 7).alias("x"),
+            _quant_col(F.col("lat"), 90.0, 180.0, 7).alias("y"),
+        ).distinct()
+        dil = grid_dilate(grid, 2)
+        return contour_segments(dil.select("x", "y", F.lit(1).alias("n")), 1)
+
+    q["q_buffer"] = q_buffer
 
     return q
 
@@ -10021,6 +10085,42 @@ def _ora_lcss() -> str:
     )
 
 
+def _ora_kmeans_fit() -> str:
+    """Plain-Python replay of the FULL Lloyd loop (ann.kmeans_fit_py)
+    + the final assignment — the exact-integer spec makes engine and
+    replay bit-identical; independent plumbing (scalar loops vs the
+    engine's pandas-UDF assign + posexplode centroid aggregate)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.ann import KMEANS_Q_SCALE, kmeans_fit_py
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    pairs = sorted(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )
+    vecs = [
+        tuple(int(math.floor(float(x) * KMEANS_Q_SCALE + 0.5)) for x in emb)
+        for _, emb in pairs
+    ]
+    cents = kmeans_fit_py(vecs, 8, 4)
+    rows = []
+    for (vid, _), v in zip(pairs, vecs):
+        best, bd = 0, None
+        for c, cc in enumerate(cents):
+            dd = sum((a - b) * (a - b) for a, b in zip(v, cc))
+            if bd is None or dd < bd:
+                best, bd = c, dd
+        rows.append((vid, best, bd))
+    return _values_sql(
+        [("vec_id", "BIGINT"), ("cluster", "BIGINT"), ("d2", "BIGINT")], rows
+    )
+
+
 def _ora_jaro_winkler() -> str:
     """Pure-Python replay of q_jaro_winkler: the same soundex blocking
     (_soundex_py is pinned bit-equal to Spark's soundex) + the SAME
@@ -10634,6 +10734,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sink_roundtrip": _ora_sink_roundtrip(),
         # rollback restores the PURE-ingest state: same oracle
         "q_sink_rollback": _ora_sink_roundtrip(),
+        "q_sink_tag": _ora_sink_roundtrip(),
         # full-stage replay: quality/lang marker arithmetic + the
         # first-occurrence dedup window + per-source rollup
         "q_c4_pipeline": """
@@ -15504,6 +15605,38 @@ def oracle_sql() -> dict[str, str]:
     d["q_matching"] = _ora_matching()
     d["q_lcss"] = _ora_lcss()
     d["q_jaro_winkler"] = _ora_jaro_winkler()
+    d["q_kmeans_fit"] = _ora_kmeans_fit()
+    # composed buffer: the q_grid_morph dilate replay feeding the
+    # q_contour case-table replay (independent at both stages)
+    d["q_buffer"] = f"""
+        {pts},
+        g AS (
+            SELECT DISTINCT
+                   least(greatest(CAST(floor((lon + CAST(180.0 AS DOUBLE))
+                         / CAST(360.0 AS DOUBLE) * CAST(128.0 AS DOUBLE)) AS BIGINT),
+                         0), 127) AS x,
+                   least(greatest(CAST(floor((lat + CAST(90.0 AS DOUBLE))
+                         / CAST(180.0 AS DOUBLE) * CAST(128.0 AS DOUBLE)) AS BIGINT),
+                         0), 127) AS y
+            FROM pts),
+        disk(dx, dy) AS (VALUES {_DISK2_VALS}),
+        cnt AS (SELECT DISTINCT x + dx AS x, y + dy AS y FROM g, disk),
+        d(dx, dy, bit) AS (VALUES (0,0,1),(1,0,2),(1,1,4),(0,1,8)),
+        blocks AS (SELECT x - dx AS bx, y - dy AS by,
+                          CAST(sum(bit) AS INTEGER) AS ms_case
+                   FROM cnt, d GROUP BY 1, 2),
+        segs(ms_case, x0o, y0o, x1o, y1o) AS (VALUES
+            (1,0,1,1,0),(2,1,0,2,1),(3,0,1,2,1),(4,1,2,2,1),
+            (5,0,1,1,0),(5,1,2,2,1),(6,1,0,1,2),(7,0,1,1,2),
+            (8,0,1,1,2),(9,1,0,1,2),(10,1,0,2,1),(10,0,1,1,2),
+            (11,1,2,2,1),(12,0,1,2,1),(13,1,0,2,1),(14,0,1,1,0))
+        SELECT CAST(bx AS BIGINT) AS bx, CAST(by AS BIGINT) AS by, ms_case,
+               CAST(2*bx + x0o AS BIGINT) AS x0,
+               CAST(2*by + y0o AS BIGINT) AS y0,
+               CAST(2*bx + x1o AS BIGINT) AS x1,
+               CAST(2*by + y1o AS BIGINT) AS y1
+        FROM blocks JOIN segs USING (ms_case)
+    """
     # independent formulation: direct integer address arithmetic +
     # BETWEEN join + row_number LPM (the engine parses dotted strings,
     # bucket-explodes the ranges, and argmaxes a min-struct)

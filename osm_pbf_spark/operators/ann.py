@@ -1063,3 +1063,137 @@ def rrf_fuse(
             F.col("fused_rank") <= int(top_k)
         )
     return out
+
+
+KMEANS_Q_SCALE = float(1 << 20)
+
+
+def kmeans_fit_py(vecs: list, k: int, n_iters: int) -> list:
+    """Scalar replay of the distributed Lloyd spec (oracle kernel):
+    ``vecs`` is an id-ORDERED list of quantized int tuples; init =
+    first k rows; per iter: argmin exact int d2 (tie -> smallest
+    cluster), centroid = per-dim floor-div of exact sums (empty
+    cluster keeps its previous centroid). Returns final centroids."""
+    cents = [list(v) for v in vecs[:k]]
+    d = len(cents[0])
+    for _ in range(n_iters):
+        sums = [[0] * d for _ in range(k)]
+        cnts = [0] * k
+        for v in vecs:
+            best, bd = 0, None
+            for c in range(k):
+                dd = 0
+                cc = cents[c]
+                for j in range(d):
+                    t = v[j] - cc[j]
+                    dd += t * t
+                if bd is None or dd < bd:
+                    best, bd = c, dd
+            cnts[best] += 1
+            sv = sums[best]
+            for j in range(d):
+                sv[j] += v[j]
+        for c in range(k):
+            if cnts[c] > 0:
+                cents[c] = [sums[c][j] // cnts[c] for j in range(d)]
+    return cents
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    n_clusters: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FULL distributed Lloyd k-means (r4) — the canonical iterative
+    ML fit, training on the ENTIRE dataset (kmeans_assign's coarse
+    quantizer trains on a bounded sample; this is the real fit for
+    when cluster quality matters: corpus bucketing, IVF list training
+    at 10^9+ vectors where a sample misses small modes).
+
+    EXACT-INTEGER spec (engine == plain-Python replay, bit for bit):
+    vectors quantize once to int64 (floor(x * 2^20 + 0.5)); distances
+    are exact int64 squared-L2; argmin ties break to the SMALLEST
+    cluster id; centroid update is per-dimension floor-division of
+    exact int64 sums (empty clusters keep their previous centroid);
+    init = the k vectors with the smallest ids. No float enters the
+    loop, so partitioning/engine/iteration order cannot change a bit.
+
+    Plan per iteration: broadcast the (k x d) centroid array inside a
+    vectorized pandas UDF (one map stage assigns every vector), then
+    ONE posexplode Generate + ONE (cluster, dim) hash aggregate
+    (map-side combinable to k*d rows) + a k*d-bounded driver collect
+    for the next round's centroids — the bounded-driver-state class
+    (IVF/PQ codebooks). n_iters fixed: no convergence actions.
+
+    Returns the final assignment ``(id_col, cluster, d2)``.
+    """
+    if n_clusters < 1 or n_iters < 1:
+        raise ValueError("n_clusters and n_iters must be >= 1")
+    qv = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(KMEANS_Q_SCALE) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("_q"),
+    )
+    init = qv.orderBy("_id").limit(n_clusters).collect()
+    if len(init) < n_clusters:
+        raise ValueError(
+            f"need >= {n_clusters} vectors, got {len(init)}"
+        )
+    cents = np.asarray([r["_q"] for r in init], dtype=np.int64)
+
+    def assign_with(c_arr: np.ndarray):
+        @F.pandas_udf("cluster long, d2 long")
+        def _assign(vecs: pd.Series) -> pd.DataFrame:
+            m = np.stack([np.asarray(v, dtype=np.int64) for v in vecs])
+            # exact int64 d2: ||v||^2 - 2 v.c + ||c||^2 risks nothing
+            # here because python ints never overflow in the replay —
+            # but numpy would, so compute per-centroid diffs directly
+            best = np.zeros(len(m), dtype=np.int64)
+            bd = None
+            for c in range(len(c_arr)):
+                diff = m - c_arr[c][None, :]
+                dd = np.einsum("ij,ij->i", diff, diff)
+                if bd is None:
+                    bd = dd.copy()
+                else:
+                    upd = dd < bd
+                    best[upd] = c
+                    bd[upd] = dd[upd]
+            return pd.DataFrame({"cluster": best, "d2": bd})
+
+        return _assign
+
+    d = len(cents[0])
+    for _ in range(n_iters):
+        a = qv.withColumn("_a", assign_with(cents)(F.col("_q")))
+        per = (
+            a.select(F.col("_a.cluster").alias("_c"), F.posexplode("_q").alias("_j", "_v"))
+            .groupBy("_c", "_j")
+            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        sums = np.zeros((n_clusters, d), dtype=object)
+        cnts = np.zeros(n_clusters, dtype=np.int64)
+        for r in per:
+            sums[r["_c"]][r["_j"]] = int(r["_s"])
+            cnts[r["_c"]] = int(r["_n"])
+        new = cents.copy()
+        for c in range(n_clusters):
+            if cnts[c] > 0:
+                new[c] = np.asarray(
+                    [int(sums[c][j]) // int(cnts[c]) for j in range(d)],
+                    dtype=np.int64,
+                )
+        cents = new
+    final = qv.withColumn("_a", assign_with(cents)(F.col("_q")))
+    return final.select(
+        F.col("_id").alias(id_col),
+        F.col("_a.cluster").alias("cluster"),
+        F.col("_a.d2").alias("d2"),
+    )

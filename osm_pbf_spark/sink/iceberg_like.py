@@ -701,6 +701,69 @@ class IcebergLikeSink:
             os.replace(tmp, dest)
         return snap
 
+    # ---- named refs (Iceberg tags) --------------------------------------
+
+    def _tags_path(self) -> str:
+        return os.path.join(self.root, "tags.json")
+
+    def tags(self) -> dict:
+        """Name -> snapshot_id map of all recorded tags."""
+        p = self._tags_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def tag_snapshot(self, name: str, ref: int | str | None = None) -> dict:
+        """Record an immutable NAMED REF (Iceberg tag) to a snapshot
+        (r4) — 'v1.2-training-cut', 'audited-2026-08': the human handle
+        a reproducible pipeline pins instead of a raw snapshot id.
+        ``ref`` is a snapshot_id or sequence number (default: the
+        current snapshot). Tags are immutable — re-tagging an existing
+        name raises (delete_tag first, deliberately two steps). The
+        tagged snapshot is protected from expire_snapshots.
+
+        Returns {name: snapshot_id}. Atomic single-file update (the
+        snapshot.json os.replace protocol)."""
+        if not name or "/" in name:
+            raise ValueError(f"invalid tag name {name!r}")
+        cur = self.tags()
+        if name in cur:
+            raise ValueError(
+                f"tag {name!r} already points at {cur[name]!r} — tags are "
+                "immutable; delete_tag first if you really mean to move it"
+            )
+        if ref is None:
+            snap = self.current_snapshot()
+            if snap is None:
+                raise ValueError("no snapshot to tag — commit_snapshot first")
+        else:
+            snap, _ = self._snapshot_entries(ref)
+        cur[name] = snap["snapshot_id"]
+        tmp = os.path.join(self.root, f".tags.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(cur, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._tags_path())
+        return {name: snap["snapshot_id"]}
+
+    def delete_tag(self, name: str) -> None:
+        cur = self.tags()
+        if name not in cur:
+            raise KeyError(f"unknown tag {name!r}")
+        del cur[name]
+        tmp = os.path.join(self.root, f".tags.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(cur, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._tags_path())
+
+    def read_tag(self, spark: SparkSession, name: str, **kw) -> DataFrame:
+        """Time-travel read through a named ref (read_snapshot by
+        tag). Raises KeyError for unknown tags."""
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"unknown tag {name!r}; have {sorted(tags)}")
+        return self.read_snapshot(spark, tags[name], **kw)
+
     def current_snapshot(self) -> dict | None:
         p = os.path.join(self.root, "snapshot.json")
         if not os.path.exists(p):
@@ -1362,6 +1425,13 @@ class IcebergLikeSink:
         snaps = self.snapshots()
         keep = snaps[-keep_last:]
         drop = snaps[:-keep_last]
+        # named refs protect their snapshots (Iceberg tag semantics):
+        # a tagged snapshot never expires, however old
+        tagged = set(self.tags().values())
+        if tagged:
+            still = [s for s in drop if s["snapshot_id"] in tagged]
+            keep = still + keep
+            drop = [s for s in drop if s["snapshot_id"] not in tagged]
         retained: set[str] = set()
         for s in keep:
             try:
