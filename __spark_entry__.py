@@ -5515,6 +5515,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sink_tag"] = q_sink_tag
 
+    def q_sink_vacuum(spark, sf):  # C22 orphan-file vacuum: plant a
+        # crashed-writer leftover under data/, vacuum must delete
+        # exactly it, and the committed read must be untouched (the
+        # pure-ingest spec oracle, verbatim)
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.plans.ingest import ingest_pbf
+
+        path = _fixture_pbf("sink")
+        root = os.path.join(
+            tempfile.gettempdir(), "osm_pbf_spark_driver_sink_vac"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        sink = ingest_pbf(spark, path, root, cell_level=12, blobs_per_split=1)
+        orphan = os.path.join(root, "data", "orphan-crashed-writer.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"PAR1 not really parquet")
+        res = sink.vacuum_orphans()
+        assert res["deleted_files"] >= 1 and not os.path.exists(orphan), res
+        lo, hi = SINK_PRUNE_RANGE
+        docs = sink.read(spark, stats_range=(lo, hi)).filter(
+            F.col("cell").between(lo, hi)
+        )
+        return docs.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum(F.size("spans")).alias("spans_total"),
+            F.sum(
+                F.length(F.element_at("spans", -1)["media_ref"])
+            ).alias("media_len_total"),
+        )
+
+    q["q_sink_vacuum"] = q_sink_vacuum
+
     def q_assortativity(spark, sf):  # Newman degree assortativity =
         # exact-moment Pearson over symmetric endpoint degrees
         from osm_pbf_spark.operators.graph import assortativity
@@ -6364,6 +6399,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return contour_segments(dil.select("x", "y", F.lit(1).alias("n")), 1)
 
     q["q_buffer"] = q_buffer
+
+    def q_node2vec(spark, sf):  # second-order biased walks: integer
+        # (return, in, out) weights, cumulative md5 draw over sorted
+        # candidates; Python full-replay oracle
+        from osm_pbf_spark.operators.graph import node2vec_walks
+
+        return node2vec_walks(
+            _md5_graph(spark, sf), n_steps=4, walks_per_node=2,
+            w_return=2, w_in=4, w_out=1,
+        )
+
+    q["q_node2vec"] = q_node2vec
 
     return q
 
@@ -10085,6 +10132,74 @@ def _ora_lcss() -> str:
     )
 
 
+def _ora_node2vec() -> str:
+    """Plain-Python replay of the full second-order walk spec
+    (graph.node2vec_walks docstring) over the _md5_graph synthesis —
+    scalar loops + a dict adjacency vs the engine's frontier joins,
+    candidate Generate and window cumsum."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    def md5_40(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:10], 16)
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"), columns=["event_id"]
+    )
+    eset = set()
+    for eid in t.column("event_id").to_pylist():
+        k = int(eid)
+        if k < 900:
+            a = md5_40(str(k)) % 100
+            b = md5_40(f"{k}:d") % 100
+            if a != b:
+                eset.add((a, b))
+    adj: dict = {}
+    nodes = set()
+    for a, b in eset:
+        adj.setdefault(a, set()).add(b)
+        nodes.add(a)
+        nodes.add(b)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    W_RET, W_IN, W_OUT = 2, 4, 1
+    rows = []
+    for start in sorted(nodes):
+        for rep in range(2):
+            rows.append((start, rep, 0, start))
+            prev, cur = None, start
+            for step in range(1, 5):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                if step == 1:
+                    idx = md5_40(f"n2v:{start}:{rep}:1:{cur}") % len(nbrs)
+                    nxt = nbrs[idx]
+                else:
+                    ws = [
+                        W_RET if x == prev
+                        else (W_IN if (prev, x) in eset else W_OUT)
+                        for x in nbrs
+                    ]
+                    tot = sum(ws)
+                    if tot == 0:
+                        break
+                    r = md5_40(f"n2v:{start}:{rep}:{step}:{cur}:{prev}") % tot
+                    cum, nxt = 0, None
+                    for x, w in zip(nbrs, ws):
+                        cum += w
+                        if cum > r:
+                            nxt = x
+                            break
+                rows.append((start, rep, step, nxt))
+                prev, cur = cur, nxt
+    return _values_sql(
+        [("start", "BIGINT"), ("rep", "INTEGER"), ("step", "INTEGER"),
+         ("node", "BIGINT")],
+        rows,
+    )
+
+
 def _ora_kmeans_fit() -> str:
     """Plain-Python replay of the FULL Lloyd loop (ann.kmeans_fit_py)
     + the final assignment — the exact-integer spec makes engine and
@@ -10735,6 +10850,7 @@ def oracle_sql() -> dict[str, str]:
         # rollback restores the PURE-ingest state: same oracle
         "q_sink_rollback": _ora_sink_roundtrip(),
         "q_sink_tag": _ora_sink_roundtrip(),
+        "q_sink_vacuum": _ora_sink_roundtrip(),
         # full-stage replay: quality/lang marker arithmetic + the
         # first-occurrence dedup window + per-source rollup
         "q_c4_pipeline": """
@@ -15606,6 +15722,7 @@ def oracle_sql() -> dict[str, str]:
     d["q_lcss"] = _ora_lcss()
     d["q_jaro_winkler"] = _ora_jaro_winkler()
     d["q_kmeans_fit"] = _ora_kmeans_fit()
+    d["q_node2vec"] = _ora_node2vec()
     # composed buffer: the q_grid_morph dilate replay feeding the
     # q_contour case-table replay (independent at both stages)
     d["q_buffer"] = f"""

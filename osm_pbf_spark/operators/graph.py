@@ -40,7 +40,7 @@ implementation — not a replay (q_connected_components, q_dedup_groups).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -57,6 +57,7 @@ __all__ = [
     "random_walks",
     "walk_pairs",
     "maximal_matching",
+    "node2vec_walks",
 ]
 
 
@@ -1525,4 +1526,146 @@ def maximal_matching(
     out = matched_parts[0]
     for part in matched_parts[1:]:
         out = out.unionAll(part)
+    return out
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    n_steps: int,
+    walks_per_node: int = 1,
+    w_return: int = 1,
+    w_in: int = 4,
+    w_out: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+    seed: str = "n2v",
+) -> DataFrame:
+    """Deterministic SECOND-ORDER (node2vec, Grover & Leskovec 2016)
+    biased walks (r4) — the BFS/DFS-interpolating corpus generator
+    random_walks cannot express: the step out of ``cur`` is biased by
+    where the walk CAME from. Integer weights replace the paper's
+    1/p, 1, 1/q (no rationals, no floats — pass (w_return, w_in,
+    w_out) = e.g. (2, 4, 1) for a BFS-ish walk): candidate x gets
+    ``w_return`` if x == prev, else ``w_in`` if (prev -> x) is an
+    edge (triangle-closing), else ``w_out``.
+
+    Determinism spec (engine-replayable): step 1 from ``start`` picks
+    sorted-neighbor index ``md5_40(seed:start:rep:1:cur) % deg``
+    (exactly random_walks' first hop); step t >= 2 draws
+    ``r = md5_40(seed:start:rep:t:cur:prev) % total_weight`` and takes
+    the FIRST sorted neighbor whose cumulative weight exceeds r.
+    Adjacency = DISTINCT non-loop directed edges, sorted neighbor
+    lists, ``max_degree`` smallest-id hub truncation — all identical
+    to random_walks. Emits ``(start, rep, step, node)`` long form;
+    sink nodes stop their walk.
+
+    Plan per step: frontier-join to adjacency, ONE posexplode
+    candidate Generate, ONE left equi-join to the edge set for the
+    triangle flag, ONE per-walk window (cumulative + total weight in
+    one pass) — then ``localCheckpoint(eager=False)`` (the CC
+    iterative exception: three shuffles per round would otherwise
+    stack a super-linear logical plan). Frontier-sized shuffles only;
+    no driver actions.
+    """
+    if n_steps < 0:
+        raise ValueError(f"n_steps must be >= 0, got {n_steps}")
+    for nm, w in (("w_return", w_return), ("w_in", w_in), ("w_out", w_out)):
+        if int(w) < 0 or int(w) > 1_000_000:
+            raise ValueError(f"{nm} must be in [0, 1e6], got {w}")
+    if int(w_return) + int(w_in) + int(w_out) == 0:
+        raise ValueError("at least one of w_return/w_in/w_out must be > 0")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = e.groupBy(F.col("a").alias("node")).agg(
+        F.sort_array(F.collect_list("b")).alias("nbrs")
+    )
+    if max_degree is not None:
+        adj = adj.select("node", F.slice("nbrs", 1, int(max_degree)).alias("nbrs"))
+    adj = adj.select("node", "nbrs", F.size("nbrs").cast("bigint").alias("deg"))
+
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    reps = F.explode(
+        F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1))
+    ).alias("rep")
+    state = nodes.select(
+        F.col("node").alias("start"),
+        reps,
+        F.lit(0).cast("int").alias("step"),
+        F.lit(None).cast(nodes.schema["node"].dataType).alias("prev"),
+        F.col("node").alias("node"),
+    )
+    out = state.select("start", "rep", "step", "node")
+    flagged_edges = e.select(
+        F.col("a").alias("prev"), F.col("b").alias("_x"),
+        F.lit(1).alias("_tri"),
+    )
+    for t in range(1, int(n_steps) + 1):
+        if t == 1:
+            nxt = state.join(adj, "node").select(
+                "start",
+                "rep",
+                F.lit(1).cast("int").alias("step"),
+                F.col("node").alias("prev"),
+                F.element_at(
+                    "nbrs",
+                    (
+                        _md5_mod(
+                            [F.lit(seed), F.col("start"), F.col("rep"),
+                             F.lit(1), F.col("node")],
+                            F.col("deg"),
+                        )
+                        + F.lit(1)
+                    ).cast("int"),
+                ).alias("node"),
+            )
+        else:
+            cand = state.join(adj, "node").select(
+                "start",
+                "rep",
+                F.col("node").alias("cur"),
+                F.col("prev"),
+                F.posexplode("nbrs").alias("_pos", "_x"),
+            )
+            cand = cand.join(flagged_edges, ["prev", "_x"], "left")
+            w = (
+                F.when(F.col("_x") == F.col("prev"), F.lit(int(w_return)))
+                .when(F.col("_tri") == 1, F.lit(int(w_in)))
+                .otherwise(F.lit(int(w_out)))
+                .cast("bigint")
+            )
+            wk = Window.partitionBy("start", "rep").orderBy("_pos")
+            wtot = Window.partitionBy("start", "rep")
+            scored = cand.select(
+                "start", "rep", "cur", "prev", "_x",
+                F.sum(w).over(
+                    wk.rowsBetween(Window.unboundedPreceding, 0)
+                ).alias("_cum"),
+                w.alias("_w"),
+                F.sum(w).over(wtot).alias("_tot"),
+            ).where(F.col("_tot") > 0)
+            r = _md5_mod(
+                [F.lit(seed), F.col("start"), F.col("rep"), F.lit(t),
+                 F.col("cur"), F.col("prev")],
+                F.col("_tot"),
+            )
+            nxt = scored.where(
+                (F.col("_cum") > r) & (F.col("_cum") - F.col("_w") <= r)
+            ).select(
+                "start",
+                "rep",
+                F.lit(t).cast("int").alias("step"),
+                F.col("cur").alias("prev"),
+                F.col("_x").alias("node"),
+            )
+        nxt = nxt.localCheckpoint(eager=False)
+        out = out.unionByName(nxt.select("start", "rep", "step", "node"))
+        state = nxt
     return out

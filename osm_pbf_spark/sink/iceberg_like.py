@@ -701,6 +701,71 @@ class IcebergLikeSink:
             os.replace(tmp, dest)
         return snap
 
+    def vacuum_orphans(self, min_age_s: float = 0.0) -> dict:
+        """Delete ORPHAN data files (r4): files under ``data/`` that no
+        manifest references — crashed-writer leftovers (write_split
+        stages parquet before the atomic manifest rename; a task that
+        died between the two leaves untracked bytes that vanilla
+        retention never reclaims; Iceberg ships the same
+        remove_orphan_files action).
+
+        Safety: the referenced set is the union over EVERY manifest on
+        disk — live, replaced, atticed (_rollback) — plus every
+        retained snapshot's manifest list, so nothing any read path or
+        rollback could ever name is touched. ``min_age_s`` skips files
+        younger than that (an in-flight writer's staging files look
+        like orphans until its manifest commits — on a busy table pass
+        an age comfortably above the longest write).
+
+        Returns {"deleted_files": n, "freed_bytes": b}.
+        """
+        referenced: set[str] = set()
+        for sid in sorted(self.completed_splits()):
+            try:
+                referenced.update(self._read_manifest(sid)["files"])
+            except (OSError, KeyError, ValueError):
+                continue
+        rollback_root = os.path.join(self.root, "_rollback")
+        if os.path.isdir(rollback_root):
+            for sub, _, fs in os.walk(rollback_root):
+                for fn in fs:
+                    try:
+                        with open(os.path.join(sub, fn)) as f:
+                            referenced.update(json.load(f).get("files", []))
+                    except (OSError, ValueError):
+                        continue
+        for snap in self.snapshots():
+            try:
+                with open(os.path.join(self.root, snap["manifest_list"])) as f:
+                    for e in json.load(f)["entries"].values():
+                        referenced.update(e["files"])
+            except (OSError, KeyError, ValueError):
+                continue
+        now = time.time()
+        deleted = 0
+        freed = 0
+        data_root = os.path.join(self.root, "data")
+        for sub, _, fs in os.walk(data_root):
+            for fn in fs:
+                # writer bookkeeping (_SUCCESS, .crc sidecars) is not
+                # payload — leave it for filesystem hygiene, keep the
+                # deleted_files count meaning "recovered data files"
+                if fn.startswith(".") or fn.startswith("_"):
+                    continue
+                full = os.path.join(sub, fn)
+                rel = os.path.relpath(full, self.root)
+                if rel in referenced:
+                    continue
+                try:
+                    if now - os.path.getmtime(full) < min_age_s:
+                        continue
+                    freed += os.path.getsize(full)
+                    os.remove(full)
+                    deleted += 1
+                except OSError:
+                    continue
+        return {"deleted_files": deleted, "freed_bytes": freed}
+
     # ---- named refs (Iceberg tags) --------------------------------------
 
     def _tags_path(self) -> str:

@@ -111,3 +111,127 @@ def test_tag_immutability_and_errors(spark, tmp_path):
         sink.delete_tag("a")
     sink.tag_snapshot("a")  # re-usable after delete
     assert sink.tags()["a"] == s1["snapshot_id"]
+
+
+# --------------------------------------------------------- node2vec
+def test_node2vec_scalar_replay_and_bias(spark):
+    import hashlib
+
+    from osm_pbf_spark.operators.graph import node2vec_walks
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2), (2, 3), (3, 2),
+             (3, 4), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.start, r.rep, r.step): r.node
+        for r in node2vec_walks(
+            df, n_steps=3, walks_per_node=2, w_return=2, w_in=4, w_out=1
+        ).collect()
+    }
+
+    def md5_40(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:10], 16)
+
+    eset = set(edges)
+    adj = {}
+    nodes = set()
+    for a, b in eset:
+        adj.setdefault(a, []).append(b)
+        nodes |= {a, b}
+    adj = {k: sorted(v) for k, v in adj.items()}
+    want = {}
+    for start in nodes:
+        for rep in range(2):
+            want[(start, rep, 0)] = start
+            prev, cur = None, start
+            for step in range(1, 4):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                if step == 1:
+                    nxt = nbrs[md5_40(f"n2v:{start}:{rep}:1:{cur}") % len(nbrs)]
+                else:
+                    ws = [2 if x == prev else (4 if (prev, x) in eset else 1)
+                          for x in nbrs]
+                    r = md5_40(f"n2v:{start}:{rep}:{step}:{cur}:{prev}") % sum(ws)
+                    cum = 0
+                    for x, w in zip(nbrs, ws):
+                        cum += w
+                        if cum > r:
+                            nxt = x
+                            break
+                want[(start, rep, step)] = nxt
+                prev, cur = cur, nxt
+    assert got == want
+
+
+def test_node2vec_degenerates_to_random_walks_on_uniform_weights(spark):
+    """With w_return == w_in == w_out the second-order bias vanishes
+    but the DRAW KEY differs from random_walks (prev in the hash), so
+    only step-0/1 rows coincide — pin exactly that."""
+    from osm_pbf_spark.operators.graph import node2vec_walks, random_walks
+
+    edges = [((i * 3) % 20, (i * 7 + 1) % 20) for i in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nv = node2vec_walks(df, n_steps=2, seed="w",
+                        w_return=1, w_in=1, w_out=1)
+    rw = random_walks(df, n_steps=2)
+    a = {(r.start, r.rep, r.step): r.node for r in nv.collect() if r.step <= 1}
+    b = {(r.start, r.rep, r.step): r.node for r in rw.collect() if r.step <= 1}
+    assert a == b
+
+
+def test_node2vec_guards(spark):
+    from osm_pbf_spark.operators.graph import node2vec_walks
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_steps"):
+        node2vec_walks(df, n_steps=-1)
+    with pytest.raises(ValueError, match="w_return"):
+        node2vec_walks(df, 2, w_return=-1)
+    with pytest.raises(ValueError, match="at least one"):
+        node2vec_walks(df, 2, w_return=0, w_in=0, w_out=0)
+
+
+# --------------------------------------------------- vacuum_orphans
+def test_vacuum_orphans_deletes_only_unreferenced(spark, tmp_path):
+    import os as _os
+
+    from osm_pbf_spark.sink.iceberg_like import IcebergLikeSink
+
+    sink = IcebergLikeSink(str(tmp_path / "t"), stats_col="cell")
+    sink.write_split(_docs(spark, 0, 50), "base")
+    sink.commit_snapshot()
+    want = sorted(tuple(r) for r in sink.read(spark).collect())
+
+    orphan = str(tmp_path / "t" / "data" / "stray.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    res = sink.vacuum_orphans()
+    assert res["deleted_files"] >= 1
+    assert not _os.path.exists(orphan)
+    assert sorted(tuple(r) for r in sink.read(spark).collect()) == want
+
+
+def test_vacuum_orphans_respects_min_age_and_rollback_attic(spark, tmp_path):
+    import os as _os
+
+    from osm_pbf_spark.sink.iceberg_like import IcebergLikeSink
+
+    sink = IcebergLikeSink(str(tmp_path / "t"), stats_col="cell")
+    sink.write_split(_docs(spark, 0, 30), "base")
+    s1 = sink.commit_snapshot()
+    sink.write_split(_docs(spark, 30, 60), "later")
+    sink.commit_snapshot()
+    sink.rollback_to(s1["snapshot_id"])
+    # 'later' files are only referenced via the atticed manifest +
+    # abandoned snapshot — vacuum must NOT touch them
+    res = sink.vacuum_orphans()
+    assert res["deleted_files"] == 0
+    # and a young orphan survives a min_age guard
+    young = str(tmp_path / "t" / "data" / "inflight.parquet")
+    with open(young, "wb") as f:
+        f.write(b"staging")
+    assert sink.vacuum_orphans(min_age_s=3600)["deleted_files"] == 0
+    assert _os.path.exists(young)
+    assert sink.vacuum_orphans()["deleted_files"] == 1
