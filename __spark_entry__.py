@@ -6412,6 +6412,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_node2vec"] = q_node2vec
 
+    def q_quantile_norm(spark, sf):  # cross-feature quantile
+        # normalization: per-feature deterministic rank window + exact
+        # rank-sum reference + join back; ragged features raise
+        from osm_pbf_spark.operators.stats import quantile_normalize
+
+        li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 2000)
+        base = li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.floor("l_extendedprice").cast("bigint").alias("price"),
+            F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("disc"),
+        )
+        longf = base.selectExpr(
+            "rid",
+            "stack(3, 'qty', qty, 'price', price, 'disc', disc)"
+            " AS (feature, value)",
+        )
+        return quantile_normalize(longf, "rid", "feature", "value")
+
+    q["q_quantile_norm"] = q_quantile_norm
+
+    def q_winnow(spark, sf):  # MOSS winnowing fingerprints: k-gram
+        # md5-40 hashes, packed-int sliding min with rightmost ties
+        from osm_pbf_spark.operators.text import winnow_fingerprints
+
+        d = load(spark, sf, "documents").filter(F.col("doc_id") < 1500)
+        return winnow_fingerprints(d, k=4, window=3)
+
+    q["q_winnow"] = q_winnow
+
+    def q_ppr(spark, sf):  # personalized PageRank: teleport to seeds,
+        # exact int64 floor-div rounds (the pagerank discipline)
+        from osm_pbf_spark.operators.graph import personalized_pagerank
+
+        seeds = spark.createDataFrame([(3,), (17,)], "node long")
+        return personalized_pagerank(
+            _md5_graph(spark, sf), seeds, iterations=5
+        )
+
+    q["q_ppr"] = q_ppr
+
     return q
 
 
@@ -10129,6 +10172,40 @@ def _ora_lcss() -> str:
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("lcss", "BIGINT"),
          ("n_a", "INTEGER"), ("n_b", "INTEGER"), ("sim_ppm", "BIGINT")],
         rows,
+    )
+
+
+def _ora_ppr(iters: int = 5, scale: int = 10**12, num: int = 85, den: int = 100) -> str:
+    """Unrolled-CTE personalized-PageRank replay over the md5 graph
+    (the _ora_pagerank convention; // replicates div on non-negative
+    ranks) with the seed-only teleport base and seed-only init."""
+    base = (scale * (den - num)) // den
+    ctes = [
+        _MD5_GRAPH_SQL,
+        "e AS (SELECT DISTINCT src, dst FROM ed WHERE src <> dst)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "seeds(node) AS (SELECT node FROM nodes WHERE node IN (3, 17))",
+        "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        f"r0 AS (SELECT n.node, CAST(CASE WHEN s.node IS NOT NULL"
+        f" THEN {scale} ELSE 0 END AS BIGINT) AS rank"
+        f" FROM nodes n LEFT JOIN seeds s ON s.node = n.node)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(r.rank // o.outdeg) AS s"
+            f" FROM e JOIN r{i - 1} r ON e.src = r.node"
+            f" JOIN od o ON o.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node,"
+            f" CAST(CASE WHEN sd.node IS NOT NULL THEN {base} ELSE 0 END"
+            f" + ({num} * COALESCE(c.s, 0)) // {den} AS BIGINT) AS rank"
+            f" FROM nodes n LEFT JOIN c{i} c ON c.node = n.node"
+            f" LEFT JOIN seeds sd ON sd.node = n.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, rank FROM r{iters}"
     )
 
 
@@ -15723,6 +15800,63 @@ def oracle_sql() -> dict[str, str]:
     d["q_jaro_winkler"] = _ora_jaro_winkler()
     d["q_kmeans_fit"] = _ora_kmeans_fit()
     d["q_node2vec"] = _ora_node2vec()
+    d["q_ppr"] = _ora_ppr()
+    # verbatim window replay: same (value, id) tiebreak rank
+    d["q_quantile_norm"] = """
+        WITH li AS (
+          SELECT l_orderkey * 10 + l_linenumber AS rid,
+                 CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(floor(l_extendedprice) AS BIGINT) AS price,
+                 CAST(floor(l_discount * CAST(100 AS DOUBLE) + 0.5)
+                      AS BIGINT) AS disc
+          FROM lineitem WHERE l_orderkey < 2000),
+        lf AS (SELECT rid AS id, 'qty' AS feature, qty AS value FROM li
+               UNION ALL
+               SELECT rid, 'price', price FROM li
+               UNION ALL
+               SELECT rid, 'disc', disc FROM li),
+        r AS (SELECT id, feature, value,
+                     CAST(row_number() OVER (PARTITION BY feature
+                          ORDER BY value, id) AS INTEGER) AS rank
+              FROM lf),
+        ref AS (SELECT rank, CAST(sum(value) AS BIGINT) AS qn_sum
+                FROM r GROUP BY rank)
+        SELECT r.id, r.feature, r.value, r.rank, ref.qn_sum,
+               CAST(3 AS INTEGER) AS n_features
+        FROM r JOIN ref USING (rank)
+    """
+    # same spec, independent plumbing: lateral series positions + the
+    # nibble-shift md5-40 + the identical packed-key sliding min
+    d["q_winnow"] = f"""
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS l
+                   FROM documents WHERE doc_id < 1500),
+        tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, l[i] AS tok
+                FROM t, unnest(generate_series(1, len(l))) AS u(i)),
+        g AS (SELECT doc_id, pos,
+                     concat_ws(' ', tok,
+                               lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                               lead(tok, 3) OVER w) AS gram,
+                     lead(tok, 3) OVER w IS NOT NULL AS full_g
+              FROM tok
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        h AS (SELECT doc_id, pos,
+                     ({_hex40_bigint_sql("md5(gram)")} << 21)
+                     | (2097151 - pos) AS key
+              FROM g WHERE full_g),
+        sel AS (SELECT doc_id,
+                       min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN 2 PRECEDING
+                                      AND CURRENT ROW) AS m,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS rn
+                FROM h)
+        SELECT DISTINCT doc_id,
+               CAST(2097151 - (m & 2097151) AS BIGINT) AS pos,
+               CAST(m >> 21 AS BIGINT) AS fp_hash
+        FROM sel WHERE rn >= 3
+    """
     # composed buffer: the q_grid_morph dilate replay feeding the
     # q_contour case-table replay (independent at both stages)
     d["q_buffer"] = f"""

@@ -58,6 +58,7 @@ __all__ = [
     "walk_pairs",
     "maximal_matching",
     "node2vec_walks",
+    "personalized_pagerank",
 ]
 
 
@@ -1669,3 +1670,97 @@ def node2vec_walks(
         out = out.unionByName(nxt.select("start", "rep", "step", "node"))
         state = nxt
     return out
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 6,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """INTEGER-QUANTIZED personalized PageRank (r4) — ``pagerank``'s
+    query-time sibling: the teleport mass returns to the SEED SET
+    instead of everywhere, so ranks measure proximity to the seeds
+    (similar-node / recommendation / local-community scoring; the
+    random-walk analogue of an ego search).
+
+    Same exact-integer discipline as pagerank (every step int64 floor
+    division, reproducible under any partitioning/engine):
+
+        rank'(v) = [v in seeds] * ((scale*(den-num)) div den)
+                   + (num * sum_in(rank_u div outdeg_u)) div den
+
+    — each seed gets the full per-node teleport base, non-seed nodes
+    get 0 (ranks are per-seed-mass units, comparable ACROSS seed-set
+    sizes; divide by |S| for a probability reading). Init:
+    seeds start at ``scale``, everything else 0 (total mass |S|*scale;
+    mass leaks through dangling nodes exactly like pagerank — the
+    documented simplification, replayed by the oracle).
+
+    Plan identical to pagerank: per round one rank-edge join + one dst
+    aggregate + one left join back, lazily checkpointed, zero driver
+    actions. Overflow bound: num * |S| * scale * maxdeg-mass must stay
+    under 2^63 — same n <= ~10^5-per-sink rule at scale 10^12.
+
+    Returns ``(node, rank)`` for every node of the graph.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    if not (0 < damping_num < damping_den):
+        raise ValueError("need 0 < damping_num < damping_den")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed_set = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(nodes, "node")  # seeds outside the graph contribute nothing
+        .select("node", F.lit(1).alias("_is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = (int(scale) * (damping_den - damping_num)) // damping_den
+    ranks = nodes.join(seed_set, "node", "left").select(
+        "node",
+        F.when(F.col("_is_seed") == 1, F.lit(int(scale)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+        )
+        incoming = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .join(seed_set, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("_is_seed") == 1, F.lit(base)).otherwise(F.lit(0))
+                    + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -48,6 +48,7 @@ __all__ = [
     "psi_drift",
     "mcnemar_test",
     "cochran_armitage",
+    "quantile_normalize",
 ]
 
 
@@ -2849,4 +2850,64 @@ def cochran_armitage(
         t_num.alias("t_num"),
         v_star.alias("v_star"),
         F.when((r > 0) & (r < n) & (v_star > 0), z).alias("z"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    id_col: str,
+    feature_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Quantile normalization (r4) — the cross-feature distribution
+    equalizer (microarray/omics canon, feature preprocessing for
+    rank-sensitive models): every feature's values are replaced by the
+    rank-wise REFERENCE distribution pooled across all features, so
+    all features end up exactly identically distributed.
+
+    Exact-integer spec: values are int64 (quantize upstream); within
+    each feature, ranks are ``row_number`` over (value, id) — a total
+    order, so ties are deterministic under any partitioning; the
+    reference value at rank r is the SUM of each feature's rank-r
+    value (exact int64 — divide by ``n_features`` outside for the
+    conventional mean; a floor-div mean here would hide remainders).
+    RAGGED feature sets raise loudly (rank r present in only some
+    features would silently skew the reference — classic QN assumes
+    equal counts).
+
+    Plan: ONE per-feature rank window + ONE rank-keyed aggregate
+    (|rows/feature| keyspace) + one join back on (feature is NOT in
+    the ref key — ranks align features) — two narrow shuffles, all
+    codegen. Returns (id, feature, value, rank, qn_sum, n_features).
+    """
+    v = F.col(value_col).cast("bigint")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(feature_col).alias("feature"),
+        v.alias("value"),
+    )
+    n_feat = base.select("feature").distinct().count()
+    w = Window.partitionBy("feature").orderBy("value", "id")
+    ranked = base.withColumn("rank", F.row_number().over(w))
+    ref = ranked.groupBy("rank").agg(
+        F.sum("value").alias("qn_sum"), F.count(F.lit(1)).alias("_nf")
+    )
+    out = ranked.join(ref, "rank")
+    return out.where(
+        F.when(F.col("_nf") == F.lit(n_feat), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("quantile_normalize: ragged features — rank "),
+                    F.col("rank").cast("string"),
+                    F.lit(f" present in only some of the {n_feat} features"),
+                )
+            )
+        )
+    ).select(
+        "id",
+        "feature",
+        "value",
+        "rank",
+        "qn_sum",
+        F.lit(n_feat).cast("int").alias("n_features"),
     )

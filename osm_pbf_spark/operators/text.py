@@ -1561,3 +1561,97 @@ def cidr_join(
             (-F.col("_m._nml")).cast("int").alias("net_masklen"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS winnowing document fingerprints (Schleimer et al. 2003,
+    r4) — the guaranteed-coverage local fingerprint family beside the
+    global MinHash/SimHash sketches: any shared run of ``k + window -
+    1`` tokens between two documents shares at least one fingerprint
+    (the winnowing theorem), which is what plagiarism / license-text /
+    near-copy SPAN detection needs and doc-level sketches cannot give.
+
+    Spec (engine-replayable, no floats): token k-grams (whitespace
+    tokens joined by a single space), gram hash = 40-bit md5
+    (conv(substr(md5, 1, 10))); every ``window`` consecutive gram
+    hashes select their minimum, ties to the RIGHTMOST position (the
+    paper's rule, via a sliding min over (hash << 21 | ~pos) packed
+    int64 keys — no struct comparisons, trivially engine-portable);
+    fingerprints
+    are the DISTINCT (pos, hash) selections per doc. Docs with fewer
+    than ``k + window - 1`` tokens emit nothing (no complete window).
+
+    Plan: one split + posexplode Generate, k-1 lead() columns over ONE
+    per-doc window (the frequent_sequences shape), one w-row sliding
+    min frame over the SAME window partition (no second Exchange),
+    one distinct — all whole-stage codegen, shuffle keyed by doc.
+
+    Returns (doc_id, pos, fp_hash): pos is the 0-based token index of
+    the selected k-gram.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got {k}/{window}")
+    toks = df.select(
+        F.col(doc_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    gram_parts = [F.col("tok")] + [
+        F.lead("tok", i).over(wdoc) for i in range(1, k)
+    ]
+    last = gram_parts[-1]
+    grams = toks.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", *gram_parts).alias("gram"),
+        last.isNotNull().alias("_full"),
+    ).where("_full")
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10).cast("bigint")
+    hashed = grams.where(
+        F.when(F.col("pos") < F.lit(1 << 21), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("winnow_fingerprints: doc too long (pos >= 2^21) in "),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+        )
+    ).select(
+        "doc_id",
+        "pos",
+        # pack (hash, rightmost-tie pos) into ONE int64 so the sliding
+        # min needs no struct comparisons and replays identically in
+        # any engine: min key == (min hash, max pos) by construction
+        (
+            F.shiftleft(h, 21)
+            .bitwiseOR(F.lit((1 << 21) - 1) - F.col("pos"))
+        ).alias("key"),
+    )
+    wslide = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    sel = hashed.select(
+        "doc_id",
+        F.min("key").over(wslide).alias("_m"),
+        F.row_number().over(wdoc).alias("_rn"),
+    ).where(F.col("_rn") >= window)
+    return (
+        sel.select(
+            "doc_id",
+            (F.lit((1 << 21) - 1) - F.col("_m").bitwiseAND(F.lit((1 << 21) - 1)))
+            .cast("long")
+            .alias("pos"),
+            F.shiftrightunsigned("_m", 21).alias("fp_hash"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,151 @@
+"""Batch r4-5: quantile_normalize, winnow_fingerprints,
+personalized_pagerank."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# -------------------------------------------------- quantile_normalize
+def test_quantile_normalize_scalar(spark):
+    from osm_pbf_spark.operators.stats import quantile_normalize
+
+    rows = [
+        (1, "a", 10), (2, "a", 30), (3, "a", 20),
+        (1, "b", 100), (2, "b", 300), (3, "b", 200),
+    ]
+    df = spark.createDataFrame(rows, "id long, feature string, value long")
+    got = {
+        (r.id, r.feature): (r.rank, r.qn_sum, r.n_features)
+        for r in quantile_normalize(df, "id", "feature", "value").collect()
+    }
+    # rank 1: 10+100=110, rank 2: 20+200=220, rank 3: 30+300=330
+    assert got[(1, "a")] == (1, 110, 2) and got[(1, "b")] == (1, 110, 2)
+    assert got[(3, "a")] == (2, 220, 2) and got[(3, "b")] == (2, 220, 2)
+    assert got[(2, "a")] == (3, 330, 2) and got[(2, "b")] == (3, 330, 2)
+    # post-normalization the features ARE identically distributed
+    vals = {}
+    for (i, f), (_, qn, _) in got.items():
+        vals.setdefault(f, []).append(qn)
+    assert sorted(vals["a"]) == sorted(vals["b"])
+
+
+def test_quantile_normalize_tie_and_ragged(spark):
+    from osm_pbf_spark.operators.stats import quantile_normalize
+
+    tied = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 5), (1, "b", 7), (2, "b", 8)],
+        "id long, feature string, value long",
+    )
+    got = {
+        (r.id, r.feature): r.rank
+        for r in quantile_normalize(tied, "id", "feature", "value").collect()
+    }
+    assert got[(1, "a")] == 1 and got[(2, "a")] == 2  # id breaks the tie
+    ragged = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 6), (1, "b", 7)],
+        "id long, feature string, value long",
+    )
+    with pytest.raises(Exception, match="ragged"):
+        quantile_normalize(ragged, "id", "feature", "value").collect()
+
+
+# ------------------------------------------------ winnow_fingerprints
+def _md5_40(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:10], 16)
+
+
+def _winnow_py(text: str, k: int, w: int):
+    toks = [t for t in text.split(" ") if t != ""]
+    grams = [
+        (i, _md5_40(" ".join(toks[i:i + k])))
+        for i in range(len(toks) - k + 1)
+    ]
+    out = set()
+    for end in range(w - 1, len(grams)):
+        win = grams[end - w + 1:end + 1]
+        mh = min(h for _, h in win)
+        pos = max(i for i, h in win if h == mh)  # rightmost tie
+        out.add((pos, mh))
+    return out
+
+
+def test_winnow_matches_scalar_and_guarantee(spark):
+    from osm_pbf_spark.operators.text import winnow_fingerprints
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "completely different words here but the quick brown fox jumps over appears too",
+        3: "short text only",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=4, window=3).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp_hash))
+    for did, text in texts.items():
+        want = _winnow_py(text, 4, 3)
+        assert got.get(did, set()) == want, did
+    # winnowing theorem: docs 1 and 2 share a >= k+w-1 = 6-token run
+    # ("the quick brown fox jumps over") -> share >= 1 fingerprint HASH
+    h1 = {h for _, h in got[1]}
+    h2 = {h for _, h in got[2]}
+    assert h1 & h2
+    assert 3 not in got  # < k+w-1 tokens -> no window
+
+
+def test_winnow_guards(spark):
+    from osm_pbf_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must be >= 1"):
+        winnow_fingerprints(df, k=0)
+
+
+# --------------------------------------------- personalized pagerank
+def test_ppr_concentrates_near_seeds_and_replays(spark):
+    from osm_pbf_spark.operators.graph import pagerank, personalized_pagerank
+
+    # two 5-cliques bridged by one edge
+    edges = []
+    for base in (0, 10):
+        for a in range(base, base + 5):
+            for b in range(base, base + 5):
+                if a != b:
+                    edges.append((a, b))
+    edges += [(4, 10), (10, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    ranks = {r.node: r.rank for r in
+             personalized_pagerank(df, seeds, iterations=6).collect()}
+    # mass concentrates in the seed clique
+    assert ranks[0] > ranks[10]
+    assert min(ranks[n] for n in range(5)) > max(ranks[n] for n in (11, 12, 13, 14))
+    # scalar replay of the integer recurrence
+    eset = sorted(set(edges))
+    nodes = sorted({x for e in eset for x in e})
+    outdeg = {}
+    for a, _ in eset:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    scale, num, den = 10**12, 85, 100
+    base_t = (scale * (den - num)) // den
+    r = {n: (scale if n == 0 else 0) for n in nodes}
+    for _ in range(6):
+        inc = {n: 0 for n in nodes}
+        for a, b in eset:
+            inc[b] += r[a] // outdeg[a]
+        r = {n: (base_t if n == 0 else 0) + (num * inc[n]) // den for n in nodes}
+    assert ranks == r
+
+
+def test_ppr_seed_outside_graph_is_ignored(spark):
+    from osm_pbf_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "node long")
+    ranks = {r.node: r.rank for r in
+             personalized_pagerank(df, seeds, iterations=3).collect()}
+    assert set(ranks) == {0, 1}
+    assert all(v == 0 for v in ranks.values())  # no seed mass anywhere

@@ -537,6 +537,122 @@ def leg_hits(spark, n: int) -> int:
     return hits_scores(edges, iterations=3).count()
 
 
+
+def leg_kmeans(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.ann import kmeans_fit
+
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda j: (
+                F.pmod(F.col("id"), F.lit(8)).cast("double") * F.lit(10.0)
+                + F.pmod(F.col("id") * F.lit(7) + j * F.lit(13), F.lit(97)).cast("double")
+                / F.lit(100.0)
+            ),
+        ).alias("embedding"),
+    )
+    out = kmeans_fit(df, n_clusters=8, n_iters=3)
+    row = out.agg(F.sum("d2").alias("a"), F.sum("cluster").alias("b")).collect()[0]
+    return int(row.a or 0) + int(row.b or 0)
+
+
+def leg_winnow(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.text import winnow_fingerprints
+
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.col("id") * F.lit(7) + i * F.lit(13), F.lit(997)).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    out = winnow_fingerprints(df, k=4, window=3)
+    row = out.agg(F.sum("fp_hash").alias("a")).collect()[0]
+    return int(row.a or 0)
+
+
+def leg_cidr(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.text import cidr_join
+
+    k = F.col("id")
+    ips = spark.range(n).select(
+        F.col("id").alias("rid"),
+        F.concat_ws(
+            ".",
+            (k % 200 + 10).cast("string"),
+            ((k * 7) % 256).cast("string"),
+            ((k * 13) % 256).cast("string"),
+            (k % 251).cast("string"),
+        ).alias("ip"),
+    )
+    m = F.col("id")
+    nets = spark.range(50_000).select(
+        F.concat_ws(
+            ".",
+            (m % 200 + 10).cast("string"),
+            ((m * 37) % 256).cast("string"),
+            F.lit("0"),
+            F.lit("0"),
+        ).alias("base"),
+        (F.lit(10) + m % 14).cast("int").alias("masklen"),
+    )
+    out = cidr_join(ips, nets)
+    row = out.agg(
+        F.count("net_base").alias("a"), F.sum("net_masklen").alias("b")
+    ).collect()[0]
+    return int(row.a or 0) + int(row.b or 0)
+
+
+def leg_nearest_event(spark, n: int) -> int:
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.temporal import nearest_event_join
+
+    t0 = F.lit(dt.datetime(2024, 1, 1))
+    base = spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.col("id"), F.lit(10_000)).alias("key"),
+        (t0 + F.make_interval(secs=F.pmod(F.col("id") * F.lit(37), F.lit(10_000_000)).cast("double"))).alias("ts"),
+    )
+    left = base.where(F.col("id") % 3 != 0).select("id", "key", "ts")
+    right = base.where(F.col("id") % 3 == 0).select(
+        "key", "ts", (F.col("id") % 100).cast("double").alias("val")
+    )
+    out = nearest_event_join(left, right, on="key")
+    row = out.agg(F.sum("nearest_ts_us_r").alias("a")).collect()[0]
+    return int(row.a or 0)
+
+
+def leg_matching(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.graph import maximal_matching
+
+    nn = max(1000, n // 10)
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(nn)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(nn)).alias("dst"),
+    )
+    out = maximal_matching(df)
+    row = out.agg(F.count(F.lit(1)).alias("a"), F.sum("u").alias("b")).collect()[0]
+    return int(row.a or 0) + int(row.b or 0)
+
+
 LEGS = {
     "distance_join": leg_distance_join,
     "bbox_join": leg_bbox_join,
@@ -567,6 +683,11 @@ LEGS = {
     "span_corrupt": leg_span_corrupt,
     "hits": leg_hits,
     "c4": leg_c4,
+    "kmeans": leg_kmeans,
+    "winnow": leg_winnow,
+    "cidr": leg_cidr,
+    "nearest_event": leg_nearest_event,
+    "matching": leg_matching,
 }
 
 # per-leg size multiplier on N_POINTS: every timed region must DWARF
@@ -598,6 +719,11 @@ LEG_SCALE = {
     # work, 900k points is already ~1 min at 8 cores
     "map_match": 0.3,
     "hex_kring": 12.0,
+    "kmeans": 2.0,
+    "winnow": 0.5,
+    "cidr": 6.0,
+    "nearest_event": 8.0,
+    "matching": 2.0,
     "frequent_items": 10.0,
     # 6 pointer-doubling joins: rows x rounds shuffle volume
     "basins": 3.0,
