@@ -311,6 +311,12 @@ def jaro_winkler_join(
     """
     if block not in ("soundex", "prefix1"):
         raise ValueError(f"block must be soundex|prefix1, got {block!r}")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"left/right column names must be disjoint (the joined row "
+            f"carries both sides verbatim); overlapping: {sorted(overlap)}"
+        )
 
     def key(c):
         return (

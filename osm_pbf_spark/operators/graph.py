@@ -1519,9 +1519,13 @@ def maximal_matching(
             .localCheckpoint(eager=True)
         )
     else:
-        raise ValueError(
-            f"maximal_matching did not converge in {max_rounds} rounds"
-        )
+        # the for exhausted WITHOUT the emptiness break firing — but
+        # the LAST round may have just emptied e (converged exactly at
+        # the budget), so check once more before declaring failure
+        if not e.isEmpty():
+            raise ValueError(
+                f"maximal_matching did not converge in {max_rounds} rounds"
+            )
     if not matched_parts:
         return e.select("u", "v", F.lit(0).alias("round")).limit(0)
     out = matched_parts[0]
