@@ -634,7 +634,10 @@ def leg_nearest_event(spark, n: int) -> int:
         "key", "ts", (F.col("id") % 100).cast("double").alias("val")
     )
     out = nearest_event_join(left, right, on="key")
-    row = out.agg(F.sum("nearest_ts_us_r").alias("a")).collect()[0]
+    # modulo before the sum: epoch-micros * 24M rows overflows int64
+    row = out.agg(
+        F.sum(F.pmod(F.col("nearest_ts_us_r"), F.lit(1_000_003))).alias("a")
+    ).collect()[0]
     return int(row.a or 0)
 
 
@@ -782,6 +785,8 @@ def main() -> None:
                     checks[name].add(res)
                 finally:
                     spark.stop()
+        done = {c: [round(x, 3) for x in walls[name][c]] for c in walls[name]}
+        print(f"LEG {name} {json.dumps(done)}", file=sys.stderr, flush=True)
     report = {"n_points": N_POINTS, "reps": REPS, "cores": [CORES_LO, CORES_HI], "legs": {}}
     for name in legs:
         n = int(N_POINTS * LEG_SCALE[name])
