@@ -6455,6 +6455,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ppr"] = q_ppr
 
+    def q_dtw(spark, sf):  # elastic series-similarity join: blocked
+        # candidate pairs -> ONE anti-diagonal-vectorized DTW DP
+        # refine; exact int64 squared-delta costs, Sakoe-Chiba band 3
+        from osm_pbf_spark.operators.temporal import dtw_join
+
+        e = load(spark, sf, "events").filter(F.col("event_id") < 48)
+        sid = F.col("event_id")
+        series = e.select(
+            sid.alias("sid"),
+            (sid % 8).alias("blk"),
+            F.transform(
+                F.sequence(F.lit(0), (F.lit(9) + sid % 5).cast("int")),
+                lambda i: (
+                    (sid % 7) * 100 + F.pmod(sid * 13 + i * 29, F.lit(50))
+                ).cast("long"),
+            ).alias("arr"),
+        )
+        a = series.select(
+            F.col("sid").alias("id_a"), F.col("blk"), F.col("arr").alias("a")
+        )
+        b = series.select(
+            F.col("sid").alias("id_b"), F.col("blk"), F.col("arr").alias("b")
+        )
+        pairs = a.join(b, "blk").where(F.col("id_a") < F.col("id_b")).drop("blk")
+        return dtw_join(pairs, max_cost=200_000, band=3)
+
+    q["q_dtw"] = q_dtw
+
+    def q_diameter(spark, sf):  # COMPOSED double-BFS eccentricity
+        # (the classic diameter lower bound): BFS from node 0 -> pick
+        # the farthest node (hops DESC, node ASC tie) -> BFS again ->
+        # the second eccentricity. Both stages are the gated G14 op.
+        from osm_pbf_spark.operators.graph import bfs_hops
+
+        edges = _md5_graph(spark, sf)
+        s0 = spark.createDataFrame([(0,)], "node long")
+        h1 = bfs_hops(edges, s0)
+        far = (
+            h1.orderBy(F.col("hops").desc(), F.col("node").asc())
+            .limit(1)
+            .select("node")
+        )
+        h2 = bfs_hops(edges, far)
+        return (
+            far.select(F.col("node").alias("far_node"))
+            .crossJoin(
+                h2.agg(
+                    F.max("hops").alias("ecc"),
+                    F.count(F.lit(1)).alias("n_reached"),
+                )
+            )
+        )
+
+    q["q_diameter"] = q_diameter
+
     return q
 
 
@@ -10172,6 +10227,40 @@ def _ora_lcss() -> str:
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("lcss", "BIGINT"),
          ("n_a", "INTEGER"), ("n_b", "INTEGER"), ("sim_ppm", "BIGINT")],
         rows,
+    )
+
+
+def _ora_dtw() -> str:
+    """Pure-Python replay of q_dtw: same blocked pairs, the SCALAR
+    three-way DTW recurrence (temporal.dtw_py) vs the engine's
+    anti-diagonal numpy kernel; banded-disconnect pairs dropped."""
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.temporal import dtw_py
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"), columns=["event_id"]
+    )
+    series = {}
+    for eid in t.column("event_id").to_pylist():
+        k = int(eid)
+        if k >= 48:
+            continue
+        series[k] = [
+            (k % 7) * 100 + (k * 13 + i * 29) % 50
+            for i in range(10 + k % 5)
+        ]
+    rows = []
+    ids = sorted(series)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if a % 8 != b % 8:
+                continue
+            c = dtw_py(series[a], series[b], band=3)
+            if c >= 0 and c <= 200_000:
+                rows.append((a, b, c))
+    return _values_sql(
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("dtw", "BIGINT")], rows
     )
 
 
@@ -15801,6 +15890,33 @@ def oracle_sql() -> dict[str, str]:
     d["q_kmeans_fit"] = _ora_kmeans_fit()
     d["q_node2vec"] = _ora_node2vec()
     d["q_ppr"] = _ora_ppr()
+    d["q_dtw"] = _ora_dtw()
+    # double-BFS replay: DuckDB's own recursion at BOTH stages; far
+    # node picked by the same (hops DESC, node ASC) rule
+    d["q_diameter"] = f"""
+        WITH RECURSIVE {_MD5_GRAPH_SQL},
+        e AS (SELECT DISTINCT src, dst FROM ed WHERE src <> dst),
+        sym AS (SELECT src AS u, dst AS v FROM e
+                UNION SELECT dst, src FROM e),
+        w1(node, hops) AS (
+            SELECT CAST(0 AS BIGINT), 0
+            UNION
+            SELECT s.v, w1.hops + 1 FROM w1 JOIN sym s ON s.u = w1.node
+            WHERE w1.hops < 24),
+        h1 AS (SELECT node, min(hops) AS hops FROM w1 GROUP BY node),
+        far AS (SELECT node FROM h1
+                ORDER BY hops DESC, node ASC LIMIT 1),
+        w2(node, hops) AS (
+            SELECT node, 0 FROM far
+            UNION
+            SELECT s.v, w2.hops + 1 FROM w2 JOIN sym s ON s.u = w2.node
+            WHERE w2.hops < 24),
+        h2 AS (SELECT node, min(hops) AS hops FROM w2 GROUP BY node)
+        SELECT far.node AS far_node,
+               (SELECT CAST(max(hops) AS INTEGER) FROM h2) AS ecc,
+               (SELECT count(*) FROM h2) AS n_reached
+        FROM far
+    """
     # verbatim window replay: same (value, id) tiebreak rank
     d["q_quantile_norm"] = """
         WITH li AS (

@@ -1636,3 +1636,133 @@ def nearest_event_join(
         .alias(f"nearest_ts_us{suffix}")
     )
     return carried.select(*out)
+
+
+def dtw_py(a: list, b: list, band: int | None = None) -> int:
+    """Scalar DTW replay (oracle kernel): exact int64 squared-delta
+    costs, optional Sakoe-Chiba band (|i-j| <= band)."""
+    n, m = len(a), len(b)
+    INF = float("inf")
+    prev = [INF] * (m + 1)
+    prev[0] = 0
+    for i in range(1, n + 1):
+        cur = [INF] * (m + 1)
+        lo = 1 if band is None else max(1, i - band)
+        hi = m if band is None else min(m, i + band)
+        for j in range(lo, hi + 1):
+            d = a[i - 1] - b[j - 1]
+            c = d * d
+            best = min(prev[j], cur[j - 1], prev[j - 1])
+            cur[j] = c + best
+        prev = cur
+    if prev[m] == INF:
+        return -1  # band disconnects the corner (engine drops the pair)
+    return int(prev[m])
+
+
+def dtw_join(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_cost: int | None = None,
+    band: int | None = None,
+) -> DataFrame:
+    """Dynamic-time-warping distance over CANDIDATE series pairs (r4)
+    — the elastic 1-D similarity the trajectory family's Frechet/LCSS
+    are the 2-D versions of (sensor traces, load curves, price paths
+    that run at different speeds). Inputs are int64-quantized value
+    arrays (quantize upstream, the module discipline); cost is the
+    exact int64 sum of squared deltas along the optimal monotone
+    alignment, so every output bit is engine-reproducible.
+
+    The caller supplies the candidate pairs (block upstream on length
+    / mean buckets, the jaro_winkler_join posture — DTW has no cheap
+    sound cover; LB-pruning lower bounds are future work and would
+    compose as an extra WHERE before this operator). ``band`` is the
+    Sakoe-Chiba radius (|i-j| <= band; None = full DP); ``max_cost``
+    filters the output.
+
+    Plan: ONE Arrow-batched mapInPandas DP (rolling-row numpy kernel,
+    O(na*nb) per pair — inherent to exact DTW), map-only over the
+    caller's pair frame. Returns pairs.* minus the arrays + ``dtw``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    keep = [c for c in pairs.columns if c not in (a_col, b_col)]
+    bd = None if band is None else int(band)
+
+    BIG = np.int64(1) << 62  # unreachable sentinel; adds never wrap
+
+    def _dtw_diag(d2):
+        """Exact int64 DTW cost via ANTI-DIAGONAL vectorization (the
+        _frechet2_diag scheme with + for max):
+        dp[i,j] = d2[i,j] + min(dp[i-1,j], dp[i,j-1], dp[i-1,j-1])."""
+        na, nb = d2.shape
+        prev2 = prev = None
+        o_prev2 = o_prev = 0
+        cur = None
+        for sdiag in range(na + nb - 1):
+            i0 = max(0, sdiag - nb + 1)
+            i1 = min(na - 1, sdiag)
+            idx = np.arange(i0, i1 + 1)
+            vals = d2[idx, sdiag - idx]
+            if sdiag == 0:
+                cur = vals.copy()
+            else:
+                def pull(diag, off, want_i, allow):
+                    out = np.full(len(idx), BIG, dtype=np.int64)
+                    if diag is None:
+                        return out
+                    pos = want_i - off
+                    ok = allow & (pos >= 0) & (pos < len(diag))
+                    out[ok] = diag[pos[ok]]
+                    return out
+
+                j = sdiag - idx
+                up = pull(prev, o_prev, idx - 1, (idx > 0))        # dp[i-1, j]
+                lf = pull(prev, o_prev, idx, (j > 0))              # dp[i, j-1]
+                dg = pull(prev2, o_prev2, idx - 1, (idx > 0) & (j > 0))
+                mn = np.minimum(np.minimum(up, lf), dg)
+                cur = np.where(
+                    (mn >= BIG) | (vals >= BIG), BIG, vals + mn
+                )
+            prev2, o_prev2 = prev, o_prev
+            prev, o_prev = cur, i0
+        return int(cur[-1])
+
+    def refine(it):
+        for pdf in it:
+            out = {k: [] for k in keep}
+            costs = []
+            for idx in range(len(pdf)):
+                a = np.asarray(pdf[a_col].iloc[idx], dtype=np.int64)
+                b = np.asarray(pdf[b_col].iloc[idx], dtype=np.int64)
+                n, m = len(a), len(b)
+                if n == 0 or m == 0:
+                    continue
+                d2 = (a[:, None] - b[None, :]) ** 2
+                if bd is not None:
+                    mask = np.abs(
+                        np.arange(n)[:, None] - np.arange(m)[None, :]
+                    ) > bd
+                    d2[mask] = BIG
+                c = _dtw_diag(d2)
+                if c >= BIG:
+                    continue  # band disconnects the corner
+                if max_cost is not None and c > max_cost:
+                    continue
+                for k in keep:
+                    out[k].append(pdf[k].iloc[idx])
+                costs.append(c)
+            out["dtw"] = costs
+            if costs:
+                yield pd.DataFrame(out)
+
+    schema_parts = [
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pairs.schema.fields
+        if f.name in keep
+    ]
+    schema_parts.append("dtw bigint")
+    return pairs.mapInPandas(refine, schema=", ".join(schema_parts))

@@ -149,3 +149,48 @@ def test_ppr_seed_outside_graph_is_ignored(spark):
              personalized_pagerank(df, seeds, iterations=3).collect()}
     assert set(ranks) == {0, 1}
     assert all(v == 0 for v in ranks.values())  # no seed mass anywhere
+
+
+# ------------------------------------------------------------- DTW
+def test_dtw_join_matches_scalar_and_band(spark):
+    from osm_pbf_spark.operators.temporal import dtw_join, dtw_py
+
+    series = {
+        1: [0, 10, 20, 30, 40],
+        2: [0, 0, 10, 20, 30, 40],   # same shape, slower start
+        3: [100, 90, 80, 70, 60],
+    }
+    rows = []
+    ids = sorted(series)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            rows.append((a, b, series[a], series[b]))
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, a array<long>, b array<long>"
+    )
+    got = {(r.id_a, r.id_b): r.dtw for r in dtw_join(df).collect()}
+    for (a, b), c in got.items():
+        assert c == dtw_py(series[a], series[b])
+    assert got[(1, 2)] == 0        # elastic alignment absorbs the lag
+    assert got[(1, 3)] > 10_000    # genuinely different series
+    # band: the same pairs under a tight band; length-compatible pairs
+    # keep finite costs equal to the banded scalar replay
+    got_b = {(r.id_a, r.id_b): r.dtw for r in dtw_join(df, band=2).collect()}
+    for (a, b), c in got_b.items():
+        assert c == dtw_py(series[a], series[b], band=2)
+
+
+def test_dtw_join_max_cost_and_band_disconnect(spark):
+    from osm_pbf_spark.operators.temporal import dtw_join
+
+    rows = [
+        (1, 2, [0, 1, 2], [0, 1, 2]),            # cost 0
+        (3, 4, [0] * 3, [100] * 3),              # huge cost
+        (5, 6, [0, 1], [0, 1, 2, 3, 4, 5, 7]),   # len gap > band
+    ]
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, a array<long>, b array<long>"
+    )
+    got = {(r.id_a, r.id_b): r.dtw for r in
+           dtw_join(df, max_cost=1000, band=2).collect()}
+    assert got == {(1, 2): 0}  # huge-cost filtered; disconnected dropped
