@@ -6510,6 +6510,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_diameter"] = q_diameter
 
+    def q_neg_samples(spark, sf):  # SGNS negatives: dense sorted-vocab
+        # index + md5 draws, own-center/context drops (no resample)
+        from osm_pbf_spark.operators.graph import (
+            negative_samples,
+            random_walks,
+            walk_pairs,
+        )
+
+        g = _md5_graph(spark, sf)
+        pairs = walk_pairs(
+            random_walks(g, n_steps=3, walks_per_node=1), window=2
+        )
+        vocab = g.select(F.col("src").alias("node")).unionAll(
+            g.select(F.col("dst").alias("node"))
+        )
+        return negative_samples(pairs, vocab, k=3)
+
+    q["q_neg_samples"] = q_neg_samples
+
+    def q_sink_changes(spark, sf):  # C23 snapshot changelog — COMPOSED
+        # C4 time travel x C18 table_diff: row-level inserts/deletes
+        # between two retained snapshots, no CDC log needed (the
+        # Iceberg changelog-read shape from parts already gated solo)
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.operators.checksum import table_diff
+        from osm_pbf_spark.plans.ingest import ingest_pbf
+
+        path = _fixture_pbf("sink")
+        root = os.path.join(
+            tempfile.gettempdir(), "osm_pbf_spark_driver_sink_chg"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        sink = ingest_pbf(spark, path, root, cell_level=12, blobs_per_split=1)
+        s1 = sink.current_snapshot()
+        base = sink.read(spark)
+        junk = base.where(
+            "substring(doc_id, -1) in ('1', '3', '5')"
+        ).withColumn("doc_id", F.concat(F.lit("junk/"), F.col("doc_id")))
+        sink.write_split(junk, "junk-1", lineage={"op": "append"})
+        sink.delete_keys(
+            base.where("substring(doc_id, -1) in ('2', '6')").select("doc_id"),
+            ["doc_id"],
+            "del-1",
+        )
+        s2 = sink.commit_snapshot({"pipeline": "changes"})
+        old = sink.read_snapshot(spark, s1["snapshot_id"]).select(
+            "doc_id", "cell", F.size("spans").alias("n_spans")
+        )
+        new = sink.read_snapshot(spark, s2["snapshot_id"]).select(
+            "doc_id", "cell", F.size("spans").alias("n_spans")
+        )
+        d = table_diff(old, new, ["doc_id"])
+        return d.groupBy("diff_status").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+
+    q["q_sink_changes"] = q_sink_changes
+
     return q
 
 
@@ -9263,6 +9325,32 @@ def _ora_snapshot_drift() -> str:
     )
 
 
+def _ora_sink_changes() -> str:
+    """Independent scalar replay of q_sink_changes: re-derive BOTH
+    snapshots' doc sets from the pure-Python spec pipeline (the
+    doc-id sets), diff them in plain Python (added = the junk/
+    appends of odd-final-digit ids, removed = the deleted final-digit
+    {2,6} set, changed = none — n_spans is untouched), then
+    per-status counts."""
+    from tests import oracle_render
+
+    d = _fixture_decoded("sink")
+    docs = oracle_render.render_file(d)
+    keys = [doc["doc_id"] for doc in docs]
+    added = sorted("junk/" + k for k in keys if k[-1] in "135")
+    removed = sorted(k for k in keys if k[-1] in "26")
+    rows = []
+    if added:
+        rows.append(("added", len(added), added[0], added[-1]))
+    if removed:
+        rows.append(("removed", len(removed), removed[0], removed[-1]))
+    return _values_sql(
+        [("diff_status", "VARCHAR"), ("n", "BIGINT"),
+         ("first_doc", "VARCHAR"), ("last_doc", "VARCHAR")],
+        rows,
+    )
+
+
 def _ora_pbf_roundtrip() -> str:
     """Per-kind content aggregates of the ORIGINAL mixed fixture from
     the pure-Python spec decoder — the write+read path must be the
@@ -10226,6 +10314,72 @@ def _ora_lcss() -> str:
     return _values_sql(
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("lcss", "BIGINT"),
          ("n_a", "INTEGER"), ("n_b", "INTEGER"), ("sim_ppm", "BIGINT")],
+        rows,
+    )
+
+
+def _ora_neg_samples() -> str:
+    """Plain-Python replay of q_neg_samples end-to-end: the
+    random_walks md5 spec -> window-2 skip-gram pairs -> dense
+    sorted-vocab index -> md5 draws with own-center/context drops."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    def md5_40(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:10], 16)
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"), columns=["event_id"]
+    )
+    eset = set()
+    vocab_nodes = set()
+    for eid in t.column("event_id").to_pylist():
+        k = int(eid)
+        if k < 900:
+            a = md5_40(str(k)) % 100
+            b = md5_40(f"{k}:d") % 100
+            vocab_nodes |= {a, b}
+            if a != b:
+                eset.add((a, b))
+    adj: dict = {}
+    nodes = set()
+    for a, b in eset:
+        adj.setdefault(a, set()).add(b)
+        nodes |= {a, b}
+    adj = {k: sorted(v) for k, v in adj.items()}
+    walks = []
+    for start in sorted(nodes):
+        rep = 0
+        path = [start]
+        cur = start
+        for step in range(1, 4):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            # random_walks draws with the PRE-increment step value
+            # (the select computes step+1 and the md5 in one
+            # projection, so F.col("step") is still t-1)
+            cur = nbrs[md5_40(f"w:{start}:{rep}:{step - 1}:{cur}") % len(nbrs)]
+            path.append(cur)
+        walks.append(path)
+    pairs = set()
+    for path in walks:
+        for i, c in enumerate(path):
+            for j, x in enumerate(path):
+                if i != j and abs(i - j) <= 2:
+                    pairs.add((c, x))
+    vocab = sorted(vocab_nodes)
+    nv = len(vocab)
+    rows = []
+    for c, x in sorted(pairs):
+        for j in range(3):
+            neg = vocab[md5_40(f"neg:{c}:{x}:{j}") % nv]
+            if neg != c and neg != x:
+                rows.append((c, x, neg, j))
+    return _values_sql(
+        [("center", "BIGINT"), ("context", "BIGINT"),
+         ("neg", "BIGINT"), ("draw", "INTEGER")],
         rows,
     )
 
@@ -15891,6 +16045,8 @@ def oracle_sql() -> dict[str, str]:
     d["q_node2vec"] = _ora_node2vec()
     d["q_ppr"] = _ora_ppr()
     d["q_dtw"] = _ora_dtw()
+    d["q_sink_changes"] = _ora_sink_changes()
+    d["q_neg_samples"] = _ora_neg_samples()
     # double-BFS replay: DuckDB's own recursion at BOTH stages; far
     # node picked by the same (hops DESC, node ASC) rule
     d["q_diameter"] = f"""

@@ -59,6 +59,7 @@ __all__ = [
     "maximal_matching",
     "node2vec_walks",
     "personalized_pagerank",
+    "negative_samples",
 ]
 
 
@@ -1768,3 +1769,64 @@ def personalized_pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def negative_samples(
+    pairs: DataFrame,
+    vocab: DataFrame,
+    k: int = 4,
+    center_col: str = "center",
+    context_col: str = "context",
+    node_col: str = "node",
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic SGNS negative sampling (r4) — the other half of
+    the skip-gram training table ``walk_pairs`` builds: for every
+    (center, context) positive, draw ``k`` uniform negatives from the
+    vocabulary (word2vec's unigram draw simplified to uniform — the
+    md5 spec has no weighted alias table; callers wanting the 3/4-power
+    distribution can pre-expand vocab rows by integer multiplicity).
+
+    Determinism spec: vocab ids are DENSELY indexed by their sorted
+    order (one ranking window over the distinct vocab — partitioning
+    cannot change it); draw j of pair (c, x) picks sorted-vocab index
+    ``md5_40(seed:c:x:j) % |V|``. A draw that lands on the pair's own
+    center or context is DROPPED, not resampled (documented: resample
+    loops are kept-state-dependent; expected loss 2k/|V| — negligible
+    at vocabulary scale). Duplicate (c, x) input rows contribute once
+    (distinct) — multiplicity-weighted sampling would couple draws to
+    pair counts and break replay under dedup.
+
+    Plan: one distinct + one vocab ranking window (|V|-sized, one
+    shuffle) + a k-literal Generate + ONE equi-join on the drawn
+    index — never a crossJoin. Returns (center, context, neg, draw).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = (
+        vocab.select(F.col(node_col).alias("neg")).distinct()
+    )
+    wv = Window.orderBy("neg")
+    # single global window over the vocab: |V| rows, the bounded
+    # dimension side (vocab, not pairs) — acceptable one-partition
+    # sort exactly like the exported-codebook collects
+    vi = v.select(
+        "neg", (F.row_number().over(wv) - 1).cast("bigint").alias("_vi")
+    )
+    nv = vi.count()
+    p = pairs.select(
+        F.col(center_col).alias("center"), F.col(context_col).alias("context")
+    ).distinct()
+    draws = p.select(
+        "center",
+        "context",
+        F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("draw"),
+    )
+    idx = _md5_mod(
+        [F.lit(seed), F.col("center"), F.col("context"), F.col("draw")],
+        F.lit(int(nv)),
+    )
+    drawn = draws.withColumn("_vi", idx).join(vi, "_vi").drop("_vi")
+    return drawn.where(
+        (F.col("neg") != F.col("center")) & (F.col("neg") != F.col("context"))
+    ).select("center", "context", "neg", F.col("draw").cast("int").alias("draw"))

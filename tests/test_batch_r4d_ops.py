@@ -194,3 +194,40 @@ def test_dtw_join_max_cost_and_band_disconnect(spark):
     got = {(r.id_a, r.id_b): r.dtw for r in
            dtw_join(df, max_cost=1000, band=2).collect()}
     assert got == {(1, 2): 0}  # huge-cost filtered; disconnected dropped
+
+
+# ------------------------------------------------- negative sampling
+def test_negative_samples_deterministic_and_drops(spark):
+    import hashlib
+
+    from osm_pbf_spark.operators.graph import negative_samples
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 2), (3, 4)], "center long, context long"  # dup pair
+    )
+    vocab = spark.createDataFrame([(i,) for i in range(10)], "node long")
+    out = negative_samples(pairs, vocab, k=5)
+    rows = [(r.center, r.context, r.neg, r.draw) for r in out.collect()]
+
+    md5_40 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:10], 16)
+    want = []
+    for c, x in [(1, 2), (3, 4)]:
+        for j in range(5):
+            neg = md5_40(f"neg:{c}:{x}:{j}") % 10
+            if neg not in (c, x):
+                want.append((c, x, neg, j))
+    assert sorted(rows) == sorted(want)
+    # duplicate input pair contributed once
+    assert len({(c, x) for c, x, _, _ in rows}) == 2
+    # partitioning invariance
+    out2 = negative_samples(pairs.repartition(5), vocab.repartition(3), k=5)
+    assert sorted((r.center, r.context, r.neg, r.draw) for r in out2.collect()) == sorted(rows)
+
+
+def test_negative_samples_guard(spark):
+    from osm_pbf_spark.operators.graph import negative_samples
+
+    pairs = spark.createDataFrame([(1, 2)], "center long, context long")
+    vocab = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError, match="k must be"):
+        negative_samples(pairs, vocab, k=0)
