@@ -6572,6 +6572,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sink_changes"] = q_sink_changes
 
+    def q_media_groups(spark, sf):  # COMPOSED media dedup closure:
+        # P38 dHash near-dup pairs -> P15 connected components ->
+        # P69 canonical survivors — the full image-dedup pipeline from
+        # parts gated solo (the q_media_neardup gallery, verbatim)
+        from osm_pbf_spark.operators.graph import (
+            dedup_canonical,
+            near_dup_groups,
+        )
+        from osm_pbf_spark.operators.multimodal import (
+            dhash64_col,
+            media_pixels,
+            near_dup_media_pairs,
+            synth_media_table,
+        )
+
+        media = synth_media_table(spark, 48)
+        px = media_pixels(media)
+        base_id = F.substring("media_ref", 2, 10).cast("int")
+        variants = (
+            px.where(base_id < 10)
+            .withColumn("_pos", F.pmod(base_id * 5, F.lit(64)))
+            .select(
+                F.concat(F.lit("dup/"), F.col("media_ref")).alias("media_ref"),
+                F.transform(
+                    "px",
+                    lambda x, i: F.when(
+                        i == F.col("_pos"), F.least(x + 1, F.lit(255))
+                    ).otherwise(x),
+                ).alias("px"),
+            )
+        )
+        gallery = px.unionByName(variants)
+        hashed = gallery.select(
+            "media_ref", dhash64_col(F.col("px")).alias("phash")
+        )
+        pairs = near_dup_media_pairs(hashed, max_hamming=3).select(
+            "id_a", "id_b"
+        )
+        groups = near_dup_groups(
+            hashed.select("media_ref"), pairs, id_col="media_ref"
+        )
+        return dedup_canonical(groups, id_col="media_ref")
+
+    q["q_media_groups"] = q_media_groups
+
     return q
 
 
@@ -10314,6 +10359,61 @@ def _ora_lcss() -> str:
     return _values_sql(
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("lcss", "BIGINT"),
          ("n_a", "INTEGER"), ("n_b", "INTEGER"), ("sim_ppm", "BIGINT")],
+        rows,
+    )
+
+
+def _ora_media_groups() -> str:
+    """Scalar replay of the composed media-dedup closure: the
+    _ora_media_neardup gallery + brute all-pairs hamming, then a
+    plain union-find (vs the engine's star-rounds CC) and min-id
+    survivors."""
+    import hashlib as _hl
+
+    def pix(i: int) -> list[int]:
+        payload = _hl.blake2b(i.to_bytes(4, "little"), digest_size=32).digest()
+        return list(_hl.blake2b(payload, digest_size=64).digest())
+
+    items: dict[str, list[int]] = {f"m{i}": pix(i) for i in range(48)}
+    for i in range(10):
+        p = list(items[f"m{i}"])
+        pos = (i * 5) % 64
+        p[pos] = min(p[pos] + 1, 255)
+        items[f"dup/m{i}"] = p
+
+    def dh(p: list[int]) -> int:
+        v = 0
+        for i in range(64):
+            if p[i] > p[(i + 1) % 64]:
+                v |= 1 << i
+        return v
+
+    hs = {r: dh(p) for r, p in items.items()}
+    refs = sorted(hs)
+    parent = {r: r for r in refs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(len(refs)):
+        for b in range(a + 1, len(refs)):
+            if bin(hs[refs[a]] ^ hs[refs[b]]).count("1") <= 3:
+                ra, rb = find(refs[a]), find(refs[b])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[str, list[str]] = {}
+    for r in refs:
+        groups.setdefault(find(r), []).append(r)
+    rows = [
+        (min(members), root, len(members))
+        for root, members in groups.items()
+    ]
+    return _values_sql(
+        [("media_ref", "VARCHAR"), ("group_id", "VARCHAR"),
+         ("group_size", "BIGINT")],
         rows,
     )
 
@@ -16047,6 +16147,7 @@ def oracle_sql() -> dict[str, str]:
     d["q_dtw"] = _ora_dtw()
     d["q_sink_changes"] = _ora_sink_changes()
     d["q_neg_samples"] = _ora_neg_samples()
+    d["q_media_groups"] = _ora_media_groups()
     # double-BFS replay: DuckDB's own recursion at BOTH stages; far
     # node picked by the same (hops DESC, node ASC) rule
     d["q_diameter"] = f"""
