@@ -6617,6 +6617,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_media_groups"] = q_media_groups
 
+    def q_ring_orient(spark, sf):  # OGC winding normalization: exact
+        # integer shoelace orientation + conditional position reversal
+        from osm_pbf_spark.operators.measures import (
+            normalize_ring_orientation,
+        )
+
+        pts = customer_points(spark, sf).where(F.col("doc_id") < 4000)
+        verts = pts.select(
+            F.pmod(F.col("doc_id"), F.lit(40)).alias("line_id"),
+            "lat",
+            "lon",
+            F.col("doc_id").alias("_k"),
+        )
+        w_pos = Window.partitionBy("line_id").orderBy("_k")
+        ring = verts.select(
+            "line_id",
+            (F.row_number().over(w_pos) - 1).cast("long").alias("pos"),
+            "lat",
+            "lon",
+        )
+        out = normalize_ring_orientation(ring)
+        return out.select(
+            "line_id", "pos", "lat", "lon", "ring_ccw", "was_reversed"
+        )
+
+    q["q_ring_orient"] = q_ring_orient
+
+    def q_rle(spark, sf):  # run-length encoding of per-user event-type
+        # timelines: NULL-safe change runs (the SCD2 machinery exposed)
+        from osm_pbf_spark.operators.temporal import rle_encode
+
+        e = load(spark, sf, "events").filter(F.col("event_id") < 4000)
+        s = e.select(
+            (F.col("user_id") % 25).alias("k"),
+            F.col("event_id").alias("o"),
+            F.when(
+                F.col("event_id") % 11 == 0, F.lit(None).cast("string")
+            ).otherwise(F.col("event_type")).alias("v"),
+        )
+        return rle_encode(s, "k", "o", "v")
+
+    q["q_rle"] = q_rle
+
+    def q_stream_distinct(spark, sf):  # streaming unique-users-per-
+        # window: watermarked dropDuplicates state + windowed count;
+        # availableNow drain == batch COUNT(DISTINCT)
+        from osm_pbf_spark.operators.temporal import _epoch_micros
+        from osm_pbf_spark.streaming import (
+            run_available_now,
+            stream_parquet,
+            stream_windowed_distinct,
+        )
+
+        sdf = stream_parquet(spark, f"{sf}/events.parquet").select(
+            "ts", "user_id"
+        )
+        # complete mode: append-mode watermark finalization would hold
+        # back the trailing windows at end-of-input (the q_stream_window
+        # convention)
+        out = run_available_now(
+            stream_windowed_distinct(sdf, "ts", ["user_id"], "6 hours"),
+            output_mode="complete",
+        )
+        return out.select(
+            _epoch_micros(F.col("window_start")).alias("window_start_us"),
+            _epoch_micros(F.col("window_end")).alias("window_end_us"),
+            "n_distinct",
+        )
+
+    q["q_stream_distinct"] = q_stream_distinct
+
     return q
 
 
@@ -16148,6 +16219,62 @@ def oracle_sql() -> dict[str, str]:
     d["q_sink_changes"] = _ora_sink_changes()
     d["q_neg_samples"] = _ora_neg_samples()
     d["q_media_groups"] = _ora_media_groups()
+    # independent formulation: per-ring shoelace via an offset SELF
+    # JOIN on (pos+1) % n (vs the engine's lead window), then the same
+    # conditional reversal
+    d["q_ring_orient"] = f"""
+        WITH pts AS ({SQL_POINTS}),
+        base AS (SELECT doc_id % 40 AS line_id, doc_id AS k, lat, lon
+                 FROM pts WHERE doc_id < 4000),
+        ring AS (SELECT line_id, lat, lon,
+                        CAST(row_number() OVER (PARTITION BY line_id
+                             ORDER BY k) - 1 AS BIGINT) AS pos
+                 FROM base),
+        n AS (SELECT line_id, count(*) AS nn FROM ring GROUP BY line_id),
+        seg AS (SELECT r.line_id,
+                       CAST(round((r.lon * s.lat - s.lon * r.lat) * 1e8)
+                            AS BIGINT) AS c2u
+                FROM ring r
+                JOIN n ON n.line_id = r.line_id
+                JOIN ring s ON s.line_id = r.line_id
+                           AND s.pos = (r.pos + 1) % n.nn),
+        a AS (SELECT line_id, CAST(sum(c2u) AS BIGINT) AS a2u
+              FROM seg GROUP BY line_id)
+        SELECT r.line_id,
+               CASE WHEN a.a2u < 0 THEN n.nn - 1 - r.pos
+                    ELSE r.pos END AS pos,
+               r.lat, r.lon,
+               a.a2u > 0 AS ring_ccw,
+               a.a2u < 0 AS was_reversed
+        FROM ring r JOIN a ON a.line_id = r.line_id
+                    JOIN n ON n.line_id = r.line_id
+    """
+    d["q_rle"] = """
+        WITH s AS (SELECT user_id % 25 AS k, event_id AS o,
+                          CASE WHEN event_id % 11 = 0 THEN NULL
+                               ELSE event_type END AS v
+                   FROM events WHERE event_id < 4000),
+        f AS (SELECT k, o, v,
+                     CASE WHEN row_number() OVER w = 1
+                          OR v IS DISTINCT FROM lag(v) OVER w
+                          THEN 1 ELSE 0 END AS nw
+              FROM s WINDOW w AS (PARTITION BY k ORDER BY o)),
+        r AS (SELECT k, o, v,
+                     CAST(SUM(nw) OVER (PARTITION BY k ORDER BY o
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_seq
+              FROM f)
+        SELECT k AS key, run_seq, min(v) AS value, count(*) AS run_len,
+               min(o) AS start_ord, max(o) AS end_ord
+        FROM r GROUP BY k, run_seq
+    """
+    d["q_stream_distinct"] = """
+        SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts))
+                   AS window_start_us,
+               epoch_us(time_bucket(INTERVAL '6 hours', ts)
+                   + INTERVAL '6 hours') AS window_end_us,
+               count(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY 1, 2
+    """
     # double-BFS replay: DuckDB's own recursion at BOTH stages; far
     # node picked by the same (hops DESC, node ASC) rule
     d["q_diameter"] = f"""

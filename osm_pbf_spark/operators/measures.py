@@ -27,12 +27,13 @@ Engine-independence contract (what makes these DuckDB-gateable):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "segment_measures",
     "spherical_ring_area",
+    "normalize_ring_orientation",
     "line_measures",
     "points_along_lines",
     "DEG2RAD",
@@ -295,4 +296,60 @@ def spherical_ring_area(
             * F.abs(F.col("sph_u").cast("double"))
             / F.lit(2e12)
         ).alias("area_m2"),
+    )
+
+
+def normalize_ring_orientation(
+    verts: DataFrame,
+    ring_col: str = "line_id",
+    pos_col: str = "pos",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """OGC winding-order normalization (r4): outer rings must wind
+    counter-clockwise for downstream shoelace/clip/PIP kernels that
+    assume a sign convention — this flips every CLOCKWISE ring by
+    reversing its vertex order (the geometry-hygiene step after
+    assembling rings from arbitrary way directions).
+
+    Spec: orientation = sign of the exact shoelace sum over the ring's
+    closing segment sequence, computed in the module's 1e-8 deg^2
+    integer units (``cross2_u`` — bigint sum, order-free exact; the
+    module convention: positive = CCW in lon/lat axes). Zero-area
+    (degenerate) rings are left untouched and flagged. Positions must
+    be 0..n-1 per ring (row_number'd upstream); reversed rings get
+    ``pos' = n-1-pos``.
+
+    Plan: one lead() window per ring for the segment pairing (the
+    closing segment wraps via first_value), ONE ring-keyed aggregate,
+    one join back + native conditional projection — two narrow
+    shuffles, all codegen, no Python.
+
+    Returns the input columns with ``pos`` rewritten +
+    ``(ring_ccw, was_reversed)``.
+    """
+    w = Window.partitionBy(ring_col).orderBy(pos_col)
+    la, lo = F.col(lat_col), F.col(lon_col)
+    nla = F.coalesce(F.lead(lat_col).over(w), F.first(lat_col).over(w))
+    nlo = F.coalesce(F.lead(lon_col).over(w), F.first(lon_col).over(w))
+    seg = verts.select(
+        "*",
+        F.round((lo * nla - nlo * la) * F.lit(1e8)).cast("long").alias("_c2u"),
+    )
+    per = seg.groupBy(F.col(ring_col).alias("_rid")).agg(
+        F.sum("_c2u").alias("_area2u"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    out = seg.join(per, seg[ring_col] == per["_rid"]).drop("_rid", "_c2u")
+    rev = F.col("_area2u") < 0
+    return out.select(
+        *[
+            c for c in verts.columns if c != pos_col
+        ],
+        F.when(rev, F.col("_n") - 1 - F.col(pos_col))
+        .otherwise(F.col(pos_col))
+        .cast("long")
+        .alias(pos_col),
+        (F.col("_area2u") > 0).alias("ring_ccw"),
+        rev.alias("was_reversed"),
     )

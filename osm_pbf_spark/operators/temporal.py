@@ -36,6 +36,7 @@ __all__ = [
     "max_concurrency",
     "interval_coverage",
     "nearest_event_join",
+    "rle_encode",
 ]
 
 
@@ -1766,3 +1767,60 @@ def dtw_join(
     ]
     schema_parts.append("dtw bigint")
     return pairs.mapInPandas(refine, schema=", ".join(schema_parts))
+
+
+def rle_encode(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Run-length encoding of ordered per-key sequences (r4) — the
+    SCD2 change-run machinery exposed generically (state timelines,
+    sensor plateaus, label spans): consecutive equal values collapse
+    to one row per run.
+
+    Spec: runs break where the value IS DISTINCT FROM the previous
+    row's (NULL-safe — a run of NULLs is a run, the SCD2 convention);
+    ordering must be total per key (order_col unique). Exact row
+    bookkeeping: run_seq is the 1-based run index, run_len the row
+    count, start_ord/end_ord the first/last order values.
+
+    Plan: the sessionize shape — ONE key shuffle feeding a lag +
+    running-sum window pair, then one (key, run) hash aggregate.
+    Decode is ``explode(sequence(1, run_len))`` — exact inverse for
+    integer-dense order columns.
+
+    Returns (key, run_seq, value, run_len, start_ord, end_ord).
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    prev = F.lag(value_col).over(w)
+    first_row = F.row_number().over(w) == 1
+    new_run = F.when(
+        first_row | ~F.col(value_col).eqNullSafe(prev), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("_ord"),
+        F.col(value_col).alias("value"),
+        new_run.alias("_nw"),
+    )
+    runs = flagged.select(
+        "key",
+        "_ord",
+        "value",
+        F.sum("_nw")
+        .over(
+            Window.partitionBy("key")
+            .orderBy("_ord")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("run_seq"),
+    )
+    return runs.groupBy("key", "run_seq").agg(
+        F.first("value").alias("value"),
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("_ord").alias("start_ord"),
+        F.max("_ord").alias("end_ord"),
+    )

@@ -30,6 +30,7 @@ from .ops import (
     stream_sessionize,
     stream_stream_join,
     stream_threshold_alert,
+    stream_windowed_distinct,
     windowed_counts,
 )
 
@@ -42,5 +43,6 @@ __all__ = [
     "stream_sessionize",
     "stream_stream_join",
     "stream_threshold_alert",
+    "stream_windowed_distinct",
     "run_available_now",
 ]

@@ -477,3 +477,46 @@ def stream_threshold_alert(
     return sdf.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_windowed_distinct(
+    sdf: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    window: str,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming per-window DISTINCT-key counts (r4) — "unique users
+    per hour" over an unbounded source, the built-in-operator
+    composition the custom stateful ops don't cover: watermarked
+    ``dropDuplicates`` on (window, keys) feeds a windowed count, so
+    state holds one row per DISTINCT (window, key) and the watermark
+    evicts closed windows.
+
+    Batch parity (the module discipline): an availableNow drain over
+    closed input equals ``COUNT(DISTINCT keys) GROUP BY window`` —
+    the gate oracle; cross-batch suppression comes from the
+    dropDuplicates state store itself.
+
+    ``watermark=None`` (the complete-mode / availableNow-gate path)
+    keeps all state; set it for append-mode production streams
+    (requires an instant TIMESTAMP column — parquet TIMESTAMP_NTZ is
+    rejected by withWatermark, the windowed_counts caveat).
+
+    Returns (window_start, window_end, n_distinct).
+    """
+    src = sdf
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window)
+    dedup = (
+        src.select(win.alias("_w"), *key_cols, F.col(ts_col))
+        .dropDuplicates(["_w", *key_cols])
+    )
+    return dedup.groupBy("_w").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    ).select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        "n_distinct",
+    )

@@ -231,3 +231,81 @@ def test_negative_samples_guard(spark):
     vocab = spark.createDataFrame([(1,)], "node long")
     with pytest.raises(ValueError, match="k must be"):
         negative_samples(pairs, vocab, k=0)
+
+
+# ----------------------------------------- ring orientation normalize
+def test_ring_orientation_flips_cw_only(spark):
+    from osm_pbf_spark.operators.measures import normalize_ring_orientation
+
+    ccw = [(0.0, 0.0), (0.0, 2.0), (1.0, 2.0), (1.0, 0.0)]  # (lat, lon) CCW
+    cw = list(reversed(ccw))
+    rows = [(1, i, la, lo) for i, (la, lo) in enumerate(ccw)]
+    rows += [(2, i, la, lo) for i, (la, lo) in enumerate(cw)]
+    rows += [(3, 0, 5.0, 5.0), (3, 1, 5.0, 5.0)]  # degenerate zero-area
+    df = spark.createDataFrame(rows, "line_id long, pos long, lat double, lon double")
+    out = normalize_ring_orientation(df)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.line_id, {})[r.pos] = (r.lat, r.lon, r.ring_ccw, r.was_reversed)
+    # ring 1 untouched
+    for i, (la, lo) in enumerate(ccw):
+        assert got[1][i][:2] == (la, lo) and got[1][i][2:] == (True, False)
+    # ring 2 reversed -> reads as CCW when walked by new pos
+    walked = [got[2][i][:2] for i in range(4)]
+    assert walked == ccw[::1] or walked == [cw[3 - i] for i in range(4)]
+    assert all(got[2][i][3] for i in range(4))  # was_reversed
+    # degenerate flagged neither CCW nor reversed
+    assert got[3][0][2] is False and got[3][0][3] is False
+
+
+# ------------------------------------------------------------- RLE
+def test_rle_encode_runs_and_null_runs(spark):
+    from osm_pbf_spark.operators.temporal import rle_encode
+
+    rows = [(1, 1, "a"), (1, 2, "a"), (1, 3, None), (1, 4, None),
+            (1, 5, "a"), (2, 1, "x")]
+    df = spark.createDataFrame(rows, "k long, o long, v string")
+    got = {(r.key, r.run_seq): (r.value, r.run_len, r.start_ord, r.end_ord)
+           for r in rle_encode(df, "k", "o", "v").collect()}
+    assert got == {
+        (1, 1): ("a", 2, 1, 2),
+        (1, 2): (None, 2, 3, 4),
+        (1, 3): ("a", 1, 5, 5),
+        (2, 1): ("x", 1, 1, 1),
+    }
+
+
+# ----------------------------------------- streaming windowed distinct
+def test_stream_windowed_distinct_equals_batch(spark, tmp_path):
+    import datetime as dt
+
+    from osm_pbf_spark.streaming import (
+        run_available_now,
+        stream_parquet,
+        stream_windowed_distinct,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(minutes=(i * 7) % 180), i % 5) for i in range(200)
+    ]
+    src = str(tmp_path / "ev")
+    df = spark.createDataFrame(rows, "ts timestamp, uid long")
+    df.write.parquet(src)
+    got = {
+        (r.window_start, r.window_end): r.n_distinct
+        for r in run_available_now(
+            stream_windowed_distinct(
+                stream_parquet(spark, src), "ts", ["uid"], "1 hour"
+            ),
+            output_mode="complete",
+            checkpoint_dir=str(tmp_path / "c"),
+        ).collect()
+    }
+    exp = {
+        (r["window"]["start"], r["window"]["end"]): r.n
+        for r in df.groupBy(F.window("ts", "1 hour"))
+        .agg(F.countDistinct("uid").alias("n"))
+        .collect()
+    }
+    assert got == exp and len(got) == 3
