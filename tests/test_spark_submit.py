@@ -174,3 +174,62 @@ def test_spark_submit_stream_ingest_job(tmp_path):
     land("b.parquet", 500, 800, 1_700_000_100)
     s2 = run()
     assert s2["table_rows"] == 800 and s2["splits_committed"] == 2
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="spark-submit not on box")
+def test_spark_submit_dedup_job(tmp_path):
+    """The corpus-dedup job end-to-end from the packaged zip: planted
+    near-dup copies collapse to their canonical survivors."""
+    sys.path.insert(0, REPO)
+    from tools.package_pyfiles import build
+
+    spark_local = None
+    # build a corpus with planted dups using a short-lived local session
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark_local = SparkSession.builder.master("local[2]").getOrCreate()
+    rows = []
+    for i in range(120):
+        # distinct token streams per doc (a rotated shared vocabulary
+        # would make every doc's SHINGLE SET identical)
+        txt = " ".join(f"w{(i * 97 + j * 13) % 9973}" for j in range(40))
+        rows.append((i, txt))
+        if i < 20:
+            rows.append((1000 + i, txt))  # exact copy
+    docs = str(tmp_path / "docs")
+    spark_local.createDataFrame(rows, "doc_id long, text string").write.parquet(docs)
+
+    zip_path = build(str(tmp_path / "osm_pbf_spark.zip"))
+    out = str(tmp_path / "deduped")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable, PYSPARK_DRIVER_PYTHON=sys.executable)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "dedup_job.py"),
+            "--docs", docs,
+            "--out", out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=str(tmp_path),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = next(
+        json.loads(line) for line in proc.stdout.splitlines()
+        if line.startswith('{"job": "dedup"')
+    )
+    assert summary["n_docs"] == 140
+    assert summary["n_survivors"] == 120          # 20 copies removed
+    assert summary["n_removed"] == 20
+    surv = spark_local.read.parquet(out)
+    assert surv.count() == 120
+    # every planted copy's canonical is the ORIGINAL (min id)
+    assert surv.where(F.col("doc_id") >= 1000).count() == 0

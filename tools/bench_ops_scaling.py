@@ -555,7 +555,10 @@ def leg_kmeans(spark, n: int) -> int:
         ).alias("embedding"),
     )
     out = kmeans_fit(df, n_clusters=8, n_iters=3)
-    row = out.agg(F.sum("d2").alias("a"), F.sum("cluster").alias("b")).collect()[0]
+    row = out.agg(
+        F.sum(F.pmod(F.col("d2"), F.lit(1_000_003))).alias("a"),
+        F.sum("cluster").alias("b"),
+    ).collect()[0]
     return int(row.a or 0) + int(row.b or 0)
 
 
@@ -578,7 +581,10 @@ def leg_winnow(spark, n: int) -> int:
         ).alias("text"),
     )
     out = winnow_fingerprints(df, k=4, window=3)
-    row = out.agg(F.sum("fp_hash").alias("a")).collect()[0]
+    # modulo before the sum: 2^40 hashes x 10^8 fingerprints overflows
+    row = out.agg(
+        F.sum(F.pmod(F.col("fp_hash"), F.lit(1_000_003))).alias("a")
+    ).collect()[0]
     return int(row.a or 0)
 
 
