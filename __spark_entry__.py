@@ -6688,6 +6688,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_stream_distinct"] = q_stream_distinct
 
+    def q_youden(spark, sf):  # Youden-J operating point: exact-int
+        # argmax of tp*N - fp*P over distinct-score thresholds,
+        # smallest-threshold ties
+        from osm_pbf_spark.operators.stats import youden_threshold
+
+        e = load(spark, sf, "events").filter(F.col("event_id") < 6000)
+        d = e.select(
+            # score correlates with the label + noise, so the optimum
+            # is a genuine interior threshold
+            (
+                F.when(F.col("event_id") % 3 == 0, 50).otherwise(0)
+                + F.col("event_id") % 40
+            ).cast("long").alias("score"),
+            F.when(F.col("event_id") % 3 == 0, 1).otherwise(0).alias("y"),
+        )
+        return youden_threshold(d, "score", "y")
+
+    q["q_youden"] = q_youden
+
     return q
 
 
@@ -16266,6 +16285,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT k AS key, run_seq, min(v) AS value, count(*) AS run_len,
                min(o) AS start_ord, max(o) AS end_ord
         FROM r GROUP BY k, run_seq
+    """
+    d["q_youden"] = """
+        WITH d AS (SELECT CAST(CASE WHEN event_id % 3 = 0 THEN 50 ELSE 0 END
+                        + event_id % 40 AS BIGINT) AS s,
+                          CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y
+                   FROM events WHERE event_id < 6000),
+        per AS (SELECT s, CAST(sum(y) AS BIGINT) AS p,
+                       CAST(count(*) - sum(y) AS BIGINT) AS n
+                FROM d GROUP BY s),
+        tot AS (SELECT CAST(sum(y) AS BIGINT) AS pp,
+                       CAST(count(*) - sum(y) AS BIGINT) AS nn
+                FROM d),
+        cum AS (SELECT s,
+                       CAST(SUM(p) OVER (ORDER BY s DESC
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+                       CAST(SUM(n) OVER (ORDER BY s DESC
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+                FROM per),
+        j AS (SELECT cum.*, tot.pp, tot.nn,
+                     tp * nn - fp * pp AS jn
+              FROM cum, tot WHERE tot.pp > 0 AND tot.nn > 0),
+        best AS (SELECT * FROM j ORDER BY jn DESC, s ASC LIMIT 1)
+        SELECT s AS threshold, tp, fp, pp - tp AS fn, nn - fp AS tn,
+               jn AS j_num,
+               CAST(jn AS DOUBLE) / CAST(pp * nn AS DOUBLE) AS j
+        FROM best
     """
     d["q_stream_distinct"] = """
         SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts))

@@ -49,6 +49,7 @@ __all__ = [
     "mcnemar_test",
     "cochran_armitage",
     "quantile_normalize",
+    "youden_threshold",
 ]
 
 
@@ -2910,4 +2911,90 @@ def quantile_normalize(
         "rank",
         "qn_sum",
         F.lit(n_feat).cast("int").alias("n_features"),
+    )
+
+
+def youden_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Youden-J optimal decision threshold (r4) — the standard
+    operating-point picker after roc_auc says a score ranks well:
+    choose t maximizing J = TPR − FPR for the rule "positive iff
+    score >= t".
+
+    Exact spec (no floats until the last projection): scores are int64
+    (quantize upstream); candidate thresholds are the DISTINCT scores;
+    with P/N total positives/negatives and (tp, fp) the counts at
+    threshold t, maximize the exact integer ``j_num = tp*N − fp*P``
+    (== J * P * N); ties break toward the SMALLEST threshold (the more
+    sensitive operating point — deterministic, engine-replayable).
+    0/1 labels are WHERE-guarded; P == 0 or N == 0 yields an empty
+    result (J undefined).
+
+    Plan: one distinct-score aggregate (|scores| keyspace) + one
+    cumulative window over the descending score order + one min-struct
+    argmax reduce — the ks_test distinct-value shuffle shape.
+
+    Returns 1 row (threshold, tp, fp, fn, tn, j_num, j) with
+    j = j_num / (P*N) as one final division.
+    """
+    sc = F.col(score_col).cast("bigint")
+    lb = F.col(label_col).cast("bigint")
+    guarded = df.where(
+        F.when(lb.isin(0, 1), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"youden_threshold: {label_col} must be 0/1, got "),
+                    lb.cast("string"),
+                )
+            )
+        )
+    ).select(sc.alias("_s"), lb.alias("_y"))
+    per = guarded.groupBy("_s").agg(
+        F.sum("_y").alias("_p"),
+        (F.count(F.lit(1)) - F.sum("_y")).alias("_n"),
+    )
+    w = (
+        Window.orderBy(F.col("_s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select(
+        "_s",
+        F.sum("_p").over(w).alias("_tp"),
+        F.sum("_n").over(w).alias("_fp"),
+    )
+    tot = guarded.agg(
+        F.sum("_y").alias("_P"),
+        (F.count(F.lit(1)) - F.sum("_y")).alias("_N"),
+    )
+    j = cum.crossJoin(F.broadcast(tot)).where(
+        (F.col("_P") > 0) & (F.col("_N") > 0)
+    )
+    jn = F.col("_tp") * F.col("_N") - F.col("_fp") * F.col("_P")
+    best = j.agg(
+        F.min(
+            F.struct(
+                (-jn).alias("_njn"),
+                F.col("_s").alias("_t"),
+                F.col("_tp").alias("_tp"),
+                F.col("_fp").alias("_fp"),
+                F.col("_P").alias("_P"),
+                F.col("_N").alias("_N"),
+            )
+        ).alias("_m")
+    )
+    m = F.col("_m")
+    return best.where(m.isNotNull()).select(
+        m["_t"].alias("threshold"),
+        m["_tp"].alias("tp"),
+        m["_fp"].alias("fp"),
+        (m["_P"] - m["_tp"]).alias("fn"),
+        (m["_N"] - m["_fp"]).alias("tn"),
+        (-m["_njn"]).alias("j_num"),
+        (
+            (-m["_njn"]).cast("double")
+            / (m["_P"] * m["_N"]).cast("double")
+        ).alias("j"),
     )

@@ -1471,11 +1471,17 @@ class IcebergLikeSink:
             }
         )
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 1, max_age_s: float | None = None
+    ) -> dict:
         """Expire old snapshots and vacuum data files ONLY they still
         reference.
 
-        Keeps the most recent ``keep_last`` (>= 1) history entries. The
+        Keeps the most recent ``keep_last`` (>= 1) history entries;
+        with ``max_age_s`` set (the Iceberg older_than retention
+        form), entries YOUNGER than that are additionally kept even
+        beyond keep_last — the two compose as "keep everything from
+        the last N days, but always at least keep_last". The
         retained file set is: every file named by a retained snapshot's
         manifest list, plus every file of every LIVE split (covers
         splits committed after the last snapshot). Data files of
@@ -1490,6 +1496,14 @@ class IcebergLikeSink:
         snaps = self.snapshots()
         keep = snaps[-keep_last:]
         drop = snaps[:-keep_last]
+        if max_age_s is not None:
+            cutoff = time.time() - float(max_age_s)
+            young = [
+                s for s in drop
+                if s.get("committed_at_unix", 0) >= cutoff
+            ]
+            keep = young + keep
+            drop = [s for s in drop if s not in young]
         # named refs protect their snapshots (Iceberg tag semantics):
         # a tagged snapshot never expires, however old
         tagged = set(self.tags().values())

@@ -235,3 +235,32 @@ def test_vacuum_orphans_respects_min_age_and_rollback_attic(spark, tmp_path):
     assert sink.vacuum_orphans(min_age_s=3600)["deleted_files"] == 0
     assert _os.path.exists(young)
     assert sink.vacuum_orphans()["deleted_files"] == 1
+
+
+def test_expire_snapshots_age_retention(spark, tmp_path):
+    """max_age_s keeps young snapshots beyond keep_last; backdated old
+    ones still expire (the Iceberg older_than composition)."""
+    import json as _json
+    import os as _os
+
+    from osm_pbf_spark.sink.iceberg_like import IcebergLikeSink
+
+    sink = IcebergLikeSink(str(tmp_path / "t"), stats_col="cell")
+    snaps = []
+    for i in range(4):
+        sink.write_split(_docs(spark, i * 10, i * 10 + 10), f"s{i}")
+        snaps.append(sink.commit_snapshot({"i": i}))
+    # backdate the first two snapshots far into the past
+    sdir = str(tmp_path / "t" / "_snapshots")
+    for fn in sorted(_os.listdir(sdir))[:2]:
+        p = _os.path.join(sdir, fn)
+        d = _json.load(open(p))
+        d["committed_at_unix"] = 1_000_000
+        _json.dump(d, open(p, "w"))
+    sink.expire_snapshots(keep_last=1, max_age_s=3600)
+    left = {s["snapshot_id"] for s in sink.snapshots()}
+    # young 3rd snapshot survived beyond keep_last; old two expired
+    assert snaps[3]["snapshot_id"] in left
+    assert snaps[2]["snapshot_id"] in left
+    assert snaps[0]["snapshot_id"] not in left
+    assert snaps[1]["snapshot_id"] not in left
