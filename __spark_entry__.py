@@ -6707,6 +6707,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_youden"] = q_youden
 
+    def q_cross_track(spark, sf):  # spherical route-corridor distances:
+        # signed XTD + along-track mm for every point vs a fixed leg,
+        # pure codegen trig chains, mm rounding absorbs ulp drift
+        from osm_pbf_spark.operators.measures import (
+            along_track_mm,
+            cross_track_mm,
+        )
+
+        pts = customer_points(spark, sf).where(F.col("doc_id") < 3000)
+        la1, lo1, la2, lo2 = (
+            F.lit(10.0), F.lit(-20.0), F.lit(30.0), F.lit(25.0),
+        )
+        la, lo = F.col("lat"), F.col("lon")
+        return pts.select(
+            "doc_id",
+            cross_track_mm(la, lo, la1, lo1, la2, lo2).alias("xtd_mm"),
+            along_track_mm(la, lo, la1, lo1, la2, lo2).alias("atd_mm"),
+        )
+
+    q["q_cross_track"] = q_cross_track
+
     return q
 
 
@@ -16311,6 +16332,50 @@ def oracle_sql() -> dict[str, str]:
                jn AS j_num,
                CAST(jn AS DOUBLE) / CAST(pp * nn AS DOUBLE) AS j
         FROM best
+    """
+    # identical IEEE chains (Williams formulary): haversine d13, two
+    # atan2 bearings, asin XTD / atan2 ATD, mm rounding
+    d["q_cross_track"] = f"""
+        {pts},
+        p AS (SELECT doc_id, lat, lon FROM pts WHERE doc_id < 3000),
+        c AS (SELECT doc_id, lat, lon,
+                (12742017.6 * ASIN(SQRT(LEAST(GREATEST(
+                    SIN(((lat - 10.0) * 0.017453292519943295) / 2.0)
+                    * SIN(((lat - 10.0) * 0.017453292519943295) / 2.0)
+                    + COS(10.0 * 0.017453292519943295)
+                      * COS(lat * 0.017453292519943295)
+                      * (SIN(((lon - -20.0) * 0.017453292519943295) / 2.0)
+                         * SIN(((lon - -20.0) * 0.017453292519943295) / 2.0))
+                  , 0.0), 1.0)))) / 6371008.8 AS d13,
+                ATAN2(
+                  SIN((lon - -20.0) * 0.017453292519943295)
+                  * COS(lat * 0.017453292519943295),
+                  COS(10.0 * 0.017453292519943295)
+                  * SIN(lat * 0.017453292519943295)
+                  - SIN(10.0 * 0.017453292519943295)
+                    * COS(lat * 0.017453292519943295)
+                    * COS((lon - -20.0) * 0.017453292519943295)) AS t13,
+                ATAN2(
+                  SIN((25.0 - -20.0) * 0.017453292519943295)
+                  * COS(30.0 * 0.017453292519943295),
+                  COS(10.0 * 0.017453292519943295)
+                  * SIN(30.0 * 0.017453292519943295)
+                  - SIN(10.0 * 0.017453292519943295)
+                    * COS(30.0 * 0.017453292519943295)
+                    * COS((25.0 - -20.0) * 0.017453292519943295)) AS t12
+              FROM p),
+        m AS (SELECT doc_id, d13, t13 - t12 AS dbrg FROM c)
+        SELECT doc_id,
+               CAST(ROUND(ASIN(LEAST(GREATEST(SIN(d13) * SIN(dbrg),
+                        CAST(-1 AS DOUBLE)), CAST(1 AS DOUBLE)))
+                    * 6371008.8 * 1000.0) AS BIGINT) AS xtd_mm,
+               CAST(ROUND((CASE WHEN COS(dbrg) < 0 THEN -1.0 ELSE 1.0 END)
+                    * (ATAN2(SQRT(GREATEST(
+                          SIN(d13) * SIN(d13)
+                          - (SIN(d13) * SIN(dbrg)) * (SIN(d13) * SIN(dbrg)),
+                          CAST(0 AS DOUBLE))), COS(d13)) * 6371008.8)
+                    * 1000.0) AS BIGINT) AS atd_mm
+        FROM m
     """
     d["q_stream_distinct"] = """
         SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts))

@@ -34,6 +34,8 @@ __all__ = [
     "segment_measures",
     "spherical_ring_area",
     "normalize_ring_orientation",
+    "cross_track_mm",
+    "along_track_mm",
     "line_measures",
     "points_along_lines",
     "DEG2RAD",
@@ -353,3 +355,78 @@ def normalize_ring_orientation(
         (F.col("_area2u") > 0).alias("ring_ccw"),
         rev.alias("was_reversed"),
     )
+
+
+def cross_track_mm(
+    lat, lon, lat1, lon1, lat2, lon2
+) -> "F.Column":
+    """SIGNED spherical cross-track distance (r4) in millimeters from
+    point (lat, lon) to the great circle through route leg
+    (lat1,lon1) -> (lat2,lon2) — the corridor test behind "which fixes
+    are within 50 m of the planned route" (aviation/marine XTD; the
+    spherical sibling of snap_to_segments' planar distance).
+
+    Standard formula (Williams' Aviation Formulary):
+        xtd = asin( sin(d13) * sin(brg13 - brg12) ) * R
+    with d13 the angular start->point distance (haversine chain, the
+    module's _hav_m spelled to radians) and brg the initial great-
+    circle bearings (atan2 chain). Sign: positive = LEFT of the
+    course. Per the module contract the result is rounded to INTEGER
+    millimeters — the ~1-ulp cross-engine atan2/asin drift moves the
+    mm value by <1e-5 relative, the len_mm absorption argument.
+    Positive = port side; callers filter on abs().
+
+    Pure codegen expression — compose into any select/filter.
+    """
+    d13 = _hav_m(lat1, lon1, lat, lon) / F.lit(EARTH_RADIUS_M)
+
+    def brg(la0, lo0, la1_, lo1_):
+        dlon = (lo1_ - lo0) * F.lit(DEG2RAD)
+        y = F.sin(dlon) * F.cos(la1_ * F.lit(DEG2RAD))
+        x = F.cos(la0 * F.lit(DEG2RAD)) * F.sin(la1_ * F.lit(DEG2RAD)) - F.sin(
+            la0 * F.lit(DEG2RAD)
+        ) * F.cos(la1_ * F.lit(DEG2RAD)) * F.cos(dlon)
+        return F.atan2(y, x)
+
+    t13 = brg(lat1, lon1, lat, lon)
+    t12 = brg(lat1, lon1, lat2, lon2)
+    xtd = F.asin(
+        F.least(
+            F.greatest(F.sin(d13) * F.sin(t13 - t12), F.lit(-1.0)),
+            F.lit(1.0),
+        )
+    ) * F.lit(EARTH_RADIUS_M)
+    return F.round(xtd * F.lit(1000.0)).cast("long")
+
+
+def along_track_mm(
+    lat, lon, lat1, lon1, lat2, lon2
+) -> "F.Column":
+    """Spherical ALONG-track distance (r4) in millimeters: how far
+    along the (lat1,lon1)->(lat2,lon2) great circle the foot of the
+    point's perpendicular lies — linear referencing on the sphere
+    (``points_along_lines`` is the planar inverse). Formulary:
+        atd = atan2( sqrt(max(0, sin(d13)^2 - sin(xtd)^2)),
+                     cos(d13) ) * R   (sign of cos(brg13-brg12))
+    — the atan2 form, stable where the naive acos(cos d13 / cos xtd)
+    loses bits near zero. mm-rounded like cross_track_mm; negative =
+    the foot lies BEHIND the leg start.
+    """
+    d13 = _hav_m(lat1, lon1, lat, lon) / F.lit(EARTH_RADIUS_M)
+
+    def brg(la0, lo0, la1_, lo1_):
+        dlon = (lo1_ - lo0) * F.lit(DEG2RAD)
+        y = F.sin(dlon) * F.cos(la1_ * F.lit(DEG2RAD))
+        x = F.cos(la0 * F.lit(DEG2RAD)) * F.sin(la1_ * F.lit(DEG2RAD)) - F.sin(
+            la0 * F.lit(DEG2RAD)
+        ) * F.cos(la1_ * F.lit(DEG2RAD)) * F.cos(dlon)
+        return F.atan2(y, x)
+
+    dbrg = brg(lat1, lon1, lat, lon) - brg(lat1, lon1, lat2, lon2)
+    sx = F.sin(d13) * F.sin(dbrg)  # sin(xtd angle)
+    s2 = F.sin(d13) * F.sin(d13) - sx * sx
+    atd = F.atan2(
+        F.sqrt(F.greatest(s2, F.lit(0.0))), F.cos(d13)
+    ) * F.lit(EARTH_RADIUS_M)
+    signed = F.when(F.cos(dbrg) < 0, -atd).otherwise(atd)
+    return F.round(signed * F.lit(1000.0)).cast("long")

@@ -309,3 +309,34 @@ def test_stream_windowed_distinct_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == exp and len(got) == 3
+
+
+# ---------------------------------------- spherical XTD / ATD
+def test_cross_track_known_geometry(spark):
+    """Sanity on a meridian leg (0,0)->(10,0): a point at (5, 1) sits
+    ~111 km starboard (negative XTD by the left-positive convention),
+    ~5 deg (553 km) along; a point ON the leg has ~zero XTD."""
+    from osm_pbf_spark.operators.measures import (
+        along_track_mm,
+        cross_track_mm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 1.0), (2, 5.0, 0.0), (3, -1.0, 0.0)],
+        "id long, lat double, lon double",
+    )
+    la, lo = F.col("lat"), F.col("lon")
+    z = F.lit(0.0)
+    out = {
+        r.id: (r.x, r.a)
+        for r in df.select(
+            "id",
+            cross_track_mm(la, lo, z, z, F.lit(10.0), z).alias("x"),
+            along_track_mm(la, lo, z, z, F.lit(10.0), z).alias("a"),
+        ).collect()
+    }
+    deg_mm = 111.19 * 1e9 / 1000  # ~1 deg of arc in mm
+    assert abs(abs(out[1][0]) - 1.0 * deg_mm * 0.9962) < 2e6  # cos(5) scale
+    assert abs(out[1][1] - 5.0 * deg_mm) < 2e6
+    assert abs(out[2][0]) < 1000  # on-track: < 1 m
+    assert out[3][1] < 0  # behind the start -> negative along-track
