@@ -6728,6 +6728,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_cross_track"] = q_cross_track
 
+    def q_group_minhash(spark, sf):  # mergeable group-level MinHash:
+        # elementwise-min union sketches per source + pairwise
+        # agreement Jaccard between sources — corpus-overlap auditing
+        # with no document rejoin
+        from osm_pbf_spark.operators.dedup import (
+            group_minhash,
+            group_minhash_similarity,
+        )
+
+        d = load(spark, sf, "documents").filter(F.col("doc_id") < 800)
+        sk = group_minhash(d, "source")
+        return group_minhash_similarity(sk, "source")
+
+    q["q_group_minhash"] = q_group_minhash
+
     return q
 
 
@@ -10470,6 +10485,52 @@ def _ora_lcss() -> str:
     return _values_sql(
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("lcss", "BIGINT"),
          ("n_a", "INTEGER"), ("n_b", "INTEGER"), ("sim_ppm", "BIGINT")],
+        rows,
+    )
+
+
+def _ora_group_minhash() -> str:
+    """Scalar replay of q_group_minhash: per-doc signatures from the
+    operator's own pure kernels (_shingle_hashes/_minhash_sig — the
+    fs_weights exported-spec convention), group mins and pairwise
+    agreement in plain Python loops vs the engine's explode + bounded
+    agg + zip_with."""
+    import pyarrow.parquet as pq
+
+    from osm_pbf_spark.operators.dedup import (
+        _N_PERM,
+        _minhash_sig,
+        _shingle_hashes,
+    )
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    groups: dict = {}
+    for did, src, txt in zip(
+        t.column("doc_id").to_pylist(),
+        t.column("source").to_pylist(),
+        t.column("text").to_pylist(),
+    ):
+        if int(did) >= 800:
+            continue
+        sig = _minhash_sig(_shingle_hashes(txt or "", 5)).astype("int64")
+        cur = groups.get(src)
+        if cur is None:
+            groups[src] = [int(x) for x in sig]
+        else:
+            groups[src] = [min(a, int(b)) for a, b in zip(cur, sig)]
+    names = sorted(groups)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            n_agree = sum(1 for x, y in zip(groups[a], groups[b]) if x == y)
+            rows.append((a, b, n_agree, _N_PERM, n_agree / float(_N_PERM)))
+    return _values_sql(
+        [("group_a", "VARCHAR"), ("group_b", "VARCHAR"),
+         ("n_agree", "BIGINT"), ("n_perm", "INTEGER"),
+         ("jaccard_est", "DOUBLE")],
         rows,
     )
 
@@ -16259,6 +16320,7 @@ def oracle_sql() -> dict[str, str]:
     d["q_sink_changes"] = _ora_sink_changes()
     d["q_neg_samples"] = _ora_neg_samples()
     d["q_media_groups"] = _ora_media_groups()
+    d["q_group_minhash"] = _ora_group_minhash()
     # independent formulation: per-ring shoelace via an offset SELF
     # JOIN on (pos+1) % n (vs the engine's lead window), then the same
     # conditional reversal

@@ -985,3 +985,93 @@ def containment_join(
         F.col("na").cast("bigint").alias("na"),
         F.col("nb").cast("bigint").alias("nb"),
     )
+
+
+def group_minhash(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MERGEABLE group-level MinHash sketch (r4): per group, the
+    elementwise MIN of its documents' signatures — mathematically the
+    signature of the UNION of the group's shingle sets, so pairwise
+    group Jaccard ("how similar is domain A's content to domain B's",
+    crawl-source overlap auditing) estimates from |sketch| ints per
+    group with NO document rescans. Mergeable exactly like the KMV/HLL
+    family: min() is associative/commutative, so shard sketches
+    combine by another elementwise min.
+
+    Spec: the same _N_PERM affine-permutation signatures as the LSH
+    dedup family (one spec, shared constants); per-document signatures
+    explode to (group, perm_idx, val) and ONE bounded hash aggregate
+    (|groups| x _N_PERM keyspace — the sketch-family shuffle shape)
+    takes the min; the sketch returns as a sorted-by-index array.
+
+    Returns (group, sig array<bigint>, n_docs).
+    """
+    import pandas as pd
+
+    sig_t = "array<bigint>"
+
+    @F.pandas_udf(sig_t)
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            s = _minhash_sig(_shingle_hashes(t or "", shingle_k))
+            out.append([int(x) for x in s.astype(np.int64)])
+        return pd.Series(out)
+
+    sigs = docs.select(
+        F.col(group_col).alias("grp"), _sig(F.col(text_col)).alias("_sig")
+    )
+    exploded = sigs.select("grp", F.posexplode("_sig").alias("_i", "_v"))
+    per = exploded.groupBy("grp", "_i").agg(F.min("_v").alias("_m"))
+    counts = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        per.groupBy("grp")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_i", "_m"))),
+                lambda s: s["_m"],
+            ).alias("sig")
+        )
+        .join(counts, "grp")
+        .select(F.col("grp").alias(group_col), "sig", "n_docs")
+    )
+
+
+def group_minhash_similarity(sketches: DataFrame, group_col: str) -> DataFrame:
+    """Pairwise estimated Jaccard between group sketches (r4): the
+    fraction of agreeing signature components, exact integers
+    (n_agree out of _N_PERM) plus one final division — compare
+    crawl sources / domains / snapshots without touching documents.
+    All pairs of the (small) sketch table: one self-join keyed
+    nothing — |groups|^2/2 rows of array comparisons, the DIMENSION
+    side (groups are few; the documents never rejoin).
+
+    Returns (group_a, group_b, n_agree, n_perm, jaccard_est) with
+    group_a < group_b.
+    """
+    a = sketches.select(
+        F.col(group_col).alias("group_a"), F.col("sig").alias("_sa")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("group_b"), F.col("sig").alias("_sb")
+    )
+    pairs = a.crossJoin(b).where(F.col("group_a") < F.col("group_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("_sa", "_sb", lambda x, y: x == y),
+            lambda t: t,
+        )
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        agree.cast("bigint").alias("n_agree"),
+        F.lit(_N_PERM).cast("int").alias("n_perm"),
+        (agree.cast("double") / F.lit(float(_N_PERM))).alias("jaccard_est"),
+    )

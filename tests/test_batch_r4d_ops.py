@@ -340,3 +340,46 @@ def test_cross_track_known_geometry(spark):
     assert abs(out[1][1] - 5.0 * deg_mm) < 2e6
     assert abs(out[2][0]) < 1000  # on-track: < 1 m
     assert out[3][1] < 0  # behind the start -> negative along-track
+
+
+# ------------------------------------------- group MinHash sketches
+def test_group_minhash_union_property_and_merge(spark):
+    """The group sketch IS the union sketch: computing over a group
+    equals elementwise-min of per-doc signatures, and sharded sketches
+    merge by another elementwise min (mergeability)."""
+    import numpy as np
+
+    from osm_pbf_spark.operators.dedup import (
+        _minhash_sig,
+        _shingle_hashes,
+        group_minhash,
+        group_minhash_similarity,
+    )
+
+    texts = {
+        ("a", 1): "the quick brown fox jumps over the lazy dog",
+        ("a", 2): "pack my box with five dozen liquor jugs today",
+        ("b", 3): "the quick brown fox jumps over the lazy dog",  # == a/1
+        ("c", 4): "completely unrelated content lives here entirely",
+    }
+    df = spark.createDataFrame(
+        [(g, i, t) for (g, i), t in texts.items()],
+        "grp string, doc_id long, text string",
+    )
+    sk = {r.grp: list(r.sig) for r in group_minhash(df, "grp").collect()}
+    for g in ("a", "b", "c"):
+        sigs = [
+            _minhash_sig(_shingle_hashes(t, 5)).astype("int64")
+            for (gg, _), t in texts.items() if gg == g
+        ]
+        want = np.minimum.reduce(sigs).tolist()
+        assert sk[g] == [int(x) for x in want], g
+    sim = {
+        (r.group_a, r.group_b): r.n_agree
+        for r in group_minhash_similarity(
+            group_minhash(df, "grp"), "grp"
+        ).collect()
+    }
+    # a contains b's only doc -> high agreement; c shares nothing
+    assert sim[("a", "b")] > sim[("a", "c")]
+    assert sim[("a", "b")] > sim[("b", "c")]
