@@ -383,3 +383,27 @@ def test_group_minhash_union_property_and_merge(spark):
     # a contains b's only doc -> high agreement; c shares nothing
     assert sim[("a", "b")] > sim[("a", "c")]
     assert sim[("a", "b")] > sim[("b", "c")]
+
+
+# ------------------------------------------------------- Youden J
+def test_youden_threshold_scalar(spark):
+    from osm_pbf_spark.operators.stats import youden_threshold
+
+    # P at scores {10: 8 pos}, N at {5: 10 neg, 10: 2 neg}
+    rows = [(10, 1)] * 8 + [(10, 0)] * 2 + [(5, 0)] * 10
+    df = spark.createDataFrame(rows, "s int, y int")
+    (r,) = youden_threshold(df, "s", "y").collect()
+    # t=10: tp=8, fp=2 -> J = 1 - 2/12; t=5: tp=8, fp=12 -> J = 0
+    assert (r.threshold, r.tp, r.fp, r.fn, r.tn) == (10, 8, 2, 0, 10)
+    assert r.j_num == 8 * 12 - 2 * 8
+    assert abs(r.j - (1.0 - 2.0 / 12.0)) < 1e-12
+
+
+def test_youden_degenerate_empty_and_guard(spark):
+    from osm_pbf_spark.operators.stats import youden_threshold
+
+    allpos = spark.createDataFrame([(1, 1), (2, 1)], "s int, y int")
+    assert youden_threshold(allpos, "s", "y").count() == 0
+    bad = spark.createDataFrame([(1, 2)], "s int, y int")
+    with pytest.raises(Exception, match="must be 0/1"):
+        youden_threshold(bad, "s", "y").collect()
