@@ -6743,6 +6743,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_group_minhash"] = q_group_minhash
 
+    def q_simhash_groups(spark, sf):  # COMPOSED text-dedup closure
+        # (the q_media_groups pattern in the text domain): P4 SimHash
+        # pairs -> P15 CC -> P69 canonical survivors over the recrawl
+        # corpus — every recrawl copy must collapse onto its original
+        from osm_pbf_spark.operators.graph import (
+            dedup_canonical,
+            near_dup_groups,
+        )
+
+        d = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        recrawl = d.withColumn("doc_id", F.col("doc_id") + 1000000)
+        corpus = d.unionByName(recrawl)
+        pairs = simhash_pairs(corpus, max_hamming=3).select("id_a", "id_b")
+        groups = near_dup_groups(corpus, pairs)
+        return dedup_canonical(groups)
+
+    q["q_simhash_groups"] = q_simhash_groups
+
+    def q_lorenz(spark, sf):  # Lorenz-curve points (the curve behind
+        # R50's Gini): cumulative share of order value by ascending
+        # customer spend, ppm-quantized deciles
+        o = load(spark, sf, "orders")
+        per = o.groupBy("o_custkey").agg(
+            F.floor(F.sum("o_totalprice")).cast("bigint").alias("spend")
+        )
+        w = Window.orderBy("spend", "o_custkey")
+        ranked = per.select(
+            "spend",
+            F.row_number().over(w).alias("rk"),
+            F.sum("spend")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+        )
+        tot = per.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("spend").alias("t")
+        )
+        j = ranked.crossJoin(F.broadcast(tot))
+        decile = F.expr("(rk * 10) div n")
+        return (
+            j.withColumn("decile", decile.cast("int"))
+            .groupBy("decile")
+            .agg(
+                F.max("rk").alias("n_custs"),
+                F.expr("max(cum * 1000000 div t)").alias("cum_share_ppm"),
+            )
+            .where(F.col("decile") >= 1)
+        )
+
+    q["q_lorenz"] = q_lorenz
+
     return q
 
 
@@ -10485,6 +10535,49 @@ def _ora_lcss() -> str:
     return _values_sql(
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("lcss", "BIGINT"),
          ("n_a", "INTEGER"), ("n_b", "INTEGER"), ("sim_ppm", "BIGINT")],
+        rows,
+    )
+
+
+def _ora_simhash_groups() -> str:
+    """Scalar replay of the composed SimHash dedup closure: the
+    _ora_simhash_pairs banding + EXACT hamming in plain Python, then
+    union-find and min-id survivors (vs the engine's star-rounds CC)."""
+    from osm_pbf_spark.operators.dedup import _simhash64
+
+    docs = _oracle_docs()
+    sig = {i: int(np.uint64(_simhash64(s))) for i, s in docs}
+    buckets: dict[int, list[int]] = {}
+    for i, _s in docs:
+        u = sig[i]
+        for qq in range(4):
+            buckets.setdefault(
+                (qq << 16) | ((u >> (16 * qq)) & 0xFFFF), []
+            ).append(i)
+    ids = sorted(sig)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for v in buckets.values():
+        v = sorted(set(v))
+        for x in range(len(v)):
+            for y in range(x + 1, len(v)):
+                if bin(sig[v[x]] ^ sig[v[y]]).count("1") <= 3:
+                    ra, rb = find(v[x]), find(v[y])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[int, list[int]] = {}
+    for i in ids:
+        groups.setdefault(find(i), []).append(i)
+    rows = [(min(m), root, len(m)) for root, m in groups.items()]
+    return _values_sql(
+        [("doc_id", "BIGINT"), ("group_id", "BIGINT"),
+         ("group_size", "BIGINT")],
         rows,
     )
 
@@ -16321,6 +16414,27 @@ def oracle_sql() -> dict[str, str]:
     d["q_neg_samples"] = _ora_neg_samples()
     d["q_media_groups"] = _ora_media_groups()
     d["q_group_minhash"] = _ora_group_minhash()
+    d["q_simhash_groups"] = _ora_simhash_groups()
+    d["q_lorenz"] = """
+        WITH per AS (SELECT o_custkey,
+                            CAST(floor(sum(o_totalprice)) AS BIGINT)
+                                AS spend
+                     FROM orders GROUP BY o_custkey),
+        r AS (SELECT spend,
+                     CAST(row_number() OVER w AS BIGINT) AS rk,
+                     CAST(SUM(spend) OVER (w ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS cum
+              FROM per
+              WINDOW w AS (ORDER BY spend, o_custkey)),
+        tot AS (SELECT count(*) AS n, CAST(sum(spend) AS BIGINT) AS t
+                FROM per),
+        dd AS (SELECT CAST((rk * 10) // n AS INTEGER) AS decile, rk,
+                      cum * 1000000 // t AS share
+               FROM r, tot)
+        SELECT decile, CAST(max(rk) AS BIGINT) AS n_custs,
+               CAST(max(share) AS BIGINT) AS cum_share_ppm
+        FROM dd WHERE decile >= 1 GROUP BY decile
+    """
     # independent formulation: per-ring shoelace via an offset SELF
     # JOIN on (pos+1) % n (vs the engine's lead window), then the same
     # conditional reversal
