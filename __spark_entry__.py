@@ -235,8 +235,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+class _GateRegistry(dict):
+    """Gate-query registry that hard-fails on duplicate registration.
+
+    A plain dict lets ``q["name"] = fn`` silently shadow an earlier def —
+    the earlier function then *looks* gated but never runs (the r4 verdict
+    found two such dead defs). Raising at registration time makes the
+    mistake impossible to reintroduce.
+    """
+
+    def __setitem__(self, key, value):
+        if key in self:
+            raise ValueError(f"duplicate gate-query registration: {key!r}")
+        super().__setitem__(key, value)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = _GateRegistry()
 
     # ---- relational core (SURVEY §2.4) ----
 
@@ -1818,7 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_scalar_subquery"] = q_scalar_subquery
 
-    def q_unpivot(spark, sf):  # melt wide metrics to (key, metric, value)
+    def q_unpivot_part(spark, sf):  # melt wide metrics to (key, metric, value)
         p = load(spark, sf, "part").select(
             "p_partkey",
             F.col("p_size").cast("double").alias("size"),
@@ -1828,7 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["p_partkey"], ["size", "retailprice"], "metric", "value"
         ).filter(F.col("p_partkey") < 400)
 
-    q["q_unpivot"] = q_unpivot
+    q["q_unpivot_part"] = q_unpivot_part
 
     def q_cdc_chunks(spark, sf):  # content-defined chunking (sub-doc dedup)
         from osm_pbf_spark.operators.cdc import cdc_chunks
@@ -3324,7 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ring_valid"] = q_ring_valid
 
-    def q_percent_rank(spark, sf):  # distribution windows: percent_rank/cume_dist/ntile
+    def q_ntile_dist(spark, sf):  # distribution windows: percent_rank/cume_dist/ntile
         o = load(spark, sf, "orders").filter(F.col("o_orderkey") < 4000)
         w = Window.partitionBy("o_orderpriority").orderBy(
             "o_totalprice", "o_orderkey"
@@ -3338,7 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.ntile(4).over(w).alias("quartile"),
         )
 
-    q["q_percent_rank"] = q_percent_rank
+    q["q_ntile_dist"] = q_ntile_dist
 
     def q_cusum(spark, sf):  # sequential changepoint detection, prefix-identity form
         from osm_pbf_spark.operators.stats import cusum_changepoints
@@ -12240,7 +12255,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
             GROUP BY o_orderpriority
         """,
-        "q_unpivot": """
+        "q_unpivot_part": """
             SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
             FROM part WHERE p_partkey < 400
             UNION ALL
@@ -12362,7 +12377,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
               AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
         """,
-        "q_percent_rank": """
+        "q_ntile_dist": """
             SELECT o_orderkey, o_orderpriority, o_totalprice,
                    percent_rank() OVER w AS pct_rank,
                    cume_dist() OVER w AS cume,
