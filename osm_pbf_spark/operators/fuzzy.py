@@ -335,6 +335,9 @@ def jaro_winkler_join(
     thr = int(min_ppm)
 
     def refine(it):
+        # memo only exists to dedupe repeats WITHIN a task; cap it so a
+        # hot block with high-cardinality distinct pairs cannot grow
+        # executor memory without bound across batches
         cache: dict = {}
         for pdf in it:
             ppms = []
@@ -343,6 +346,8 @@ def jaro_winkler_join(
                 v = cache.get(k)
                 if v is None:
                     v = jaro_winkler_ppm_py(a or "", b or "")
+                    if len(cache) >= 1_000_000:
+                        cache.clear()
                     cache[k] = v
                 ppms.append(v)
             pdf = pdf.assign(jw_ppm=pd.Series(ppms, dtype="int64").values)

@@ -1742,6 +1742,20 @@ def dtw_join(
                 n, m = len(a), len(b)
                 if n == 0 or m == 0:
                     continue
+                # loud-failure guard: (a-b)**2 in int64 silently wraps
+                # negative once |a-b| > ~3.037e9 (sqrt(2^63-1)) and the
+                # cost would diverge from the dtw_py oracle — quantize
+                # coarser upstream instead
+                span = max(
+                    abs(int(a.max()) - int(b.min())),
+                    abs(int(b.max()) - int(a.min())),
+                )
+                if span > 3_037_000_499:
+                    raise ValueError(
+                        "dtw_join: |a-b| up to %d exceeds the int64 "
+                        "squared-delta bound 3037000499; rescale the "
+                        "quantization upstream" % span
+                    )
                 d2 = (a[:, None] - b[None, :]) ** 2
                 if bd is not None:
                     mask = np.abs(

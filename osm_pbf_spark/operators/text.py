@@ -1454,14 +1454,21 @@ def ip_to_int(col: "F.Column") -> "F.Column":
     range-checked casts — no regex backtracking, no Python)."""
     parts = F.split(col, "[.]")
     # try_element_at + try_cast: ANSI element_at THROWS on short arrays
-    # ("x.y") and CAST throws on non-numeric octets ("not-an-ip")
-    octs = [
-        F.try_element_at(parts, F.lit(i + 1)).try_cast("bigint")
-        for i in range(4)
-    ]
+    # ("x.y") and CAST throws on non-numeric octets ("not-an-ip").
+    # try_cast alone is too lenient ("01", " 1", "+1" all parse) — a
+    # canonical-decimal rlike per octet keeps non-canonical quads NULL,
+    # as the cidr_join invalid-input contract promises.
+    raw = [F.try_element_at(parts, F.lit(i + 1)) for i in range(4)]
+    octs = [r.try_cast("bigint") for r in raw]
     valid = F.size(parts) == 4
-    for o in octs:
-        valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
+    for r, o in zip(raw, octs):
+        valid = (
+            valid
+            & r.rlike("^(0|[1-9][0-9]{0,2})$")
+            & o.isNotNull()
+            & (o >= 0)
+            & (o <= 255)
+        )
     packed = ((octs[0] * 256 + octs[1]) * 256 + octs[2]) * 256 + octs[3]
     return F.when(valid, packed)
 

@@ -231,7 +231,13 @@ def frame_blob(blob_type: str, payload: bytes, compress: bool | str = True) -> b
     if compress == "lzma":
         import lzma
 
-        blob = field_varint(2, len(payload)) + field_bytes(4, lzma.compress(payload))
+        # Spec-faithful legacy LZMA-alone framing (fileformat.proto's
+        # lzma_data predates XZ); lzma.compress's default FORMAT_XZ
+        # container would be rejected by strict external readers even
+        # though Python's decompress auto-detects both.
+        blob = field_varint(2, len(payload)) + field_bytes(
+            4, lzma.compress(payload, format=lzma.FORMAT_ALONE)
+        )
     elif compress and compress != "raw":
         blob = field_varint(2, len(payload)) + field_bytes(3, zlib.compress(payload))
     else:

@@ -501,7 +501,11 @@ def stream_windowed_distinct(
     ``watermark=None`` (the complete-mode / availableNow-gate path)
     keeps all state; set it for append-mode production streams
     (requires an instant TIMESTAMP column — parquet TIMESTAMP_NTZ is
-    rejected by withWatermark, the windowed_counts caveat).
+    rejected by withWatermark, the windowed_counts caveat). The
+    watermark path chains TWO stateful operators (dedup state ->
+    windowed agg) in append mode, which needs Spark >= 3.5's
+    multiple-stateful-operator support (event-time metadata
+    propagation between them); tested on 4.1.
 
     Returns (window_start, window_end, n_distinct).
     """

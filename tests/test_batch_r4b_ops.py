@@ -99,7 +99,8 @@ def test_cidr_join_lpm_and_invalid(spark):
 
     ips = spark.createDataFrame(
         [(1, "10.1.2.3"), (2, "10.200.0.1"), (3, "192.168.1.1"),
-         (4, "999.1.1.1"), (5, "not-an-ip")],
+         (4, "999.1.1.1"), (5, "not-an-ip"),
+         (6, "01.2.3.4"), (7, " 1.2.3.4"), (8, "+1.2.3.4")],
         "rid long, ip string",
     )
     nets = spark.createDataFrame(
@@ -116,7 +117,10 @@ def test_cidr_join_lpm_and_invalid(spark):
     assert got[3] == (i("192.168.0.0"), 16)
     assert got[4] == (None, None)            # invalid octet
     assert got[5] == (None, None)            # garbage string
-    assert len(got) == 5                     # nothing dropped
+    assert got[6] == (None, None)            # leading-zero octet
+    assert got[7] == (None, None)            # whitespace octet
+    assert got[8] == (None, None)            # signed octet
+    assert len(got) == 8                     # nothing dropped
 
 
 def test_cidr_join_masks_host_bits_and_guards(spark):

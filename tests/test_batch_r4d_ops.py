@@ -196,6 +196,28 @@ def test_dtw_join_max_cost_and_band_disconnect(spark):
     assert got == {(1, 2): 0}  # huge-cost filtered; disconnected dropped
 
 
+def test_dtw_join_overflow_guard_raises(spark):
+    """|a-b| past sqrt(2^63-1) would wrap the int64 squared delta
+    negative and silently diverge from dtw_py — the kernel must
+    refuse loudly instead."""
+    from osm_pbf_spark.operators.temporal import dtw_join
+
+    df = spark.createDataFrame(
+        [(1, 2, [0, 4_000_000_000], [0, 1])],
+        "id_a long, id_b long, a array<long>, b array<long>",
+    )
+    with pytest.raises(Exception, match="3037000499"):
+        dtw_join(df).collect()
+    # big-but-legal inputs stay exact (no false trip; square < the
+    # 2^62 BIG disconnect sentinel)
+    ok = spark.createDataFrame(
+        [(1, 2, [2_000_000_000], [0])],
+        "id_a long, id_b long, a array<long>, b array<long>",
+    )
+    (r,) = dtw_join(ok).collect()
+    assert r.dtw == 2_000_000_000 ** 2
+
+
 # ------------------------------------------------- negative sampling
 def test_negative_samples_deterministic_and_drops(spark):
     import hashlib
@@ -309,6 +331,53 @@ def test_stream_windowed_distinct_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == exp and len(got) == 3
+
+
+def test_stream_windowed_distinct_watermark_append(spark, tmp_path):
+    """The production path: watermarked dropDuplicates chained into a
+    windowed count, append mode. A far-future sentinel row advances
+    the watermark past every real window so the availableNow drain
+    (plus the no-data flush micro-batch) emits them all; the
+    sentinel's own window stays open and must NOT be emitted."""
+    import datetime as dt
+
+    from osm_pbf_spark.streaming import (
+        run_available_now,
+        stream_parquet,
+        stream_windowed_distinct,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(minutes=(i * 7) % 180), i % 5) for i in range(200)
+    ]
+    rows.append((t0 + dt.timedelta(hours=24), 999))  # watermark sentinel
+    src = str(tmp_path / "ev")
+    df = spark.createDataFrame(rows, "ts timestamp, uid long")
+    df.write.parquet(src)
+    # cast defensively: parquet may surface TIMESTAMP_NTZ, which
+    # withWatermark rejects (needs an instant timestamp)
+    sdf = stream_parquet(spark, src).select(
+        F.col("ts").cast("timestamp").alias("ts"), "uid"
+    )
+    got = {
+        (r.window_start, r.window_end): r.n_distinct
+        for r in run_available_now(
+            stream_windowed_distinct(
+                sdf, "ts", ["uid"], "1 hour", watermark="10 minutes"
+            ),
+            output_mode="append",
+            checkpoint_dir=str(tmp_path / "c"),
+        ).collect()
+    }
+    exp = {
+        (r["window"]["start"], r["window"]["end"]): r.n
+        for r in df.filter(F.col("uid") != 999)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.countDistinct("uid").alias("n"))
+        .collect()
+    }
+    assert got == exp and len(got) == 3  # sentinel window not emitted
 
 
 # ---------------------------------------- spherical XTD / ATD
