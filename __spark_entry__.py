@@ -6808,6 +6808,137 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_lorenz"] = q_lorenz
 
+    def q_stream_left_outer(spark, sf):  # S16 stream-stream LEFT OUTER
+        # join: click -> purchase attribution INCLUDING the misses. A
+        # far-future sentinel row on BOTH streams pushes the global
+        # watermark past every real click's horizon (left_ts + upper),
+        # so the availableNow drain evicts + emits every unmatched left
+        # as a null-joined row and the closed-input result equals the
+        # plain batch LEFT JOIN — which IS the oracle.
+        import datetime as _dt
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.streaming import (
+            run_available_now,
+            stream_parquet,
+            stream_stream_join,
+        )
+
+        inst = lambda c: F.to_utc_timestamp(F.col(c), "UTC")  # noqa: E731
+        ev_path = f"{sf}/events.parquet"
+        max_ts = spark.read.parquet(ev_path).agg(F.max("ts")).first()[0]
+        sent_ts = max_ts + _dt.timedelta(hours=1000)
+        sdir = os.path.join(
+            tempfile.gettempdir(), "osm_pbf_spark_driver_s16_sentinel"
+        )
+        shutil.rmtree(sdir, ignore_errors=True)
+        spark.createDataFrame(
+            [(-1, sent_ts, -1)], "user_id long, ts timestamp, event_id long"
+        ).coalesce(1).write.parquet(sdir)
+
+        def side(ts_alias, id_alias, etype=None):
+            real = stream_parquet(spark, ev_path)
+            if etype == "click":
+                real = real.filter(
+                    (F.col("event_type") == "click")
+                    & (F.col("event_id") < 4000)
+                )
+            else:
+                real = real.filter(F.col("event_type") == "purchase")
+            real = real.select(
+                "user_id",
+                inst("ts").alias(ts_alias),
+                F.col("event_id").alias(id_alias),
+            )
+            sent = stream_parquet(spark, sdir).select(
+                "user_id",
+                inst("ts").alias(ts_alias),
+                F.col("event_id").alias(id_alias),
+            )
+            return real.unionAll(sent)
+
+        j = stream_stream_join(
+            side("click_ts", "click_id", "click"),
+            side("buy_ts", "buy_id"),
+            on=["user_id"],
+            left_ts="click_ts",
+            right_ts="buy_ts",
+            upper="6 hours",
+            watermark="12 hours",
+            how="left_outer",
+        )
+        out = run_available_now(j, output_mode="append")
+        return out.where(F.col("user_id") >= 0).select(
+            "user_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            "click_id",
+            F.unix_micros("buy_ts").alias("buy_us"),
+            "buy_id",
+        )
+
+    q["q_stream_left_outer"] = q_stream_left_outer
+
+    def q_sink_retention(spark, sf):  # C24 age-based snapshot
+        # retention: a YOUNG snapshot survives expiry beyond keep_last
+        # (read it back = the base+junk state), then backdating it
+        # makes the same expiry call drop it and time travel to it
+        # fails loudly. Final read strips the junk -> the pure-ingest
+        # spec oracle, reused verbatim.
+        import json as _json
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.plans.ingest import ingest_pbf
+
+        path = _fixture_pbf("sink")
+        root = os.path.join(
+            tempfile.gettempdir(), "osm_pbf_spark_driver_sink_ret"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        sink = ingest_pbf(spark, path, root, cell_level=12, blobs_per_split=1)
+        (snap_a,) = [s["snapshot_id"] for s in sink.snapshots()[-1:]]
+        base = sink.read(spark)
+        junk = base.where("pmod(cell, 4) = 1").withColumn(
+            "doc_id", F.concat(F.lit("junk/"), F.col("doc_id"))
+        )
+        sink.write_split(junk, "junk-1", lineage={"op": "append"})
+        sink.commit_snapshot({"pipeline": "junk"})
+        # young A is kept beyond keep_last=1 (the older_than form)
+        res = sink.expire_snapshots(keep_last=1, max_age_s=3600)
+        assert res["expired"] == [], res
+        assert sink.read_snapshot(spark, snap_a).count() == base.count()
+        # backdate A past the age bound -> the SAME call now drops it
+        sdir_ = os.path.join(root, "_snapshots")
+        for fn in sorted(os.listdir(sdir_)):
+            p = os.path.join(sdir_, fn)
+            d = _json.load(open(p))
+            if d["snapshot_id"] == snap_a:
+                d["committed_at_unix"] = 1_000_000
+                _json.dump(d, open(p, "w"))
+        res2 = sink.expire_snapshots(keep_last=1, max_age_s=3600)
+        assert snap_a in res2["expired"], res2
+        try:
+            sink.read_snapshot(spark, snap_a)
+            raise AssertionError("expired snapshot must not time-travel")
+        except (KeyError, ValueError, OSError):
+            pass
+        lo, hi = SINK_PRUNE_RANGE
+        docs = sink.read(spark).filter(
+            F.col("cell").between(lo, hi)
+            & ~F.col("doc_id").startswith("junk/")
+        )
+        return docs.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum(F.size("spans")).alias("spans_total"),
+            F.sum(
+                F.length(F.element_at("spans", -1)["media_ref"])
+            ).alias("media_len_total"),
+        )
+
+    q["q_sink_retention"] = q_sink_retention
+
     return q
 
 
@@ -15519,6 +15650,25 @@ def oracle_sql() -> dict[str, str]:
              AND a.event_type = 'click' AND b.event_type = 'purchase'
              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
         """,
+        # S16: closed-input LEFT OUTER drain == the batch left join
+        # (the sentinel rows force every unmatched left past its state
+        # horizon, so attribution misses emit exactly once)
+        "q_stream_left_outer": """
+            WITH c AS (SELECT user_id, ts AS click_ts,
+                              event_id AS click_id
+                       FROM events
+                       WHERE event_type = 'click' AND event_id < 4000),
+                 b AS (SELECT user_id, ts AS buy_ts, event_id AS buy_id
+                       FROM events WHERE event_type = 'purchase')
+            SELECT c.user_id,
+                   epoch_us(c.click_ts) AS click_us, c.click_id,
+                   epoch_us(b.buy_ts) AS buy_us, b.buy_id
+            FROM c LEFT JOIN b
+              ON b.user_id = c.user_id
+             AND b.buy_ts >= c.click_ts
+             AND b.buy_ts <= c.click_ts + INTERVAL 6 HOUR
+        """,
+        "q_sink_retention": _ora_sink_roundtrip(),
         "q_random_walks": _ora_walk_sql() + "\nSELECT start, rep, step, node FROM walk",
         "q_walk_pairs": _ora_walk_sql()
         + """
