@@ -48,9 +48,10 @@ BENCH_POLYGONS = [
 ]
 
 
-def run_bench(master: str, sf_dir: str, n_nodes: int, table_root: str) -> dict[str, float]:
+def run_bench(master: str, sf_dir: str, n_nodes: int, table_root: str):
     spark = get_spark("bench", master=master)
     times: dict[str, float] = {}
+    all_rep_times: dict[str, list[float]] = {}
     # best-of-N per leg (default 3): this sandbox host shows
     # intermittent multi-x contention bursts (co-tenant steal/memory
     # bandwidth — measured 170 s vs 22 s for the identical binary an
@@ -62,15 +63,17 @@ def run_bench(master: str, sf_dir: str, n_nodes: int, table_root: str) -> dict[s
     reps = max(int(os.environ.get("BENCH_REPS", "3")), 1)
 
     def timed(name, fn, setup=None):
-        best = None
+        rep_times = []
         for _ in range(reps):
             if setup is not None:
                 setup()
             t0 = time.monotonic()
             fn()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            rep_times.append(round(time.monotonic() - t0, 3))
+        times[name] = min(rep_times)
+        # every rep, so a reader can separate host-contention spread
+        # from a code regression without leaving the JSON
+        all_rep_times[name] = rep_times
 
     pbf = synth_pbf(corpus_path(n_nodes), n_nodes)
     if os.path.exists(table_root):
@@ -143,7 +146,7 @@ def run_bench(master: str, sf_dir: str, n_nodes: int, table_root: str) -> dict[s
 
     docs.unpersist()
     spark.stop()
-    return times
+    return times, all_rep_times
 
 
 def main() -> None:
@@ -152,13 +155,16 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     n_nodes = int(os.environ.get("BENCH_N_NODES", str(int(2_000_000 * sf))))
 
-    times = run_bench(f"local[{cpus}]", sf_dir, n_nodes, "/tmp/osm_pbf_spark_bench/table")
+    times, rep_times = run_bench(
+        f"local[{cpus}]", sf_dir, n_nodes, "/tmp/osm_pbf_spark_bench/table"
+    )
     n_docs = times.pop("_n_docs")
     out = {
         "metric": "headline_total_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "rep_times": rep_times,
         "sf": sf,
         "n_docs": int(n_docs),
         "ingest_docs_per_sec": round(n_docs / times["q_ingest"], 1),
