@@ -144,6 +144,7 @@ def _fixture_pbf(kind: str) -> str:
         "multiblob": FX.build_multiblob,
         "way_pip": FX.build_way_pip,
         "rel_pip": FX.build_rel_pip,
+        "rel_many": FX.build_rel_many,
         "denseinfo": FX.build_denseinfo,
         "granularity": FX.build_granularity,
         "minimal": FX.build_minimal,
@@ -1314,6 +1315,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id", "poly_id")
 
     q["q_rel_pip"] = q_rel_pip
+
+    def q_rel_rings(spark, sf):  # DISTRIBUTED multipolygon stitching:
+        # 150 relations (split/reversed outers, holes, multi-outer) ->
+        # relation_rings -> pip_join_rings over the probe nodes. The
+        # driver broadcast path must REFUSE this input at a 50-relation
+        # bound (the scale pin) while the rings path answers it.
+        from osm_pbf_spark.operators.spatial_join import pip_join_rings
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("rel_many"))
+        rels = src.relations(entities)
+        ways = src.ways(entities)
+        nodes = src.nodes(entities)
+        try:
+            src.polygons_from_relations(rels, ways, nodes, max_polygons=50)
+            raise AssertionError("driver path must refuse >50 relations")
+        except ValueError:
+            pass
+        rings = src.relation_rings(rels, ways, nodes)
+        probes = nodes.filter(F.pmod(F.col("id"), 1000) >= 50).selectExpr(
+            "cast(id as string) as doc_id", "lat", "lon"
+        )
+        return pip_join_rings(spark, probes, rings, level="auto").select(
+            "doc_id", "poly_id"
+        ).orderBy("doc_id", "poly_id")
+
+    q["q_rel_rings"] = q_rel_rings
 
     def q_doc_spans(spark, sf):  # the per-row invariant surface ITSELF:
         # full exploded span sequence — (kind, text, media_ref, order)
@@ -7759,13 +7787,13 @@ def _ora_way_pip() -> str:
     return _values_sql([("doc_id", "VARCHAR"), ("poly_id", "VARCHAR")], rows)
 
 
-def _ora_rel_pip() -> str:
+def _ora_rel_pip(kind: str = "rel_pip", probe_filter=None) -> str:
     """Scalar replay of the multipolygon lifecycle: decode via the spec
     oracle, stitch member ways into rings with an INDEPENDENT greedy
     chainer, even-odd PIP with the hole as a second ring."""
     from tests import oracle_geo
 
-    d = _fixture_decoded("rel_pip")
+    d = _fixture_decoded(kind)
     coords = {n["id"]: (n["lat"], n["lon"]) for n in d["nodes"]}
     way_by_id = {w["id"]: w for w in d["ways"]}
 
@@ -7815,6 +7843,8 @@ def _ora_rel_pip() -> str:
             pid = f"relation/{rel['id']}" if len(outers) == 1 else f"relation/{rel['id']}/{i}"
             rings = [outer] + holes
             for n in d["nodes"]:
+                if probe_filter is not None and not probe_filter(n["id"]):
+                    continue
                 if oracle_geo.point_in_polygon(n["lat"], n["lon"], rings):
                     rows.append((str(n["id"]), pid))
     return _values_sql([("doc_id", "VARCHAR"), ("poly_id", "VARCHAR")], rows)
@@ -11881,6 +11911,11 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_spans": _ora_doc_spans(),
         "q_way_pip": _ora_way_pip(),
         "q_rel_pip": _ora_rel_pip(),
+        # distributed stitching replay: same independent chainer over
+        # the 120-relation fixture, probe nodes only (id % 1000 >= 50)
+        "q_rel_rings": _ora_rel_pip(
+            "rel_many", probe_filter=lambda i: i % 1000 >= 50
+        ),
         "q_media_features": _ora_media_features(),
         "q_frame_sample": _ora_frame_sample(),
         "q_minhash_pairs": _ora_minhash_pairs(),

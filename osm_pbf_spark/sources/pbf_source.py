@@ -253,12 +253,21 @@ def stitch_rings(segments: list[tuple[list[int], list[tuple[float, float]]]]):
     many segments could not be closed (broken geometry in the input —
     dropped, as the reference's r-tree insert would reject them).
 
-    Greedy endpoint matching — the standard OSM multipolygon ring
+    Hash-endpoint matching — the standard OSM multipolygon ring
     assembly: a closed member way is a ring by itself; open ways chain
-    end-to-start (reversing as needed) until the chain closes.
+    end-to-start (reversing as needed) until the chain closes. LINEAR
+    in total segments (endpoint -> segment index), so a coastline-size
+    relation (10^5 member ways) stitches in one pass — the same
+    function serves the driver broadcast path AND the distributed
+    per-relation kernel (relation_rings), which keeps the two paths
+    equal by construction. Deterministic ring order: closed members in
+    input order first, then chains started from the lowest-index
+    unused open segment.
     """
+    from collections import defaultdict
+
     rings: list[list[tuple[float, float]]] = []
-    open_segs = []
+    opens: list[tuple[list[int], list[tuple[float, float]]]] = []
     for refs, pts in segments:
         if len(refs) < 2 or len(refs) != len(pts):
             continue
@@ -266,25 +275,32 @@ def stitch_rings(segments: list[tuple[list[int], list[tuple[float, float]]]]):
             if len(refs) >= 4:
                 rings.append(list(pts[:-1]))
         else:
-            open_segs.append((list(refs), list(pts)))
+            opens.append((list(refs), list(pts)))
+    by_end: dict = defaultdict(list)
+    for i, (refs, _) in enumerate(opens):
+        by_end[refs[0]].append(i)
+        by_end[refs[-1]].append(i)
+    used = [False] * len(opens)
     leftover = 0
-    while open_segs:
-        chain_refs, chain_pts = open_segs.pop()
-        progressed = True
-        while chain_refs[0] != chain_refs[-1] and progressed:
-            progressed = False
-            for i, (refs, pts) in enumerate(open_segs):
-                if refs[0] == chain_refs[-1]:
-                    chain_refs += refs[1:]
-                    chain_pts += pts[1:]
-                elif refs[-1] == chain_refs[-1]:
-                    chain_refs += refs[-2::-1]
-                    chain_pts += pts[-2::-1]
-                else:
-                    continue
-                open_segs.pop(i)
-                progressed = True
+    for start in range(len(opens)):
+        if used[start]:
+            continue
+        used[start] = True
+        chain_refs = list(opens[start][0])
+        chain_pts = list(opens[start][1])
+        while chain_refs[0] != chain_refs[-1]:
+            tail = chain_refs[-1]
+            nxt = next((j for j in by_end[tail] if not used[j]), None)
+            if nxt is None:
                 break
+            used[nxt] = True
+            refs, pts = opens[nxt]
+            if refs[0] == tail:
+                chain_refs += refs[1:]
+                chain_pts += pts[1:]
+            else:
+                chain_refs += refs[-2::-1]
+                chain_pts += pts[-2::-1]
         if chain_refs[0] == chain_refs[-1] and len(chain_refs) >= 4:
             rings.append(chain_pts[:-1])
         else:
@@ -304,34 +320,18 @@ def _point_in_ring_scalar(lat: float, lon: float, ring) -> bool:
     return inside
 
 
-def polygons_from_relations(
-    relations_df: DataFrame,
-    ways_df: DataFrame,
-    nodes_df: DataFrame,
-    max_polygons: int = 100_000,
-    max_vertices: int = 20_000_000,
-):
-    """type=multipolygon relations -> Polygon list with HOLES (SURVEY
-    §2.3 G2; the reference indexes relation geometries alongside ways).
+def _relation_member_segments(
+    relations_df: DataFrame, ways_df: DataFrame, nodes_df: DataFrame
+) -> DataFrame:
+    """The distributed half of multipolygon assembly, shared by
+    ``relation_rings`` and ``polygons_from_relations``: explode
+    relation members -> join member ways -> resolve way refs to node
+    coords (the same sort-merge regroup plan as G8 way assembly).
 
-    Distributed part: explode relation members -> join member ways ->
-    join way refs to node coords (the same sort-merge shape as
-    assemble_way_geometries) -> collect per-relation member segments
-    (bounded by ``max_polygons``, same broadcast rationale as
-    polygons_from_closed_ways). Driver part: ring stitching + hole
-    assignment per relation (tiny: #members per relation).
-
-    Ring roles: 'outer' members form outer rings, 'inner' members form
-    holes; each hole attaches to the outer ring containing its first
-    vertex (even-odd PIP then excludes hole interiors). A relation
-    with multiple outer rings emits one Polygon per outer ring, id
-    ``relation/<id>/<i>``; a single-outer relation keeps
-    ``relation/<id>``.
+    Returns (rel_id, m_pos, role, refs, points) — one row per member
+    way with its fully-resolved vertex array; ways with unresolved
+    refs are dropped (a partial ring is broken geometry).
     """
-    import numpy as np
-
-    from ..operators.spatial_join import Polygon
-
     members = (
         relations_df.filter(F.element_at(F.col("tags"), "type") == "multipolygon")
         .select(
@@ -341,14 +341,6 @@ def polygons_from_relations(
         .filter((F.col("m.type") == "way") & F.col("m.role").isin("outer", "inner"))
         .select("rel_id", "m_pos", F.col("m.ref").alias("way_id"), F.col("m.role").alias("role"))
     )
-    # guard on the RELATION count directly (the former row-limit guard
-    # silently truncated member rows of kept relations when relations
-    # averaged >100 member ways — partial segment sets stitch into
-    # wrong or missing polygons with no error)
-    n_rels = members.select("rel_id").distinct().limit(max_polygons + 1).count()
-    if n_rels > max_polygons:
-        raise ValueError(f"more than {max_polygons} multipolygon relations; raise max_polygons")
-
     way_pts = ways_df.select(F.col("id").alias("way_id"), "refs").join(
         members.select("way_id").distinct(), "way_id", "inner"
     )
@@ -358,68 +350,171 @@ def polygons_from_relations(
     geoms = (
         assemble_way_geometries(way_pts.select(F.col("way_id").alias("id"), "refs"), nodes_df)
         .join(way_pts, "way_id", "inner")
-        # drop ways with unresolved refs: a partial ring is broken geometry
         .filter(F.size("points") == F.size("refs"))
         .select("way_id", "refs", "points")
     )
-    rows_df = members.join(geoms, "way_id", "inner").select(
+    return members.join(geoms, "way_id", "inner").select(
         "rel_id", "m_pos", "role", "refs", "points"
     )
-    # stream member rows to the driver with a VERTEX budget instead of
-    # an unbounded collect(): member-heavy relations (coastlines with
-    # thousands of member ways) can carry far more geometry than the
-    # relation-count guard alone bounds. Exceeding the budget fails
-    # loudly — the scale path for huge polygon sides is the rings
-    # DataFrame (operators.spatial_join.pip_join_rings), not this
-    # driver-assembled broadcast list.
-    by_rel: dict = {}
+
+
+def _stitch_relation(rel_id, seg_rows) -> list[tuple[str, int, list]]:
+    """Per-relation stitch + hole-assignment kernel, shared VERBATIM by
+    the driver path and the distributed kernel (so the two paths are
+    equal by construction). ``seg_rows``: (m_pos, role, refs,
+    pts[(lat, lon)]) tuples. Returns RINGS_SCHEMA-shaped rows
+    (poly_id, ring_idx, pts) — ring 0 the outer, the rest its holes.
+
+    Ring roles: 'outer' members form outer rings, 'inner' members form
+    holes; each hole attaches to the first outer ring containing its
+    probe vertex (even-odd PIP then excludes hole interiors). A
+    relation with multiple outer rings emits one polygon per outer
+    ring, id ``relation/<id>/<i>``; a single-outer relation keeps
+    ``relation/<id>``.
+    """
+    segs = {"outer": [], "inner": []}
+    for m_pos, role, refs, pts in sorted(seg_rows, key=lambda r: r[0]):
+        segs[role].append((list(refs), pts))
+    outers, leftover_o = stitch_rings(segs["outer"])
+    inners, leftover_i = stitch_rings(segs["inner"])
+    if leftover_o or leftover_i:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "relation/%s: dropped %d outer / %d inner unclosable segment chains",
+            rel_id, leftover_o, leftover_i,
+        )
+    if not outers:
+        return []
+    holes_for: dict[int, list] = {i: [] for i in range(len(outers))}
+    for hole in inners:
+        for i, outer in enumerate(outers):
+            # probe with a hole vertex NOT shared with this outer
+            # ring when one exists (a shared touch point — legal in
+            # OSM — sits exactly on the boundary, where the even-odd
+            # test is unreliable); fall back to the first vertex
+            outer_set = set(outer)
+            probe = next((v for v in hole if v not in outer_set), hole[0])
+            if _point_in_ring_scalar(probe[0], probe[1], outer):
+                holes_for[i].append(hole)
+                break
+    rows = []
+    for i, outer in enumerate(outers):
+        pid = f"relation/{rel_id}" if len(outers) == 1 else f"relation/{rel_id}/{i}"
+        rows.append((pid, 0, outer))
+        for k, hole in enumerate(holes_for[i]):
+            rows.append((pid, k + 1, hole))
+    return rows
+
+
+def relation_rings(
+    relations_df: DataFrame, ways_df: DataFrame, nodes_df: DataFrame
+) -> DataFrame:
+    """DISTRIBUTED multipolygon assembly: type=multipolygon relations
+    -> rings DataFrame (RINGS_SCHEMA) for ``pip_join_rings`` — the
+    planet-scale path with NO relation-count cap and NO driver-side
+    stitching (SURVEY §2.3 G2; closes the r4-verdict driver
+    bottleneck).
+
+    Plan: the member-segment joins of ``_relation_member_segments``
+    (all shuffle-join distributed), then ONE ``applyInPandas`` over
+    rel_id running the linear hash-endpoint stitcher + hole
+    assignment per relation. The unit of parallelism is the relation —
+    matching the output granularity (a ring is ONE output row's packed
+    vertex array), so finer distribution could not reduce the data a
+    single task must hold; the largest real-world relation (~10^5
+    member ways, ~10^7 vertices) is ~300 MB of task memory, loud
+    Arrow failure beyond that. Skew across relations is handled by the
+    shuffle (each relation is an independent group).
+    """
+    import pandas as pd
+
+    from ..operators.spatial_join import RINGS_SCHEMA  # noqa: F401 (schema contract)
+
+    rows_df = _relation_member_segments(relations_df, ways_df, nodes_df)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel_id = pdf["rel_id"].iloc[0]
+        seg_rows = [
+            (
+                int(m_pos),
+                role,
+                [int(x) for x in refs],
+                [(float(p["lat"]), float(p["lon"])) for p in pts],
+            )
+            for m_pos, role, refs, pts in zip(
+                pdf["m_pos"], pdf["role"], pdf["refs"], pdf["points"]
+            )
+        ]
+        out = _stitch_relation(rel_id, seg_rows)
+        return pd.DataFrame(
+            {
+                "poly_id": [pid for pid, _, _ in out],
+                "ring_idx": [idx for _, idx, _ in out],
+                "pts": [
+                    [{"lat": la, "lon": lo} for la, lo in ring]
+                    for _, _, ring in out
+                ],
+            }
+        )
+
+    return rows_df.groupBy("rel_id").applyInPandas(kernel, RINGS_SCHEMA)
+
+
+def polygons_from_relations(
+    relations_df: DataFrame,
+    ways_df: DataFrame,
+    nodes_df: DataFrame,
+    max_polygons: int = 100_000,
+    max_vertices: int = 20_000_000,
+):
+    """type=multipolygon relations -> Polygon list with HOLES (SURVEY
+    §2.3 G2) — the BROADCAST-side materialization of
+    :func:`relation_rings`: stitching and hole assignment run
+    DISTRIBUTED (the shared ``_stitch_relation`` kernel); the driver
+    only streams the finished ring rows into ``Polygon`` objects under
+    loud relation-count / vertex budgets (it must fit in a broadcast).
+    Past the budgets, use ``relation_rings`` + ``pip_join_rings`` —
+    same results, no caps.
+    """
+    import numpy as np
+
+    from ..operators.spatial_join import Polygon
+
+    n_rels = (
+        relations_df.filter(F.element_at(F.col("tags"), "type") == "multipolygon")
+        .select("id").distinct().limit(max_polygons + 1).count()
+    )
+    if n_rels > max_polygons:
+        raise ValueError(
+            f"more than {max_polygons} multipolygon relations; raise "
+            "max_polygons or use relation_rings + pip_join_rings"
+        )
+    rings_df = relation_rings(relations_df, ways_df, nodes_df)
+    by_poly: dict[str, list] = {}
     seen_vertices = 0
-    for r in rows_df.toLocalIterator(prefetchPartitions=True):
-        seen_vertices += len(r["points"])
+    for r in rings_df.toLocalIterator(prefetchPartitions=True):
+        seen_vertices += len(r["pts"])
         if seen_vertices > max_vertices:
             raise ValueError(
-                f"multipolygon member geometry exceeds max_vertices={max_vertices}; "
+                f"multipolygon geometry exceeds max_vertices={max_vertices}; "
                 "raise it or use the rings-DataFrame join path "
-                "(operators.spatial_join.pip_join_rings)"
+                "(relation_rings + operators.spatial_join.pip_join_rings)"
             )
-        by_rel.setdefault(r["rel_id"], []).append(r)
+        by_poly.setdefault(r["poly_id"], []).append(r)
+
+    def _rel_key(pid: str):
+        parts = pid.split("/")
+        return (int(parts[1]), int(parts[2]) if len(parts) > 2 else 0)
 
     out = []
-    for rel_id in sorted(by_rel):
-        segs = {"outer": [], "inner": []}
-        for r in sorted(by_rel[rel_id], key=lambda r: r["m_pos"]):
-            refs = list(r["refs"])
-            pts = [(p["lat"], p["lon"]) for p in r["points"]]
-            segs[r["role"]].append((refs, pts))
-        outers, leftover_o = stitch_rings(segs["outer"])
-        inners, leftover_i = stitch_rings(segs["inner"])
-        if leftover_o or leftover_i:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "relation/%s: dropped %d outer / %d inner unclosable segment chains",
-                rel_id, leftover_o, leftover_i,
-            )
-        if not outers:
-            continue
-        holes_for = {i: [] for i in range(len(outers))}
-        for hole in inners:
-            for i, outer in enumerate(outers):
-                # probe with a hole vertex NOT shared with this outer
-                # ring when one exists (a shared touch point — legal in
-                # OSM — sits exactly on the boundary, where the even-odd
-                # test is unreliable); fall back to the first vertex
-                outer_set = set(outer)
-                probe = next((v for v in hole if v not in outer_set), hole[0])
-                if _point_in_ring_scalar(probe[0], probe[1], outer):
-                    holes_for[i].append(hole)
-                    break
-        for i, outer in enumerate(outers):
-            pid = f"relation/{rel_id}" if len(outers) == 1 else f"relation/{rel_id}/{i}"
-            rings = [np.array(outer, dtype=np.float64)] + [
-                np.array(h, dtype=np.float64) for h in holes_for[i]
-            ]
-            out.append(Polygon(pid, rings))
+    for pid in sorted(by_poly, key=_rel_key):
+        rows = sorted(by_poly[pid], key=lambda r: r["ring_idx"])
+        rings = [
+            np.array([(p["lat"], p["lon"]) for p in r["pts"]], dtype=np.float64)
+            for r in rows
+        ]
+        out.append(Polygon(pid, rings))
     return out
 
 

@@ -343,6 +343,103 @@ def build_rel_pip(dirpath: str) -> str:
     return path
 
 
+def build_rel_many(dirpath: str, n_rels: int = 150) -> str:
+    """MANY-multipolygon fixture for the distributed ring-stitching
+    path: ``n_rels`` donut relations on a grid (outer square split
+    across two open ways — the second reversed — plus a closed hole
+    way), every 10th relation a DOUBLE-donut (two outer rings -> the
+    multi-outer ``relation/<id>/<i>`` naming), and 3 probe nodes per
+    relation (in the annulus, in the hole, outside). Deterministic;
+    sized past a small ``max_polygons`` bound so the driver broadcast
+    path refuses while ``relation_rings`` handles it."""
+    st = E.StringTable()
+    all_nodes = []
+    ways = []
+    rels = []
+    probe_rows = []
+
+    def add_donut(i: int, base_id: int, b_lat: float, b_lon: float, second_outer: bool):
+        # outer square [b, b+0.8], hole [b+0.3, b+0.5]
+        oc = [
+            (b_lat, b_lon), (b_lat, b_lon + 0.4), (b_lat, b_lon + 0.8),
+            (b_lat + 0.4, b_lon + 0.8), (b_lat + 0.8, b_lon + 0.8),
+            (b_lat + 0.8, b_lon + 0.4), (b_lat + 0.8, b_lon),
+            (b_lat + 0.4, b_lon),
+        ]
+        on = [
+            {"id": base_id + k, "lat_raw": nd(la), "lon_raw": nd(lo), "tags": {}}
+            for k, (la, lo) in enumerate(oc)
+        ]
+        hc = [
+            (b_lat + 0.3, b_lon + 0.3), (b_lat + 0.3, b_lon + 0.5),
+            (b_lat + 0.5, b_lon + 0.5), (b_lat + 0.5, b_lon + 0.3),
+        ]
+        hn = [
+            {"id": base_id + 10 + k, "lat_raw": nd(la), "lon_raw": nd(lo), "tags": {}}
+            for k, (la, lo) in enumerate(hc)
+        ]
+        all_nodes.extend(on + hn)
+        w0 = base_id + 100
+        ways.append({"id": w0, "refs": [on[0]["id"], on[1]["id"], on[2]["id"],
+                                        on[3]["id"], on[4]["id"]], "tags": {}})
+        ways.append({"id": w0 + 1, "refs": [on[0]["id"], on[7]["id"], on[6]["id"],
+                                            on[5]["id"], on[4]["id"]], "tags": {}})
+        ways.append({"id": w0 + 2, "refs": [hn[0]["id"], hn[1]["id"], hn[2]["id"],
+                                            hn[3]["id"], hn[0]["id"]], "tags": {}})
+        members = [
+            {"role": "outer", "ref": w0, "type": "way"},
+            {"role": "outer", "ref": w0 + 1, "type": "way"},
+            {"role": "inner", "ref": w0 + 2, "type": "way"},
+        ]
+        if second_outer:
+            # a detached second outer square [b+1.0 .. b+1.2] on lon
+            sc = [
+                (b_lat, b_lon + 1.0), (b_lat, b_lon + 1.2),
+                (b_lat + 0.2, b_lon + 1.2), (b_lat + 0.2, b_lon + 1.0),
+            ]
+            sn = [
+                {"id": base_id + 20 + k, "lat_raw": nd(la), "lon_raw": nd(lo), "tags": {}}
+                for k, (la, lo) in enumerate(sc)
+            ]
+            all_nodes.extend(sn)
+            ways.append({"id": w0 + 3,
+                         "refs": [sn[0]["id"], sn[1]["id"], sn[2]["id"],
+                                  sn[3]["id"], sn[0]["id"]], "tags": {}})
+            members.append({"role": "outer", "ref": w0 + 3, "type": "way"})
+        rels.append({"id": 5000 + i, "members": members,
+                     "tags": {"type": "multipolygon"}})
+        # probes: annulus (in), hole-center (out), outside (out)
+        probe_rows.extend([
+            {"id": base_id + 50, "lat_raw": nd(b_lat + 0.1),
+             "lon_raw": nd(b_lon + 0.1), "tags": {}},
+            {"id": base_id + 51, "lat_raw": nd(b_lat + 0.4),
+             "lon_raw": nd(b_lon + 0.4), "tags": {}},
+            {"id": base_id + 52, "lat_raw": nd(b_lat + 0.9),
+             "lon_raw": nd(b_lon + 0.9), "tags": {}},
+        ])
+        if second_outer:  # inside the detached second outer ring
+            probe_rows.append(
+                {"id": base_id + 53, "lat_raw": nd(b_lat + 0.1),
+                 "lon_raw": nd(b_lon + 1.1), "tags": {}}
+            )
+
+    for i in range(n_rels):
+        row, col = divmod(i, 60)
+        b_lat = -80.0 + row * 2.0
+        b_lon = -175.0 + col * 2.4  # leaves room for the second outer
+        add_donut(i, 1_000_000 + i * 1000, b_lat, b_lon, second_outer=(i % 10 == 0))
+
+    all_nodes.extend(probe_rows)
+    all_nodes.sort(key=lambda n: n["id"])
+    g_dense = E.encode_dense_nodes(all_nodes, st)
+    g_ways = b"".join(E.encode_way(w, st) for w in ways)
+    g_rels = b"".join(E.encode_relation(r, st) for r in rels)
+    block = E.encode_primitive_block([g_dense, g_ways, g_rels], st)
+    path = os.path.join(dirpath, f"relmany{n_rels}.osm.pbf")
+    E.write_pbf(path, [block])
+    return path
+
+
 def build_all(dirpath: str) -> list[str]:
     os.makedirs(dirpath, exist_ok=True)
     return [b(dirpath) for b in ALL_BUILDERS]

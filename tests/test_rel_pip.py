@@ -98,3 +98,74 @@ def test_relations_vertex_budget(spark, relpip):
             src.relations(entities), src.ways(entities), src.nodes(entities),
             max_vertices=3,
         )
+
+
+@pytest.fixture(scope="module")
+def relmany(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("relmany"))
+    path = pbf_fixtures.build_rel_many(d, n_rels=120)
+    entities, _ = src.read_pbf(spark, path)
+    return path, entities
+
+
+def test_relation_rings_equals_driver_path(spark, relmany):
+    """The distributed stitcher (relation_rings) and the driver
+    broadcast path (polygons_from_relations) must produce IDENTICAL
+    polygons — same poly_ids (incl. multi-outer /i naming), same ring
+    order, same vertices — across 120 relations with split/reversed
+    outers, holes, and double-outer cases."""
+    _, entities = relmany
+    polys = src.polygons_from_relations(
+        src.relations(entities), src.ways(entities), src.nodes(entities)
+    )
+    driver = {
+        p.poly_id: [[(la, lo) for la, lo in r] for r in p.rings]
+        for p in polys
+    }
+    rings_rows = src.relation_rings(
+        src.relations(entities), src.ways(entities), src.nodes(entities)
+    ).collect()
+    dist: dict = {}
+    for r in sorted(rings_rows, key=lambda r: (r.poly_id, r.ring_idx)):
+        dist.setdefault(r.poly_id, []).append(
+            [(p["lat"], p["lon"]) for p in r.pts]
+        )
+    assert set(dist) == set(driver)
+    assert len(driver) == 120 + 12  # 12 double-outer relations add /0 + /1
+    for pid in driver:
+        assert dist[pid] == driver[pid], pid
+
+
+def test_relation_rings_scales_past_driver_bound(spark, relmany):
+    """Past max_polygons, the broadcast path refuses loudly while the
+    distributed rings path handles the same input and its PIP results
+    match the scalar oracle per probe (annulus in, hole out, detached
+    second outer in)."""
+    from osm_pbf_spark.operators.spatial_join import pip_join_rings
+
+    _, entities = relmany
+    rels, ways_, nodes_ = (
+        src.relations(entities), src.ways(entities), src.nodes(entities),
+    )
+    with pytest.raises(ValueError, match="max_polygons"):
+        src.polygons_from_relations(rels, ways_, nodes_, max_polygons=50)
+    rings = src.relation_rings(rels, ways_, nodes_)
+    probes = nodes_.filter(F.pmod(F.col("id"), 1000) >= 50).selectExpr(
+        "id as doc_id", "lat", "lon"
+    )
+    got = {
+        (r.doc_id, r.poly_id)
+        for r in pip_join_rings(spark, probes, rings, level="auto").collect()
+    }
+    want = set()
+    for i in range(120):
+        base = 1_000_000 + i * 1000
+        rid = 5000 + i
+        if i % 10 == 0:
+            # closed members stitch first: the detached (closed) second
+            # outer is ring 0, the chained main donut ring 1
+            want.add((base + 50, f"relation/{rid}/1"))  # annulus probe
+            want.add((base + 53, f"relation/{rid}/0"))  # detached outer
+        else:
+            want.add((base + 50, f"relation/{rid}"))    # annulus probe
+    assert got == want
