@@ -2933,9 +2933,15 @@ def youden_threshold(
     0/1 labels are WHERE-guarded; P == 0 or N == 0 yields an empty
     result (J undefined).
 
-    Plan: one distinct-score aggregate (|scores| keyspace) + one
-    cumulative window over the descending score order + one min-struct
-    argmax reduce — the ks_test distinct-value shuffle shape.
+    Plan: one distinct-score aggregate (|scores| keyspace), then the
+    cumulative (tp, fp) as a DISTRIBUTED two-pass prefix sum — 1024
+    fixed-width score-range buckets, per-bucket totals -> tiny driver
+    exclusive prefix (<= 1024 rows) -> within-bucket window partitioned
+    by bucket — never a single-partition global window (the
+    str_partition/token_budget discipline; micro-quantized float
+    scores make |distinct| ~ n, where a global Window.orderBy would
+    move every distinct score to ONE task). Then one min-struct argmax
+    reduce.
 
     Returns 1 row (threshold, tp, fp, fn, tn, j_num, j) with
     j = j_num / (P*N) as one final division.
@@ -2956,14 +2962,47 @@ def youden_threshold(
         F.sum("_y").alias("_p"),
         (F.count(F.lit(1)) - F.sum("_y")).alias("_n"),
     )
+    mm = per.agg(F.min("_s"), F.max("_s")).first()
+    lo = int(mm[0]) if mm[0] is not None else 0
+    hi = int(mm[1]) if mm[1] is not None else 0
+    span = hi - lo + 1
+    if span > (1 << 62):
+        raise ValueError(
+            "youden_threshold: score range exceeds 2^62; rescale the "
+            "quantization upstream (bucket arithmetic would overflow)"
+        )
+    n_buckets = 1024
+    width = -(-span // n_buckets)  # ceil; bucket 0 = the HIGHEST scores
+    per = per.withColumn("_b", F.expr(f"(({hi}L - _s) div {width}L)"))
+    totals = {
+        int(b): (int(p or 0), int(n or 0))
+        for b, p, n in per.groupBy("_b")
+        .agg(F.sum("_p"), F.sum("_n"))
+        .collect()
+    }
+    base_tp: dict[int, int] = {}
+    base_fp: dict[int, int] = {}
+    acc_p = acc_n = 0
+    for b in sorted(totals):
+        base_tp[b] = acc_p
+        base_fp[b] = acc_n
+        acc_p += totals[b][0]
+        acc_n += totals[b][1]
+    if not base_tp:
+        base_tp = base_fp = {0: 0}
+    _map = lambda d: F.element_at(  # noqa: E731
+        F.create_map(*[F.lit(v) for kv in d.items() for v in kv]),
+        F.col("_b"),
+    )
     w = (
-        Window.orderBy(F.col("_s").desc())
+        Window.partitionBy("_b")
+        .orderBy(F.col("_s").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = per.select(
         "_s",
-        F.sum("_p").over(w).alias("_tp"),
-        F.sum("_n").over(w).alias("_fp"),
+        (_map(base_tp) + F.sum("_p").over(w)).alias("_tp"),
+        (_map(base_fp) + F.sum("_n").over(w)).alias("_fp"),
     )
     tot = guarded.agg(
         F.sum("_y").alias("_P"),

@@ -333,6 +333,41 @@ def test_stream_windowed_distinct_equals_batch(spark, tmp_path):
     assert got == exp and len(got) == 3
 
 
+def test_youden_no_single_partition_window(spark):
+    """Plan pin for the r4-verdict hazard: at high score cardinality
+    the cumulative (tp, fp) must run as a bucket-PARTITIONED window
+    (two-pass prefix sum), never a global single-partition
+    Window.orderBy. Every window spec in the executed plan must be
+    partitioned by the range bucket."""
+    import re
+
+    from osm_pbf_spark.operators.stats import youden_threshold
+
+    df = spark.range(20000).select(
+        (F.col("id") * 37 % 19997).alias("score"),  # ~n distinct scores
+        (F.col("id") % 3 == 0).cast("int").alias("y"),
+    )
+    out = youden_threshold(df, "score", "y")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected a window in the youden plan"
+    for s in specs:
+        assert s.lstrip().startswith("_b#"), f"unpartitioned window spec: {s}"
+    # and the answer itself stays exact (scalar replay)
+    (r,) = out.collect()
+    rows = [((i * 37) % 19997, 1 if i % 3 == 0 else 0) for i in range(20000)]
+    P = sum(y for _, y in rows)
+    N = len(rows) - P
+    best = None
+    for t in sorted({s for s, _ in rows}):
+        tp = sum(y for s, y in rows if s >= t)
+        fp = sum(1 - y for s, y in rows if s >= t)
+        jn = tp * N - fp * P
+        if best is None or jn > best[0] or (jn == best[0] and t < best[1]):
+            best = (jn, t, tp, fp)
+    assert (r.j_num, r.threshold, r.tp, r.fp) == best
+
+
 def test_stream_windowed_distinct_watermark_append(spark, tmp_path):
     """The production path: watermarked dropDuplicates chained into a
     windowed count, append mode. A far-future sentinel row advances
