@@ -1120,12 +1120,19 @@ def kmeans_fit(
     init = the k vectors with the smallest ids. No float enters the
     loop, so partitioning/engine/iteration order cannot change a bit.
 
-    Plan per iteration: broadcast the (k x d) centroid array inside a
-    vectorized pandas UDF (one map stage assigns every vector), then
-    ONE posexplode Generate + ONE (cluster, dim) hash aggregate
-    (map-side combinable to k*d rows) + a k*d-bounded driver collect
-    for the next round's centroids — the bounded-driver-state class
-    (IVF/PQ codebooks). n_iters fixed: no convergence actions.
+    Plan per iteration: ONE fused map-only Arrow stage — the (k x d)
+    centroid array rides inside a mapInPandas kernel that assigns
+    every vector AND accumulates per-cluster packed-array partial sums
+    locally, emitting k rows per PARTITION (cluster, n, sums[d]); the
+    driver reduces those tiny partials (k x d x n_partitions ints —
+    the bounded-driver-state class, IVF/PQ codebooks) into the next
+    round's centroids. No shuffle at all inside the loop: the r4
+    formulation's posexplode to (cluster, dim) rows multiplied the
+    aggregate input x d (measured 0.43-0.55 local efficiency); the
+    packed partials carry the same exact int64 sums at 1/d the rows
+    and zero Exchanges. A loud guard raises before a partition's
+    partial sum could wrap int64. n_iters fixed: no convergence
+    actions.
 
     Returns the final assignment ``(id_col, cluster, d2)``.
     """
@@ -1147,47 +1154,88 @@ def kmeans_fit(
         )
     cents = np.asarray([r["_q"] for r in init], dtype=np.int64)
 
+    def _argmin_int(m: np.ndarray, c_arr: np.ndarray):
+        # exact int64 d2: ||v||^2 - 2 v.c + ||c||^2 risks nothing
+        # here because python ints never overflow in the replay —
+        # but numpy would, so compute per-centroid diffs directly.
+        # argmin ties break to the SMALLEST cluster id (strict <)
+        best = np.zeros(len(m), dtype=np.int64)
+        bd = None
+        for c in range(len(c_arr)):
+            diff = m - c_arr[c][None, :]
+            dd = np.einsum("ij,ij->i", diff, diff)
+            if bd is None:
+                bd = dd.copy()
+            else:
+                upd = dd < bd
+                best[upd] = c
+                bd[upd] = dd[upd]
+        return best, bd
+
     def assign_with(c_arr: np.ndarray):
         @F.pandas_udf("cluster long, d2 long")
         def _assign(vecs: pd.Series) -> pd.DataFrame:
             m = np.stack([np.asarray(v, dtype=np.int64) for v in vecs])
-            # exact int64 d2: ||v||^2 - 2 v.c + ||c||^2 risks nothing
-            # here because python ints never overflow in the replay —
-            # but numpy would, so compute per-centroid diffs directly
-            best = np.zeros(len(m), dtype=np.int64)
-            bd = None
-            for c in range(len(c_arr)):
-                diff = m - c_arr[c][None, :]
-                dd = np.einsum("ij,ij->i", diff, diff)
-                if bd is None:
-                    bd = dd.copy()
-                else:
-                    upd = dd < bd
-                    best[upd] = c
-                    bd[upd] = dd[upd]
+            best, bd = _argmin_int(m, c_arr)
             return pd.DataFrame({"cluster": best, "d2": bd})
 
         return _assign
 
     d = len(cents[0])
+
+    def partials_with(c_arr: np.ndarray):
+        k = len(c_arr)
+
+        def _partials(it):
+            sums = np.zeros((k, d), dtype=np.int64)
+            cnt = np.zeros(k, dtype=np.int64)
+            seen = 0
+            max_q = 1
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                m = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["_q"]])
+                seen += len(m)
+                max_q = max(max_q, int(np.abs(m).max()))
+                if seen * max_q >= (1 << 62):
+                    raise ValueError(
+                        "kmeans_fit: per-partition partial sums would "
+                        "overflow int64; rescale the quantization or "
+                        "repartition finer"
+                    )
+                best, _ = _argmin_int(m, c_arr)
+                np.add.at(sums, best, m)
+                np.add.at(cnt, best, 1)
+            if seen:
+                yield pd.DataFrame(
+                    {
+                        "_c": np.arange(k, dtype=np.int64),
+                        "_n": cnt,
+                        "_s": [sums[c].tolist() for c in range(k)],
+                    }
+                )
+
+        return _partials
+
     for _ in range(n_iters):
-        a = qv.withColumn("_a", assign_with(cents)(F.col("_q")))
-        per = (
-            a.select(F.col("_a.cluster").alias("_c"), F.posexplode("_q").alias("_j", "_v"))
-            .groupBy("_c", "_j")
-            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
-            .collect()
-        )
-        sums = np.zeros((n_clusters, d), dtype=object)
-        cnts = np.zeros(n_clusters, dtype=np.int64)
+        per = qv.mapInPandas(
+            partials_with(cents), "_c long, _n long, _s array<long>"
+        ).collect()
+        # reduce the partials in unbounded python ints (exactness)
+        tot_s = [[0] * d for _ in range(n_clusters)]
+        tot_n = [0] * n_clusters
         for r in per:
-            sums[r["_c"]][r["_j"]] = int(r["_s"])
-            cnts[r["_c"]] = int(r["_n"])
+            c = int(r["_c"])
+            tot_n[c] += int(r["_n"])
+            row = r["_s"]
+            tc = tot_s[c]
+            for j in range(d):
+                tc[j] += int(row[j])
         new = cents.copy()
         for c in range(n_clusters):
-            if cnts[c] > 0:
+            if tot_n[c] > 0:
                 new[c] = np.asarray(
-                    [int(sums[c][j]) // int(cnts[c]) for j in range(d)],
+                    [tot_s[c][j] // tot_n[c] for j in range(d)],
                     dtype=np.int64,
                 )
         cents = new
