@@ -1444,6 +1444,7 @@ def maximal_matching(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
+    tail_threshold: int = 200_000,
 ) -> DataFrame:
     """Deterministic greedy MAXIMAL matching (r4): a pairwise-disjoint
     edge set no remaining edge can extend — the distributed
@@ -1469,9 +1470,20 @@ def maximal_matching(
     count as the emptiness fixpoint check. No collect of data rows —
     driver state is one integer per round.
 
+    TAIL FINISH (the r4-verdict fix for eff 0.235): after round 1-2
+    the surviving frontier collapses to a sliver, and O(log E) more
+    distributed rounds are pure fixed stage overhead (4+ shuffles per
+    round over near-empty inputs). Once the frontier is <=
+    ``tail_threshold`` edges, the remaining rounds run as ONE
+    single-task Arrow kernel replaying the identical per-round
+    locally-minimal rule — same winners, same round numbers, zero
+    further stages. The kernel's input is executor-side (repartition
+    to one task), so the no-driver-data-rows discipline holds.
+
     Returns matched pairs ``(u, v, round)`` (round = 1-based round the
     pair entered).
     """
+    import pandas as pd
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -1490,10 +1502,61 @@ def maximal_matching(
         10,
     ).cast("bigint")
     e = e.select("u", "v", pri.alias("_p"))
+    u_t = e.schema["u"].dataType.simpleString()
+    v_t = e.schema["v"].dataType.simpleString()
+
+    def _tail_kernel(rnd0: int):
+        def fn(it):
+            rows = []
+            for pdf in it:
+                rows.extend(
+                    zip(pdf["_p"].tolist(), pdf["u"].tolist(), pdf["v"].tolist())
+                )
+            alive = [(int(p), u, v) for p, u, v in rows]
+            out_u, out_v, out_r = [], [], []
+            rnd = rnd0
+            while alive:
+                if rnd > max_rounds:
+                    raise ValueError(
+                        f"maximal_matching did not converge in {max_rounds} rounds"
+                    )
+                vmin: dict = {}
+                for key in alive:
+                    for x in (key[1], key[2]):
+                        m = vmin.get(x)
+                        if m is None or key < m:
+                            vmin[x] = key
+                winners = [
+                    k for k in alive if vmin[k[1]] == k and vmin[k[2]] == k
+                ]
+                matched = set()
+                for _, u, v in winners:
+                    out_u.append(u)
+                    out_v.append(v)
+                    out_r.append(rnd)
+                    matched.add(u)
+                    matched.add(v)
+                alive = [
+                    k for k in alive if k[1] not in matched and k[2] not in matched
+                ]
+                rnd += 1
+            if out_u:
+                yield pd.DataFrame({"u": out_u, "v": out_v, "round": out_r})
+
+        return fn
+
     matched_parts = []
     out = None
     for rnd in range(1, max_rounds + 1):
-        if e.isEmpty():
+        n_alive = e.count()
+        if n_alive == 0:
+            break
+        if n_alive <= tail_threshold:
+            matched_parts.append(
+                e.repartition(1).mapInPandas(
+                    _tail_kernel(rnd), f"u {u_t}, v {v_t}, round int"
+                ).localCheckpoint(eager=True)
+            )
             break
         ekey = F.struct(F.col("_p"), F.col("u"), F.col("v"))
         incid = e.select(F.col("u").alias("_x"), ekey.alias("_e")).unionAll(

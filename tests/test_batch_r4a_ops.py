@@ -281,6 +281,23 @@ def test_maximal_matching_empty_and_selfloops(spark):
     assert maximal_matching(df).count() == 0
 
 
+def test_maximal_matching_tail_equals_distributed_rounds(spark):
+    """The single-task tail kernel must emit the SAME (u, v, round)
+    rows as the pure distributed rounds path — identical winners and
+    identical round numbers at every fixpoint step."""
+    from osm_pbf_spark.operators.graph import maximal_matching
+
+    edges = [((i * 7) % 200, (i * 31 + 5) % 200) for i in range(600)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    tail = {(r.u, r.v, r["round"]) for r in maximal_matching(df).collect()}
+    dist = {
+        (r.u, r.v, r["round"])
+        for r in maximal_matching(df, tail_threshold=0).collect()
+    }
+    assert tail == dist and len(tail) > 10
+    assert max(r for _, _, r in tail) >= 2  # multi-round case exercised
+
+
 # ---------------------------------------------- spherical_ring_area
 def _sph_ring_u(ring):
     DEG2RAD = 0.017453292519943295
