@@ -145,6 +145,7 @@ def _fixture_pbf(kind: str) -> str:
         "way_pip": FX.build_way_pip,
         "rel_pip": FX.build_rel_pip,
         "rel_many": FX.build_rel_many,
+        "rel_invalid": FX.build_rel_invalid,
         "denseinfo": FX.build_denseinfo,
         "granularity": FX.build_granularity,
         "minimal": FX.build_minimal,
@@ -1342,6 +1343,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id", "poly_id")
 
     q["q_rel_rings"] = q_rel_rings
+
+    def q_validate_rels(spark, sf):  # distributed multipolygon
+        # VALIDITY audit: role consistency, missing member geometry,
+        # ring closure, proper self-intersection (segjoin) — one
+        # report row per relation over the five-case invalid fixture
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("rel_invalid"))
+        return src.validate_multipolygons(
+            src.relations(entities), src.ways(entities), src.nodes(entities)
+        ).orderBy("rel_id")
+
+    q["q_validate_rels"] = q_validate_rels
 
     def q_doc_spans(spark, sf):  # the per-row invariant surface ITSELF:
         # full exploded span sequence — (kind, text, media_ref, order)
@@ -15704,6 +15718,21 @@ def oracle_sql() -> dict[str, str]:
              AND b.buy_ts <= c.click_ts + INTERVAL 6 HOUR
         """,
         "q_sink_retention": _ora_sink_roundtrip(),
+        # hand-derived expected audit per fixture case (documented in
+        # tests/pbf_fixtures.py::build_rel_invalid): 5500 clean donut,
+        # 5501 bowtie self-crossing, 5502 unclosable chain, 5503
+        # non-spec role, 5504 absent member way
+        "q_validate_rels": """
+            SELECT * FROM (VALUES
+              (5500, 2, 0, 0, 1, 1, 0, 0, 0, TRUE),
+              (5501, 1, 0, 0, 1, 0, 0, 0, 1, FALSE),
+              (5502, 1, 0, 0, 0, 0, 1, 0, 0, FALSE),
+              (5503, 2, 1, 0, 1, 0, 0, 0, 0, FALSE),
+              (5504, 2, 0, 1, 1, 0, 0, 0, 0, FALSE)
+            ) AS t(rel_id, n_way_members, n_bad_role, n_missing_geom,
+                   n_outer_rings, n_inner_rings, n_unclosed_outer,
+                   n_unclosed_inner, n_self_intersect, is_valid)
+        """,
         "q_random_walks": _ora_walk_sql() + "\nSELECT start, rep, step, node FROM walk",
         "q_walk_pairs": _ora_walk_sql()
         + """

@@ -447,6 +447,16 @@ def relation_rings(
             )
         ]
         out = _stitch_relation(rel_id, seg_rows)
+        if not out:
+            # typed empty frame: plain {} columns default to float64
+            # ndarrays, which Arrow cannot cast to list<struct>
+            return pd.DataFrame(
+                {
+                    "poly_id": pd.Series([], dtype=object),
+                    "ring_idx": pd.Series([], dtype="int64"),
+                    "pts": pd.Series([], dtype=object),
+                }
+            )
         return pd.DataFrame(
             {
                 "poly_id": [pid for pid, _, _ in out],
@@ -516,6 +526,140 @@ def polygons_from_relations(
         ]
         out.append(Polygon(pid, rings))
     return out
+
+
+def validate_multipolygons(
+    relations_df: DataFrame,
+    ways_df: DataFrame,
+    nodes_df: DataFrame,
+    level: int = 6,
+) -> DataFrame:
+    """Distributed multipolygon VALIDITY audit (r5) — the OSM
+    geometry-hygiene report a loader runs before trusting relation
+    polygons. One row per type=multipolygon relation:
+
+      (rel_id, n_way_members, n_bad_role, n_missing_geom,
+       n_outer_rings, n_inner_rings, n_unclosed_outer,
+       n_unclosed_inner, n_self_intersect, is_valid)
+
+    - ``n_bad_role``: way members whose role is not outer/inner
+      (role consistency);
+    - ``n_missing_geom``: outer/inner members whose way is absent or
+      has unresolved refs (broken geometry);
+    - ``n_unclosed_*``: segment chains the stitcher cannot close,
+      per role (ring closure);
+    - ``n_self_intersect``: stitched rings with at least one PROPER
+      self-crossing (segjoin::ring_self_intersections — the bowtie
+      class);
+    - ``is_valid``: all of the above zero AND >= 1 outer ring.
+
+    Plan: member-role counts are one aggregate over the exploded
+    members; missing geometry is one left-anti join against the
+    resolved member segments; closure counts come from the same
+    per-relation applyInPandas discipline as relation_rings; the
+    self-crossing scan is the distributed cell-grid segment join.
+    Everything shuffles on rel_id / cell — nothing touches the driver.
+    """
+    import pandas as pd
+
+    from ..operators.segjoin import ring_self_intersections
+
+    rels = relations_df.filter(
+        F.element_at(F.col("tags"), "type") == "multipolygon"
+    )
+    mem = (
+        rels.select(
+            F.col("id").alias("rel_id"),
+            F.posexplode("members").alias("m_pos", "m"),
+        )
+        .filter(F.col("m.type") == "way")
+        .select(
+            "rel_id", "m_pos",
+            F.col("m.ref").alias("way_id"),
+            F.col("m.role").alias("role"),
+        )
+    )
+    base = mem.groupBy("rel_id").agg(
+        F.count(F.lit(1)).alias("n_way_members"),
+        F.sum(
+            (~F.col("role").isin("outer", "inner")).cast("long")
+        ).alias("n_bad_role"),
+    )
+    spec = mem.filter(F.col("role").isin("outer", "inner"))
+    rows_df = _relation_member_segments(relations_df, ways_df, nodes_df)
+    missing = (
+        spec.join(rows_df.select("rel_id", "m_pos"), ["rel_id", "m_pos"], "left_anti")
+        .groupBy("rel_id")
+        .agg(F.count(F.lit(1)).alias("n_missing_geom"))
+    )
+
+    def report(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel_id = pdf["rel_id"].iloc[0]
+        segs = {"outer": [], "inner": []}
+        for m_pos, role, refs, pts in sorted(
+            zip(pdf["m_pos"], pdf["role"], pdf["refs"], pdf["points"]),
+            key=lambda r: r[0],
+        ):
+            segs[role].append(
+                (
+                    [int(x) for x in refs],
+                    [(float(p["lat"]), float(p["lon"])) for p in pts],
+                )
+            )
+        outers, lo = stitch_rings(segs["outer"])
+        inners, li = stitch_rings(segs["inner"])
+        return pd.DataFrame(
+            {
+                "rel_id": [rel_id],
+                "n_outer_rings": [len(outers)],
+                "n_inner_rings": [len(inners)],
+                "n_unclosed_outer": [lo],
+                "n_unclosed_inner": [li],
+            }
+        )
+
+    rep = rows_df.groupBy("rel_id").applyInPandas(
+        report,
+        "rel_id long, n_outer_rings long, n_inner_rings long, "
+        "n_unclosed_outer long, n_unclosed_inner long",
+    )
+    xi = (
+        ring_self_intersections(
+            relation_rings(relations_df, ways_df, nodes_df), level=level
+        )
+        .select("poly_id", "ring_idx")
+        .distinct()
+        .select(
+            F.split("poly_id", "/").getItem(1).cast("long").alias("rel_id")
+        )
+        .groupBy("rel_id")
+        .agg(F.count(F.lit(1)).alias("n_self_intersect"))
+    )
+    out = (
+        base.join(missing, "rel_id", "left")
+        .join(rep, "rel_id", "left")
+        .join(xi, "rel_id", "left")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return out.select(
+        "rel_id",
+        z("n_way_members").alias("n_way_members"),
+        z("n_bad_role").alias("n_bad_role"),
+        z("n_missing_geom").alias("n_missing_geom"),
+        z("n_outer_rings").alias("n_outer_rings"),
+        z("n_inner_rings").alias("n_inner_rings"),
+        z("n_unclosed_outer").alias("n_unclosed_outer"),
+        z("n_unclosed_inner").alias("n_unclosed_inner"),
+        z("n_self_intersect").alias("n_self_intersect"),
+        (
+            (z("n_bad_role") == 0)
+            & (z("n_missing_geom") == 0)
+            & (z("n_unclosed_outer") == 0)
+            & (z("n_unclosed_inner") == 0)
+            & (z("n_self_intersect") == 0)
+            & (z("n_outer_rings") >= 1)
+        ).alias("is_valid"),
+    )
 
 
 FILE_REPORT_SPARK_SCHEMA = T.StructType(

@@ -440,6 +440,73 @@ def build_rel_many(dirpath: str, n_rels: int = 150) -> str:
     return path
 
 
+def build_rel_invalid(dirpath: str) -> str:
+    """Multipolygon-VALIDITY fixture: five relations exercising each
+    audit dimension — (5500) a clean donut control, (5501) a bowtie
+    self-intersecting outer, (5502) an unclosable outer chain,
+    (5503) a member with a non-spec role, (5504) a member way id that
+    does not exist. Deterministic."""
+    st = E.StringTable()
+    nodes = []
+    ways = []
+    rels = []
+
+    def node(nid, la, lo):
+        nodes.append({"id": nid, "lat_raw": nd(la), "lon_raw": nd(lo), "tags": {}})
+        return nid
+
+    # 5500: clean donut at (10, 10)
+    sq = [node(100 + k, 10.0 + dl, 10.0 + dn)
+          for k, (dl, dn) in enumerate([(0, 0), (0, 1), (1, 1), (1, 0)])]
+    hole = [node(110 + k, 10.3 + dl, 10.3 + dn)
+            for k, (dl, dn) in enumerate([(0, 0), (0, 0.4), (0.4, 0.4), (0.4, 0)])]
+    ways.append({"id": 800, "refs": sq + [sq[0]], "tags": {}})
+    ways.append({"id": 801, "refs": hole + [hole[0]], "tags": {}})
+    rels.append({"id": 5500, "members": [
+        {"role": "outer", "ref": 800, "type": "way"},
+        {"role": "inner", "ref": 801, "type": "way"},
+    ], "tags": {"type": "multipolygon"}})
+    # 5501: bowtie (self-crossing closed outer) at (20, 10)
+    bt = [node(200, 20.0, 10.0), node(201, 21.0, 11.0),
+          node(202, 20.0, 11.0), node(203, 21.0, 10.0)]
+    ways.append({"id": 810, "refs": bt + [bt[0]], "tags": {}})
+    rels.append({"id": 5501, "members": [
+        {"role": "outer", "ref": 810, "type": "way"},
+    ], "tags": {"type": "multipolygon"}})
+    # 5502: unclosable open chain at (30, 10)
+    oc = [node(300, 30.0, 10.0), node(301, 30.0, 11.0), node(302, 31.0, 11.0)]
+    ways.append({"id": 820, "refs": oc, "tags": {}})
+    rels.append({"id": 5502, "members": [
+        {"role": "outer", "ref": 820, "type": "way"},
+    ], "tags": {"type": "multipolygon"}})
+    # 5503: bad role (plus a clean square so the relation still renders)
+    s3 = [node(400 + k, 40.0 + dl, 10.0 + dn)
+          for k, (dl, dn) in enumerate([(0, 0), (0, 1), (1, 1), (1, 0)])]
+    ways.append({"id": 830, "refs": s3 + [s3[0]], "tags": {}})
+    ways.append({"id": 831, "refs": [s3[0], s3[2]], "tags": {}})
+    rels.append({"id": 5503, "members": [
+        {"role": "outer", "ref": 830, "type": "way"},
+        {"role": "enclave", "ref": 831, "type": "way"},
+    ], "tags": {"type": "multipolygon"}})
+    # 5504: missing member way (id 999999 never encoded)
+    s4 = [node(500 + k, 50.0 + dl, 10.0 + dn)
+          for k, (dl, dn) in enumerate([(0, 0), (0, 1), (1, 1), (1, 0)])]
+    ways.append({"id": 840, "refs": s4 + [s4[0]], "tags": {}})
+    rels.append({"id": 5504, "members": [
+        {"role": "outer", "ref": 840, "type": "way"},
+        {"role": "inner", "ref": 999999, "type": "way"},
+    ], "tags": {"type": "multipolygon"}})
+
+    nodes.sort(key=lambda n: n["id"])
+    g_dense = E.encode_dense_nodes(nodes, st)
+    g_ways = b"".join(E.encode_way(w, st) for w in ways)
+    g_rels = b"".join(E.encode_relation(r, st) for r in rels)
+    block = E.encode_primitive_block([g_dense, g_ways, g_rels], st)
+    path = os.path.join(dirpath, "relinvalid.osm.pbf")
+    E.write_pbf(path, [block])
+    return path
+
+
 def build_all(dirpath: str) -> list[str]:
     os.makedirs(dirpath, exist_ok=True)
     return [b(dirpath) for b in ALL_BUILDERS]

@@ -169,3 +169,28 @@ def test_relation_rings_scales_past_driver_bound(spark, relmany):
         else:
             want.add((base + 50, f"relation/{rid}"))    # annulus probe
     assert got == want
+
+
+def test_validate_multipolygons_audit_dimensions(spark, tmp_path):
+    """Each audit dimension fires on exactly its fixture case: clean
+    donut valid; bowtie -> self-intersect; open chain -> unclosed;
+    non-spec role -> bad_role; absent member way -> missing_geom."""
+    path = pbf_fixtures.build_rel_invalid(str(tmp_path))
+    entities, _ = src.read_pbf(spark, path)
+    got = {
+        r.rel_id: (
+            r.n_way_members, r.n_bad_role, r.n_missing_geom,
+            r.n_outer_rings, r.n_inner_rings, r.n_unclosed_outer,
+            r.n_unclosed_inner, r.n_self_intersect, r.is_valid,
+        )
+        for r in src.validate_multipolygons(
+            src.relations(entities), src.ways(entities), src.nodes(entities)
+        ).collect()
+    }
+    assert got == {
+        5500: (2, 0, 0, 1, 1, 0, 0, 0, True),
+        5501: (1, 0, 0, 1, 0, 0, 0, 1, False),
+        5502: (1, 0, 0, 0, 0, 1, 0, 0, False),
+        5503: (2, 1, 0, 1, 0, 0, 0, 0, False),
+        5504: (2, 0, 1, 1, 0, 0, 0, 0, False),
+    }
