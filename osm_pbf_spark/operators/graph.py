@@ -1563,22 +1563,34 @@ def maximal_matching(
             e.select(F.col("v").alias("_x"), ekey.alias("_e"))
         )
         vmin = incid.groupBy("_x").agg(F.min("_e").alias("_m"))
+        # an edge wins iff it is the min incident edge of BOTH
+        # endpoints <=> it survives the (vertex, min) join twice:
+        # ONE join on _x (ReuseExchange with vmin's own aggregation
+        # shuffle) + one count-by-edge, instead of the r4 two
+        # edge-side equi-joins (two extra full-e Exchanges per round)
         win = (
-            e.join(vmin.withColumnRenamed("_x", "u"), "u")
-            .where(F.col("_m") == ekey)
-            .drop("_m")
-            .join(vmin.withColumnRenamed("_x", "v"), "v")
-            .where(F.col("_m") == ekey)
-            .select("u", "v")
+            incid.join(vmin, "_x")
+            .where(F.col("_e") == F.col("_m"))
+            .groupBy("_e")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") == 2)
+            .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
             .localCheckpoint(eager=True)
         )
+        n_matched = win.count()
         matched_parts.append(win.select("u", "v", F.lit(rnd).alias("round")))
         mv = win.select(F.col("u").alias("_x")).unionAll(
             win.select(F.col("v").alias("_x"))
         )
+        # matched vertices are bounded by |V|/round, usually tiny vs
+        # |E|: broadcast the anti side when it fits, killing both
+        # edge-side shuffles; past the bound fall back to shuffle anti
+        small = n_matched <= 2_000_000
+        mv_u = mv.withColumnRenamed("_x", "u")
+        mv_v = mv.withColumnRenamed("_x", "v")
         e = (
-            e.join(mv.withColumnRenamed("_x", "u"), "u", "left_anti")
-            .join(mv.withColumnRenamed("_x", "v"), "v", "left_anti")
+            e.join(F.broadcast(mv_u) if small else mv_u, "u", "left_anti")
+            .join(F.broadcast(mv_v) if small else mv_v, "v", "left_anti")
             .select("u", "v", "_p")
             .localCheckpoint(eager=True)
         )
@@ -1893,3 +1905,329 @@ def negative_samples(
     return drawn.where(
         (F.col("neg") != F.col("center")) & (F.col("neg") != F.col("context"))
     ).select("center", "context", "neg", F.col("draw").cast("int").alias("draw"))
+
+
+def luby_mis(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Deterministic Luby-class MAXIMAL INDEPENDENT SET (r5) — the
+    vertex sibling of maximal_matching (which is MIS on the line
+    graph): a vertex set with no internal edge that no outside vertex
+    can join — the distributed symmetry-breaking primitive (conflict
+    grouping, frequency reuse, parallel scheduling slots).
+
+    Spec (engine-replayable): vertex priority is the TOTAL order
+    ``(md5_40(str(v)), v)``; the MIS equals sequential greedy by that
+    order (take v iff no already-taken neighbor). Computed in
+    locally-minimal rounds: v joins when its priority beats every
+    still-alive neighbor's (isolated survivors join unconditionally),
+    then winners + their neighbors leave — the maximal_matching
+    fixpoint argument verbatim.
+
+    Plan per round: one neighbor-min aggregate over the alive
+    adjacency (map-side combinable), one left join back, anti joins
+    with ADAPTIVE broadcast (the removed set is bounded by vertices,
+    not edges), localCheckpoint each round.
+
+    Returns ``(node, round)`` (1-based round of joining the MIS).
+    """
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = raw.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    pri_of = lambda c: F.struct(  # noqa: E731
+        F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 10), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+        F.col(c).alias("n"),
+    )
+    alive = adj.select(F.col("a").alias("node")).distinct().select(
+        "node", pri_of("node").alias("_pri")
+    ).localCheckpoint(eager=True)
+    adj = adj.localCheckpoint(eager=True)
+    parts = []
+    for rnd in range(1, max_rounds + 1):
+        if alive.isEmpty():
+            break
+        nbrmin = (
+            adj.join(
+                alive.select(F.col("node").alias("b"), F.col("_pri").alias("_pb")),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("_pb").alias("_nm"))
+        )
+        winners = (
+            alive.join(nbrmin, "node", "left")
+            .where(F.col("_nm").isNull() | (F.col("_pri") < F.col("_nm")))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        n_win = winners.count()
+        parts.append(winners.select("node", F.lit(rnd).alias("round")))
+        nbrs = (
+            adj.join(winners.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"))
+        )
+        removed = winners.unionAll(nbrs).distinct().localCheckpoint(eager=True)
+        n_rm = removed.count()
+        bc = lambda df: F.broadcast(df) if n_rm <= 2_000_000 else df  # noqa: E731
+        alive = alive.join(bc(removed), "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        adj = (
+            adj.join(bc(removed.withColumnRenamed("node", "a")), "a", "left_anti")
+            .join(bc(removed.withColumnRenamed("node", "b")), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        _ = n_win
+    else:
+        if not alive.isEmpty():
+            raise ValueError(f"luby_mis did not converge in {max_rounds} rounds")
+    if not parts:
+        return und.select(F.col("u").alias("node"), F.lit(0).alias("round")).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def topo_layers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 200,
+) -> DataFrame:
+    """DAG topological LAYERS (r5): layer(v) = length of the longest
+    directed path ending at v (sources = 0) — the level-schedule /
+    critical-path primitive (build systems, dataflow stage planning,
+    dependency-wave batch execution: every layer can run in parallel).
+
+    Iterative max-relaxation to fixpoint: layer starts at 0
+    everywhere; each round layer(v) = max(layer(v), 1 + max layer of
+    in-neighbors). Converges in longest-path-length rounds on a DAG;
+    NOT converging within ``max_rounds`` means a directed cycle — the
+    operator raises loudly (a cycle has no topological layer).
+
+    Returns ``(node, layer)``.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    lay = nodes.select("node", F.lit(0).cast("long").alias("layer")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_rounds):
+        cand = (
+            e.join(lay.withColumnRenamed("node", "a").withColumnRenamed("layer", "_la"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg((F.max("_la") + 1).alias("_new"))
+        )
+        upd = lay.join(cand, "node", "left").select(
+            "node",
+            F.greatest(F.col("layer"), F.coalesce(F.col("_new"), F.lit(0))).alias(
+                "layer"
+            ),
+            (F.coalesce(F.col("_new"), F.lit(0)) > F.col("layer")).alias("_chg"),
+        )
+        upd = upd.localCheckpoint(eager=True)
+        n_chg = upd.where("_chg").count()
+        lay = upd.select("node", "layer")
+        if n_chg == 0:
+            return lay
+    raise ValueError(
+        f"topo_layers did not converge in {max_rounds} rounds — the input "
+        "graph has a directed cycle (or raise max_rounds for a longer DAG)"
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+) -> DataFrame:
+    """Adamic-Adar link prediction (r5) — the degree-weighted upgrade
+    of link_predict's common-neighbor count (Adamic & Adar 2003):
+    score(u, v) = sum over common neighbors w of 1 / ln(deg(w)), so a
+    shared OBSCURE neighbor is worth more than a shared hub — the
+    measurably better who-to-follow / co-purchase ranker.
+
+    Exactness: counts and degrees are exact int64; each term is one
+    IEEE-correct 1/ln(deg) (deg >= 2 for any common neighbor, so ln >
+    0) and the sum is rounded to 1e-6 in BOTH engines — the float
+    surface is term-count additions of O(1) values, where 6 decimals
+    absorb cross-engine ulp drift (the house rounding discipline for
+    transcendental chains).
+
+    Plan: the link_predict wedge shape with the center's degree joined
+    BEFORE the pair aggregate (one extra slim broadcast-ready join),
+    one (u, v) hash agg; anti join away existing edges. Same hub
+    caveat as link_predict: wedge volume is sum_c deg(c)^2 — prefilter
+    hub centers at web scale.
+
+    Returns ``(u, v, n_common, aa_score)`` with u < v.
+    """
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = raw.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    sym = und.select(F.col("u").alias("c"), F.col("v").alias("n")).unionAll(
+        und.select(F.col("v").alias("c"), F.col("u").alias("n"))
+    )
+    deg = sym.groupBy("c").agg(F.count(F.lit(1)).alias("_dc"))
+    l = sym.select("c", F.col("n").alias("u"))
+    r = sym.select("c", F.col("n").alias("v"))
+    pairs = (
+        l.join(r, "c")
+        .where(F.col("u") < F.col("v"))
+        .join(deg, "c")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("_dc"))), 6).alias("aa_score"),
+        )
+        .where(F.col("n_common") >= int(min_common))
+    )
+    return pairs.join(und, ["u", "v"], "left_anti").select(
+        "u", "v", "n_common", "aa_score"
+    )
+
+
+def scc(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 200,
+) -> DataFrame:
+    """STRONGLY connected components of a DIRECTED graph (r5) — the
+    directed sibling of connected_components (which ignores edge
+    direction): u and v share a component iff each reaches the other.
+    The cycle-structure primitive (dependency knots, currency
+    arbitrage loops, link-farm detection, deadlock cliques).
+
+    Algorithm: iterative FW-MIN coloring + in-color backward closure
+    (the Orzan / FW-BW-MIN family — the standard distributed SCC):
+
+      1. forward min-label to fixpoint: f(v) = min id forward-
+         reachable from v (including v);
+      2. every color-class leader c (f(c) == c) anchors one SCC:
+         SCC(c) = {v : f(v) == c and v reaches c} — and any v -> c
+         path stays inside the color class (proved in-line below), so
+         the backward closure runs on SAME-COLOR edges only;
+      3. decided nodes peel off; repeat on the residual graph.
+
+    Each peel removes every leader SCC, so outer iterations are few in
+    practice (the classic result); every inner step is one join + one
+    aggregate + localCheckpoint. ``max_rounds`` bounds TOTAL Spark
+    rounds across all loops and raises loudly.
+
+    Returns ``(node, comp)`` — comp = min node id in the SCC.
+    """
+    e_all = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e_all.select(F.col("a").alias("node"))
+        .unionAll(e_all.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    budget = [int(max_rounds)]
+
+    def tick():
+        budget[0] -= 1
+        if budget[0] < 0:
+            raise ValueError(f"scc did not converge in {max_rounds} rounds")
+
+    parts = []
+    alive_n = nodes
+    alive_e = e_all
+    while True:
+        tick()
+        if alive_n.isEmpty():
+            break
+        # 1) forward min-label fixpoint: f(v) = min(f(v), f(out-nbrs))
+        f = alive_n.select("node", F.col("node").alias("f")).localCheckpoint(
+            eager=True
+        )
+        while True:
+            tick()
+            relax = (
+                alive_e.join(
+                    f.select(F.col("node").alias("b"), F.col("f").alias("_fb")), "b"
+                )
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("_fb").alias("_fn"))
+            )
+            upd = f.join(relax, "node", "left").select(
+                "node",
+                F.least(F.col("f"), F.coalesce(F.col("_fn"), F.col("f"))).alias("f"),
+                (F.coalesce(F.col("_fn"), F.col("f")) < F.col("f")).alias("_chg"),
+            ).localCheckpoint(eager=True)
+            n_chg = upd.where("_chg").count()
+            f = upd.select("node", "f")
+            if n_chg == 0:
+                break
+        # 2) backward closure of each leader inside its color class:
+        #    any v->..->c path with f(v)==c stays in color c, because
+        #    reachable(w) ⊆ reachable(v) gives f(w) >= f(v) = c while
+        #    c ∈ reachable(w) gives f(w) <= c.
+        ce = (
+            alive_e.join(f.withColumnRenamed("node", "a").withColumnRenamed("f", "_fa"), "a")
+            .join(f.withColumnRenamed("node", "b").withColumnRenamed("f", "_fb"), "b")
+            .where(F.col("_fa") == F.col("_fb"))
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        reach = f.where(F.col("node") == F.col("f")).select("node").localCheckpoint(
+            eager=True
+        )
+        while True:
+            tick()
+            nxt = (
+                ce.join(reach.withColumnRenamed("node", "b"), "b")
+                .select(F.col("a").alias("node"))
+                .distinct()
+                .join(reach, "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            reach = reach.unionAll(nxt).localCheckpoint(eager=True)
+        decided = reach.join(f, "node").select("node", F.col("f").alias("comp"))
+        parts.append(decided.localCheckpoint(eager=True))
+        alive_n = alive_n.join(reach, "node", "left_anti").localCheckpoint(eager=True)
+        alive_e = (
+            alive_e.join(reach.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(reach.withColumnRenamed("node", "b"), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if not parts:
+        return nodes.select("node", F.col("node").alias("comp")).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
