@@ -6981,6 +6981,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_sink_retention"] = q_sink_retention
 
+    def q_mis(spark, sf):  # Luby-class maximal independent set over a
+        # deterministic events-derived graph; oracle = sequential
+        # greedy by the (md5_40(v), v) total order
+        from osm_pbf_spark.operators.graph import luby_mis
+
+        ev = load(spark, sf, "events").where(F.col("event_id") < 2000)
+        e = ev.select(
+            F.pmod(F.col("event_id") * 11, F.lit(240)).alias("src"),
+            F.pmod(F.col("event_id") * 17 + 5, F.lit(240)).alias("dst"),
+        )
+        return luby_mis(e).select("node").orderBy("node")
+
+    q["q_mis"] = q_mis
+
+    def q_scc(spark, sf):  # strongly connected components (directed)
+        # over an events-derived graph; oracle = iterative Tarjan
+        from osm_pbf_spark.operators.graph import scc
+
+        ev = load(spark, sf, "events").where(F.col("event_id") < 1500)
+        e = ev.select(
+            F.pmod(F.col("event_id") * 7, F.lit(150)).alias("src"),
+            F.pmod(F.col("event_id") * 23 + 1, F.lit(150)).alias("dst"),
+        )
+        return scc(e).orderBy("node")
+
+    q["q_scc"] = q_scc
+
+    def q_topo_layers(spark, sf):  # DAG longest-path layers; the
+        # a < b edge construction guarantees acyclicity
+        from osm_pbf_spark.operators.graph import topo_layers
+
+        ev = load(spark, sf, "events").where(F.col("event_id") < 1200)
+        a = F.pmod(F.col("event_id"), F.lit(120))
+        e = ev.select(
+            a.alias("src"),
+            (a + 1 + F.pmod(F.col("event_id") * 7, F.lit(20))).alias("dst"),
+        )
+        return topo_layers(e).orderBy("node")
+
+    q["q_topo_layers"] = q_topo_layers
+
+    def q_adamic_adar(spark, sf):  # degree-weighted link prediction;
+        # oracle = verbatim wedge SQL with sum(1/ln(deg))
+        from osm_pbf_spark.operators.graph import adamic_adar
+
+        ev = load(spark, sf, "events").where(F.col("event_id") < 450)
+        e = ev.select(
+            F.pmod(F.col("event_id") * 5, F.lit(400)).alias("src"),
+            F.pmod(F.col("event_id") * 7 + 2, F.lit(400)).alias("dst"),
+        )
+        return adamic_adar(e).orderBy("u", "v")
+
+    q["q_adamic_adar"] = q_adamic_adar
+
     return q
 
 
@@ -11149,6 +11203,135 @@ def _ora_jaro_winkler() -> str:
         [("id_l", "BIGINT"), ("id_r", "BIGINT"), ("name_l", "VARCHAR"),
          ("name_r", "VARCHAR"), ("jw_ppm", "BIGINT")],
         rows,
+    )
+
+
+def _graph_edges(limit: int, na: int, nb: int, ca: int, cb: int, off: int):
+    """Events-derived deterministic edge list shared by the graph-gate
+    oracle replays: (eid*ca % na, (eid*cb + off) % nb) for eid < limit."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"), columns=["event_id"]
+    )
+    out = []
+    for eid in t.column("event_id").to_pylist():
+        k = int(eid)
+        if k < limit:
+            out.append(((k * ca) % na, (k * cb + off) % nb))
+    return out
+
+
+def _ora_mis() -> str:
+    """Sequential-greedy MIS replay by the (md5_40(v), v) total order
+    (luby_mis docstring: the locally-minimal rounds fixpoint equals
+    this greedy — independent plumbing)."""
+    import hashlib
+
+    nbrs: dict = {}
+    nodes = set()
+    for a, b in _graph_edges(2000, 240, 240, 11, 17, 5):
+        if a == b:
+            continue
+        nodes |= {a, b}
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    pri = lambda v: (int(hashlib.md5(str(v).encode()).hexdigest()[:10], 16), v)
+    taken, blocked = [], set()
+    for v in sorted(nodes, key=pri):
+        if v in blocked:
+            continue
+        taken.append(v)
+        blocked |= nbrs.get(v, set())
+    return _values_sql([("node", "BIGINT")], [(v,) for v in sorted(taken)])
+
+
+def _ora_scc() -> str:
+    """ITERATIVE Tarjan replay (explicit stack — no recursion limit),
+    an independent algorithm family from the engine's FW-BW-MIN
+    peeling; comp = min node id per SCC."""
+    adj: dict = {}
+    nodes = set()
+    for a, b in _graph_edges(1500, 150, 150, 7, 23, 1):
+        if a == b:
+            continue
+        nodes |= {a, b}
+        adj.setdefault(a, []).append(b)
+    idx: dict = {}
+    low: dict = {}
+    onstk: set = set()
+    stk: list = []
+    comp: dict = {}
+    counter = [0]
+    for root in sorted(nodes):
+        if root in idx:
+            continue
+        work = [(root, iter(adj.get(root, [])))]
+        idx[root] = low[root] = counter[0]
+        counter[0] += 1
+        stk.append(root)
+        onstk.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in idx:
+                    idx[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stk.append(w)
+                    onstk.add(w)
+                    work.append((w, iter(adj.get(w, []))))
+                    advanced = True
+                    break
+                elif w in onstk:
+                    low[v] = min(low[v], idx[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == idx[v]:
+                grp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    grp.append(w)
+                    if w == v:
+                        break
+                m = min(grp)
+                for w in grp:
+                    comp[w] = m
+    return _values_sql(
+        [("node", "BIGINT"), ("comp", "BIGINT")],
+        sorted(comp.items()),
+    )
+
+
+def _ora_topo_layers() -> str:
+    """Longest-path DP replay over the a<b DAG (memoized over a
+    reverse-topological order = plain ascending node order, since
+    every edge goes strictly upward)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"), columns=["event_id"]
+    )
+    edges = set()
+    for eid in t.column("event_id").to_pylist():
+        k = int(eid)
+        if k < 1200:
+            a = k % 120
+            edges.add((a, a + 1 + (k * 7) % 20))
+    nodes = sorted({x for e in edges for x in e})
+    inn: dict = {}
+    for a, b in edges:
+        inn.setdefault(b, []).append(a)
+    layer = {}
+    for v in nodes:  # ascending == topological (edges go a -> b, a < b)
+        layer[v] = max((layer[a] + 1 for a in inn.get(v, [])), default=0)
+    return _values_sql(
+        [("node", "BIGINT"), ("layer", "BIGINT")], sorted(layer.items())
     )
 
 
@@ -16633,6 +16816,35 @@ def oracle_sql() -> dict[str, str]:
         FROM tot
     """
     d["q_matching"] = _ora_matching()
+    d["q_mis"] = _ora_mis()
+    d["q_scc"] = _ora_scc()
+    d["q_topo_layers"] = _ora_topo_layers()
+    # independent formulation: wedge SQL over the same derived edges
+    d["q_adamic_adar"] = """
+        WITH raw AS (
+          SELECT (event_id * 5) % 400 AS a, (event_id * 7 + 2) % 400 AS b
+          FROM events WHERE event_id < 450
+        ),
+        und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM raw WHERE a <> b),
+        sym AS (SELECT u AS c, v AS n FROM und
+                UNION ALL SELECT v AS c, u AS n FROM und),
+        deg AS (SELECT c, count(*) AS dc FROM sym GROUP BY c),
+        wedge AS (
+          SELECT l.n AS u, r.n AS v, l.c
+          FROM sym l JOIN sym r ON r.c = l.c AND l.n < r.n
+        ),
+        pairs AS (
+          SELECT w.u, w.v, count(*) AS n_common,
+                 round(sum(1.0 / ln(d.dc)), 6) AS aa_score
+          FROM wedge w JOIN deg d ON d.c = w.c
+          GROUP BY w.u, w.v
+        )
+        SELECT p.u, p.v, CAST(p.n_common AS BIGINT) AS n_common, p.aa_score
+        FROM pairs p LEFT JOIN und ON und.u = p.u AND und.v = p.v
+        WHERE und.u IS NULL
+        ORDER BY p.u, p.v
+    """
     d["q_lcss"] = _ora_lcss()
     d["q_jaro_winkler"] = _ora_jaro_winkler()
     d["q_kmeans_fit"] = _ora_kmeans_fit()
