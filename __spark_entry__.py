@@ -7035,6 +7035,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_adamic_adar"] = q_adamic_adar
 
+    def q_bh_fdr(spark, sf):  # Benjamini-Hochberg step-up over
+        # events-derived ppm p-values, per event_type; exact integer
+        # cross-multiplication rule — oracle is verbatim window SQL
+        from osm_pbf_spark.operators.stats import bh_fdr
+
+        ev = load(spark, sf, "events").where(F.col("event_id") < 5000)
+        t = ev.select(
+            F.col("event_type").alias("g"),
+            F.pmod(
+                F.pmod(F.col("event_id") * 37, F.lit(1009)) * 991,
+                F.lit(1_000_001),
+            ).alias("p_ppm"),
+        )
+        return bh_fdr(
+            t, alpha_num=5, alpha_den=100, group_cols=["g"]
+        ).orderBy("g")
+
+    q["q_bh_fdr"] = q_bh_fdr
+
+    def q_fisher(spark, sf):  # Fisher EXACT 2x2 per event_type: cells
+        # from event_id mod 4; exact big-int hypergeometric two-sided
+        # p — oracle is the identical Fraction replay
+        from osm_pbf_spark.operators.stats import fisher_exact
+
+        ev = load(spark, sf, "events").where(F.col("event_id") < 400)
+        m4 = F.pmod(F.col("event_id"), F.lit(4))
+        agg = ev.groupBy(F.col("event_type").alias("g")).agg(
+            F.sum((m4 == 0).cast("long")).alias("a"),
+            F.sum((m4 == 1).cast("long")).alias("b"),
+            F.sum((m4 == 2).cast("long")).alias("c"),
+            F.sum((m4 == 3).cast("long")).alias("d"),
+        )
+        return fisher_exact(agg).orderBy("g")
+
+    q["q_fisher"] = q_fisher
+
+    def q_flow_acc(spark, sf):  # D8 flow ACCUMULATION composed on the
+        # q_flow_dir grid: topological-wave subtree sizes; oracle =
+        # scalar D8 + memoized upstream-count replay
+        from osm_pbf_spark.operators.tiling import (
+            flow_accumulation,
+            flow_direction,
+        )
+
+        k = F.col("o_orderkey")
+        grid = load(spark, sf, "orders").filter(k < 1024).select(
+            (k % 32).alias("x"),
+            ((k - k % 32) / 32 % 32).cast("bigint").alias("y"),
+            ((k * 7919) % 1000).alias("z"),
+        )
+        return flow_accumulation(flow_direction(grid)).orderBy("x", "y")
+
+    q["q_flow_acc"] = q_flow_acc
+
+    def q_ams(spark, sf):  # AMS F2 sketch over document sources:
+        # exact +-1 md5-nibble signs, 16 mergeable per-sketch sums —
+        # oracle replays the identical md5 parity in SQL
+        from osm_pbf_spark.operators.sketch import ams_f2
+
+        d = load(spark, sf, "documents").where(F.col("doc_id") < 3000)
+        return ams_f2(d.select(F.col("source").alias("v")), "v", n_sketches=16)
+
+    q["q_ams"] = q_ams
+
     return q
 
 
@@ -11332,6 +11396,98 @@ def _ora_topo_layers() -> str:
         layer[v] = max((layer[a] + 1 for a in inn.get(v, [])), default=0)
     return _values_sql(
         [("node", "BIGINT"), ("layer", "BIGINT")], sorted(layer.items())
+    )
+
+
+def _ora_fisher() -> str:
+    """Identical exact-Fraction hypergeometric replay of fisher_exact
+    over the events-derived 2x2 tables (independent plumbing: pyarrow
+    read + pure-python combinatorics)."""
+    from fractions import Fraction
+    from math import comb
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"),
+        columns=["event_id", "event_type"],
+    )
+    cells: dict = {}
+    for eid, et in zip(
+        t.column("event_id").to_pylist(), t.column("event_type").to_pylist()
+    ):
+        k = int(eid)
+        if k < 400:
+            cells.setdefault(et, [0, 0, 0, 0])[k % 4] += 1
+    rows = []
+    for g in sorted(cells):
+        a, b, c, d = cells[g]
+        r1, r2, c1, n = a + b, c + d, a + c, a + b + c + d
+        if n == 0:
+            rows.append((g, a, b, c, d, None, None))
+            continue
+        obs = comb(r1, a) * comb(r2, c1 - a)
+        num = sum(
+            w
+            for k2 in range(max(0, c1 - r2), min(r1, c1) + 1)
+            if (w := comb(r1, k2) * comb(r2, c1 - k2)) <= obs
+        )
+        p = float(Fraction(num, comb(n, c1)))
+        orr = (a * d) / (b * c) if b * c != 0 else None
+        rows.append((g, a, b, c, d, p, orr))
+    return _values_sql(
+        [("g", "VARCHAR"), ("a", "BIGINT"), ("b", "BIGINT"), ("c", "BIGINT"),
+         ("d", "BIGINT"), ("p_two", "DOUBLE"), ("odds_ratio", "DOUBLE")],
+        rows,
+    )
+
+
+def _ora_flow_acc() -> str:
+    """Scalar D8 + memoized upstream-count replay of the q_flow_dir
+    grid (independent: per-cell argmax loops + recursive subtree
+    sums, no wave structure)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "orders.parquet"), columns=["o_orderkey"]
+    )
+    z: dict = {}
+    for k in t.column("o_orderkey").to_pylist():
+        k = int(k)
+        if k < 1024:
+            z[(k % 32, (k // 32) % 32)] = (k * 7919) % 1000
+    offs = [(0, 1, 0), (1, 1, -1), (2, 0, -1), (3, -1, -1),
+            (4, -1, 0), (5, -1, 1), (6, 0, 1), (7, 1, 1)]
+    down: dict = {}
+    for (x, y), zz in z.items():
+        best = None
+        for d, dx, dy in offs:
+            nb = (x + dx, y + dy)
+            if nb in z and z[nb] < zz:
+                drop = zz - z[nb]
+                if best is None or drop > best[0] or (drop == best[0] and d < best[1]):
+                    best = (drop, d, nb)
+        if best is not None:
+            down[(x, y)] = best[2]
+    ups: dict = {}
+    for u, v in down.items():
+        ups.setdefault(v, []).append(u)
+    acc: dict = {}
+
+    def go(c):
+        if c in acc:
+            return acc[c]
+        acc[c] = 1 + sum(go(u) for u in ups.get(c, []))
+        return acc[c]
+
+    import sys
+
+    sys.setrecursionlimit(100_000)
+    for c in z:
+        go(c)
+    return _values_sql(
+        [("x", "BIGINT"), ("y", "BIGINT"), ("acc", "BIGINT")],
+        sorted((x, y, a) for (x, y), a in acc.items()),
     )
 
 
@@ -16817,6 +16973,43 @@ def oracle_sql() -> dict[str, str]:
     """
     d["q_matching"] = _ora_matching()
     d["q_mis"] = _ora_mis()
+    d["q_fisher"] = _ora_fisher()
+    d["q_flow_acc"] = _ora_flow_acc()
+    # independent formulation: row_number ranks (ties resolved by the
+    # same largest-qualifying-p argument as the engine's n_le form)
+    d["q_bh_fdr"] = """
+        WITH t AS (SELECT event_type AS g,
+                          ((event_id * 37) % 1009) * 991 % 1000001 AS p
+                   FROM events WHERE event_id < 5000),
+        r AS (SELECT g, p, row_number() OVER (PARTITION BY g ORDER BY p) AS i,
+                     count(*) OVER (PARTITION BY g) AS m FROM t),
+        cut AS (SELECT g, max(m) AS m,
+                       max(CASE WHEN p * m * 100 <= i * 5 * 1000000
+                                THEN p END) AS cutoff
+                FROM r GROUP BY g)
+        SELECT c.g, CAST(c.m AS BIGINT) AS m,
+               CAST(coalesce(sum(CASE WHEN t.p <= c.cutoff THEN 1 END), 0)
+                    AS BIGINT) AS n_discoveries,
+               CAST(c.cutoff AS BIGINT) AS p_cutoff_ppm
+        FROM cut c LEFT JOIN t ON t.g = c.g
+        GROUP BY c.g, c.m, c.cutoff
+        ORDER BY c.g
+    """
+    # verbatim md5-nibble-parity replay of the AMS signs
+    d["q_ams"] = """
+        WITH v AS (SELECT source AS val FROM documents WHERE doc_id < 3000),
+        s AS (SELECT CAST(gs AS INTEGER) AS sketch
+              FROM generate_series(0, 15) AS t(gs)),
+        r AS (SELECT s.sketch,
+                     CASE WHEN substring(
+                              md5(CAST(s.sketch AS VARCHAR) || ':' || val), 1, 1)
+                          IN ('1','3','5','7','9','b','d','f')
+                          THEN 1 ELSE -1 END AS sig
+              FROM s CROSS JOIN v)
+        SELECT sketch, CAST(sum(sig) AS BIGINT) AS x,
+               CAST(sum(sig) * sum(sig) AS BIGINT) AS x2
+        FROM r GROUP BY sketch ORDER BY sketch
+    """
     d["q_scc"] = _ora_scc()
     d["q_topo_layers"] = _ora_topo_layers()
     # independent formulation: wedge SQL over the same derived edges

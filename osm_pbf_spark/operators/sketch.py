@@ -47,6 +47,7 @@ __all__ = [
     "hll_estimate",
     "frequent_items",
     "frequent_items_grouped",
+    "ams_f2",
 ]
 
 _HASH_SPACE = 1 << 40
@@ -886,3 +887,59 @@ def frequent_items_grouped(
         F.lit(None).cast("bigint").alias("n"),
     )
     return result.unionByName(guard)
+
+
+def ams_f2(
+    df: DataFrame,
+    value_col: str,
+    n_sketches: int = 16,
+) -> DataFrame:
+    """AMS second-moment (F2) sketch (r5; Alon-Matias-Szegedy 1996) —
+    the mergeable self-join-size / skew estimator the sketch family
+    lacked: F2 = sum over distinct values of count^2 predicts join
+    output sizes and flags heavy-hitter skew with O(n_sketches) ints
+    of state, mergeable by plain addition (shard sketches sum).
+
+    EXACT-INTEGER spec: sign sigma(s, v) = +1 iff the first hex nibble
+    of md5('<s>:<v>') is odd (conv(substr, 1, 1) % 2), else -1; each
+    sketch's ``x = sum(sigma)`` over ROWS is an exact int64 and
+    ``x^2`` is an unbiased F2 estimate; the returned per-sketch rows
+    are the mergeable state AND the gate surface (an engine replays
+    every bit). Row count is guarded below 2^31 so x^2 cannot
+    overflow. Use the lower-median of x^2 across sketches as the
+    robust point estimate (exact_quantiles composes).
+
+    Plan: ONE n_sketches-way Generate + one (sketch) hash aggregate —
+    map-side combinable to n_sketches rows total. Returns
+    (sketch, x, x2).
+    """
+    if n_sketches < 1:
+        raise ValueError("n_sketches must be >= 1")
+    v = F.col(value_col).cast("string")
+    rows = df.select(
+        F.explode(
+            F.array(*[F.lit(s) for s in range(int(n_sketches))])
+        ).alias("sketch"),
+        v.alias("_v"),
+    )
+    nib = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("sketch").cast("string"), F.lit(":"), F.col("_v"))),
+            1,
+            1,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sig = F.when(nib % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+    agg = rows.groupBy("sketch").agg(
+        F.sum(sig).alias("x"), F.count(F.lit(1)).alias("_n")
+    )
+    guard = F.when(F.col("_n") < F.lit(1 << 31), F.col("x")).otherwise(
+        F.raise_error(F.lit("ams_f2: row count >= 2^31 — x^2 would overflow"))
+    )
+    return agg.select(
+        F.col("sketch").cast("int").alias("sketch"),
+        guard.alias("x"),
+        (F.col("x") * F.col("x")).alias("x2"),
+    ).orderBy("sketch")

@@ -50,6 +50,8 @@ __all__ = [
     "cochran_armitage",
     "quantile_normalize",
     "youden_threshold",
+    "bh_fdr",
+    "fisher_exact",
 ]
 
 
@@ -3037,3 +3039,178 @@ def youden_threshold(
             / (m["_P"] * m["_N"]).cast("double")
         ).alias("j"),
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str = "p_ppm",
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control (r5) — the multiple-testing
+    gatekeeper every per-feature drift/AB scan needs above its
+    chi2/KS/MWU p-values: of m tests, find the largest i with
+    ``p_(i) <= (i/m) * alpha`` and reject everything at or below that
+    cutoff, bounding the expected false-discovery rate at alpha.
+
+    EXACT-INTEGER spec: p-values are ppm ints (0..10^6, WHERE-guarded);
+    alpha is the rational alpha_num/alpha_den; the step-up condition is
+    the cross-multiplication ``p * m * alpha_den <= i * alpha_num *
+    10^6`` — no float ever enters, so the cutoff is engine-replayable
+    bit for bit. With ties, the largest rank of a tie group decides
+    (equivalent to the textbook rule: i can always be chosen at the
+    end of a tie run).
+
+    Plan: one distinct-p count aggregate, then cumulative n_le(p) as a
+    PARTITIONED prefix — per group when ``group_cols`` is given, else
+    the youden two-pass fixed-range bucket discipline (p lives in
+    [0, 10^6], so 1024 fixed buckets need no min/max pass) — never a
+    single-partition global window. One max-struct argmax finds the
+    cutoff.
+
+    Returns one row (per group): ``(group..., m, n_discoveries,
+    p_cutoff_ppm)`` — n_discoveries = 0 and NULL cutoff when nothing
+    clears.
+    """
+    if alpha_num < 0 or alpha_den <= 0:
+        raise ValueError("alpha must be a nonnegative rational with alpha_den > 0")
+    gcols = list(group_cols or [])
+    p = F.col(p_col).cast("bigint")
+    guarded = df.where(
+        F.when((p >= 0) & (p <= 1_000_000), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"bh_fdr: {p_col} must be ppm in [0, 1e6], got "),
+                    p.cast("string"),
+                )
+            )
+        )
+    ).select(*gcols, p.alias("_p"))
+    per = guarded.groupBy(*gcols, "_p").agg(F.count(F.lit(1)).alias("_c"))
+    m_tot = guarded.groupBy(*gcols).agg(F.count(F.lit(1)).alias("_m"))
+    if gcols:
+        w = (
+            Window.partitionBy(*gcols)
+            .orderBy("_p")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = per.select(*gcols, "_p", F.sum("_c").over(w).alias("_nle"))
+        joined = cum.join(m_tot, gcols)
+    else:
+        per = per.withColumn("_b", F.expr("_p div 1024"))  # 1024-wide fixed buckets
+        totals = {
+            int(b): int(c or 0)
+            for b, c in per.groupBy("_b").agg(F.sum("_c")).collect()
+        }
+        base: dict[int, int] = {}
+        acc = 0
+        for b in sorted(totals):
+            base[b] = acc
+            acc += totals[b]
+        if not base:
+            base = {0: 0}
+        base_expr = F.element_at(
+            F.create_map(*[F.lit(v) for kv in base.items() for v in kv]),
+            F.col("_b"),
+        )
+        w = (
+            Window.partitionBy("_b")
+            .orderBy("_p")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = per.select(
+            "_p", (base_expr + F.sum("_c").over(w)).alias("_nle")
+        )
+        joined = cum.crossJoin(F.broadcast(m_tot))
+    ok = (
+        F.col("_p") * F.col("_m") * F.lit(int(alpha_den))
+        <= F.col("_nle") * F.lit(int(alpha_num)) * F.lit(1_000_000)
+    )
+    best = joined.groupBy(*gcols).agg(
+        F.max(F.col("_m")).alias("m"),
+        F.max(
+            F.when(ok, F.struct(F.col("_p").alias("_p"), F.col("_nle").alias("_n")))
+        ).alias("_best"),
+    )
+    return best.select(
+        *gcols,
+        "m",
+        F.coalesce(F.col("_best._n"), F.lit(0)).alias("n_discoveries"),
+        F.col("_best._p").alias("p_cutoff_ppm"),
+    )
+
+
+def fisher_exact(
+    agg: DataFrame,
+    max_n: int = 2000,
+) -> DataFrame:
+    """Fisher EXACT test over pre-aggregated 2x2 tables (r5) — the
+    small-count sibling of prop_test/chi2 (those are asymptotic; a
+    3-vs-0 conversion table needs the exact hypergeometric). Input
+    rows carry ``(a, b, c, d)`` — successes/failures for the two arms
+    (the prop_test_counts posture: aggregate counts however the
+    experiment is sharded, then run the exact chain per row).
+
+    EXACT spec: conditioning on the margins, P(table) is
+    hypergeometric; the two-sided p sums P over every table whose
+    UNNORMALIZED weight C(r1, k)*C(r2, c1-k) is <= the observed one
+    (integer comparison — no pmf floats), all in unbounded-int
+    ``fractions.Fraction``; the ONLY float is the final
+    numerator/denominator division, correctly rounded once — so Spark
+    and any scalar replay agree bit for bit. ``n = a+b+c+d`` is
+    bounded by ``max_n`` (binomials grow combinatorially; past that
+    the asymptotic tests are the right tool) and raises loudly.
+
+    Returns input columns + ``p_two:double`` (NULL for an all-zero
+    table) + ``odds_ratio:double`` (NULL when b*c == 0). Plan: one
+    Arrow-batched mapInPandas over the (already tiny) aggregated
+    table rows — map-only.
+    """
+    import pandas as pd
+
+    in_cols = agg.columns
+    for c in ("a", "b", "c", "d"):
+        if c not in in_cols:
+            raise ValueError(f"fisher_exact input needs column {c!r}")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in agg.schema.fields
+    ) + ", p_two double, odds_ratio double"
+
+    def kernel(it):
+        from fractions import Fraction
+        from math import comb
+
+        for pdf in it:
+            ps, ors = [], []
+            for a, b, c, d in zip(pdf["a"], pdf["b"], pdf["c"], pdf["d"]):
+                a, b, c, d = int(a), int(b), int(c), int(d)
+                if min(a, b, c, d) < 0:
+                    raise ValueError("fisher_exact: negative cell count")
+                n = a + b + c + d
+                if n > max_n:
+                    raise ValueError(
+                        f"fisher_exact: n={n} exceeds max_n={max_n}; use the "
+                        "asymptotic prop_test/chi2 at this scale"
+                    )
+                r1, r2, c1 = a + b, c + d, a + c
+                if n == 0:
+                    ps.append(None)  # empty table: no test, NULL out
+                    ors.append(None)
+                    continue
+                obs = comb(r1, a) * comb(r2, c1 - a)
+                num = 0
+                for k in range(max(0, c1 - r2), min(r1, c1) + 1):
+                    w = comb(r1, k) * comb(r2, c1 - k)
+                    if w <= obs:
+                        num += w
+                ps.append(float(Fraction(num, comb(n, c1))))
+                ors.append((a * d) / (b * c) if b * c != 0 else None)
+            # nullable Float64: empty-table p and zero-cell OR are
+            # NULL (not NaN) through Arrow
+            yield pdf.assign(
+                p_two=pd.array(ps, dtype="Float64"),
+                odds_ratio=pd.array(ors, dtype="Float64"),
+            )
+
+    return agg.mapInPandas(kernel, out_schema)

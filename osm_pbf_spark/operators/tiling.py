@@ -1256,3 +1256,112 @@ def focal_majority(
             (-F.col("_m._nc")).cast("bigint").alias("n_maj"),
         )
     )
+
+
+def flow_accumulation(
+    fd: DataFrame,
+    max_rounds: int = 500,
+) -> DataFrame:
+    """D8 flow ACCUMULATION (r5) — the second hydrology stage over
+    :func:`flow_direction`'s output (flow_dir) and beside the basin
+    labeling: for every cell, how many cells drain THROUGH it
+    (contributing count, self included) — the river-extraction /
+    drainage-area primitive.
+
+    Input: (x, y, flow_dir) rows (dir = -1 for pits/edges). The D8
+    out-edges form a forest (strict positive drops cannot cycle), so
+    accumulation is the subtree-size aggregation computed in
+    TOPOLOGICAL WAVES: a cell resolves once every upstream neighbor
+    has resolved; acc = 1 + sum(upstream accs). Rounds = longest
+    drainage path; ``max_rounds`` raises loudly (a cycle would mean
+    corrupted flow_dir input — impossible from flow_direction). At
+    continental-DEM scale the wave count follows the longest river
+    (thousands); the round body is two narrow shuffles over the
+    SHRINKING unresolved set, and a pointer-doubling variant (the
+    terminal_labels discipline) trades O(path) rounds for O(log path)
+    at ~2x traffic — documented upgrade path.
+
+    Returns (x, y, acc:bigint).
+    """
+    offs = {d: (dx, dy) for d, dx, dy in _D8_OFFS}
+    c = fd.select(
+        F.col("x").cast("bigint").alias("x"),
+        F.col("y").cast("bigint").alias("y"),
+        F.col("flow_dir").cast("int").alias("_d"),
+    ).localCheckpoint(eager=True)
+    dx_map = F.element_at(
+        F.create_map(*[F.lit(v) for d, (dx, _) in offs.items() for v in (d, dx)]),
+        F.col("_d"),
+    )
+    dy_map = F.element_at(
+        F.create_map(*[F.lit(v) for d, (_, dy) in offs.items() for v in (d, dy)]),
+        F.col("_d"),
+    )
+    # edge u -> v (downstream); only to OCCUPIED targets (flow_direction
+    # already guarantees that, but an inner join keeps it an invariant)
+    e = (
+        c.where(F.col("_d") >= 0)
+        .select(
+            F.col("x").alias("ux"),
+            F.col("y").alias("uy"),
+            (F.col("x") + dx_map).alias("x"),
+            (F.col("y") + dy_map).alias("y"),
+        )
+        .join(c.select("x", "y"), ["x", "y"], "inner")
+        .select("ux", "uy", F.col("x").alias("vx"), F.col("y").alias("vy"))
+        .localCheckpoint(eager=True)
+    )
+    n_up = e.groupBy(F.col("vx").alias("x"), F.col("vy").alias("y")).agg(
+        F.count(F.lit(1)).alias("_nup")
+    )
+    pending = c.select("x", "y").join(n_up, ["x", "y"], "left").select(
+        "x", "y", F.coalesce("_nup", F.lit(0)).alias("_nup")
+    ).localCheckpoint(eager=True)
+    resolved_parts = []
+    # frontier: cells whose every upstream neighbor is resolved
+    frontier = pending.where(F.col("_nup") == 0).select(
+        "x", "y", F.lit(1).cast("bigint").alias("acc")
+    ).localCheckpoint(eager=True)
+    pending = pending.where(F.col("_nup") > 0).localCheckpoint(eager=True)
+    acc_known = frontier
+    for _ in range(max_rounds):
+        resolved_parts.append(frontier)
+        if pending.isEmpty():
+            pending = None
+            break
+        # push the frontier's acc downstream; a pending cell resolves
+        # when ALL its upstream contributions have arrived
+        contrib = (
+            e.join(
+                acc_known.select(
+                    F.col("x").alias("ux"), F.col("y").alias("uy"), "acc"
+                ),
+                ["ux", "uy"],
+            )
+            .groupBy(F.col("vx").alias("x"), F.col("vy").alias("y"))
+            .agg(F.sum("acc").alias("_s"), F.count(F.lit(1)).alias("_k"))
+        )
+        nxt = (
+            pending.join(contrib, ["x", "y"])
+            .where(F.col("_k") == F.col("_nup"))
+            .select("x", "y", (F.lit(1) + F.col("_s")).alias("acc"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            raise ValueError(
+                "flow_accumulation: no progress — cyclic flow_dir input"
+            )
+        pending = pending.join(
+            nxt.select("x", "y"), ["x", "y"], "left_anti"
+        ).localCheckpoint(eager=True)
+        acc_known = acc_known.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if pending is not None and not pending.isEmpty():
+        raise ValueError(
+            f"flow_accumulation did not converge in {max_rounds} rounds; "
+            "raise max_rounds for longer drainage paths"
+        )
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.unionAll(p)
+    return out
