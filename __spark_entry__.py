@@ -7099,6 +7099,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_ams"] = q_ams
 
+    def q_bearing(spark, sf):  # initial great-circle bearing between
+        # consecutive customer points, integer millidegrees; oracle =
+        # identical atan2 chain in SQL
+        from osm_pbf_spark.operators.measures import initial_bearing_mdeg
+
+        pts = customer_points(spark, sf).where(F.col("doc_id") < 3000)
+        a = pts.select(
+            F.col("doc_id"), F.col("lat").alias("la1"), F.col("lon").alias("lo1")
+        )
+        b = pts.select(
+            (F.col("doc_id") - 1).alias("doc_id"),
+            F.col("lat").alias("la2"),
+            F.col("lon").alias("lo2"),
+        )
+        j = a.join(b, "doc_id")
+        return j.select(
+            "doc_id",
+            initial_bearing_mdeg(
+                F.col("la1"), F.col("lo1"), F.col("la2"), F.col("lo2")
+            ).alias("bearing_mdeg"),
+        ).orderBy("doc_id")
+
+    q["q_bearing"] = q_bearing
+
+    def q_destination(spark, sf):  # spherical dead-reckoning: project
+        # each point along a derived bearing/distance; 1e-7-degree int
+        # outputs; oracle = identical Williams chain in SQL
+        from osm_pbf_spark.operators.measures import destination_point
+
+        pts = customer_points(spark, sf).where(F.col("doc_id") < 3000)
+        d = pts.select(
+            "doc_id",
+            destination_point(
+                F.col("lat"),
+                F.col("lon"),
+                F.pmod(F.col("doc_id") * 37, F.lit(360)).cast("double"),
+                (F.pmod(F.col("doc_id"), F.lit(5000)) * 100).cast("double"),
+            ).alias("_d"),
+        )
+        return d.select(
+            "doc_id", F.col("_d.lat_e7").alias("lat_e7"),
+            F.col("_d.lon_e7").alias("lon_e7"),
+        ).orderBy("doc_id")
+
+    q["q_destination"] = q_destination
+
+    def q_centroid(spark, sf):  # exact-int shoelace centroid WITH
+        # holes, composed on the distributed ring stitcher over the
+        # 150-relation fixture; oracle = scalar chain + int shoelace
+        from osm_pbf_spark.operators.measures import ring_centroid
+        from osm_pbf_spark.sources import pbf_source as src
+
+        entities, _hdr = src.read_pbf(spark, _fixture_pbf("rel_many"))
+        rings = src.relation_rings(
+            src.relations(entities), src.ways(entities), src.nodes(entities)
+        )
+        # 1e-5-degree scale: the fixture's 0.8-degree rings exceed the
+        # default scale's cubic int64 budget (the loud guard), and
+        # ~1.1 m quantization is far below the centroid tolerance
+        return ring_centroid(rings, scale=100_000).orderBy("poly_id")
+
+    q["q_centroid"] = q_centroid
+
+    def q_scrub(spark, sf):  # text scrub: control strip + whitespace
+        # collapse + trim (+ lowercase variant) over doctored docs
+        from osm_pbf_spark.operators.text import scrub_text
+
+        d = load(spark, sf, "documents").where(F.col("doc_id") < 500)
+        t2 = F.concat(
+            F.lit("\t"), F.col("text"), F.lit("\x07"), F.lit("  x ")
+        )
+        return d.select(
+            "doc_id",
+            scrub_text(t2).alias("scrubbed"),
+            scrub_text(t2, lowercase=True).alias("scrubbed_lower"),
+        ).orderBy("doc_id")
+
+    q["q_scrub"] = q_scrub
+
+    def q_flesch(spark, sf):  # Flesch reading ease: exact integer
+        # word/sentence/vowel-group counts, rational score
+        from osm_pbf_spark.operators.text import flesch_score
+
+        d = load(spark, sf, "documents").where(F.col("doc_id") < 2000)
+        return flesch_score(d).orderBy("doc_id")
+
+    q["q_flesch"] = q_flesch
+
     return q
 
 
@@ -11396,6 +11484,121 @@ def _ora_topo_layers() -> str:
         layer[v] = max((layer[a] + 1 for a in inn.get(v, [])), default=0)
     return _values_sql(
         [("node", "BIGINT"), ("layer", "BIGINT")], sorted(layer.items())
+    )
+
+
+def _ora_centroid() -> str:
+    """Scalar replay of ring_centroid over the rel_many fixture: the
+    _ora_rel_pip independent chainer + hole assignment, then the
+    quantized int shoelace with the identical translation/sign/
+    division chain (HALF_UP decimal rounding = Spark's round)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from tests import oracle_geo
+
+    d = _fixture_decoded("rel_many")
+    coords = {n["id"]: (n["lat"], n["lon"]) for n in d["nodes"]}
+    way_by_id = {w["id"]: w for w in d["ways"]}
+
+    def chain(way_ids):
+        segs = []
+        for wid in way_ids:
+            w = way_by_id.get(wid)
+            if w is None or any(r not in coords for r in w["refs"]):
+                continue
+            segs.append(list(w["refs"]))
+        rings = []
+        closed = [s for s in segs if s[0] == s[-1] and len(s) >= 4]
+        opens = [s for s in segs if s[0] != s[-1]]
+        rings.extend(s[:-1] for s in closed)
+        while opens:
+            cur = opens.pop(0)
+            changed = True
+            while cur[0] != cur[-1] and changed:
+                changed = False
+                for i, s in enumerate(opens):
+                    if s[0] == cur[-1]:
+                        cur, changed = cur + s[1:], True
+                    elif s[-1] == cur[-1]:
+                        cur, changed = cur + s[-2::-1], True
+                    else:
+                        continue
+                    opens.pop(i)
+                    break
+            if cur[0] == cur[-1] and len(cur) >= 4:
+                rings.append(cur[:-1])
+        return [[coords[r] for r in ring] for ring in rings]
+
+    SCALE = 100_000  # matches the gate's explicit scale
+
+    def shoelace(ring):
+        import math
+
+        qx = [int(math.floor(lo * SCALE + 0.5)) for _, lo in ring]
+        qy = [int(math.floor(la * SCALE + 0.5)) for la, _ in ring]
+        bx, by = qx[0], qy[0]
+        x = [v - bx for v in qx]
+        y = [v - by for v in qy]
+        n = len(ring)
+        a2 = cx6 = cy6 = 0
+        for i in range(n):
+            j = (i + 1) % n
+            cr = x[i] * y[j] - x[j] * y[i]
+            a2 += cr
+            cx6 += (x[i] + x[j]) * cr
+            cy6 += (y[i] + y[j]) * cr
+        return a2, cx6, cy6, bx, by
+
+    def round9(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+    rows = []
+    for rel in d["relations"]:
+        if rel["tags"].get("type") != "multipolygon":
+            continue
+        outer_ids = [m["ref"] for m in rel["members"]
+                     if m["type"] == "way" and m["role"] == "outer"]
+        inner_ids = [m["ref"] for m in rel["members"]
+                     if m["type"] == "way" and m["role"] == "inner"]
+        outers = chain(outer_ids)
+        inners = chain(inner_ids)
+        if not outers:
+            continue
+        for i, outer in enumerate(outers):
+            holes = [h for h in inners
+                     if oracle_geo.point_in_ring(h[0][0], h[0][1], outer)]
+            pid = (f"relation/{rel['id']}" if len(outers) == 1
+                   else f"relation/{rel['id']}/{i}")
+            w2 = wx6 = wy6 = sdx = sdy = 0
+            bx0 = by0 = None
+            for ridx, ring in enumerate([outer] + holes):
+                if len(ring) < 3:
+                    continue
+                a2, cx6, cy6, bx, by = shoelace(ring)
+                if bx0 is None:
+                    bx0, by0 = bx, by
+                sgn = -1 if a2 < 0 else 1
+                role = 1 if ridx == 0 else -1
+                w2 += role * sgn * a2
+                wx6 += role * sgn * cx6
+                wy6 += role * sgn * cy6
+                sdx += role * sgn * a2 * (bx - bx0)
+                sdy += role * sgn * a2 * (by - by0)
+            if w2 == 0:
+                continue
+            c_lon = (
+                float(bx0) + float(sdx) / float(w2)
+                + float(wx6) / (3.0 * float(w2))
+            ) / float(SCALE)
+            c_lat = (
+                float(by0) + float(sdy) / float(w2)
+                + float(wy6) / (3.0 * float(w2))
+            ) / float(SCALE)
+            rows.append((pid, w2, round9(c_lat), round9(c_lon)))
+    return _values_sql(
+        [("poly_id", "VARCHAR"), ("area2_q", "BIGINT"),
+         ("c_lat", "DOUBLE"), ("c_lon", "DOUBLE")],
+        sorted(rows),
     )
 
 
@@ -16974,6 +17177,91 @@ def oracle_sql() -> dict[str, str]:
     d["q_matching"] = _ora_matching()
     d["q_mis"] = _ora_mis()
     d["q_fisher"] = _ora_fisher()
+    d["q_centroid"] = _ora_centroid()
+    # identical-chain trig replays (the cross_track discipline):
+    # multiply by the reciprocal literal, never divide by DEG2RAD
+    d["q_bearing"] = f"""
+        WITH pts AS ({SQL_POINTS}),
+        a AS (SELECT doc_id, lat AS la1, lon AS lo1 FROM pts
+              WHERE doc_id < 3000),
+        b AS (SELECT doc_id - 1 AS doc_id, lat AS la2, lon AS lo2 FROM pts
+              WHERE doc_id < 3000),
+        j AS (SELECT a.doc_id, la1, lo1, la2, lo2 FROM a JOIN b USING (doc_id)),
+        c AS (SELECT doc_id,
+               atan2(sin((lo2 - lo1) * 0.017453292519943295)
+                       * cos(la2 * 0.017453292519943295),
+                     cos(la1 * 0.017453292519943295)
+                       * sin(la2 * 0.017453292519943295)
+                     - sin(la1 * 0.017453292519943295)
+                       * cos(la2 * 0.017453292519943295)
+                       * cos((lo2 - lo1) * 0.017453292519943295))
+               * 57.29577951308232 AS deg
+              FROM j)
+        SELECT doc_id,
+               ((CAST(round(deg * 1000.0) AS BIGINT) % 360000) + 360000)
+                   % 360000 AS bearing_mdeg
+        FROM c ORDER BY doc_id
+    """
+    d["q_destination"] = f"""
+        WITH pts AS ({SQL_POINTS}),
+        p AS (SELECT doc_id, lat, lon,
+                     CAST((doc_id * 37) % 360 AS DOUBLE) AS bdeg,
+                     CAST((doc_id % 5000) * 100 AS DOUBLE) AS dist
+              FROM pts WHERE doc_id < 3000),
+        t AS (SELECT doc_id, lon,
+                     lat * 0.017453292519943295 AS la,
+                     bdeg * 0.017453292519943295 AS th,
+                     dist / 6371008.8 AS dl
+              FROM p),
+        u AS (SELECT doc_id, lon, la, th, dl,
+                     least(greatest(sin(la) * cos(dl)
+                           + cos(la) * sin(dl) * cos(th), -1.0), 1.0) AS s2
+              FROM t),
+        v AS (SELECT doc_id,
+                     asin(s2) * 57.29577951308232 AS lat_deg,
+                     (lon * 0.017453292519943295
+                      + atan2(sin(th) * sin(dl) * cos(la),
+                              cos(dl) - sin(la) * s2))
+                       * 57.29577951308232 AS lon_raw
+              FROM u)
+        SELECT doc_id,
+               CAST(round(lat_deg * 10000000.0) AS BIGINT) AS lat_e7,
+               CAST(round((fmod(fmod(lon_raw + 180.0, 360.0) + 360.0, 360.0)
+                           - 180.0) * 10000000.0) AS BIGINT) AS lon_e7
+        FROM v ORDER BY doc_id
+    """
+    d["q_scrub"] = """
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(
+                   chr(9) || text || chr(7) || '  x ',
+                   '[\\x00-\\x08\\x0e-\\x1f\\x7f-\\x9f]', '', 'g'),
+                   '\\s+', ' ', 'g')) AS scrubbed,
+               lower(trim(regexp_replace(regexp_replace(
+                   chr(9) || text || chr(7) || '  x ',
+                   '[\\x00-\\x08\\x0e-\\x1f\\x7f-\\x9f]', '', 'g'),
+                   '\\s+', ' ', 'g'))) AS scrubbed_lower
+        FROM documents WHERE doc_id < 500 ORDER BY doc_id
+    """
+    d["q_flesch"] = """
+        WITH d AS (SELECT doc_id, text AS t FROM documents
+                   WHERE doc_id < 2000),
+        c AS (SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(t, '\\s+'),
+                                 x -> x <> '')) AS w,
+                 greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS s,
+                 len(regexp_extract_all(t, '[aeiouyAEIOUY]+')) AS sy0
+              FROM d)
+        SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+               CAST(s AS BIGINT) AS n_sentences,
+               CAST(greatest(sy0, w) AS BIGINT) AS n_syllables,
+               CASE WHEN w > 0 THEN
+                 round(206.835
+                       - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                       - 84.6 * (CAST(greatest(sy0, w) AS DOUBLE)
+                                 / CAST(w AS DOUBLE)), 6)
+               END AS flesch
+        FROM c ORDER BY doc_id
+    """
     d["q_flow_acc"] = _ora_flow_acc()
     # independent formulation: row_number ranks (ties resolved by the
     # same largest-qualifying-p argument as the engine's n_le form)

@@ -430,3 +430,223 @@ def along_track_mm(
     ) * F.lit(EARTH_RADIUS_M)
     signed = F.when(F.cos(dbrg) < 0, -atd).otherwise(atd)
     return F.round(signed * F.lit(1000.0)).cast("long")
+
+
+def initial_bearing_mdeg(lat1, lon1, lat2, lon2) -> "F.Column":
+    """Initial great-circle BEARING (r5) from point 1 to point 2, in
+    integer MILLIDEGREES clockwise from true north in [0, 360000) —
+    the navigation third of the geodesy family (cross_track = offset,
+    along_track = progress, bearing = heading). Standard atan2 chain
+    (Williams); per the module contract the result is rounded to an
+    integer unit where ~1-ulp cross-engine trig drift cannot flip the
+    value (the len_mm absorption argument).
+
+    Pure codegen expression — compose into any select/filter.
+    """
+    dlon = (lon2 - lon1) * F.lit(DEG2RAD)
+    y = F.sin(dlon) * F.cos(lat2 * F.lit(DEG2RAD))
+    x = F.cos(lat1 * F.lit(DEG2RAD)) * F.sin(lat2 * F.lit(DEG2RAD)) - F.sin(
+        lat1 * F.lit(DEG2RAD)
+    ) * F.cos(lat2 * F.lit(DEG2RAD)) * F.cos(dlon)
+    deg = F.atan2(y, x) * F.lit(1.0 / DEG2RAD)
+    return F.pmod(F.round(deg * F.lit(1000.0)).cast("long"), F.lit(360_000))
+
+
+def destination_point(lat, lon, bearing_deg, dist_m) -> "F.Column":
+    """Spherical DESTINATION point (r5): start at (lat, lon), travel
+    ``dist_m`` meters on initial bearing ``bearing_deg`` — the
+    direct-geodesy inverse of initial_bearing (waypoint projection,
+    corridor construction, radar plot dead reckoning). Williams'
+    formulary on the sphere (EARTH_RADIUS_M):
+
+        lat2 = asin(sin lat cos δ + cos lat sin δ cos θ)
+        lon2 = lon + atan2(sin θ sin δ cos lat, cos δ − sin lat sin lat2)
+
+    Returns a struct (lat_e7, lon_e7): integer 1e-7-degree units
+    (~11 mm — below that, cross-engine trig drift is absorbed by the
+    rounding, the module contract); lon normalized to [-180, 180).
+
+    Pure codegen expression — compose into any select/filter.
+    """
+    la = lat * F.lit(DEG2RAD)
+    th = bearing_deg * F.lit(DEG2RAD)
+    dl = dist_m / F.lit(EARTH_RADIUS_M)
+    sin_la2 = F.sin(la) * F.cos(dl) + F.cos(la) * F.sin(dl) * F.cos(th)
+    sin_la2 = F.least(F.greatest(sin_la2, F.lit(-1.0)), F.lit(1.0))
+    la2 = F.asin(sin_la2)
+    lo2 = lon * F.lit(DEG2RAD) + F.atan2(
+        F.sin(th) * F.sin(dl) * F.cos(la),
+        F.cos(dl) - F.sin(la) * sin_la2,
+    )
+    lat_deg = la2 * F.lit(1.0 / DEG2RAD)
+    lon_deg = F.pmod(lo2 * F.lit(1.0 / DEG2RAD) + F.lit(180.0), F.lit(360.0)) - F.lit(
+        180.0
+    )
+    return F.struct(
+        F.round(lat_deg * F.lit(1e7)).cast("long").alias("lat_e7"),
+        F.round(lon_deg * F.lit(1e7)).cast("long").alias("lon_e7"),
+    )
+
+
+def ring_centroid(
+    rings_df: DataFrame,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact-integer polygon CENTROID with holes (r5) over the
+    RINGS_SCHEMA shape (poly_id, ring_idx, pts; ring 0 outer, rest
+    holes) — the label-placement / representative-point primitive the
+    measures family lacked (area and perimeter exist; "where do I put
+    the name" did not).
+
+    EXACT spec: coords quantize to 1/``scale`` degrees (floor(x*scale
+    + 0.5), int64) and TRANSLATE to the ring's OWN first vertex
+    (shoelace terms are translation-invariant — keeps the cubic cross
+    products small); per ring the planar shoelace gives (2A, 6A·Cx,
+    6A·Cy) in exact int64; holes subtract via |2A| sign flips (ring
+    orientation is irrelevant — magnitudes are used, ring_idx decides
+    the sign). Ring bases re-enter RELATIVE to the polygon's ring-0
+    base (a window first_value on the same key as the final agg —
+    no extra Exchange): the area-weighted base-delta products stay
+    within int64 because deltas are polygon-local, and the one global
+    coordinate (the ring-0 base) is re-added OUTSIDE the weighted
+    sums. The ONLY floats are the final divisions.
+    The (x+x')*cross fold is CUBIC in the ring's local span, so a
+    loud guard raises when span^2*max_span*n could overflow int64 —
+    at the default 1e-6-degree scale that admits rings up to ~0.2
+    degrees across at 1000 vertices (buildings, parks, districts);
+    pass a coarser ``scale`` for continent-size rings (the
+    quantization error is 1/scale degrees).
+
+    Plan: per-ring shoelace as THREE array folds (transform +
+    aggregate over the vertex index — pure codegen, no explode), one
+    (poly_id) hash agg. Returns (poly_id, area2_q, c_lat, c_lon)
+    where area2_q = sum of signed 2A (quantized units²).
+    """
+    s = int(scale)
+    n = F.size("pts")
+    qx = F.transform(
+        F.col("pts"),
+        lambda p: F.floor(p["lon"] * F.lit(float(s)) + F.lit(0.5)).cast("long"),
+    )
+    qy = F.transform(
+        F.col("pts"),
+        lambda p: F.floor(p["lat"] * F.lit(float(s)) + F.lit(0.5)).cast("long"),
+    )
+    r = rings_df.where(n >= 3).select(
+        "poly_id",
+        "ring_idx",
+        n.alias("_n"),
+        qx.alias("_qx"),
+        qy.alias("_qy"),
+        F.element_at(qx, 1).alias("_bx"),
+        F.element_at(qy, 1).alias("_by"),
+    )
+    # translated coords + wraparound successor index
+    idx = F.sequence(F.lit(1), F.col("_n"))
+    nxt = lambda i: F.when(i == F.col("_n"), F.lit(1)).otherwise(i + 1)  # noqa: E731
+    x_i = lambda i: F.element_at("_qx", i) - F.col("_bx")  # noqa: E731
+    y_i = lambda i: F.element_at("_qy", i) - F.col("_by")  # noqa: E731
+    cross = F.transform(
+        idx,
+        lambda i: x_i(i) * y_i(nxt(i)) - x_i(nxt(i)) * y_i(i),
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    sx = (F.array_max("_qx") - F.array_min("_qx")).cast("double")
+    sy = (F.array_max("_qy") - F.array_min("_qy")).cast("double")
+    # guard computed in double: it only needs magnitude, and the int64
+    # product would itself wrap on the inputs it is guarding against
+    span_guard = sx * sy * F.greatest(sx, sy) * F.col("_n").cast("double")
+    r = r.where(
+        F.when(span_guard < F.lit(float(1 << 61)), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("ring_centroid: span^3*n overflow risk for "),
+                    F.col("poly_id"),
+                    F.lit(" — use a coarser scale"),
+                )
+            )
+        )
+    )
+    a2 = fold(cross).alias("_a2")  # signed 2A in local coords
+    cx6 = fold(
+        F.transform(
+            idx,
+            lambda i: (x_i(i) + x_i(nxt(i)))
+            * (x_i(i) * y_i(nxt(i)) - x_i(nxt(i)) * y_i(i)),
+        )
+    ).alias("_cx6")
+    cy6 = fold(
+        F.transform(
+            idx,
+            lambda i: (y_i(i) + y_i(nxt(i)))
+            * (x_i(i) * y_i(nxt(i)) - x_i(nxt(i)) * y_i(i)),
+        )
+    ).alias("_cy6")
+    per_ring = r.select("poly_id", "ring_idx", "_bx", "_by", a2, cx6, cy6)
+    # ring bases relative to the polygon's ring-0 base (same shuffle
+    # key as the final agg — the window Exchange is reused)
+    wp = Window.partitionBy("poly_id").orderBy("ring_idx")
+    per_ring = (
+        per_ring.withColumn("_bx0", F.first("_bx").over(wp))
+        .withColumn("_by0", F.first("_by").over(wp))
+        .withColumn("_dx", F.col("_bx") - F.col("_bx0"))
+        .withColumn("_dy", F.col("_by") - F.col("_by0"))
+    )
+    base_guard = F.abs(F.col("_a2").cast("double")) * F.greatest(
+        F.abs(F.col("_dx").cast("double")), F.abs(F.col("_dy").cast("double"))
+    )
+    per_ring = per_ring.where(
+        F.when(base_guard < F.lit(float(1 << 60)), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("ring_centroid: area*base-delta overflow risk for "),
+                    F.col("poly_id"),
+                    F.lit(" — use a coarser scale"),
+                )
+            )
+        )
+    )
+    # orient every ring's magnitude positive, sign by outer/hole role;
+    # 6A·C flips with A, so normalize both by the ring's own sign
+    sgn = F.when(F.col("_a2") < 0, F.lit(-1)).otherwise(F.lit(1))
+    role = F.when(F.col("ring_idx") == 0, F.lit(1)).otherwise(F.lit(-1))
+    canon = per_ring.select(
+        "poly_id",
+        "_bx0",
+        "_by0",
+        (role * sgn * F.col("_a2")).alias("_w2"),
+        (role * sgn * F.col("_cx6")).alias("_wx6"),
+        (role * sgn * F.col("_cy6")).alias("_wy6"),
+        (role * sgn * F.col("_a2") * F.col("_dx")).alias("_dx2"),
+        (role * sgn * F.col("_a2") * F.col("_dy")).alias("_dy2"),
+    )
+    agg = canon.groupBy("poly_id").agg(
+        F.sum("_w2").alias("area2_q"),
+        F.sum("_wx6").alias("_sx6"),
+        F.sum("_wy6").alias("_sy6"),
+        F.sum("_dx2").alias("_sdx"),
+        F.sum("_dy2").alias("_sdy"),
+        F.min("_bx0").alias("_bx0"),
+        F.min("_by0").alias("_by0"),
+    )
+    # C = (b0 + Σ2A·δ/Σ2A + Σ6A·C_local/(3·Σ2A)) / scale — additions
+    # left-to-right, replayed verbatim by the oracle
+    den = F.col("area2_q").cast("double")
+    c_lon = (
+        F.col("_bx0").cast("double")
+        + F.col("_sdx").cast("double") / den
+        + F.col("_sx6").cast("double") / (F.lit(3.0) * den)
+    ) / F.lit(float(s))
+    c_lat = (
+        F.col("_by0").cast("double")
+        + F.col("_sdy").cast("double") / den
+        + F.col("_sy6").cast("double") / (F.lit(3.0) * den)
+    ) / F.lit(float(s))
+    return agg.where(F.col("area2_q") != 0).select(
+        "poly_id",
+        "area2_q",
+        F.round(c_lat, 9).alias("c_lat"),
+        F.round(c_lon, 9).alias("c_lon"),
+    )

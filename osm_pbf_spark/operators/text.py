@@ -1670,3 +1670,66 @@ def winnow_fingerprints(
                 )
 
     return df.select(doc_col, text_col).mapInPandas(kernel, out_schema)
+
+
+def scrub_text(col: "F.Column", lowercase: bool = False) -> "F.Column":
+    """Deterministic text SCRUB (r5) — the first normalization pass of
+    every training-data pipeline, applied before token counting /
+    dedup signatures so byte-level junk cannot fracture them: strip
+    C0/C1 control characters (including DEL but NOT the \\t\\n\\v\\f\\r
+    whitespace controls — those collapse, not vanish), collapse every
+    whitespace run to ONE space, trim the ends, optionally lowercase.
+    Pure codegen regexp chain — identical regex semantics in any
+    RE2/ICU-class engine (the oracle replays it verbatim with the 'g'
+    flag).
+
+    Compose into any select; pairs with token_count/quality upstream.
+    """
+    out = F.regexp_replace(col, "[\\x00-\\x08\\x0e-\\x1f\\x7f-\\x9f]", "")
+    out = F.regexp_replace(out, "\\s+", " ")
+    out = F.trim(out)
+    if lowercase:
+        out = F.lower(out)
+    return out
+
+
+def flesch_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease QUALITY SCORE (r5) — the classic
+    readability signal beside the length/punct/stopword quality
+    family: 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    words), with the standard deterministic approximations —
+    sentences = [.!?]+ runs (min 1), words = whitespace tokens,
+    syllables = [aeiouyAEIOUY]+ vowel-group runs (min 1 per word,
+    enforced in aggregate as max(syl, words)).
+
+    EXACT counting: all three counts are integer regexp counts; the
+    score is pure rational arithmetic over them (no transcendentals),
+    so both engines produce bit-identical doubles. Docs with zero
+    words score NULL.
+
+    Returns (id_col, n_words, n_sentences, n_syllables, flesch).
+    Pure-codegen map-only plan.
+    """
+    t = F.col(text_col)
+    words = F.size(F.filter(F.split(t, "\\s+"), lambda x: x != ""))
+    sents = F.greatest(F.regexp_count(t, F.lit("[.!?]+")), F.lit(1))
+    syl = F.regexp_count(t, F.lit("[aeiouyAEIOUY]+"))
+    out = df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        F.greatest(syl, words).cast("long").alias("n_syllables"),
+    )
+    w = F.col("n_words").cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / F.col("n_sentences").cast("double"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / w)
+    )
+    return out.withColumn(
+        "flesch", F.when(F.col("n_words") > 0, F.round(score, 6))
+    )
