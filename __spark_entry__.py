@@ -7187,6 +7187,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_flesch"] = q_flesch
 
+    def q_sink_branch(spark, sf):  # C25 branches + WAP: stage junk ->
+        # branch 'audit' -> rollback main (clean) -> audit reads the
+        # branch -> publish -> main adopts. Final read strips junk ->
+        # the pure-ingest spec oracle, reused verbatim.
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.plans.ingest import ingest_pbf
+
+        path = _fixture_pbf("sink")
+        root = os.path.join(
+            tempfile.gettempdir(), "osm_pbf_spark_driver_sink_branch"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        sink = ingest_pbf(spark, path, root, cell_level=12, blobs_per_split=1)
+        snap_a = sink.current_snapshot()
+        base_n = sink.read(spark).count()
+        junk = sink.read(spark).withColumn(
+            "doc_id", F.concat(F.lit("junk/"), F.col("doc_id"))
+        )
+        sink.write_split(junk, "junk-1", lineage={"op": "append"})
+        sink.commit_snapshot({"pipeline": "staged"})
+        sink.branch_snapshot("audit")
+        sink.rollback_to(snap_a["snapshot_id"])
+        assert sink.read(spark).count() == base_n  # main is clean
+        assert sink.read_branch(spark, "audit").count() > base_n
+        sink.publish_branch("audit")
+        lo, hi = SINK_PRUNE_RANGE
+        docs = sink.read(spark).filter(
+            F.col("cell").between(lo, hi)
+            & ~F.col("doc_id").startswith("junk/")
+        )
+        return docs.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum(F.size("spans")).alias("spans_total"),
+            F.sum(
+                F.length(F.element_at("spans", -1)["media_ref"])
+            ).alias("media_len_total"),
+        )
+
+    q["q_sink_branch"] = q_sink_branch
+
+    def q_coloring(spark, sf):  # iterated-MIS proper coloring over an
+        # events-derived graph; oracle = phase-by-phase greedy replay
+        from osm_pbf_spark.operators.graph import mis_coloring
+
+        ev = load(spark, sf, "events").where(F.col("event_id") < 1600)
+        e = ev.select(
+            F.pmod(F.col("event_id") * 13, F.lit(200)).alias("src"),
+            F.pmod(F.col("event_id") * 29 + 7, F.lit(200)).alias("dst"),
+        )
+        return mis_coloring(e).orderBy("node")
+
+    q["q_coloring"] = q_coloring
+
+    def q_perm_test(spark, sf):  # deterministic permutation test:
+        # md5-ranked size-preserving reshuffles, exact integer
+        # cross-multiplied mean-difference comparisons
+        from osm_pbf_spark.operators.stats import perm_test
+
+        ev = load(spark, sf, "events").where(F.col("event_id") < 600)
+        t = ev.select(
+            F.col("event_id").alias("rid"),
+            F.when(F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("g"),
+            (
+                F.floor(F.col("value")).cast("bigint")
+                + F.when(F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit(7))
+                .otherwise(F.lit(0))
+            ).alias("v"),
+        )
+        return perm_test(t, "v", "g", "rid", n_perms=99, seed=7)
+
+    q["q_perm_test"] = q_perm_test
+
+    def q_fk_check(spark, sf):  # referential integrity: lineitem part
+        # keys against an artificially truncated part dimension
+        from osm_pbf_spark.operators.dq import fk_check
+
+        li = load(spark, sf, "lineitem").where(F.col("l_orderkey") < 2000)
+        part = load(spark, sf, "part").where(F.col("p_partkey") % 5 != 0)
+        return fk_check(li, part, "l_partkey", "p_partkey")
+
+    q["q_fk_check"] = q_fk_check
+
     return q
 
 
@@ -11599,6 +11686,89 @@ def _ora_centroid() -> str:
         [("poly_id", "VARCHAR"), ("area2_q", "BIGINT"),
          ("c_lat", "DOUBLE"), ("c_lon", "DOUBLE")],
         sorted(rows),
+    )
+
+
+def _ora_coloring() -> str:
+    """Phase-by-phase greedy-MIS coloring replay (mis_coloring spec:
+    each phase = md5-priority sequential greedy over the residual,
+    plus residual-isolated survivors)."""
+    import hashlib
+
+    und = {
+        (min(a, b), max(a, b))
+        for a, b in _graph_edges(1600, 200, 200, 13, 29, 7)
+        if a != b
+    }
+    alive = {x for e in und for x in e}
+    rem = set(und)
+    pri = lambda v: (int(hashlib.md5(str(v).encode()).hexdigest()[:10], 16), v)
+    color: dict = {}
+    c = 0
+    while alive:
+        c += 1
+        endpoints = {x for e in rem for x in e}
+        isolated = alive - endpoints
+        nbrs: dict = {}
+        for a, b in rem:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        taken, blocked = set(), set()
+        for v in sorted(endpoints, key=pri):
+            if v in blocked:
+                continue
+            taken.add(v)
+            blocked |= nbrs.get(v, set())
+        phase = taken | isolated
+        for v in phase:
+            color[v] = c
+        alive -= phase
+        rem = {(u, v) for u, v in rem if u not in phase and v not in phase}
+    return _values_sql(
+        [("node", "BIGINT"), ("color", "INTEGER")], sorted(color.items())
+    )
+
+
+def _ora_perm_test() -> str:
+    """Scalar replay of the deterministic permutation test (identical
+    md5 ranks, identical exact-integer comparisons)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "events.parquet"),
+        columns=["event_id", "value"],
+    )
+    import math
+
+    data = {}
+    for eid, val in zip(
+        t.column("event_id").to_pylist(), t.column("value").to_pylist()
+    ):
+        k = int(eid)
+        if k < 600:
+            g = "a" if k % 3 == 0 else "b"
+            v = int(math.floor(float(val))) + (7 if g == "a" else 0)
+            data[k] = (g, v)
+    n_a = sum(1 for g, _ in data.values() if g == "a")
+    n_b = len(data) - n_a
+    s_a = sum(v for g, v in data.values() if g == "a")
+    s_tot = sum(v for _, v in data.values())
+    obs = abs(s_a * n_b - (s_tot - s_a) * n_a)
+    key = lambda i, rid: (
+        int(hashlib.md5(f"7:{i}:{rid}".encode()).hexdigest()[:10], 16), rid
+    )
+    n_ge = 0
+    for i in range(99):
+        order = sorted(data, key=lambda rid: key(i, rid))
+        sa = sum(data[rid][1] for rid in order[:n_a])
+        if abs(sa * n_b - (s_tot - sa) * n_a) >= obs:
+            n_ge += 1
+    return _values_sql(
+        [("n_a", "BIGINT"), ("n_b", "BIGINT"), ("diff_num", "BIGINT"),
+         ("n_perms", "BIGINT"), ("n_ge", "BIGINT"), ("p", "DOUBLE")],
+        [(n_a, n_b, obs, 99, n_ge, float(1 + n_ge) / 100.0)],
     )
 
 
@@ -17178,6 +17348,26 @@ def oracle_sql() -> dict[str, str]:
     d["q_mis"] = _ora_mis()
     d["q_fisher"] = _ora_fisher()
     d["q_centroid"] = _ora_centroid()
+    d["q_sink_branch"] = _ora_sink_roundtrip()
+    d["q_coloring"] = _ora_coloring()
+    d["q_perm_test"] = _ora_perm_test()
+    d["q_fk_check"] = """
+        WITH li AS (SELECT l_partkey AS k FROM lineitem
+                    WHERE l_orderkey < 2000),
+        p AS (SELECT DISTINCT p_partkey AS k FROM part
+              WHERE p_partkey % 5 <> 0)
+        SELECT CAST((SELECT count(*) FROM li) AS BIGINT) AS n_child_rows,
+               CAST((SELECT count(*) FROM li WHERE k IS NULL)
+                    AS BIGINT) AS n_null_keys,
+               CAST((SELECT count(*) FROM li
+                     WHERE k IS NOT NULL
+                       AND k NOT IN (SELECT k FROM p))
+                    AS BIGINT) AS n_orphan_rows,
+               CAST((SELECT count(DISTINCT k) FROM li
+                     WHERE k IS NOT NULL
+                       AND k NOT IN (SELECT k FROM p))
+                    AS BIGINT) AS n_orphan_keys
+    """
     # identical-chain trig replays (the cross_track discipline):
     # multiply by the reciprocal literal, never divide by DEG2RAD
     d["q_bearing"] = f"""

@@ -248,3 +248,33 @@ def l_diversity(
         )
         .where(F.col("n_distinct") < l)
     )
+
+
+def fk_check(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """REFERENTIAL-INTEGRITY audit (r5) — the foreign-key half of the
+    DQ family (check_constraints covers row-local predicates; this is
+    the cross-table invariant): count child rows and distinct child
+    keys whose key has no parent, NULL keys reported separately (a
+    NULL FK is a different defect than a dangling one).
+
+    All exact counts; one left-anti join against the DISTINCT parent
+    keys (broadcastable when the parent is a dimension) + two
+    aggregates. Returns 1 row:
+    (n_child_rows, n_null_keys, n_orphan_rows, n_orphan_keys).
+    """
+    c = child.select(F.col(child_key).alias("_k"))
+    p = parent.select(F.col(parent_key).alias("_k")).distinct()
+    nn = c.where(F.col("_k").isNull())
+    orphans = c.where(F.col("_k").isNotNull()).join(p, "_k", "left_anti")
+    totals = c.groupBy().agg(F.count(F.lit(1)).alias("n_child_rows"))
+    nulls = nn.groupBy().agg(F.count(F.lit(1)).alias("n_null_keys"))
+    orp = orphans.groupBy().agg(
+        F.count(F.lit(1)).alias("n_orphan_rows"),
+        F.countDistinct("_k").alias("n_orphan_keys"),
+    )
+    return totals.crossJoin(nulls).crossJoin(orp)

@@ -2231,3 +2231,73 @@ def scc(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def mis_coloring(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_colors: int = 64,
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Deterministic greedy GRAPH COLORING via iterated MIS (r5) — the
+    conflict-scheduling primitive (no two adjacent vertices share a
+    color): color c = the Luby MIS of the residual graph after colors
+    1..c-1 are removed, so every color class is independent BY
+    CONSTRUCTION and maximal within its residual — the classic
+    MIS-peeling bound of Delta+1 colors on bounded-degree graphs.
+
+    Spec: each phase colors ``luby_mis(residual edges)`` PLUS every
+    still-uncolored vertex with no residual edge (isolated in the
+    residual — independent of everything left, joins the phase
+    trivially). Each phase is the md5-priority sequential-greedy
+    fixpoint, so the whole coloring is engine-replayable by iterating
+    the same scalar greedy.
+
+    Returns ``(node, color)`` (1-based). Raises loudly past
+    ``max_colors`` phases (raise it for high-degree graphs).
+    """
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = raw.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct().localCheckpoint(eager=True)
+    alive = und.select(F.col("u").alias("node")).unionAll(
+        und.select(F.col("v").alias("node"))
+    ).distinct().localCheckpoint(eager=True)
+    remaining = und
+    parts = []
+    for color in range(1, max_colors + 1):
+        if alive.isEmpty():
+            break
+        endpoints = remaining.select(F.col("u").alias("node")).unionAll(
+            remaining.select(F.col("v").alias("node"))
+        ).distinct()
+        isolated = alive.join(endpoints, "node", "left_anti")
+        mis = luby_mis(
+            remaining.selectExpr("u as src", "v as dst"), max_rounds=max_rounds
+        ).select("node")
+        phase = mis.unionAll(isolated).select(
+            "node", F.lit(color).alias("color")
+        ).localCheckpoint(eager=True)
+        parts.append(phase)
+        alive = alive.join(phase.select("node"), "node", "left_anti") \
+            .localCheckpoint(eager=True)
+        remaining = (
+            remaining.join(phase.withColumnRenamed("node", "u").select("u"),
+                           "u", "left_anti")
+            .join(phase.withColumnRenamed("node", "v").select("v"),
+                  "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if not alive.isEmpty():
+            raise ValueError(f"mis_coloring exceeded max_colors={max_colors}")
+    if not parts:
+        return und.select(F.col("u").alias("node"), F.lit(0).alias("color")).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -3214,3 +3214,97 @@ def fisher_exact(
             )
 
     return agg.mapInPandas(kernel, out_schema)
+
+
+def perm_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    n_perms: int = 199,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic PERMUTATION test for a two-group mean difference
+    (r5) — the assumption-free sibling of welch_ttest (no normality,
+    no variance model): re-divide the rows into the same group sizes
+    n_perms times, and p = (1 + #{permutation |diff| >= observed}) /
+    (n_perms + 1), the standard add-one Monte-Carlo estimator.
+
+    EXACT spec (no floats until the final division): values are int64
+    (quantize upstream — the module contract); group A' of permutation
+    i = the n_a rows with the smallest ``(md5_40(seed:i:id), id)``
+    rank (exact size-preserving resampling without replacement,
+    deterministic — no RNG state); the comparison
+    |diff_perm| >= |diff_obs| is the exact integer cross-multiplication
+    ``|s'_a*n_b - s'_b*n_a| >= |s_a*n_b - s_b*n_a|`` (same denominator
+    n_a*n_b on both sides — never divide).
+
+    Plan: one tiny observed aggregate, one n_perms-way Generate, one
+    rank window PARTITIONED BY PERMUTATION (never single-partition),
+    one per-perm aggregate, one final count. Input must have exactly
+    two groups (WHERE-guarded loudly).
+
+    Returns 1 row: (n_a, n_b, diff_num, n_perms, n_ge, p).
+    """
+    v = F.col(value_col).cast("bigint")
+    t = df.select(
+        F.col(group_col).alias("_g"), v.alias("_v"), F.col(id_col).alias("_id")
+    )
+    groups = [r["_g"] for r in t.select("_g").distinct().orderBy("_g").collect()]
+    if len(groups) != 2:
+        raise ValueError(f"perm_test needs exactly 2 groups, got {groups}")
+    ga, gb = groups
+    obs = t.groupBy().agg(
+        F.sum(F.when(F.col("_g") == ga, F.col("_v"))).alias("s_a"),
+        F.count(F.when(F.col("_g") == ga, F.lit(1))).alias("n_a"),
+        F.sum(F.when(F.col("_g") == gb, F.col("_v"))).alias("s_b"),
+        F.count(F.when(F.col("_g") == gb, F.lit(1))).alias("n_b"),
+    ).first()
+    n_a, n_b = int(obs["n_a"]), int(obs["n_b"])
+    s_a, s_b = int(obs["s_a"] or 0), int(obs["s_b"] or 0)
+    if n_a == 0 or n_b == 0:
+        raise ValueError("perm_test: both groups must be non-empty")
+    obs_num = abs(s_a * n_b - s_b * n_a)
+    s_tot = s_a + s_b
+    perms = t.select(
+        "_v",
+        "_id",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(int(n_perms))])
+        ).alias("_i"),
+    )
+    rank_key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{int(seed)}:"),
+                    F.col("_i").cast("string"),
+                    F.lit(":"),
+                    F.col("_id").cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("_i").orderBy(rank_key.asc(), F.col("_id").asc())
+    ranked = perms.select(
+        "_i", "_v", (F.row_number().over(w) <= F.lit(n_a)).alias("_in_a")
+    )
+    per = ranked.groupBy("_i").agg(
+        F.sum(F.when(F.col("_in_a"), F.col("_v"))).alias("_sa")
+    )
+    # |s'_a*n_b - s'_b*n_a| with s'_b = s_tot - s'_a
+    pa = F.coalesce(F.col("_sa"), F.lit(0))
+    perm_num = F.abs(pa * F.lit(n_b) - (F.lit(s_tot) - pa) * F.lit(n_a))
+    n_ge = per.where(perm_num >= F.lit(obs_num)).count()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(
+            n_a, n_b, obs_num, int(n_perms), int(n_ge),
+            float(1 + n_ge) / float(n_perms + 1),
+        )],
+        "n_a long, n_b long, diff_num long, n_perms long, n_ge long, p double",
+    )

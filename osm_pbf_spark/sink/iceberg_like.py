@@ -811,6 +811,101 @@ class IcebergLikeSink:
         os.replace(tmp, self._tags_path())
         return {name: snap["snapshot_id"]}
 
+    def _branches_path(self) -> str:
+        return os.path.join(self.root, "branches.json")
+
+    def branches(self) -> dict:
+        """Name -> snapshot_id map of all branches (movable refs)."""
+        p = self._branches_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_branches(self, cur: dict) -> None:
+        tmp = os.path.join(self.root, f".branches.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(cur, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._branches_path())
+
+    def branch_snapshot(self, name: str, ref: int | str | None = None) -> dict:
+        """Create a BRANCH (r5) — the MOVABLE sibling of tags (Iceberg
+        branch refs): points at a snapshot, advances fast-forward-only
+        via :meth:`advance_branch`, protects its snapshot from
+        expiry, reads via :meth:`read_branch`. The write-audit-publish
+        flow composes from existing machinery: commit the staged state,
+        branch it ('audit'), ``rollback_to`` the pre-stage snapshot on
+        main, audit through the branch read, then
+        :meth:`publish_branch` (rollback_to is roll-forward-capable)
+        to make main adopt it. Returns {name: snapshot_id}."""
+        if not name or "/" in name:
+            raise ValueError(f"invalid branch name {name!r}")
+        cur = self.branches()
+        if name in cur:
+            raise ValueError(
+                f"branch {name!r} already exists at {cur[name]!r} — "
+                "advance_branch moves it"
+            )
+        if ref is None:
+            snap = self.current_snapshot()
+            if snap is None:
+                raise ValueError("no snapshot to branch — commit_snapshot first")
+        else:
+            snap, _ = self._snapshot_entries(ref)
+        cur[name] = snap["snapshot_id"]
+        self._write_branches(cur)
+        return {name: snap["snapshot_id"]}
+
+    def advance_branch(self, name: str, ref: int | str | None = None) -> dict:
+        """Move a branch FORWARD to a newer retained snapshot (default:
+        the current one). Fast-forward only — the target's sequence
+        number must be >= the branch's current position (the Iceberg
+        fast_forward contract); rewinding a branch is deliberately not
+        offered (delete + re-create states the intent loudly)."""
+        cur = self.branches()
+        if name not in cur:
+            raise KeyError(f"unknown branch {name!r}; have {sorted(cur)}")
+        if ref is None:
+            snap = self.current_snapshot()
+            if snap is None:
+                raise ValueError("no current snapshot to advance to")
+        else:
+            snap, _ = self._snapshot_entries(ref)
+        old, _ = self._snapshot_entries(cur[name])
+        if snap.get("sequence_number", 0) < old.get("sequence_number", 0):
+            raise ValueError(
+                f"advance_branch is fast-forward-only: target seq "
+                f"{snap.get('sequence_number')} < branch seq "
+                f"{old.get('sequence_number')}"
+            )
+        cur[name] = snap["snapshot_id"]
+        self._write_branches(cur)
+        return {name: snap["snapshot_id"]}
+
+    def read_branch(self, spark: SparkSession, name: str, **kw) -> DataFrame:
+        """Read through a branch ref (read_snapshot by branch)."""
+        cur = self.branches()
+        if name not in cur:
+            raise KeyError(f"unknown branch {name!r}; have {sorted(cur)}")
+        return self.read_snapshot(spark, cur[name], **kw)
+
+    def publish_branch(self, name: str) -> dict:
+        """Make MAIN adopt the branch's snapshot (the WAP 'publish'
+        step) — rollback_to handles both roll-back and roll-forward,
+        restoring atticed manifests as needed. Returns the new main
+        snapshot."""
+        cur = self.branches()
+        if name not in cur:
+            raise KeyError(f"unknown branch {name!r}; have {sorted(cur)}")
+        return self.rollback_to(cur[name])
+
+    def delete_branch(self, name: str) -> None:
+        cur = self.branches()
+        if name not in cur:
+            raise KeyError(f"unknown branch {name!r}")
+        del cur[name]
+        self._write_branches(cur)
+
     def delete_tag(self, name: str) -> None:
         cur = self.tags()
         if name not in cur:
@@ -1504,9 +1599,9 @@ class IcebergLikeSink:
             ]
             keep = young + keep
             drop = [s for s in drop if s not in young]
-        # named refs protect their snapshots (Iceberg tag semantics):
-        # a tagged snapshot never expires, however old
-        tagged = set(self.tags().values())
+        # named refs protect their snapshots (Iceberg tag/branch
+        # semantics): a referenced snapshot never expires, however old
+        tagged = set(self.tags().values()) | set(self.branches().values())
         if tagged:
             still = [s for s in drop if s["snapshot_id"] in tagged]
             keep = still + keep
