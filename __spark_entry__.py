@@ -7274,6 +7274,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_fk_check"] = q_fk_check
 
+    def q_betweenness(spark, sf):  # sampled BFS-tree betweenness:
+        # md5-ranked landmarks, canonical min-id parent trees, exact
+        # int descendant credits; oracle = scalar replay
+        from osm_pbf_spark.operators.graph import tree_betweenness
+
+        ev = load(spark, sf, "events").where(F.col("event_id") < 1000)
+        e = ev.select(
+            F.pmod(F.col("event_id") * 7, F.lit(120)).alias("src"),
+            F.pmod(F.col("event_id") * 13 + 3, F.lit(120)).alias("dst"),
+        )
+        return tree_betweenness(e, n_landmarks=6).orderBy("node")
+
+    q["q_betweenness"] = q_betweenness
+
+    def q_densify(spark, sf):  # great-circle slerp densification of
+        # consecutive-customer legs; 1e-7-degree int outputs; oracle =
+        # identical trig chain in SQL
+        from osm_pbf_spark.operators.measures import densify_route
+
+        pts = customer_points(spark, sf).where(F.col("doc_id") < 2000)
+        a = pts.select(
+            "doc_id", F.col("lat").alias("lat1"), F.col("lon").alias("lon1")
+        )
+        b = pts.select(
+            (F.col("doc_id") - 1).alias("doc_id"),
+            F.col("lat").alias("lat2"),
+            F.col("lon").alias("lon2"),
+        )
+        legs = a.join(b, "doc_id")
+        return densify_route(legs, n_points=3).select(
+            "doc_id", "seq", "lat_e7", "lon_e7"
+        ).orderBy("doc_id", "seq")
+
+    q["q_densify"] = q_densify
+
+    def q_url_dedup(spark, sf):  # COMPOSED crawl dedup: url_normalize
+        # -> canonical-key grouping -> min-id survivor + dup count
+        # (the exact-dedup pattern on the URL key instead of content)
+        from osm_pbf_spark.operators.text import url_normalize
+
+        k = F.col("o_orderkey")
+        o = load(spark, sf, "orders").filter(k < 3000)
+        url = F.concat(
+            F.element_at(
+                F.array(F.lit("http"), F.lit("HTTPS"), F.lit("ftp")),
+                (k % 3 + 1).cast("int"),
+            ),
+            F.lit("://"),
+            F.lit("WWW.Site"), (k % 50).cast("string"), F.lit(".Example.COM"),
+            F.element_at(
+                F.array(F.lit(""), F.lit(":80"), F.lit(":443"), F.lit(":8080")),
+                (k % 4 + 1).cast("int"),
+            ),
+            F.element_at(
+                F.array(F.lit(""), F.lit("/"), F.lit("/a/b"), F.lit("/a/b/"),
+                        F.lit("/idx.html")),
+                (k % 5 + 1).cast("int"),
+            ),
+            F.element_at(
+                F.array(F.lit(""), F.lit("?x=1&y=2")), (k % 2 + 1).cast("int")
+            ),
+            F.when(k % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+        )
+        n = url_normalize(o.select("o_orderkey", url.alias("url")))
+        return (
+            n.groupBy("url_norm")
+            .agg(
+                F.min("o_orderkey").alias("canonical"),
+                F.count(F.lit(1)).alias("n_dups"),
+            )
+            .orderBy("url_norm")
+        )
+
+    q["q_url_dedup"] = q_url_dedup
+
     return q
 
 
@@ -11769,6 +11844,53 @@ def _ora_perm_test() -> str:
         [("n_a", "BIGINT"), ("n_b", "BIGINT"), ("diff_num", "BIGINT"),
          ("n_perms", "BIGINT"), ("n_ge", "BIGINT"), ("p", "DOUBLE")],
         [(n_a, n_b, obs, 99, n_ge, float(1 + n_ge) / 100.0)],
+    )
+
+
+def _ora_betweenness() -> str:
+    """Scalar replay of tree_betweenness: md5-ranked landmarks,
+    canonical min-id-parent BFS trees, descendant counts."""
+    import hashlib
+
+    und = {
+        (min(a, b), max(a, b))
+        for a, b in _graph_edges(1000, 120, 120, 7, 13, 3)
+        if a != b
+    }
+    nbrs: dict = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    nodes = sorted(nbrs)
+    pri = lambda v: (int(hashlib.md5(str(v).encode()).hexdigest()[:10], 16), v)
+    landmarks = sorted(nodes, key=pri)[:6]
+    score = {v: 0 for v in nodes}
+    for s in landmarks:
+        dist = {s: 0}
+        parent: dict = {}
+        frontier = [s]
+        d = 0
+        while frontier:
+            d += 1
+            nxt: dict = {}
+            for u in frontier:
+                for w in nbrs[u]:
+                    if w not in dist:
+                        if w not in nxt or u < nxt[w]:
+                            nxt[w] = u
+            for w, p in nxt.items():
+                dist[w] = d
+                parent[w] = p
+            frontier = sorted(nxt)
+        size = {v: 1 for v in dist}
+        for v in sorted(dist, key=lambda x: -dist[x]):
+            if v in parent:
+                size[parent[v]] += size[v]
+        for v in dist:
+            if v != s:
+                score[v] += size[v] - 1
+    return _values_sql(
+        [("node", "BIGINT"), ("score", "BIGINT")], sorted(score.items())
     )
 
 
@@ -17349,6 +17471,96 @@ def oracle_sql() -> dict[str, str]:
     d["q_fisher"] = _ora_fisher()
     d["q_centroid"] = _ora_centroid()
     d["q_sink_branch"] = _ora_sink_roundtrip()
+    d["q_betweenness"] = _ora_betweenness()
+    # identical-chain slerp replay (the destination_point discipline)
+    d["q_densify"] = f"""
+        WITH pts AS ({SQL_POINTS}),
+        a AS (SELECT doc_id, lat AS lat1, lon AS lon1 FROM pts
+              WHERE doc_id < 2000),
+        b AS (SELECT doc_id - 1 AS doc_id, lat AS lat2, lon AS lon2 FROM pts
+              WHERE doc_id < 2000),
+        legs AS (SELECT a.doc_id, lat1, lon1, lat2, lon2
+                 FROM a JOIN b USING (doc_id)),
+        t AS (SELECT doc_id,
+                     lat1 * 0.017453292519943295 AS la1,
+                     lon1 * 0.017453292519943295 AS lo1,
+                     lat2 * 0.017453292519943295 AS la2,
+                     lon2 * 0.017453292519943295 AS lo2,
+                     lat1, lon1
+              FROM legs),
+        dcalc AS (SELECT *,
+                    2.0 * asin(least(sqrt(greatest(
+                        sin((la2 - la1) / 2) * sin((la2 - la1) / 2)
+                        + cos(la1) * cos(la2)
+                          * sin((lo2 - lo1) / 2) * sin((lo2 - lo1) / 2),
+                        0.0)), 1.0)) AS dd
+                  FROM t),
+        s AS (SELECT d.*, CAST(gs AS BIGINT) AS seq,
+                     CAST(gs AS DOUBLE) / 4.0 AS f
+              FROM dcalc d CROSS JOIN generate_series(1, 3) AS g(gs)),
+        i AS (SELECT *,
+                     sin((1.0 - f) * dd) / sin(dd) AS ca,
+                     sin(f * dd) / sin(dd) AS cb
+              FROM s),
+        v AS (SELECT doc_id, seq, dd, lat1, lon1,
+                     ca * cos(la1) * cos(lo1) + cb * cos(la2) * cos(lo2) AS x,
+                     ca * cos(la1) * sin(lo1) + cb * cos(la2) * sin(lo2) AS y,
+                     ca * sin(la1) + cb * sin(la2) AS z
+              FROM i)
+        SELECT doc_id, seq,
+               CAST(round((CASE WHEN dd < 1e-12 THEN lat1
+                           ELSE atan2(z, sqrt(x * x + y * y))
+                                * 57.29577951308232 END) * 10000000.0)
+                    AS BIGINT) AS lat_e7,
+               CAST(round((CASE WHEN dd < 1e-12 THEN lon1
+                           ELSE atan2(y, x) * 57.29577951308232 END)
+                          * 10000000.0) AS BIGINT) AS lon_e7
+        FROM v ORDER BY doc_id, seq
+    """
+    # the url_normalize spec re-run + GROUP BY canonical key
+    d["q_url_dedup"] = r"""
+        WITH u AS (
+          SELECT o_orderkey,
+                 (CASE o_orderkey % 3 WHEN 0 THEN 'http'
+                       WHEN 1 THEN 'HTTPS' ELSE 'ftp' END)
+                 || '://' || 'WWW.Site' || CAST(o_orderkey % 50 AS VARCHAR)
+                 || '.Example.COM'
+                 || (CASE o_orderkey % 4 WHEN 0 THEN '' WHEN 1 THEN ':80'
+                          WHEN 2 THEN ':443' ELSE ':8080' END)
+                 || (CASE o_orderkey % 5 WHEN 0 THEN '' WHEN 1 THEN '/'
+                          WHEN 2 THEN '/a/b' WHEN 3 THEN '/a/b/'
+                          ELSE '/idx.html' END)
+                 || (CASE o_orderkey % 2 WHEN 0 THEN '' ELSE '?x=1&y=2' END)
+                 || (CASE WHEN o_orderkey % 7 = 0 THEN '#sec' ELSE '' END)
+                 AS url
+          FROM orders WHERE o_orderkey < 3000),
+        p AS (
+          SELECT o_orderkey,
+            regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) AS scheme,
+            regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1)
+                AS host,
+            regexp_extract(url,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:]*:([0-9]+)', 1) AS port,
+            regexp_extract(url,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+            regexp_extract(url, '\?([^#]*)', 1) AS query
+          FROM u),
+        n AS (
+          SELECT o_orderkey,
+            lower(scheme) || '://' || lower(host)
+            || (CASE WHEN port = ''
+                      OR (lower(scheme) = 'http' AND port = '80')
+                      OR (lower(scheme) = 'https' AND port = '443')
+                 THEN '' ELSE ':' || port END)
+            || (CASE WHEN path IN ('', '/') THEN '/'
+                     ELSE regexp_replace(path, '/$', '') END)
+            || (CASE WHEN query = '' THEN '' ELSE '?' || query END)
+                AS url_norm
+          FROM p)
+        SELECT url_norm, min(o_orderkey) AS canonical,
+               count(*) AS n_dups
+        FROM n GROUP BY url_norm ORDER BY url_norm
+    """
     d["q_coloring"] = _ora_coloring()
     d["q_perm_test"] = _ora_perm_test()
     d["q_fk_check"] = """

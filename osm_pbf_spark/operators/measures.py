@@ -650,3 +650,67 @@ def ring_centroid(
         F.round(c_lat, 9).alias("c_lat"),
         F.round(c_lon, 9).alias("c_lon"),
     )
+
+
+def densify_route(
+    legs: DataFrame,
+    n_points: int = 8,
+    lat1: str = "lat1",
+    lon1: str = "lon1",
+    lat2: str = "lat2",
+    lon2: str = "lon2",
+) -> DataFrame:
+    """Great-circle route DENSIFICATION (r5): insert ``n_points``
+    evenly-spaced intermediate vertices along each leg's great circle
+    (slerp on the sphere) — what corridor rendering, XTD sampling and
+    long-leg map display need (a straight lat/lon segment diverges
+    from the great circle by many km at length).
+
+    Spherical linear interpolation (Williams): with d the angular leg
+    distance, point at fraction f is
+        A·sin((1-f)d)/sin(d) + B·sin(f·d)/sin(d)
+    in 3-vector space, converted back via atan2. Fractions are exact
+    rationals i/(n_points+1); outputs are integer 1e-7-degree units
+    (the destination_point rounding contract — cross-engine trig
+    drift absorbed). Zero-length legs (d below 1e-12 rad) emit the
+    start point at every fraction (slerp is 0/0 there).
+
+    Plan: one native Generate (sequence explode) + a pure-codegen trig
+    chain — map-only. Returns legs.* + (seq, lat_e7, lon_e7), seq
+    1..n_points in leg order.
+    """
+    if n_points < 1:
+        raise ValueError("n_points must be >= 1")
+    la1 = F.col(lat1) * F.lit(DEG2RAD)
+    lo1 = F.col(lon1) * F.lit(DEG2RAD)
+    la2 = F.col(lat2) * F.lit(DEG2RAD)
+    lo2 = F.col(lon2) * F.lit(DEG2RAD)
+    # angular distance via the haversine chain
+    sd2 = F.sin((la2 - la1) / 2)
+    sl2 = F.sin((lo2 - lo1) / 2)
+    h = sd2 * sd2 + F.cos(la1) * F.cos(la2) * sl2 * sl2
+    dd = F.lit(2.0) * F.asin(
+        F.least(F.sqrt(F.greatest(h, F.lit(0.0))), F.lit(1.0))
+    )
+    out = legs.withColumn(
+        "seq", F.explode(F.sequence(F.lit(1), F.lit(int(n_points))))
+    )
+    f = F.col("seq").cast("double") / F.lit(float(n_points + 1))
+    a = F.sin((F.lit(1.0) - f) * dd) / F.sin(dd)
+    b = F.sin(f * dd) / F.sin(dd)
+    x = a * F.cos(la1) * F.cos(lo1) + b * F.cos(la2) * F.cos(lo2)
+    y = a * F.cos(la1) * F.sin(lo1) + b * F.cos(la2) * F.sin(lo2)
+    z = a * F.sin(la1) + b * F.sin(la2)
+    plat = F.atan2(z, F.sqrt(x * x + y * y)) * F.lit(1.0 / DEG2RAD)
+    plon = F.atan2(y, x) * F.lit(1.0 / DEG2RAD)
+    degenerate = dd < F.lit(1e-12)
+    return out.select(
+        *legs.columns,
+        "seq",
+        F.round(
+            F.when(degenerate, F.col(lat1)).otherwise(plat) * F.lit(1e7)
+        ).cast("long").alias("lat_e7"),
+        F.round(
+            F.when(degenerate, F.col(lon1)).otherwise(plon) * F.lit(1e7)
+        ).cast("long").alias("lon_e7"),
+    )
