@@ -662,6 +662,106 @@ def leg_matching(spark, n: int) -> int:
     return int(row.a or 0) + int(row.b or 0)
 
 
+def leg_mis(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.graph import luby_mis
+
+    nn = max(1000, n // 10)
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(nn)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(nn)).alias("dst"),
+    )
+    out = luby_mis(df)
+    row = out.agg(F.count(F.lit(1)).alias("a"), F.sum("node").alias("b")).collect()[0]
+    return int(row.a or 0) + int(row.b or 0)
+
+
+def leg_flow_acc(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.tiling import flow_accumulation, flow_direction
+
+    side = max(64, int(n ** 0.5))
+    grid = spark.range(side * side).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("bigint").alias("y"),
+        # tilted plane + deterministic ripple: drains toward x=0 with
+        # local structure, long drainage paths
+        (
+            (F.col("id") % side) * 100
+            + F.pmod(F.xxhash64(F.col("id")), F.lit(37))
+        ).alias("z"),
+    )
+    out = flow_accumulation(flow_direction(grid))
+    row = out.agg(F.sum("acc").alias("a"), F.max("acc").alias("b")).collect()[0]
+    return int(row.a or 0) + int(row.b or 0)
+
+
+def leg_centroid(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.measures import ring_centroid
+
+    # n/64-ring table of 64-vertex polygons (pure codegen folds)
+    rings = spark.range(max(1, n // 64)).select(
+        F.col("id").cast("string").alias("poly_id"),
+        F.lit(0).cast("int").alias("ring_idx"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.struct(
+                (
+                    (F.pmod(F.col("id"), F.lit(1700)) - 850).cast("double")
+                    / F.lit(10.0)
+                    + F.sin(i.cast("double") / F.lit(10.186)) / F.lit(100.0)
+                ).alias("lat"),
+                (
+                    (F.pmod(F.col("id") * 7, F.lit(3500)) - 1750).cast("double")
+                    / F.lit(10.0)
+                    + F.cos(i.cast("double") / F.lit(10.186)) / F.lit(100.0)
+                ).alias("lon"),
+            ),
+        ).alias("pts"),
+    )
+    out = ring_centroid(rings)
+    row = out.agg(
+        F.sum("area2_q").alias("a"),
+        F.sum(F.floor(F.col("c_lat") * 1000)).alias("b"),
+    ).collect()[0]
+    return int(row.a or 0) + int(row.b or 0)
+
+
+def leg_bh_fdr(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.stats import bh_fdr
+
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_001)).alias("p_ppm")
+    )
+    (r,) = bh_fdr(df, alpha_num=5, alpha_den=100).collect()
+    return int(r.m) + int(r.n_discoveries) + int(r.p_cutoff_ppm or 0)
+
+
+def leg_densify(spark, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from osm_pbf_spark.operators.measures import densify_route
+
+    legs = spark.range(n).select(
+        F.col("id").alias("leg"),
+        (F.pmod(F.col("id"), F.lit(160)) - 80).cast("double").alias("lat1"),
+        (F.pmod(F.col("id") * 7, F.lit(360)) - 180).cast("double").alias("lon1"),
+        (F.pmod(F.col("id") * 11, F.lit(160)) - 80).cast("double").alias("lat2"),
+        (F.pmod(F.col("id") * 13, F.lit(360)) - 180).cast("double").alias("lon2"),
+    )
+    out = densify_route(legs, n_points=4)
+    row = out.agg(
+        F.sum(F.pmod(F.col("lat_e7"), F.lit(1_000_003))).alias("a")
+    ).collect()[0]
+    return int(row.a or 0)
+
+
 LEGS = {
     "distance_join": leg_distance_join,
     "bbox_join": leg_bbox_join,
@@ -697,6 +797,11 @@ LEGS = {
     "cidr": leg_cidr,
     "nearest_event": leg_nearest_event,
     "matching": leg_matching,
+    "mis": leg_mis,
+    "flow_acc": leg_flow_acc,
+    "centroid": leg_centroid,
+    "bh_fdr": leg_bh_fdr,
+    "densify": leg_densify,
 }
 
 # per-leg size multiplier on N_POINTS: every timed region must DWARF
@@ -733,6 +838,17 @@ LEG_SCALE = {
     "cidr": 6.0,
     "nearest_event": 8.0,
     "matching": 2.0,
+    # MIS rounds: same per-round shuffle class as matching
+    "mis": 2.0,
+    # wave count follows the drainage depth (side cells); n is the
+    # GRID CELL count (side = sqrt(n))
+    "flow_acc": 0.15,
+    # pure codegen array folds: n / 64 rings of 64 vertices
+    "centroid": 8.0,
+    # distinct-p agg + 1024-bucket two-pass prefix
+    "bh_fdr": 20.0,
+    # map-only Generate + trig chain, 4 points per leg
+    "densify": 10.0,
     "frequent_items": 10.0,
     # 6 pointer-doubling joins: rows x rounds shuffle volume
     "basins": 3.0,
