@@ -7349,6 +7349,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_url_dedup"] = q_url_dedup
 
+    def q_stream_upsert(spark, sf):  # S19 streaming CDC apply: keyed
+        # changelog drains into the sink as last-write-wins state via
+        # per-batch MERGE; oracle = plain argmax-per-key SQL
+        import shutil
+        import tempfile
+
+        from osm_pbf_spark.sink.iceberg_like import IcebergLikeSink
+        from osm_pbf_spark.streaming import stream_parquet, stream_upsert
+
+        root = os.path.join(
+            tempfile.gettempdir(), "osm_pbf_spark_driver_stream_upsert"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        sink = IcebergLikeSink(os.path.join(root, "t"), stats_col="k")
+        ch = stream_parquet(spark, f"{sf}/events.parquet").where(
+            F.col("event_id") < 5000
+        ).select(
+            F.col("user_id").alias("k"),
+            F.col("event_id").alias("ver"),
+            F.col("event_type").alias("payload"),
+        )
+        stream_upsert(
+            ch, sink, ["k"],
+            checkpoint_dir=os.path.join(root, "ck"),
+            dedup_order_col="ver",
+        ).awaitTermination()
+        return sink.read(spark).select("k", "ver", "payload").orderBy("k")
+
+    q["q_stream_upsert"] = q_stream_upsert
+
+    def q_attribution(spark, sf):  # last-touch attribution: credit
+        # each purchase to the user's most recent click within 6 hours
+        # (ties to the larger event id), NULL = organic
+        from osm_pbf_spark.operators.temporal import attribution_last_touch
+
+        ev = load(spark, sf, "events").where(F.col("event_id") < 6000)
+        return attribution_last_touch(
+            ev,
+            F.col("event_type") == "purchase",
+            F.col("event_type") == "click",
+            "6 hours",
+        ).select(
+            "user_id", "conv_id",
+            F.unix_micros(F.col("conv_ts").cast("timestamp")).alias("conv_us"),
+            "touch_id",
+            F.unix_micros(F.col("touch_ts").cast("timestamp")).alias("touch_us"),
+        ).orderBy("conv_id")
+
+    q["q_attribution"] = q_attribution
+
     return q
 
 
@@ -17472,6 +17522,31 @@ def oracle_sql() -> dict[str, str]:
     d["q_centroid"] = _ora_centroid()
     d["q_sink_branch"] = _ora_sink_roundtrip()
     d["q_betweenness"] = _ora_betweenness()
+    # last-write-wins changelog state == argmax-per-key over the source
+    d["q_stream_upsert"] = """
+        SELECT user_id AS k, max(event_id) AS ver,
+               arg_max(event_type, event_id) AS payload
+        FROM events WHERE event_id < 5000
+        GROUP BY user_id ORDER BY k
+    """
+    # independent formulation: correlated scalar subqueries per
+    # conversion instead of the engine's join + max(struct)
+    d["q_attribution"] = """
+        WITH conv AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts
+                      FROM events
+                      WHERE event_type = 'purchase' AND event_id < 6000),
+        t AS (SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'click' AND event_id < 6000)
+        SELECT c.user_id, c.conv_id, epoch_us(c.conv_ts) AS conv_us,
+               (SELECT t.event_id FROM t
+                WHERE t.user_id = c.user_id AND t.ts <= c.conv_ts
+                  AND t.ts >= c.conv_ts - INTERVAL 6 HOUR
+                ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS touch_id,
+               epoch_us((SELECT max(t.ts) FROM t
+                WHERE t.user_id = c.user_id AND t.ts <= c.conv_ts
+                  AND t.ts >= c.conv_ts - INTERVAL 6 HOUR)) AS touch_us
+        FROM conv c ORDER BY c.conv_id
+    """
     # identical-chain slerp replay (the destination_point discipline)
     d["q_densify"] = f"""
         WITH pts AS ({SQL_POINTS}),

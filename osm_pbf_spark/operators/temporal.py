@@ -1838,3 +1838,67 @@ def rle_encode(
         F.min("_ord").alias("start_ord"),
         F.max("_ord").alias("end_ord"),
     )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    conv_pred: "F.Column",
+    touch_pred: "F.Column",
+    lookback: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """LAST-TOUCH attribution (r5) — the marketing/causality staple the
+    temporal family lacked (funnel orders steps; asof_join pairs
+    streams; this CREDITS conversions): for every conversion event,
+    find the most recent touch event of the same user within
+    ``lookback`` strictly before-or-at the conversion; conversions
+    with no qualifying touch attribute to NULL (organic).
+
+    Ties (same timestamp) break to the LARGEST touch ``id_col``
+    (the later-logged touch — deterministic, engine-replayable).
+
+    Plan: the asof_join shape — touches and conversions shuffle once
+    on the user key; per user a sort + last-before scan via a
+    max(struct) aggregate per conversion (candidate join bounded by
+    the lookback interval, the interval_join discipline). Returns
+    (conversion id/ts/user, touch_id, touch_ts — NULLs when organic).
+    """
+    conv = events.where(conv_pred).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("conv_id"),
+        F.col(ts_col).alias("conv_ts"),
+    )
+    touch = events.where(touch_pred).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("_tid"),
+        F.col(ts_col).alias("_tts"),
+    )
+    j = conv.join(touch, "_u", "left").where(
+        F.col("_tts").isNull()
+        | (
+            (F.col("_tts") <= F.col("conv_ts"))
+            & (F.col("_tts") >= F.col("conv_ts") - F.expr(f"INTERVAL {lookback}"))
+        )
+    )
+    best = j.groupBy("_u", "conv_id", "conv_ts").agg(
+        F.max(
+            F.when(
+                F.col("_tts").isNotNull(),
+                F.struct(F.col("_tts").alias("ts"), F.col("_tid").alias("id")),
+            )
+        ).alias("_b")
+    )
+    # conversions whose every candidate fell outside the window drop
+    # out of j entirely — restore them as organic via a left join back
+    out = conv.join(
+        best.select("conv_id", "_b"), "conv_id", "left"
+    )
+    return out.select(
+        F.col("_u").alias(user_col),
+        "conv_id",
+        "conv_ts",
+        F.col("_b.id").alias("touch_id"),
+        F.col("_b.ts").alias("touch_ts"),
+    )

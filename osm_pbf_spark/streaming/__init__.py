@@ -30,6 +30,7 @@ from .ops import (
     stream_sessionize,
     stream_stream_join,
     stream_threshold_alert,
+    stream_upsert,
     stream_windowed_distinct,
     windowed_counts,
 )
@@ -43,6 +44,7 @@ __all__ = [
     "stream_sessionize",
     "stream_stream_join",
     "stream_threshold_alert",
+    "stream_upsert",
     "stream_windowed_distinct",
     "run_available_now",
 ]

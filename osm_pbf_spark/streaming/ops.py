@@ -524,3 +524,81 @@ def stream_windowed_distinct(
         F.col("_w.end").alias("window_end"),
         "n_distinct",
     )
+
+
+def stream_upsert(
+    sdf: DataFrame,
+    sink,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    split_prefix: str = "cdc",
+    dedup_order_col: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming CDC APPLY into the Iceberg-shaped sink (r5) — the
+    upsert twin of stream_ingest: every micro-batch MERGES into the
+    table by ``key_cols`` (replace-or-append through the sink's
+    equality-delete + append composition), so a keyed changelog stream
+    materializes as its last-write-wins current state — the Debezium/
+    CDC landing pattern.
+
+    Within a batch, multiple rows per key are collapsed FIRST to the
+    one with the greatest ``dedup_order_col`` (ties to the physically
+    later is nondeterministic — give a total order; None keeps batch
+    rows only when keys are already unique, enforced loudly). Across
+    batches, later micro-batches replace earlier keys by construction.
+    EXACTLY-ONCE: the batch-id-derived split id makes the upsert
+    replay idempotent after crash (the sink's resume contract).
+
+    Returns the started query; drain with availableNow for the gate.
+    """
+
+    def _apply(bdf: DataFrame, bid: int) -> None:
+        from pyspark.sql import Window
+
+        b = bdf
+        if dedup_order_col is not None:
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.col(dedup_order_col).desc()
+            )
+            b = (
+                b.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            dup = (
+                b.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_c"))
+                .where(F.col("_c") > 1)
+            )
+            if not dup.isEmpty():
+                raise ValueError(
+                    "stream_upsert: duplicate keys within a batch and no "
+                    "dedup_order_col given"
+                )
+        sid = f"{split_prefix}-{bid:08d}"
+        done = sink.completed_splits()
+        if sid in done:
+            return  # checkpoint replay of a fully-committed batch
+        if not done:
+            # first batch into an empty table: nothing to delete —
+            # plain append (upsert's delete half would fail loudly)
+            sink.write_split(
+                b, sid, lineage={"stream_batch": int(bid), "mode": "stream_upsert"}
+            )
+            return
+        sink.upsert(
+            b,
+            key_cols,
+            split_id=sid,
+            lineage={"stream_batch": int(bid), "mode": "stream_upsert"},
+        )
+
+    w = (
+        sdf.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
