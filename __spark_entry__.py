@@ -7399,6 +7399,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_attribution"] = q_attribution
 
+    def q_lisa(spark, sf):  # LOCAL Moran's I (Anselin LISA) on the
+        # q_morans_i grid: per-cell cluster cores + outliers, exact
+        # integer numerators, one final division
+        from osm_pbf_spark.operators.spatialstats import (
+            grid_cell_counts,
+            local_morans_i,
+        )
+
+        return local_morans_i(
+            grid_cell_counts(customer_points(spark, sf), 5.0)
+        ).orderBy("cx", "cy")
+
+    q["q_lisa"] = q_lisa
+
     return q
 
 
@@ -13972,6 +13986,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n * a.num AS DOUBLE)
                        / CAST(a.w * d.ss AS DOUBLE) AS moran_i
             FROM tot t, agg a, den d
+        """,
+        "q_lisa": f"""
+            WITH pts AS ({SQL_POINTS}),
+            cells AS (SELECT floor(lat / 5.0) AS cx, floor(lon / 5.0) AS cy,
+                             count(*) AS x
+                      FROM pts GROUP BY 1, 2),
+            tot AS (SELECT count(*) AS n, sum(x) AS s FROM cells),
+            dev AS (SELECT cx, cy, CAST(t.n * x - t.s AS BIGINT) AS d
+                    FROM cells, tot t),
+            nb AS (SELECT a.cx, a.cy, count(*) AS n_nb,
+                          CAST(sum(b.d) AS BIGINT) AS nbs
+                   FROM dev a JOIN dev b
+                     ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+                    AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+                    AND NOT (b.cx = a.cx AND b.cy = a.cy)
+                   GROUP BY a.cx, a.cy),
+            den AS (SELECT sum(d * d) AS ss FROM dev)
+            SELECT CAST(v.cx AS BIGINT) AS cx, CAST(v.cy AS BIGINT) AS cy,
+                   CAST(coalesce(nb.n_nb, 0) AS BIGINT) AS n_nb,
+                   CAST(v.d * coalesce(nb.nbs, 0) AS BIGINT) AS li_num,
+                   CASE WHEN d.ss > 0 THEN
+                     CAST(t.n * v.d * coalesce(nb.nbs, 0) AS DOUBLE)
+                         / CAST(d.ss AS DOUBLE) END AS local_i,
+                   CASE WHEN nb.nbs IS NULL OR v.d = 0 OR nb.nbs = 0
+                             THEN NULL
+                        WHEN v.d > 0 AND nb.nbs > 0 THEN 'HH'
+                        WHEN v.d < 0 AND nb.nbs < 0 THEN 'LL'
+                        WHEN v.d > 0 THEN 'HL' ELSE 'LH' END AS quadrant
+            FROM dev v LEFT JOIN nb ON nb.cx = v.cx AND nb.cy = v.cy,
+                 tot t, den d
+            ORDER BY cx, cy
         """,
         "q_retention": """
             WITH wk AS (SELECT DISTINCT user_id,

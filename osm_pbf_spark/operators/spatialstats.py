@@ -332,3 +332,72 @@ def ripley_k(
         "n",
         F.when(F.col("n") > 1, k_hat).alias("k_hat"),
     )
+
+
+def local_morans_i(cells: DataFrame, x_col: str = "x") -> DataFrame:
+    """LOCAL Moran's I (r5; Anselin 1995 LISA) — the per-cell
+    decomposition of :func:`morans_i`: WHERE is the clustering, not
+    just whether it exists. Queen adjacency, binary weights (the
+    global form's convention):
+
+        I_i = n * D_i * sum(D_nb) / sum(D^2)
+
+    with D = n*x - sum(x) (the global form's integer deviation scale —
+    every numerator term is exact int64; ONE final division). The
+    quadrant label classifies the cluster type: HH/LL = hot/cold core,
+    HL/LH = spatial outlier, NA for zero deviations or no neighbors.
+
+    Plan: the morans_i scatter (8-offset Generate + one equi-join) +
+    one per-cell aggregate. Returns
+    (cx, cy, n_nb, li_num, local_i, quadrant).
+    """
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(F.col(x_col)).alias("_s")
+    )
+    dev = cells.crossJoin(F.broadcast(tot)).select(
+        "cx",
+        "cy",
+        F.col("_n"),
+        (F.col("_n") * F.col(x_col) - F.col("_s")).cast("bigint").alias("d"),
+    )
+    offs = F.array(*[F.lit(i) for i in range(9) if i != 4])
+    probe = dev.select(
+        F.col("cx").alias("ox"),
+        F.col("cy").alias("oy"),
+        F.explode(
+            F.transform(
+                offs,
+                lambda i: F.struct(
+                    (F.col("cx") + (i % 3) - 1).alias("cx"),
+                    (F.col("cy") + (i / 3).cast("int") - 1).alias("cy"),
+                ),
+            )
+        ).alias("nb"),
+    ).select("ox", "oy", F.col("nb.cx").alias("cx"), F.col("nb.cy").alias("cy"))
+    nbsum = (
+        probe.join(dev.select("cx", "cy", F.col("d").alias("db")), ["cx", "cy"])
+        .groupBy(F.col("ox").alias("cx"), F.col("oy").alias("cy"))
+        .agg(F.count(F.lit(1)).alias("n_nb"), F.sum("db").alias("_nbs"))
+    )
+    ss = dev.agg(F.sum(F.col("d") * F.col("d")).alias("_ss"))
+    j = dev.join(nbsum, ["cx", "cy"], "left").crossJoin(F.broadcast(ss))
+    num = F.col("d") * F.coalesce(F.col("_nbs"), F.lit(0))
+    quad = (
+        F.when(F.col("_nbs").isNull() | (F.col("d") == 0) | (F.col("_nbs") == 0),
+               F.lit(None).cast("string"))
+        .when((F.col("d") > 0) & (F.col("_nbs") > 0), F.lit("HH"))
+        .when((F.col("d") < 0) & (F.col("_nbs") < 0), F.lit("LL"))
+        .when((F.col("d") > 0) & (F.col("_nbs") < 0), F.lit("HL"))
+        .otherwise(F.lit("LH"))
+    )
+    return j.select(
+        "cx",
+        "cy",
+        F.coalesce(F.col("n_nb"), F.lit(0)).cast("long").alias("n_nb"),
+        num.alias("li_num"),
+        F.when(
+            F.col("_ss") > 0,
+            (F.col("_n") * num).cast("double") / F.col("_ss").cast("double"),
+        ).alias("local_i"),
+        quad.alias("quadrant"),
+    )
