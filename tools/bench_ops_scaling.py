@@ -686,10 +686,12 @@ def leg_flow_acc(spark, n: int) -> int:
     grid = spark.range(side * side).select(
         (F.col("id") % side).alias("x"),
         (F.col("id") / side).cast("bigint").alias("y"),
-        # tilted plane + deterministic ripple: drains toward x=0 with
-        # local structure, long drainage paths
+        # 32-wide drainage basins (z ramps with x mod 32): wave count
+        # is bounded by the basin width (~32 + ripple), not the grid
+        # side — the leg measures the per-wave shuffles, not 10^3
+        # driver round-trips of a continental river
         (
-            (F.col("id") % side) * 100
+            F.pmod(F.col("id"), F.lit(32)) * 100
             + F.pmod(F.xxhash64(F.col("id")), F.lit(37))
         ).alias("z"),
     )
