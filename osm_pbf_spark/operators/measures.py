@@ -569,20 +569,18 @@ def ring_centroid(
             )
         )
     )
-    a2 = fold(cross).alias("_a2")  # signed 2A in local coords
+    # materialize the cross array ONCE: higher-order lambdas evaluate
+    # interpreted per element, so re-deriving the cross product inside
+    # all three folds tripled the hot work (measured on the 96M-vertex
+    # scaling leg)
+    r = r.withColumn("_cr", cross)
+    cr_i = lambda i: F.element_at("_cr", i)  # noqa: E731
+    a2 = fold(F.col("_cr")).alias("_a2")  # signed 2A in local coords
     cx6 = fold(
-        F.transform(
-            idx,
-            lambda i: (x_i(i) + x_i(nxt(i)))
-            * (x_i(i) * y_i(nxt(i)) - x_i(nxt(i)) * y_i(i)),
-        )
+        F.transform(idx, lambda i: (x_i(i) + x_i(nxt(i))) * cr_i(i))
     ).alias("_cx6")
     cy6 = fold(
-        F.transform(
-            idx,
-            lambda i: (y_i(i) + y_i(nxt(i)))
-            * (x_i(i) * y_i(nxt(i)) - x_i(nxt(i)) * y_i(i)),
-        )
+        F.transform(idx, lambda i: (y_i(i) + y_i(nxt(i))) * cr_i(i))
     ).alias("_cy6")
     per_ring = r.select("poly_id", "ring_idx", "_bx", "_by", a2, cx6, cy6)
     # ring bases relative to the polygon's ring-0 base (same shuffle
