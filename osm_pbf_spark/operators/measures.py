@@ -517,72 +517,104 @@ def ring_centroid(
     pass a coarser ``scale`` for continent-size rings (the
     quantization error is 1/scale degrees).
 
-    Plan: per-ring shoelace as THREE array folds (transform +
-    aggregate over the vertex index — pure codegen, no explode), one
-    (poly_id) hash agg. Returns (poly_id, area2_q, c_lat, c_lon)
-    where area2_q = sum of signed 2A (quantized units²).
+    Plan: ONE zero-copy mapInArrow kernel for the per-ring
+    shoelace — the RINGS batch's list<struct> column exposes flat
+    lat/lon child arrays + offsets, so quantization, translation,
+    cross products and the three per-ring sums are vectorized
+    np.int64 segmented reductions (reduceat) with NO per-vertex
+    Python and NO interpreted Catalyst lambdas (the r5 scaling leg
+    measured the transform/aggregate HOF formulation alloc-bound and
+    core-insensitive); then one (poly_id) window + hash agg. Returns
+    (poly_id, area2_q, c_lat, c_lon) where area2_q = sum of signed 2A
+    (quantized units²).
     """
+    import numpy as np
+    import pyarrow as pa
+
     s = int(scale)
-    n = F.size("pts")
-    qx = F.transform(
-        F.col("pts"),
-        lambda p: F.floor(p["lon"] * F.lit(float(s)) + F.lit(0.5)).cast("long"),
-    )
-    qy = F.transform(
-        F.col("pts"),
-        lambda p: F.floor(p["lat"] * F.lit(float(s)) + F.lit(0.5)).cast("long"),
-    )
-    r = rings_df.where(n >= 3).select(
-        "poly_id",
-        "ring_idx",
-        n.alias("_n"),
-        qx.alias("_qx"),
-        qy.alias("_qy"),
-        F.element_at(qx, 1).alias("_bx"),
-        F.element_at(qy, 1).alias("_by"),
-    )
-    # translated coords + wraparound successor index
-    idx = F.sequence(F.lit(1), F.col("_n"))
-    nxt = lambda i: F.when(i == F.col("_n"), F.lit(1)).otherwise(i + 1)  # noqa: E731
-    x_i = lambda i: F.element_at("_qx", i) - F.col("_bx")  # noqa: E731
-    y_i = lambda i: F.element_at("_qy", i) - F.col("_by")  # noqa: E731
-    cross = F.transform(
-        idx,
-        lambda i: x_i(i) * y_i(nxt(i)) - x_i(nxt(i)) * y_i(i),
-    )
-    fold = lambda arr: F.aggregate(  # noqa: E731
-        arr, F.lit(0).cast("long"), lambda acc, v: acc + v
-    )
-    sx = (F.array_max("_qx") - F.array_min("_qx")).cast("double")
-    sy = (F.array_max("_qy") - F.array_min("_qy")).cast("double")
-    # guard computed in double: it only needs magnitude, and the int64
-    # product would itself wrap on the inputs it is guarding against
-    span_guard = sx * sy * F.greatest(sx, sy) * F.col("_n").cast("double")
-    r = r.where(
-        F.when(span_guard < F.lit(float(1 << 61)), F.lit(True)).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("ring_centroid: span^3*n overflow risk for "),
-                    F.col("poly_id"),
-                    F.lit(" — use a coarser scale"),
-                )
+
+    def _shoelace_batches(batches):
+        for batch in batches:
+            cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+            pts = cols["pts"]
+            if isinstance(pts, pa.ChunkedArray):
+                pts = pts.combine_chunks()
+            offs = pts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = pts.values
+            lat = flat.field("lat").to_numpy(zero_copy_only=False)
+            lon = flat.field("lon").to_numpy(zero_copy_only=False)
+            qx = np.floor(lon * float(s) + 0.5).astype(np.int64)
+            qy = np.floor(lat * float(s) + 0.5).astype(np.int64)
+            n_per = offs[1:] - offs[:-1]
+            keep = n_per >= 3
+            n_rings = len(n_per)
+            if not keep.any():
+                continue
+            # wraparound successor index over the FLAT arrays
+            nxt = np.arange(1, len(qx) + 1, dtype=np.int64)
+            ends = offs[1:] - 1
+            valid_ends = ends[n_per > 0]
+            nxt[valid_ends] = offs[:-1][n_per > 0]
+            # translate to each ring's own first vertex
+            starts = offs[:-1].copy()
+            starts[n_per == 0] = 0
+            bx = qx[np.minimum(starts, len(qx) - 1)] if len(qx) else starts
+            by = qy[np.minimum(starts, len(qy) - 1)] if len(qy) else starts
+            bx_r = np.repeat(bx, n_per)
+            by_r = np.repeat(by, n_per)
+            x = qx - bx_r
+            y = qy - by_r
+            # overflow guards (double magnitudes; int64 would wrap)
+            if len(x):
+                seg_max = np.maximum.reduceat(np.abs(x), np.minimum(starts, len(x) - 1))
+                seg_may = np.maximum.reduceat(np.abs(y), np.minimum(starts, len(y) - 1))
+            else:
+                seg_max = seg_may = np.zeros(n_rings)
+            spn = np.maximum(seg_max, seg_may).astype(np.float64)
+            bad = keep & (
+                spn * spn * spn * n_per.astype(np.float64) >= float(1 << 61)
             )
-        )
+            if bad.any():
+                pid = cols["poly_id"].to_pylist()[int(np.nonzero(bad)[0][0])]
+                raise ValueError(
+                    f"ring_centroid: span^3*n overflow risk for {pid} "
+                    "— use a coarser scale"
+                )
+            xn = x[nxt % max(len(x), 1)] if len(x) else x
+            yn = y[nxt % max(len(y), 1)] if len(y) else y
+            cr = x * yn - xn * y
+            tx = (x + xn) * cr
+            ty = (y + yn) * cr
+            red = np.minimum(starts, max(len(cr) - 1, 0))
+            if len(cr):
+                a2 = np.add.reduceat(cr, red)
+                cx6 = np.add.reduceat(tx, red)
+                cy6 = np.add.reduceat(ty, red)
+                a2[n_per == 0] = 0
+                cx6[n_per == 0] = 0
+                cy6[n_per == 0] = 0
+            else:
+                a2 = cx6 = cy6 = np.zeros(n_rings, dtype=np.int64)
+            k = np.nonzero(keep)[0]
+            yield pa.record_batch(
+                {
+                    "poly_id": cols["poly_id"].take(pa.array(k)),
+                    "ring_idx": cols["ring_idx"].take(pa.array(k)),
+                    "_bx": pa.array(bx[k], pa.int64()),
+                    "_by": pa.array(by[k], pa.int64()),
+                    "_a2": pa.array(a2[k], pa.int64()),
+                    "_cx6": pa.array(cx6[k], pa.int64()),
+                    "_cy6": pa.array(cy6[k], pa.int64()),
+                }
+            )
+
+    id_t = rings_df.schema["poly_id"].dataType.simpleString()
+    per_ring = rings_df.select("poly_id", "ring_idx", "pts").mapInArrow(
+        _shoelace_batches,
+        f"poly_id {id_t}, ring_idx int, _bx long, _by long, "
+        "_a2 long, _cx6 long, _cy6 long",
     )
-    # materialize the cross array ONCE: higher-order lambdas evaluate
-    # interpreted per element, so re-deriving the cross product inside
-    # all three folds tripled the hot work (measured on the 96M-vertex
-    # scaling leg)
-    r = r.withColumn("_cr", cross)
-    cr_i = lambda i: F.element_at("_cr", i)  # noqa: E731
-    a2 = fold(F.col("_cr")).alias("_a2")  # signed 2A in local coords
-    cx6 = fold(
-        F.transform(idx, lambda i: (x_i(i) + x_i(nxt(i))) * cr_i(i))
-    ).alias("_cx6")
-    cy6 = fold(
-        F.transform(idx, lambda i: (y_i(i) + y_i(nxt(i))) * cr_i(i))
-    ).alias("_cy6")
-    per_ring = r.select("poly_id", "ring_idx", "_bx", "_by", a2, cx6, cy6)
+
     # ring bases relative to the polygon's ring-0 base (same shuffle
     # key as the final agg — the window Exchange is reused)
     wp = Window.partitionBy("poly_id").orderBy("ring_idx")

@@ -850,7 +850,7 @@ LEG_SCALE = {
     # distinct-p agg + 1024-bucket two-pass prefix
     "bh_fdr": 20.0,
     # map-only Generate + trig chain, 4 points per leg
-    "densify": 10.0,
+    "densify": 2.0,
     "frequent_items": 10.0,
     # 6 pointer-doubling joins: rows x rounds shuffle volume
     "basins": 3.0,
