@@ -7413,6 +7413,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_lisa"] = q_lisa
 
+    def q_interleave(spark, sf):  # deterministic source-interleaved
+        # training order: per-source md5 ranks, round-robin read order
+        from osm_pbf_spark.operators.packing import interleave_sources
+
+        d = load(spark, sf, "documents").where(F.col("doc_id") < 3000)
+        return interleave_sources(d).orderBy("pos_in_round", "source")
+
+    q["q_interleave"] = q_interleave
+
+    def q_semantic_dedup(spark, sf):  # COMPOSED embedding-level dedup
+        # over a recrawl corpus (every 3rd vector duplicated at +10000
+        # ids): exact cosine pairs -> CC closure -> min-id canonical
+        # survivors — the media_groups pattern in the EMBEDDING
+        # modality
+        from osm_pbf_spark.operators.ann import cosine_topk
+        from osm_pbf_spark.operators.graph import (
+            dedup_canonical,
+            near_dup_groups,
+        )
+
+        base = load(spark, sf, "embeddings").where(F.col("vec_id") < 300)
+        emb = base.unionAll(
+            base.where(F.pmod(F.col("vec_id"), F.lit(3)) == 0).withColumn(
+                "vec_id", F.col("vec_id") + 10_000
+            )
+        ).select("vec_id", "embedding")
+        nn = cosine_topk(emb, emb, k=4)
+        pairs = (
+            nn.where(F.col("cos") > 0.99)
+            .select(
+                F.least("query_id", "neighbor_id").alias("id_a"),
+                F.greatest("query_id", "neighbor_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        groups = near_dup_groups(
+            emb.select(F.col("vec_id").alias("doc_id")), pairs
+        )
+        return dedup_canonical(groups).orderBy("group_id", "doc_id")
+
+    q["q_semantic_dedup"] = q_semantic_dedup
+
+    def q_quality_filter(spark, sf):  # COMPOSED quality gate: Flesch
+        # readability + repetition ratio votes -> keep decision per doc
+        # (the multi-signal filter every corpus pipeline ships)
+        from osm_pbf_spark.operators.text import flesch_score
+
+        d = load(spark, sf, "documents").where(F.col("doc_id") < 2000)
+        fl = flesch_score(d)
+        toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        rep = d.select(
+            "doc_id",
+            F.size(toks).alias("n_toks"),
+            F.size(F.array_distinct(toks)).alias("n_uniq"),
+        )
+        j = fl.join(rep, "doc_id")
+        keep = (
+            (F.col("n_words") >= 5)
+            & (F.col("flesch") > -100.0)
+            & (F.col("n_uniq") * 10 >= F.col("n_toks") * 3)  # <=70% repeats
+        )
+        return j.select(
+            "doc_id", "n_words", "n_uniq", "n_toks", keep.alias("keep")
+        ).orderBy("doc_id")
+
+    q["q_quality_filter"] = q_quality_filter
+
     return q
 
 
@@ -11911,6 +11978,77 @@ def _ora_perm_test() -> str:
     )
 
 
+def _ora_semantic_dedup() -> str:
+    """Scalar replay of the embedding dedup closure: identical
+    sequential-fold cosine (the dot_f64 op order), k=4 neighbor lists
+    with the engine's (cos desc, id asc) tie-break, union-find,
+    min-id survivors."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    vecs = {}
+    for vid, emb in zip(
+        t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()
+    ):
+        v = int(vid)
+        if v < 300:
+            vecs[v] = [float(x) for x in emb]
+            if v % 3 == 0:
+                vecs[v + 10_000] = vecs[v]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    import math
+
+    # norm2 kept UNsqrted: the engine computes dot / sqrt(n2q * n2c)
+    # in that exact order — pre-sqrting each norm is a different float
+    # chain and could flip a borderline threshold/tie
+    norm2 = {k: dot(v, v) for k, v in vecs.items()}
+    ids = sorted(vecs)
+    pairs = set()
+    for q in ids:
+        sims = []
+        for c in ids:
+            if c == q:
+                continue
+            sims.append(
+                (-(dot(vecs[q], vecs[c]) / math.sqrt(norm2[q] * norm2[c])), c)
+            )
+        sims.sort()
+        for negcos, c in sims[:4]:
+            if -negcos > 0.99:
+                pairs.add((min(q, c), max(q, c)))
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups: dict = {}
+    for i in ids:
+        groups.setdefault(find(i), []).append(i)
+    rows = [
+        (min(g), root, len(g)) for root, g in groups.items()
+    ]
+    return _values_sql(
+        [("doc_id", "BIGINT"), ("group_id", "BIGINT"), ("group_size", "BIGINT")],
+        sorted(rows, key=lambda r: (r[1], r[0])),
+    )
+
+
 def _ora_betweenness() -> str:
     """Scalar replay of tree_betweenness: md5-ranked landmarks,
     canonical min-id-parent BFS trees, descendant counts."""
@@ -13986,6 +14124,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n * a.num AS DOUBLE)
                        / CAST(a.w * d.ss AS DOUBLE) AS moran_i
             FROM tot t, agg a, den d
+        """,
+        "q_interleave": """
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                                doc_id) - 1 AS BIGINT) AS pos_in_round
+            FROM documents WHERE doc_id < 3000
+            ORDER BY pos_in_round, source
+        """,
+        "q_quality_filter": """
+            WITH d AS (SELECT doc_id, text AS t FROM documents
+                       WHERE doc_id < 2000),
+            c AS (SELECT doc_id,
+                     list_filter(string_split(t, ' '), x -> x <> '') AS toks,
+                     len(list_filter(regexp_split_to_array(t, '\\s+'),
+                                     x -> x <> '')) AS w,
+                     greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS s,
+                     len(regexp_extract_all(t, '[aeiouyAEIOUY]+')) AS sy0
+                  FROM d),
+            m AS (SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+                         CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+                         CAST(len(toks) AS BIGINT) AS n_toks,
+                         CASE WHEN w > 0 THEN
+                           round(206.835
+                                 - 1.015 * (CAST(w AS DOUBLE)
+                                            / CAST(s AS DOUBLE))
+                                 - 84.6 * (CAST(greatest(sy0, w) AS DOUBLE)
+                                           / CAST(w AS DOUBLE)), 6)
+                         END AS flesch
+                  FROM c)
+            SELECT doc_id, n_words, n_uniq, n_toks,
+                   (n_words >= 5 AND flesch > -100.0
+                    AND n_uniq * 10 >= n_toks * 3) AS keep
+            FROM m ORDER BY doc_id
         """,
         "q_lisa": f"""
             WITH pts AS ({SQL_POINTS}),
@@ -17576,6 +17749,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # independent formulation: correlated scalar subqueries per
     # conversion instead of the engine's join + max(struct)
+    d["q_semantic_dedup"] = _ora_semantic_dedup()
     d["q_attribution"] = """
         WITH conv AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts
                       FROM events

@@ -855,3 +855,33 @@ def mix_sources(
         "mix_t",
         (F.row_number().over(wglob) - 1).cast("bigint").alias("mix_pos"),
     )
+
+
+def interleave_sources(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic SOURCE-INTERLEAVED training order (r5) — the
+    ordering half of mixture construction (mixture_sample fixes WHAT
+    is in the mix; this fixes the ORDER so a sequential trainer sees
+    sources evenly spread, not source-clustered): each document gets
+    a global position by sorting on (within-source md5 rank, source),
+    which round-robins through the sources while they last — the
+    standard shard-interleave a data loader wants, with md5 ranks so
+    the per-source order is the stable hash order every sampler here
+    uses (append-stable, seedless, engine-replayable).
+
+    Plan: one per-source rank window (partitioned by source — never
+    global), then the position is DERIVED (rank, source) — callers
+    ORDER BY (pos_in_round, source) at read time; no global window
+    materializes a total order. Returns
+    (id_col, source_col, pos_in_round:bigint).
+    """
+    key = md5_uniform_hex(F.col(id_col).cast("string"))
+    w = Window.partitionBy(source_col).orderBy(key, F.col(id_col))
+    return docs.select(
+        id_col,
+        source_col,
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos_in_round"),
+    )
