@@ -60,6 +60,12 @@ __all__ = [
     "node2vec_walks",
     "personalized_pagerank",
     "negative_samples",
+    "luby_mis",
+    "topo_layers",
+    "adamic_adar",
+    "scc",
+    "mis_coloring",
+    "tree_betweenness",
 ]
 
 

@@ -41,6 +41,10 @@ __all__ = [
     "DEG2RAD",
     "EARTH_RADIUS_M",
     "PAL_SNAP_SCALE",
+    "initial_bearing_mdeg",
+    "destination_point",
+    "ring_centroid",
+    "densify_route",
 ]
 
 DEG2RAD = 0.017453292519943295  # closest float64 to pi/180 — keep literal

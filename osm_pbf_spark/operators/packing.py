@@ -44,6 +44,7 @@ __all__ = [
     "group_sample",
     "md5_uniform_hex",
     "dsir_weights",
+    "interleave_sources",
 ]
 
 

@@ -52,6 +52,7 @@ __all__ = [
     "youden_threshold",
     "bh_fdr",
     "fisher_exact",
+    "perm_test",
 ]
 
 
